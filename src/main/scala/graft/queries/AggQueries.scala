@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.5 aggregations A1-A5, including the dynamic clause synthesis
+  * the reference builds from `df.columns` at runtime
+  * (`silver_table_creation.py:347-361`).
+  *
+  * Float determinism: 2-decimal money doubles aggregate through
+  * `ROUND(x*100)` (integral cents — exact sums in any order, so Spark's
+  * partial-aggregate order vs DuckDB's vectorized order cannot diverge),
+  * then divide by 100.0 once.
+  */
+object AggQueries {
+  import Q.QueryFn
+
+  /** A1's dynamic synthesis, shared by the Spark and oracle sides: averages
+    * every numeric non-key column as AVG(ROUND(c*100))/100.0.
+    */
+  private def a1AvgClauses(numericCols: Seq[String]): String =
+    numericCols.map(c => s"AVG(ROUND($c * 100)) / 100.0 AS $c").mkString(", ")
+
+  private val A1Keys = Seq("l_returnflag", "l_linestatus")
+
+  val defs: Map[String, QueryFn] = Map(
+    // A1 — dynamic multi-key GROUP BY + AVG synthesized from df.columns via
+    // the temp-view SQL path (silver_table_creation.py:347-361).
+    "a1_dynamic_groupby_sql" -> ((s, dir) => {
+      val df = Tables.lineitem(s, dir)
+      val numeric = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          !A1Keys.contains(f.name) => f.name
+      }.toSeq
+      df.createOrReplaceTempView("graft_a1_lineitem")
+      s.sql(s"SELECT ${A1Keys.mkString(", ")}, ${a1AvgClauses(numeric)} " +
+        s"FROM graft_a1_lineitem GROUP BY ${A1Keys.mkString(", ")}")
+    }),
+
+    // A2 — static GROUP BY with 14 aggregates (gold_table_creation.py:105-116)
+    "a2_static_agg14" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).groupBy($"l_orderkey").agg(
+        sum($"l_quantity").as("sum_qty"),
+        avg($"l_quantity").as("avg_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"),
+        (sum(round($"l_extendedprice" * 100)) / 100.0).as("sum_price"),
+        (avg(round($"l_extendedprice" * 100)) / 100.0).as("avg_price"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price"),
+        (sum(round($"l_discount" * 100)) / 100.0).as("sum_disc"),
+        (avg(round($"l_tax" * 100)) / 100.0).as("avg_tax"),
+        count(lit(1)).as("cnt"),
+        countDistinct($"l_partkey").as("cnt_parts"),
+        min($"l_shipdate").as("min_ship"),
+        max($"l_shipdate").as("max_ship"))
+    }),
+
+    // A3 — GROUP BY + AVG, forecast-style 9 aggregates
+    // (gold_table_creation.py:135-145)
+    "a3_agg_orders" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir).groupBy($"o_orderpriority", $"o_orderstatus").agg(
+        count(lit(1)).as("cnt"),
+        (avg(round($"o_totalprice" * 100)) / 100.0).as("avg_total"),
+        (sum(round($"o_totalprice" * 100)) / 100.0).as("sum_total"),
+        min($"o_totalprice").as("min_total"),
+        max($"o_totalprice").as("max_total"),
+        countDistinct($"o_custkey").as("cnt_cust"),
+        min($"o_orderdate").as("min_date"),
+        max($"o_orderdate").as("max_date"),
+        avg($"o_custkey").as("avg_custkey"))
+    }),
+
+    // A4 — count() diagnostics (silver_table_creation.py:128-133 et al.)
+    "a4_count" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // A5 — distinct().count() cardinality probe
+    // (silver_table_creation.py:319-320)
+    "a5_distinct_count" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).agg(
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_returnflag", $"l_linestatus").as("n_flag_status"))
+    }),
+
+    // TPC-H Q1-shaped pricing summary — the classic hash-aggregate headline
+    // (bench workhorse; all money paths via exact cents).
+    "q1_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).groupBy($"l_returnflag", $"l_linestatus").agg(
+        sum($"l_quantity").as("sum_qty"),
+        (sum(round($"l_extendedprice" * 100)) / 100.0).as("sum_base_price"),
+        (sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 100)) / 100.0)
+          .as("sum_disc_price"),
+        avg($"l_quantity").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_dynamic_groupby_sql" -> {
+      // Same synthesis rule over lineitem's numeric columns (FIXTURES.md §A).
+      val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      s"SELECT ${A1Keys.mkString(", ")}, ${a1AvgClauses(numeric)} " +
+        s"FROM lineitem GROUP BY ${A1Keys.mkString(", ")}"
+    },
+    "a2_static_agg14" ->
+      ("SELECT l_orderkey, SUM(l_quantity) AS sum_qty, AVG(l_quantity) AS avg_qty, " +
+       "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, " +
+       "SUM(ROUND(l_extendedprice * 100)) / 100.0 AS sum_price, " +
+       "AVG(ROUND(l_extendedprice * 100)) / 100.0 AS avg_price, " +
+       "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price, " +
+       "SUM(ROUND(l_discount * 100)) / 100.0 AS sum_disc, " +
+       "AVG(ROUND(l_tax * 100)) / 100.0 AS avg_tax, " +
+       "CAST(COUNT(*) AS BIGINT) AS cnt, " +
+       "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS cnt_parts, " +
+       "MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship " +
+       "FROM lineitem GROUP BY l_orderkey"),
+    "a3_agg_orders" ->
+      ("SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+       "AVG(ROUND(o_totalprice * 100)) / 100.0 AS avg_total, " +
+       "SUM(ROUND(o_totalprice * 100)) / 100.0 AS sum_total, " +
+       "MIN(o_totalprice) AS min_total, MAX(o_totalprice) AS max_total, " +
+       "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS cnt_cust, " +
+       "MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date, " +
+       "AVG(o_custkey) AS avg_custkey " +
+       "FROM orders GROUP BY o_orderpriority, o_orderstatus"),
+    "a4_count" -> "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
+    "a5_distinct_count" ->
+      ("SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders, " +
+       "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
+       "CAST(COUNT(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS n_flag_status " +
+       "FROM lineitem"),
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, " +
+       "SUM(ROUND(l_extendedprice * 100)) / 100.0 AS sum_base_price, " +
+       "SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100.0 AS sum_disc_price, " +
+       "AVG(l_quantity) AS avg_qty, CAST(COUNT(*) AS BIGINT) AS count_order " +
+       "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+  )
+}

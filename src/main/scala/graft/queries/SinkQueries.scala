@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.table.{MedallionTable, MergeOps}
+
+/** SURVEY.md §2.2 sinks / table maintenance (K1-K5) exposed as
+  * oracle-checked round-trip queries: write to a /tmp scratch table with the
+  * MedallionTable layer, read back, compare against SQL that derives the
+  * same final state from the base tables.
+  */
+object SinkQueries {
+  import Q.QueryFn
+
+  val defs: Map[String, QueryFn] = Map(
+    // K1 — create + append with partitioning (bronze_table_creation.py:26)
+    "k1_append_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k1_append")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 4 === 0))
+      t.append(o.filter($"o_orderkey" % 4 === 1))
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }),
+
+    // K2 — overwrite fully replaces (bronze_table_creation.py:36,61)
+    "k2_overwrite_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k2_overwrite")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 4 === 3))
+      t.overwrite(o.filter($"o_orderkey" % 4 === 2))
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }),
+
+    // K4 — 3-clause merge with schema evolution: source drops a column and
+    // changes a measure; matched rows keep the target-only column (Delta
+    // UPDATE SET semantics), inserted rows get a typed null.
+    "k4_merge_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val target = o.filter($"o_orderkey" % 3 =!= 0)
+      val source = o.filter($"o_orderkey" % 2 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1)
+        .drop("o_orderpriority")
+      MergeOps.merge3Clause(target, source, Seq("o_orderkey"))
+    }),
+
+    // K4 — upsert variant (no not-matched-by-source delete): matched rows
+    // take source values, unmatched target rows survive.
+    "k4_merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val target = o.filter($"o_orderkey" % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 5 === 0, $"o_totalprice" * 2).otherwise($"o_totalprice"))
+      val source = o.filter($"o_orderkey" % 2 === 0)
+      MergeOps.merge3Clause(target, source, Seq("o_orderkey"),
+        updateCondition = Some(MergeOps.anyColumnDiffers(target, source, Seq("o_orderkey"))),
+        deleteNotMatchedBySource = false)
+    }),
+
+    // K3+K4 — the reference's createOrMerge control flow end-to-end on a
+    // real table directory: create, then full-sync merge
+    // (silver_table_creation.py:43-66). Final state ≡ the second source.
+    "k_create_or_merge_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_com")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.createOrMerge(o.filter($"o_orderkey" % 3 =!= 0), Seq("o_orderkey"))
+      t.createOrMerge(o.filter($"o_orderkey" % 2 === 0), Seq("o_orderkey"))
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    })
+  )
+
+  private val OrderCols =
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+  val oracles: Map[String, String] = Map(
+    "k1_append_roundtrip" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 4 IN (0, 1)",
+    "k2_overwrite_roundtrip" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 4 = 2",
+    "k4_merge_schema_evolution" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+       "o_totalprice + 1 AS o_totalprice, o_orderdate, " +
+       "CASE WHEN o_orderkey % 3 <> 0 THEN o_orderpriority END AS o_orderpriority " +
+       "FROM orders WHERE o_orderkey % 2 = 0"),
+    "k4_merge_upsert" ->
+      (s"SELECT $OrderCols FROM orders WHERE o_orderkey % 2 = 0 " +
+       "UNION ALL " +
+       "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+       "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END " +
+       "AS o_totalprice, o_orderdate, o_orderpriority " +
+       "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0"),
+    "k_create_or_merge_roundtrip" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 2 = 0"
+  )
+}

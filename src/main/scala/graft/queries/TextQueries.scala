@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** LLM-training-data text operators over `documents.parquet`: exact dedup,
+  * text statistics, quality scoring, document fingerprinting, language
+  * heuristics, and an oracle-able MinHash (MD5-based; the xxhash64 scale
+  * variant lives in [[graft.dedup.MinHash]]).
+  *
+  * All pure Column expressions — tokenization via `regexp_extract_all`,
+  * set math via array higher-order functions; mirrored 1:1 in the DuckDB
+  * oracle (list_* functions), including the accumulation order.
+  */
+object TextQueries {
+  import Q.{QueryFn, TokensExpr}
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  val defs: Map[String, QueryFn] = Map(
+    // Exact dedup via group-by text: deterministic keeper (min doc_id).
+    "dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).groupBy($"text")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Exact dedup on content hash (the scalable form: group on a 128-bit
+    // digest, not the full text — at 100 TB the shuffle carries 16 bytes
+    // per row instead of the document).
+    "dedup_exact_hash" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).groupBy(md5($"text").as("text_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Text statistics: chars/bytes/tokens/distinct tokens/avg token length.
+    "text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        "LENGTH(text) AS n_chars_c",
+        "OCTET_LENGTH(text) AS n_bytes",
+        s"SIZE($TokensExpr) AS n_tokens",
+        s"SIZE(ARRAY_DISTINCT($TokensExpr)) AS n_uniq_tokens",
+        s"CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / SIZE($TokensExpr) AS avg_tok_len")
+    }),
+
+    // Quality scoring: stopword ratio + banding (length/stopword heuristics).
+    "text_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        s"SIZE($TokensExpr) AS n_tokens",
+        s"SIZE(FILTER($TokensExpr, t -> t IN (${inList(Stopwords)}))) AS n_stop")
+        .selectExpr("doc_id", "n_tokens", "n_stop",
+          "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio",
+          "CASE WHEN n_tokens < 10 THEN 'short' " +
+            "WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.2 THEN 'stopwordy' " +
+            "ELSE 'ok' END AS quality_band")
+    }),
+
+    // Document fingerprint: digest of whitespace-normalized lowercased text.
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        "MD5(LOWER(REGEXP_REPLACE(text, '\\\\s+', ' '))) AS fp")
+    }),
+
+    // Language distribution over the typed lang column.
+    "lang_dist" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).groupBy($"lang").agg(
+        count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        avg($"n_chars").as("avg_chars"))
+    }),
+
+    // Language-ID heuristic: stopword-list scoring with a fixed tie-break
+    // (en > de > es > fr). Deterministic on any text.
+    "lang_id_ngram" -> ((s, dir) => {
+      val en = inList(Seq("the", "and", "of", "to", "is"))
+      val de = inList(Seq("der", "die", "das", "und", "ist"))
+      val es = inList(Seq("el", "la", "de", "que", "y"))
+      val fr = inList(Seq("le", "les", "et", "des", "un"))
+      Tables.documents(s, dir).selectExpr(
+        "doc_id", "lang",
+        s"SIZE(FILTER($TokensExpr, t -> t IN ($en))) AS s_en",
+        s"SIZE(FILTER($TokensExpr, t -> t IN ($de))) AS s_de",
+        s"SIZE(FILTER($TokensExpr, t -> t IN ($es))) AS s_es",
+        s"SIZE(FILTER($TokensExpr, t -> t IN ($fr))) AS s_fr")
+        .selectExpr("doc_id", "lang",
+          "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' " +
+            "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' " +
+            "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang")
+    }),
+
+    // Oracle-able MinHash (4 hashes, MD5-keyed, lexicographic min over
+    // token 3-gram shingles). Deterministic across engines because MD5 and
+    // string min are engine-independent — unlike xxhash64 (see
+    // graft.dedup.MinHash for the fast variant).
+    "dedup_minhash_md5" -> ((s, dir) => {
+      val shingles =
+        s"TRANSFORM(SEQUENCE(0, SIZE($TokensExpr) - 3), " +
+          s"i -> CONCAT(($TokensExpr)[i], ' ', ($TokensExpr)[i+1], ' ', ($TokensExpr)[i+2]))"
+      val sigCols = (0 until 4).map { k =>
+        s"ARRAY_MIN(TRANSFORM($shingles, sh -> MD5(CONCAT('$k:', sh)))) AS mh_$k"
+      }
+      Tables.documents(s, dir)
+        .where(s"SIZE($TokensExpr) >= 3")
+        .selectExpr(Seq("doc_id") ++ sigCols: _*)
+    })
+  )
+
+  private val DuckTokens = "regexp_extract_all(text, '\\S+')"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      ("SELECT text, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies " +
+       "FROM documents GROUP BY text"),
+    "dedup_exact_hash" ->
+      ("SELECT MD5(text) AS text_hash, MIN(doc_id) AS keep_id, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY MD5(text)"),
+    "text_stats" ->
+      (s"SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_chars_c, " +
+       s"CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes, " +
+       s"CAST(LEN($DuckTokens) AS INTEGER) AS n_tokens, " +
+       s"CAST(LEN(LIST_DISTINCT($DuckTokens)) AS INTEGER) AS n_uniq_tokens, " +
+       s"CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LEN($DuckTokens) AS avg_tok_len " +
+       "FROM documents"),
+    "text_quality" ->
+      (s"SELECT doc_id, n_tokens, n_stop, CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, " +
+       "CASE WHEN n_tokens < 10 THEN 'short' " +
+       "WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.2 THEN 'stopwordy' ELSE 'ok' END AS quality_band " +
+       s"FROM (SELECT doc_id, CAST(LEN($DuckTokens) AS INTEGER) AS n_tokens, " +
+       s"CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN (${inList(Stopwords)}))) AS INTEGER) AS n_stop " +
+       "FROM documents)"),
+    "text_fingerprint" ->
+      ("SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fp " +
+       "FROM documents"),
+    "lang_dist" ->
+      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(n_chars) AS min_chars, " +
+       "MAX(n_chars) AS max_chars, AVG(n_chars) AS avg_chars " +
+       "FROM documents GROUP BY lang"),
+    "lang_id_ngram" -> {
+      val en = inList(Seq("the", "and", "of", "to", "is"))
+      val de = inList(Seq("der", "die", "das", "und", "ist"))
+      val es = inList(Seq("el", "la", "de", "que", "y"))
+      val fr = inList(Seq("le", "les", "et", "des", "un"))
+      "SELECT doc_id, lang, " +
+        "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' " +
+        "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' " +
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang " +
+        s"FROM (SELECT doc_id, lang, " +
+        s"CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN ($en))) AS INTEGER) AS s_en, " +
+        s"CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN ($de))) AS INTEGER) AS s_de, " +
+        s"CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN ($es))) AS INTEGER) AS s_es, " +
+        s"CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN ($fr))) AS INTEGER) AS s_fr " +
+        "FROM documents)"
+    },
+    "dedup_minhash_md5" -> {
+      val duckShingles =
+        s"list_transform(range(1, len($DuckTokens) - 1), " +
+          s"i -> ($DuckTokens)[i] || ' ' || ($DuckTokens)[i+1] || ' ' || ($DuckTokens)[i+2])"
+      val sigCols = (0 until 4).map { k =>
+        s"LIST_MIN(list_transform($duckShingles, sh -> MD5('$k:' || sh))) AS mh_$k"
+      }.mkString(", ")
+      s"SELECT doc_id, $sigCols FROM documents WHERE LEN($DuckTokens) >= 3"
+    }
+  )
+}

@@ -1,7 +1,7 @@
 package graft.table
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 
 /** Parquet-backed table with the Delta-table maintenance semantics the
   * reference exercises (SURVEY.md §2.2 K1-K4, §7.1 — no Delta jars ship in
@@ -17,12 +17,16 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   *   - append/overwrite are plain distributed parquet writes — no driver
   *     bottleneck, any partition count.
   *   - merge is one full-outer shuffle join (see [[MergeOps]]) followed by a
-  *     distributed rewrite. Partition pruning applies on the read side when
-  *     the merge keys include the partition key.
-  *   - the directory swap at the end of merge/overwrite is atomic per
-  *     rename on HDFS-like filesystems; on object stores it is
-  *     copy+delete. Single-writer assumption, documented (SURVEY.md §7.4) —
-  *     the reference's Airflow DAG is also strictly linear.
+  *     distributed rewrite. When `partitionColumns ⊆ keys`,
+  *     [[mergePruned]] restricts both the read and the rewrite to the
+  *     partitions present in the source — the 100 TB incremental path
+  *     (a batch touching one `data_block_id` rewrites one partition, not
+  *     the table).
+  *   - the full-table swap keeps the previous data live until the
+  *     replacement is fully in place (rename dst→backup, rename tmp→dst,
+  *     delete backup; restore backup on failure). Single-writer
+  *     assumption, documented (SURVEY.md §7.4) — the reference's Airflow
+  *     DAG is also strictly linear.
   */
 final class MedallionTable(
     val spark: SparkSession,
@@ -34,11 +38,25 @@ final class MedallionTable(
 
   /** Exception-free existence dispatch replacing the reference's
     * `try: save(mode='error') except: merge` control flow
-    * (`silver_table_creation.py:43-66`, SURVEY.md §3.4).
+    * (`silver_table_creation.py:43-66`, SURVEY.md §3.4). A directory
+    * holding only `_SUCCESS`/`_temporary` leftovers from a crashed write
+    * does NOT count as an existing table — only actual data files do.
     */
   def exists: Boolean = {
     val p = new Path(path)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    fs.exists(p) && hasDataFiles(p)
+  }
+
+  private def hasDataFiles(p: Path): Boolean = {
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      val isHidden = name.startsWith("_") || name.startsWith(".")
+      val inTemp = f.getPath.toString.contains("/_temporary/")
+      if (!isHidden && !inTemp && f.getLen > 0) return true
+    }
+    false
   }
 
   def read: DataFrame =
@@ -56,35 +74,105 @@ final class MedallionTable(
   def overwrite(df: DataFrame): Unit = writer(df, SaveMode.Overwrite).parquet(path)
 
   /** K3 — first-run create, error if the table already exists. */
-  def createOrError(df: DataFrame): Unit =
-    writer(df, SaveMode.ErrorIfExists).parquet(path)
+  def createOrError(df: DataFrame): Unit = {
+    if (exists)
+      throw new IllegalStateException(s"table already exists at $path")
+    writer(df, SaveMode.Overwrite).parquet(path)
+  }
 
   /** K4 — 3-clause merge (see [[MergeOps.merge3Clause]]): materializes the
-    * merged result next to the table, then swaps directories.
+    * merged result next to the table, then swaps directories with the
+    * previous data kept as a backup until the swap lands.
+    *
+    * @param checkUniqueKeys Delta fails when multiple source rows match one
+    *        target row; pay one aggregation to replicate that guarantee.
     */
   def merge(
       source: DataFrame,
       keys: Seq[String],
-      updateCondition: Option[(DataFrame, DataFrame) => Column] = None,
-      deleteNotMatchedBySource: Boolean = true): Unit = {
-    val merged = MergeOps.merge3Clause(read, source, keys, updateCondition, deleteNotMatchedBySource)
-    val tmp = s"${path}__graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-    val w = merged.write.mode(SaveMode.Overwrite)
-    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w).parquet(tmp)
+      updateCondition: Option[(MergeOps.ColRef, MergeOps.ColRef) => Column] = None,
+      deleteNotMatchedBySource: Boolean = true,
+      checkUniqueKeys: Boolean = false): Unit = {
+    if (checkUniqueKeys) MergeOps.requireUniqueKeys(source, keys)
+    val merged =
+      MergeOps.merge3Clause(read, source, keys, updateCondition, deleteNotMatchedBySource)
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(s"${path}__graft_tmp_$suffix")
     val dst = new Path(path)
-    val src = new Path(tmp)
-    fs.delete(dst, true)
-    if (!fs.rename(src, dst))
-      throw new java.io.IOException(s"merge swap failed: $tmp -> $path")
+    val backup = new Path(s"${path}__graft_old_$suffix")
+    var written = false
+    try {
+      val w = merged.write.mode(SaveMode.Overwrite)
+      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
+        .parquet(tmp.toString)
+      written = true
+      // Swap: never a moment where the live path is the only copy gone.
+      if (!fs.rename(dst, backup))
+        throw new java.io.IOException(s"merge swap failed: $dst -> $backup")
+      if (!fs.rename(tmp, dst)) {
+        fs.rename(backup, dst) // restore — table untouched on failure
+        throw new java.io.IOException(s"merge swap failed: $tmp -> $dst (restored)")
+      }
+      fs.delete(backup, true)
+    } finally {
+      if (!written) fs.delete(tmp, true) // failed merge write leaves no litter
+    }
+  }
+
+  /** Partition-pruned merge for `partitionColumns ⊆ keys`: reads and
+    * rewrites ONLY the hive partitions present in the source, via dynamic
+    * partition overwrite. Untouched partition directories are never read or
+    * written — the incremental path a 100 TB table needs.
+    *
+    * Semantics note (documented divergence): the not-matched-by-source
+    * delete clause applies *within touched partitions only*; rows living in
+    * partitions the source doesn't mention are kept. That is the standard
+    * incremental-batch contract (the reference's batches always carry their
+    * own `data_block_id`s).
+    */
+  def mergePruned(
+      source: DataFrame,
+      keys: Seq[String],
+      updateCondition: Option[(MergeOps.ColRef, MergeOps.ColRef) => Column] = None,
+      deleteNotMatchedBySource: Boolean = true): Unit = {
+    require(partitionColumns.nonEmpty && partitionColumns.forall(keys.contains),
+      s"mergePruned requires partitionColumns (${partitionColumns.mkString(",")}) ⊆ keys")
+    // Distinct partition tuples in the source: bounded by partition count,
+    // safe to collect (this is partition *metadata*, not data).
+    val touched: Array[Row] =
+      source.select(partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().collect()
+    val prunePred: Column = touched.map { row =>
+      partitionColumns.zipWithIndex
+        .map { case (c, i) => org.apache.spark.sql.functions.col(c) === org.apache.spark.sql.functions.lit(row.get(i)) }
+        .reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(org.apache.spark.sql.functions.lit(false))
+
+    val prunedTarget = read.filter(prunePred) // partition-pruned scan
+    val merged =
+      MergeOps.merge3Clause(prunedTarget, source, keys, updateCondition, deleteNotMatchedBySource)
+    // Dynamic partition overwrite replaces exactly the partitions present in
+    // `merged`; all other partition directories are untouched on disk.
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionColumns: _*)
+      .parquet(path)
   }
 
   /** The reference's canonical upsert entry (`silver_table_creation.py:43-66`):
     * create on first run, 3-clause merge with the dynamic any-column-differs
-    * update condition on re-runs.
+    * update condition on re-runs. Routes to the partition-pruned path when
+    * the layout allows it.
     */
   def createOrMerge(source: DataFrame, keys: Seq[String]): Unit =
     if (!exists) createOrError(source)
-    else merge(source, keys, Some(MergeOps.anyColumnDiffers(_, _, keys)))
+    else {
+      val cond = Some(MergeOps.anyColumnDiffers(read, source, keys))
+      if (partitionColumns.nonEmpty && partitionColumns.forall(keys.contains))
+        mergePruned(source, keys, cond)
+      else merge(source, keys, cond)
+    }
 }
 
 object MedallionTable {

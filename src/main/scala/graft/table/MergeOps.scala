@@ -18,70 +18,114 @@ import org.apache.spark.sql.functions._
   * column resolution with `when(...)`, and a row filter for the delete
   * clause. At 100 TB this is one shuffle of each side keyed on the merge
   * keys — the same cost profile as Delta's join-based merge — and it stays
-  * entirely inside whole-stage codegen (no UDFs). When the target is
-  * hive-partitioned on an ingest-batch key the scan prunes to touched
-  * partitions before the join.
+  * entirely inside whole-stage codegen (no UDFs).
+  *
+  * Both sides are prefix-renamed before the join, so target and source may
+  * share lineage (the common "merge a filtered view of the table into
+  * itself" case) without tripping Spark's ambiguous-self-join analysis.
+  *
+  * Delta-parity semantics honored here:
+  *   - UPDATE SET covers only columns present in the source: target-only
+  *     columns keep their target value on matched rows.
+  *   - Columns only in source are added to the output schema with the
+  *     target side null-padded *and typed* (cast to the source datatype so
+  *     no NullType ever reaches a parquet writer).
+  *   - Duplicate merge-key values in the source make Delta fail with
+  *     "multiple source rows matched"; callers that need that guarantee use
+  *     [[requireUniqueKeys]] (an action, so kept out of this pure builder).
   */
 object MergeOps {
 
-  private val SrcMark = "__graft_src_present"
-  private val TgtMark = "__graft_tgt_present"
+  /** Resolves a logical column name to the (renamed) target- or source-side
+    * Column inside the merge join; see [[merge3Clause]]'s updateCondition.
+    */
+  type ColRef = String => Column
+
+  private val TPrefix = "__graft_t_"
+  private val SPrefix = "__graft_s_"
+  private val SrcMark = s"${SPrefix}present__"
+  private val TgtMark = s"${TPrefix}present__"
 
   /** Replicates the reference's dynamic change-condition synthesis
     * (`silver_table_creation.py:50-54` et al., SURVEY.md §2.2 K5): OR over
-    * all non-key columns of `destination.c <> source.c`. Null-unsafe `<>`
-    * on purpose — the reference guarantees no nulls via dropna first
+    * all shared non-key columns of `destination.c <> source.c`. Null-unsafe
+    * `<>` on purpose — the reference guarantees no nulls via dropna first
     * (SURVEY.md §7.4).
     */
-  def anyColumnDiffers(tgt: DataFrame, src: DataFrame, keys: Seq[String]): Column = {
-    val shared = tgt.columns.toSeq.filterNot(keys.contains).filter(src.columns.contains)
-    if (shared.isEmpty) lit(false)
-    else shared.map(c => tgt(c) =!= src(c)).reduce(_ || _)
+  def anyColumnDiffers(
+      target: DataFrame, source: DataFrame, keys: Seq[String]): (ColRef, ColRef) => Column = {
+    val shared =
+      target.columns.toSeq.filterNot(keys.contains).filter(source.columns.contains)
+    (t, s) =>
+      if (shared.isEmpty) lit(false)
+      else shared.map(c => t(c) =!= s(c)).reduce(_ || _)
+  }
+
+  /** Delta fails a MERGE when one target row matches multiple source rows.
+    * Single distributed aggregation; call before [[merge3Clause]] when the
+    * source is not known-deduplicated (reference sources always are —
+    * `dropDuplicates()` precedes every merge, `silver_table_creation.py:32`).
+    */
+  def requireUniqueKeys(source: DataFrame, keys: Seq[String]): Unit = {
+    val dup = source.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+    if (!dup.isEmpty)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate key values on (${keys.mkString(", ")}) — " +
+          "Delta MERGE semantics forbid multiple source rows matching one target row")
   }
 
   /** 3-clause merge of `source` into `target` keyed on `keys`.
     *
-    * @param updateCondition matched-row update gate built from the two
-    *        aliased frames (e.g. `anyColumnDiffers`); None = update all
-    *        matched rows (equivalent under the delete clause).
+    * @param updateCondition matched-row update gate, given (targetRef,
+    *        sourceRef) column resolvers (e.g. [[anyColumnDiffers]]);
+    *        None = update all matched rows (equivalent under the delete
+    *        clause).
     * @param deleteNotMatchedBySource reference merges always pass true
     *        (full target↔source sync); false gives plain upsert.
-    *
-    * Schema evolution: columns present on only one side are null-padded,
-    * mirroring Delta's `mergeSchema` behavior (SURVEY.md §1.2).
     */
   def merge3Clause(
       target: DataFrame,
       source: DataFrame,
       keys: Seq[String],
-      updateCondition: Option[(DataFrame, DataFrame) => Column] = None,
+      updateCondition: Option[(ColRef, ColRef) => Column] = None,
       deleteNotMatchedBySource: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
 
+    val targetCols = target.columns.toSeq
+    val sourceCols = source.columns.toSet
     val allCols: Seq[String] =
-      target.columns.toSeq ++ source.columns.toSeq.filterNot(target.columns.contains)
+      targetCols ++ source.columns.toSeq.filterNot(targetCols.contains)
 
-    def pad(df: DataFrame, mark: String): DataFrame = {
-      val padded = allCols.foldLeft(df) { (d, c) =>
-        if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+    // Null-pad missing columns with the *other* side's datatype so schema
+    // evolution never produces NullType (which parquet cannot write), then
+    // prefix-rename every column so the two sides can never collide.
+    def prep(df: DataFrame, other: DataFrame, prefix: String, mark: String): DataFrame = {
+      val padded = allCols.map { c =>
+        (if (df.columns.contains(c)) col(c)
+         else lit(null).cast(other.schema(c).dataType)).as(prefix + c)
       }
-      padded.withColumn(mark, lit(true))
+      df.select(padded :+ lit(true).as(mark): _*)
     }
 
-    val t = pad(target, TgtMark).alias("t")
-    val s = pad(source, SrcMark).alias("s")
+    val t = prep(target, source, TPrefix, TgtMark)
+    val s = prep(source, target, SPrefix, SrcMark)
 
-    val joinCond = keys.map(k => t(k) === s(k)).reduce(_ && _)
-    val joined = t.join(s, joinCond, "full_outer")
+    val tc: ColRef = c => col(TPrefix + c)
+    val sc: ColRef = c => col(SPrefix + c)
 
-    val srcPresent = s(SrcMark).isNotNull
-    val tgtPresent = t(TgtMark).isNotNull
-    val updCond = updateCondition.map(f => f(t, s)).getOrElse(lit(true))
+    val joined = t.join(s, keys.map(k => tc(k) === sc(k)).reduce(_ && _), "full_outer")
+
+    val srcPresent = col(SrcMark).isNotNull
+    val tgtPresent = col(TgtMark).isNotNull
+    val updCond = updateCondition.map(f => f(tc, sc)).getOrElse(lit(true))
 
     val resolved = allCols.map { c =>
-      when(srcPresent && tgtPresent, when(updCond, s(c)).otherwise(t(c)))
-        .when(srcPresent && !tgtPresent, s(c))   // whenNotMatchedInsert
-        .otherwise(t(c))                         // not matched by source
+      // UPDATE SET spans only real source columns: a target-only column
+      // keeps its target value on matched rows (Delta parity).
+      val updated = if (sourceCols.contains(c)) sc(c) else tc(c)
+      when(srcPresent && tgtPresent, when(updCond, updated).otherwise(tc(c)))
+        .when(srcPresent && !tgtPresent, sc(c))   // whenNotMatchedInsert
+        .otherwise(tc(c))                         // not matched by source
         .as(c)
     }
 
