@@ -24,6 +24,7 @@ object SparkEntry {
       (SinkQueries.defs, SinkQueries.oracles),
       (GeoSimQueries.defs, GeoSimQueries.oracles),
       (TextQueries.defs, TextQueries.oracles),
+      (PipelineOpsQueries.defs, PipelineOpsQueries.oracles),
       (Flagship.defs, Flagship.oracles)
     )
 

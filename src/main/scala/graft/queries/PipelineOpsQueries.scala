@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.{MinHash, SimHash}
+import graft.multimodal.MultimodalOps
+import graft.similarity.{Ann, Similarity}
+
+/** Queries backed by the LLM-pipeline modules (dedup, ANN, multimodal).
+  * SQL-expressible ones carry DuckDB oracles; signature/ANN queries whose
+  * hash functions (xxhash64) have no DuckDB twin are registered without an
+  * oracle → the driver records the weaker rows-only check, and their
+  * semantics are covered by ScalaTest specs with planted duplicates.
+  */
+object PipelineOpsQueries {
+  import Q.QueryFn
+
+  val defs: Map[String, QueryFn] = Map(
+    // Embedding-cosine near-dup pairs, exact (oracle-checked correctness
+    // baseline for the LSH path). Ids only — no float in the output.
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.norm($"v"))
+      val a = e.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
+      val b = e.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
+      a.join(b, $"id_a" < $"id_b")
+        .withColumn("cos", Similarity.dot($"va", $"vb") / ($"na" * $"nb"))
+        .filter($"cos" >= 0.45)
+        .select("id_a", "id_b")
+    }),
+
+    // LSH-bucketed approximate top-k (the scale path; rows-only).
+    "sim_ann_lsh" -> ((s, dir) =>
+      Ann.topK(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)),
+
+    // xxhash64 MinHash band signatures (rows-only; pair-finding semantics
+    // proven in MinHashSpec with planted near-dups).
+    "dedup_minhash_sig" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(MinHash.shingleFilter(col("text")))
+        .select(col("doc_id"), MinHash.shingles(col("text")).as("sh"))
+        .withColumn("sig", MinHash.signature(col("sh"), 16))
+        .withColumn("band", explode(MinHash.bandKeys(col("sig"), 16, 4)))
+        .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    }),
+
+    // 64-bit SimHash fingerprints (rows-only; see SimHashSpec).
+    "dedup_simhash" -> ((s, dir) =>
+      SimHash.withSimhash(
+        Tables.documents(s, dir).select("doc_id", "text"), "text")
+        .select("doc_id", "sim")),
+
+    // Multimodal frame-sampling plumbing: frames per video asset. The
+    // byte-window framing is deterministic, so the count is SQL-derivable.
+    "mm_frame_count" -> ((s, dir) => {
+      import s.implicits._
+      val assets = MultimodalOps.assetsFromDocuments(Tables.documents(s, dir))
+      MultimodalOps.sampleFrames(assets, stride = 64)
+        .groupBy($"asset_id").agg(count(lit(1)).as("n_frames"))
+    }),
+
+    // Multimodal feature extraction (mapPartitions batch shape; rows-only —
+    // the checksum has no SQL twin).
+    "mm_features" -> ((s, dir) => {
+      val assets = MultimodalOps.assetsFromDocuments(Tables.documents(s, dir))
+      MultimodalOps.extractFeatures(assets).toDF()
+        .select("asset_id", "kind", "n_bytes", "checksum")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_embedding_pairs" ->
+      ("SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+       "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
+       "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
+    "mm_frame_count" ->
+      ("SELECT doc_id AS asset_id, " +
+       "CAST(CEIL(CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) / 64) AS BIGINT) " +
+       "AS n_frames FROM documents WHERE doc_id % 3 = 2")
+  )
+}

@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.Geo
+import graft.dedup.{MinHash, SimHash}
+import graft.similarity.{Ann, Similarity}
+import graft.multimodal.MultimodalOps
+import org.apache.spark.sql.functions._
+
+class GeoSpec extends SparkSpec {
+  test("haversine matches known great-circle distances") {
+    import spark.implicits._
+    val df = Seq(
+      ("paris_london", 48.8566, 2.3522, 51.5074, -0.1278, 343.5),
+      ("equator_degree", 0.0, 0.0, 0.0, 1.0, 111.19),
+      ("same_point", 10.0, 20.0, 10.0, 20.0, 0.0)
+    ).toDF("name", "lat1", "lon1", "lat2", "lon2", "expected")
+    val got = df.withColumn("d",
+      Geo.haversineKm($"lat1", $"lon1", $"lat2", $"lon2"))
+      .select("name", "d", "expected").collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1.0,
+        s"${r.getString(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+  }
+}
+
+class MinHashSpec extends SparkSpec {
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+
+  test("near-duplicates found via banded LSH, unrelated docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")), // near-dup of 1
+      (3L, "completely different words about spark catalyst optimizer plans and shuffles everywhere today"),
+      (4L, base) // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = MinHash.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must be found")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near dup should share a band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+  }
+
+  test("jaccard is exact on known shingle sets") {
+    import spark.implicits._
+    val df = Seq((base, base)).toDF("a", "b")
+      .select(MinHash.jaccard(MinHash.shingles(col("a")), MinHash.shingles(col("b"))).as("j"))
+    assert(df.head().getDouble(0) == 1.0)
+  }
+}
+
+class SimHashSpec extends SparkSpec {
+  test("identical text → hamming 0; banded join finds exact dups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "unrelated content entirely different tokens everywhere")
+    ).toDF("doc_id", "text")
+    val pairs = SimHash.nearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash is deterministic and near-dups have small hamming") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq((1L, t1), (2L, t1.replace("river", "ocean"))).toDF("doc_id", "text")
+    val sims = SimHash.withSimhash(docs, "text").select("doc_id", "sim")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = SimHash.withSimhash(docs, "text").select("doc_id", "sim")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims == again)
+    val ham = java.lang.Long.bitCount(sims(1L) ^ sims(2L))
+    assert(ham <= 16, s"near-dup hamming too large: $ham")
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  test("LSH ANN achieves high recall on clustered vectors") {
+    import spark.implicits._
+    // 20 tight clusters of 20 vectors each, dim 16
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = for (c <- 0 until 20; i <- 0 until 20) yield {
+      val id = c * 20 + i
+      val jitter = new scala.util.Random(id)
+      (id.toLong, centers(c).map(x => x + 0.05f * jitter.nextGaussian().toFloat).toSeq, c)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val pred = col("vec_id") < 20
+    val exact = Similarity.bruteForceTopK(emb, pred, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.topK(emb, pred, 5, numPlanes = 16, bands = 8, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall too low: $recall")
+  }
+
+  test("brute force and ANN never cross-join the corpus with itself at plan level") {
+    import spark.implicits._
+    val emb = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(8)(((i * 31) % 7 - 3).toFloat), i % 3)).toDF("vec_id", "embedding", "label")
+    val plan = Ann.topK(emb, col("vec_id") < 3, 2, numPlanes = 8, bands = 4, dim = 8)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), s"ANN plan contains a cross join:\n$plan")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  private def docs = {
+    import spark.implicits._
+    Seq((0L, "abcdefgh" * 20, "en", "s", 160L),
+      (1L, "watermelon sugar " * 10, "en", "s", 170L),
+      (2L, "video payload bytes " * 16, "en", "s", 320L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("feature extraction is deterministic with stable schema") {
+    val a = MultimodalOps.extractFeatures(MultimodalOps.assetsFromDocuments(docs))
+    val rows1 = a.collect().map(f => (f.asset_id, f.checksum, f.feat.toSeq)).toSet
+    val rows2 = MultimodalOps.extractFeatures(MultimodalOps.assetsFromDocuments(docs))
+      .collect().map(f => (f.asset_id, f.checksum, f.feat.toSeq)).toSet
+    assert(rows1 == rows2)
+    assert(rows1.forall(_._3.size == 8))
+  }
+
+  test("frame sampling yields ceil(bytes/stride) frames for video assets") {
+    val assets = MultimodalOps.assetsFromDocuments(docs)
+    val frames = MultimodalOps.sampleFrames(assets, stride = 64)
+      .groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc_id % 3 == 2 → video; text len 320 bytes → 5 frames
+    assert(frames == Map(2L -> 5L))
+  }
+
+  test("resize updates metadata for visual kinds only") {
+    val assets = MultimodalOps.assetsFromDocuments(docs)
+    val original = assets.collect().map(a => a.asset_id -> (a.width, a.height)).toMap
+    val resized = MultimodalOps.resize(assets, 224, 224).collect()
+    resized.foreach { a =>
+      if (a.kind == "audio") assert((a.width, a.height) == original(a.asset_id))
+      else assert((a.width, a.height) == ((224, 224)))
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** Table-layer semantics: K1-K4 round trips, robust existence detection,
+  * safe swap, and the partition-pruned merge leaving untouched partitions'
+  * files physically unmodified (the 100 TB incremental contract).
+  */
+class MedallionTableSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def fs(path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("createOrError creates once then refuses") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_create"))
+    val df = Seq((1L, "a")).toDF("id", "s")
+    t.createOrError(df)
+    assert(t.exists)
+    intercept[IllegalStateException] { t.createOrError(df) }
+  }
+
+  test("exists is false for empty/marker-only directories") {
+    val p = tmpDir("mt_exists")
+    val t = MedallionTable(spark, p)
+    assert(!t.exists)
+    val f = fs(p)
+    f.mkdirs(new Path(p))
+    f.create(new Path(p, "_SUCCESS")).close()
+    assert(!t.exists) // marker-only dir ≠ table (crashed-write leftover)
+  }
+
+  test("append accumulates; overwrite replaces") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_append"))
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    assert(t.read.count() == 2)
+    t.overwrite(Seq((3L, "c")).toDF("id", "s"))
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("createOrMerge: create then full-sync merge equals second source") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_com"))
+    t.createOrMerge(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), Seq("id"))
+    t.createOrMerge(Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v"), Seq("id"))
+    assert(t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((2L, 20.0), (3L, 30.0)))
+  }
+
+  test("merge survives and old data gone after swap; no tmp/backup litter") {
+    import spark.implicits._
+    val p = tmpDir("mt_swap")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    t.merge(Seq((1L, 10.0)).toDF("id", "v"), Seq("id"))
+    assert(t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 10.0)))
+    val parent = new Path(p).getParent
+    val siblings = fs(p).listStatus(parent).map(_.getPath.getName).toSeq
+    assert(siblings == Seq(new Path(p).getName), s"litter: $siblings")
+  }
+
+  test("mergePruned rewrites only partitions present in the source") {
+    import spark.implicits._
+    val p = tmpDir("mt_pruned")
+    val t = MedallionTable(spark, p, partitionColumns = Seq("pt"))
+    t.overwrite(Seq((1L, 1, "x"), (2L, 1, "y"), (3L, 2, "z"))
+      .toDF("id", "pt", "s"))
+
+    val f = fs(p)
+    def partFiles(pt: Int) =
+      f.listStatus(new Path(p, s"pt=$pt")).filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    val pt2Before = partFiles(2)
+
+    // source touches only pt=1: updates id=1, deletes id=2 (within-partition)
+    t.mergePruned(Seq((1L, 1, "X")).toDF("id", "pt", "s"), Seq("id", "pt"))
+
+    assert(partFiles(2) == pt2Before, "untouched partition files changed")
+    assert(t.read.select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "X"), (3L, "z")))
+  }
+
+  test("pruned delete clause is partition-scoped") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_pruned2"), partitionColumns = Seq("pt"))
+    t.overwrite(Seq((1L, 1), (2L, 2)).toDF("id", "pt"))
+    t.mergePruned(Seq((3L, 1)).toDF("id", "pt"), Seq("id", "pt"))
+    // pt=1: id=1 deleted (not matched by source), id=3 inserted; pt=2 kept
+    assert(t.read.collect().map(_.getLong(0)).toSet == Set(3L, 2L))
+  }
+}
