@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Geo
+import graft.table.MedallionTable
+
+/** The reference's medallion pipeline re-expressed over testdata-shaped
+  * inputs: a linear bronze → silver → gold DAG
+  * (`dags/medallion_architecture.py:146`), idempotent under re-run — the
+  * entire reason the reference uses MERGE (SURVEY.md §2.8, §3.4).
+  *
+  * Stage semantics mirrored:
+  *   - Bronze: CSV/JSON scans with header+schema inference (S1/S2,
+  *     `bronze_table_creation.py:25-60`), append + mergeSchema +
+  *     partitionBy(ingest batch key) (K1) — append on every run, so
+  *     re-runs duplicate raw rows exactly like the reference.
+  *   - Silver: dropDuplicates → dropna → filter cleaning
+  *     (`silver_table_creation.py:32-39`), derived availability datetimes
+  *     (P2, `:137,323-326`), geodesic NN station assignment (J7,
+  *     `:246-287`, Spark-native), then createOrMerge keyed upserts (K4)
+  *     into batch-partitioned tables — the partition-pruned merge path.
+  *   - Gold: pre-aggregated rollup joined on the batch key to prevent
+  *     leakage (`gold_table_creation.py:39-158`), merged into the gold
+  *     table on a composite key (`:169`).
+  */
+object Pipeline {
+
+  /** Batch key analog of the reference's `data_block_id`. */
+  private def blockId(c: org.apache.spark.sql.Column) = (c % 4).cast("int")
+
+  def run(spark: SparkSession, sfDir: String, work: String): Unit = {
+    Bronze.run(spark, sfDir, work)
+    Silver.run(spark, work)
+    Gold.run(spark, work)
+  }
+
+  object Bronze {
+    /** Stage 1-2: land raw files (the download analog — testdata stands in
+      * for Kaggle), then inferred-schema scans into bronze tables.
+      */
+    def run(spark: SparkSession, sfDir: String, work: String): Unit = {
+      import spark.implicits._
+      // Raw landing zone (raw_data_download.py analog).
+      Tables.orders(spark, sfDir).write.mode("overwrite")
+        .option("header", true).csv(s"$work/raw/orders")
+      Tables.lineitem(spark, sfDir).write.mode("overwrite")
+        .option("header", true).csv(s"$work/raw/lineitem")
+      Tables.nation(spark, sfDir).write.mode("overwrite").json(s"$work/raw/nation")
+
+      // S1 — CSV, header + inference; K1 — append + mergeSchema + partitionBy.
+      val orders = spark.read.option("header", true).option("inferSchema", true)
+        .csv(s"$work/raw/orders")
+        .withColumn("data_block_id", blockId($"o_orderkey"))
+      MedallionTable(spark, s"$work/bronze/orders", Seq("data_block_id"))
+        .append(orders)
+
+      val lineitem = spark.read.option("header", true).option("inferSchema", true)
+        .csv(s"$work/raw/lineitem")
+        .withColumn("data_block_id", blockId($"l_orderkey"))
+      MedallionTable(spark, s"$work/bronze/lineitem", Seq("data_block_id"))
+        .append(lineitem)
+
+      // S2 — JSON inference; K2 — overwrite (static dim, like the county map).
+      val nation = spark.read.json(s"$work/raw/nation")
+      MedallionTable(spark, s"$work/bronze/nation").overwrite(nation)
+    }
+  }
+
+  object Silver {
+    def run(spark: SparkSession, work: String): Unit = {
+      import spark.implicits._
+
+      // Cleaning chain (silver_table_creation.py:32-39): dedup the
+      // re-appended bronze rows, drop nulls, filter.
+      val orders = MedallionTable(spark, s"$work/bronze/orders").read
+        .dropDuplicates()
+        .na.drop("any")
+        .filter($"o_totalprice" =!= 0.0)
+      MedallionTable(spark, s"$work/silver/orders", Seq("data_block_id"))
+        .createOrMerge(orders, Seq("o_orderkey", "data_block_id"))
+
+      // Availability datetime derivation (P2, silver_table_creation.py:137)
+      // plus a content-derived row_id merge key — the reference's train
+      // table merges on `row_id` (silver_table_creation.py:49) because
+      // business columns alone are not unique; same here (lineitem rows can
+      // share orderkey/linenumber/partkey/suppkey).
+      val cleaned = MedallionTable(spark, s"$work/bronze/lineitem").read
+        .dropDuplicates()
+        .na.drop("any")
+      val lineitem = cleaned
+        .withColumn("l_row_id", xxhash64(cleaned.columns.sorted.map(col): _*))
+        .withColumn("available_ts",
+          expr("CASE WHEN HOUR(l_shipdate) < 4 THEN l_shipdate + INTERVAL 1 DAY " +
+               "ELSE l_shipdate + INTERVAL 2 DAY END"))
+      MedallionTable(spark, s"$work/silver/lineitem", Seq("data_block_id"))
+        .createOrMerge(lineitem, Seq("l_row_id", "data_block_id"))
+
+      // Station→county NN assignment, Spark-native J7
+      // (silver_table_creation.py:246-287 without the collect()s).
+      val st = MedallionTable(spark, s"$work/bronze/nation").read.select(
+        $"n_nationkey".cast("int").as("station_id"),
+        (lit(-60.0) + $"n_nationkey" * 4.7).as("lat"),
+        (lit(-150.0) + $"n_nationkey" * 11.3).as("lon"),
+        when($"n_nationkey" % 5 =!= 0, $"n_regionkey".cast("int")).as("county"))
+      val labeled = st.filter($"county".isNotNull)
+      val lab = labeled.select($"station_id".as("lid"), $"lat".as("llat"),
+        $"lon".as("llon"), $"county")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"station_id").orderBy($"dist", $"county", $"lid")
+      val assigned = st.filter($"county".isNull).drop("county")
+        .crossJoin(broadcast(lab))
+        .withColumn("dist", Geo.haversineKm($"lat", $"lon", $"llat", $"llon"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"station_id", $"lat", $"lon", $"county")
+      MedallionTable(spark, s"$work/silver/stations")
+        .overwrite(labeled.unionByName(assigned)) // U1 + K2
+    }
+  }
+
+  object Gold {
+    def run(spark: SparkSession, work: String): Unit = {
+      import spark.implicits._
+      val orders = MedallionTable(spark, s"$work/silver/orders").read
+      val lineitem = MedallionTable(spark, s"$work/silver/lineitem").read
+
+      // Pre-aggregate before the join (gold_table_creation.py:100-119),
+      // joined on the batch key too — the reference's leak-prevention shape.
+      val rollup = lineitem
+        .groupBy($"l_orderkey", $"data_block_id".as("li_block"))
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          (sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 100)) / 100.0)
+            .as("revenue"),
+          count(lit(1)).as("line_cnt"))
+
+      val wide = orders.join(rollup,
+          orders("o_orderkey") === rollup("l_orderkey") &&
+          orders("data_block_id") === rollup("li_block"), "left")
+        .drop("l_orderkey", "li_block")
+
+      MedallionTable(spark, s"$work/gold/wide_orders", Seq("data_block_id"))
+        .createOrMerge(wide, Seq("o_orderkey", "data_block_id"))
+    }
+  }
+}

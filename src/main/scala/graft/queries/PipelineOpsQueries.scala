@@ -66,6 +66,22 @@ object PipelineOpsQueries {
       val assets = MultimodalOps.assetsFromDocuments(Tables.documents(s, dir))
       MultimodalOps.extractFeatures(assets).toDF()
         .select("asset_id", "kind", "n_bytes", "checksum")
+    }),
+
+    // Full medallion pipeline end-to-end (§2.8): raw CSV/JSON landing →
+    // bronze (inferred scans, append) → silver (clean + merge) → gold
+    // (pre-agg + batch-key join + merge), then the gold table read back.
+    // The oracle derives the same gold state straight from the base tables.
+    "pipeline_gold_e2e" -> ((s, dir) => {
+      val work = Q.scratch(dir, "pipeline")
+      Q.deleteDir(s, work)
+      graft.pipeline.Pipeline.run(s, dir, work)
+      s.read.option("mergeSchema", true).parquet(s"$work/gold/wide_orders")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "CAST(o_custkey AS BIGINT) AS o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority",
+          "CAST(data_block_id AS INTEGER) AS data_block_id",
+          "sum_qty", "revenue", "line_cnt")
     })
   )
 
@@ -77,6 +93,22 @@ object PipelineOpsQueries {
     "mm_frame_count" ->
       ("SELECT doc_id AS asset_id, " +
        "CAST(CEIL(CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) / 64) AS BIGINT) " +
-       "AS n_frames FROM documents WHERE doc_id % 3 = 2")
+       "AS n_frames FROM documents WHERE doc_id % 3 = 2"),
+    "pipeline_gold_e2e" ->
+      ("""WITH o AS (
+         |  SELECT *, CAST(o_orderkey % 4 AS INTEGER) AS data_block_id
+         |  FROM orders WHERE o_totalprice <> 0),
+         |li AS (SELECT DISTINCT * FROM lineitem),
+         |g AS (
+         |  SELECT l_orderkey, CAST(l_orderkey % 4 AS INTEGER) AS li_block,
+         |         SUM(l_quantity) AS sum_qty,
+         |         SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100.0 AS revenue,
+         |         CAST(COUNT(*) AS BIGINT) AS line_cnt
+         |  FROM li GROUP BY 1, 2)
+         |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+         |       o.o_orderdate, o.o_orderpriority, o.data_block_id,
+         |       g.sum_qty, g.revenue, g.line_cnt
+         |FROM o LEFT JOIN g
+         |  ON o.o_orderkey = g.l_orderkey AND o.data_block_id = g.li_block""".stripMargin)
   )
 }
