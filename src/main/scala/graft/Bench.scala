@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Unmeasured warmup: absorb executor/codegen startup so the first
+    // measured query reflects query cost, not JVM cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try Tables.lineitem(spark, sfDir).limit(10).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -18,18 +18,8 @@ object PipelineOpsQueries {
   val defs: Map[String, QueryFn] = Map(
     // Embedding-cosine near-dup pairs, exact (oracle-checked correctness
     // baseline for the LSH path). Ids only — no float in the output.
-    "dedup_embedding_pairs" -> ((s, dir) => {
-      import s.implicits._
-      val e = Tables.embeddings(s, dir)
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        .withColumn("nrm", Similarity.norm($"v"))
-      val a = e.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
-      val b = e.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
-      a.join(b, $"id_a" < $"id_b")
-        .withColumn("cos", Similarity.dot($"va", $"vb") / ($"na" * $"nb"))
-        .filter($"cos" >= 0.45)
-        .select("id_a", "id_b")
-    }),
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Similarity.allPairsAboveThreshold(Tables.embeddings(s, dir), 0.45)),
 
     // LSH-bucketed approximate top-k (the scale path; rows-only).
     "sim_ann_lsh" -> ((s, dir) =>

@@ -20,12 +20,55 @@ object Similarity {
 
   /** Elementwise dot product in double precision, sequential list order
     * (deterministic; matches the DuckDB oracle's accumulation order).
+    *
+    * Column-expression form: fine when the pair count is modest (top-k with
+    * a small query set, LSH bucket candidates). Spark evaluates HOF lambdas
+    * interpreted — and unrolling to element_at chains trades that for Janino
+    * compile blow-ups — so the dense all-pairs hot path uses the
+    * [[allPairsAboveThreshold]] mapPartitions kernel instead.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(v: Column): Column =
     sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** All pairs (idA < idB) with cosine ≥ threshold — the exact-dedup
+    * baseline. Dense numeric kernel: the corpus matrix is broadcast once
+    * and each partition scans its rows against it with primitive-array
+    * loops (the MLlib broadcast-KNN shape) — no per-pair expression
+    * evaluation, no boxing. Accumulation is in index order, bit-identical
+    * to the Column/DuckDB formulation.
+    *
+    * Contract: the corpus must fit in executor memory (it is broadcast) —
+    * exact all-pairs is inherently bounded; the unbounded scale path is
+    * [[Ann]]'s LSH bucketing.
+    */
+  def allPairsAboveThreshold(emb: DataFrame, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val corpus = spark.sparkContext.broadcast(
+      rows.collect().sortBy(_._1)) // deterministic order; bounded by contract
+    rows.mapPartitions { it =>
+      val mat = corpus.value
+      def nrm(v: Array[Double]): Double = {
+        var s = 0.0; var k = 0
+        while (k < v.length) { s += v(k) * v(k); k += 1 }
+        math.sqrt(s)
+      }
+      it.flatMap { case (idA, va) =>
+        val na = nrm(va)
+        mat.iterator.filter(_._1 > idA).flatMap { case (idB, vb) =>
+          var d = 0.0; var k = 0
+          while (k < va.length) { d += va(k) * vb(k); k += 1 }
+          if (d / (na * nrm(vb)) >= threshold) Some((idA, idB)) else None
+        }
+      }
+    }.toDF("id_a", "id_b")
+  }
 
   /** Exact top-k neighbors by cosine for rows matching `queryPred`.
     * Output: (query_id, neighbor_id, rank). Norms are computed once per row
