@@ -21,7 +21,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4's parquet reader
+    * rejects natively: read nanos as long (legacy conf) and truncate to
+    * microsecond timestamps (identical to DuckDB's ns→µs cast).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000)
+          .cast("long")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

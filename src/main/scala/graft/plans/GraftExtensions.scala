@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** Session-extension entry point (`spark.sql.extensions=graft.plans.
+  * GraftExtensions`) injecting the native vector expressions as SQL
+  * functions — the (c)-tier extension mechanism from the build brief:
+  * custom Catalyst Expressions registered via SparkSessionExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach(ext.injectFunction)
+}
+
+/** The same registrations, applicable to an already-built session (the
+  * driver contract hands us sessions we didn't configure).
+  */
+object GraftFunctions {
+  type Injection = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val injections: Seq[Injection] = Seq(
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    (new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
+  )
+
+  /** Idempotent registration on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    injections.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}

@@ -25,6 +25,33 @@ object PipelineOpsQueries {
     "sim_ann_lsh" -> ((s, dir) =>
       Ann.topK(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)),
 
+    // IVF-bucketed approximate top-k (second scale path; rows-only).
+    "sim_ann_ivf" -> ((s, dir) =>
+      graft.similarity.Ivf.topK(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)),
+
+    // N-gram Jaccard similarity over a bounded pair set (oracle-checked;
+    // the unbounded path goes through MinHash LSH candidates instead).
+    "ngram_jaccard_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir).filter($"doc_id" < 25)
+        .filter(MinHash.shingleFilter(col("text")))
+        .select($"doc_id", MinHash.shingles(col("text")).as("sh"))
+      val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+      a.join(b, $"id_a" < $"id_b")
+        .select($"id_a", $"id_b", MinHash.jaccard($"sh_a", $"sh_b").as("jaccard"))
+    }),
+
+    // Winnowing rolling-hash fingerprints (rows-only; xxhash64 has no
+    // DuckDB twin — semantics in WinnowingSpec).
+    "text_winnowing_fp" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Winnowing
+        .fingerprintIndex(Tables.documents(s, dir), "doc_id", "text")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_fp"), min($"fp").as("min_fp"), max($"fp").as("max_fp"))
+    }),
+
     // xxhash64 MinHash band signatures (rows-only; pair-finding semantics
     // proven in MinHashSpec with planted near-dups).
     "dedup_minhash_sig" -> ((s, dir) => {
@@ -58,6 +85,18 @@ object PipelineOpsQueries {
         .select("asset_id", "kind", "n_bytes", "checksum")
     }),
 
+    // Streaming transform exercised on the batch events table (the same
+    // windowedCounts plan runs under readStream with a watermark — see
+    // EventStreamsSpec for the streaming drive).
+    "events_windowed_agg" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowedCounts(Tables.events(s, dir))),
+
+    // JSON extraction over the events props column (semi-structured path).
+    "events_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir).selectExpr("event_id",
+        "CAST(get_json_object(props, '$.k') AS INTEGER) AS k")
+    }),
+
     // Full medallion pipeline end-to-end (§2.8): raw CSV/JSON landing →
     // bronze (inferred scans, append) → silver (clean + merge) → gold
     // (pre-agg + batch-key join + merge), then the gold table read back.
@@ -84,6 +123,25 @@ object PipelineOpsQueries {
       ("SELECT doc_id AS asset_id, " +
        "CAST(CEIL(CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) / 64) AS BIGINT) " +
        "AS n_frames FROM documents WHERE doc_id % 3 = 2"),
+    "ngram_jaccard_pairs" ->
+      ("""WITH d AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+         |        FROM documents
+         |        WHERE doc_id < 25 AND len(regexp_extract_all(text, '\S+')) >= 3))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |         len(list_distinct(a.sh || b.sh)) AS jaccard
+         |FROM d a, d b WHERE a.doc_id < b.doc_id""".stripMargin),
+    "events_windowed_agg" ->
+      ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, " +
+       "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+       "SUM(ROUND(value * 100)) / 100.0 AS total_value " +
+       "FROM events GROUP BY 1, 2"),
+    "events_json_extract" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+       "FROM events"),
     "pipeline_gold_e2e" ->
       ("""WITH o AS (
          |  SELECT *, CAST(o_orderkey % 4 AS INTEGER) AS data_block_id

@@ -77,17 +77,17 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val withNorm = base.withColumn("nrm", norm($"v"))
-    val q = withNorm.filter(queryPred)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val n = withNorm
-      .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"nrm".as("nn"))
+    val q = base.filter(queryPred)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val n = base.select($"vec_id".as("neighbor_id"), $"v".as("nv"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     n.crossJoin(broadcast(q))
       .filter($"neighbor_id" =!= $"query_id")
-      .withColumn("cos", dot($"qv", $"nv") / ($"qn" * $"nn"))
+      // native codegen'd Catalyst expression (graft.functions.CosineSimilarity)
+      .withColumn("cos", call_function("graft_cosine", $"qv", $"nv"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"query_id", $"neighbor_id", $"rank")
@@ -143,21 +143,21 @@ object Ann {
            numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val base = withSignature(
       emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       "v", numPlanes, dim)
-      .withColumn("nrm", Similarity.norm($"v"))
     val banded = withBands(base, numPlanes, bands)
     val q = banded.filter(queryPred).select($"vec_id".as("query_id"),
-      $"v".as("qv"), $"nrm".as("qn"), $"band_idx", $"band_val")
+      $"v".as("qv"), $"band_idx", $"band_val")
     val n = banded.select($"vec_id".as("neighbor_id"), $"v".as("nv"),
-      $"nrm".as("nn"), $"band_idx", $"band_val")
+      $"band_idx", $"band_val")
     val cand = n.join(q, Seq("band_idx", "band_val"))
       .filter($"neighbor_id" =!= $"query_id")
-      .select("query_id", "neighbor_id", "qv", "qn", "nv", "nn")
+      .select("query_id", "neighbor_id", "qv", "nv")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    cand.withColumn("cos", Similarity.dot($"qv", $"nv") / ($"qn" * $"nn"))
+    cand.withColumn("cos", call_function("graft_cosine", $"qv", $"nv"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"query_id", $"neighbor_id", $"rank")

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table shape (TESTDATA.md):
+  * watermarked windowed aggregation and custom sessionization state — the
+  * brief's streaming surface (`readStream` → transforms → `writeStream`,
+  * `flatMapGroupsWithState` for custom state). The reference itself is
+  * batch-only (SURVEY.md §2.6); this is the north-star extension, and the
+  * transforms are stream/batch agnostic (same code runs on a batch frame).
+  *
+  * Scale notes: windowed counts shuffle once on (window, event_type) with
+  * partial aggregation; sessionization keys state by user_id — state store
+  * size is bounded by active users × session payload, and event-time
+  * timeout evicts idle sessions.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  case class SessionSummary(user_id: Long, n_events: Long, total_value: Double,
+      started: Timestamp, ended: Timestamp)
+
+  /** Internal session accumulator (public: the state encoder's generated
+    * code must be able to reach its accessors).
+    */
+  case class SessionState(n: Long, total: Double, startMs: Long, lastMs: Long)
+
+  /** Tumbling-window counts with a watermark: late events beyond the
+    * watermark are dropped; windows close and emit once (append mode).
+    */
+  def windowedCounts(events: DataFrame,
+      watermark: String = "10 minutes", windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100)) / 100.0).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * when no event arrives for `gapMinutes` (event-time timeout against the
+    * watermark); one summary row is emitted per closed session.
+    */
+  def userSessions(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, s.n, s.total,
+              new Timestamp(s.startMs), new Timestamp(s.lastMs)))
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[SessionSummary]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.total + e.value, s.startMs,
+                    math.max(s.lastMs, t)))
+                case Some(s) =>
+                  closed += SessionSummary(userId, s.n, s.total,
+                    new Timestamp(s.startMs), new Timestamp(s.lastMs))
+                  cur = Some(SessionState(1, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

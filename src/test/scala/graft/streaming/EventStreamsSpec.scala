@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60L * 1000L)
+  private def ev(id: Long, min: Int, user: Long, typ: String, v: Double) =
+    Event(id, ts(min), user, typ, v, "{}")
+
+  test("watermarked windowed counts emit closed windows (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = windowedCounts(input.toDF(), watermark = "10 minutes", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 5, 1, "click", 1.0), ev(2, 20, 1, "click", 2.0),
+        ev(3, 40, 2, "view", 3.0))
+      q.processAllAvailable()
+      // nothing closed yet — watermark at 40-10=30min, window [0,60) still open
+      assert(spark.table("win_counts").count() == 0)
+      input.addData(ev(4, 80, 1, "click", 4.0)) // watermark → 70 ≥ 60: closes [0,60)
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set((0L, "click", 2L, 3.0), (0L, "view", 1L, 3.0)))
+      // late event behind the watermark is dropped
+      input.addData(ev(5, 15, 9, "click", 9.0), ev(6, 200, 1, "click", 1.0))
+      q.processAllAvailable()
+      val byType = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1))).toSet
+      assert(!byType.contains((0L, "click")) || spark.table("win_counts")
+        .where("window_start = timestamp '1970-01-01 00:00:00' AND event_type='click'")
+        .count() == 1, "late event must not reopen the closed window")
+    } finally q.stop()
+  }
+
+  test("gap-based sessionization closes sessions on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = userSessions(input.toDS(), gapMinutes = 30, watermark = "0 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 60,70 (one session); user 2: event at 65
+      input.addData(ev(1, 60, 1, "c", 1.0), ev(2, 70, 1, "c", 2.0), ev(3, 65, 2, "v", 5.0))
+      q.processAllAvailable()
+      // advance event time far past both gaps → both sessions time out
+      input.addData(ev(4, 240, 3, "c", 0.5))
+      q.processAllAvailable()
+      input.addData(ev(5, 400, 3, "c", 0.5)) // push watermark again to flush
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 3.0)), s"user1 session missing: $rows")
+      assert(rows.contains((2L, 1L, 5.0)), s"user2 session missing: $rows")
+    } finally q.stop()
+  }
+
+  test("windowed counts transform also runs on the batch events table") {
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = windowedCounts(batch)
+    assert(out.count() > 0)
+    assert(out.columns.toSeq ==
+      Seq("window_start", "event_type", "n_events", "total_value"))
+  }
+}
