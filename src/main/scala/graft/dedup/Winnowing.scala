@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's rolling-hash
@@ -9,28 +10,49 @@ import org.apache.spark.sql.functions._
   * any shared substring of length ≥ w+k−1 contributes a shared fingerprint,
   * so near-identical documents share most fingerprints.
   *
-  * Pure Column expressions (substring windows + xxhash64 + slice/array_min)
-  * — a narrow map per document; fingerprints are ~|text|/w longs, so the
-  * shuffled footprint is a fraction of the document.
+  * Implementation note (hard-won): the window-min pass must NOT be an
+  * array lambda referencing the hash array — Spark evaluates higher-order
+  * lambdas interpreted, and CollapseProject does not count references made
+  * from inside a lambda, so the hash array gets inlined and recomputed once
+  * per window: O(n²·k) per document (measured 600+ s over 5k docs). The
+  * scalable shape is rows: posexplode the k-gram hashes and take a sliding
+  * `min().over(rowsBetween(0, w-1))` window — whole-stage codegen, one
+  * shuffle on doc_id, linear work.
   */
 object Winnowing {
 
-  /** Distinct window-minimum fingerprints of `text`. */
-  def fingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val hashes = transform(sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+  private def kgramHashes(text: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => xxhash64(text.substr(i, lit(k))))
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-      i => array_min(slice(hashes, i, lit(w)))))
-  }
 
-  /** (id, fingerprint) table — the inverted-index shape used for candidate
-    * retrieval at scale (join on fingerprint instead of comparing pairs).
+  /** (doc_id, fp) inverted index — the candidate-retrieval shape at scale
+    * (join on fingerprint instead of comparing document pairs).
     */
   def fingerprintIndex(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(fingerprints(col(textCol), k, w)).as("fp"))
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc_id"),
+        posexplode(kgramHashes(col(textCol), k)).as(Seq("pos", "h")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val sliding = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hashed
+      .withColumn("wmin", min(col("h")).over(sliding))
+      // only windows fully inside the document (plus the degenerate
+      // shorter-than-w document, which keeps its single window at pos 0)
+      .filter(col("pos") <= greatest(col("n") - w, lit(0)))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
+  /** Adds `outCol` = the distinct fingerprint set per row of `docs` (array
+    * form, for set-similarity math); built on [[fingerprintIndex]].
+    */
+  def withFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      outCol: String = "fp", k: Int = 5, w: Int = 4): DataFrame = {
+    val fps = fingerprintIndex(docs, idCol, textCol, k, w)
+      .groupBy(col("doc_id")).agg(collect_set(col("fp")).as(outCol))
+    docs.join(fps, docs(idCol) === fps("doc_id"), "left").drop(fps("doc_id"))
+  }
 
   /** Near-dup candidate pairs sharing ≥ minShared fingerprints. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,

@@ -46,7 +46,7 @@ class WinnowingSpec extends SparkSpec {
       (3L, base.replace("cat", "owl")),            // near-dup
       (4L, "entirely different content about query planners and shuffle exchanges in distributed engines")
     ).toDF("doc_id", "text")
-    val fps = docs.select($"doc_id", Winnowing.fingerprints($"text").as("fp"))
+    val fps = Winnowing.withFingerprints(docs, "doc_id", "text").select($"doc_id", $"fp")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert(fps(1L) == fps(2L), "identical docs must fingerprint identically")
     val nearShared = (fps(1L) intersect fps(3L)).size.toDouble / fps(1L).size
