@@ -25,6 +25,7 @@ object SparkEntry {
       (GeoSimQueries.defs, GeoSimQueries.oracles),
       (TextQueries.defs, TextQueries.oracles),
       (PipelineOpsQueries.defs, PipelineOpsQueries.oracles),
+      (HeadlineQueries.defs, HeadlineQueries.oracles),
       (Flagship.defs, Flagship.oracles)
     )
 

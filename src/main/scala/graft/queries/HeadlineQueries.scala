@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** TPC-H-shaped headline queries (beyond the reference's own surface, for
+  * bench depth) plus the join kinds the reference never uses — semi and
+  * anti — completing the join coverage a switching user would expect.
+  * Money paths follow the exact-cents rule (Q scaladoc).
+  */
+object HeadlineQueries {
+  import Q.QueryFn
+
+  val defs: Map[String, QueryFn] = Map(
+    // Q3-shaped: shipping priority — filter dim, 2 joins, agg, top-k.
+    "q3_shipping_priority" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+        .agg((sum(round(l("l_extendedprice") * (lit(1) - l("l_discount")) * 100)) / 100.0)
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    // Q5-shaped: local-supplier revenue by nation within one region.
+    "q5_local_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .filter(c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg((sum(round(l("l_extendedprice") * (lit(1) - l("l_discount")) * 100)) / 100.0)
+          .as("revenue"))
+    }),
+
+    // Left-semi: orders having at least one heavy line.
+    "j8_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val heavy = Tables.lineitem(s, dir).filter($"l_quantity" > 45)
+      o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+
+    // Left-anti: orders with no lineitem at all.
+    "j9_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    })
+  )
+
+  private val Rev =
+    "SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100.0 AS revenue"
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      (s"SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority, $Rev " +
+       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+       "JOIN customer c ON o.o_custkey = c.c_custkey " +
+       "WHERE c.c_mktsegment = 'BUILDING' " +
+       "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority " +
+       "ORDER BY revenue DESC, l.l_orderkey LIMIT 10"),
+    "q5_local_supplier" ->
+      (s"SELECT n.n_name, $Rev " +
+       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+       "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+       "JOIN customer c ON o.o_custkey = c.c_custkey " +
+       "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+       "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+       "WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey " +
+       "GROUP BY n.n_name"),
+    "j8_semi_join" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o " +
+       "WHERE EXISTS (SELECT 1 FROM lineitem l " +
+       "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)"),
+    "j9_anti_join" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+       "WHERE NOT EXISTS (SELECT 1 FROM lineitem l " +
+       "WHERE l.l_orderkey = o.o_orderkey)")
+  )
+}
