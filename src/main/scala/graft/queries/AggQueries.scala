@@ -89,6 +89,21 @@ object AggQueries {
         countDistinct($"l_returnflag", $"l_linestatus").as("n_flag_status"))
     }),
 
+    // ROLLUP / CUBE grouping sets (beyond the reference — completes the
+    // aggregation surface a switching user expects).
+    "agg_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+    "agg_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), max($"o_totalprice").as("max_total"))
+    }),
+
     // TPC-H Q1-shaped pricing summary — the classic hash-aggregate headline
     // (bench workhorse; all money paths via exact cents).
     "q1_pricing_summary" -> ((s, dir) => {
@@ -138,6 +153,14 @@ object AggQueries {
        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
        "CAST(COUNT(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS n_flag_status " +
        "FROM lineitem"),
+    "agg_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, " +
+       "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem " +
+       "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "agg_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+       "MAX(o_totalprice) AS max_total FROM orders " +
+       "GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, " +
        "SUM(ROUND(l_extendedprice * 100)) / 100.0 AS sum_base_price, " +
