@@ -43,6 +43,24 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming upsert sink: each micro-batch merges into a
+    * [[graft.table.MedallionTable]] keyed on `keys`
+    * (deleteNotMatchedBySource=false — batches accumulate, replays
+    * overwrite in place, so the sink is idempotent under reprocessing:
+    * exactly the property the reference's batch MERGE exists for, lifted
+    * to Structured Streaming).
+    */
+  def upsertStream(events: DataFrame, tablePath: String, keys: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val t = graft.table.MedallionTable(batch.sparkSession, tablePath)
+        if (!t.exists) t.overwrite(batch)
+        else t.merge(batch, keys, deleteNotMatchedBySource = false)
+      }
+      .start()
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when no event arrives for `gapMinutes` (event-time timeout against the
     * watermark); one summary row is emitted per closed session.

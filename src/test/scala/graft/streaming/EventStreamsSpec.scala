@@ -65,6 +65,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert sink merges micro-batches idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val table = tmpDir("stream_upsert")
+    val ckpt = tmpDir("stream_ckpt")
+    val q = EventStreams.upsertStream(input.toDF(), table, Seq("event_id"), ckpt)
+    try {
+      input.addData(ev(1, 60, 1, "c", 1.0), ev(2, 61, 1, "c", 2.0))
+      q.processAllAvailable()
+      // batch 2 updates event 2 and adds event 3
+      input.addData(ev(2, 61, 1, "c", 20.0), ev(3, 62, 2, "v", 3.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(table)
+        .select("event_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0))
+    } finally q.stop()
+  }
+
   test("windowed counts transform also runs on the batch events table") {
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val out = windowedCounts(batch)
