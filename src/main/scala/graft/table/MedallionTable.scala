@@ -53,8 +53,9 @@ final class MedallionTable(
       val f = it.next()
       val name = f.getPath.getName
       val isHidden = name.startsWith("_") || name.startsWith(".")
-      val inTemp = f.getPath.toString.contains("/_temporary/")
-      if (!isHidden && !inTemp && f.getLen > 0) return true
+      // also skip files nested under hidden dirs (_temporary, _graft_meta)
+      val inHiddenDir = f.getPath.toString.contains("/_") || f.getPath.toString.contains("/.")
+      if (!isHidden && !inHiddenDir && f.getLen > 0) return true
     }
     false
   }
@@ -94,30 +95,64 @@ final class MedallionTable(
       deleteNotMatchedBySource: Boolean = true,
       checkUniqueKeys: Boolean = false): Unit = {
     if (checkUniqueKeys) MergeOps.requireUniqueKeys(source, keys)
-    val merged =
-      MergeOps.merge3Clause(read, source, keys, updateCondition, deleteNotMatchedBySource)
+    rewriteVia(
+      MergeOps.merge3Clause(read, source, keys, updateCondition, deleteNotMatchedBySource))
+  }
+
+  /** Full-table rewrite through a tmp dir + backup swap: never a moment
+    * where the live path is the only copy gone; restore on failure.
+    */
+  private def rewriteVia(newData: DataFrame,
+      writerTweak: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = identity): Unit = {
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"${path}__graft_tmp_$suffix")
     val dst = new Path(path)
     val backup = new Path(s"${path}__graft_old_$suffix")
     var written = false
     try {
-      val w = merged.write.mode(SaveMode.Overwrite)
+      val w = writerTweak(newData.write.mode(SaveMode.Overwrite))
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
         .parquet(tmp.toString)
       written = true
-      // Swap: never a moment where the live path is the only copy gone.
       if (!fs.rename(dst, backup))
-        throw new java.io.IOException(s"merge swap failed: $dst -> $backup")
+        throw new java.io.IOException(s"swap failed: $dst -> $backup")
       if (!fs.rename(tmp, dst)) {
         fs.rename(backup, dst) // restore — table untouched on failure
-        throw new java.io.IOException(s"merge swap failed: $tmp -> $dst (restored)")
+        throw new java.io.IOException(s"swap failed: $tmp -> $dst (restored)")
       }
       fs.delete(backup, true)
     } finally {
-      if (!written) fs.delete(tmp, true) // failed merge write leaves no litter
+      if (!written) fs.delete(tmp, true) // failed write leaves no litter
     }
   }
+
+  /** OPTIMIZE-style maintenance: rewrite the table with `nFiles` output
+    * files range-clustered on `clusterBy` (Z-order-lite: range partition +
+    * in-file sort), so [[refreshStats]]-based skipping gets tight per-file
+    * min/max ranges and small files are compacted away.
+    */
+  def compact(clusterBy: Seq[String] = Nil, nFiles: Int = 0): Unit = {
+    val df = read
+    val n = if (nFiles > 0) nFiles
+      else math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
+    val shaped =
+      if (clusterBy.nonEmpty) {
+        val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+        df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+      } else df.coalesce(n)
+    rewriteVia(shaped)
+  }
+
+  /** Build/refresh the file-level min/max manifest (see [[TableStats]]). */
+  def refreshStats(columns: Seq[String] = Nil): Unit =
+    TableStats.refresh(spark, path, columns)
+
+  /** Range read with manifest-based file skipping; result ≡
+    * `read.filter(column between lower and upper)`.
+    */
+  def readRange(column: String, lower: Any, upper: Any): DataFrame =
+    TableStats.readRange(spark, path, column, lower, upper)
 
   /** Partition-pruned merge for `partitionColumns ⊆ keys`: reads and
     * rewrites ONLY the hive partitions present in the source, via dynamic

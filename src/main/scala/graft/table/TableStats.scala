@@ -1,0 +1,95 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-level data skipping for [[MedallionTable]] — the Delta-style
+  * min/max manifest over raw parquet. At 100 TB the win is not row-group
+  * filtering (parquet already does that) but never *listing or opening*
+  * files whose [min,max] range can't match the predicate: a selective
+  * range query over a clustered table touches a handful of files instead
+  * of every file's footer.
+  *
+  * Stats live under `<table>/_graft_meta/stats` (underscore-prefixed, so
+  * normal parquet reads of the table ignore it). The manifest itself is a
+  * parquet table built with one distributed aggregation over
+  * `input_file_name()` — no driver-side scan.
+  *
+  * Pruning compares numeric bounds as doubles (exact for longs < 2^53 —
+  * beyond that pruning stays correct only if bounds cast consistently,
+  * which they do, both sides being produced by the same cast) and
+  * strings/timestamps lexicographically on their canonical string form.
+  */
+object TableStats {
+
+  private def statsPath(tablePath: String) = s"$tablePath/_graft_meta/stats"
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** One distributed pass: per file × column min/max (string + numeric). */
+  def refresh(spark: SparkSession, tablePath: String,
+      columns: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(tablePath)
+    val cols = (if (columns.nonEmpty) columns else df.columns.toSeq)
+      .filter(c => df.schema(c).dataType match {
+        case _: NumericType | StringType | TimestampType | DateType => true
+        case _ => false
+      })
+    val aggs = cols.flatMap { c =>
+      val numericMin =
+        if (isNumeric(df.schema(c).dataType)) min(col(c)).cast("double")
+        else lit(null).cast("double")
+      val numericMax =
+        if (isNumeric(df.schema(c).dataType)) max(col(c)).cast("double")
+        else lit(null).cast("double")
+      Seq(
+        min(col(c)).cast("string").as(s"min_str__$c"),
+        max(col(c)).cast("string").as(s"max_str__$c"),
+        numericMin.as(s"min_num__$c"),
+        numericMax.as(s"max_num__$c"))
+    } :+ count(lit(1)).as("row_count")
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // manifest is tiny: one row per data file
+      .write.mode("overwrite").parquet(statsPath(tablePath))
+  }
+
+  /** Files whose [min,max] for `column` overlaps [lower, upper]. */
+  private def candidateFiles(spark: SparkSession, tablePath: String,
+      column: String, lower: Column, upper: Column, numeric: Boolean): Seq[String] = {
+    val stats = spark.read.parquet(statsPath(tablePath))
+    val (lo, hi) =
+      if (numeric) (col(s"min_num__$column"), col(s"max_num__$column"))
+      else (col(s"min_str__$column"), col(s"max_str__$column"))
+    // conservative: keep files with missing stats for the column
+    val overlaps = lo.isNull || hi.isNull || !(hi < lower || lo > upper)
+    stats.filter(overlaps).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Range read with file skipping + residual filter (result is identical
+    * to `read.filter(between)`; only the touched file set shrinks).
+    */
+  def readRange(spark: SparkSession, tablePath: String, column: String,
+      lower: Any, upper: Any): DataFrame = {
+    val full = spark.read.parquet(tablePath)
+    val residual = col(column) >= lit(lower) && col(column) <= lit(upper)
+    val hasStats = {
+      val p = new org.apache.hadoop.fs.Path(statsPath(tablePath))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!hasStats) return full.filter(residual) // manifest absent/stale→rebuilt on demand
+    val numeric = isNumeric(full.schema(column).dataType)
+    val (lo, hi) =
+      if (numeric) (lit(lower).cast("double"), lit(upper).cast("double"))
+      else (lit(lower.toString), lit(upper.toString))
+    val files = candidateFiles(spark, tablePath, column, lo, hi, numeric)
+    val pruned =
+      if (files.isEmpty) full.filter(lit(false))
+      else spark.read.schema(full.schema).parquet(files: _*)
+    pruned.filter(residual)
+  }
+}

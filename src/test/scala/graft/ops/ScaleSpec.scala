@@ -16,8 +16,9 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
     // stale managed-table dirs from a previous JVM (in-memory catalog
     // forgets them, the filesystem doesn't)
-    graft.queries.Q.deleteDir(spark, "/tmp/graft_test_warehouse/graft_bkt_a")
-    graft.queries.Q.deleteDir(spark, "/tmp/graft_test_warehouse/graft_bkt_b")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.queries.Q.deleteDir(spark, s"$wh/graft_bkt_a")
+    graft.queries.Q.deleteDir(spark, s"$wh/graft_bkt_b")
     (0 until 10000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
       .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_a")
     (0 until 10000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")

@@ -16,6 +16,7 @@ object MergePropertiesSpec extends Properties("MergeOps") {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
