@@ -89,6 +89,19 @@ object AggQueries {
         countDistinct($"l_returnflag", $"l_linestatus").as("n_flag_status"))
     }),
 
+    // Approximate sketches (HLL++ distinct counts, quantile sketch) —
+    // rows-only (approx values have no cross-engine oracle); accuracy
+    // bounds proven against exact values in SketchSpec.
+    "agg_approx_sketches" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).groupBy($"l_returnflag").agg(
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx($"l_quantity", array(lit(0.25), lit(0.75)), lit(1000))
+          .as("quartile_qty"))
+    }),
+
     // ROLLUP / CUBE grouping sets (beyond the reference — completes the
     // aggregation surface a switching user expects).
     "agg_rollup" -> ((s, dir) => {

@@ -67,6 +67,19 @@ object SinkQueries {
         deleteNotMatchedBySource = false)
     }),
 
+    // K4 CDC — change-data-feed view of the merge: the four change classes
+    // instead of the merged table (Delta CDF semantics).
+    "k4_merge_cdc" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val target = o.filter($"o_orderkey" % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 5 === 0, $"o_totalprice" * 2).otherwise($"o_totalprice"))
+      val source = o.filter($"o_orderkey" % 2 === 0)
+      MergeOps.merge3ClauseCDC(target, source, Seq("o_orderkey"),
+        updateCondition = Some(MergeOps.anyColumnDiffers(target, source, Seq("o_orderkey"))))
+    }),
+
     // K3+K4 — the reference's createOrMerge control flow end-to-end on a
     // real table directory: create, then full-sync merge
     // (silver_table_creation.py:43-66). Final state ≡ the second source.
@@ -104,6 +117,23 @@ object SinkQueries {
        "AS o_totalprice, o_orderdate, o_orderpriority " +
        "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0"),
     "k_create_or_merge_roundtrip" ->
-      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 2 = 0"
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 2 = 0",
+    "k4_merge_cdc" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+       "o_orderpriority, 'insert' AS _change_type FROM orders " +
+       "WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0 " +
+       "UNION ALL " +
+       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2, o_orderdate, " +
+       "o_orderpriority, 'update_preimage' FROM orders " +
+       "WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0 " +
+       "UNION ALL " +
+       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+       "o_orderpriority, 'update_postimage' FROM orders " +
+       "WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0 " +
+       "UNION ALL " +
+       "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+       "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END, " +
+       "o_orderdate, o_orderpriority, 'delete' FROM orders " +
+       "WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0")
   )
 }

@@ -47,6 +47,15 @@ object TextQueries {
         s"CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / SIZE($TokensExpr) AS avg_tok_len")
     }),
 
+    // BPE-ish tokenization: letter runs / digit runs / single punctuation —
+    // the pre-tokenizer split shape BPE vocabularies assume.
+    "text_token_bpe" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        "SIZE(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS n_bpe_tokens",
+        "SIZE(ARRAY_DISTINCT(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))) AS n_bpe_uniq")
+    }),
+
     // Quality scoring: stopword ratio + banding (length/stopword heuristics).
     "text_quality" -> ((s, dir) => {
       Tables.documents(s, dir).selectExpr(
@@ -128,6 +137,11 @@ object TextQueries {
        s"CAST(LEN($DuckTokens) AS INTEGER) AS n_tokens, " +
        s"CAST(LEN(LIST_DISTINCT($DuckTokens)) AS INTEGER) AS n_uniq_tokens, " +
        s"CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LEN($DuckTokens) AS avg_tok_len " +
+       "FROM documents"),
+    "text_token_bpe" ->
+      ("SELECT doc_id, " +
+       "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens, " +
+       "CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS INTEGER) AS n_bpe_uniq " +
        "FROM documents"),
     "text_quality" ->
       (s"SELECT doc_id, n_tokens, n_stop, CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, " +

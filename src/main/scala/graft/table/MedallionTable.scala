@@ -31,7 +31,13 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 final class MedallionTable(
     val spark: SparkSession,
     val path: String,
-    val partitionColumns: Seq[String] = Nil) {
+    val partitionColumns: Seq[String] = Nil,
+    /** >0 enables time travel: every rewrite (merge/compact/restore)
+      * archives the previous table state under `_graft_meta/versions/vN`,
+      * keeping the newest `retainVersions` snapshots (Delta-style history,
+      * directory-granular). Appends mutate in place and do not version.
+      */
+    val retainVersions: Int = 0) {
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -121,9 +127,47 @@ final class MedallionTable(
         fs.rename(backup, dst) // restore — table untouched on failure
         throw new java.io.IOException(s"swap failed: $tmp -> $dst (restored)")
       }
-      fs.delete(backup, true)
+      if (retainVersions > 0) archiveBackup(backup) else fs.delete(backup, true)
     } finally {
       if (!written) fs.delete(tmp, true) // failed write leaves no litter
+    }
+  }
+
+  // ---- time travel ------------------------------------------------------
+
+  private def versionsDir = new Path(path, "_graft_meta/versions")
+
+  def listVersions(): Seq[Int] =
+    if (!fs.exists(versionsDir)) Nil
+    else fs.listStatus(versionsDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toInt }.sorted.toSeq
+
+  /** Read a retained snapshot (see `retainVersions`). */
+  def readVersion(n: Int): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(new Path(versionsDir, s"v$n").toString)
+
+  /** Rewrite the live table back to snapshot `n` (itself versioned). */
+  def restoreVersion(n: Int): Unit = rewriteVia(readVersion(n))
+
+  /** Archive the pre-rewrite state as the next version: carry forward the
+    * older snapshots it holds, strip its metadata, move its data files in,
+    * and prune beyond `retainVersions`.
+    */
+  private def archiveBackup(backup: Path): Unit = {
+    fs.mkdirs(versionsDir)
+    val backupVersions = new Path(backup, "_graft_meta/versions")
+    if (fs.exists(backupVersions))
+      fs.listStatus(backupVersions).foreach { st =>
+        fs.rename(st.getPath, new Path(versionsDir, st.getPath.getName))
+      }
+    fs.delete(new Path(backup, "_graft_meta"), true)
+    val next = (listVersions() :+ 0).max + 1 // after carry-forward, so ids continue
+    if (!fs.rename(backup, new Path(versionsDir, s"v$next")))
+      throw new java.io.IOException(s"version archive failed: $backup -> v$next")
+    val vs = listVersions()
+    vs.dropRight(retainVersions).foreach { old =>
+      fs.delete(new Path(versionsDir, s"v$old"), true)
     }
   }
 
@@ -211,6 +255,7 @@ final class MedallionTable(
 }
 
 object MedallionTable {
-  def apply(spark: SparkSession, path: String, partitionColumns: Seq[String] = Nil): MedallionTable =
-    new MedallionTable(spark, path, partitionColumns)
+  def apply(spark: SparkSession, path: String, partitionColumns: Seq[String] = Nil,
+      retainVersions: Int = 0): MedallionTable =
+    new MedallionTable(spark, path, partitionColumns, retainVersions)
 }

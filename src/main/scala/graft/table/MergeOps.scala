@@ -135,4 +135,60 @@ object MergeOps {
 
     kept.select(resolved: _*)
   }
+
+  /** Change-data-feed variant of [[merge3Clause]] (Delta CDF semantics,
+    * public behavior): instead of the merged table, emit the CHANGES the
+    * merge would apply — `_change_type` ∈ insert / update_preimage /
+    * update_postimage / delete. Unchanged matched rows emit nothing.
+    *
+    * Same single full-outer shuffle join; the four classes are filters +
+    * projections over it (Catalyst reuses the exchange across the union
+    * branches), so the cost profile matches the merge itself.
+    */
+  def merge3ClauseCDC(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      updateCondition: Option[(ColRef, ColRef) => Column] = None,
+      deleteNotMatchedBySource: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val targetCols = target.columns.toSeq
+    val sourceCols = source.columns.toSet
+    val allCols: Seq[String] =
+      targetCols ++ source.columns.toSeq.filterNot(targetCols.contains)
+
+    def prep(df: DataFrame, other: DataFrame, prefix: String, mark: String): DataFrame = {
+      val padded = allCols.map { c =>
+        (if (df.columns.contains(c)) col(c)
+         else lit(null).cast(other.schema(c).dataType)).as(prefix + c)
+      }
+      df.select(padded :+ lit(true).as(mark): _*)
+    }
+
+    val t = prep(target, source, TPrefix, TgtMark)
+    val s = prep(source, target, SPrefix, SrcMark)
+    val tc: ColRef = c => col(TPrefix + c)
+    val sc: ColRef = c => col(SPrefix + c)
+    val joined = t.join(s, keys.map(k => tc(k) === sc(k)).reduce(_ && _), "full_outer")
+
+    val srcPresent = col(SrcMark).isNotNull
+    val tgtPresent = col(TgtMark).isNotNull
+    val updCond = updateCondition.map(f => f(tc, sc)).getOrElse(lit(true))
+
+    def proj(side: ColRef, change: String) =
+      allCols.map(c => side(c).as(c)) :+ lit(change).as("_change_type")
+    // post-image honors UPDATE SET spanning only real source columns
+    val postCols = allCols.map { c =>
+      (if (sourceCols.contains(c)) sc(c) else tc(c)).as(c)
+    } :+ lit("update_postimage").as("_change_type")
+
+    val inserts = joined.filter(srcPresent && !tgtPresent).select(proj(sc, "insert"): _*)
+    val pre = joined.filter(srcPresent && tgtPresent && updCond)
+      .select(proj(tc, "update_preimage"): _*)
+    val post = joined.filter(srcPresent && tgtPresent && updCond).select(postCols: _*)
+    val dels = joined.filter(!srcPresent && tgtPresent).select(proj(tc, "delete"): _*)
+
+    val changes = inserts.union(pre).union(post)
+    if (deleteNotMatchedBySource) changes.union(dels) else changes
+  }
 }

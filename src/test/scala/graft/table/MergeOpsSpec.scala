@@ -83,6 +83,17 @@ class MergeOpsSpec extends SparkSpec {
     assert(asSet(once) == asSet(twice))
   }
 
+  test("CDC merge emits exactly the change rows (Delta CDF semantics)") {
+    val cond = MergeOps.anyColumnDiffers(target, source, Seq("id"))
+    val out = MergeOps.merge3ClauseCDC(target, source, Seq("id"), Some(cond))
+    assert(asSet(out) == Set(
+      Seq(4L, "d", 40.0, "insert"),
+      Seq(2L, "b", 20.0, "update_preimage"),
+      Seq(2L, "B", 21.0, "update_postimage"),
+      Seq(3L, "c", 30.0, "delete")))
+    // id=1 is matched-but-unchanged: no change row (checked via exact set)
+  }
+
   test("composite keys and self-lineage source (ambiguity regression)") {
     import spark.implicits._
     val base = Seq((1L, "p", 1.0), (1L, "q", 2.0), (2L, "p", 3.0))

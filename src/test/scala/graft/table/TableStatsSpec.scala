@@ -40,6 +40,26 @@ class TableStatsSpec extends SparkSpec {
     assert(pruned.inputFiles.length <= 2)
   }
 
+  test("time travel: rewrites archive versions, readVersion/restore work, pruning caps history") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("tt"), retainVersions = 2)
+    t.overwrite(Seq((1L, "one")).toDF("id", "s"))
+    t.merge(Seq((1L, "ONE"), (2L, "two")).toDF("id", "s"), Seq("id"),
+      deleteNotMatchedBySource = false)                       // v1 = {one}
+    t.merge(Seq((3L, "three")).toDF("id", "s"), Seq("id"),
+      deleteNotMatchedBySource = false)                       // v2 = {ONE,two}
+    assert(t.listVersions() == Seq(1, 2))
+    assert(t.readVersion(1).collect().map(_.getString(1)).toSet == Set("one"))
+    assert(t.readVersion(2).collect().map(_.getString(1)).toSet == Set("ONE", "two"))
+    assert(t.read.collect().map(_.getString(1)).toSet == Set("ONE", "two", "three"))
+
+    t.restoreVersion(2) // live table back to v2; archives v3, prunes v1
+    assert(t.read.collect().map(_.getString(1)).toSet == Set("ONE", "two"))
+    assert(t.listVersions() == Seq(2, 3))
+    assert(t.readVersion(3).collect().map(_.getString(1)).toSet ==
+      Set("ONE", "two", "three"))
+  }
+
   test("manifest dir is invisible to normal reads and exists()") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("stats_vis"))
