@@ -26,6 +26,7 @@ object SparkEntry {
       (TextQueries.defs, TextQueries.oracles),
       (PipelineOpsQueries.defs, PipelineOpsQueries.oracles),
       (HeadlineQueries.defs, HeadlineQueries.oracles),
+      (ScalarQueries.defs, ScalarQueries.oracles),
       (Flagship.defs, Flagship.oracles)
     )
 

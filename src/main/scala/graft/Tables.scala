@@ -27,10 +27,10 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral division: double division would round the microsecond up for
+    // some nanosecond values and diverge from DuckDB's exact truncation
     load(spark, dir, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000)
-          .cast("long")))
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function breadth (strings, dates, null handling — all
+  * engine-exact operations; transcendentals are deliberately excluded from
+  * oracle outputs since libm ulp behavior differs across engines) plus the
+  * batch twin of gap sessionization (lag + running-sum windows).
+  */
+object ScalarQueries {
+  import Q.QueryFn
+
+  val defs: Map[String, QueryFn] = Map(
+    "sc_string_funcs" -> ((s, dir) => {
+      Tables.customer(s, dir).selectExpr(
+        "c_custkey",
+        "UPPER(c_name) AS name_u",
+        "LOWER(c_mktsegment) AS seg_l",
+        "SUBSTRING(c_name, 1, 8) AS name_pre",
+        "LENGTH(TRIM(c_name)) AS name_len",
+        "CONCAT_WS('|', c_mktsegment, c_name) AS tagged",
+        "LPAD(CAST(c_custkey AS STRING), 8, '0') AS key_pad",
+        "REPLACE(c_name, '#', '-') AS name_r")
+    }),
+
+    "sc_date_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir).selectExpr(
+        "o_orderkey",
+        "YEAR(o_orderdate) AS y",
+        "MONTH(o_orderdate) AS m",
+        "DAY(o_orderdate) AS d",
+        "CAST(DATE_ADD(CAST(o_orderdate AS DATE), 30) AS TIMESTAMP) AS due_ts",
+        "LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end",
+        "DATEDIFF(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days_since")
+    }),
+
+    "sc_null_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir).selectExpr(
+        "o_orderkey",
+        "COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_c",
+        "IFNULL(NULLIF(o_orderpriority, o_orderpriority), 'none') AS pr_c",
+        "NVL2(NULLIF(o_orderstatus, 'F'), 'not_f', 'f') AS nvl2_c")
+    }),
+
+    "sc_math_funcs" -> ((s, dir) => {
+      Tables.lineitem(s, dir).selectExpr(
+        "l_orderkey", "l_linenumber",
+        "ABS(l_quantity - 25) AS dev",
+        "CEIL(l_extendedprice / 1000) AS price_k_ceil",
+        "FLOOR(l_extendedprice / 1000) AS price_k_floor",
+        "SQRT(l_quantity) AS qty_sqrt",
+        "PMOD(CAST(l_quantity AS INT), 7) AS qty_mod")
+    }),
+
+    // Batch gap sessionization: lag + running sum assigns session ids, then
+    // per-session rollup — the SQL twin of EventStreams.userSessions.
+    "events_sessions_batch" -> ((s, dir) => {
+      import s.implicits._
+      val order = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(order))
+        .withColumn("new_sess",
+          when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum($"new_sess").over(running))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round($"value" * 100)) / 100.0).as("total_value"),
+          min($"ts").as("started"), max($"ts").as("ended"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sc_string_funcs" ->
+      ("SELECT c_custkey, UPPER(c_name) AS name_u, LOWER(c_mktsegment) AS seg_l, " +
+       "SUBSTRING(c_name, 1, 8) AS name_pre, " +
+       "CAST(LENGTH(TRIM(c_name)) AS INTEGER) AS name_len, " +
+       "CONCAT_WS('|', c_mktsegment, c_name) AS tagged, " +
+       "LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad, " +
+       "REPLACE(c_name, '#', '-') AS name_r FROM customer"),
+    "sc_date_funcs" ->
+      ("SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INTEGER) AS y, " +
+       "CAST(MONTH(o_orderdate) AS INTEGER) AS m, " +
+       "CAST(DAY(o_orderdate) AS INTEGER) AS d, " +
+       "CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_ts, " +
+       "LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end, " +
+       "CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INTEGER) AS days_since " +
+       "FROM orders"),
+    "sc_null_funcs" ->
+      ("SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_c, " +
+       "IFNULL(NULLIF(o_orderpriority, o_orderpriority), 'none') AS pr_c, " +
+       "CASE WHEN NULLIF(o_orderstatus, 'F') IS NOT NULL THEN 'not_f' ELSE 'f' END AS nvl2_c " +
+       "FROM orders"),
+    "sc_math_funcs" ->
+      ("SELECT l_orderkey, l_linenumber, ABS(l_quantity - 25) AS dev, " +
+       "CEIL(l_extendedprice / 1000) AS price_k_ceil, " +
+       "FLOOR(l_extendedprice / 1000) AS price_k_floor, " +
+       "SQRT(l_quantity) AS qty_sqrt, " +
+       "CAST(CAST(l_quantity AS INTEGER) % 7 AS INTEGER) AS qty_mod FROM lineitem"),
+    "events_sessions_batch" ->
+      ("""WITH marked AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM marked)
+         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       SUM(ROUND(value * 100)) / 100.0 AS total_value,
+         |       CAST(MIN(ts) AS TIMESTAMP) AS started,
+         |       CAST(MAX(ts) AS TIMESTAMP) AS ended
+         |FROM sess GROUP BY user_id, session_id""".stripMargin)
+  )
+}
