@@ -188,6 +188,41 @@ final class MedallionTable(
     rewriteVia(shaped)
   }
 
+  /** Z-order clustering: interleave the bit patterns of each cluster
+    * column's global rank-bucket so files get tight min/max ranges on ALL
+    * cluster columns at once (lexicographic range clustering only helps
+    * the leading column). 8 bits per column, up to 4 columns.
+    *
+    * Rank-bucketing uses `ntile` over a global sort — a table-maintenance
+    * cost (like Delta's OPTIMIZE ZORDER), not a query cost.
+    */
+  def compactZOrder(clusterBy: Seq[String], nFiles: Int = 0): Unit = {
+    require(clusterBy.nonEmpty && clusterBy.size <= 4, "1-4 z-order columns")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = read
+    val n = if (nFiles > 0) nFiles
+      else math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
+    val bits = 8
+    val bucketed = clusterBy.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__graft_zb_$i",
+        (ntile(1 << bits).over(Window.orderBy(col(c))) - 1).cast("long"))
+    }
+    // interleave: bit b of column i lands at position b*numCols + i
+    val z = (0 until bits).flatMap { b =>
+      clusterBy.indices.map { i =>
+        shiftleft(
+          shiftright(col(s"__graft_zb_$i"), b).bitwiseAND(lit(1L)),
+          b * clusterBy.size + i)
+      }
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val shaped = bucketed.withColumn("__graft_z", z)
+      .repartitionByRange(n, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop((clusterBy.indices.map(i => s"__graft_zb_$i") :+ "__graft_z"): _*)
+    rewriteVia(shaped)
+  }
+
   /** Build/refresh the file-level min/max manifest (see [[TableStats]]). */
   def refreshStats(columns: Seq[String] = Nil): Unit =
     TableStats.refresh(spark, path, columns)

@@ -60,6 +60,32 @@ class TableStatsSpec extends SparkSpec {
       Set("ONE", "two", "three"))
   }
 
+  test("z-order clustering enables skipping on BOTH cluster columns") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("zorder"))
+    // two independent dimensions; lexicographic clustering on x would leave
+    // y ranges wide in every file
+    val rnd = new scala.util.Random(5)
+    t.overwrite((0 until 20000).map { i =>
+      (i.toLong, rnd.nextInt(10000), rnd.nextInt(10000))
+    }.toDF("id", "x", "y").repartition(8))
+    t.compactZOrder(Seq("x", "y"), nFiles = 16)
+    t.refreshStats()
+
+    def filesTouched(c: String) = {
+      val p = t.readRange(c, 100, 400)
+      val expected = t.read
+        .filter(org.apache.spark.sql.functions.col(c).between(100, 400)).count()
+      assert(p.count() == expected)
+      p.inputFiles.length
+    }
+    val fx = filesTouched("x")
+    val fy = filesTouched("y")
+    assert(fx < 16 && fy < 16,
+      s"z-order should prune on both dims: x=$fx, y=$fy of 16")
+    assert(fx + fy < 24, s"expected meaningful pruning, got x=$fx y=$fy")
+  }
+
   test("manifest dir is invisible to normal reads and exists()") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("stats_vis"))
