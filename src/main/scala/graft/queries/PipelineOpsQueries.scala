@@ -42,6 +42,11 @@ object PipelineOpsQueries {
         .select($"id_a", $"id_b", MinHash.jaccard($"sh_a", $"sh_b").as("jaccard"))
     }),
 
+    // Corpus-trained char-bigram LM quality scores (rows-only — log/avg of
+    // logs is transcendental; ranking semantics proven in NgramLMSpec).
+    "text_lm_score" -> ((s, dir) =>
+      graft.text.NgramLM.selfScore(Tables.documents(s, dir), "doc_id", "text")),
+
     // Winnowing rolling-hash fingerprints (rows-only; xxhash64 has no
     // DuckDB twin — semantics in WinnowingSpec).
     "text_winnowing_fp" -> ((s, dir) => {
