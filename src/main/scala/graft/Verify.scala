@@ -15,12 +15,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: one pathological query must not eat the whole
+    // correctness round — cancel its job group after the timeout and move on.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toInt
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      val work = Future {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       }
+      try Await.result(work, timeout.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[verify] $name timed out after ${timeout}s (cancelled)")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally spark.sparkContext.clearJobGroup()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

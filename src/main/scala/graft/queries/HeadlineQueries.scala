@@ -47,6 +47,13 @@ object HeadlineQueries {
           .as("revenue"))
     }),
 
+    // Bounded-heap top-k per group (typed Aggregator; shuffles k rows per
+    // group instead of sorting whole partitions like window row_number).
+    "topk_per_key" -> ((s, dir) =>
+      graft.operators.TopK.perKey(Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"), "l_extendedprice",
+        "l_orderkey", "l_linenumber", k = 3)),
+
     // Left-semi: orders having at least one heavy line.
     "j8_semi_join" -> ((s, dir) => {
       import s.implicits._
@@ -86,6 +93,14 @@ object HeadlineQueries {
        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
        "WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey " +
        "GROUP BY n.n_name"),
+    "topk_per_key" ->
+      ("SELECT l_returnflag, l_linestatus, l_orderkey, " +
+       "CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+       "l_extendedprice, CAST(rn AS INTEGER) AS rank FROM (" +
+       "SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice, " +
+       "row_number() OVER (PARTITION BY l_returnflag, l_linestatus " +
+       "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn " +
+       "FROM lineitem) WHERE rn <= 3"),
     "j8_semi_join" ->
       ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o " +
        "WHERE EXISTS (SELECT 1 FROM lineitem l " +
