@@ -44,21 +44,48 @@ object NgramLM {
         log((col("c_ab") + 1).cast("double") / (col("c_a") + vocab)).as("log_p"))
   }
 
+  /** Per-doc bigram counts — the shared intermediate: one tokenize pass
+    * feeds both training and scoring, and the model join sees one row per
+    * (doc, bigram) instead of one per bigram instance.
+    */
+  private def docBigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.selectExpr(idCol, s"${normalized(textCol)} AS __t")
+      .select(col(idCol), explode(bigrams("__t")).as("bigram"))
+      .filter(length(col("bigram")) === 2)
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
+
   /** Score each document: mean negative log-probability of its bigrams
     * (lower = more corpus-typical). Unseen bigrams take a fixed floor.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, unseenLogP: Double = -12.0): DataFrame = {
-    docs.selectExpr(idCol, s"${normalized(textCol)} AS __t")
-      .select(col(idCol), explode(bigrams("__t")).as("bigram"))
-      .filter(length(col("bigram")) === 2)
-      .join(broadcast(model), Seq("bigram"), "left")
+      model: DataFrame, unseenLogP: Double = -12.0): DataFrame =
+    scoreCounts(docBigramCounts(docs, idCol, textCol), idCol, model, unseenLogP)
+
+  private def scoreCounts(docBi: DataFrame, idCol: String, model: DataFrame,
+      unseenLogP: Double): DataFrame =
+    docBi.join(broadcast(model), Seq("bigram"), "left")
       .withColumn("log_p", coalesce(col("log_p"), lit(unseenLogP)))
       .groupBy(col(idCol))
-      .agg((-avg(col("log_p"))).as("nll"), count(lit(1)).as("n_bigrams"))
-  }
+      .agg((-(sum(col("n") * col("log_p")) / sum(col("n")))).as("nll"),
+        sum(col("n")).as("n_bigrams"))
 
-  /** Train on the corpus and score every document against it. */
-  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    score(docs, idCol, textCol, train(docs, textCol))
+  /** Train on the corpus and score every document against it — one
+    * tokenize pass serves both.
+    */
+  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBi = docBigramCounts(docs, idCol, textCol).cache()
+    try {
+      val counts = docBi.groupBy("bigram").agg(sum("n").as("c_ab"))
+        .withColumn("prefix", substring(col("bigram"), 1, 1))
+      val prefixTotals = counts.groupBy("prefix").agg(sum("c_ab").as("c_a"))
+      val vocab = counts.select(substring(col("bigram"), 2, 1).as("ch"))
+        .union(counts.select(col("prefix").as("ch")))
+        .distinct().count()
+      val model = counts.join(prefixTotals, "prefix")
+        .select(col("bigram"),
+          log((col("c_ab") + 1).cast("double") / (col("c_a") + vocab)).as("log_p"))
+      // materialize before dropping the shared cache (callers re-consume)
+      scoreCounts(docBi, idCol, model, -12.0).localCheckpoint()
+    } finally docBi.unpersist()
+  }
 }
