@@ -89,7 +89,9 @@ object TableStats {
     val files = candidateFiles(spark, tablePath, column, lo, hi, numeric)
     val pruned =
       if (files.isEmpty) full.filter(lit(false))
-      else spark.read.schema(full.schema).parquet(files: _*)
+      // basePath keeps hive partition columns recoverable from file paths
+      // (an explicit schema would silently null them out)
+      else spark.read.option("basePath", tablePath).parquet(files: _*)
     pruned.filter(residual)
   }
 }

@@ -86,6 +86,21 @@ class TableStatsSpec extends SparkSpec {
     assert(fx + fy < 24, s"expected meaningful pruning, got x=$fx y=$fy")
   }
 
+  test("readRange works on hive-partitioned tables (partition cols survive)") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("stats_part"), partitionColumns = Seq("pt"))
+    t.overwrite((0 until 2000).map(i => (i.toLong, i % 3)).toDF("id", "pt"))
+    t.refreshStats()
+    // range on a data column: partition column must come back non-null
+    val byId = t.readRange("id", 10, 20)
+    assert(byId.count() == 11)
+    assert(byId.filter($"pt".isNull).count() == 0)
+    assert(byId.select("pt").distinct().count() == 3)
+    // range on the partition column itself
+    val byPt = t.readRange("pt", 1, 1)
+    assert(byPt.count() == t.read.filter($"pt" === 1).count())
+  }
+
   test("manifest dir is invisible to normal reads and exists()") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("stats_vis"))
