@@ -24,10 +24,14 @@ object Verify {
     import scala.concurrent.ExecutionContext.Implicits.global
     val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toInt
     SparkEntry.queries.foreach { case (name, fn) =>
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
       val work = Future {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // Job-group properties are thread-local: set them on the thread that
+        // actually submits the Spark jobs (this pool thread), not main —
+        // otherwise cancelJobGroup on timeout cancels nothing.
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
       }
       try Await.result(work, timeout.seconds)
       catch {
@@ -36,7 +40,7 @@ object Verify {
           System.err.println(s"[verify] $name timed out after ${timeout}s (cancelled)")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.sparkContext.clearJobGroup()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -98,8 +98,10 @@ object AggQueries {
         approx_count_distinct($"l_orderkey").as("approx_orders"),
         approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
         percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx($"l_quantity", array(lit(0.25), lit(0.75)), lit(1000))
-          .as("quartile_qty"))
+        // scalar quartiles, not one array column — the driver's pandas-side
+        // rows-only sort cannot order numpy arrays
+        percentile_approx($"l_quantity", lit(0.25), lit(1000)).as("q25_qty"),
+        percentile_approx($"l_quantity", lit(0.75), lit(1000)).as("q75_qty"))
     }),
 
     // ROLLUP / CUBE grouping sets (beyond the reference — completes the

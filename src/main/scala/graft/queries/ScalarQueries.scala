@@ -48,8 +48,10 @@ object ScalarQueries {
       Tables.lineitem(s, dir).selectExpr(
         "l_orderkey", "l_linenumber",
         "ABS(l_quantity - 25) AS dev",
-        "CEIL(l_extendedprice / 1000) AS price_k_ceil",
-        "FLOOR(l_extendedprice / 1000) AS price_k_floor",
+        // CEIL/FLOOR: Spark yields BIGINT, DuckDB DOUBLE — pin both sides
+        // to BIGINT so the driver's value-hash sees identical reprs.
+        "CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil",
+        "CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor",
         "SQRT(l_quantity) AS qty_sqrt",
         "PMOD(CAST(l_quantity AS INT), 7) AS qty_mod")
     }),
@@ -97,8 +99,8 @@ object ScalarQueries {
        "FROM orders"),
     "sc_math_funcs" ->
       ("SELECT l_orderkey, l_linenumber, ABS(l_quantity - 25) AS dev, " +
-       "CEIL(l_extendedprice / 1000) AS price_k_ceil, " +
-       "FLOOR(l_extendedprice / 1000) AS price_k_floor, " +
+       "CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil, " +
+       "CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor, " +
        "SQRT(l_quantity) AS qty_sqrt, " +
        "CAST(CAST(l_quantity AS INTEGER) % 7 AS INTEGER) AS qty_mod FROM lineitem"),
     "events_sessions_batch" ->

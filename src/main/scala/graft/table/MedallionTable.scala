@@ -54,14 +54,18 @@ final class MedallionTable(
   }
 
   private def hasDataFiles(p: Path): Boolean = {
+    // Hiddenness is judged only on path segments BELOW the table root —
+    // substring-matching the absolute path would mark every table under an
+    // underscore/dot-prefixed ancestor dir as nonexistent, routing
+    // createOrMerge to an overwrite (data loss).
+    val rootUri = fs.makeQualified(p).toUri
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      val isHidden = name.startsWith("_") || name.startsWith(".")
-      // also skip files nested under hidden dirs (_temporary, _graft_meta)
-      val inHiddenDir = f.getPath.toString.contains("/_") || f.getPath.toString.contains("/.")
-      if (!isHidden && !inHiddenDir && f.getLen > 0) return true
+      val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden && f.getLen > 0) return true
     }
     false
   }
@@ -74,8 +78,18 @@ final class MedallionTable(
     if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w
   }
 
+  /** In-place mutations invalidate the min/max manifest — a stale manifest
+    * would make [[readRange]] silently drop rows in files it doesn't list
+    * (rewrites don't need this: the swap drops `_graft_meta` wholesale).
+    */
+  private def invalidateStats(): Unit =
+    fs.delete(new Path(path, "_graft_meta/stats"), true)
+
   /** K1 — append with schema merge + partitioning. */
-  def append(df: DataFrame): Unit = writer(df, SaveMode.Append).parquet(path)
+  def append(df: DataFrame): Unit = {
+    writer(df, SaveMode.Append).parquet(path)
+    invalidateStats()
+  }
 
   /** K2 — full replace (static dims, `bronze_table_creation.py:36,61`). */
   def overwrite(df: DataFrame): Unit = writer(df, SaveMode.Overwrite).parquet(path)
@@ -243,6 +257,13 @@ final class MedallionTable(
     * partitions the source doesn't mention are kept. That is the standard
     * incremental-batch contract (the reference's batches always carry their
     * own `data_block_id`s).
+    *
+    * Failure atomicity (documented, weaker than [[merge]]'s swap): dynamic
+    * partition overwrite commits per partition directory via the Hadoop
+    * committer — a crash mid-commit can leave a touched partition replaced
+    * while another is not. Untouched partitions are never at risk. Callers
+    * needing the all-or-nothing guarantee at the cost of a full rewrite
+    * should use [[merge]].
     */
   def mergePruned(
       source: DataFrame,
@@ -272,6 +293,7 @@ final class MedallionTable(
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionColumns: _*)
       .parquet(path)
+    invalidateStats()
   }
 
   /** The reference's canonical upsert entry (`silver_table_creation.py:43-66`):

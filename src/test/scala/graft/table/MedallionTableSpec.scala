@@ -32,6 +32,25 @@ class MedallionTableSpec extends SparkSpec {
     assert(!t.exists) // marker-only dir ≠ table (crashed-write leftover)
   }
 
+  test("exists is true for tables under underscore/dot-prefixed ancestor dirs") {
+    import spark.implicits._
+    // regression: hiddenness must be judged below the table root, not on the
+    // absolute path — else createOrMerge overwrites instead of merging
+    val base = tmpDir("mt_hidden_anc")
+    val p = s"$base/_hidden.parent/.dotted/table"
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    assert(t.exists, "table under hidden-named ancestors must report exists")
+    // pre-fix, exists=false also mis-routed createOrError into overwriting
+    intercept[IllegalStateException] {
+      t.createOrError(Seq((2L, "b")).toDF("id", "s"))
+    }
+    // and a non-delete merge must see (and keep) the existing row
+    t.merge(Seq((2L, "b")).toDF("id", "s"), Seq("id"),
+      deleteNotMatchedBySource = false)
+    assert(t.read.count() == 2, "merge must keep rows it can only see via exists-path read")
+  }
+
   test("append accumulates; overwrite replaces") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("mt_append"))

@@ -101,6 +101,26 @@ class TableStatsSpec extends SparkSpec {
     assert(byPt.count() == t.read.filter($"pt" === 1).count())
   }
 
+  test("append and mergePruned invalidate the manifest (readRange stays exact)") {
+    import spark.implicits._
+    // regression: stale stats after in-place mutations must not make
+    // readRange drop rows from unlisted files / fail on deleted files
+    val t = MedallionTable(spark, tmpDir("stats_inval"))
+    t.overwrite((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    t.refreshStats()
+    t.append((100 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    assert(t.readRange("id", 0, 199).count() == 200,
+      "appended rows must be visible through readRange")
+
+    val tp = MedallionTable(spark, tmpDir("stats_inval_p"), partitionColumns = Seq("pt"))
+    tp.overwrite((0 until 100).map(i => (i.toLong, i % 2)).toDF("id", "pt"))
+    tp.refreshStats()
+    tp.mergePruned(Seq((500L, 0)).toDF("id", "pt"), Seq("id", "pt"))
+    // pt=0 rewritten to just {500}; pt=1 untouched (50 rows)
+    assert(tp.readRange("id", 0, 1000).count() == 51,
+      "readRange must not fail on or miss post-merge files")
+  }
+
   test("manifest dir is invisible to normal reads and exists()") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("stats_vis"))
