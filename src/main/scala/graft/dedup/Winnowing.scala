@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's rolling-hash
@@ -21,27 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Winnowing {
 
-  private def kgramHashes(text: Column, k: Int): Column =
-    transform(sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => xxhash64(text.substr(i, lit(k))))
-
+  /** Distinct winnowing fingerprint set of a text column — the native
+    * [[graft.functions.WinnowFingerprints]] expression: one O(n) deque
+    * pass per document (hash k-grams, sliding window min, dedupe), fused
+    * where the declarative shape needed an interpreted hash lambda plus a
+    * posexplode → per-doc window sort → distinct chain of shuffles.
+    */
   /** (doc_id, fp) inverted index — the candidate-retrieval shape at scale
     * (join on fingerprint instead of comparing document pairs).
     */
   def fingerprintIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
-    val hashed = docs.select(col(idCol).as("doc_id"),
-        posexplode(kgramHashes(col(textCol), k)).as(Seq("pos", "h")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    val sliding = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    hashed
-      .withColumn("wmin", min(col("h")).over(sliding))
-      // only windows fully inside the document (plus the degenerate
-      // shorter-than-w document, which keeps its single window at pos 0)
-      .filter(col("pos") <= greatest(col("n") - w, lit(0)))
-      .select(col("doc_id"), col("wmin").as("fp"))
-      .distinct()
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+      explode(call_function("graft_winnow_fps", col(textCol), lit(k), lit(w))).as("fp"))
   }
 
   /** Adds `outCol` = the distinct fingerprint set per row of `docs` (array

@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text hot paths (LM scoring,
+  * winnowing). The declarative formulations (`transform(sequence(...))` +
+  * `explode` + window) are semantically right but Spark evaluates
+  * higher-order lambdas interpreted — one boxed substring/hash call per
+  * character — and the winnowing window-min needs a per-doc shuffle+sort.
+  * Each expression below does the same work as ONE tight JVM pass per row,
+  * emitting the already-reduced per-document result (bigram counts /
+  * fingerprint set), so both the lambda overhead and the intermediate
+  * explode→aggregate shuffle disappear.
+  *
+  * Eval-only (CodegenFallback): the per-row work dominates; these are
+  * leaf-heavy calls, not per-element expression trees.
+  */
+object TextExpressions {
+
+  /** Byte offset of each codepoint boundary (UTF-8 lead-byte widths), with
+    * a final sentinel = numBytes. Lets k-gram/bigram slices address raw
+    * byte ranges without quadratic re-scans.
+    */
+  private[functions] def charOffsets(bytes: Array[Byte]): Array[Int] = {
+    val offs = new Array[Int](bytes.length + 1)
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      offs(n) = i
+      val b = bytes(i) & 0xFF
+      i += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      n += 1
+    }
+    offs(n) = bytes.length
+    java.util.Arrays.copyOf(offs, n + 1)
+  }
+}
+
+/** `graft_bigram_counts(text)` → array<struct<bigram:string, n:bigint>> —
+  * distinct character bigrams of `text` with their occurrence counts, in
+  * first-appearance order. Equivalent to exploding all consecutive
+  * 2-char substrings and counting per value, fused into one pass.
+  */
+case class BigramCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_bigram_counts"
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bigram", StringType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val offs = TextExpressions.charOffsets(bytes)
+    val nChars = offs.length - 1
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < nChars - 1) {
+      // bigram = chars [i, i+2): bytes [offs(i), offs(i+2))
+      val key = UTF8String.fromBytes(bytes, offs(i), offs(i + 2) - offs(i))
+      val slot = counts.get(key)
+      if (slot == null) counts.put(key, Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val rows = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(j) = InternalRow(e.getKey, e.getValue()(0))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramCounts =
+    copy(child = newChild)
+}
+
+/** `BigramNll(bigramCounts, model, unseenLogP)` →
+  * struct<nll:double, n_bigrams:bigint> — mean negative log-probability of a
+  * document's bigrams under a (small, driver-collected) bigram→logP model.
+  * The model is |charset|²-bounded, so shipping it inside the expression is
+  * the same cost class as a broadcast join, without the join or the per-doc
+  * aggregation shuffle. Accumulates in array (first-appearance) order —
+  * deterministic across runs.
+  */
+case class BigramNll(child: Expression, model: Map[String, Double],
+    unseenLogP: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_bigram_nll"
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("nll", DoubleType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false)))
+
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](model.size * 2)
+    model.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, StringType, _, _), StructField(_, LongType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<string,bigint>>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var num = 0.0
+    var den = 0L
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      val row = arr.getStruct(i, 2)
+      val n = row.getLong(1)
+      val lp = lookup.get(row.getUTF8String(0))
+      num += n * (if (lp == null) unseenLogP else lp.doubleValue())
+      den += n
+      i += 1
+    }
+    InternalRow(if (den == 0) 0.0 else -(num / den), den)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramNll =
+    copy(child = newChild)
+}
+
+/** `graft_winnow_fps(text, k, w)` → array<bigint> — the distinct winnowing
+  * fingerprints of `text` (Schleimer/Wilkerson/Aiken, public algorithm):
+  * xxhash64 every character k-gram (seed 42, bit-identical to SQL
+  * `xxhash64(substring(text, i, k))`), then keep the min of each window of
+  * w consecutive k-gram hashes, windows fully inside the document.
+  * Sliding-window min via monotonic deque — O(n) per document.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+
+  override def prettyName: String = "graft_winnow_fps"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val utf8 = input.asInstanceOf[UTF8String]
+    val bytes = utf8.getBytes
+    val offs = TextExpressions.charOffsets(bytes)
+    val nChars = offs.length - 1
+    // positions 1..max(n-k+1, 1); tail-short grams only in the degenerate
+    // n<k case (mirrors the declarative sequence/substring formulation)
+    val m = math.max(nChars - k + 1, 1)
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, nChars)
+      h(i) = XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(i),
+        offs(end) - offs(i), 42L)
+      i += 1
+    }
+    // windows start at p in [0, max(m-w, 0)], each min over h[p..min(p+w,m))
+    val lastStart = math.max(m - w, 0)
+    val fps = new java.util.LinkedHashSet[Long]()
+    val deque = new Array[Int](m) // indices, increasing h-value front→back
+    var head = 0
+    var tail = 0 // exclusive
+    var p = 0
+    i = 0
+    while (p <= lastStart) {
+      val windowEnd = math.min(p + w, m) // exclusive
+      while (i < windowEnd) {
+        while (tail > head && h(deque(tail - 1)) >= h(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        i += 1
+      }
+      while (deque(head) < p) head += 1 // expire indices left of the window
+      fps.add(h(deque(head)))
+      p += 1
+    }
+    val out = new Array[Long](fps.size)
+    val it = fps.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{BigramCounts, CosineSimilarity, DotProduct, WinnowFingerprints}
 
 /** Session-extension entry point (`spark.sql.extensions=graft.plans.
   * GraftExtensions`) injecting the native vector expressions as SQL
@@ -28,7 +28,16 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
     (new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
+    (new FunctionIdentifier("graft_bigram_counts"),
+      new ExpressionInfo(classOf[BigramCounts].getName, "graft_bigram_counts"),
+      (exprs: Seq[Expression]) => BigramCounts(exprs(0))),
+    (new FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow_fps"),
+      // k and w must be foldable int literals
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
   )
 
   /** Idempotent registration on a live session. */

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Character-bigram language model for statistical quality scoring of
@@ -8,84 +8,85 @@ import org.apache.spark.sql.functions._
   * character statistics diverge from the corpus score high and get
   * dropped/down-weighted).
   *
-  * Fully distributed: training is one explode + two aggregations; scoring
-  * is an explode + broadcast join + per-doc average. The model itself is a
-  * small DataFrame (|charset|² rows max) — broadcastable at any corpus
-  * scale.
+  * Fully distributed: training is one explode + two aggregations over
+  * per-doc bigram counts emitted by a native expression; scoring is a
+  * shuffle-free map pass with the (|charset|²-bounded) model shipped inside
+  * the scoring expression.
   */
 object NgramLM {
-
-  /** Bigram array of a (lowercased, whitespace-normalized) text column —
-    * cheap attribute refs only inside the lambda (no recompute hazard).
-    */
-  private def bigrams(textCol: String) =
-    expr(s"transform(sequence(1, greatest(length($textCol) - 1, 1)), " +
-      s"i -> substring($textCol, i, 2))")
 
   private def normalized(textCol: String) =
     s"lower(regexp_replace($textCol, '\\\\s+', ' '))"
 
-  /** Train: (bigram, log_p) with add-one smoothing over the observed
-    * charset. log_p = ln((c(ab)+1) / (c(a·)+V)).
+  /** Per-text bigram counts via the native [[graft.functions.BigramCounts]]
+    * expression — one JVM pass per document (the interpreted
+    * `transform(sequence(...))` lambda costs a boxed substring per char).
+    * Registered on the frame's own session (idempotent).
     */
-  def train(docs: DataFrame, textCol: String): DataFrame = {
-    val big = docs
-      .selectExpr(s"${normalized(textCol)} AS __t")
-      .select(explode(bigrams("__t")).as("bigram"))
-      .filter(length(col("bigram")) === 2)
-    val counts = big.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-      .withColumn("prefix", substring(col("bigram"), 1, 1))
-    val prefixTotals = counts.groupBy("prefix").agg(sum("c_ab").as("c_a"))
-    val vocab = counts.select(substring(col("bigram"), 2, 1).as("ch"))
-      .union(counts.select(col("prefix").as("ch")))
-      .distinct().count()
-    counts.join(prefixTotals, "prefix")
-      .select(col("bigram"),
-        log((col("c_ab") + 1).cast("double") / (col("c_a") + vocab)).as("log_p"))
+  private def bigramCounts(docs: DataFrame, textExpr: String): org.apache.spark.sql.Column = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    call_function("graft_bigram_counts", expr(textExpr))
   }
 
-  /** Per-doc bigram counts — the shared intermediate: one tokenize pass
-    * feeds both training and scoring, and the model join sees one row per
-    * (doc, bigram) instead of one per bigram instance.
+  /** Corpus bigram→logP with add-one smoothing over the observed charset:
+    * log_p = ln((c(ab)+1) / (c(a·)+V)). ONE distributed aggregation
+    * (explode of per-doc counts, map-side combined); the reduced counts are
+    * |charset|²-bounded regardless of corpus size, so the smoothing math
+    * runs on the driver — no second shuffle, no separate vocab action.
     */
-  private def docBigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.selectExpr(idCol, s"${normalized(textCol)} AS __t")
-      .select(col(idCol), explode(bigrams("__t")).as("bigram"))
-      .filter(length(col("bigram")) === 2)
-      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
+  private def trainMap(docs: DataFrame, textCol: String): Map[String, Double] = {
+    val counts: Array[(String, Long)] = docs
+      .select(explode(bigramCounts(docs, normalized(textCol))).as("bc"))
+      .groupBy(col("bc.bigram").as("bigram")).agg(sum(col("bc.n")).as("c_ab"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def headChar(s: String) = s.substring(0, Character.charCount(s.codePointAt(0)))
+    val prefixTotals = counts.groupBy(c => headChar(c._1))
+      .view.mapValues(_.map(_._2).sum).toMap
+    val vocab = counts.iterator.flatMap { case (b, _) =>
+      val h = headChar(b); Iterator(h, b.substring(h.length))
+    }.toSet.size
+    counts.iterator.map { case (b, cAb) =>
+      b -> math.log((cAb + 1).toDouble / (prefixTotals(headChar(b)) + vocab))
+    }.toMap
+  }
+
+  /** Train: (bigram, log_p) rows of [[trainMap]] (DataFrame API surface). */
+  def train(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMap(docs, textCol).toSeq.toDF("bigram", "log_p")
+  }
 
   /** Score each document: mean negative log-probability of its bigrams
     * (lower = more corpus-typical). Unseen bigrams take a fixed floor.
+    *
+    * The model is |charset|²-bounded — collected once and shipped inside a
+    * native [[graft.functions.BigramNll]] expression (same data movement as
+    * a broadcast, minus the join and per-doc aggregation shuffle): scoring
+    * is one narrow map pass, no shuffle at all.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, unseenLogP: Double = -12.0): DataFrame =
-    scoreCounts(docBigramCounts(docs, idCol, textCol), idCol, model, unseenLogP)
+    scoreWithMap(docs, idCol, textCol,
+      model.select(col("bigram"), col("log_p")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap,
+      unseenLogP)
 
-  private def scoreCounts(docBi: DataFrame, idCol: String, model: DataFrame,
-      unseenLogP: Double): DataFrame =
-    docBi.join(broadcast(model), Seq("bigram"), "left")
-      .withColumn("log_p", coalesce(col("log_p"), lit(unseenLogP)))
-      .groupBy(col(idCol))
-      .agg((-(sum(col("n") * col("log_p")) / sum(col("n")))).as("nll"),
-        sum(col("n")).as("n_bigrams"))
-
-  /** Train on the corpus and score every document against it — one
-    * tokenize pass serves both.
-    */
-  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val docBi = docBigramCounts(docs, idCol, textCol).cache()
-    try {
-      val counts = docBi.groupBy("bigram").agg(sum("n").as("c_ab"))
-        .withColumn("prefix", substring(col("bigram"), 1, 1))
-      val prefixTotals = counts.groupBy("prefix").agg(sum("c_ab").as("c_a"))
-      val vocab = counts.select(substring(col("bigram"), 2, 1).as("ch"))
-        .union(counts.select(col("prefix").as("ch")))
-        .distinct().count()
-      val model = counts.join(prefixTotals, "prefix")
-        .select(col("bigram"),
-          log((col("c_ab") + 1).cast("double") / (col("c_a") + vocab)).as("log_p"))
-      // materialize before dropping the shared cache (callers re-consume)
-      scoreCounts(docBi, idCol, model, -12.0).localCheckpoint()
-    } finally docBi.unpersist()
+  private def scoreWithMap(docs: DataFrame, idCol: String, textCol: String,
+      modelMap: Map[String, Double], unseenLogP: Double): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.select(col(idCol),
+        GraftColumnBridge.column(graft.functions.BigramNll(
+          GraftColumnBridge.expression(bigramCounts(docs, normalized(textCol))),
+          modelMap, unseenLogP)).as("__sc"))
+      .select(col(idCol), col("__sc.nll").as("nll"),
+        col("__sc.n_bigrams").as("n_bigrams"))
+      .filter(col("n_bigrams") > 0) // docs shorter than one bigram: no score
   }
+
+  /** Train on the corpus and score every document against it — two Spark
+    * jobs total (corpus aggregation, scoring map pass).
+    */
+  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreWithMap(docs, idCol, textCol, trainMap(docs, textCol), -12.0)
 }

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge for graft's native Catalyst expressions whose
+  * constructor arguments aren't SQL-expressible (e.g. a scoring model map),
+  * so function-registry builders can't produce them. Lives in the Spark
+  * namespace solely to reach the `private[sql]` converters — the standard
+  * extension-library pattern (cf. DatasetFactory in Qbeast, SNIPPETS.md [3]).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
