@@ -27,6 +27,8 @@ object SparkEntry {
       (PipelineOpsQueries.defs, PipelineOpsQueries.oracles),
       (HeadlineQueries.defs, HeadlineQueries.oracles),
       (ScalarQueries.defs, ScalarQueries.oracles),
+      (WindowSetQueries.defs, WindowSetQueries.oracles),
+      (AdvancedJoinQueries.defs, AdvancedJoinQueries.oracles),
       (Flagship.defs, Flagship.oracles)
     )
 

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AsOfJoin, BloomJoin}
+
+/** Advanced join operators beyond plain equi-joins: as-of (most recent
+  * prior), range (interval containment), and bloom-pruned equi-join —
+  * the time-series / feature-store / selective-dimension shapes a
+  * large-scale pipeline leans on.
+  */
+object AdvancedJoinQueries {
+  import Q.QueryFn
+
+  val defs: Map[String, QueryFn] = Map(
+    // As-of join: every click event enriched with the most recent prior (or
+    // simultaneous) view of the same user. Right side pre-aggregated to one
+    // row per (user, ts) so the match is deterministic.
+    "j11_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("view_value"))
+      AsOfJoin.asOf(clicks, views, keyCols = Seq("user_id"), timeCol = "ts",
+        payloadCols = Seq("view_value"))
+    }),
+
+    // Range join: orders tagged with their price band (broadcast interval
+    // table, narrow map over the big side — no shuffle theta-join).
+    "j12_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = s.createDataFrame(
+        (0 until 12).map(i => (i, i * 50000.0, (i + 1) * 50000.0)))
+        .toDF("band", "lo", "hi")
+      AsOfJoin.rangeJoinBroadcast(
+          Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice"),
+          bands, col("o_totalprice"), col("lo"), col("hi"))
+        .select($"o_orderkey", $"o_totalprice", $"band")
+    }),
+
+    // Bloom-pruned selective join: BUILDING-segment customers against
+    // orders; probe side filtered by the bloom before its shuffle.
+    "j13_bloom_pruned_join" -> ((s, dir) => {
+      import s.implicits._
+      val bld = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey", $"c_name")
+      BloomJoin.prunedInnerJoin(
+          Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+          bld, probeKey = "o_custkey", buildKey = "c_custkey",
+          estimatedItems = 100000L)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"c_name")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j11_asof_join" ->
+      ("""WITH v AS (SELECT user_id, ts, MAX(value) AS view_value
+         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (SELECT event_id, user_id, ts, value
+         |      FROM events WHERE event_type = 'click')
+         |SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts, c.value,
+         |       v.view_value
+         |FROM c ASOF LEFT JOIN v
+         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin),
+    "j12_range_join" ->
+      ("""WITH bands(band, lo, hi) AS (
+         |  SELECT i, i * 50000.0, (i + 1) * 50000.0 FROM range(12) t(i))
+         |SELECT o_orderkey, o_totalprice, CAST(band AS INTEGER) AS band
+         |FROM orders LEFT JOIN bands
+         |  ON o_totalprice >= lo AND o_totalprice < hi""".stripMargin),
+    "j13_bloom_pruned_join" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, c_name " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "WHERE c_mktsegment = 'BUILDING'")
+  )
+}

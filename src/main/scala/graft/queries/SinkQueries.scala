@@ -80,6 +80,37 @@ object SinkQueries {
         updateCondition = Some(MergeOps.anyColumnDiffers(target, source, Seq("o_orderkey"))))
     }),
 
+    // Time travel — merge archives the pre-merge snapshot; reading it back
+    // returns the exact pre-merge state (Delta VERSION AS OF semantics).
+    "k_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_tt")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p, retainVersions = 2)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 3 =!= 0))
+      t.merge(o.filter($"o_orderkey" % 2 === 0), Seq("o_orderkey"))
+      t.readVersion(1).select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+    }),
+
+    // CDC read — table_changes between a snapshot and the live table: the
+    // change rows that turn version 1 into the current state.
+    "k_cdc_read" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_cdc")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p, retainVersions = 2)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 3 =!= 0))
+      t.merge(o.filter($"o_orderkey" % 2 === 0)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 5 === 0, $"o_totalprice" * 2)
+              .otherwise($"o_totalprice")),
+        Seq("o_orderkey"))
+      t.changesSince(1, Seq("o_orderkey"))
+    }),
+
     // K3+K4 — the reference's createOrMerge control flow end-to-end on a
     // real table directory: create, then full-sync merge
     // (silver_table_creation.py:43-66). Final state ≡ the second source.
@@ -118,6 +149,25 @@ object SinkQueries {
        "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0"),
     "k_create_or_merge_roundtrip" ->
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 2 = 0",
+    "k_time_travel" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 3 <> 0",
+    "k_cdc_read" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+       "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END " +
+       "AS o_totalprice, o_orderdate, o_orderpriority, 'insert' AS _change_type " +
+       "FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0 " +
+       "UNION ALL " +
+       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+       "o_orderpriority, 'update_preimage' FROM orders " +
+       "WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0 " +
+       "UNION ALL " +
+       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2, o_orderdate, " +
+       "o_orderpriority, 'update_postimage' FROM orders " +
+       "WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0 " +
+       "UNION ALL " +
+       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+       "o_orderpriority, 'delete' FROM orders " +
+       "WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0"),
     "k4_merge_cdc" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
        "o_orderpriority, 'insert' AS _change_type FROM orders " +

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function breadth (lag/lead, rank/dense_rank/ntile, running
+  * aggregates), set operations (intersect/except), pivot, grouping sets,
+  * exact percentiles, regex/string surface and the null-safe join —
+  * completing §2.6's category beyond the single row_number the reference's
+  * rewrite needs. Determinism: every window orders by a total order over
+  * the partition (unique key tiebreak) except rank/dense_rank, whose
+  * outputs are tie-invariant by definition.
+  */
+object WindowSetQueries {
+  import Q.QueryFn
+
+  val defs: Map[String, QueryFn] = Map(
+    // lag/lead of the previous/next order per customer (unique (date, key)
+    // order inside each customer partition).
+    "win_lag_lead" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir).select(
+        $"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice",
+        lag($"o_totalprice", 1).over(w).as("prev_total"),
+        lead($"o_totalprice", 1).over(w).as("next_total"),
+        (unix_date($"o_orderdate".cast("date")) -
+          unix_date(lag($"o_orderdate", 1).over(w).cast("date"))).as("days_since_prev"))
+    }),
+
+    // rank/dense_rank tolerate ties (tie-invariant); ntile gets a unique
+    // order so bucket boundaries are engine-independent.
+    "win_rank_dense" -> ((s, dir) => {
+      import s.implicits._
+      val byQty = Window.partitionBy($"l_returnflag", $"l_linestatus")
+        .orderBy($"l_quantity")
+      val unique = Window.partitionBy($"l_returnflag", $"l_linestatus")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, dir).select(
+        $"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_linestatus",
+        rank().over(byQty).as("qty_rank"),
+        dense_rank().over(byQty).as("qty_dense"),
+        ntile(4).over(unique).as("price_quartile"))
+    }),
+
+    // Running (cumulative) sum and count per customer in date order.
+    "win_running_sum" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir).select(
+        $"o_orderkey", $"o_custkey", $"o_orderdate",
+        (sum(round($"o_totalprice" * 100)).over(w) / 100.0).as("run_total"),
+        count(lit(1)).over(w).as("run_cnt"))
+    }),
+
+    // INTERSECT: customers having both an open and a finished order.
+    "set_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      o.filter($"o_orderstatus" === "O").select($"o_custkey")
+        .intersect(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+    }),
+
+    // EXCEPT: customers with an open order but no finished one.
+    "set_except" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      o.filter($"o_orderstatus" === "O").select($"o_custkey")
+        .except(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+    }),
+
+    // Pivot: line status columns per return flag (explicit value list — at
+    // scale an implicit pivot pays a distinct-values job first).
+    "agg_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum($"l_quantity"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    }),
+
+    // GROUPING SETS with grouping_id — the general form behind
+    // rollup/cube, via the SQL path.
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_gs_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          |       COUNT(*) AS cnt, SUM(ROUND(o_totalprice * 100)) / 100.0 AS total
+          |FROM graft_gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // Exact percentiles (interpolating, Hive/SQL-standard formula) — the
+    // exact twin of the approx sketches query.
+    "agg_percentile_exact" -> ((s, dir) => {
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.25)").as("q25_qty"),
+        expr("percentile(round(l_extendedprice * 100), 0.9)").as("p90_cents"))
+    }),
+
+    // Regex/string surface: extract, replace-all, split, position.
+    "sc_regex_funcs" -> ((s, dir) => {
+      Tables.customer(s, dir).selectExpr(
+        "c_custkey",
+        "regexp_extract(c_name, '([0-9]+)$', 1) AS name_num",
+        "regexp_replace(c_mktsegment, '[AEIOU]', '_') AS seg_masked",
+        "CAST(size(split(c_name, '#')) AS BIGINT) AS name_parts",
+        "CAST(instr(c_name, '#') AS BIGINT) AS hash_pos",
+        "CAST(startswith(c_mktsegment, 'BUIL') AS BOOLEAN) AS is_building",
+        "CAST(endswith(c_name, '1') AS BOOLEAN) AS ends_one")
+    }),
+
+    // Null-safe equality join (<=>): null keys match null keys, unlike `=`.
+    "j10_nullsafe_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", expr("NULLIF(o_orderstatus, 'O')").as("k"))
+      val dim = s.createDataFrame(Seq(
+        (Option("F"), "finished"), (Option("P"), "partial"),
+        (Option.empty[String], "open"))).toDF("k", "label")
+      o.join(broadcast(dim), o("k") <=> dim("k"), "left")
+        .select($"o_orderkey", o("k").as("status_k"), $"label")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_lag_lead" ->
+      ("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+         |  lag(o_totalprice) OVER w AS prev_total,
+         |  lead(o_totalprice) OVER w AS next_total,
+         |  CAST(CAST(o_orderdate AS DATE) -
+         |       CAST(lag(o_orderdate) OVER w AS DATE) AS INTEGER) AS days_since_prev
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin),
+    "win_rank_dense" ->
+      ("""SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+         |  l_returnflag, l_linestatus,
+         |  CAST(rank() OVER q AS INTEGER) AS qty_rank,
+         |  CAST(dense_rank() OVER q AS INTEGER) AS qty_dense,
+         |  CAST(ntile(4) OVER u AS INTEGER) AS price_quartile
+         |FROM lineitem
+         |WINDOW q AS (PARTITION BY l_returnflag, l_linestatus ORDER BY l_quantity),
+         |       u AS (PARTITION BY l_returnflag, l_linestatus
+         |             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)""".stripMargin),
+    "win_running_sum" ->
+      ("""SELECT o_orderkey, o_custkey, o_orderdate,
+         |  SUM(ROUND(o_totalprice * 100)) OVER w / 100.0 AS run_total,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS run_cnt
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |             ROWS UNBOUNDED PRECEDING)""".stripMargin),
+    "set_intersect" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+       "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"),
+    "set_except" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+       "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"),
+    "agg_pivot" ->
+      ("SELECT l_returnflag, " +
+       "SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f, " +
+       "SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o " +
+       "FROM lineitem GROUP BY l_returnflag"),
+    "agg_grouping_sets" ->
+      ("""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  SUM(ROUND(o_totalprice * 100)) / 100.0 AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin),
+    "agg_percentile_exact" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, " +
+       "quantile_cont(l_quantity, 0.25) AS q25_qty, " +
+       "quantile_cont(ROUND(l_extendedprice * 100), 0.9) AS p90_cents " +
+       "FROM lineitem GROUP BY l_returnflag"),
+    "sc_regex_funcs" ->
+      ("SELECT c_custkey, " +
+       "regexp_extract(c_name, '([0-9]+)$', 1) AS name_num, " +
+       "regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked, " +
+       "CAST(len(string_split(c_name, '#')) AS BIGINT) AS name_parts, " +
+       "CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos, " +
+       "starts_with(c_mktsegment, 'BUIL') AS is_building, " +
+       "ends_with(c_name, '1') AS ends_one FROM customer"),
+    "j10_nullsafe_join" ->
+      ("""WITH o AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_k
+         |           FROM orders),
+         |dim(k, label) AS (VALUES ('F', 'finished'), ('P', 'partial'),
+         |                         (NULL, 'open'))
+         |SELECT o.o_orderkey, o.status_k, dim.label
+         |FROM o LEFT JOIN dim ON o.status_k IS NOT DISTINCT FROM dim.k""".stripMargin)
+  )
+}

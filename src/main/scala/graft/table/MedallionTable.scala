@@ -164,6 +164,19 @@ final class MedallionTable(
   /** Rewrite the live table back to snapshot `n` (itself versioned). */
   def restoreVersion(n: Int): Unit = rewriteVia(readVersion(n))
 
+  /** Change-data-feed between snapshot `n` and the live table: the row
+    * changes (`_change_type` insert / update_preimage / update_postimage /
+    * delete) that turn version `n` into the current state — Delta
+    * `table_changes` semantics, computed as one full-outer diff join on
+    * `keys` (see [[MergeOps.merge3ClauseCDC]]).
+    */
+  def changesSince(n: Int, keys: Seq[String]): DataFrame = {
+    val old = readVersion(n)
+    val cur = read
+    MergeOps.merge3ClauseCDC(old, cur, keys,
+      Some(MergeOps.anyColumnDiffers(old, cur, keys)))
+  }
+
   /** Archive the pre-rewrite state as the next version: carry forward the
     * older snapshots it holds, strip its metadata, move its data files in,
     * and prune beyond `retainVersions`.

@@ -83,6 +83,18 @@ class MedallionTableSpec extends SparkSpec {
     assert(siblings == Seq(new Path(p).getName), s"litter: $siblings")
   }
 
+  test("changesSince emits the exact diff between a snapshot and live") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_cdc"), retainVersions = 2)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.merge(Seq((1L, "A"), (3L, "c")).toDF("id", "s"), Seq("id")) // full sync
+    val ch = t.changesSince(1, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ch == Set(
+      (1L, "a", "update_preimage"), (1L, "A", "update_postimage"),
+      (3L, "c", "insert"), (2L, "b", "delete")))
+  }
+
   test("mergePruned rewrites only partitions present in the source") {
     import spark.implicits._
     val p = tmpDir("mt_pruned")
