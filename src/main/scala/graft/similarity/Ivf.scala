@@ -9,30 +9,67 @@ import org.apache.spark.sql.functions._
   * `nProbe` nearest cells, so the exact cosine is computed against a
   * fraction of the corpus.
   *
-  * Centroid choice is deterministic (the lowest-id vectors seed the cells —
-  * no RNG, reproducible across runs; swap in k-means iterations without
-  * changing the query path). Scale shape: assignment is corpus ×
-  * broadcast(centroids) (argmin over a constant number of cells — a narrow
-  * map, not a corpus self-join); the probe join is an equi-join on cell id.
-  * This and [[Ann]] (LSH) are the two bucketed scale paths over the
-  * [[Similarity.bruteForceTopK]] baseline.
+  * Centroids: deterministic seeds (the lowest-id vectors — no RNG,
+  * reproducible) refined by k-means (Lloyd) iterations: assign → per-cell
+  * elementwise mean → repeat. Refinement moves centroids to the data's
+  * actual cluster structure, tightening cells and raising recall at the
+  * same nProbe.
+  *
+  * Scale shape: assignment is corpus × broadcast(centroids) (argmin over a
+  * constant number of cells — a narrow map, not a corpus self-join); the
+  * mean update is one posexplode + aggregation per iteration, reduced to
+  * |cells|×dims rows; the probe join is an equi-join on cell id. Centroids
+  * are materialized per iteration (localCheckpoint) so the final query
+  * plan doesn't re-run earlier iterations. This and [[Ann]] (LSH) are the
+  * two bucketed scale paths over the [[Similarity.bruteForceTopK]]
+  * baseline.
   */
 object Ivf {
 
-  /** Corpus rows tagged with their nearest-centroid cell. */
-  def withCells(emb: DataFrame, nCentroids: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    graft.plans.GraftFunctions.register(spark)
-    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val centroids = base.filter($"vec_id" < nCentroids)
-      .select($"vec_id".as("cell_id"), $"v".as("cv"))
-    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell_id")
+  private def prepared(emb: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
+
+  private def seedCentroids(base: DataFrame, nCentroids: Int): DataFrame =
+    base.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+
+  /** Nearest-centroid assignment: (vec_id, v, cell_id). */
+  private def assignCells(base: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
     base.crossJoin(broadcast(centroids))
-      .withColumn("sim", call_function("graft_cosine", $"v", $"cv"))
+      .withColumn("sim", call_function("graft_cosine", col("v"), col("cv")))
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"v", $"cell_id")
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cell_id"))
+  }
+
+  /** Lloyd iterations from the deterministic seeds. A cell that loses all
+    * members keeps its previous centroid (standard empty-cluster fallback).
+    */
+  def refineCentroids(base: DataFrame, nCentroids: Int, iterations: Int): DataFrame = {
+    var cents = seedCentroids(base, nCentroids)
+    var i = 0
+    while (i < iterations) {
+      val means = assignCells(base, cents)
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("mean_cv"))
+      cents = cents.join(means, Seq("cell_id"), "left")
+        .select(col("cell_id"), coalesce(col("mean_cv"), col("cv")).as("cv"))
+        .localCheckpoint() // |cells| rows; cuts the iterative lineage
+      i += 1
+    }
+    cents
+  }
+
+  /** Corpus rows tagged with their (refined-)nearest-centroid cell. */
+  def withCells(emb: DataFrame, nCentroids: Int, iterations: Int = 2): DataFrame = {
+    val base = prepared(emb)
+    assignCells(base, refineCentroids(base, nCentroids, iterations))
   }
 
   /** Approximate top-k: each query probes its `nProbe` nearest cells and
@@ -40,34 +77,29 @@ object Ivf {
     * [[Similarity.bruteForceTopK]]'s shape.
     */
   def topK(emb: DataFrame, queryPred: Column, k: Int,
-           nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    graft.plans.GraftFunctions.register(spark)
-    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val centroids = base.filter($"vec_id" < nCentroids)
-      .select($"vec_id".as("cell_id"), $"v".as("cv"))
-
-    val cells = withCells(emb, nCentroids)
+           nCentroids: Int = 16, nProbe: Int = 2, iterations: Int = 2): DataFrame = {
+    val base = prepared(emb)
+    val centroids = refineCentroids(base, nCentroids, iterations)
+    val cells = assignCells(base, centroids)
 
     // Each query's nProbe nearest cells.
-    val wProbe = Window.partitionBy($"query_id").orderBy($"sim".desc, $"cell_id")
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell_id"))
     val probes = base.filter(queryPred)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", call_function("graft_cosine", $"qv", $"cv"))
+      .withColumn("sim", call_function("graft_cosine", col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wProbe))
-      .filter($"rn" <= nProbe)
-      .select($"query_id", $"qv", $"cell_id")
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell_id"))
 
-    val wRank = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    cells.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell_id")
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cells.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell_id"))
       .join(probes, Seq("cell_id"))
-      .filter($"neighbor_id" =!= $"query_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", call_function("graft_cosine", $"qv", $"nv"))
+      .withColumn("cos", call_function("graft_cosine", col("qv"), col("nv")))
       .withColumn("rank", row_number().over(wRank))
-      .filter($"rank" <= k)
-      .select($"query_id", $"neighbor_id", $"rank")
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 }

@@ -61,6 +61,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming file-source ingestion — the streaming twin of the bronze
+    * stage: new files landing in `srcDir` are discovered incrementally
+    * (checkpointed file index: each file is processed exactly once across
+    * restarts) and appended to a [[graft.table.MedallionTable]].
+    * `Trigger.AvailableNow` drains everything currently available and
+    * stops — the batch-cadence deployment mode (cron-started catch-up runs
+    * with streaming's bookkeeping instead of hand-rolled file tracking).
+    *
+    * Scale notes: file listing is driver-side but incremental (only new
+    * entries enter the log); per-batch work is an ordinary distributed
+    * read+write. Schema is required up front — streaming sources do not
+    * infer (run one batch inference pass at deploy time if needed).
+    */
+  def fileIngest(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, format: String,
+      options: Map[String, String], tablePath: String,
+      partitionColumns: Seq[String], checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format(format).schema(schema).options(options).load(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.table.MedallionTable(batch.sparkSession, tablePath, partitionColumns)
+          .append(batch)
+      }
+      .start()
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when no event arrives for `gapMinutes` (event-time timeout against the
     * watermark); one summary row is emitted per closed session.

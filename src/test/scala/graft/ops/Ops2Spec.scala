@@ -33,6 +33,30 @@ class IvfSpec extends SparkSpec {
     assert(cells.select("vec_id").distinct().count() == emb.count())
     assert(cells.select("cell_id").distinct().count() <= 8)
   }
+
+  test("k-means refinement moves centroids toward planted clusters (recall not worse)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(8)(Array.fill(12)(rnd.nextGaussian()))
+    val vecs = for (c <- 0 until 8; i <- 0 until 25) yield {
+      val id = c * 25 + i
+      val j = new scala.util.Random(1000 + id)
+      (id.toLong, centers(c).map(x => x + 0.08 * j.nextGaussian()).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val pred = col("vec_id") % 25 === 0
+    val exact = Similarity.bruteForceTopK(emb, pred, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(iters: Int) = {
+      val approx = Ivf.topK(emb, pred, 5, nCentroids = 12, nProbe = 2,
+        iterations = iters).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r0 = recallAt(0)
+    val r3 = recallAt(3)
+    assert(r3 >= r0, s"refinement must not hurt recall: iters0=$r0 iters3=$r3")
+    assert(r3 >= 0.8, s"refined IVF recall too low: $r3")
+  }
 }
 
 class WinnowingSpec extends SparkSpec {

@@ -85,6 +85,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source ingest processes each landed file exactly once across runs") {
+    import spark.implicits._
+    val src = tmpDir("ingest_src")
+    val table = tmpDir("ingest_table")
+    val ckpt = tmpDir("ingest_ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING")
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.option("header", true).csv(s"$src/batch1")
+    val q1 = EventStreams.fileIngest(spark, src, schema, "csv",
+      Map("header" -> "true", "recursiveFileLookup" -> "true"),
+      table, Nil, ckpt)
+    q1.awaitTermination() // AvailableNow drains and stops
+    assert(spark.read.parquet(table).count() == 2)
+
+    // second landing + restart: only the new file is processed
+    Seq((3L, "c")).toDF("id", "name")
+      .write.option("header", true).csv(s"$src/batch2")
+    val q2 = EventStreams.fileIngest(spark, src, schema, "csv",
+      Map("header" -> "true", "recursiveFileLookup" -> "true"),
+      table, Nil, ckpt)
+    q2.awaitTermination()
+    val rows = spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "restart must not reprocess batch1 files")
+  }
+
   test("windowed counts transform also runs on the batch events table") {
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val out = windowedCounts(batch)
