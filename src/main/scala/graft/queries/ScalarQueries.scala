@@ -56,6 +56,29 @@ object ScalarQueries {
         "PMOD(CAST(l_quantity AS INT), 7) AS qty_mod")
     }),
 
+    // Array-function surface over the documents token arrays.
+    "sc_array_funcs" -> ((s, dir) => {
+      graft.Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        s"CAST(SIZE(${Q.TokensExpr}) AS BIGINT) AS n_tok",
+        s"ARRAY_JOIN(SLICE(${Q.TokensExpr}, 1, 3), '-') AS first3",
+        s"ARRAY_CONTAINS(${Q.TokensExpr}, 'the') AS has_the",
+        s"CAST(ARRAY_POSITION(${Q.TokensExpr}, 'the') AS BIGINT) AS pos_the",
+        s"ARRAY_MIN(${Q.TokensExpr}) AS tok_min",
+        s"ARRAY_MAX(${Q.TokensExpr}) AS tok_max",
+        s"ELEMENT_AT(${Q.TokensExpr}, -1) AS tok_last")
+    }),
+
+    // Conditional scalar surface: greatest/least/if chains.
+    "sc_conditional_funcs" -> ((s, dir) => {
+      Tables.lineitem(s, dir).selectExpr(
+        "l_orderkey", "l_linenumber",
+        "GREATEST(l_quantity, l_discount * 100, l_tax * 100) AS g3",
+        "LEAST(l_quantity, l_extendedprice / 1000) AS l2",
+        "IF(l_quantity > 25, 'heavy', 'light') AS weight_band",
+        "CASE l_returnflag WHEN 'A' THEN 1 WHEN 'R' THEN 2 ELSE 0 END AS flag_code")
+    }),
+
     // Batch gap sessionization: lag + running sum assigns session ids, then
     // per-session rollup — the SQL twin of EventStreams.userSessions.
     "events_sessions_batch" -> ((s, dir) => {
@@ -103,6 +126,22 @@ object ScalarQueries {
        "CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor, " +
        "SQRT(l_quantity) AS qty_sqrt, " +
        "CAST(CAST(l_quantity AS INTEGER) % 7 AS INTEGER) AS qty_mod FROM lineitem"),
+    "sc_array_funcs" -> {
+      val T = "regexp_extract_all(text, '\\S+')"
+      (s"SELECT doc_id, CAST(LEN($T) AS BIGINT) AS n_tok, " +
+       s"array_to_string(($T)[1:3], '-') AS first3, " +
+       s"list_contains($T, 'the') AS has_the, " +
+       s"CAST(COALESCE(list_position($T, 'the'), 0) AS BIGINT) AS pos_the, " +
+       s"list_min($T) AS tok_min, list_max($T) AS tok_max, " +
+       s"($T)[-1] AS tok_last FROM documents")
+    },
+    "sc_conditional_funcs" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+       "GREATEST(l_quantity, l_discount * 100, l_tax * 100) AS g3, " +
+       "LEAST(l_quantity, l_extendedprice / 1000) AS l2, " +
+       "CASE WHEN l_quantity > 25 THEN 'heavy' ELSE 'light' END AS weight_band, " +
+       "CAST(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'R' THEN 2 ELSE 0 END AS INTEGER) " +
+       "AS flag_code FROM lineitem"),
     "events_sessions_batch" ->
       ("""WITH marked AS (
          |  SELECT user_id, event_id, ts, value,

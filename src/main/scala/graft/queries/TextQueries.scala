@@ -105,6 +105,49 @@ object TextQueries {
             "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang")
     }),
 
+    // The composed training-corpus cleaning funnel — the LLM-pipeline
+    // stages chained the way a real corpus build runs them:
+    //   1. language ID, keep predicted-English;
+    //   2. quality gate (not short, not stopwordy);
+    //   3. exact dedup on content hash (keeper = min doc_id);
+    //   4. near-dup collapse: identical 4-hash MD5-MinHash signatures
+    //      group together, one survivor per group.
+    // Every stage is engine-exact, so the whole funnel is oracle-checked.
+    "corpus_clean_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val en = inList(Seq("the", "and", "of", "to", "is"))
+      val de = inList(Seq("der", "die", "das", "und", "ist"))
+      val es = inList(Seq("el", "la", "de", "que", "y"))
+      val fr = inList(Seq("le", "les", "et", "des", "un"))
+      val scored = Tables.documents(s, dir).selectExpr(
+        "doc_id", "text",
+        s"SIZE($TokensExpr) AS n_tokens",
+        s"SIZE(FILTER($TokensExpr, t -> t IN (${inList(Stopwords)}))) AS n_stop",
+        s"SIZE(FILTER($TokensExpr, t -> t IN ($en))) AS s_en",
+        s"SIZE(FILTER($TokensExpr, t -> t IN ($de))) AS s_de",
+        s"SIZE(FILTER($TokensExpr, t -> t IN ($es))) AS s_es",
+        s"SIZE(FILTER($TokensExpr, t -> t IN ($fr))) AS s_fr")
+      val kept = scored
+        .filter("s_en >= s_de AND s_en >= s_es AND s_en >= s_fr") // en
+        .filter("n_tokens >= 10 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.2")
+      val exact = kept.groupBy(md5($"text").as("text_hash"))
+        .agg(min($"doc_id").as("doc_id"), min($"text").as("text"),
+          expr("min_by(n_tokens, doc_id)").as("n_tokens"),
+          count(lit(1)).as("n_exact_copies"))
+      val shingles =
+        s"TRANSFORM(SEQUENCE(0, SIZE($TokensExpr) - 3), " +
+          s"i -> CONCAT(($TokensExpr)[i], ' ', ($TokensExpr)[i+1], ' ', ($TokensExpr)[i+2]))"
+      val sigCols = (0 until 4).map { k =>
+        s"ARRAY_MIN(TRANSFORM($shingles, sh -> MD5(CONCAT('$k:', sh)))) AS mh_$k"
+      }
+      exact.selectExpr(Seq("doc_id", "n_tokens", "n_exact_copies") ++ sigCols: _*)
+        .groupBy($"mh_0", $"mh_1", $"mh_2", $"mh_3")
+        .agg(min($"doc_id").as("keep_id"),
+          expr("min_by(n_tokens, doc_id)").as("n_tokens"),
+          sum($"n_exact_copies").as("n_members"))
+        .select($"keep_id", $"n_tokens", $"n_members")
+    }),
+
     // Oracle-able MinHash (4 hashes, MD5-keyed, lexicographic min over
     // token 3-gram shingles). Deterministic across engines because MD5 and
     // string min are engine-independent — unlike xxhash64 (see
@@ -172,6 +215,40 @@ object TextQueries {
         s"CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN ($es))) AS INTEGER) AS s_es, " +
         s"CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN ($fr))) AS INTEGER) AS s_fr " +
         "FROM documents)"
+    },
+    "corpus_clean_e2e" -> {
+      val en = inList(Seq("the", "and", "of", "to", "is"))
+      val de = inList(Seq("der", "die", "das", "und", "ist"))
+      val es = inList(Seq("el", "la", "de", "que", "y"))
+      val fr = inList(Seq("le", "les", "et", "des", "un"))
+      val duckShingles =
+        s"list_transform(range(1, len($DuckTokens) - 1), " +
+          s"i -> ($DuckTokens)[i] || ' ' || ($DuckTokens)[i+1] || ' ' || ($DuckTokens)[i+2])"
+      val sigCols = (0 until 4).map { k =>
+        s"LIST_MIN(list_transform($duckShingles, sh -> MD5('$k:' || sh))) AS mh_$k"
+      }.mkString(", ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, text,
+         |    CAST(LEN($DuckTokens) AS INTEGER) AS n_tokens,
+         |    CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN (${inList(Stopwords)}))) AS INTEGER) AS n_stop,
+         |    CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN ($en))) AS INTEGER) AS s_en,
+         |    CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN ($de))) AS INTEGER) AS s_de,
+         |    CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN ($es))) AS INTEGER) AS s_es,
+         |    CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN ($fr))) AS INTEGER) AS s_fr
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored
+         |  WHERE s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+         |    AND n_tokens >= 10 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.2),
+         |exact AS (
+         |  SELECT MD5(text) AS text_hash, MIN(doc_id) AS doc_id,
+         |         MIN(text) AS text, MIN_BY(n_tokens, doc_id) AS n_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS n_exact_copies
+         |  FROM kept GROUP BY MD5(text)),
+         |sigs AS (SELECT doc_id, n_tokens, n_exact_copies, $sigCols FROM exact)
+         |SELECT MIN(doc_id) AS keep_id, MIN_BY(n_tokens, doc_id) AS n_tokens,
+         |       CAST(SUM(n_exact_copies) AS BIGINT) AS n_members
+         |FROM sigs GROUP BY mh_0, mh_1, mh_2, mh_3""".stripMargin
     },
     "dedup_minhash_md5" -> {
       val duckShingles =
