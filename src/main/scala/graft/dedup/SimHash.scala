@@ -34,11 +34,21 @@ object SimHash {
       (a, h) => zip_with(a, votes(h), (x, y) => x + y))
   }
 
-  /** Adds `outCol` = 64-bit SimHash of `textCol`. The vote accumulator is
-    * materialized in an intermediate projection so the bit assembly
-    * references it 64 times without recomputing the aggregation.
+  /** Adds `outCol` = 64-bit SimHash of `textCol`, via the native
+    * [[graft.functions.SimHash64]] expression (one JVM pass per row; the
+    * declarative accumulator below pays interpreted zip_with per token and
+    * is kept as the semantic reference for the parity spec).
     */
   def withSimhash(df: DataFrame, textCol: String, outCol: String = "sim"): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn(outCol, call_function("graft_simhash64", col(textCol)))
+  }
+
+  /** The declarative formulation (semantic reference; used by the parity
+    * spec to pin the native expression's bit-exactness).
+    */
+  def withSimhashDeclarative(df: DataFrame, textCol: String,
+      outCol: String = "sim"): DataFrame = {
     val tmp = "__graft_simbits"
     val assembled = (0 until Bits).map { i =>
       when(element_at(col(tmp), i + 1) > 0, lit(1L << i)).otherwise(lit(0L))

@@ -92,6 +92,83 @@ case class BigramCounts(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_md5_minhash(text, nHashes)` → array<string> — MD5-keyed MinHash
+  * signature over whitespace-token 3-gram shingles, bit-identical to the
+  * declarative form (and its DuckDB oracle):
+  * `ARRAY_MIN(TRANSFORM(shingles, sh -> MD5(CONCAT('k:', sh))))` per k,
+  * tokens = `regexp_extract_all(text, '\S+')`, shingles joined with ' '.
+  * One pass per row: the nested-lambda form re-evaluates the tokenizer
+  * regex inside every lambda element (CollapseProject inlines through
+  * lambdas), turning an O(shingles) job into O(shingles × tokens).
+  * Null when the text has fewer than 3 tokens (no shingle exists).
+  */
+case class Md5MinHash(child: Expression, nHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nHashes >= 1, "nHashes must be >= 1")
+
+  override def prettyName: String = "graft_md5_minhash"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  @transient private lazy val tokenPattern = java.util.regex.Pattern.compile("\\S+")
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      out(i * 2) = hexChars(b >>> 4)
+      out(i * 2 + 1) = hexChars(b & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val m = tokenPattern.matcher(text)
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) tokens += m.group()
+    val nSh = tokens.length - 2
+    if (nSh < 1) return null
+    val shingleBytes = new Array[Array[Byte]](nSh)
+    var i = 0
+    while (i < nSh) {
+      shingleBytes(i) = (tokens(i) + " " + tokens(i + 1) + " " + tokens(i + 2))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val mins = new Array[Any](nHashes)
+    var k = 0
+    while (k < nHashes) {
+      val prefix = s"$k:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var best: String = null
+      i = 0
+      while (i < nSh) {
+        md5.reset()
+        md5.update(prefix)
+        md5.update(shingleBytes(i))
+        val h = hex(md5.digest())
+        if (best == null || h.compareTo(best) < 0) best = h
+        i += 1
+      }
+      mins(k) = UTF8String.fromString(best)
+      k += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHash =
+    copy(child = newChild)
+}
+
 /** `BigramNll(bigramCounts, model, unseenLogP)` →
   * struct<nll:double, n_bigrams:bigint> — mean negative log-probability of a
   * document's bigrams under a (small, driver-collected) bigram→logP model.

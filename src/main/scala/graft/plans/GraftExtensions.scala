@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BigramCounts, CosineSimilarity, DotProduct, WinnowFingerprints}
+import graft.functions.{BigramCounts, CosineSimilarity, DotProduct, Md5MinHash, SimHash64, WinnowFingerprints, XxMinHashBands}
 
 /** Session-extension entry point (`spark.sql.extensions=graft.plans.
   * GraftExtensions`) injecting the native vector expressions as SQL
@@ -32,6 +32,21 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_bigram_counts"),
       new ExpressionInfo(classOf[BigramCounts].getName, "graft_bigram_counts"),
       (exprs: Seq[Expression]) => BigramCounts(exprs(0))),
+    (new FunctionIdentifier("graft_md5_minhash"),
+      new ExpressionInfo(classOf[Md5MinHash].getName, "graft_md5_minhash"),
+      // nHashes must be a foldable int literal
+      (exprs: Seq[Expression]) => Md5MinHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())),
+    (new FunctionIdentifier("graft_xx_minhash_bands"),
+      new ExpressionInfo(classOf[XxMinHashBands].getName, "graft_xx_minhash_bands"),
+      // numHashes, bands, shingleSize must be foldable int literals
+      (exprs: Seq[Expression]) => XxMinHashBands(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue())),
+    (new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))),
     (new FunctionIdentifier("graft_winnow_fps"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow_fps"),
       // k and w must be foldable int literals

@@ -58,12 +58,12 @@ object PipelineOpsQueries {
     }),
 
     // xxhash64 MinHash band signatures (rows-only; pair-finding semantics
-    // proven in MinHashSpec with planted near-dups).
+    // proven in MinHashSpec with planted near-dups; native-expression
+    // parity with the declarative signature pinned in MinHashSpec).
     "dedup_minhash_sig" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       Tables.documents(s, dir).filter(MinHash.shingleFilter(col("text")))
-        .select(col("doc_id"), MinHash.shingles(col("text")).as("sh"))
-        .withColumn("sig", MinHash.signature(col("sh"), 16))
-        .withColumn("band", explode(MinHash.bandKeys(col("sig"), 16, 4)))
+        .selectExpr("doc_id", "explode(graft_xx_minhash_bands(text, 16, 4, 3)) AS band")
         .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
     }),
 

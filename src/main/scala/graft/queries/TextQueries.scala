@@ -115,6 +115,7 @@ object TextQueries {
     // Every stage is engine-exact, so the whole funnel is oracle-checked.
     "corpus_clean_e2e" -> ((s, dir) => {
       import s.implicits._
+      graft.plans.GraftFunctions.register(s)
       val en = inList(Seq("the", "and", "of", "to", "is"))
       val de = inList(Seq("der", "die", "das", "und", "ist"))
       val es = inList(Seq("el", "la", "de", "que", "y"))
@@ -134,13 +135,11 @@ object TextQueries {
         .agg(min($"doc_id").as("doc_id"), min($"text").as("text"),
           expr("min_by(n_tokens, doc_id)").as("n_tokens"),
           count(lit(1)).as("n_exact_copies"))
-      val shingles =
-        s"TRANSFORM(SEQUENCE(0, SIZE($TokensExpr) - 3), " +
-          s"i -> CONCAT(($TokensExpr)[i], ' ', ($TokensExpr)[i+1], ' ', ($TokensExpr)[i+2]))"
-      val sigCols = (0 until 4).map { k =>
-        s"ARRAY_MIN(TRANSFORM($shingles, sh -> MD5(CONCAT('$k:', sh)))) AS mh_$k"
-      }
-      exact.selectExpr(Seq("doc_id", "n_tokens", "n_exact_copies") ++ sigCols: _*)
+      val sigCols = (0 until 4).map(k => s"ELEMENT_AT(__sig, ${k + 1}) AS mh_$k")
+      exact
+        .selectExpr("doc_id", "n_tokens", "n_exact_copies",
+          "graft_md5_minhash(text, 4) AS __sig")
+        .selectExpr(Seq("doc_id", "n_tokens", "n_exact_copies") ++ sigCols: _*)
         .groupBy($"mh_0", $"mh_1", $"mh_2", $"mh_3")
         .agg(min($"doc_id").as("keep_id"),
           expr("min_by(n_tokens, doc_id)").as("n_tokens"),
@@ -153,14 +152,11 @@ object TextQueries {
     // string min are engine-independent — unlike xxhash64 (see
     // graft.dedup.MinHash for the fast variant).
     "dedup_minhash_md5" -> ((s, dir) => {
-      val shingles =
-        s"TRANSFORM(SEQUENCE(0, SIZE($TokensExpr) - 3), " +
-          s"i -> CONCAT(($TokensExpr)[i], ' ', ($TokensExpr)[i+1], ' ', ($TokensExpr)[i+2]))"
-      val sigCols = (0 until 4).map { k =>
-        s"ARRAY_MIN(TRANSFORM($shingles, sh -> MD5(CONCAT('$k:', sh)))) AS mh_$k"
-      }
+      graft.plans.GraftFunctions.register(s)
+      val sigCols = (0 until 4).map(k => s"ELEMENT_AT(__sig, ${k + 1}) AS mh_$k")
       Tables.documents(s, dir)
         .where(s"SIZE($TokensExpr) >= 3")
+        .selectExpr("doc_id", "graft_md5_minhash(text, 4) AS __sig")
         .selectExpr(Seq("doc_id") ++ sigCols: _*)
     })
   )
