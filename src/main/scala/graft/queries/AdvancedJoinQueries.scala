@@ -52,6 +52,32 @@ object AdvancedJoinQueries {
           bld, probeKey = "o_custkey", buildKey = "c_custkey",
           estimatedItems = 100000L)
         .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"c_name")
+    }),
+
+    // Salted skew join: fact side salted into 8 sub-keys, dim replicated —
+    // result must equal the plain join exactly (oracle is the plain join).
+    "j14_salted_skew_join" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.SkewJoin.saltedJoin(
+          Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+          Tables.customer(s, dir).select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+          keys = Seq("o_custkey"), nSalts = 8)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"c_mktsegment")
+    }),
+
+    // Deterministic hash-mod sampling (content-addressed ≈25% sample) —
+    // the reproducible cross-engine form of TABLESAMPLE.
+    "s6_sample_hash_mod" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .where("SUBSTRING(MD5(CAST(o_orderkey AS STRING)), 1, 1) IN ('0','1','2','3')")
+        .selectExpr("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // posexplode (lateral flatten with ordinality) of the token arrays.
+    "sc_posexplode_tokens" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter($"doc_id" < 50)
+        .selectExpr("doc_id", s"posexplode(${Q.TokensExpr}) AS (pos, tok)")
     })
   )
 
@@ -74,6 +100,17 @@ object AdvancedJoinQueries {
     "j13_bloom_pruned_join" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice, c_name " +
        "FROM orders JOIN customer ON o_custkey = c_custkey " +
-       "WHERE c_mktsegment = 'BUILDING'")
+       "WHERE c_mktsegment = 'BUILDING'"),
+    "j14_salted_skew_join" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey"),
+    "s6_sample_hash_mod" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+       "WHERE SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')"),
+    "sc_posexplode_tokens" ->
+      ("""SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+         |       unnest(toks) AS tok
+         |FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+         |      FROM documents WHERE doc_id < 50)""".stripMargin)
   )
 }
