@@ -59,6 +59,30 @@ object Pipeline {
       raw
     }
 
+    /** Inferred-CSV read with a schema cache: inference costs a full extra
+      * pass over the file, and the landed files are immutable — infer once,
+      * persist the schema DDL next to the landing, reuse on every re-run
+      * (delete the landing to re-infer).
+      */
+    private def csvInferredCached(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+      val schemaFile = new org.apache.hadoop.fs.Path(s"$dir/_graft_schema.ddl")
+      val fs = schemaFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val schema =
+        if (fs.exists(schemaFile)) {
+          val in = fs.open(schemaFile)
+          val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        } else {
+          val inferred = spark.read.option("header", true)
+            .option("inferSchema", true).csv(dir).schema
+          val out = fs.create(schemaFile, true)
+          try out.write(inferred.toDDL.getBytes("UTF-8")) finally out.close()
+          inferred
+        }
+      spark.read.option("header", true).schema(schema).csv(dir)
+    }
+
     /** Stage 2: inferred-schema scans of the landed files into bronze. */
     def run(spark: SparkSession, raw: String, work: String): Unit = {
       import spark.implicits._
@@ -66,14 +90,12 @@ object Pipeline {
       // repartition on the partition key before the partitioned write: one
       // file per partition value instead of tasks × values small files
       // (downstream mergeSchema reads pay per file footer)
-      val orders = spark.read.option("header", true).option("inferSchema", true)
-        .csv(s"$raw/orders")
+      val orders = csvInferredCached(spark, s"$raw/orders")
         .withColumn("data_block_id", blockId($"o_orderkey"))
       MedallionTable(spark, s"$work/bronze/orders", Seq("data_block_id"))
         .append(orders.repartition($"data_block_id"))
 
-      val lineitem = spark.read.option("header", true).option("inferSchema", true)
-        .csv(s"$raw/lineitem")
+      val lineitem = csvInferredCached(spark, s"$raw/lineitem")
         .withColumn("data_block_id", blockId($"l_orderkey"))
       MedallionTable(spark, s"$work/bronze/lineitem", Seq("data_block_id"))
         .append(lineitem.repartition($"data_block_id"))
