@@ -147,6 +147,35 @@ object TextQueries {
         .select($"keep_id", $"n_tokens", $"n_members")
     }),
 
+    // Training-window chunking: fixed-size token chunks (32) with stride 24
+    // (8-token overlap) — the context-window prep step of a training-data
+    // pipeline. One row per (doc, chunk); narrow map + explode, no shuffle.
+    "text_chunking" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"$TokensExpr AS toks")
+        .selectExpr("doc_id", "toks",
+          "posexplode(sequence(0, CAST(FLOOR((SIZE(toks) - 1) / 24) AS INT))) AS (chunk_idx, _i)")
+        .selectExpr("doc_id", "chunk_idx",
+          "ARRAY_JOIN(SLICE(toks, chunk_idx * 24 + 1, 32), ' ') AS chunk_text",
+          "CAST(SIZE(SLICE(toks, chunk_idx * 24 + 1, 32)) AS INTEGER) AS n_chunk_tokens")
+    }),
+
+    // Deterministic sequence packing: docs in doc_id order fill ~2000-token
+    // bins (bin = floor(preceding-cumsum / target)) — the batch-packing
+    // prep for training shards. The cumsum runs through the distributed
+    // two-phase PrefixSum, not a global window (which would shuffle the
+    // whole corpus into one task).
+    "text_seq_packing" -> ((s, dir) => {
+      import s.implicits._
+      val counted = Tables.documents(s, dir)
+        .selectExpr("doc_id", s"SIZE($TokensExpr) AS n_tokens")
+      graft.operators.PrefixSum.runningTotal(counted, "doc_id", "n_tokens", "cum")
+        .withColumn("bin_id", floor(($"cum" - $"n_tokens") / 2000).cast("long"))
+        .groupBy($"bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+    }),
+
     // Oracle-able MinHash (4 hashes, MD5-keyed, lexicographic min over
     // token 3-gram shingles). Deterministic across engines because MD5 and
     // string min are engine-independent — unlike xxhash64 (see
@@ -212,6 +241,27 @@ object TextQueries {
         s"CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN ($fr))) AS INTEGER) AS s_fr " +
         "FROM documents)"
     },
+    "text_chunking" ->
+      (s"""WITH t AS (SELECT doc_id, $DuckTokens AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        unnest(range(0, CAST(FLOOR((len(toks) - 1) / 24) AS INTEGER) + 1)) AS chunk_idx
+         |      FROM t)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |       array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text,
+         |       CAST(len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS INTEGER) AS n_chunk_tokens
+         |FROM c""".stripMargin),
+    "text_seq_packing" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(LEN($DuckTokens) AS INTEGER) AS n_tokens
+         |           FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |        CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+         |          AS BIGINT) AS bin_id
+         |      FROM t)
+         |SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM b GROUP BY bin_id""".stripMargin),
     "corpus_clean_e2e" -> {
       val en = inList(Seq("the", "and", "of", "to", "is"))
       val de = inList(Seq("der", "die", "das", "und", "ist"))
