@@ -47,6 +47,28 @@ object HeadlineQueries {
           .as("revenue"))
     }),
 
+    // Q4-shaped: order-priority count with an EXISTS semi-join.
+    "q4_order_priority" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= "1995-01-01" && $"o_orderdate" < "1995-07-01")
+      val late = Tables.lineitem(s, dir).filter($"l_discount" > 0.05)
+      o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Q6-shaped: single-scan filtered revenue aggregate (the pushdown
+    // showcase — filters reach the parquet scan).
+    "q6_forecast_revenue" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= "1995-01-01" && $"l_shipdate" < "1996-01-01" &&
+          $"l_discount" >= 0.02 && $"l_discount" <= 0.04 && $"l_quantity" < 25)
+        .agg((sum(round($"l_extendedprice" * $"l_discount" * 100)) / 100.0)
+          .as("revenue"))
+    }),
+
     // Bounded-heap top-k per group (typed Aggregator; shuffles k rows per
     // group instead of sorting whole partitions like window row_number).
     "topk_per_key" -> ((s, dir) =>
@@ -93,6 +115,15 @@ object HeadlineQueries {
        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
        "WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey " +
        "GROUP BY n.n_name"),
+    "q4_order_priority" ->
+      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count " +
+       "FROM orders o WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01' " +
+       "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+       "AND l.l_discount > 0.05) GROUP BY o_orderpriority"),
+    "q6_forecast_revenue" ->
+      ("SELECT SUM(ROUND(l_extendedprice * l_discount * 100)) / 100.0 AS revenue " +
+       "FROM lineitem WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01' " +
+       "AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 25"),
     "topk_per_key" ->
       ("SELECT l_returnflag, l_linestatus, l_orderkey, " +
        "CAST(l_linenumber AS BIGINT) AS l_linenumber, " +

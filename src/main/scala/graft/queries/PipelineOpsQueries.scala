@@ -82,6 +82,16 @@ object PipelineOpsQueries {
         .groupBy($"asset_id").agg(count(lit(1)).as("n_frames"))
     }),
 
+    // Multimodal resize plumbing: metadata recompute is deterministic and
+    // SQL-derivable (payload transform stubbed as identity).
+    "mm_resize_meta" -> ((s, dir) => {
+      import s.implicits._
+      val assets = MultimodalOps.assetsFromDocuments(Tables.documents(s, dir))
+      MultimodalOps.resize(assets, 64, 64).toDF()
+        .selectExpr("asset_id", "kind", "width", "height",
+          "CAST(OCTET_LENGTH(content) AS INTEGER) AS n_bytes")
+    }),
+
     // Multimodal feature extraction (mapPartitions batch shape; rows-only —
     // the checksum has no SQL twin).
     "mm_features" -> ((s, dir) => {
@@ -124,6 +134,16 @@ object PipelineOpsQueries {
       ("SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
+    "mm_resize_meta" ->
+      ("""SELECT doc_id AS asset_id,
+         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+         |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN LENGTH(text) % 640 + 16
+         |            ELSE 64 END AS INTEGER) AS width,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN LENGTH(text) % 480 + 16
+         |            ELSE 64 END AS INTEGER) AS height,
+         |  CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes
+         |FROM documents""".stripMargin),
     "mm_frame_count" ->
       ("SELECT doc_id AS asset_id, " +
        "CAST(CEIL(CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) / 64) AS BIGINT) " +
