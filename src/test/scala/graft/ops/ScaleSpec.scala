@@ -52,6 +52,19 @@ class ScaleSpec extends SparkSpec {
       s"expected 1/4 of $allFiles files scanned, got $scanned")
   }
 
+  test("flagship wide-table plan keeps broadcast dims and scan pushdown") {
+    val df = graft.queries.Flagship.defs("m0_wide_table")(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dims must broadcast, not shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unexpected non-equi join:\n$plan")
+    assert(plan.contains("PushedFilters: [Is") || plan.contains("PushedFilters: [Gr") ||
+      plan.contains("PushedFilters: [Eq") || plan.contains("PushedFilters: [Le"),
+      s"filters must reach the parquet scan:\n$plan")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
