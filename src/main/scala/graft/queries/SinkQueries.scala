@@ -80,6 +80,38 @@ object SinkQueries {
         updateCondition = Some(MergeOps.anyColumnDiffers(target, source, Seq("o_orderkey"))))
     }),
 
+    // Sink-format breadth: write → read-back round trips through CSV
+    // (header + inferred schema), JSON (inferred), and ORC. Final state
+    // must equal the base selection — proves the full serialize/parse
+    // cycle, not just parquet.
+    "k_csv_sink_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_csv_sink")
+      Q.deleteDir(s, p)
+      Tables.orders(s, dir).filter($"o_orderkey" % 5 === 0)
+        .write.option("header", true).csv(p)
+      s.read.option("header", true).option("inferSchema", true).csv(p)
+        .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate", "o_orderpriority")
+    }),
+    "k_json_sink_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_json_sink")
+      Q.deleteDir(s, p)
+      Tables.orders(s, dir).filter($"o_orderkey" % 7 === 0).write.json(p)
+      s.read.json(p)
+        .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate", "o_orderpriority")
+    }),
+    "k_orc_sink_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_orc_sink")
+      Q.deleteDir(s, p)
+      Tables.orders(s, dir).filter($"o_orderkey" % 6 === 0).write.orc(p)
+      s.read.orc(p).select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+    }),
+
     // Time travel — merge archives the pre-merge snapshot; reading it back
     // returns the exact pre-merge state (Delta VERSION AS OF semantics).
     "k_time_travel" -> ((s, dir) => {
@@ -151,6 +183,12 @@ object SinkQueries {
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 2 = 0",
     "k_time_travel" ->
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 3 <> 0",
+    "k_csv_sink_roundtrip" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 5 = 0",
+    "k_json_sink_roundtrip" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 7 = 0",
+    "k_orc_sink_roundtrip" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 6 = 0",
     "k_cdc_read" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
        "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END " +
