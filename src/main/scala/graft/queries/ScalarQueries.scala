@@ -36,6 +36,33 @@ object ScalarQueries {
         "DATEDIFF(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days_since")
     }),
 
+    // Datetime breadth beyond sc_date_funcs: truncation, calendar parts,
+    // month arithmetic (both engines clamp end-of-month).
+    "sc_date_funcs2" -> ((s, dir) => {
+      Tables.orders(s, dir).selectExpr(
+        "o_orderkey",
+        "CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start",
+        "QUARTER(o_orderdate) AS q",
+        "DAYOFWEEK(o_orderdate) AS dw", // 1=Sunday..7=Saturday
+        "WEEKOFYEAR(o_orderdate) AS wy",
+        "ADD_MONTHS(CAST(o_orderdate AS DATE), 2) AS plus2m")
+    }),
+
+    // Map-typed column surface: construction, lookup, keys, cardinality.
+    // The oracle states the semantic RESULT in plain SQL — maps need no
+    // cross-engine representation to be proven.
+    "sc_map_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .selectExpr("o_orderkey", "o_custkey",
+          "MAP_FROM_ARRAYS(ARRAY('okey', 'ckey'), ARRAY(o_orderkey, o_custkey)) AS m")
+        .selectExpr("o_orderkey",
+          "ELEMENT_AT(m, 'okey') AS v_okey",
+          "ELEMENT_AT(m, 'ckey') AS v_ckey",
+          "ELEMENT_AT(m, 'missing') AS v_missing",
+          "CAST(SIZE(m) AS INTEGER) AS n_entries",
+          "ARRAY_JOIN(ARRAY_SORT(MAP_KEYS(m)), ',') AS keys_sorted")
+    }),
+
     "sc_null_funcs" -> ((s, dir) => {
       Tables.orders(s, dir).selectExpr(
         "o_orderkey",
@@ -115,6 +142,17 @@ object ScalarQueries {
        "LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end, " +
        "CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INTEGER) AS days_since " +
        "FROM orders"),
+    "sc_date_funcs2" ->
+      ("SELECT o_orderkey, CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start, " +
+       "CAST(QUARTER(o_orderdate) AS INTEGER) AS q, " +
+       "CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS dw, " +
+       "CAST(WEEKOFYEAR(o_orderdate) AS INTEGER) AS wy, " +
+       "CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m " +
+       "FROM orders"),
+    "sc_map_funcs" ->
+      ("SELECT o_orderkey, o_orderkey AS v_okey, o_custkey AS v_ckey, " +
+       "CAST(NULL AS BIGINT) AS v_missing, 2 AS n_entries, " +
+       "'ckey,okey' AS keys_sorted FROM orders"),
     "sc_null_funcs" ->
       ("SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_c, " +
        "IFNULL(NULLIF(o_orderpriority, o_orderpriority), 'none') AS pr_c, " +
