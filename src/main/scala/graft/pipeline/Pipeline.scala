@@ -48,13 +48,27 @@ object Pipeline {
       val raw = graft.queries.Q.scratch(sfDir, "pipeline_raw")
       val done = new org.apache.hadoop.fs.Path(s"$raw/_LANDED")
       val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(done)) {
+      // Fingerprint the source (row counts are parquet footer metadata —
+      // cheap): a landing cached for a REGENERATED source dataset must not
+      // be reused, or every downstream result silently diverges.
+      val fingerprint = Seq("orders", "lineitem", "nation")
+        .map(t => s"$t=${Tables.load(spark, sfDir, t).count()}").mkString(",")
+      val current =
+        if (!fs.exists(done)) None
+        else {
+          val in = fs.open(done)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        }
+      if (!current.contains(fingerprint)) {
+        fs.delete(new org.apache.hadoop.fs.Path(raw), true)
         Tables.orders(spark, sfDir).write.mode("overwrite")
           .option("header", true).csv(s"$raw/orders")
         Tables.lineitem(spark, sfDir).write.mode("overwrite")
           .option("header", true).csv(s"$raw/lineitem")
         Tables.nation(spark, sfDir).write.mode("overwrite").json(s"$raw/nation")
-        fs.create(done).close()
+        val out = fs.create(done, true)
+        try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
       }
       raw
     }
