@@ -106,6 +106,11 @@ object PipelineOpsQueries {
     "events_windowed_agg" -> ((s, dir) =>
       graft.streaming.EventStreams.windowedCounts(Tables.events(s, dir))),
 
+    // Stream-stream interval join, batch twin (same plan runs under two
+    // watermarked streams — see EventStreamsSpec).
+    "events_interval_join" -> ((s, dir) =>
+      graft.streaming.EventStreams.clicksWithRecentViews(Tables.events(s, dir))),
+
     // JSON extraction over the events props column (semi-structured path).
     "events_json_extract" -> ((s, dir) => {
       Tables.events(s, dir).selectExpr("event_id",
@@ -164,6 +169,14 @@ object PipelineOpsQueries {
        "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +
        "SUM(ROUND(value * 100)) / 100.0 AS total_value " +
        "FROM events GROUP BY 1, 2"),
+    "events_interval_join" ->
+      ("""SELECT c.event_id AS click_id, c.user_id,
+         |       CAST(c.ts AS TIMESTAMP) AS click_ts,
+         |       v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS view_ts
+         |FROM events c JOIN events v
+         |  ON c.event_type = 'click' AND v.event_type = 'view'
+         | AND c.user_id = v.user_id
+         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE""".stripMargin),
     "events_json_extract" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
        "FROM events"),

@@ -61,6 +61,39 @@ object EventStreams {
       }
       .start()
 
+  /** Stream-static enrichment join: the static side is re-resolved per
+    * micro-batch (picking up dim-table updates between batches) and, being
+    * small, broadcast — the standard streaming fact⋈dim shape. Works
+    * unchanged on batch frames.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
+
+  /** Stream-stream interval join: each click pairs with views of the same
+    * user within `windowMinutes` BEFORE the click. Both sides carry
+    * watermarks so the join state is bounded: a buffered view can be
+    * dropped once the click watermark passes its interval end.
+    */
+  def clicksWithRecentViews(events: DataFrame,
+      watermark: String = "10 minutes", windowMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** Streaming file-source ingestion — the streaming twin of the bronze
     * stage: new files landing in `srcDir` are discovered incrementally
     * (checkpointed file index: each file is processed exactly once across

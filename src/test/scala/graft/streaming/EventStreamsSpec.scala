@@ -114,6 +114,48 @@ class EventStreamsSpec extends SparkSpec {
       "restart must not reprocess batch1 files")
   }
 
+  test("stream-stream interval join pairs clicks with in-window views only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = clicksWithRecentViews(input.toDF(), watermark = "0 minutes",
+      windowMinutes = 30)
+      .writeStream.format("memory").queryName("cwv")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev(1, 10, 1, "view", 0.0),   // in window of click@30 (20 min before)
+        ev(2, 29, 1, "view", 0.0),   // in window
+        ev(3, 31, 1, "view", 0.0),   // AFTER the click — excluded
+        ev(4, 25, 2, "view", 0.0),   // other user — excluded
+        ev(5, 30, 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(6, 200, 9, "click", 0.0)) // advance watermark to flush
+      q.processAllAvailable()
+      val pairs = spark.table("cwv").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(pairs == Set((5L, 1L), (5L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
+
+  test("stream-static dim enrichment joins every micro-batch against the dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStreams.enrichWithDim(input.toDF(), dim, "user_id", "uid")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 1, 1, "c", 1.0), ev(2, 2, 2, "c", 1.0), ev(3, 3, 7, "c", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("windowed counts transform also runs on the batch events table") {
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val out = windowedCounts(batch)
