@@ -19,10 +19,12 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: computes EVERY output column (count() lets column
       // pruning skip per-column work entirely, hiding expression cost)
-      // without paying sink I/O.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // without paying sink I/O. A failed query records -1, never its
+      // time-to-failure (which would read as a speedup).
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

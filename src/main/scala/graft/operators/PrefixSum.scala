@@ -42,7 +42,12 @@ object PrefixSum {
       .repartition(math.max(n, 1), col("__graft_bucket"))
     val w = Window.partitionBy(col("__graft_bucket")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // localCheckpoint: the totals job and the output job must read the SAME
+    // materialization — recomputing from a nondeterministic source (sample,
+    // shuffle-order-dependent dedup) could bucket rows differently per job
+    // and misalign offsets; it also saves the second full compute.
     val local = bucketed.withColumn("__graft_local", sum(col(valueCol)).over(w))
+      .localCheckpoint()
     // per-bucket totals: |buckets| rows — driver-side scan is metadata
     val totals = local.groupBy(col("__graft_bucket"))
       .agg(sum(col(valueCol)).cast("long").as("__graft_btot"))

@@ -153,6 +153,9 @@ object TextQueries {
     "text_chunking" -> ((s, dir) => {
       Tables.documents(s, dir)
         .selectExpr("doc_id", s"$TokensExpr AS toks")
+        // token-less docs: sequence(0, -1) would yield [0, -1] (negative
+        // step inference), not the empty chunk set the oracle's range gives
+        .where("SIZE(toks) > 0")
         .selectExpr("doc_id", "toks",
           "posexplode(sequence(0, CAST(FLOOR((SIZE(toks) - 1) / 24) AS INT))) AS (chunk_idx, _i)")
         .selectExpr("doc_id", "chunk_idx",

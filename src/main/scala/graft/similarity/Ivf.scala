@@ -54,7 +54,11 @@ object Ivf {
     while (i < iterations) {
       val means = assignCells(base, cents)
         .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("mx"))
+        // 1e-6-grid quantized mean: integral sums are exact in any partial-
+        // aggregation order, so refined centroids are bit-deterministic
+        // across runs (plain avg() drifts in the last ulp with order)
+        .groupBy(col("cell_id"), col("pos"))
+        .agg((sum(round(col("x") * 1e6)) / count(lit(1)) / 1e6).as("mx"))
         .groupBy(col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
           s => s.getField("mx")).as("mean_cv"))

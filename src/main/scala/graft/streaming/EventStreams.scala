@@ -96,11 +96,17 @@ object EventStreams {
 
   /** Streaming file-source ingestion — the streaming twin of the bronze
     * stage: new files landing in `srcDir` are discovered incrementally
-    * (checkpointed file index: each file is processed exactly once across
-    * restarts) and appended to a [[graft.table.MedallionTable]].
+    * (checkpointed file index) and landed into a partitioned table.
     * `Trigger.AvailableNow` drains everything currently available and
     * stops — the batch-cadence deployment mode (cron-started catch-up runs
     * with streaming's bookkeeping instead of hand-rolled file tracking).
+    *
+    * Exactly-once EFFECT under replay: foreachBatch alone is at-least-once
+    * (a crash between the table write and the offset commit replays the
+    * batch), so each batch writes its rows under its own
+    * `ingest_batch_id` partition via dynamic partition overwrite — a
+    * replayed batch overwrites its own partition instead of duplicating
+    * rows. The standard idempotent-foreachBatch-sink pattern.
     *
     * Scale notes: file listing is driver-side but incremental (only new
     * entries enter the log); per-batch work is an ordinary distributed
@@ -116,9 +122,12 @@ object EventStreams {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.table.MedallionTable(batch.sparkSession, tablePath, partitionColumns)
-          .append(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("ingest_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy((partitionColumns :+ "ingest_batch_id"): _*)
+          .parquet(tablePath)
       }
       .start()
 

@@ -28,17 +28,17 @@ object NgramLM {
     call_function("graft_bigram_counts", expr(textExpr))
   }
 
-  /** Corpus bigram→logP with add-one smoothing over the observed charset:
-    * log_p = ln((c(ab)+1) / (c(a·)+V)). ONE distributed aggregation
-    * (explode of per-doc counts, map-side combined); the reduced counts are
-    * |charset|²-bounded regardless of corpus size, so the smoothing math
-    * runs on the driver — no second shuffle, no separate vocab action.
+  /** Corpus (bigram, c_ab) counts: ONE distributed aggregation over
+    * per-doc counts (map-side combined); |charset|²-bounded output.
     */
-  private def trainMap(docs: DataFrame, textCol: String): Map[String, Double] = {
-    val counts: Array[(String, Long)] = docs
-      .select(explode(bigramCounts(docs, normalized(textCol))).as("bc"))
+  private def corpusCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(bigramCounts(docs, normalized(textCol))).as("bc"))
       .groupBy(col("bc.bigram").as("bigram")).agg(sum(col("bc.n")).as("c_ab"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+
+  /** Driver-side add-one smoothing over collected counts:
+    * log_p = ln((c(ab)+1) / (c(a·)+V)).
+    */
+  private def smooth(counts: Array[(String, Long)]): Map[String, Double] = {
     def headChar(s: String) = s.substring(0, Character.charCount(s.codePointAt(0)))
     val prefixTotals = counts.groupBy(c => headChar(c._1))
       .view.mapValues(_.map(_._2).sum).toMap
@@ -50,11 +50,29 @@ object NgramLM {
     }.toMap
   }
 
-  /** Train: (bigram, log_p) rows of [[trainMap]] (DataFrame API surface). */
+  /** Distributed smoothing — same math as [[smooth]] without collecting
+    * (the fallback when the observed charset is huge).
+    */
+  private def trainModelFrom(counts: DataFrame): DataFrame = {
+    val withPrefix = counts.withColumn("prefix", substring(col("bigram"), 1, 1))
+    val prefixTotals = withPrefix.groupBy("prefix").agg(sum("c_ab").as("c_a"))
+    val vocab = withPrefix.select(substring(col("bigram"), 2, 1).as("ch"))
+      .union(withPrefix.select(col("prefix").as("ch")))
+      .distinct().count()
+    withPrefix.join(prefixTotals, "prefix")
+      .select(col("bigram"),
+        log((col("c_ab") + 1).cast("double") / (col("c_a") + vocab)).as("log_p"))
+  }
+
+  /** Train: (bigram, log_p) rows (DataFrame API surface). */
   def train(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainMap(docs, textCol).toSeq.toDF("bigram", "log_p")
+    val counts = corpusCounts(docs, textCol)
+    val taken = counts.take(MaxDriverModelSize + 1)
+    if (taken.length > MaxDriverModelSize) trainModelFrom(counts)
+    else smooth(taken.map(r => r.getString(0) -> r.getLong(1)))
+      .toSeq.toDF("bigram", "log_p")
   }
 
   /** Score each document: mean negative log-probability of its bigrams
@@ -84,9 +102,41 @@ object NgramLM {
       .filter(col("n_bigrams") > 0) // docs shorter than one bigram: no score
   }
 
-  /** Train on the corpus and score every document against it — two Spark
-    * jobs total (corpus aggregation, scoring map pass).
+  /** Largest model the driver-collected fast path accepts. ASCII-ish
+    * corpora sit far below it (|charset|² bigrams); a CJK/multilingual
+    * corpus can blow past it, so scoring falls back to the distributed
+    * broadcast-join path instead of OOMing the driver.
     */
-  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    scoreWithMap(docs, idCol, textCol, trainMap(docs, textCol), -12.0)
+  val MaxDriverModelSize = 500000
+
+  /** Distributed fallback scorer: per-doc bigram counts joined against the
+    * model frame (broadcast) + per-doc aggregation. Same result as the
+    * expression path; one extra shuffle.
+    */
+  private def scoreViaJoin(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, unseenLogP: Double): DataFrame =
+    docs.select(col(idCol),
+        explode(bigramCounts(docs, normalized(textCol))).as("bc"))
+      .select(col(idCol), col("bc.bigram").as("bigram"), col("bc.n").as("n"))
+      .join(broadcast(model), Seq("bigram"), "left")
+      .withColumn("log_p", coalesce(col("log_p"), lit(unseenLogP)))
+      .groupBy(col(idCol))
+      .agg((-(sum(col("n") * col("log_p")) / sum(col("n")))).as("nll"),
+        sum(col("n")).as("n_bigrams"))
+
+  /** Train on the corpus and score every document against it — two Spark
+    * jobs total (corpus aggregation, scoring map pass) on the fast path;
+    * oversized models (huge charsets) score via the distributed join.
+    */
+  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = corpusCounts(docs, textCol)
+    // take(max+1): one action; when the model fits, the taken rows ARE the
+    // whole model — no second aggregation run
+    val taken = counts.take(MaxDriverModelSize + 1)
+    if (taken.length > MaxDriverModelSize)
+      scoreViaJoin(docs, idCol, textCol, trainModelFrom(counts), -12.0)
+    else
+      scoreWithMap(docs, idCol, textCol,
+        smooth(taken.map(r => r.getString(0) -> r.getLong(1))), -12.0)
+  }
 }

@@ -108,10 +108,20 @@ class EventStreamsSpec extends SparkSpec {
       Map("header" -> "true", "recursiveFileLookup" -> "true"),
       table, Nil, ckpt)
     q2.awaitTermination()
-    val rows = spark.read.parquet(table).collect()
+    def rows() = spark.read.parquet(table).select("id", "name").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")),
+    assert(rows() == Set((1L, "a"), (2L, "b"), (3L, "c")),
       "restart must not reprocess batch1 files")
+
+    // replayed batch (crash-between-write-and-commit analog): re-running a
+    // batch id overwrites its own ingest_batch_id partition — no duplicates
+    val replay = spark.read.parquet(table).where("ingest_batch_id = 1")
+      .select("id", "name")
+    replay.withColumn("ingest_batch_id", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch_id").parquet(table)
+    assert(rows() == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "batch replay must be idempotent")
   }
 
   test("stream-stream interval join pairs clicks with in-window views only") {
