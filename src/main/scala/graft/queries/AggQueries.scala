@@ -104,6 +104,37 @@ object AggQueries {
         percentile_approx($"l_quantity", lit(0.75), lit(1000)).as("q75_qty"))
     }),
 
+    // A6 — dynamic column profiler: per-column null/distinct/min/max stats
+    // synthesized from df.columns at runtime (the data-quality "describe"
+    // every pipeline runs before trusting a new table). One aggregation
+    // row, unpivoted to one row per column.
+    "a6_profile_dynamic" -> ((s, dir) => {
+      val df = Tables.orders(s, dir)
+      val perCol = df.columns.toSeq.map { c =>
+        struct(
+          lit(c).as("col_name"),
+          count(when(col(c).isNull, 1)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c).cast("string")).as("min_str"),
+          max(col(c).cast("string")).as("max_str"))
+      }
+      df.agg(array(perCol: _*).as("stats"))
+        .select(explode(col("stats")).as("s"))
+        .select(col("s.col_name"), col("s.n_null"), col("s.n_distinct"),
+          col("s.min_str"), col("s.max_str"))
+    }),
+
+    // Histogram via width_bucket: fixed-range bucketing of order totals.
+    "agg_histogram" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .withColumn("bucket",
+          expr("CAST(width_bucket(o_totalprice, 0, 600000, 12) AS INTEGER)"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          (sum(round($"o_totalprice" * 100)) / 100.0).as("bucket_total"))
+    }),
+
     // ROLLUP / CUBE grouping sets (beyond the reference — completes the
     // aggregation surface a switching user expects).
     "agg_rollup" -> ((s, dir) => {
@@ -168,6 +199,25 @@ object AggQueries {
        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
        "CAST(COUNT(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS n_flag_status " +
        "FROM lineitem"),
+    "a6_profile_dynamic" -> {
+      // same synthesis rule over the orders schema (FIXTURES.md §A)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"SELECT '$c' AS col_name, " +
+          s"CAST(COUNT(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_null, " +
+          s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"MIN(CAST($c AS VARCHAR)) AS min_str, " +
+          s"MAX(CAST($c AS VARCHAR)) AS max_str FROM orders"
+      }.mkString(" UNION ALL ")
+    },
+    "agg_histogram" ->
+      ("SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0 " +
+       "WHEN o_totalprice >= 600000 THEN 13 " +
+       "ELSE CAST(FLOOR(o_totalprice / 50000) AS INTEGER) + 1 END AS INTEGER) AS bucket, " +
+       "CAST(COUNT(*) AS BIGINT) AS n, " +
+       "SUM(ROUND(o_totalprice * 100)) / 100.0 AS bucket_total " +
+       "FROM orders GROUP BY 1"),
     "agg_rollup" ->
       ("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, " +
        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem " +
