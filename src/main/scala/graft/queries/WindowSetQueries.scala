@@ -71,6 +71,36 @@ object WindowSetQueries {
         .except(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
     }),
 
+    // EXCEPT ALL — multiset difference (duplicates preserved).
+    "set_except_all" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      o.filter($"o_totalprice" > 100000).select($"o_custkey")
+        .exceptAll(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+    }),
+
+    // unionByName with missing columns null-filled (schema-evolution union).
+    "u2_union_by_name" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.orders(s, dir).filter($"o_orderkey" % 4 === 0)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      val b = Tables.orders(s, dir).filter($"o_orderkey" % 4 === 1)
+        .select($"o_orderstatus", $"o_orderkey") // reordered, missing price
+      a.unionByName(b, allowMissingColumns = true)
+    }),
+
+    // Ordered string aggregation (listagg): deterministic via sorted join.
+    "agg_string_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir).filter($"c_custkey" <= 200)
+        .groupBy($"c_mktsegment")
+        // sort the STRING forms — the oracle's string_agg orders
+        // lexicographically, not numerically
+        .agg(array_join(array_sort(collect_list($"c_custkey".cast("string"))), ",")
+          .as("custkeys"),
+          count(lit(1)).as("n"))
+    }),
+
     // Pivot: line status columns per return flag (explicit value list — at
     // scale an implicit pivot pays a distinct-values job first).
     "agg_pivot" -> ((s, dir) => {
@@ -161,6 +191,19 @@ object WindowSetQueries {
     "set_except" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"),
+    "set_except_all" ->
+      ("SELECT o_custkey FROM orders WHERE o_totalprice > 100000 " +
+       "EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"),
+    "u2_union_by_name" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+       "WHERE o_orderkey % 4 = 0 " +
+       "UNION ALL SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderstatus " +
+       "FROM orders WHERE o_orderkey % 4 = 1"),
+    "agg_string_agg" ->
+      ("SELECT c_mktsegment, string_agg(CAST(c_custkey AS VARCHAR), ',' " +
+       "ORDER BY CAST(c_custkey AS VARCHAR)) AS custkeys, " +
+       "CAST(COUNT(*) AS BIGINT) AS n " +
+       "FROM customer WHERE c_custkey <= 200 GROUP BY c_mktsegment"),
     "agg_pivot" ->
       ("SELECT l_returnflag, " +
        "SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f, " +
