@@ -28,8 +28,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val nFailed = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""n_queries":${results.size},"n_failed":$nFailed,""" +
+      """"methodology":"noop-sink full-column materialization (rounds 1-2 used count(), which let column pruning skip per-column compute; totals are not comparable across that change)",""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
