@@ -110,18 +110,17 @@ object AggQueries {
     // row, unpivoted to one row per column.
     "a6_profile_dynamic" -> ((s, dir) => {
       val df = Tables.orders(s, dir)
-      val perCol = df.columns.toSeq.map { c =>
-        struct(
+      // one single-column aggregate per column, unioned — N cheap columnar
+      // scans instead of one N-way multi-distinct Expand (N× the rows
+      // through one hash aggregate)
+      df.columns.toSeq.map { c =>
+        df.agg(
           lit(c).as("col_name"),
           count(when(col(c).isNull, 1)).as("n_null"),
           countDistinct(col(c)).as("n_distinct"),
           min(col(c).cast("string")).as("min_str"),
           max(col(c).cast("string")).as("max_str"))
-      }
-      df.agg(array(perCol: _*).as("stats"))
-        .select(explode(col("stats")).as("s"))
-        .select(col("s.col_name"), col("s.n_null"), col("s.n_distinct"),
-          col("s.min_str"), col("s.max_str"))
+      }.reduce(_ unionByName _)
     }),
 
     // Histogram via width_bucket: fixed-range bucketing of order totals.
