@@ -67,6 +67,18 @@ object PipelineOpsQueries {
         .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
     }),
 
+    // LSH near-dup end-to-end: banded candidates → exact Jaccard gate
+    // (rows-only: xxhash64 buckets; semantics in MinHashSpec).
+    "dedup_lsh_near_pairs" -> ((s, dir) =>
+      MinHash.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.4)),
+
+    // Winnowing inverted-index candidate pairs (rows-only; WinnowingSpec).
+    "text_winnow_pairs" -> ((s, dir) =>
+      graft.dedup.Winnowing.candidatePairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text",
+        minShared = 3)),
+
     // 64-bit SimHash fingerprints (rows-only; see SimHashSpec).
     "dedup_simhash" -> ((s, dir) =>
       SimHash.withSimhash(
