@@ -250,6 +250,26 @@ final class MedallionTable(
     rewriteVia(shaped)
   }
 
+  /** VACUUM-style cleanup: remove sibling `__graft_tmp_*` / `__graft_old_*`
+    * directories left by rewrites that crashed mid-swap. Safe under the
+    * documented single-writer assumption (no rewrite is in flight when
+    * maintenance runs); the live table directory is never touched.
+    * Returns the number of directories removed.
+    */
+  def vacuum(): Int = {
+    val dst = fs.makeQualified(new Path(path))
+    val parent = dst.getParent
+    if (parent == null || !fs.exists(parent)) return 0
+    val name = dst.getName
+    val litter = fs.listStatus(parent).map(_.getPath).filter { p =>
+      val n = p.getName
+      n != name && (n.startsWith(s"${name}__graft_tmp_") ||
+        n.startsWith(s"${name}__graft_old_"))
+    }
+    litter.foreach(p => fs.delete(p, true))
+    litter.length
+  }
+
   /** Build/refresh the file-level min/max manifest (see [[TableStats]]). */
   def refreshStats(columns: Seq[String] = Nil): Unit =
     TableStats.refresh(spark, path, columns)

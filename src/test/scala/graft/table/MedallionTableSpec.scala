@@ -83,6 +83,23 @@ class MedallionTableSpec extends SparkSpec {
     assert(siblings == Seq(new Path(p).getName), s"litter: $siblings")
   }
 
+  test("vacuum removes crashed-swap litter, never the live table") {
+    import spark.implicits._
+    val p = tmpDir("mt_vacuum")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    val f = fs(p)
+    // simulate a crash mid-swap: tmp and old siblings left behind
+    f.mkdirs(new Path(s"${p}__graft_tmp_deadbeef"))
+    f.mkdirs(new Path(s"${p}__graft_old_deadbeef"))
+    f.mkdirs(new Path(s"${p}_unrelated")) // NOT litter — must survive
+    assert(t.vacuum() == 2)
+    assert(t.read.count() == 1)
+    assert(f.exists(new Path(s"${p}_unrelated")))
+    assert(!f.exists(new Path(s"${p}__graft_tmp_deadbeef")))
+    assert(t.vacuum() == 0)
+  }
+
   test("changesSince emits the exact diff between a snapshot and live") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("mt_cdc"), retainVersions = 2)
