@@ -46,25 +46,35 @@ object MinHash {
     }: _*)
   }
 
-  /** Candidate near-dup pairs (idA < idB) sharing ≥1 band bucket. */
+  /** Candidate near-dup pairs (idA < idB) sharing ≥1 band bucket. Band
+    * keys come from the native [[graft.functions.XxMinHashBands]] (bit-
+    * identical to [[signature]]+[[bandKeys]], parity-spec'd). The bucket
+    * join carries only (doc_id, band) — shingle arrays are fetched AFTER
+    * pair dedup (they'd otherwise be recomputed per band × join side and
+    * shuffled with every bucket row).
+    */
   def candidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
-    val withSig = docs
-      .filter(shingleFilter(col(textCol), shingleSize))
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val eligible = docs.filter(shingleFilter(col(textCol), shingleSize))
+    val bandRows = eligible
       .select(col(idCol).as("doc_id"),
-        shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", signature(col("sh"), numHashes))
-      .withColumn("band", explode(bandKeys(col("sig"), numHashes, bands)))
-      .select(col("doc_id"), col("sh"), col("band.band_idx"), col("band.band_hash"))
-    val a = withSig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-      col("band_idx"), col("band_hash"))
-    val b = withSig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-      col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
+        explode(call_function("graft_xx_minhash_bands", col(textCol),
+          lit(numHashes), lit(bands), lit(shingleSize))).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val pairs = bandRows.select(col("doc_id").as("id_a"), col("band_idx"), col("band_hash"))
+      .join(bandRows.select(col("doc_id").as("id_b"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val sh = eligible.select(col(idCol).as("doc_id"),
+      call_function("graft_shingles", col(textCol), lit(shingleSize)).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
   }
 
   /** Exact shingle-set Jaccard, computed only for LSH candidates. */

@@ -33,6 +33,49 @@ private[functions] object DedupEval {
   }
 }
 
+/** `graft_shingles(text, n)` → array<string> — distinct whitespace-token
+  * n-gram shingles in first-occurrence order, matching
+  * `array_distinct(transform(sequence(0, size(toks)-n), i ->
+  * concat_ws(' ', toks[i..i+n-1])))` exactly. Empty array when fewer than
+  * n tokens.
+  */
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def prettyName: String = "graft_shingles"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = DedupEval.tokens(input.asInstanceOf[UTF8String])
+    val nSh = toks.length - n + 1
+    if (nSh < 1) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < nSh) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
 /** `graft_xx_minhash_bands(text, numHashes, bands, shingleSize)` →
   * array<struct<band_idx:int, band_hash:bigint>> — banded LSH bucket keys
   * of the xxhash64 MinHash signature over token shingles. Matches

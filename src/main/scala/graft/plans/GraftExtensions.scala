@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BigramCounts, CosineSimilarity, DotProduct, Md5MinHash, SimHash64, WinnowFingerprints, XxMinHashBands}
+import graft.functions.{BigramCounts, CosineSimilarity, DotProduct, Md5MinHash, Shingles, SimHash64, WinnowFingerprints, XxMinHashBands}
 
 /** Session-extension entry point (`spark.sql.extensions=graft.plans.
   * GraftExtensions`) injecting the native vector expressions as SQL
@@ -44,6 +44,10 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue(),
         exprs(3).eval().asInstanceOf[Number].intValue())),
+    (new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => Shingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())),
     (new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))),

@@ -31,6 +31,17 @@ class DedupExpressionsSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("graft_shingles ≡ declarative array_distinct(transform(...)) shingles") {
+    graft.plans.GraftFunctions.register(spark)
+    val d = docs.filter(MinHash.shingleFilter(col("text")))
+    val declarative = d.select(col("doc_id"), MinHash.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val native = d.selectExpr("doc_id", "graft_shingles(text, 3) AS sh")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(native == declarative)
+    assert(native.nonEmpty)
+  }
+
   test("graft_simhash64 ≡ declarative vote accumulator") {
     val declarative = SimHash.withSimhashDeclarative(docs, "text")
       .select("doc_id", "sim").collect()
