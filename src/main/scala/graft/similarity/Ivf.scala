@@ -35,15 +35,18 @@ object Ivf {
     base.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
 
-  /** Nearest-centroid assignment: (vec_id, v, cell_id). */
-  private def assignCells(base: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
+  /** Nearest-centroid assignment: (vec_id, v, cell_id). Argmin as a hash
+    * aggregate (`max_by` over (sim, -cell_id) — same tiebreak as ordering
+    * by sim desc, cell_id asc), not a sort-window: one partial-aggregating
+    * shuffle instead of a full sort of corpus × centroids rows.
+    */
+  private def assignCells(base: DataFrame, centroids: DataFrame): DataFrame =
     base.crossJoin(broadcast(centroids))
       .withColumn("sim", call_function("graft_cosine", col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cell_id"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(named_struct('v', v, 'cell_id', cell_id), " +
+        "named_struct('sim', sim, 'neg_cell', -cell_id))").as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.cell_id").as("cell_id"))
 
   /** Lloyd iterations from the deterministic seeds. A cell that loses all
     * members keeps its previous centroid (standard empty-cluster fallback).
