@@ -150,18 +150,9 @@ object TextQueries {
     // Training-window chunking: fixed-size token chunks (32) with stride 24
     // (8-token overlap) — the context-window prep step of a training-data
     // pipeline. One row per (doc, chunk); narrow map + explode, no shuffle.
-    "text_chunking" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .selectExpr("doc_id", s"$TokensExpr AS toks")
-        // token-less docs: sequence(0, -1) would yield [0, -1] (negative
-        // step inference), not the empty chunk set the oracle's range gives
-        .where("SIZE(toks) > 0")
-        .selectExpr("doc_id", "toks",
-          "posexplode(sequence(0, CAST(FLOOR((SIZE(toks) - 1) / 24) AS INT))) AS (chunk_idx, _i)")
-        .selectExpr("doc_id", "chunk_idx",
-          "ARRAY_JOIN(SLICE(toks, chunk_idx * 24 + 1, 32), ' ') AS chunk_text",
-          "CAST(SIZE(SLICE(toks, chunk_idx * 24 + 1, 32)) AS INTEGER) AS n_chunk_tokens")
-    }),
+    "text_chunking" -> ((s, dir) =>
+      graft.text.TextOps.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+        size = 32, stride = 24)),
 
     // Deterministic sequence packing: docs in doc_id order fill ~2000-token
     // bins (bin = floor(preceding-cumsum / target)) — the batch-packing
@@ -170,10 +161,8 @@ object TextQueries {
     // whole corpus into one task).
     "text_seq_packing" -> ((s, dir) => {
       import s.implicits._
-      val counted = Tables.documents(s, dir)
-        .selectExpr("doc_id", s"SIZE($TokensExpr) AS n_tokens")
-      graft.operators.PrefixSum.runningTotal(counted, "doc_id", "n_tokens", "cum")
-        .withColumn("bin_id", floor(($"cum" - $"n_tokens") / 2000).cast("long"))
+      graft.text.TextOps.packSequences(Tables.documents(s, dir), "doc_id", "text",
+          targetTokens = 2000)
         .groupBy($"bin_id")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"),
           min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
