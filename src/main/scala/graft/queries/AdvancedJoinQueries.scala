@@ -54,6 +54,35 @@ object AdvancedJoinQueries {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"c_name")
     }),
 
+    // Deliberate small×small cross join (completes join-type coverage;
+    // the engine otherwise REJECTS accidental cross joins — plan specs
+    // assert their absence elsewhere).
+    "j15_cross_join_small" -> ((s, dir) => {
+      val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      r.crossJoin(n)
+    }),
+
+    // Full outer join on partially-overlapping key ranges.
+    "j16_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.orders(s, dir).filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("price_a"))
+      val b = Tables.orders(s, dir).filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey".as("k"), $"o_orderstatus".as("status_b"))
+      a.join(b, Seq("k"), "full_outer")
+    }),
+
+    // Right outer join (dim side preserved).
+    "j17_right_join" -> ((s, dir) => {
+      import s.implicits._
+      val heavy = Tables.orders(s, dir).filter($"o_totalprice" > 400000)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      val c = Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+      heavy.join(c, heavy("o_custkey") === c("c_custkey"), "right")
+        .select($"c_custkey", $"c_mktsegment", $"o_orderkey", $"o_totalprice")
+    }),
+
     // Salted skew join: fact side salted into 8 sub-keys, dim replicated —
     // result must equal the plain join exactly (oracle is the plain join).
     "j14_salted_skew_join" -> ((s, dir) => {
@@ -104,6 +133,21 @@ object AdvancedJoinQueries {
     "j14_salted_skew_join" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment " +
        "FROM orders JOIN customer ON o_custkey = c_custkey"),
+    "j15_cross_join_small" ->
+      ("SELECT r_regionkey, r_name, n_nationkey, n_name " +
+       "FROM region CROSS JOIN nation"),
+    "j16_full_outer" ->
+      ("""SELECT COALESCE(a.k, b.k) AS k, a.price_a, b.status_b FROM
+         |(SELECT o_orderkey AS k, o_totalprice AS price_a FROM orders
+         | WHERE o_orderkey % 3 = 0) a
+         |FULL OUTER JOIN
+         |(SELECT o_orderkey AS k, o_orderstatus AS status_b FROM orders
+         | WHERE o_orderkey % 2 = 0) b ON a.k = b.k""".stripMargin),
+    "j17_right_join" ->
+      ("SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice " +
+       "FROM (SELECT o_custkey, o_orderkey, o_totalprice FROM orders " +
+       "WHERE o_totalprice > 400000) o " +
+       "RIGHT JOIN customer ON o.o_custkey = c_custkey"),
     "s6_sample_hash_mod" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
        "WHERE SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')"),

@@ -44,6 +44,18 @@ object WindowSetQueries {
         ntile(4).over(unique).as("price_quartile"))
     }),
 
+    // Relative-position windows: percent_rank / cume_dist over a unique
+    // total order (tie-free → engine-independent).
+    "win_percent_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      Tables.orders(s, dir).select(
+        $"o_orderkey", $"o_orderstatus",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
+
     // Running (cumulative) sum and count per customer in date order.
     "win_running_sum" -> ((s, dir) => {
       import s.implicits._
@@ -178,6 +190,12 @@ object WindowSetQueries {
          |WINDOW q AS (PARTITION BY l_returnflag, l_linestatus ORDER BY l_quantity),
          |       u AS (PARTITION BY l_returnflag, l_linestatus
          |             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)""".stripMargin),
+    "win_percent_rank" ->
+      ("""SELECT o_orderkey, o_orderstatus,
+         |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderstatus
+         |             ORDER BY o_totalprice, o_orderkey)""".stripMargin),
     "win_running_sum" ->
       ("""SELECT o_orderkey, o_custkey, o_orderdate,
          |  SUM(ROUND(o_totalprice * 100)) OVER w / 100.0 AS run_total,
