@@ -158,6 +158,37 @@ object WindowSetQueries {
         "CAST(endswith(c_name, '1') AS BOOLEAN) AS ends_one")
     }),
 
+    // Scalar subquery: orders above the global average price.
+    "sub_scalar_avg" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_sub_orders")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM graft_sub_orders
+          |WHERE o_totalprice > (SELECT SUM(ROUND(o_totalprice * 100)) / 100.0
+          |                           / COUNT(*) FROM graft_sub_orders)""".stripMargin)
+    }),
+
+    // IN subquery over a filtered key set.
+    "sub_in_keys" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_sub_orders2")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_sub_cust")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM graft_sub_orders2
+          |WHERE o_custkey IN (SELECT c_custkey FROM graft_sub_cust
+          |                    WHERE c_mktsegment = 'MACHINERY')""".stripMargin)
+    }),
+
+    // UNPIVOT (melt): wide aggregate row → long (measure, value) rows.
+    "agg_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).groupBy($"l_returnflag")
+        .agg((sum(round($"l_extendedprice" * 100)) / 100.0).as("price_total"),
+          sum($"l_quantity").as("qty_total"),
+          (sum(round($"l_tax" * 100)) / 100.0).as("tax_total"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"price_total", $"qty_total", $"tax_total"),
+          "measure", "value")
+    }),
+
     // Null-safe equality join (<=>): null keys match null keys, unlike `=`.
     "j10_nullsafe_join" -> ((s, dir) => {
       import s.implicits._
@@ -247,6 +278,23 @@ object WindowSetQueries {
        "CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos, " +
        "starts_with(c_mktsegment, 'BUIL') AS is_building, " +
        "ends_with(c_name, '1') AS ends_one FROM customer"),
+    "sub_scalar_avg" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+       "WHERE o_totalprice > (SELECT SUM(ROUND(o_totalprice * 100)) / 100.0 " +
+       "/ COUNT(*) FROM orders)"),
+    "sub_in_keys" ->
+      ("SELECT o_orderkey, o_custkey FROM orders " +
+       "WHERE o_custkey IN (SELECT c_custkey FROM customer " +
+       "WHERE c_mktsegment = 'MACHINERY')"),
+    "agg_unpivot" ->
+      ("""WITH wide AS (
+         |  SELECT l_returnflag,
+         |    SUM(ROUND(l_extendedprice * 100)) / 100.0 AS price_total,
+         |    SUM(l_quantity) AS qty_total,
+         |    SUM(ROUND(l_tax * 100)) / 100.0 AS tax_total
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, measure, value FROM wide
+         |UNPIVOT (value FOR measure IN (price_total, qty_total, tax_total))""".stripMargin),
     "j10_nullsafe_join" ->
       ("""WITH o AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_k
          |           FROM orders),
