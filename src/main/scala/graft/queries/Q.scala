@@ -33,7 +33,8 @@ object Q {
   }
 
   /** Whitespace tokenization, shared by the text queries. Spark-SQL side of
-    * the oracle's `regexp_extract_all(text, '\S+')`.
+    * the oracle's `regexp_extract_all(text, '\S+')` — derived from the
+    * single-source pattern in [[graft.text.TextOps.tokensExpr]].
     */
-  val TokensExpr = "regexp_extract_all(text, '\\\\S+', 0)"
+  val TokensExpr: String = graft.text.TextOps.tokensExpr("text")
 }

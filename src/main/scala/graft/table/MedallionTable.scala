@@ -251,23 +251,41 @@ final class MedallionTable(
   }
 
   /** VACUUM-style cleanup: remove sibling `__graft_tmp_*` / `__graft_old_*`
-    * directories left by rewrites that crashed mid-swap. Safe under the
-    * documented single-writer assumption (no rewrite is in flight when
-    * maintenance runs); the live table directory is never touched.
-    * Returns the number of directories removed.
+    * directories left by rewrites that crashed mid-swap. If the crash
+    * happened BETWEEN the two swap renames, the live directory is gone and
+    * the only committed copy lives in the backup — vacuum must RESTORE it,
+    * never delete it. Safe under the documented single-writer assumption
+    * (no rewrite in flight during maintenance). Returns directories removed.
     */
   def vacuum(): Int = {
     val dst = fs.makeQualified(new Path(path))
     val parent = dst.getParent
     if (parent == null || !fs.exists(parent)) return 0
     val name = dst.getName
-    val litter = fs.listStatus(parent).map(_.getPath).filter { p =>
+    def litter() = fs.listStatus(parent).map(_.getPath).filter { p =>
       val n = p.getName
       n != name && (n.startsWith(s"${name}__graft_tmp_") ||
         n.startsWith(s"${name}__graft_old_"))
     }
-    litter.foreach(p => fs.delete(p, true))
-    litter.length
+    if (!exists) {
+      // mid-swap crash: restore the backup (pre-rewrite committed state);
+      // the interrupted rewrite re-runs idempotently later
+      val backups = litter().filter(_.getName.startsWith(s"${name}__graft_old_"))
+      if (backups.nonEmpty) {
+        fs.delete(dst, true) // drop a marker-only husk if present
+        if (!fs.rename(backups.head, dst))
+          throw new java.io.IOException(
+            s"vacuum: restore failed: ${backups.head} -> $dst")
+      } else if (litter().nonEmpty)
+        // only tmp dirs but no live table and no backup: unknown state —
+        // refuse to destroy what might be the only data
+        throw new IllegalStateException(
+          s"vacuum: $path has no live data and no backup; refusing to " +
+            s"delete ${litter().map(_.getName).mkString(", ")}")
+    }
+    val toDelete = litter()
+    toDelete.foreach(p => fs.delete(p, true))
+    toDelete.length
   }
 
   /** Build/refresh the file-level min/max manifest (see [[TableStats]]). */

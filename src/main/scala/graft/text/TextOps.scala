@@ -9,7 +9,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private val Tokens = "regexp_extract_all(%s, '\\\\S+', 0)"
+  /** Canonical whitespace tokenizer (single source — `Q.TokensExpr` and
+    * every text query derive from this; DuckDB twin:
+    * `regexp_extract_all(c, '\S+')`).
+    */
+  def tokensExpr(column: String): String =
+    s"regexp_extract_all($column, '\\\\S+', 0)"
+
+
 
   /** Fixed-size token chunks with overlap: chunk i covers tokens
     * [i·stride, i·stride + size). One row per (doc, chunk); narrow map +
@@ -18,7 +25,7 @@ object TextOps {
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
       size: Int = 32, stride: Int = 24): DataFrame = {
     require(size >= 1 && stride >= 1, "size and stride must be >= 1")
-    docs.selectExpr(idCol, s"${Tokens.format(textCol)} AS toks")
+    docs.selectExpr(idCol, s"${tokensExpr(textCol)} AS toks")
       .where("SIZE(toks) > 0")
       .selectExpr(idCol, "toks",
         s"posexplode(sequence(0, CAST(FLOOR((SIZE(toks) - 1) / $stride) AS INT))) " +
@@ -39,7 +46,7 @@ object TextOps {
       targetTokens: Int = 2000): DataFrame = {
     require(targetTokens >= 1, "targetTokens must be >= 1")
     val counted = docs.selectExpr(idCol,
-      s"SIZE(${Tokens.format(textCol)}) AS n_tokens")
+      s"SIZE(${tokensExpr(textCol)}) AS n_tokens")
     graft.operators.PrefixSum.runningTotal(counted, idCol, "n_tokens", "cum")
       .withColumn("bin_id",
         floor((col("cum") - col("n_tokens")) / targetTokens).cast("long"))

@@ -100,6 +100,23 @@ class MedallionTableSpec extends SparkSpec {
     assert(t.vacuum() == 0)
   }
 
+  test("vacuum restores the backup when a crash between swap renames lost the live dir") {
+    import spark.implicits._
+    val p = tmpDir("mt_vacuum_restore")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "committed")).toDF("id", "s"))
+    val f = fs(p)
+    // simulate: rewrite wrote tmp, renamed live -> old, died before tmp -> live
+    f.rename(new Path(p), new Path(s"${p}__graft_old_c0ffee"))
+    f.mkdirs(new Path(s"${p}__graft_tmp_c0ffee"))
+    assert(!t.exists)
+    t.vacuum()
+    assert(t.read.collect().map(_.getString(1)).toSeq == Seq("committed"),
+      "vacuum must restore the only committed copy, not delete it")
+    assert(!f.exists(new Path(s"${p}__graft_tmp_c0ffee")))
+    assert(!f.exists(new Path(s"${p}__graft_old_c0ffee")))
+  }
+
   test("changesSince emits the exact diff between a snapshot and live") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("mt_cdc"), retainVersions = 2)
