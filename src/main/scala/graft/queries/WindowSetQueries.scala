@@ -67,6 +67,30 @@ object WindowSetQueries {
         count(lit(1)).over(w).as("run_cnt"))
     }),
 
+    // Frame-edge windows: first/last/nth value over an explicit frame.
+    "win_first_last" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(
+        $"o_orderkey", $"o_custkey",
+        first($"o_totalprice").over(w).as("first_total"),
+        last($"o_totalprice").over(w).as("last_total"),
+        nth_value($"o_totalprice", 2).over(w).as("second_total"))
+    }),
+
+    // Bitwise scalar surface.
+    "sc_bitwise_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir).selectExpr(
+        "o_orderkey",
+        "o_orderkey & 255 AS low_byte",
+        "o_orderkey | 1 AS odd_or",
+        "CAST(o_orderkey ^ o_custkey AS BIGINT) AS keys_xor",
+        "SHIFTLEFT(o_orderkey, 2) AS shl2",
+        "SHIFTRIGHT(o_orderkey, 3) AS shr3",
+        "CAST(BIT_COUNT(o_orderkey) AS INTEGER) AS popcount")
+    }),
+
     // INTERSECT: customers having both an open and a finished order.
     "set_intersect" -> ((s, dir) => {
       import s.implicits._
@@ -234,6 +258,19 @@ object WindowSetQueries {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          |             ROWS UNBOUNDED PRECEDING)""".stripMargin),
+    "win_first_last" ->
+      ("""SELECT o_orderkey, o_custkey,
+         |  first_value(o_totalprice) OVER w AS first_total,
+         |  last_value(o_totalprice) OVER w AS last_total,
+         |  nth_value(o_totalprice, 2) OVER w AS second_total
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
+    "sc_bitwise_funcs" ->
+      ("SELECT o_orderkey, o_orderkey & 255 AS low_byte, o_orderkey | 1 AS odd_or, " +
+       "CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS keys_xor, " +
+       "o_orderkey << 2 AS shl2, o_orderkey >> 3 AS shr3, " +
+       "CAST(BIT_COUNT(o_orderkey) AS INTEGER) AS popcount FROM orders"),
     "set_intersect" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"),
