@@ -118,6 +118,18 @@ object PipelineOpsQueries {
     "events_windowed_agg" -> ((s, dir) =>
       graft.streaming.EventStreams.windowedCounts(Tables.events(s, dir))),
 
+    // Spark's native session_window aggregation (gap-merged sessions; the
+    // declarative twin of the flatMapGroupsWithState sessionizer).
+    "events_session_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          $"session_window.start".as("session_start"),
+          $"session_window.end".as("session_end"), $"n_events")
+    }),
+
     // Stream-stream interval join, batch twin (same plan runs under two
     // watermarked streams — see EventStreamsSpec).
     "events_interval_join" -> ((s, dir) =>
@@ -181,6 +193,23 @@ object PipelineOpsQueries {
        "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +
        "SUM(ROUND(value * 100)) / 100.0 AS total_value " +
        "FROM events GROUP BY 1, 2"),
+    "events_session_window" ->
+      ("""WITH marked AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |                        ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+         |       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events
+         |FROM sess GROUP BY user_id, sid""".stripMargin),
     "events_interval_join" ->
       ("""SELECT c.event_id AS click_id, c.user_id,
          |       CAST(c.ts AS TIMESTAMP) AS click_ts,

@@ -67,6 +67,40 @@ object WindowSetQueries {
         count(lit(1)).over(w).as("run_cnt"))
     }),
 
+    // RANGE frame: peers by VALUE distance, not row position — sums over
+    // all orders within ±10000 of each order's total, per status.
+    "win_range_frame" -> ((s, dir) => {
+      // SQL path: typed RANGE offsets over a double ordering column
+      Tables.orders(s, dir).createOrReplaceTempView("graft_wrf_orders")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice,
+          |  COUNT(*) OVER w AS n_near,
+          |  SUM(ROUND(o_totalprice * 100)) OVER w / 100.0 AS near_total
+          |FROM graft_wrf_orders
+          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+          |             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)""".stripMargin)
+    }),
+
+    // Digest functions (engine-exact hex output).
+    "sc_hash_funcs" -> ((s, dir) => {
+      Tables.customer(s, dir).selectExpr(
+        "c_custkey",
+        "MD5(c_name) AS h_md5",
+        "SHA2(c_name, 256) AS h_sha256")
+    }),
+
+    // bool_and/bool_or and min_by/max_by aggregates.
+    "agg_bool_minmax_by" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir).groupBy($"o_orderstatus").agg(
+        expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+        expr("bool_or(o_totalprice > 500000)").as("any_over_500k"),
+        // min_by/max_by keyed on the UNIQUE order key (ties on price would
+        // make the picked row engine-dependent)
+        expr("min_by(o_totalprice, o_orderkey)").as("first_order_price"),
+        expr("max_by(o_totalprice, o_orderkey)").as("last_order_price"))
+    }),
+
     // Frame-edge windows: first/last/nth value over an explicit frame.
     "win_first_last" -> ((s, dir) => {
       import s.implicits._
@@ -258,6 +292,22 @@ object WindowSetQueries {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          |             ROWS UNBOUNDED PRECEDING)""".stripMargin),
+    "win_range_frame" ->
+      ("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_near,
+         |  SUM(ROUND(o_totalprice * 100)) OVER w / 100.0 AS near_total
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+         |             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)""".stripMargin),
+    "sc_hash_funcs" ->
+      ("SELECT c_custkey, MD5(c_name) AS h_md5, SHA256(c_name) AS h_sha256 " +
+       "FROM customer"),
+    "agg_bool_minmax_by" ->
+      ("SELECT o_orderstatus, bool_and(o_totalprice > 1000) AS all_over_1k, " +
+       "bool_or(o_totalprice > 500000) AS any_over_500k, " +
+       "min_by(o_totalprice, o_orderkey) AS first_order_price, " +
+       "max_by(o_totalprice, o_orderkey) AS last_order_price " +
+       "FROM orders GROUP BY o_orderstatus"),
     "win_first_last" ->
       ("""SELECT o_orderkey, o_custkey,
          |  first_value(o_totalprice) OVER w AS first_total,
