@@ -68,7 +68,7 @@ object WindowSetQueries {
     }),
 
     // RANGE frame: peers by VALUE distance, not row position — sums over
-    // all orders within ±10000 of each order's total, per status.
+    // all orders within ±500 of each order's total, per status.
     "win_range_frame" -> ((s, dir) => {
       // SQL path: typed RANGE offsets over a double ordering column
       Tables.orders(s, dir).createOrReplaceTempView("graft_wrf_orders")
@@ -78,7 +78,7 @@ object WindowSetQueries {
           |  SUM(ROUND(o_totalprice * 100)) OVER w / 100.0 AS near_total
           |FROM graft_wrf_orders
           |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
-          |             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)""".stripMargin)
+          |             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)""".stripMargin)
     }),
 
     // Digest functions (engine-exact hex output).
@@ -298,7 +298,7 @@ object WindowSetQueries {
          |  SUM(ROUND(o_totalprice * 100)) OVER w / 100.0 AS near_total
          |FROM orders
          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
-         |             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)""".stripMargin),
+         |             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)""".stripMargin),
     "sc_hash_funcs" ->
       ("SELECT c_custkey, MD5(c_name) AS h_md5, SHA256(c_name) AS h_sha256 " +
        "FROM customer"),
