@@ -96,6 +96,25 @@ object ScalarQueries {
         s"ELEMENT_AT(${Q.TokensExpr}, -1) AS tok_last")
     }),
 
+    // Array higher-order functions: transform / filter / aggregate.
+    "sc_hof_funcs" -> ((s, dir) => {
+      val T = Q.TokensExpr
+      graft.Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        s"CAST(AGGREGATE($T, 0, (acc, t) -> acc + LENGTH(t)) AS BIGINT) AS tot_len",
+        s"CAST(SIZE(FILTER($T, t -> LENGTH(t) > 4)) AS BIGINT) AS n_long",
+        s"ARRAY_JOIN(TRANSFORM(SLICE($T, 1, 3), t -> UPPER(t)), ',') AS up3")
+    }),
+
+    // Typed JSON parsing (from_json with an explicit schema) vs the
+    // get_json_object string path in events_json_extract.
+    "events_from_json_struct" -> ((s, dir) => {
+      Tables.events(s, dir).selectExpr(
+        "event_id",
+        "from_json(props, 'k INT').k AS k",
+        "CAST(from_json(props, 'k INT') IS NOT NULL AS BOOLEAN) AS parsed")
+    }),
+
     // Conditional scalar surface: greatest/least/if chains.
     "sc_conditional_funcs" -> ((s, dir) => {
       Tables.lineitem(s, dir).selectExpr(
@@ -173,6 +192,17 @@ object ScalarQueries {
        s"list_min($T) AS tok_min, list_max($T) AS tok_max, " +
        s"($T)[-1] AS tok_last FROM documents")
     },
+    "sc_hof_funcs" -> {
+      val T = "regexp_extract_all(text, '\\S+')"
+      (s"SELECT doc_id, " +
+       s"CAST(list_sum(list_transform($T, t -> length(t))) AS BIGINT) AS tot_len, " +
+       s"CAST(len(list_filter($T, t -> length(t) > 4)) AS BIGINT) AS n_long, " +
+       s"array_to_string(list_transform(($T)[1:3], t -> upper(t)), ',') AS up3 " +
+       "FROM documents")
+    },
+    "events_from_json_struct" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, " +
+       "props IS NOT NULL AS parsed FROM events"),
     "sc_conditional_funcs" ->
       ("SELECT l_orderkey, l_linenumber, " +
        "GREATEST(l_quantity, l_discount * 100, l_tax * 100) AS g3, " +
