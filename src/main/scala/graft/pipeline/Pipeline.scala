@@ -127,7 +127,10 @@ object Pipeline {
       // Cleaning chain (silver_table_creation.py:32-39): dedup the
       // re-appended bronze rows, drop nulls, filter. Row-wise filters
       // commute with dropDuplicates — run them first so the dedup
-      // shuffle sees the smaller input.
+      // shuffle sees the smaller input. (DedupOps.dropDuplicatesSorted
+      // would fuse dedup with the block-partitioned write layout, but its
+      // parallelism is bounded by block cardinality — only 4 here; use it
+      // when |partitions| ≥ cores.)
       val orders = MedallionTable(spark, s"$work/bronze/orders").read
         .na.drop("any")
         .filter($"o_totalprice" =!= 0.0)
