@@ -36,6 +36,39 @@ class AsOfBloomJoinSpec extends SparkSpec {
       13L -> None, 14L -> None))
   }
 
+  test("asOf matches a brute-force reference model on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val quotes = (0 until 400).map { i =>
+      (rnd.nextInt(8).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        rnd.nextInt(1000).toDouble)
+    }.distinct
+      // unique per (key, time): keep max px like the operator contract asks
+      .groupBy(q => (q._1, q._2)).map { case ((u, t), vs) => (u, t, vs.map(_._3).max) }
+      .toSeq
+    val trades = (0 until 300).map { i =>
+      (1000L + i, rnd.nextInt(10).toLong, // users 8,9 have no quotes
+        ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:30"))
+    }
+    val qDf = quotes.toDF("user_id", "ts", "px")
+    val tDf = trades.toDF("trade_id", "user_id", "ts")
+
+    val got = AsOfJoin.asOf(tDf, qDf, Seq("user_id"), "ts", Seq("px"))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    val byUser = quotes.groupBy(_._1)
+    val expected = trades.map { case (tid, u, t) =>
+      tid -> byUser.getOrElse(u, Seq.empty)
+        .filter(q => !q._2.after(t))
+        .sortBy(_._2.getTime)
+        .lastOption.map(_._3)
+    }.toMap
+    assert(got == expected)
+    assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty),
+      "fixture must exercise both matched and unmatched trades")
+  }
+
   test("asOf plan has no cartesian/broadcast-nested-loop join") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 00:00:00"), "a")).toDF("k", "ts", "payload_l")
