@@ -129,6 +129,33 @@ class MedallionTableSpec extends SparkSpec {
       (3L, "c", "insert"), (2L, "b", "delete")))
   }
 
+  test("applying changesSince to the snapshot reproduces the live state (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val t = MedallionTable(spark, tmpDir("mt_cdc_prop"), retainVersions = 2)
+    val v1 = (0 until 200).map(i => (i.toLong, rnd.nextInt(100)))
+    t.overwrite(v1.toDF("id", "v"))
+    // random source: updates, inserts, implicit deletes (full sync)
+    val src = (0 until 260).flatMap { i =>
+      if (rnd.nextBoolean()) Some((i.toLong, rnd.nextInt(100))) else None
+    }
+    t.merge(src.toDF("id", "v"), Seq("id"))
+
+    val snapshot = t.readVersion(1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ch = t.changesSince(1, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val applied = ch.foldLeft(snapshot) {
+      case (st, (id, _, "delete")) => st - id
+      case (st, (id, v, "insert")) => st + (id -> v)
+      case (st, (id, v, "update_postimage")) => st + (id -> v)
+      case (st, _) => st // update_preimage: informational
+    }
+    val live = t.read.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(applied == live, "CDC diff must transform the snapshot into the live state")
+    assert(ch.nonEmpty && ch.exists(_._3 == "delete") && ch.exists(_._3 == "insert"))
+  }
+
   test("mergePruned rewrites only partitions present in the source") {
     import spark.implicits._
     val p = tmpDir("mt_pruned")
