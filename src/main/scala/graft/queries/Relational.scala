@@ -122,6 +122,14 @@ object Relational {
         .dropDuplicates()
     }),
 
+    // F6 — single-shuffle co-partitioned dedup (DedupOps): exact DISTINCT
+    // semantics proven against the same oracle as F5.
+    "f6_dropduplicates_sorted" -> ((s, dir) =>
+      graft.operators.DedupOps.dropDuplicatesSorted(
+        Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_linestatus", "l_quantity"),
+        coPartitionCol = "l_returnflag")),
+
     // J1 — left join on shared column list (silver_table_creation.py:314)
     "j1_join_shared_cols" -> ((s, dir) => {
       val c = Tables.customer(s, dir).withColumnRenamed("c_nationkey", "nationkey")
@@ -271,6 +279,8 @@ object Relational {
        "WHERE NULLIF(l_returnflag, 'A') IS NOT NULL " +
        "AND NULLIF(l_linestatus, 'F') IS NOT NULL"),
     "f5_dropduplicates" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
+    "f6_dropduplicates_sorted" ->
       "SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
     "j1_join_shared_cols" ->
       ("SELECT c.c_custkey, c.c_nationkey AS nationkey, n.n_name " +
