@@ -118,6 +118,17 @@ object PipelineOpsQueries {
     "events_windowed_agg" -> ((s, dir) =>
       graft.streaming.EventStreams.windowedCounts(Tables.events(s, dir))),
 
+    // Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    // event lands in 2 windows (completes the window family: tumbling in
+    // events_windowed_agg, session below, hopping here).
+    "events_hop_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"window.start".as("window_start"), $"event_type", $"n_events")
+    }),
+
     // Spark's native session_window aggregation (gap-merged sessions; the
     // declarative twin of the flatMapGroupsWithState sessionizer).
     "events_session_window" -> ((s, dir) => {
@@ -193,6 +204,19 @@ object PipelineOpsQueries {
        "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +
        "SUM(ROUND(value * 100)) / 100.0 AS total_value " +
        "FROM events GROUP BY 1, 2"),
+    "events_hop_window" ->
+      ("""WITH hops AS (
+         |  SELECT e.event_type, e.ts, o.off
+         |  FROM events e, (VALUES (0), (1800)) o(off)),
+         |assigned AS (
+         |  SELECT event_type,
+         |    to_timestamp(CAST(floor((epoch(ts) - off) / 3600) AS BIGINT) * 3600 + off)
+         |      AS window_start,
+         |    ts, off
+         |  FROM hops)
+         |SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events
+         |FROM assigned GROUP BY 1, 2""".stripMargin),
     "events_session_window" ->
       ("""WITH marked AS (
          |  SELECT user_id, ts,
