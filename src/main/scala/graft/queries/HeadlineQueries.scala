@@ -69,6 +69,36 @@ object HeadlineQueries {
           .as("revenue"))
     }),
 
+    // Q10-shaped: revenue lost to returned items per customer, top 20.
+    "q10_returned_items" -> ((s, dir) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(c("c_custkey"), c("c_name"), c("c_mktsegment"))
+        .agg((sum(round(l("l_extendedprice") * (lit(1) - l("l_discount")) * 100)) / 100.0)
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }),
+
+    // Q14-shaped: promo-type revenue share (conditional aggregation over a
+    // broadcast part join) — exact-cents numerator and denominator.
+    "q14_promo_share" -> ((s, dir) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          (sum(when(p("p_type").startsWith("PROMO"),
+            round(l("l_extendedprice") * (lit(1) - l("l_discount")) * 100))
+            .otherwise(lit(0))) / 100.0).as("promo_revenue"),
+          (sum(round(l("l_extendedprice") * (lit(1) - l("l_discount")) * 100)) / 100.0)
+            .as("total_revenue"))
+    }),
+
     // Bounded-heap top-k per group (typed Aggregator; shuffles k rows per
     // group instead of sorting whole partitions like window row_number).
     "topk_per_key" -> ((s, dir) =>
@@ -115,6 +145,19 @@ object HeadlineQueries {
        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
        "WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey " +
        "GROUP BY n.n_name"),
+    "q10_returned_items" ->
+      (s"SELECT c.c_custkey, c.c_name, c.c_mktsegment, $Rev " +
+       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+       "JOIN customer c ON o.o_custkey = c.c_custkey " +
+       "WHERE l.l_returnflag = 'R' " +
+       "GROUP BY c.c_custkey, c.c_name, c.c_mktsegment " +
+       "ORDER BY revenue DESC, c.c_custkey LIMIT 20"),
+    "q14_promo_share" ->
+      ("SELECT SUM(CASE WHEN p_type LIKE 'PROMO%' " +
+       "THEN ROUND(l_extendedprice * (1 - l_discount) * 100) ELSE 0 END) / 100.0 " +
+       "AS promo_revenue, " +
+       "SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100.0 AS total_revenue " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey"),
     "q4_order_priority" ->
       ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count " +
        "FROM orders o WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01' " +
