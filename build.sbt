@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream forked-run stdout through UNPREFIXED: the bench driver parses a
+// bare JSON line from the output tail, and sbt's default LoggedOutput
+// prepends "[info] " to every line, which breaks that parse.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

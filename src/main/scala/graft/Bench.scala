@@ -1,6 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every registered query against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE compact JSON line on stdout.
+  *
+  * The driver keeps only a ~2000-char tail of the output and parses the JSON
+  * line from it, so the line MUST (a) start with `{` at column 0 — build.sbt
+  * sets `run / outputStrategy := StdoutOutput` so sbt does not prepend
+  * `[info] ` — and (b) stay well under 2000 chars, so the per-query map is
+  * restricted to a fixed headline subset at 3-decimal precision. The full
+  * per-query map is written to `target/bench_full.json` for local analysis.
+  */
 object Bench {
+
+  /** Fixed headline subset reported in the JSON line (stable keys across
+    * rounds so totals and per-query times stay comparable). `value` is still
+    * the total over ALL registered queries.
+    */
+  private val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q10_returned_items",
+    "q14_promo_share", "m0_wide_table", "pipeline_gold_e2e",
+    "a1_dynamic_groupby_sql", "a2_static_agg14", "j7_geo_nn_assignment",
+    "j14_salted_skew_join", "k4_merge_upsert", "k4_merge_cdc",
+    "f5_dropduplicates", "dedup_exact_hash", "dedup_minhash_sig",
+    "dedup_lsh_near_pairs", "dedup_simhash", "ngram_jaccard_pairs",
+    "dedup_embedding_pairs", "sim_topk_bruteforce", "sim_ann_ivf",
+    "sim_ann_lsh", "mm_features", "text_stats", "text_lm_score",
+    "text_winnowing_fp", "text_token_bpe", "lang_id_ngram",
+    "events_sessions_batch", "events_windowed_agg", "win_row_number",
+    "sort_limit_topk", "u1_union"
+  )
+
+  private def f3(v: Double): String =
+    if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,13 +60,20 @@ object Bench {
         catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // Full detail for local analysis (not part of the driver contract).
+    val fullJson = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}")
+    try {
+      val out = new java.io.PrintWriter("target/bench_full.json")
+      try out.println(fullJson) finally out.close()
+    } catch { case _: Throwable => () }
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v)}"))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"n_failed":$nFailed,""" +
-      """"methodology":"noop-sink full-column materialization (rounds 1-2 used count(), which let column pruning skip per-column compute; totals are not comparable across that change)",""" +
+      """"methodology":"noop-sink all-columns; queries map = fixed headline subset, value = total over all",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }
