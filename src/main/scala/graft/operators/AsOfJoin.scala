@@ -34,23 +34,33 @@ object AsOfJoin {
       s"payload columns ${payloadCols.mkString(",")} collide with left side")
 
     // tag 0 = right, 1 = left: at equal time the right row sorts first, so
-    // `time >= rightTime` is inclusive (ASOF JOIN convention)
+    // `time >= rightTime` is inclusive (ASOF JOIN convention).
+    //
+    // The payload travels as ONE struct column, not per-column: a right row's
+    // struct is non-null even when individual payload FIELDS are null, so a
+    // single last(ignoreNulls) carries the whole matched row atomically.
+    // Per-column carries would skip a legitimately-null field and splice in
+    // an older row's value — mixing payload values from different right rows.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
     val taggedRight = right
-      .select((keyCols :+ timeCol).map(col) ++ payloadCols.map(col): _*)
+      .select((keyCols :+ timeCol).map(col)
+        :+ struct(payloadCols.map(col): _*).as("__payload"): _*)
       .withColumn("__tag", lit(0))
       .withColumns(leftCols.filterNot((keyCols :+ timeCol).contains)
         .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
     val taggedLeft = left.withColumn("__tag", lit(1))
-      .withColumns(payloadCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+      .withColumn("__payload", lit(null).cast(payloadType))
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedLeft.unionByName(taggedRight)
-      .withColumns(payloadCols.map(c => c -> last(col(c), ignoreNulls = true).over(w)).toMap)
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__tag")
+      .select(leftCols.map(col)
+        ++ payloadCols.map(c => col("__carried").getField(c).as(c)): _*)
   }
 
   /** Range join against a (typically small) table of [lo, hi) intervals:

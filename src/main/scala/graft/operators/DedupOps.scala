@@ -37,7 +37,13 @@ object DedupOps {
     val sameAsPrev = allCols
       .map(c => lag(col(c), 1).over(w) <=> col(c))
       .reduce(_ && _)
-    df.withColumn("__graft_dup", coalesce(sameAsPrev, lit(false)))
+    // row_number guard: for the first row of a partition every lag(c) is
+    // null, and for an ALL-NULL row `null <=> null` then holds for every
+    // column — without the guard that row would compare "equal to its
+    // (nonexistent) predecessor" and all its copies would be dropped.
+    // Same window spec, so both functions run in the single Window op.
+    val dup = row_number().over(w) > 1 && sameAsPrev
+    df.withColumn("__graft_dup", dup)
       .filter(!col("__graft_dup"))
       .drop("__graft_dup")
   }

@@ -48,11 +48,17 @@ object Pipeline {
       val raw = graft.queries.Q.scratch(sfDir, "pipeline_raw")
       val done = new org.apache.hadoop.fs.Path(s"$raw/_LANDED")
       val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // Fingerprint the source (row counts are parquet footer metadata —
-      // cheap): a landing cached for a REGENERATED source dataset must not
-      // be reused, or every downstream result silently diverges.
-      val fingerprint = Seq("orders", "lineitem", "nation")
-        .map(t => s"$t=${Tables.load(spark, sfDir, t).count()}").mkString(",")
+      // Fingerprint the source files by size + mtime (pure FS metadata, no
+      // data read): a landing cached for a REGENERATED source dataset must
+      // not be reused, or every downstream result silently diverges — and
+      // a regenerated file with the same ROW COUNT but different content
+      // would slip past a count-based fingerprint.
+      val fingerprint = Seq("orders", "lineitem", "nation").map { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+        val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p)
+        s"$t=${st.getLen}:${st.getModificationTime}"
+      }.mkString(",")
       val current =
         if (!fs.exists(done)) None
         else {

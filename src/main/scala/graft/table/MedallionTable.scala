@@ -272,10 +272,15 @@ final class MedallionTable(
       // the interrupted rewrite re-runs idempotently later
       val backups = litter().filter(_.getName.startsWith(s"${name}__graft_old_"))
       if (backups.nonEmpty) {
+        // Two crashed rewrites can leave two backups; the hash-suffixed
+        // names carry no order, so pick the NEWEST by modification time —
+        // restoring an arbitrary one could resurrect a stale state and
+        // then delete the latest committed copy as litter.
+        val newest = backups.maxBy(p => fs.getFileStatus(p).getModificationTime)
         fs.delete(dst, true) // drop a marker-only husk if present
-        if (!fs.rename(backups.head, dst))
+        if (!fs.rename(newest, dst))
           throw new java.io.IOException(
-            s"vacuum: restore failed: ${backups.head} -> $dst")
+            s"vacuum: restore failed: $newest -> $dst")
       } else if (litter().nonEmpty)
         // only tmp dirs but no live table and no backup: unknown state —
         // refuse to destroy what might be the only data

@@ -69,6 +69,27 @@ class AsOfBloomJoinSpec extends SparkSpec {
       "fixture must exercise both matched and unmatched trades")
   }
 
+  test("asOf carries a matched right row's NULL payload field as null, atomically") {
+    import spark.implicits._
+    // The matched (latest-prior) quote has px=null, qty=7: per-column
+    // last(ignoreNulls) would skip the null px and splice in the OLDER
+    // row's 100.0 — mixing payload values from two different right rows.
+    // The struct carry must emit (null, 7) from the single matched row.
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0), Some(3L)),
+      (1L, ts("2024-01-01 10:05:00"), None, Some(7L))
+    ).toDF("user_id", "ts", "px", "qty")
+    val trades = Seq((10L, 1L, ts("2024-01-01 10:06:00")))
+      .toDF("trade_id", "user_id", "ts")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("user_id"), "ts", Seq("px", "qty"))
+      .select("trade_id", "px", "qty").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 10L)
+    assert(r.isNullAt(1), s"null px must come through as null, got ${r.get(1)}")
+    assert(r.getLong(2) == 7L)
+  }
+
   test("asOf plan has no cartesian/broadcast-nested-loop join") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 00:00:00"), "a")).toDF("k", "ts", "payload_l")

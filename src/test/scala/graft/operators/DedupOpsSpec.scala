@@ -20,6 +20,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("an ALL-NULL duplicate row keeps exactly one copy (DISTINCT semantics)") {
+    import spark.implicits._
+    // For the first row of a partition lag(c) is null for every column, and
+    // null <=> null holds — without the row_number guard an all-null row
+    // compared "equal to its nonexistent predecessor" and ALL copies vanished.
+    val rows = Seq[(Option[Long], Option[String])](
+      (None, None), (None, None), (None, None),
+      (Some(1L), Some("a")), (Some(1L), Some("a")))
+    val df = rows.toDF("id", "s")
+    val got = DedupOps.dropDuplicatesSorted(df, "id").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        Option(r.getString(1)))).toSet
+    assert(got == Set((None, None), (Some(1L), Some("a"))))
+  }
+
   test("dedup + partitioned write reuse ONE exchange (no second shuffle)") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i.toLong % 500, i % 4)).toDF("id", "blk")

@@ -117,6 +117,28 @@ class MedallionTableSpec extends SparkSpec {
     assert(!f.exists(new Path(s"${p}__graft_old_c0ffee")))
   }
 
+  test("vacuum with TWO backups restores the newest by mtime, not listing order") {
+    import spark.implicits._
+    val p = tmpDir("mt_vacuum_two_backups")
+    val t = MedallionTable(spark, p)
+    val f = fs(p)
+    // two crashed rewrites in sequence: an older backup and a newer one;
+    // hash-suffixed names carry no recency order, so picking
+    // listStatus().head could resurrect the stale state and then delete
+    // the latest committed copy as litter
+    t.overwrite(Seq((1L, "stale")).toDF("id", "s"))
+    f.rename(new Path(p), new Path(s"${p}__graft_old_aaaaaa"))
+    Thread.sleep(1100) // local-fs mtime granularity can be 1s
+    t.overwrite(Seq((1L, "latest")).toDF("id", "s"))
+    f.rename(new Path(p), new Path(s"${p}__graft_old_zz9999"))
+    assert(!t.exists)
+    t.vacuum()
+    assert(t.read.collect().map(_.getString(1)).toSeq == Seq("latest"),
+      "vacuum must restore the NEWEST backup")
+    assert(!f.exists(new Path(s"${p}__graft_old_aaaaaa")))
+    assert(!f.exists(new Path(s"${p}__graft_old_zz9999")))
+  }
+
   test("changesSince emits the exact diff between a snapshot and live") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("mt_cdc"), retainVersions = 2)
