@@ -30,6 +30,18 @@ object Pipeline {
   /** Batch key analog of the reference's `data_block_id`. */
   private def blockId(c: org.apache.spark.sql.Column) = (c % 4).cast("int")
 
+  /** Run independent per-table branches as CONCURRENT Spark jobs: each
+    * branch alone plans far fewer tasks than the cluster has cores, so a
+    * serial chain leaves most of the executor idle. SparkSession is
+    * thread-safe for concurrent actions; branches touch disjoint paths.
+    */
+  private def inParallel(branches: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(branches.map(b => Future(b()))), Duration.Inf)
+  }
+
   def run(spark: SparkSession, sfDir: String, work: String): Unit = {
     val raw = Bronze.land(spark, sfDir)
     Bronze.run(spark, raw, work)
@@ -68,11 +80,17 @@ object Pipeline {
         }
       if (!current.contains(fingerprint)) {
         fs.delete(new org.apache.hadoop.fs.Path(raw), true)
-        Tables.orders(spark, sfDir).write.mode("overwrite")
-          .option("header", true).csv(s"$raw/orders")
-        Tables.lineitem(spark, sfDir).write.mode("overwrite")
-          .option("header", true).csv(s"$raw/lineitem")
-        Tables.nation(spark, sfDir).write.mode("overwrite").json(s"$raw/nation")
+        // repartition before the CSV write: the parquet source is a single
+        // file, so without it Spark plans 1-2 tasks for the write AND the
+        // downstream inference/parse reads see 1-2 files — serializing the
+        // two most expensive passes of the cold pipeline run
+        inParallel(
+          () => Tables.orders(spark, sfDir).repartition(16).write
+            .mode("overwrite").option("header", true).csv(s"$raw/orders"),
+          () => Tables.lineitem(spark, sfDir).repartition(16).write
+            .mode("overwrite").option("header", true).csv(s"$raw/lineitem"),
+          () => Tables.nation(spark, sfDir).write.mode("overwrite")
+            .json(s"$raw/nation"))
         val out = fs.create(done, true)
         try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
       }
@@ -110,19 +128,24 @@ object Pipeline {
       // repartition on the partition key before the partitioned write: one
       // file per partition value instead of tasks × values small files
       // (downstream mergeSchema reads pay per file footer)
-      val orders = csvInferredCached(spark, s"$raw/orders")
-        .withColumn("data_block_id", blockId($"o_orderkey"))
-      MedallionTable(spark, s"$work/bronze/orders", Seq("data_block_id"))
-        .append(orders.repartition($"data_block_id"))
-
-      val lineitem = csvInferredCached(spark, s"$raw/lineitem")
-        .withColumn("data_block_id", blockId($"l_orderkey"))
-      MedallionTable(spark, s"$work/bronze/lineitem", Seq("data_block_id"))
-        .append(lineitem.repartition($"data_block_id"))
-
-      // S2 — JSON inference; K2 — overwrite (static dim, like the county map).
-      val nation = spark.read.json(s"$raw/nation")
-      MedallionTable(spark, s"$work/bronze/nation").overwrite(nation)
+      inParallel(
+        () => {
+          val orders = csvInferredCached(spark, s"$raw/orders")
+            .withColumn("data_block_id", blockId($"o_orderkey"))
+          MedallionTable(spark, s"$work/bronze/orders", Seq("data_block_id"))
+            .append(orders.repartition($"data_block_id"))
+        },
+        () => {
+          val lineitem = csvInferredCached(spark, s"$raw/lineitem")
+            .withColumn("data_block_id", blockId($"l_orderkey"))
+          MedallionTable(spark, s"$work/bronze/lineitem", Seq("data_block_id"))
+            .append(lineitem.repartition($"data_block_id"))
+        },
+        () => {
+          // S2 — JSON inference; K2 — overwrite (static dim, like the county map).
+          val nation = spark.read.json(s"$raw/nation")
+          MedallionTable(spark, s"$work/bronze/nation").overwrite(nation)
+        })
     }
   }
 
@@ -137,6 +160,7 @@ object Pipeline {
       // would fuse dedup with the block-partitioned write layout, but its
       // parallelism is bounded by block cardinality — only 4 here; use it
       // when |partitions| ≥ cores.)
+      def ordersBranch(): Unit = {
       val orders = MedallionTable(spark, s"$work/bronze/orders").read
         .na.drop("any")
         .filter($"o_totalprice" =!= 0.0)
@@ -144,12 +168,14 @@ object Pipeline {
       MedallionTable(spark, s"$work/silver/orders", Seq("data_block_id"))
         .createOrMerge(orders.repartition($"data_block_id"),
           Seq("o_orderkey", "data_block_id"))
+      }
 
       // Availability datetime derivation (P2, silver_table_creation.py:137)
       // plus a content-derived row_id merge key — the reference's train
       // table merges on `row_id` (silver_table_creation.py:49) because
       // business columns alone are not unique; same here (lineitem rows can
       // share orderkey/linenumber/partkey/suppkey).
+      def lineitemBranch(): Unit = {
       val cleaned = MedallionTable(spark, s"$work/bronze/lineitem").read
         .na.drop("any")
         .dropDuplicates()
@@ -161,9 +187,11 @@ object Pipeline {
       MedallionTable(spark, s"$work/silver/lineitem", Seq("data_block_id"))
         .createOrMerge(lineitem.repartition($"data_block_id"),
           Seq("l_row_id", "data_block_id"))
+      }
 
       // Station→county NN assignment, Spark-native J7
       // (silver_table_creation.py:246-287 without the collect()s).
+      def stationsBranch(): Unit = {
       val st = MedallionTable(spark, s"$work/bronze/nation").read.select(
         $"n_nationkey".cast("int").as("station_id"),
         (lit(-60.0) + $"n_nationkey" * 4.7).as("lat"),
@@ -182,6 +210,9 @@ object Pipeline {
         .select($"station_id", $"lat", $"lon", $"county")
       MedallionTable(spark, s"$work/silver/stations")
         .overwrite(labeled.unionByName(assigned)) // U1 + K2
+      }
+
+      inParallel(ordersBranch _, lineitemBranch _, stationsBranch _)
     }
   }
 

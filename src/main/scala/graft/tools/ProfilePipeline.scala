@@ -1,46 +1,36 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import graft.pipeline.Pipeline
+import graft.queries.Q
 
-/** Dev profiler: per-stage wall times for the slow bench queries (not part
-  * of the driver contract; run ad hoc with `runMain graft.tools.ProfilePipeline <sfDir>`).
-  */
+/** Local profiling aid: per-stage wall-clock of the medallion pipeline. */
 object ProfilePipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val work = Q.scratch(sfDir, "pipeline_profile")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STAGE $name%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
-
-    val work = graft.queries.Q.scratch(sfDir, "profile_pipeline")
-    graft.queries.Q.deleteDir(spark, work)
-    val raw = timed("raw landing")(graft.pipeline.Pipeline.Bronze.land(spark, sfDir))
-    timed("bronze")(graft.pipeline.Pipeline.Bronze.run(spark, raw, work))
-    timed("silver")(graft.pipeline.Pipeline.Silver.run(spark, work))
-    timed("gold")(graft.pipeline.Pipeline.Gold.run(spark, work))
-    timed("gold re-run (merge path)")(graft.pipeline.Pipeline.Gold.run(spark, work))
-
-    timed("text_lm_score")(
-      graft.text.NgramLM.selfScore(
-        graft.Tables.documents(spark, sfDir), "doc_id", "text").count())
-    timed("text_winnowing_fp")(
-      graft.dedup.Winnowing.fingerprintIndex(
-        graft.Tables.documents(spark, sfDir), "doc_id", "text").count())
-    timed("sort_limit_topk")(
-      graft.queries.Relational.defs("sort_limit_topk")(spark, sfDir).count())
-    timed("sim_ann_ivf")(
-      graft.queries.PipelineOpsQueries.defs("sim_ann_ivf")(spark, sfDir).count())
+    (1 to 2).foreach { i =>
+      println(s"--- run $i ---")
+      t("total") {
+        Q.deleteDir(spark, work)
+        val raw = t("land")(Pipeline.Bronze.land(spark, sfDir))
+        t("bronze")(Pipeline.Bronze.run(spark, raw, work))
+        t("silver")(Pipeline.Silver.run(spark, work))
+        t("gold")(Pipeline.Gold.run(spark, work))
+        t("readback")(spark.read.option("mergeSchema", true)
+          .parquet(s"$work/gold/wide_orders").write.format("noop")
+          .mode("overwrite").save())
+      }
+    }
     spark.stop()
   }
 }
