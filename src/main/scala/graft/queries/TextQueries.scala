@@ -179,7 +179,45 @@ object TextQueries {
         .where(s"SIZE($TokensExpr) >= 3")
         .selectExpr("doc_id", "graft_md5_minhash(text, 4) AS __sig")
         .selectExpr(Seq("doc_id") ++ sigCols: _*)
-    })
+    }),
+
+    // Oracle-able SimHash (16-bit, MD5 bit-planes over whitespace tokens).
+    // Each token votes ±1 per bit; bit = 1 iff the vote sum is >= 0. The
+    // hex-digit arithmetic (INSTR on the hex alphabet, DIV/% bit extract)
+    // is engine-independent, unlike the xxhash-based 64-bit fast path in
+    // `dedup_simhash` (graft.dedup.SimHash) — this twin proves the simhash
+    // SEMANTICS cross-engine; the native expression covers scale.
+    "dedup_simhash_md5" -> ((s, dir) => {
+      val bitSums = (0 until 16).map { b =>
+        val k = 1 + b / 4; val p = 1 << (b % 4)
+        s"SUM(CASE WHEN (CAST(INSTR('0123456789abcdef', SUBSTR(MD5(t), $k, 1)) - 1 AS INT) DIV $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }
+      val code = (0 until 16)
+        .map(b => s"(CASE WHEN s$b >= 0 THEN 1 ELSE 0 END) * ${1 << b}")
+        .mkString(" + ")
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"EXPLODE($TokensExpr) AS t")
+        .groupBy("doc_id")
+        .agg(expr(bitSums.head), bitSums.tail.map(expr): _*)
+        .selectExpr("doc_id", s"CAST($code AS INT) AS simhash16")
+    }),
+
+    // Oracle-able winnowing (MD5 char-5-gram hashes, window 4, distinct
+    // window minima): same window-min shape as graft.dedup.Winnowing but
+    // with engine-independent hashes and position-free output — proves the
+    // fingerprint-set semantics cross-engine; the rolling-hash native
+    // expression covers scale. Bounded to 100 docs like text_winnow_pairs.
+    "text_winnow_md5" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where("doc_id < 100")
+        .selectExpr("doc_id",
+          "LOWER(REGEXP_REPLACE(text, '\\\\s+', ' ')) AS norm")
+        .where("LENGTH(norm) >= 8")
+        .selectExpr("doc_id",
+          "TRANSFORM(SEQUENCE(1, LENGTH(norm) - 4), i -> MD5(SUBSTRING(norm, i, 5))) AS hs")
+        .selectExpr("doc_id",
+          "ARRAY_DISTINCT(TRANSFORM(SEQUENCE(1, SIZE(hs) - 3), j -> ARRAY_MIN(SLICE(hs, j, 4)))) AS fps")
+        .selectExpr("doc_id", "EXPLODE(fps) AS fp"))
   )
 
   private val DuckTokens = "regexp_extract_all(text, '\\S+')"
@@ -296,6 +334,34 @@ object TextQueries {
         s"LIST_MIN(list_transform($duckShingles, sh -> MD5('$k:' || sh))) AS mh_$k"
       }.mkString(", ")
       s"SELECT doc_id, $sigCols FROM documents WHERE LEN($DuckTokens) >= 3"
-    }
+    },
+    "dedup_simhash_md5" -> {
+      val bitSums = (0 until 16).map { b =>
+        val k = 1 + b / 4; val p = 1 << (b % 4)
+        s"SUM(CASE WHEN (CAST(strpos('0123456789abcdef', substr(md5(t), $k, 1)) - 1 AS INTEGER) // $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(", ")
+      val code = (0 until 16)
+        .map(b => s"(CASE WHEN s$b >= 0 THEN 1 ELSE 0 END) * ${1 << b}")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST($code AS INTEGER) AS simhash16 FROM (
+         |  SELECT doc_id, $bitSums
+         |  FROM (SELECT doc_id, unnest($DuckTokens) AS t FROM documents)
+         |  GROUP BY doc_id)""".stripMargin
+    },
+    "text_winnow_md5" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id < 100),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(norm) - 3),
+        |      i -> md5(substr(norm, CAST(i AS INTEGER), 5))) AS hs
+        |  FROM n WHERE length(norm) >= 8),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 2),
+        |      j -> list_aggregate(hs[CAST(j AS INTEGER):CAST(j+3 AS INTEGER)], 'min'))) AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin
   )
 }
