@@ -49,15 +49,39 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try Tables.lineitem(spark, sfDir).limit(10).count()
     catch { case _: Throwable => () }
+    // Per-query watchdog (same job-group-cancel shape as Verify): one
+    // pathological query must not erase the whole round's performance
+    // evidence — round 4's bench hung for ~59 minutes on a single query
+    // and was killed, leaving no JSON at all. On timeout the query records
+    // -1 and the run moves on.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: computes EVERY output column (count() lets column
       // pruning skip per-column work entirely, hiding expression cost)
-      // without paying sink I/O. A failed query records -1, never its
-      // time-to-failure (which would read as a speedup).
+      // without paying sink I/O. A failed/timed-out query records -1,
+      // never its time-to-failure (which would read as a speedup).
+      val work = Future {
+        // Job-group properties are thread-local: set them on the thread
+        // that submits the Spark jobs, or cancelJobGroup cancels nothing.
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        finally spark.sparkContext.clearJobGroup()
+      }
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
+        try { Await.result(work, timeout.seconds); true }
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            System.err.println(s"[bench] $name timed out after ${timeout}s (cancelled)")
+            false
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val total = results.values.filter(_ >= 0).sum

@@ -38,8 +38,15 @@ object Pipeline {
   private def inParallel(branches: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.Try
     implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.sequence(branches.map(b => Future(b()))), Duration.Inf)
+    // Settle ALL branches before surfacing the first failure: a fail-fast
+    // Await would return while sibling branches are still writing to the
+    // shared work/scratch dirs, racing whatever the caller does next
+    // (re-run, cleanup, the next stage).
+    val settled = Await.result(
+      Future.sequence(branches.map(b => Future(Try(b())))), Duration.Inf)
+    settled.foreach(_.get) // rethrows the first failure, if any
   }
 
   def run(spark: SparkSession, sfDir: String, work: String): Unit = {
@@ -67,9 +74,19 @@ object Pipeline {
       // would slip past a count-based fingerprint.
       val fingerprint = Seq("orders", "lineitem", "nation").map { t =>
         val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
-        val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getFileStatus(p)
-        s"$t=${st.getLen}:${st.getModificationTime}"
+        val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = pfs.getFileStatus(p)
+        // A parquet DIRECTORY stats as len=0 with an mtime that does not
+        // change when a child part-file is rewritten in place — fold
+        // size+mtime over the children instead so a regenerated source
+        // never reuses a stale landing.
+        val (len, mtime) =
+          if (st.isDirectory) {
+            val kids = pfs.listStatus(p).filter(_.isFile)
+            (kids.map(_.getLen).sum,
+              kids.map(_.getModificationTime).foldLeft(0L)(math.max))
+          } else (st.getLen, st.getModificationTime)
+        s"$t=$len:$mtime"
       }.mkString(",")
       val current =
         if (!fs.exists(done)) None

@@ -70,10 +70,11 @@ object TextQueries {
     }),
 
     // Document fingerprint: digest of whitespace-normalized lowercased text.
+    // Explicit whitespace class: Java \s ⊃ RE2 \s on \x0B (ADVICE r4).
     "text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).selectExpr(
         "doc_id",
-        "MD5(LOWER(REGEXP_REPLACE(text, '\\\\s+', ' '))) AS fp")
+        "MD5(LOWER(REGEXP_REPLACE(text, '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' '))) AS fp")
     }),
 
     // Language distribution over the typed lang column.
@@ -188,15 +189,23 @@ object TextQueries {
     // `dedup_simhash` (graft.dedup.SimHash) — this twin proves the simhash
     // SEMANTICS cross-engine; the native expression covers scale.
     "dedup_simhash_md5" -> ((s, dir) => {
+      // The digest is hoisted into a pre-projection: MD5 inside each of the
+      // 16 SUMs would hash every token 16× (measured ~7.4 s at sf0.1).
       val bitSums = (0 until 16).map { b =>
         val k = 1 + b / 4; val p = 1 << (b % 4)
-        s"SUM(CASE WHEN (CAST(INSTR('0123456789abcdef', SUBSTR(MD5(t), $k, 1)) - 1 AS INT) DIV $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+        s"SUM(CASE WHEN (CAST(INSTR('0123456789abcdef', SUBSTR(h, $k, 1)) - 1 AS INT) DIV $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
       }
       val code = (0 until 16)
         .map(b => s"(CASE WHEN s$b >= 0 THEN 1 ELSE 0 END) * ${1 << b}")
         .mkString(" + ")
       Tables.documents(s, dir)
+        // Repartition by doc_id before the token explode: parallelizes the
+        // tokenize+hash fan-out across cores (single-file scan = one task)
+        // and pre-clusters for the groupBy — one shuffle total, carrying
+        // documents, not tokens.
+        .repartition(col("doc_id"))
         .selectExpr("doc_id", s"EXPLODE($TokensExpr) AS t")
+        .selectExpr("doc_id", "MD5(t) AS h")
         .groupBy("doc_id")
         .agg(expr(bitSums.head), bitSums.tail.map(expr): _*)
         .selectExpr("doc_id", s"CAST($code AS INT) AS simhash16")
@@ -207,17 +216,37 @@ object TextQueries {
     // with engine-independent hashes and position-free output — proves the
     // fingerprint-set semantics cross-engine; the rolling-hash native
     // expression covers scale. Bounded to 100 docs like text_winnow_pairs.
-    "text_winnow_md5" -> ((s, dir) =>
+    //
+    // Shape: ROWS, not nested array lambdas. The earlier TRANSFORM-over-
+    // SLICE formulation was quadratic after InferFiltersFromGenerate +
+    // CollapseProject inlined `norm` into the innermost lambda (every
+    // window re-ran the regex over the whole document, interpreted) — it
+    // hung the round-4 bench. Explode positions, hash per row (codegen'd,
+    // linear), take the 4-row window min per doc, distinct. The whitespace
+    // class is spelled out because Java's \s includes \x0B where RE2's
+    // does not (ADVICE r4).
+    "text_winnow_md5" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
       Tables.documents(s, dir)
         .where("doc_id < 100")
+        // Repartition by doc_id BEFORE the explode: the source is one
+        // parquet file, so without it a single scan task pays the whole
+        // explode+hash fan-out. Hash-partitioning on doc_id also satisfies
+        // the window's and distinct's clustering — no further shuffle.
+        .repartition(col("doc_id"))
         .selectExpr("doc_id",
-          "LOWER(REGEXP_REPLACE(text, '\\\\s+', ' ')) AS norm")
+          "LOWER(REGEXP_REPLACE(text, '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' ')) AS norm")
         .where("LENGTH(norm) >= 8")
-        .selectExpr("doc_id",
-          "TRANSFORM(SEQUENCE(1, LENGTH(norm) - 4), i -> MD5(SUBSTRING(norm, i, 5))) AS hs")
-        .selectExpr("doc_id",
-          "ARRAY_DISTINCT(TRANSFORM(SEQUENCE(1, SIZE(hs) - 3), j -> ARRAY_MIN(SLICE(hs, j, 4)))) AS fps")
-        .selectExpr("doc_id", "EXPLODE(fps) AS fp"))
+        .selectExpr("doc_id", "LENGTH(norm) - 4 AS n_h", "norm",
+          "EXPLODE(SEQUENCE(1, LENGTH(norm) - 4)) AS i")
+        .selectExpr("doc_id", "n_h", "i", "MD5(SUBSTRING(norm, i, 5)) AS h")
+        .withColumn("fp",
+          min($"h").over(Window.partitionBy($"doc_id").orderBy($"i").rowsBetween(0, 3)))
+        .where($"i" <= $"n_h" - 3)
+        .select($"doc_id", $"fp")
+        .distinct()
+    })
   )
 
   private val DuckTokens = "regexp_extract_all(text, '\\S+')"
@@ -249,7 +278,7 @@ object TextQueries {
        s"CAST(LEN(LIST_FILTER($DuckTokens, t -> t IN (${inList(Stopwords)}))) AS INTEGER) AS n_stop " +
        "FROM documents)"),
     "text_fingerprint" ->
-      ("SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fp " +
+      ("SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp " +
        "FROM documents"),
     "lang_dist" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(n_chars) AS min_chars, " +
@@ -350,7 +379,7 @@ object TextQueries {
     },
     "text_winnow_md5" ->
       """WITH n AS (
-        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |  FROM documents WHERE doc_id < 100),
         |h AS (
         |  SELECT doc_id,

@@ -128,7 +128,11 @@ final class MedallionTable(
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"${path}__graft_tmp_$suffix")
     val dst = new Path(path)
-    val backup = new Path(s"${path}__graft_old_$suffix")
+    // The backup name embeds a monotonic ordinal: local-fs mtime can have
+    // 1 s granularity, so two crashed rewrites inside one tick would make
+    // a pick-newest-by-mtime vacuum arbitrary (and possibly restore the
+    // stale state). vacuum() prefers the ordinal, mtime only for legacy.
+    val backup = new Path(s"${path}__graft_old_${System.nanoTime()}_$suffix")
     var written = false
     try {
       val w = writerTweak(newData.write.mode(SaveMode.Overwrite))
@@ -216,24 +220,52 @@ final class MedallionTable(
   }
 
   /** Z-order clustering: interleave the bit patterns of each cluster
-    * column's global rank-bucket so files get tight min/max ranges on ALL
+    * column's quantile-bucket so files get tight min/max ranges on ALL
     * cluster columns at once (lexicographic range clustering only helps
     * the leading column). 8 bits per column, up to 4 columns.
     *
-    * Rank-bucketing uses `ntile` over a global sort — a table-maintenance
-    * cost (like Delta's OPTIMIZE ZORDER), not a query cost.
+    * Bucketing derives 255 cut-points per column from `approxQuantile`
+    * (a distributed sketch; the driver sees ≤255 doubles per column) and
+    * maps each value to its bucket with a narrow codegen'd expression —
+    * NO global sort anywhere: the earlier `ntile` formulation funneled the
+    * whole table through one task per cluster column, a scale-killer for
+    * the 100 TB maintenance path. Strings/binaries bucket on an
+    * order-preserving 6-byte big-endian prefix (exact in a double), the
+    * same truncation real Z-order implementations use.
     */
   def compactZOrder(clusterBy: Seq[String], nFiles: Int = 0): Unit = {
     require(clusterBy.nonEmpty && clusterBy.size <= 4, "1-4 z-order columns")
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val df = read
     val n = if (nFiles > 0) nFiles
       else math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
     val bits = 8
-    val bucketed = clusterBy.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      d.withColumn(s"__graft_zb_$i",
-        (ntile(1 << bits).over(Window.orderBy(col(c))) - 1).cast("long"))
+    def surrogate(c: String): Column = df.schema(c).dataType match {
+      case _: NumericType | BooleanType => col(c).cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case _: TimestampType | TimestampNTZType => unix_micros(col(c)).cast("double")
+      case StringType | BinaryType =>
+        // 6-byte zero-padded big-endian prefix: lexicographic byte order
+        // == numeric order, and 48 bits are exactly representable in the
+        // double that approxQuantile works over.
+        expr(s"CAST(CONV(HEX(RPAD(CAST(`$c` AS BINARY), 6, X'00')), 16, 10) AS DOUBLE)")
+      case other =>
+        throw new IllegalArgumentException(s"cannot z-order column $c of type $other")
+    }
+    val withSurr = clusterBy.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__graft_zs_$i", surrogate(c))
+    }
+    val surrCols = clusterBy.indices.map(i => s"__graft_zs_$i").toArray
+    val cuts = withSurr.stat.approxQuantile(
+      surrCols, (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray, 0.001)
+    // bucket id = number of cut-points strictly below the value (nulls →
+    // bucket 0) — monotone in the column, computed row-local.
+    val bucketed = clusterBy.indices.foldLeft(withSurr) { case (d, i) =>
+      val bucket = cuts(i).distinct.sorted.map(cp =>
+        when(col(s"__graft_zs_$i") > lit(cp), 1L).otherwise(0L): Column)
+        .foldLeft(lit(0L))(_ + _)
+      d.withColumn(s"__graft_zb_$i", bucket)
     }
     // interleave: bit b of column i lands at position b*numCols + i
     val z = (0 until bits).flatMap { b =>
@@ -246,7 +278,8 @@ final class MedallionTable(
     val shaped = bucketed.withColumn("__graft_z", z)
       .repartitionByRange(n, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
-      .drop((clusterBy.indices.map(i => s"__graft_zb_$i") :+ "__graft_z"): _*)
+      .drop((clusterBy.indices.flatMap(i =>
+        Seq(s"__graft_zb_$i", s"__graft_zs_$i")) :+ "__graft_z"): _*)
     rewriteVia(shaped)
   }
 
@@ -272,11 +305,18 @@ final class MedallionTable(
       // the interrupted rewrite re-runs idempotently later
       val backups = litter().filter(_.getName.startsWith(s"${name}__graft_old_"))
       if (backups.nonEmpty) {
-        // Two crashed rewrites can leave two backups; the hash-suffixed
-        // names carry no order, so pick the NEWEST by modification time —
-        // restoring an arbitrary one could resurrect a stale state and
-        // then delete the latest committed copy as litter.
-        val newest = backups.maxBy(p => fs.getFileStatus(p).getModificationTime)
+        // Two crashed rewrites can leave two backups; restore the NEWEST —
+        // an arbitrary pick could resurrect a stale state and then delete
+        // the latest committed copy as litter. Prefer the monotonic
+        // ordinal embedded in the name at rename time; fall back to mtime
+        // for legacy hash-only names (mtime granularity can be 1 s).
+        def ordinal(p: Path): Long = {
+          val digits = p.getName.stripPrefix(s"${name}__graft_old_")
+            .takeWhile(_.isDigit)
+          if (digits.isEmpty) -1L else digits.toLong
+        }
+        val newest = backups.maxBy(p =>
+          (ordinal(p), fs.getFileStatus(p).getModificationTime))
         fs.delete(dst, true) // drop a marker-only husk if present
         if (!fs.rename(newest, dst))
           throw new java.io.IOException(
