@@ -1,0 +1,27 @@
+#!/usr/bin/env python3
+"""Per-query bench budget gate: fails if any query in target/bench_full.json
+exceeds the budget or recorded -1 (failed/timed out).
+
+Usage: python3 scripts/benchgate.py [budget_sec] [bench_full.json]
+
+Run AFTER the last code change of a round (a query added after the final
+bench run is exactly how round 4 shipped a bench-killer): the sf0.1 bench
+writes target/bench_full.json, then this gate proves no query is
+pathological before the driver ever sees it.
+"""
+import json, sys
+
+budget = float(sys.argv[1]) if len(sys.argv) > 1 else 30.0
+path = sys.argv[2] if len(sys.argv) > 2 else "target/bench_full.json"
+
+d = json.load(open(path))
+failed = {k: v for k, v in d.items() if v < 0}
+slow = {k: v for k, v in d.items() if v > budget}
+for k, v in sorted(failed.items()):
+    print(f"FAIL {k}: recorded -1 (error or watchdog timeout)")
+for k, v in sorted(slow.items(), key=lambda x: -x[1]):
+    print(f"SLOW {k}: {v:.1f}s > budget {budget:.0f}s")
+total = sum(v for v in d.values() if v >= 0)
+print(f"\n{len(d)} queries, total {total:.1f}s, {len(failed)} failed, "
+      f"{len(slow)} over budget")
+sys.exit(1 if failed or slow else 0)

@@ -105,11 +105,22 @@ object PipelineOpsQueries {
     }),
 
     // Multimodal feature extraction (mapPartitions batch shape; rows-only —
-    // the checksum has no SQL twin).
+    // the checksum has no SQL twin). Image/audio branches really decode
+    // the BMP/WAV payloads (see MultimodalOps).
     "mm_features" -> ((s, dir) => {
       val assets = MultimodalOps.assetsFromDocuments(Tables.documents(s, dir))
       MultimodalOps.extractFeatures(assets).toDF()
         .select("asset_id", "kind", "n_bytes", "checksum")
+    }),
+
+    // REAL image decode, oracle-checked: the BMP payload built from the
+    // text bytes is decoded with ImageIO and reduced to decoded dims +
+    // the exact integer sum of all channel values; the oracle recomputes
+    // the same sum straight from the text bytes (the pixel stream cycles
+    // them), so any header/stride/padding/channel bug breaks the match.
+    "mm_decode_image" -> ((s, dir) => {
+      val assets = MultimodalOps.assetsFromDocuments(Tables.documents(s, dir))
+      MultimodalOps.decodeImageStats(assets)
     }),
 
     // Streaming transform exercised on the batch events table (the same
@@ -174,16 +185,36 @@ object PipelineOpsQueries {
       ("SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
+    // n_bytes mirrors the real container sizes: a 64×64 24-bit BMP after
+    // the real resize re-encode (54-byte headers + 64 rows of 192 bytes),
+    // a PCM-16 WAV (44-byte header + 2 bytes/sample), raw bytes for the
+    // stubbed video kind.
     "mm_resize_meta" ->
       ("""SELECT doc_id AS asset_id,
          |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
          |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         |  CAST(CASE WHEN doc_id % 3 = 1 THEN LENGTH(text) % 640 + 16
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN OCTET_LENGTH(ENCODE(text)) % 640 + 16
          |            ELSE 64 END AS INTEGER) AS width,
-         |  CAST(CASE WHEN doc_id % 3 = 1 THEN LENGTH(text) % 480 + 16
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN OCTET_LENGTH(ENCODE(text)) % 480 + 16
          |            ELSE 64 END AS INTEGER) AS height,
-         |  CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes
+         |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         |       WHEN 0 THEN 54 + 64 * 192
+         |       WHEN 1 THEN 44 + 2 * OCTET_LENGTH(ENCODE(text))
+         |       ELSE OCTET_LENGTH(ENCODE(text)) END AS INTEGER) AS n_bytes
          |FROM documents""".stripMargin),
+    "mm_decode_image" ->
+      ("""WITH img AS (
+         |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,
+         |         OCTET_LENGTH(ENCODE(text)) % 48 + 8 AS w,
+         |         OCTET_LENGTH(ENCODE(text)) % 32 + 8 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |px AS (
+         |  SELECT doc_id, w, h, n, text, unnest(range(0, w * h * 3)) AS i
+         |  FROM img)
+         |SELECT doc_id AS asset_id, CAST(w AS INTEGER) AS dec_w,
+         |       CAST(h AS INTEGER) AS dec_h,
+         |       CAST(SUM(ascii(text[CAST(i % n AS INTEGER) + 1])) AS BIGINT) AS px_sum
+         |FROM px GROUP BY 1, 2, 3""".stripMargin),
     "mm_frame_count" ->
       ("SELECT doc_id AS asset_id, " +
        "CAST(CEIL(CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) / 64) AS BIGINT) " +

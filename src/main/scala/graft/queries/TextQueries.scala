@@ -182,6 +182,21 @@ object TextQueries {
         .selectExpr(Seq("doc_id") ++ sigCols: _*)
     }),
 
+    // Oracle-able LSH banding over the MD5 MinHash signature: 2 bands of
+    // 2 hashes, band key = MD5 of the concatenated band — the
+    // signature→band→bucket-key step of the LSH join, proven cross-engine
+    // (the xxhash64 scale path is graft_xx_minhash_bands, rows-only).
+    "dedup_lsh_bands_md5" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .where(s"SIZE($TokensExpr) >= 3")
+        .selectExpr("doc_id", "graft_md5_minhash(text, 4) AS sig")
+        .selectExpr("doc_id",
+          "STACK(2, 0, MD5(CONCAT(ELEMENT_AT(sig, 1), ELEMENT_AT(sig, 2))), " +
+            "1, MD5(CONCAT(ELEMENT_AT(sig, 3), ELEMENT_AT(sig, 4)))) " +
+            "AS (band_idx, band_key)")
+    }),
+
     // Oracle-able SimHash (16-bit, MD5 bit-planes over whitespace tokens).
     // Each token votes ±1 per bit; bit = 1 iff the vote sum is >= 0. The
     // hex-digit arithmetic (INSTR on the hex alphabet, DIV/% bit extract)
@@ -363,6 +378,19 @@ object TextQueries {
         s"LIST_MIN(list_transform($duckShingles, sh -> MD5('$k:' || sh))) AS mh_$k"
       }.mkString(", ")
       s"SELECT doc_id, $sigCols FROM documents WHERE LEN($DuckTokens) >= 3"
+    },
+    "dedup_lsh_bands_md5" -> {
+      val duckShingles =
+        s"list_transform(range(1, len($DuckTokens) - 1), " +
+          s"i -> ($DuckTokens)[i] || ' ' || ($DuckTokens)[i+1] || ' ' || ($DuckTokens)[i+2])"
+      val sigCols = (0 until 4).map { k =>
+        s"LIST_MIN(list_transform($duckShingles, sh -> MD5('$k:' || sh))) AS mh_$k"
+      }.mkString(", ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $sigCols FROM documents WHERE LEN($DuckTokens) >= 3)
+         |SELECT doc_id, CAST(0 AS INTEGER) AS band_idx, md5(mh_0 || mh_1) AS band_key FROM sigs
+         |UNION ALL
+         |SELECT doc_id, CAST(1 AS INTEGER), md5(mh_2 || mh_3) FROM sigs""".stripMargin
     },
     "dedup_simhash_md5" -> {
       val bitSums = (0 until 16).map { b =>

@@ -147,4 +147,56 @@ class MultimodalSpec extends SparkSpec {
       else assert((a.width, a.height) == ((224, 224)))
     }
   }
+
+  test("BMP encode/ImageIO decode roundtrip is pixel-exact") {
+    // 3×2 with distinct per-channel values: catches channel order, the
+    // bottom-up row flip, and the 4-byte row padding (3*3=9 → pad to 12).
+    val pix = (x: Int, y: Int, c: Int) => (y * 90 + x * 30 + c * 10) % 256
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MultimodalOps.Bmp.encode(3, 2, pix)))
+    assert(img.getWidth == 3 && img.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) ==
+        ((pix(x, y, 0), pix(x, y, 1), pix(x, y, 2))))
+    }
+  }
+
+  test("WAV encode/AudioSystem decode roundtrip is sample-exact") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 42)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(MultimodalOps.Wav.encode(16000, samples)))
+    assert(in.getFormat.getSampleRate == 16000f)
+    assert(in.getFormat.getSampleSizeInBits == 16)
+    val bytes = in.readAllBytes()
+    val decoded = Array.tabulate(bytes.length / 2)(i =>
+      (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort)
+    assert(decoded.toSeq == samples.toSeq)
+  }
+
+  test("decodeImageStats recovers dims and exact pixel sum from the payload") {
+    val stats = MultimodalOps.decodeImageStats(MultimodalOps.assetsFromDocuments(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(stats.length == 1) // doc_id 0 is the only image
+    val (id, w, h, pxSum) = stats.head
+    val tb = ("abcdefgh" * 20).getBytes("UTF-8")
+    val (ew, eh) = MultimodalOps.imageDims(tb.length)
+    val expected = (0L until (ew.toLong * eh * 3))
+      .map(i => (tb((i % tb.length).toInt) & 0xff).toLong).sum
+    assert((id, w, h) == ((0L, ew, eh)))
+    assert(pxSum == expected)
+  }
+
+  test("extractFeatures decodes audio to the real mean/RMS of the samples") {
+    val feats = MultimodalOps.extractFeatures(MultimodalOps.assetsFromDocuments(docs))
+      .collect().filter(_.kind == "audio")
+    assert(feats.length == 1) // doc_id 1
+    val tb = ("watermelon sugar " * 10).getBytes("UTF-8")
+    val samples = tb.map(b => (((b & 0xff) - 128) * 256).toDouble)
+    val mean = samples.sum / samples.length
+    val rms = math.sqrt(samples.map(s => s * s).sum / samples.length)
+    val f = feats.head.feat
+    assert(math.abs(f(2) - (mean / 32768f)) < 1e-4)
+    assert(math.abs(f(3) - (rms / 32768f)) < 1e-4)
+  }
 }
