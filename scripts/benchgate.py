@@ -9,10 +9,18 @@ bench run is exactly how round 4 shipped a bench-killer): the sf0.1 bench
 writes target/bench_full.json, then this gate proves no query is
 pathological before the driver ever sees it.
 """
-import json, sys
+import json, os, sys, time
 
 budget = float(sys.argv[1]) if len(sys.argv) > 1 else 30.0
 path = sys.argv[2] if len(sys.argv) > 2 else "target/bench_full.json"
+
+# Freshness: a bench run that crashed before writing the file would leave
+# a STALE json from an earlier run — gating on it would "pass" code that
+# was never benched. Refuse anything older than an hour.
+age = time.time() - os.path.getmtime(path)
+if age > 3600:
+    print(f"STALE {path}: written {age/60:.0f} min ago — re-run the bench first")
+    sys.exit(1)
 
 d = json.load(open(path))
 failed = {k: v for k, v in d.items() if v < 0}

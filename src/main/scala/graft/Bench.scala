@@ -64,9 +64,11 @@ object Bench {
       // pruning skip per-column work entirely, hiding expression cost)
       // without paying sink I/O. A failed/timed-out query records -1,
       // never its time-to-failure (which would read as a speedup).
+      val workerThread = new java.util.concurrent.atomic.AtomicReference[Thread]()
       val work = Future {
         // Job-group properties are thread-local: set them on the thread
         // that submits the Spark jobs, or cancelJobGroup cancels nothing.
+        workerThread.set(Thread.currentThread())
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         finally spark.sparkContext.clearJobGroup()
@@ -75,7 +77,21 @@ object Bench {
         try { Await.result(work, timeout.seconds); true }
         catch {
           case _: java.util.concurrent.TimeoutException =>
+            // cancelJobGroup only reaches ACTIVE jobs — a query hung in
+            // driver-side planning (the round-4 failure class) or between
+            // AQE jobs would sail past one cancel. Interrupt the worker
+            // and keep re-cancelling until it actually stops, so the
+            // runaway can't burn cores under every later measurement.
             spark.sparkContext.cancelJobGroup(name)
+            Option(workerThread.get()).foreach(_.interrupt())
+            val canceller = new Thread(() => {
+              while (!work.isCompleted) {
+                Thread.sleep(5000)
+                spark.sparkContext.cancelJobGroup(name)
+              }
+            }, s"bench-cancel-$name")
+            canceller.setDaemon(true)
+            canceller.start()
             System.err.println(s"[bench] $name timed out after ${timeout}s (cancelled)")
             false
           case e: Throwable =>

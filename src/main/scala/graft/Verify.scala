@@ -24,10 +24,12 @@ object Verify {
     import scala.concurrent.ExecutionContext.Implicits.global
     val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toInt
     SparkEntry.queries.foreach { case (name, fn) =>
+      val workerThread = new java.util.concurrent.atomic.AtomicReference[Thread]()
       val work = Future {
         // Job-group properties are thread-local: set them on the thread that
         // actually submits the Spark jobs (this pool thread), not main —
         // otherwise cancelJobGroup on timeout cancels nothing.
+        workerThread.set(Thread.currentThread())
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -36,7 +38,18 @@ object Verify {
       try Await.result(work, timeout.seconds)
       catch {
         case _: java.util.concurrent.TimeoutException =>
+          // See Bench: one cancel misses queries hung in driver-side
+          // planning or between AQE jobs — interrupt and keep cancelling.
           spark.sparkContext.cancelJobGroup(name)
+          Option(workerThread.get()).foreach(_.interrupt())
+          val canceller = new Thread(() => {
+            while (!work.isCompleted) {
+              Thread.sleep(5000)
+              spark.sparkContext.cancelJobGroup(name)
+            }
+          }, s"verify-cancel-$name")
+          canceller.setDaemon(true)
+          canceller.start()
           System.err.println(s"[verify] $name timed out after ${timeout}s (cancelled)")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

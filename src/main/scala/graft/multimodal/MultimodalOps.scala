@@ -47,8 +47,6 @@ object MultimodalOps {
   object Bmp {
     def rowSize(w: Int): Int = (3 * w + 3) / 4 * 4
 
-    def encodedSize(w: Int, h: Int): Int = 54 + rowSize(w) * h
-
     def encode(w: Int, h: Int, pix: (Int, Int, Int) => Int): Array[Byte] = {
       import java.nio.{ByteBuffer, ByteOrder}
       val rs = rowSize(w)
@@ -79,8 +77,6 @@ object MultimodalOps {
     * format `AudioSystem.getAudioInputStream` decodes out of the box.
     */
   object Wav {
-    def encodedSize(nSamples: Int): Int = 44 + 2 * nSamples
-
     def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
       import java.nio.{ByteBuffer, ByteOrder}
       val dataSize = samples.length * 2
@@ -149,25 +145,33 @@ object MultimodalOps {
     assets.mapPartitions { it =>
       it.map { a =>
         val checksum = a.content.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+        // Fallback for the stubbed video codec AND for undecodable
+        // payloads (ImageIO.read returns null on corrupt bytes — one bad
+        // row must degrade, not NPE the task and, at scale, the job).
+        def pseudo: Array[Float] =
+          Array.tabulate(6)(i => ((checksum >>> (i * 8)) & 0xff).toFloat / 255f)
         val raw: Array[Float] = a.kind match {
           case "image" =>
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(a.content))
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                x += 1
+            if (img == null) pseudo
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              val np = (w.toLong * h).toFloat
+              Array(w / 1024f, h / 1024f, sr / np / 255f, sg / np / 255f,
+                sb / np / 255f, (sr + sg + sb) / (3f * np) / 255f)
             }
-            val np = (w.toLong * h).toFloat
-            Array(w / 1024f, h / 1024f, sr / np / 255f, sg / np / 255f,
-              sb / np / 255f, (sr + sg + sb) / (3f * np) / 255f)
           case "audio" =>
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(a.content))
@@ -209,19 +213,19 @@ object MultimodalOps {
       it.map { a =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(a.content))
-        val (w, h) = (img.getWidth, img.getHeight)
-        var s = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
+        if (img == null) (a.asset_id, -1, -1, -1L) // corrupt payload: flag, don't NPE
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk fetch
+          var s = 0L
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
             s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
+            i += 1
           }
-          y += 1
+          (a.asset_id, w, h, s)
         }
-        (a.asset_id, w, h, s)
       }
     }.toDF("asset_id", "dec_w", "dec_h", "px_sum")
   }
@@ -240,15 +244,17 @@ object MultimodalOps {
           case "image" =>
             val src = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(a.content))
-            val dst = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-            val g = dst.createGraphics()
-            try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
-            val content = Bmp.encode(w, h, (x, y, c) => {
-              val rgb = dst.getRGB(x, y)
-              (rgb >> (16 - 8 * c)) & 0xff
-            })
-            a.copy(content = content, width = w, height = h)
+            if (src == null) a.copy(width = w, height = h) // corrupt: metadata only
+            else {
+              val dst = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              val g = dst.createGraphics()
+              try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+              val px = dst.getRGB(0, 0, w, h, null, 0, w) // one bulk fetch
+              val content = Bmp.encode(w, h,
+                (x, y, c) => (px(y * w + x) >> (16 - 8 * c)) & 0xff)
+              a.copy(content = content, width = w, height = h)
+            }
           case _ => a.copy(width = w, height = h)
         }
       }

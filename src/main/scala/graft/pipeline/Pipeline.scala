@@ -78,13 +78,19 @@ object Pipeline {
         val st = pfs.getFileStatus(p)
         // A parquet DIRECTORY stats as len=0 with an mtime that does not
         // change when a child part-file is rewritten in place — fold
-        // size+mtime over the children instead so a regenerated source
-        // never reuses a stale landing.
+        // size+mtime over the descendant FILES instead (recursively: a
+        // hive-partitioned source keeps its part-files under key=...
+        // subdirs, which a top-level listing would miss entirely) so a
+        // regenerated source never reuses a stale landing.
         val (len, mtime) =
           if (st.isDirectory) {
-            val kids = pfs.listStatus(p).filter(_.isFile)
-            (kids.map(_.getLen).sum,
-              kids.map(_.getModificationTime).foldLeft(0L)(math.max))
+            var l = 0L; var m = 0L
+            val it = pfs.listFiles(p, true)
+            while (it.hasNext) {
+              val f = it.next()
+              l += f.getLen; m = math.max(m, f.getModificationTime)
+            }
+            (l, m)
           } else (st.getLen, st.getModificationTime)
         s"$t=$len:$mtime"
       }.mkString(",")

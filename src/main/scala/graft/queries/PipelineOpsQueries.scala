@@ -118,9 +118,13 @@ object PipelineOpsQueries {
     // the exact integer sum of all channel values; the oracle recomputes
     // the same sum straight from the text bytes (the pixel stream cycles
     // them), so any header/stride/padding/channel bug breaks the match.
+    // Bounded to non-empty pure-ASCII docs in BOTH engines: the oracle
+    // recomputes pixel bytes via 1-based character indexing + ascii(),
+    // which only equals the UTF-8 byte stream when chars == bytes.
     "mm_decode_image" -> ((s, dir) => {
-      val assets = MultimodalOps.assetsFromDocuments(Tables.documents(s, dir))
-      MultimodalOps.decodeImageStats(assets)
+      val docs = Tables.documents(s, dir)
+        .where("LENGTH(text) >= 1 AND LENGTH(text) = OCTET_LENGTH(text)")
+      MultimodalOps.decodeImageStats(MultimodalOps.assetsFromDocuments(docs))
     }),
 
     // Streaming transform exercised on the batch events table (the same
@@ -207,7 +211,9 @@ object PipelineOpsQueries {
          |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,
          |         OCTET_LENGTH(ENCODE(text)) % 48 + 8 AS w,
          |         OCTET_LENGTH(ENCODE(text)) % 32 + 8 AS h
-         |  FROM documents WHERE doc_id % 3 = 0),
+         |  FROM documents
+         |  WHERE doc_id % 3 = 0 AND length(text) >= 1
+         |    AND length(text) = octet_length(encode(text))),
          |px AS (
          |  SELECT doc_id, w, h, n, text, unnest(range(0, w * h * 3)) AS i
          |  FROM img)

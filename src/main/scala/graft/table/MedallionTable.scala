@@ -128,11 +128,15 @@ final class MedallionTable(
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"${path}__graft_tmp_$suffix")
     val dst = new Path(path)
-    // The backup name embeds a monotonic ordinal: local-fs mtime can have
-    // 1 s granularity, so two crashed rewrites inside one tick would make
-    // a pick-newest-by-mtime vacuum arbitrary (and possibly restore the
-    // stale state). vacuum() prefers the ordinal, mtime only for legacy.
-    val backup = new Path(s"${path}__graft_old_${System.nanoTime()}_$suffix")
+    // The backup name embeds a wall-clock-millis ordinal: local-fs mtime
+    // can have 1 s granularity, so two crashed rewrites inside one tick
+    // would make a pick-newest-by-mtime vacuum arbitrary (and possibly
+    // restore the stale state). Wall-clock, not nanoTime: nanoTime resets
+    // across JVM restarts/reboots, which would order backups from
+    // different processes wrongly. vacuum() prefers the ordinal, with
+    // mtime as the same-millisecond tiebreak and the legacy fallback.
+    val backup =
+      new Path(s"${path}__graft_old_${System.currentTimeMillis()}_$suffix")
     var written = false
     try {
       val w = writerTweak(newData.write.mode(SaveMode.Overwrite))
@@ -275,8 +279,16 @@ final class MedallionTable(
           b * clusterBy.size + i)
       }
     }.reduce((a, b) => a.bitwiseOR(b))
+    // Range-partition on (z, content-hash tiebreak): value-based cuts can
+    // collapse to a handful of distinct z-values on low-cardinality or
+    // heavily-skewed cluster columns, and z alone would then yield that
+    // few output partitions (giant files). The deterministic tiebreak
+    // splits equal-z runs across files while keeping z as the primary
+    // clustering, restoring the balanced output the old rank-based
+    // bucketing guaranteed.
+    val tiebreak = xxhash64(clusterBy.map(col): _*)
     val shaped = bucketed.withColumn("__graft_z", z)
-      .repartitionByRange(n, col("__graft_z"))
+      .repartitionByRange(n, col("__graft_z"), tiebreak)
       .sortWithinPartitions(col("__graft_z"))
       .drop((clusterBy.indices.flatMap(i =>
         Seq(s"__graft_zb_$i", s"__graft_zs_$i")) :+ "__graft_z"): _*)
@@ -310,10 +322,15 @@ final class MedallionTable(
         // the latest committed copy as litter. Prefer the monotonic
         // ordinal embedded in the name at rename time; fall back to mtime
         // for legacy hash-only names (mtime granularity can be 1 s).
+        // Ordinal-bearing names are `<millis>_<hash>`; legacy names are a
+        // bare hash. Requiring the separator keeps an all-digit legacy
+        // hex hash (e.g. "12345678") from being misread as an ordinal.
         def ordinal(p: Path): Long = {
-          val digits = p.getName.stripPrefix(s"${name}__graft_old_")
-            .takeWhile(_.isDigit)
-          if (digits.isEmpty) -1L else digits.toLong
+          val rest = p.getName.stripPrefix(s"${name}__graft_old_")
+          val digits = rest.takeWhile(_.isDigit)
+          if (digits.nonEmpty && rest.lift(digits.length).contains('_'))
+            digits.toLong
+          else -1L
         }
         val newest = backups.maxBy(p =>
           (ordinal(p), fs.getFileStatus(p).getModificationTime))
