@@ -139,6 +139,26 @@ class MedallionTableSpec extends SparkSpec {
     assert(!f.exists(new Path(s"${p}__graft_old_zz9999")))
   }
 
+  test("vacuum prefers the embedded ordinal over mtime and ignores legacy digit-hashes") {
+    import spark.implicits._
+    val p = tmpDir("mt_vacuum_ordinal")
+    val t = MedallionTable(spark, p)
+    val f = fs(p)
+    // A legacy backup whose 8-char hash happens to be ALL digits and huge:
+    // a naive leading-digits parse would read 99999999 as an ordinal and
+    // restore this STALE state over the newer ordinal-named backup.
+    t.overwrite(Seq((1L, "stale")).toDF("id", "s"))
+    f.rename(new Path(p), new Path(s"${p}__graft_old_99999999"))
+    // Newer ordinal-named backup, same fs-mtime second (no sleep): only
+    // the ordinal can order them.
+    t.overwrite(Seq((1L, "latest")).toDF("id", "s"))
+    f.rename(new Path(p), new Path(s"${p}__graft_old_1000_aaaaaaaa"))
+    assert(!t.exists)
+    t.vacuum()
+    assert(t.read.collect().map(_.getString(1)).toSeq == Seq("latest"),
+      "ordinal-named backup must beat a legacy all-digit hash name")
+  }
+
   test("changesSince emits the exact diff between a snapshot and live") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("mt_cdc"), retainVersions = 2)

@@ -86,6 +86,36 @@ class TableStatsSpec extends SparkSpec {
     assert(fx + fy < 24, s"expected meaningful pruning, got x=$fx y=$fy")
   }
 
+  test("z-order on a low-cardinality column still yields balanced output files") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("stats_zorder_lowcard"))
+    t.overwrite((0 until 20000).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("id", "status").repartition(8))
+    // 3 distinct values → ≤4 distinct z-buckets; without the content-hash
+    // range tiebreak the whole table would land in ≤4 giant files.
+    t.compactZOrder(Seq("status"), nFiles = 8)
+    assert(t.read.count() == 20000)
+    val files = t.read.inputFiles.length
+    assert(files >= 6, s"expected ~8 balanced files, got $files")
+  }
+
+  test("z-order on a STRING column prunes via the byte-prefix surrogate") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("stats_zorder_string"))
+    t.overwrite((0 until 20000).map { i =>
+      (i.toLong, f"k${i % 1000}%05d")
+    }.toDF("id", "key").repartition(8))
+    t.compactZOrder(Seq("key"), nFiles = 16)
+    t.refreshStats()
+    val pruned = t.readRange("key", "k00100", "k00199")
+    val expected = t.read
+      .filter(org.apache.spark.sql.functions.col("key").between("k00100", "k00199"))
+      .count()
+    assert(pruned.count() == expected)
+    assert(pruned.inputFiles.length < 16,
+      s"string z-order should prune files, touched ${pruned.inputFiles.length} of 16")
+  }
+
   test("readRange works on hive-partitioned tables (partition cols survive)") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("stats_part"), partitionColumns = Seq("pt"))
