@@ -1,0 +1,100 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * final step of near-duplicate dedup: LSH/Jaccard emits PAIRS, but the
+  * corpus decision needs CLUSTERS ("these 7 docs are one document; keep
+  * the smallest id"). Transitivity matters: A~B and B~C put A and C in
+  * one cluster even if the A–C pair was never emitted.
+  *
+  * Algorithm: min-label propagation. Every vertex starts labeled with its
+  * own id; each round every vertex takes the min of its own label and its
+  * neighbors' labels; converges when no label changes. Each round is one
+  * equi-join + one hash aggregate — both plain shuffles on the vertex id,
+  * no driver-side graph state (the driver sees only the per-round changed
+  * COUNT). Rounds needed = graph diameter, and near-dup graphs are
+  * overwhelmingly tiny cliques/chains (diameter ≤ ~3), so 2-4 rounds in
+  * practice; `maxIter` caps pathological chains. `localCheckpoint`
+  * truncates the per-round lineage so the plan does not grow with
+  * iterations (same discipline as [[graft.operators.PrefixSum]]).
+  *
+  * At 100 TB: state per round is |V| (id, label) pairs plus the |E| join —
+  * linear shuffles, AQE-sizeable. For graphs with genuinely large
+  * diameters (not the dedup case) the star-contraction variants halve the
+  * round count; documented trade-off, not needed here.
+  */
+object ConnectedComponents {
+
+  /** Labels every vertex with the smallest vertex id reachable from it.
+    *
+    * @param edges    undirected edge list (each pair once is enough)
+    * @param srcCol   source id column (long-compatible)
+    * @param dstCol   destination id column
+    * @param vertices optional vertex universe — isolated vertices (no
+    *                 edges) only appear in the output if supplied here
+    * @return (id, component) — component = min reachable id
+    */
+  def components(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      vertices: Option[DataFrame] = None,
+      maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // Symmetrize once: propagation below only follows a->b edges.
+    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val endpointIds = e.select($"a".as("id")).distinct()
+    val allIds = vertices match {
+      case Some(v) =>
+        val vc = v.columns.head
+        v.select(col(vc).cast("long").as("id")).distinct()
+          .union(endpointIds).distinct()
+      case None => endpointIds
+    }
+    // Seed with min(id, direct neighbors): the common near-dup shapes
+    // (cliques, stars) then converge in one verification round instead of
+    // two propagation rounds — and each saved round is a saved Spark job.
+    val nbrSeed = e.groupBy($"a".as("id")).agg(min($"b").as("nmin"))
+    var labels = allIds.join(nbrSeed, Seq("id"), "left")
+      .select($"id", least($"id", coalesce($"nmin", $"id")).as("comp"))
+      .localCheckpoint(false) // lazy: materialized by the first round's count
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // Neighbor labels flow along edges; a vertex keeps the min of its
+      // own label and everything that arrived. The changed-count rides on
+      // the same materialization (lazy checkpoint + one count action per
+      // round) — iterative Spark pays per-round job latency, so rounds
+      // and actions-per-round are both kept minimal.
+      val nbrMin = e.join(labels, e("b") === labels("id"))
+        .groupBy(e("a").as("id")).agg(min(labels("comp")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select($"id",
+          least($"comp", coalesce($"nmin", $"comp")).as("comp"),
+          coalesce($"nmin" < $"comp", lit(false)).as("chg"))
+        .localCheckpoint(false)
+      changed = next.filter($"chg").count()
+      labels = next.drop("chg")
+      iter += 1
+    }
+    require(changed == 0, s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Cluster summary for dedup decisions: one row per component with the
+    * keeper (min id) and member count — `n_members > 1` are the duplicate
+    * groups; everything else survives untouched.
+    */
+  def clusters(labels: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    labels.groupBy($"comp".as("keep_id"))
+      .agg(count(lit(1)).as("n_members"), max($"id").as("max_id"))
+  }
+}

@@ -42,6 +42,26 @@ object PipelineOpsQueries {
         .select($"id_a", $"id_b", MinHash.jaccard($"sh_a", $"sh_b").as("jaccard"))
     }),
 
+    // Near-dup clusters via distributed connected components over the
+    // exact-Jaccard edge graph (bounded population, same construction as
+    // ngram_jaccard_pairs): pairs are not enough for a dedup DECISION —
+    // transitivity must merge A~B~C into one cluster even when the A–C
+    // pair was never emitted. Oracle = DuckDB recursive CTE reachability.
+    "dedup_cc_groups" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir).filter($"doc_id" < 25)
+        .filter(MinHash.shingleFilter(col("text")))
+        .select($"doc_id", MinHash.shingles(col("text")).as("sh"))
+      val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+      val edges = a.join(b, $"id_a" < $"id_b")
+        .filter(MinHash.jaccard($"sh_a", $"sh_b") >= 0.4)
+        .select($"id_a", $"id_b")
+      graft.dedup.ConnectedComponents
+        .components(edges, "id_a", "id_b", vertices = Some(d.select($"doc_id")))
+        .select($"id".as("doc_id"), $"comp".as("component"))
+    }),
+
     // Corpus-trained char-bigram LM quality scores (rows-only — log/avg of
     // logs is transcendental; ranking semantics proven in NgramLMSpec).
     "text_lm_score" -> ((s, dir) =>
@@ -236,6 +256,25 @@ object PipelineOpsQueries {
          |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |         len(list_distinct(a.sh || b.sh)) AS jaccard
          |FROM d a, d b WHERE a.doc_id < b.doc_id""".stripMargin),
+    "dedup_cc_groups" ->
+      ("""WITH RECURSIVE d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+         |        FROM documents
+         |        WHERE doc_id < 25 AND len(regexp_extract_all(text, '\S+')) >= 3)),
+         |e0 AS (
+         |  SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM d a, d b WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.4),
+         |edges AS (SELECT ea, eb FROM e0 UNION ALL SELECT eb, ea FROM e0),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT e.ea, reach.r FROM edges e JOIN reach ON e.eb = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin),
     "events_windowed_agg" ->
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, " +
        "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +

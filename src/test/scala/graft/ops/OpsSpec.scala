@@ -111,6 +111,39 @@ class AnnSpec extends SparkSpec {
   }
 }
 
+class ConnectedComponentsSpec extends SparkSpec {
+  import graft.dedup.ConnectedComponents
+
+  test("transitive chains merge into one component; isolated vertices survive") {
+    import spark.implicits._
+    // chain 1-2-3 (1~3 never emitted as a pair), pair 5-4, singleton 9
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("id_a", "id_b")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val got = ConnectedComponents.components(edges, "id_a", "id_b", Some(verts))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("long path converges and labels everything with the global min") {
+    import spark.implicits._
+    // 0-1-2-...-19: diameter 19 exercises the iteration loop + checkpoints
+    val edges = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.components(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 20 && got.forall(_._2 == 0L))
+  }
+
+  test("clusters summarizes keeper and member counts") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val labels = ConnectedComponents.components(edges, "a", "b",
+      Some(Seq(1L, 2L, 3L, 7L).toDF("id")))
+    val cl = ConnectedComponents.clusters(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cl == Set((1L, 3L, 3L), (7L, 1L, 7L)))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   private def docs = {
     import spark.implicits._
