@@ -29,6 +29,32 @@ object PipelineOpsQueries {
     "sim_ann_ivf" -> ((s, dir) =>
       graft.similarity.Ivf.topK(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)),
 
+    // Embedding column statistics via the codegen'd graft_dot kernel
+    // (float elements widened to double per-element, accumulated in index
+    // order — bit-identical to the oracle's double-cast list_sum). The
+    // narrow-map shape a 100 TB embedding sweep needs; no shuffle at all.
+    "embed_stats" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      Tables.embeddings(s, dir).selectExpr(
+        "vec_id",
+        "SIZE(embedding) AS dim",
+        "graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS sq_norm",
+        "AGGREGATE(TRANSFORM(embedding, v -> CAST(v AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x) AS sum_v",
+        "ARRAY_MAX(TRANSFORM(embedding, v -> CAST(v AS DOUBLE))) AS max_v")
+    }),
+
+    // Symmetric int8 quantization (scale = 127/max|v|, round-half-up via
+    // floor so both engines agree) — the storage/bandwidth prep step for
+    // embedding indexes. One row per (vector, index); exact integers.
+    "embed_quantize_int8" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "embedding",
+          "ARRAY_MAX(TRANSFORM(embedding, v -> ABS(CAST(v AS DOUBLE)))) AS m")
+        .where("m > 0")
+        .selectExpr("vec_id",
+          "POSEXPLODE(TRANSFORM(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / m + 0.5) AS INT))) AS (idx, q)")
+    }),
+
     // N-gram Jaccard similarity over a bounded pair set (oracle-checked;
     // the unbounded path goes through MinHash LSH candidates instead).
     "ngram_jaccard_pairs" -> ((s, dir) => {
@@ -256,6 +282,24 @@ object PipelineOpsQueries {
          |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |         len(list_distinct(a.sh || b.sh)) AS jaccard
          |FROM d a, d b WHERE a.doc_id < b.doc_id""".stripMargin),
+    "embed_stats" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
+       "list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS sq_norm, " +
+       "list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS sum_v, " +
+       "list_max(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS max_v " +
+       "FROM embeddings"),
+    "embed_quantize_int8" ->
+      ("""WITH t AS (
+         |  SELECT vec_id, embedding,
+         |         list_max(list_transform(embedding, v -> ABS(CAST(v AS DOUBLE)))) AS m
+         |  FROM embeddings WHERE list_max(list_transform(embedding, v -> ABS(CAST(v AS DOUBLE)))) > 0),
+         |x AS (
+         |  SELECT vec_id, m, embedding,
+         |         CAST(unnest(range(0, len(embedding))) AS INTEGER) AS idx
+         |  FROM t)
+         |SELECT vec_id, idx,
+         |       CAST(FLOOR(CAST(embedding[idx + 1] AS DOUBLE) * 127.0 / m + 0.5) AS INTEGER) AS q
+         |FROM x""".stripMargin),
     "dedup_cc_groups" ->
       ("""WITH RECURSIVE d AS (
          |  SELECT doc_id,

@@ -182,6 +182,29 @@ object TextQueries {
         .selectExpr(Seq("doc_id") ++ sigCols: _*)
     }),
 
+    // PII redaction — the scrubbing pass every training corpus runs
+    // before release: emails → <EMAIL>, IPv4 → <IP>, long digit runs →
+    // <NUM>. Patterns are planted deterministically per doc (the fixture
+    // has no natural PII) so every row exercises every rule. Regexes use
+    // only constructs Java and RE2 interpret identically (explicit
+    // classes, counted quantifiers — no \d/\s dialect divergence).
+    "text_redact_pii" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+      val ip = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+      val num = "[0-9]{7,}"
+      Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        "CONCAT(text, ' contact user', CAST(doc_id AS STRING), " +
+          "'@mail.example.org or call 555', CAST(doc_id * 7919 AS STRING), " +
+          "' from 10.0.', CAST(doc_id % 256 AS STRING), '.7') AS raw")
+        .selectExpr("doc_id",
+          s"SIZE(REGEXP_EXTRACT_ALL(raw, '$email', 0)) AS n_emails",
+          s"SIZE(REGEXP_EXTRACT_ALL(raw, '$ip', 0)) AS n_ips",
+          s"SIZE(REGEXP_EXTRACT_ALL(raw, '$num', 0)) AS n_nums",
+          s"REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(raw, " +
+            s"'$email', '<EMAIL>'), '$ip', '<IP>'), '$num', '<NUM>') AS red_text")
+    }),
+
     // Oracle-able LSH banding over the MD5 MinHash signature: 2 bands of
     // 2 hashes, band key = MD5 of the concatenated band — the
     // signature→band→bucket-key step of the LSH join, proven cross-engine
@@ -378,6 +401,23 @@ object TextQueries {
         s"LIST_MIN(list_transform($duckShingles, sh -> MD5('$k:' || sh))) AS mh_$k"
       }.mkString(", ")
       s"SELECT doc_id, $sigCols FROM documents WHERE LEN($DuckTokens) >= 3"
+    },
+    "text_redact_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+      val ip = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+      val num = "[0-9]{7,}"
+      s"""WITH r AS (
+         |  SELECT doc_id, text || ' contact user' || doc_id ||
+         |    '@mail.example.org or call 555' || (doc_id * 7919) ||
+         |    ' from 10.0.' || (doc_id % 256) || '.7' AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$email')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$ip')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(raw, '$num')) AS INTEGER) AS n_nums,
+         |  regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$num', '<NUM>', 'g') AS red_text
+         |FROM r""".stripMargin
     },
     "dedup_lsh_bands_md5" -> {
       val duckShingles =
