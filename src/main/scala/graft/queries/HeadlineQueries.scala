@@ -99,6 +99,58 @@ object HeadlineQueries {
             .as("total_revenue"))
     }),
 
+    // Q12-shaped: conditional priority counts per line status over a
+    // date-bounded join (the CASE-inside-SUM pivot shape).
+    "q12_priority_shipping" -> ((s, dir) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= "1995-01-01" && $"l_shipdate" < "1996-01-01")
+      val o = Tables.orders(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(l("l_linestatus"))
+        .agg(
+          sum(when(o("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(o("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+    }),
+
+    // Q18-shaped: large-volume orders — aggregate-then-join with a HAVING
+    // gate, top 20 by value.
+    "q18_large_orders" -> ((s, dir) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey").agg(sum($"l_quantity").as("sum_qty"))
+        .filter($"sum_qty" > 300)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(c("c_name"), c("c_custkey"), o("o_orderkey"), o("o_orderdate"),
+          o("o_totalprice"), big("sum_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(20)
+    }),
+
+    // Q19-shaped: disjunction of brand/size/quantity conjunctions over a
+    // broadcast part join — the multi-clause OR predicate that exercises
+    // CNF pushdown.
+    "q19_disjunctive_pred" -> ((s, dir) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(
+          (p("p_brand") === "Brand#11" && p("p_size").between(1, 15) &&
+            l("l_quantity").between(1, 11)) ||
+          (p("p_brand") === "Brand#22" && p("p_size").between(1, 25) &&
+            l("l_quantity").between(10, 20)) ||
+          (p("p_brand") === "Brand#33" && p("p_size").between(1, 35) &&
+            l("l_quantity").between(20, 30)))
+        .agg((sum(round(l("l_extendedprice") * (lit(1) - l("l_discount")) * 100)) / 100.0)
+          .as("revenue"))
+    }),
+
     // Bounded-heap top-k per group (typed Aggregator; shuffles k rows per
     // group instead of sorting whole partitions like window row_number).
     "topk_per_key" -> ((s, dir) =>
@@ -167,6 +219,26 @@ object HeadlineQueries {
       ("SELECT SUM(ROUND(l_extendedprice * l_discount * 100)) / 100.0 AS revenue " +
        "FROM lineitem WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01' " +
        "AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 25"),
+    "q12_priority_shipping" ->
+      ("SELECT l_linestatus, " +
+       "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+       "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01' " +
+       "GROUP BY l_linestatus"),
+    "q18_large_orders" ->
+      ("SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice, g.sum_qty " +
+       "FROM orders o " +
+       "JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem " +
+       "      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) g " +
+       "  ON o.o_orderkey = g.l_orderkey " +
+       "JOIN customer c ON o.o_custkey = c.c_custkey " +
+       "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20"),
+    "q19_disjunctive_pred" ->
+      (s"SELECT $Rev FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) " +
+       "   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) " +
+       "   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"),
     "topk_per_key" ->
       ("SELECT l_returnflag, l_linestatus, l_orderkey, " +
        "CAST(l_linenumber AS BIGINT) AS l_linenumber, " +

@@ -56,6 +56,18 @@ object WindowSetQueries {
         cume_dist().over(w).as("cd"))
     }),
 
+    // nth_value over the whole partition (explicit full frame — the
+    // default frame stops at CURRENT ROW, which both engines honor but
+    // which is rarely what "the customer's 2nd order" means).
+    "win_nth_value" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(
+        $"o_orderkey", $"o_custkey",
+        nth_value($"o_totalprice", 2).over(w).as("second_total"))
+    }),
+
     // Running (cumulative) sum and count per customer in date order.
     "win_running_sum" -> ((s, dir) => {
       import s.implicits._
@@ -285,6 +297,12 @@ object WindowSetQueries {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_orderstatus
          |             ORDER BY o_totalprice, o_orderkey)""".stripMargin),
+    "win_nth_value" ->
+      ("""SELECT o_orderkey, o_custkey,
+         |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_total
+         |FROM orders""".stripMargin),
     "win_running_sum" ->
       ("""SELECT o_orderkey, o_custkey, o_orderdate,
          |  SUM(ROUND(o_totalprice * 100)) OVER w / 100.0 AS run_total,
