@@ -29,7 +29,9 @@ object Bench {
     "sim_ann_lsh", "mm_features", "text_stats", "text_lm_score",
     "text_winnowing_fp", "text_token_bpe", "lang_id_ngram",
     "events_sessions_batch", "events_windowed_agg", "win_row_number",
-    "sort_limit_topk", "u1_union"
+    "sort_limit_topk", "u1_union",
+    // round-5 additions (keys only ever grow; old keys stay comparable)
+    "dedup_cc_groups", "embed_stats", "mm_decode_image", "text_redact_pii"
   )
 
   private def f3(v: Double): String =

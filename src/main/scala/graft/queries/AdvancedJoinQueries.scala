@@ -107,6 +107,19 @@ object AdvancedJoinQueries {
       import s.implicits._
       Tables.documents(s, dir).filter($"doc_id" < 50)
         .selectExpr("doc_id", s"posexplode(${Q.TokensExpr}) AS (pos, tok)")
+    }),
+
+    // explode_outer: rows with an EMPTY array survive with a NULL token
+    // (plain explode drops them — the silent row-loss trap of generator
+    // pipelines). Empty arrays are synthesized deterministically since
+    // every fixture doc tokenizes non-empty.
+    "sc_explode_outer" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter($"doc_id" < 50)
+        .selectExpr("doc_id",
+          s"CASE WHEN SIZE(${Q.TokensExpr}) < 12 THEN SLICE(${Q.TokensExpr}, 1, 0) " +
+            s"ELSE SLICE(${Q.TokensExpr}, 1, 3) END AS toks")
+        .selectExpr("doc_id", "EXPLODE_OUTER(toks) AS tok")
     })
   )
 
@@ -155,6 +168,14 @@ object AdvancedJoinQueries {
       ("""SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
          |       unnest(toks) AS tok
          |FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
-         |      FROM documents WHERE doc_id < 50)""".stripMargin)
+         |      FROM documents WHERE doc_id < 50)""".stripMargin),
+    "sc_explode_outer" ->
+      ("""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 12 THEN toks[1:0] ELSE toks[1:3] END AS toks2
+         |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+         |        FROM documents WHERE doc_id < 50))
+         |SELECT t.doc_id, u.tok
+         |FROM t LEFT JOIN LATERAL (SELECT unnest(toks2) AS tok) u ON true""".stripMargin)
   )
 }
