@@ -44,11 +44,19 @@ object ConnectedComponents {
       maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val sc = spark.sparkContext
+    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(false) // lazy: materialized by the next action
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     // Symmetrize once: propagation below only follows a->b edges.
-    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
-      .distinct()
-      .localCheckpoint()
+    val (e, eIds) = ckpt(
+      edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+        .distinct())
     val endpointIds = e.select($"a".as("id")).distinct()
     val allIds = vertices match {
       case Some(v) =>
@@ -61,9 +69,19 @@ object ConnectedComponents {
     // (cliques, stars) then converge in one verification round instead of
     // two propagation rounds — and each saved round is a saved Spark job.
     val nbrSeed = e.groupBy($"a".as("id")).agg(min($"b").as("nmin"))
-    var labels = allIds.join(nbrSeed, Seq("id"), "left")
-      .select($"id", least($"id", coalesce($"nmin", $"id")).as("comp"))
-      .localCheckpoint(false) // lazy: materialized by the first round's count
+    // Per-round checkpoints must be RELEASED once the next round no longer
+    // reads them, or |V|-sized blocks accumulate in executor storage — one
+    // dead copy of the labels per iteration (terabytes on a long-diameter
+    // 100 TB run). The checkpointed RDD has no public handle on the
+    // DataFrame, but localCheckpoint registers it with the context
+    // immediately even when lazy, so bracketing the call with
+    // getPersistentRDDs snapshots (ckpt above) captures exactly its ids.
+    // A round's blocks are released only AFTER the following round has
+    // materialized (lineage is truncated — unpersisting a still-needed
+    // local checkpoint would be unrecoverable, not just slow).
+    var (labels, labelIds) = ckpt(
+      allIds.join(nbrSeed, Seq("id"), "left")
+        .select($"id", least($"id", coalesce($"nmin", $"id")).as("comp")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -74,16 +92,19 @@ object ConnectedComponents {
       // and actions-per-round are both kept minimal.
       val nbrMin = e.join(labels, e("b") === labels("id"))
         .groupBy(e("a").as("id")).agg(min(labels("comp")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select($"id",
-          least($"comp", coalesce($"nmin", $"comp")).as("comp"),
-          coalesce($"nmin" < $"comp", lit(false)).as("chg"))
-        .localCheckpoint(false)
-      changed = next.filter($"chg").count()
+      val (next, nextIds) = ckpt(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select($"id",
+            least($"comp", coalesce($"nmin", $"comp")).as("comp"),
+            coalesce($"nmin" < $"comp", lit(false)).as("chg")))
+      changed = next.filter($"chg").count() // materializes `next`
+      release(labelIds)                     // previous round: now unreferenced
       labels = next.drop("chg")
+      labelIds = nextIds
       iter += 1
     }
     require(changed == 0, s"connected components did not converge in $maxIter rounds")
+    release(eIds) // final labels are checkpointed; the edge copy is dead
     labels
   }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{MinHash, SimHash}
@@ -14,6 +15,38 @@ import graft.similarity.{Ann, Similarity}
   */
 object PipelineOpsQueries {
   import Q.QueryFn
+
+  /** Bounded shingle-doc population shared by `ngram_jaccard_pairs` and
+    * `dedup_cc_groups` — one definition so the bound/filter can never
+    * silently diverge between the pair query and the clustering query.
+    */
+  private def shingleDocs(s: SparkSession, dir: String, bound: Int) = {
+    import s.implicits._
+    Tables.documents(s, dir).filter($"doc_id" < bound)
+      .filter(MinHash.shingleFilter(col("text")))
+      .select($"doc_id", MinHash.shingles(col("text")).as("sh"))
+  }
+
+  /** All-pairs exact Jaccard over [[shingleDocs]]. */
+  private def jaccardPairs(s: SparkSession, dir: String, bound: Int) = {
+    import s.implicits._
+    val d = shingleDocs(s, dir, bound)
+    val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", MinHash.jaccard($"sh_a", $"sh_b").as("jaccard"))
+  }
+
+  /** DuckDB twin of [[shingleDocs]] as a CTE body (kept beside the Scala
+    * definition for the same single-point-of-change reason).
+    */
+  private def duckShingleDocsCte(bound: Int): String =
+    s"""d AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+       |        FROM documents
+       |        WHERE doc_id < $bound AND len(regexp_extract_all(text, '\\S+')) >= 3))""".stripMargin
 
   val defs: Map[String, QueryFn] = Map(
     // Embedding-cosine near-dup pairs, exact (oracle-checked correctness
@@ -57,16 +90,7 @@ object PipelineOpsQueries {
 
     // N-gram Jaccard similarity over a bounded pair set (oracle-checked;
     // the unbounded path goes through MinHash LSH candidates instead).
-    "ngram_jaccard_pairs" -> ((s, dir) => {
-      import s.implicits._
-      val d = Tables.documents(s, dir).filter($"doc_id" < 25)
-        .filter(MinHash.shingleFilter(col("text")))
-        .select($"doc_id", MinHash.shingles(col("text")).as("sh"))
-      val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
-      val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
-      a.join(b, $"id_a" < $"id_b")
-        .select($"id_a", $"id_b", MinHash.jaccard($"sh_a", $"sh_b").as("jaccard"))
-    }),
+    "ngram_jaccard_pairs" -> ((s, dir) => jaccardPairs(s, dir, bound = 25)),
 
     // Near-dup clusters via distributed connected components over the
     // exact-Jaccard edge graph (bounded population, same construction as
@@ -75,16 +99,11 @@ object PipelineOpsQueries {
     // pair was never emitted. Oracle = DuckDB recursive CTE reachability.
     "dedup_cc_groups" -> ((s, dir) => {
       import s.implicits._
-      val d = Tables.documents(s, dir).filter($"doc_id" < 25)
-        .filter(MinHash.shingleFilter(col("text")))
-        .select($"doc_id", MinHash.shingles(col("text")).as("sh"))
-      val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
-      val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
-      val edges = a.join(b, $"id_a" < $"id_b")
-        .filter(MinHash.jaccard($"sh_a", $"sh_b") >= 0.4)
-        .select($"id_a", $"id_b")
+      val edges = jaccardPairs(s, dir, bound = 25)
+        .filter($"jaccard" >= 0.4).select($"id_a", $"id_b")
       graft.dedup.ConnectedComponents
-        .components(edges, "id_a", "id_b", vertices = Some(d.select($"doc_id")))
+        .components(edges, "id_a", "id_b",
+          vertices = Some(shingleDocs(s, dir, bound = 25).select($"doc_id")))
         .select($"id".as("doc_id"), $"comp".as("component"))
     }),
 
@@ -272,12 +291,7 @@ object PipelineOpsQueries {
        "CAST(CEIL(CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) / 64) AS BIGINT) " +
        "AS n_frames FROM documents WHERE doc_id % 3 = 2"),
     "ngram_jaccard_pairs" ->
-      ("""WITH d AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
-         |        FROM documents
-         |        WHERE doc_id < 25 AND len(regexp_extract_all(text, '\S+')) >= 3))
+      (s"""WITH ${duckShingleDocsCte(25)}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |         len(list_distinct(a.sh || b.sh)) AS jaccard
@@ -301,13 +315,7 @@ object PipelineOpsQueries {
          |       CAST(FLOOR(CAST(embedding[idx + 1] AS DOUBLE) * 127.0 / m + 0.5) AS INTEGER) AS q
          |FROM x""".stripMargin),
     "dedup_cc_groups" ->
-      ("""WITH RECURSIVE d AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(toks) - 1),
-         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
-         |        FROM documents
-         |        WHERE doc_id < 25 AND len(regexp_extract_all(text, '\S+')) >= 3)),
+      (s"""WITH RECURSIVE ${duckShingleDocsCte(25)},
          |e0 AS (
          |  SELECT a.doc_id AS ea, b.doc_id AS eb
          |  FROM d a, d b WHERE a.doc_id < b.doc_id

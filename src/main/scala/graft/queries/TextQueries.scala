@@ -195,7 +195,9 @@ object TextQueries {
       Tables.documents(s, dir).selectExpr(
         "doc_id",
         "CONCAT(text, ' contact user', CAST(doc_id AS STRING), " +
-          "'@mail.example.org or call 555', CAST(doc_id * 7919 AS STRING), " +
+          // + 1000000 keeps the digit run ≥ 7 digits for EVERY doc_id
+          // (doc_id = 0 would otherwise plant '5550', below the {7,} gate).
+          "'@mail.example.org or call 555', CAST(doc_id * 7919 + 1000000 AS STRING), " +
           "' from 10.0.', CAST(doc_id % 256 AS STRING), '.7') AS raw")
         .selectExpr("doc_id",
           s"SIZE(REGEXP_EXTRACT_ALL(raw, '$email', 0)) AS n_emails",
@@ -408,7 +410,7 @@ object TextQueries {
       val num = "[0-9]{7,}"
       s"""WITH r AS (
          |  SELECT doc_id, text || ' contact user' || doc_id ||
-         |    '@mail.example.org or call 555' || (doc_id * 7919) ||
+         |    '@mail.example.org or call 555' || (doc_id * 7919 + 1000000) ||
          |    ' from 10.0.' || (doc_id % 256) || '.7' AS raw
          |  FROM documents)
          |SELECT doc_id,

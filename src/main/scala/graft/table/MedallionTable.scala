@@ -279,15 +279,23 @@ final class MedallionTable(
           b * clusterBy.size + i)
       }
     }.reduce((a, b) => a.bitwiseOR(b))
-    // Range-partition on (z, full-row-hash tiebreak): value-based cuts can
+    // Range-partition on (z, row-hash tiebreak): value-based cuts can
     // collapse to a handful of distinct z-values on low-cardinality or
     // heavily-skewed cluster columns, and z alone would then yield that
     // few output partitions (giant files). The deterministic tiebreak
     // splits equal-z runs across files while keeping z as the primary
     // clustering, restoring the balanced output the old rank-based
-    // bucketing guaranteed. It hashes the WHOLE row — hashing just the
-    // cluster columns would be exactly as low-cardinality as they are.
-    val tiebreak = xxhash64(df.columns.map(col): _*)
+    // bucketing guaranteed. It hashes every HASHABLE column — just the
+    // cluster columns would be exactly as low-cardinality as they are,
+    // and MapType columns must be skipped (xxhash64 rejects maps).
+    def hashSafe(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashSafe(f.dataType))
+      case a: ArrayType => hashSafe(a.elementType)
+      case _ => true
+    }
+    val hashCols = df.schema.fields.filter(f => hashSafe(f.dataType)).map(f => col(f.name))
+    val tiebreak = if (hashCols.nonEmpty) xxhash64(hashCols: _*) else lit(0L)
     val shaped = bucketed.withColumn("__graft_z", z)
       .repartitionByRange(n, col("__graft_z"), tiebreak)
       .sortWithinPartitions(col("__graft_z"))

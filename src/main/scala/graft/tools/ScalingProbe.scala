@@ -54,7 +54,11 @@ object ScalingProbe {
     println(f"${"query"}%-24s ${"t_1x"}%8s ${"t_" + factor + "x"}%8s ${"ratio"}%7s")
     queries.foreach { q =>
       try {
-        time(q, sfDir) // warm (plans, codegen, page cache)
+        // Warm BOTH directories (plans, codegen, scan setup, page cache)
+        // before measuring — an unwarmed 10× side would fold one-time
+        // overhead into every ratio.
+        time(q, sfDir)
+        time(q, scaledDir)
         val t1 = time(q, sfDir)
         val tN = time(q, scaledDir)
         println(f"$q%-24s $t1%8.2f $tN%8.2f ${tN / t1}%7.1f")
