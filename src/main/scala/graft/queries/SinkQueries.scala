@@ -143,6 +143,37 @@ object SinkQueries {
       t.changesSince(1, Seq("o_orderkey"))
     }),
 
+    // DELETE WHERE roundtrip: a partition-aligned delete (metadata-only
+    // directory drop) followed by a row-level delete (filtered rewrite) —
+    // both Delta DELETE semantics the reference's tables support.
+    "k_delete_where_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_delete")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p, partitionColumns = Seq("blk"))
+      val o = Tables.orders(s, dir).withColumn("blk", ($"o_orderkey" % 4).cast("int"))
+      t.overwrite(o.repartition($"blk"))
+      t.delete($"blk" === 3)                  // partition fast path
+      t.delete($"o_totalprice" < 50000.0)     // row-level rewrite
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "blk")
+    }),
+
+    // UPDATE SET ... WHERE roundtrip: simultaneous-assignment against the
+    // old row, exact-cents arithmetic.
+    "k_update_where_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_update")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      t.overwrite(Tables.orders(s, dir))
+      t.update($"o_orderstatus" === "F",
+        Map("o_totalprice" -> (round($"o_totalprice" * lit(110)) / 100.0),
+            "o_orderpriority" -> lit("9-REPRICED")))
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }),
+
     // K3+K4 — the reference's createOrMerge control flow end-to-end on a
     // real table directory: create, then full-sync merge
     // (silver_table_creation.py:43-66). Final state ≡ the second source.
@@ -179,6 +210,15 @@ object SinkQueries {
        "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END " +
        "AS o_totalprice, o_orderdate, o_orderpriority " +
        "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0"),
+    "k_delete_where_roundtrip" ->
+      (s"SELECT $OrderCols, CAST(o_orderkey % 4 AS INTEGER) AS blk FROM orders " +
+       "WHERE o_orderkey % 4 <> 3 AND o_totalprice >= 50000.0"),
+    "k_update_where_roundtrip" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+       "CASE WHEN o_orderstatus = 'F' THEN ROUND(o_totalprice * 110) / 100.0 " +
+       "ELSE o_totalprice END AS o_totalprice, o_orderdate, " +
+       "CASE WHEN o_orderstatus = 'F' THEN '9-REPRICED' ELSE o_orderpriority END " +
+       "AS o_orderpriority FROM orders"),
     "k_create_or_merge_roundtrip" ->
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 2 = 0",
     "k_time_travel" ->

@@ -155,6 +155,63 @@ final class MedallionTable(
     }
   }
 
+  /** Delta-style `DELETE WHERE`. When the predicate references ONLY
+    * partition columns, the matching partition directories are dropped
+    * without reading a single row (the metadata-only path — on a 100 TB
+    * table a retention delete on the batch key touches no data files);
+    * any other predicate rewrites the table without the matching rows
+    * through the usual backup swap.
+    */
+  def delete(cond: Column): Unit = {
+    // Resolve the predicate against the table schema to learn which
+    // columns it references (the raw Column is an opaque unresolved node
+    // with empty `.references`). Analysis only — no job runs.
+    val refs = read.select(cond.as("__graft_cond"))
+      .queryExecution.analyzed.expressions
+      .flatMap(_.references.map(_.name)).toSet
+    if (partitionColumns.nonEmpty && refs.nonEmpty &&
+        refs.subsetOf(partitionColumns.toSet)) {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      // Matching partition tuples from the live table: |partitions| rows —
+      // metadata, not data. Hive path segments use Spark's own escaping.
+      val matching: Array[Row] = read
+        .select(partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().filter(cond).collect()
+      matching.foreach { row =>
+        val dir = partitionColumns.zipWithIndex.map { case (c, i) =>
+          val v = Option(row.get(i)).map(_.toString)
+            .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+          s"${ExternalCatalogUtils.escapePathName(c)}=${ExternalCatalogUtils.escapePathName(v)}"
+        }.mkString("/")
+        fs.delete(new Path(path, dir), true)
+      }
+      invalidateStats()
+    } else {
+      // DELETE removes rows where cond is TRUE; FALSE and NULL survive
+      // (a bare `!cond` filter would also drop the NULL rows).
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      rewriteVia(read.filter(not(coalesce(cond, lit(false)))))
+    }
+  }
+
+  /** Delta-style `UPDATE SET ... WHERE`: every SET expression is
+    * evaluated against the OLD row (simultaneous-assignment semantics —
+    * `SET a = b, b = a` swaps), then the table is rewritten through the
+    * backup swap.
+    */
+  def update(cond: Column, set: Map[String, Column]): Unit = {
+    import org.apache.spark.sql.functions.{col, when}
+    val df = read
+    val staged = set.toSeq.zipWithIndex
+    val withTmp = staged.foldLeft(df) { case (d, ((c, v), i)) =>
+      d.withColumn(s"__graft_upd_$i", when(cond, v).otherwise(col(c)))
+    }
+    val applied = staged.foldLeft(withTmp) { case (d, ((c, _), i)) =>
+      d.withColumn(c, col(s"__graft_upd_$i"))
+    }.drop(staged.map { case (_, i) => s"__graft_upd_$i" }: _*)
+    rewriteVia(applied)
+  }
+
   // ---- time travel ------------------------------------------------------
 
   private def versionsDir = new Path(path, "_graft_meta/versions")

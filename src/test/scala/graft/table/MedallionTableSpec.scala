@@ -159,6 +159,39 @@ class MedallionTableSpec extends SparkSpec {
       "ordinal-named backup must beat a legacy all-digit hash name")
   }
 
+  test("partition-aligned delete drops directories without rewriting survivors") {
+    import spark.implicits._
+    val p = tmpDir("mt_delete_part")
+    val t = MedallionTable(spark, p, partitionColumns = Seq("pt"))
+    t.overwrite((0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "pt"))
+    val f = fs(p)
+    val survivorFiles = f.listStatus(new Path(p, "pt=1")).map(_.getPath.getName).toSet
+    t.delete(org.apache.spark.sql.functions.col("pt") === 3)
+    assert(t.read.select("pt").distinct().collect().map(_.getInt(0)).toSet == Set(0, 1, 2))
+    // metadata-only: surviving partition files are byte-identical (no swap)
+    assert(f.listStatus(new Path(p, "pt=1")).map(_.getPath.getName).toSet == survivorFiles)
+  }
+
+  test("row-level delete keeps FALSE and NULL predicate rows") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_delete_rows"))
+    t.overwrite(Seq((1L, Some(5)), (2L, Some(50)), (3L, None))
+      .toDF("id", "v"))
+    t.delete(org.apache.spark.sql.functions.col("v") > 10)
+    assert(t.read.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L),
+      "NULL-predicate rows must survive a DELETE")
+  }
+
+  test("update evaluates SET expressions against the OLD row (a=b, b=a swaps)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = MedallionTable(spark, tmpDir("mt_update_swap"))
+    t.overwrite(Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("id", "a", "b"))
+    t.update(col("id") === 1, Map("a" -> col("b"), "b" -> col("a")))
+    val got = t.read.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 20L, 10L), (2L, 30L, 40L)))
+  }
+
   test("changesSince emits the exact diff between a snapshot and live") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("mt_cdc"), retainVersions = 2)
