@@ -70,8 +70,25 @@ final class MedallionTable(
     false
   }
 
-  def read: DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
+  def read: DataFrame = {
+    val p = new Path(path)
+    val schemaFile = new Path(path, "_graft_meta/schema.ddl")
+    // A table whose rows were all DELETEd has no data files to carry the
+    // schema — fall back to the stashed DDL and stay readable (empty).
+    if (fs.exists(p) && !hasDataFiles(p) && fs.exists(schemaFile)) {
+      val in = fs.open(schemaFile)
+      val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    } else spark.read.option("mergeSchema", "true").parquet(path)
+  }
+
+  /** Persist the schema beside the data (see [[read]]'s empty fallback). */
+  private def stashSchema(schema: org.apache.spark.sql.types.StructType): Unit = {
+    val out = fs.create(new Path(path, "_graft_meta/schema.ddl"), true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+  }
 
   private def writer(df: DataFrame, mode: SaveMode) = {
     val w = df.write.mode(mode)
@@ -156,34 +173,64 @@ final class MedallionTable(
   }
 
   /** Delta-style `DELETE WHERE`. When the predicate references ONLY
-    * partition columns, the matching partition directories are dropped
-    * without reading a single row (the metadata-only path — on a 100 TB
-    * table a retention delete on the batch key touches no data files);
-    * any other predicate rewrites the table without the matching rows
-    * through the usual backup swap.
+    * partition columns and the table is unversioned, the matching
+    * partition directories are dropped after a pure FILESYSTEM listing —
+    * no data file is opened (on a 100 TB table a retention delete on the
+    * batch key is |partitions| metadata ops). Versioned tables and
+    * row-level predicates rewrite through the usual backup swap so
+    * time travel keeps the pre-image. The fast path deletes directory by
+    * directory (idempotent under retry, like [[mergePruned]]'s
+    * per-partition commit — re-run after a crash to finish).
+    *
+    * The table schema is stashed in `_graft_meta/schema.ddl` first, so a
+    * delete that empties the table leaves it readable (empty, schema
+    * intact) instead of an unreadable bare directory — the parquet-dir
+    * analog of Delta keeping schema in its log.
     */
   def delete(cond: Column): Unit = {
     // Resolve the predicate against the table schema to learn which
     // columns it references (the raw Column is an opaque unresolved node
     // with empty `.references`). Analysis only — no job runs.
+    val schema = read.schema
     val refs = read.select(cond.as("__graft_cond"))
       .queryExecution.analyzed.expressions
       .flatMap(_.references.map(_.name)).toSet
-    if (partitionColumns.nonEmpty && refs.nonEmpty &&
+    if (retainVersions == 0 && partitionColumns.nonEmpty && refs.nonEmpty &&
         refs.subsetOf(partitionColumns.toSet)) {
       import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      // Matching partition tuples from the live table: |partitions| rows —
-      // metadata, not data. Hive path segments use Spark's own escaping.
-      val matching: Array[Row] = read
-        .select(partitionColumns.map(org.apache.spark.sql.functions.col): _*)
-        .distinct().filter(cond).collect()
-      matching.foreach { row =>
-        val dir = partitionColumns.zipWithIndex.map { case (c, i) =>
-          val v = Option(row.get(i)).map(_.toString)
-            .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-          s"${ExternalCatalogUtils.escapePathName(c)}=${ExternalCatalogUtils.escapePathName(v)}"
-        }.mkString("/")
-        fs.delete(new Path(path, dir), true)
+      import org.apache.spark.sql.functions.{col, when, lit}
+      // Partition tuples from the DIRECTORY NAMES (the values Spark
+      // itself wrote — reconstructing them from typed values would have
+      // to replicate Spark's cast-to-string rendering exactly; listing
+      // sidesteps that whole class of bug and opens no data file).
+      def walk(base: Path, depth: Int): Seq[Path] =
+        if (depth == 0) Seq(base)
+        else fs.listStatus(base).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .flatMap(st => walk(st.getPath, depth - 1))
+      val dirs = walk(new Path(path), partitionColumns.size)
+      if (dirs.nonEmpty) {
+        val spark2 = spark
+        import spark2.implicits._
+        val rootUri = fs.makeQualified(new Path(path)).toUri
+        val parsed = dirs.map { d =>
+          val rel = rootUri.relativize(fs.makeQualified(d).toUri).getPath
+          val values = rel.split('/').filter(_.nonEmpty).toSeq.map { seg =>
+            ExternalCatalogUtils.unescapePathName(seg.substring(seg.indexOf('=') + 1))
+          }
+          (d.toString, values)
+        }
+        // Cast the raw path strings back to the column types locally
+        // (|partitions| rows) and let the SAME predicate pick victims.
+        val typed = partitionColumns.zipWithIndex.foldLeft(
+          parsed.toDF("__graft_dir", "__graft_vals")) { case (df, (c, i)) =>
+          val raw = org.apache.spark.sql.functions.element_at(col("__graft_vals"), i + 1)
+          df.withColumn(c,
+            when(raw === ExternalCatalogUtils.DEFAULT_PARTITION_NAME, lit(null))
+              .otherwise(raw).cast(schema(c).dataType))
+        }
+        typed.filter(cond).select("__graft_dir").collect()
+          .foreach(r => fs.delete(new Path(r.getString(0)), true))
       }
       invalidateStats()
     } else {
@@ -192,6 +239,9 @@ final class MedallionTable(
       import org.apache.spark.sql.functions.{coalesce, lit, not}
       rewriteVia(read.filter(not(coalesce(cond, lit(false)))))
     }
+    // After either path (the swap replaces the dir, dropping any earlier
+    // stash) so a delete-to-empty table stays readable.
+    stashSchema(schema)
   }
 
   /** Delta-style `UPDATE SET ... WHERE`: every SET expression is
@@ -202,14 +252,11 @@ final class MedallionTable(
   def update(cond: Column, set: Map[String, Column]): Unit = {
     import org.apache.spark.sql.functions.{col, when}
     val df = read
-    val staged = set.toSeq.zipWithIndex
-    val withTmp = staged.foldLeft(df) { case (d, ((c, v), i)) =>
-      d.withColumn(s"__graft_upd_$i", when(cond, v).otherwise(col(c)))
-    }
-    val applied = staged.foldLeft(withTmp) { case (d, ((c, _), i)) =>
-      d.withColumn(c, col(s"__graft_upd_$i"))
-    }.drop(staged.map { case (_, i) => s"__graft_upd_$i" }: _*)
-    rewriteVia(applied)
+    // ONE projection: every SET expression reads the pre-update row by
+    // construction (no staging columns, no reserved names).
+    rewriteVia(df.select(df.columns.map { c =>
+      set.get(c).map(v => when(cond, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+    }: _*))
   }
 
   // ---- time travel ------------------------------------------------------

@@ -182,6 +182,40 @@ class MedallionTableSpec extends SparkSpec {
       "NULL-predicate rows must survive a DELETE")
   }
 
+  test("delete that empties the table leaves it readable with its schema") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_delete_all"))
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.delete(org.apache.spark.sql.functions.lit(true))
+    assert(t.read.count() == 0)
+    assert(t.read.schema.fieldNames.toSeq == Seq("id", "s"),
+      "schema must survive a DELETE-all (Delta keeps it in the log)")
+  }
+
+  test("delete on a versioned table archives the pre-image (no fast path)") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_delete_versioned"),
+      partitionColumns = Seq("pt"), retainVersions = 2)
+    t.overwrite((0 until 20).map(i => (i.toLong, i % 2)).toDF("id", "pt"))
+    t.delete(org.apache.spark.sql.functions.col("pt") === 1)
+    assert(t.read.count() == 10)
+    assert(t.readVersion(t.listVersions().max).count() == 20,
+      "time travel must still see the deleted rows")
+  }
+
+  test("partition fast path handles DATE-typed partition values via dir listing") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_delete_date"), partitionColumns = Seq("d"))
+    t.overwrite(Seq(
+      (1L, java.sql.Date.valueOf("2020-01-01")),
+      (2L, java.sql.Date.valueOf("2020-01-02")),
+      (3L, java.sql.Date.valueOf("2020-01-02"))).toDF("id", "d"))
+    t.delete(org.apache.spark.sql.functions.col("d") ===
+      org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("2020-01-02")))
+    assert(t.read.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "typed partition values must match the on-disk directory names")
+  }
+
   test("update evaluates SET expressions against the OLD row (a=b, b=a swaps)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
