@@ -1,9 +1,11 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming over the `events` table shape (TESTDATA.md):
   * watermarked windowed aggregation and custom sessionization state — the
@@ -177,5 +179,75 @@ object EventStreams {
             closed.result().iterator
           }
       }
+  }
+
+  /** The same gap sessionizer on Spark 4's `transformWithState` API — the
+    * successor to flatMapGroupsWithState: typed `ValueState` from a
+    * per-processor handle, EXPLICIT event-time timers (one per session
+    * extension; stale timers are recognized and ignored in
+    * `handleExpiredTimer`), RocksDB-backed state. Same semantics as
+    * [[userSessions]] — the spec drives both and compares.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionSummary] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SessionSummary] = {
+      val evs = rows.toSeq.sortBy(_.ts.getTime)
+      val closed = Seq.newBuilder[SessionSummary]
+      var cur = if (session.exists()) Some(session.get()) else None
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            cur = Some(SessionState(s.n + 1, s.total + e.value, s.startMs,
+              math.max(s.lastMs, t)))
+          case Some(s) =>
+            closed += SessionSummary(userId, s.n, s.total,
+              new Timestamp(s.startMs), new Timestamp(s.lastMs))
+            cur = Some(SessionState(1, e.value, t, t))
+          case None =>
+            cur = Some(SessionState(1, e.value, t, t))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        // One timer per extension; superseded timers stay registered and
+        // are ignored on expiry (cheaper than delete+re-register).
+        getHandle.registerTimer(s.lastMs + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      if (session.exists()) {
+        val s = session.get()
+        if (info.getExpiryTimeInMs >= s.lastMs + gapMs) {
+          session.clear()
+          Iterator.single(SessionSummary(userId, s.n, s.total,
+            new Timestamp(s.startMs), new Timestamp(s.lastMs)))
+        } else Iterator.empty // superseded timer: the session was extended
+      } else Iterator.empty
+    }
+  }
+
+  /** [[userSessions]] re-expressed on transformWithState (requires the
+    * RocksDB state store provider, see EventStreamsSpec).
+    */
+  def userSessionsTws(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

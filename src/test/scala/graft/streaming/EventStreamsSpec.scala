@@ -65,6 +65,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches the flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = userSessionsTws(input.toDS(), gapMinutes = 30, watermark = "0 minutes")
+      .writeStream.format("memory").queryName("sessions_tws")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 60,70 (one session); user 2: event at 65
+      input.addData(ev(1, 60, 1, "c", 1.0), ev(2, 70, 1, "c", 2.0), ev(3, 65, 2, "v", 5.0))
+      q.processAllAvailable()
+      // advance event time far past both gaps → both sessions time out
+      input.addData(ev(4, 240, 3, "c", 0.5))
+      q.processAllAvailable()
+      input.addData(ev(5, 400, 3, "c", 0.5)) // push watermark again to flush
+      q.processAllAvailable()
+      val rows = spark.table("sessions_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 3.0)), s"user1 session missing: $rows")
+      assert(rows.contains((2L, 1L, 5.0)), s"user2 session missing: $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming upsert sink merges micro-batches idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
