@@ -60,7 +60,17 @@ object Bench {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val timeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Watchdog self-test hook (off unless SPARK_GRAFT_INJECT_HANG is set):
+    // adds a query that sleeps forever inside a task, proving a hung query
+    // records -1 and the JSON line still prints.
+    val injected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (sys.env.contains("SPARK_GRAFT_INJECT_HANG"))
+        Map("__injected_hang" -> ((s, _) => {
+          import s.implicits._
+          s.range(4).mapPartitions { it => Thread.sleep(3600 * 1000L); it }.toDF()
+        }))
+      else Map.empty
+    val results = (SparkEntry.queries ++ injected).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: computes EVERY output column (count() lets column
       // pruning skip per-column work entirely, hiding expression cost)
