@@ -161,9 +161,17 @@ object EventStreams {
             evs.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(SessionState(s.n + 1, s.total + e.value, s.startMs,
-                    math.max(s.lastMs, t)))
+                // Merge only within the session's extent ± gap; a late
+                // in-watermark event can land BELOW lastMs, which must
+                // lower `started` (never report started > a member event).
+                case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.total + e.value,
+                    math.min(s.startMs, t), math.max(s.lastMs, t)))
+                // Late orphan older than the session by more than the gap:
+                // its own session is already over — emit it closed.
+                case Some(s) if t < s.startMs - gapMs =>
+                  closed += SessionSummary(userId, 1, e.value,
+                    new Timestamp(t), new Timestamp(t))
                 case Some(s) =>
                   closed += SessionSummary(userId, s.n, s.total,
                     new Timestamp(s.startMs), new Timestamp(s.lastMs))
@@ -204,9 +212,14 @@ object EventStreams {
       evs.foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.lastMs <= gapMs =>
-            cur = Some(SessionState(s.n + 1, s.total + e.value, s.startMs,
-              math.max(s.lastMs, t)))
+          // See userSessions: merge within extent ± gap (lowering
+          // `started` for below-lastMs lates), late orphans close solo.
+          case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
+            cur = Some(SessionState(s.n + 1, s.total + e.value,
+              math.min(s.startMs, t), math.max(s.lastMs, t)))
+          case Some(s) if t < s.startMs - gapMs =>
+            closed += SessionSummary(userId, 1, e.value,
+              new Timestamp(t), new Timestamp(t))
           case Some(s) =>
             closed += SessionSummary(userId, s.n, s.total,
               new Timestamp(s.startMs), new Timestamp(s.lastMs))

@@ -50,7 +50,12 @@ final class MedallionTable(
     */
   def exists: Boolean = {
     val p = new Path(path)
-    fs.exists(p) && hasDataFiles(p)
+    // A deliberately-emptied table (all rows DELETEd, schema stash in
+    // place) still EXISTS: createOrError must refuse it, createOrMerge
+    // must merge into it, and vacuum must not mistake it for a mid-swap
+    // crash and resurrect a stale backup over it.
+    fs.exists(p) &&
+      (hasDataFiles(p) || fs.exists(new Path(p, "_graft_meta/schema.ddl")))
   }
 
   private def hasDataFiles(p: Path): Boolean = {
@@ -167,6 +172,10 @@ final class MedallionTable(
         throw new java.io.IOException(s"swap failed: $tmp -> $dst (restored)")
       }
       if (retainVersions > 0) archiveBackup(backup) else fs.delete(backup, true)
+      // Stash the schema in the NEW directory: any rewrite can legally
+      // produce zero rows (merge with delete-not-matched, row-level
+      // DELETE), and an empty parquet dir carries no schema of its own.
+      stashSchema(newData.schema)
     } finally {
       if (!written) fs.delete(tmp, true) // failed write leaves no litter
     }
@@ -188,11 +197,12 @@ final class MedallionTable(
     * analog of Delta keeping schema in its log.
     */
   def delete(cond: Column): Unit = {
+    val df = read // ONE relation: schema, refs analysis, and rewrite share it
+    val schema = df.schema
     // Resolve the predicate against the table schema to learn which
     // columns it references (the raw Column is an opaque unresolved node
     // with empty `.references`). Analysis only — no job runs.
-    val schema = read.schema
-    val refs = read.select(cond.as("__graft_cond"))
+    val refs = df.select(cond.as("__graft_cond"))
       .queryExecution.analyzed.expressions
       .flatMap(_.references.map(_.name)).toSet
     if (retainVersions == 0 && partitionColumns.nonEmpty && refs.nonEmpty &&
@@ -233,15 +243,15 @@ final class MedallionTable(
           .foreach(r => fs.delete(new Path(r.getString(0)), true))
       }
       invalidateStats()
+      // Fast path bypasses rewriteVia (which stashes after its swap): a
+      // delete that drops every partition must leave the table readable.
+      stashSchema(schema)
     } else {
       // DELETE removes rows where cond is TRUE; FALSE and NULL survive
       // (a bare `!cond` filter would also drop the NULL rows).
       import org.apache.spark.sql.functions.{coalesce, lit, not}
-      rewriteVia(read.filter(not(coalesce(cond, lit(false)))))
+      rewriteVia(df.filter(not(coalesce(cond, lit(false)))))
     }
-    // After either path (the swap replaces the dir, dropping any earlier
-    // stash) so a delete-to-empty table stays readable.
-    stashSchema(schema)
   }
 
   /** Delta-style `UPDATE SET ... WHERE`: every SET expression is
@@ -252,10 +262,18 @@ final class MedallionTable(
   def update(cond: Column, set: Map[String, Column]): Unit = {
     import org.apache.spark.sql.functions.{col, when}
     val df = read
+    // Resolve SET keys case-insensitively (Spark's default resolution),
+    // and FAIL on an unknown key — a typo'd column must not become a
+    // silent no-op rewrite.
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+    val resolved = set.map { case (k, v) =>
+      byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
+        s"update: column '$k' not in table schema ${df.columns.mkString("[", ",", "]")}")) -> v
+    }
     // ONE projection: every SET expression reads the pre-update row by
     // construction (no staging columns, no reserved names).
     rewriteVia(df.select(df.columns.map { c =>
-      set.get(c).map(v => when(cond, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+      resolved.get(c).map(v => when(cond, v).otherwise(col(c)).as(c)).getOrElse(col(c))
     }: _*))
   }
 

@@ -98,6 +98,32 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("late in-watermark event below session start merges and lowers `started`") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = userSessions(input.toDS(), gapMinutes = 30, watermark = "120 minutes")
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 60, 1, "c", 1.0))
+      q.processAllAvailable()
+      // t=45 is within the 120-min watermark and within gap of the session
+      // extent: must merge and LOWER started to 45. t=10 is older than
+      // start-gap: must close as its own singleton, not pollute the session.
+      input.addData(ev(2, 45, 1, "c", 2.0), ev(3, 10, 1, "c", 7.0))
+      q.processAllAvailable()
+      input.addData(ev(4, 500, 9, "c", 0.1), ev(5, 900, 9, "c", 0.1)) // flush
+      q.processAllAvailable()
+      val rows = spark.table("sessions_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getTimestamp(3).getTime / 60000)).toSet
+      assert(rows.contains((1L, 1L, 7.0, 10L)), s"late orphan singleton missing: $rows")
+      assert(rows.contains((1L, 2L, 3.0, 45L)),
+        s"merged session must start at the late event (45): $rows")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink merges micro-batches idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -216,6 +216,41 @@ class MedallionTableSpec extends SparkSpec {
       "typed partition values must match the on-disk directory names")
   }
 
+  test("vacuum does not resurrect a stale backup over a deliberately-emptied table") {
+    import spark.implicits._
+    val p = tmpDir("mt_vacuum_empty")
+    val t = MedallionTable(spark, p)
+    val f = fs(p)
+    t.overwrite(Seq((1L, "old")).toDF("id", "s"))
+    // stale backup from a crashed rewrite that DID land (backup cleanup died)
+    f.mkdirs(new Path(s"${p}__graft_old_123_stale"))
+    t.delete(org.apache.spark.sql.functions.lit(true)) // legitimate empty state
+    assert(t.exists, "an emptied table with a schema stash still exists")
+    assert(t.vacuum() == 1) // removes the stale backup as litter
+    assert(t.read.count() == 0, "vacuum must not restore deleted rows")
+  }
+
+  test("merge that deletes every row leaves the table readable (schema stash)") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_merge_empty"))
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.merge(Seq.empty[(Long, String)].toDF("id", "s"), Seq("id")) // full sync to empty
+    assert(t.read.count() == 0)
+    assert(t.read.schema.fieldNames.toSeq == Seq("id", "s"))
+  }
+
+  test("update resolves SET keys case-insensitively and rejects unknown columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = MedallionTable(spark, tmpDir("mt_update_resolve"))
+    t.overwrite(Seq((1L, 10L)).toDF("id", "v"))
+    t.update(col("id") === 1, Map("V" -> lit(99L))) // case-insensitive match
+    assert(t.read.collect().head.getLong(1) == 99L)
+    intercept[IllegalArgumentException] {
+      t.update(col("id") === 1, Map("nope" -> lit(0L)))
+    }
+  }
+
   test("update evaluates SET expressions against the OLD row (a=b, b=a swaps)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
