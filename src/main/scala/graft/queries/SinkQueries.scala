@@ -143,6 +143,23 @@ object SinkQueries {
       t.changesSince(1, Seq("o_orderkey"))
     }),
 
+    // CHECK-constraint gate roundtrip: a registered quality gate rejects a
+    // violating batch wholesale (job aborts before commit) while clean
+    // writes pass — the final state proves the bad batch left no rows.
+    "k_constraint_gate_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_checkgate")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_totalprice" > 0))
+      t.addCheckConstraint("pos_price", "o_totalprice > 0")
+      try t.append(o.limit(100).withColumn("o_totalprice", -$"o_totalprice"))
+      catch { case _: Throwable => () } // rejected batch, by design
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }),
+
     // DELETE WHERE roundtrip: a partition-aligned delete (metadata-only
     // directory drop) followed by a row-level delete (filtered rewrite) —
     // both Delta DELETE semantics the reference's tables support.
@@ -210,6 +227,8 @@ object SinkQueries {
        "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END " +
        "AS o_totalprice, o_orderdate, o_orderpriority " +
        "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0"),
+    "k_constraint_gate_roundtrip" ->
+      s"SELECT $OrderCols FROM orders WHERE o_totalprice > 0",
     "k_delete_where_roundtrip" ->
       (s"SELECT $OrderCols, CAST(o_orderkey % 4 AS INTEGER) AS blk FROM orders " +
        "WHERE o_orderkey % 4 <> 3 AND o_totalprice >= 50000.0"),

@@ -107,20 +107,86 @@ final class MedallionTable(
   private def invalidateStats(): Unit =
     fs.delete(new Path(path, "_graft_meta/stats"), true)
 
+  // ---- CHECK constraints (Delta-style quality gates) --------------------
+
+  private def constraintsFile = new Path(path, "_graft_meta/constraints.tsv")
+
+  /** Registered CHECK constraints: name → SQL boolean expression. */
+  def checkConstraints: Map[String, String] =
+    if (!fs.exists(constraintsFile)) Map.empty
+    else {
+      val in = fs.open(constraintsFile)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.split('\n').filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+    }
+
+  private def persistConstraints(cs: Map[String, String]): Unit =
+    if (cs.isEmpty) fs.delete(constraintsFile, false)
+    else {
+      val out = fs.create(constraintsFile, true)
+      try out.write(cs.map { case (n, e) => s"$n\t$e" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Adds a CHECK constraint after validating the EXISTING data satisfies
+    * it (Delta `ALTER TABLE ADD CONSTRAINT` semantics — one scan). Every
+    * subsequent write path enforces it on the incoming rows in-pass.
+    * Constraint names must not contain tab/newline; expressions must not
+    * contain newline (the tsv layout).
+    */
+  def addCheckConstraint(name: String, sqlExpr: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n') && !sqlExpr.contains('\n'),
+      "constraint name/expression must be tab/newline-free")
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    if (exists) {
+      val bad = read.filter(not(coalesce(expr(sqlExpr), lit(false)))).limit(1).count()
+      require(bad == 0,
+        s"cannot add CHECK constraint $name: existing rows violate ($sqlExpr)")
+    }
+    persistConstraints(checkConstraints + (name -> sqlExpr))
+  }
+
+  def dropCheckConstraint(name: String): Unit =
+    persistConstraints(checkConstraints - name)
+
+  /** Enforces the registered constraints on incoming rows IN the write
+    * pass: `assert_true` throws inside the task on the first violating
+    * row, so no extra scan is paid and no partial result commits (the
+    * write aborts before any swap/commit). Shaped as a filter — a
+    * projected-then-dropped guard column would be pruned away silently.
+    */
+  private def enforced(df: DataFrame): DataFrame = {
+    val cs = checkConstraints
+    if (cs.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
+      val all = cs.map { case (n, e) =>
+        coalesce(expr(e), lit(false)).as(s"c_$n")
+      }.reduce(_ && _)
+      val msg = cs.map { case (n, e) => s"$n: $e" }.mkString("CHECK violated [", "; ", "]")
+      df.filter(assert_true(all, lit(msg)).isNull)
+    }
+  }
+
   /** K1 — append with schema merge + partitioning. */
   def append(df: DataFrame): Unit = {
-    writer(df, SaveMode.Append).parquet(path)
+    writer(enforced(df), SaveMode.Append).parquet(path)
     invalidateStats()
   }
 
   /** K2 — full replace (static dims, `bronze_table_creation.py:36,61`). */
-  def overwrite(df: DataFrame): Unit = writer(df, SaveMode.Overwrite).parquet(path)
+  def overwrite(df: DataFrame): Unit =
+    writer(enforced(df), SaveMode.Overwrite).parquet(path)
 
   /** K3 — first-run create, error if the table already exists. */
   def createOrError(df: DataFrame): Unit = {
     if (exists)
       throw new IllegalStateException(s"table already exists at $path")
-    writer(df, SaveMode.Overwrite).parquet(path)
+    writer(enforced(df), SaveMode.Overwrite).parquet(path)
   }
 
   /** K4 — 3-clause merge (see [[MergeOps.merge3Clause]]): materializes the
@@ -144,9 +210,14 @@ final class MedallionTable(
   /** Full-table rewrite through a tmp dir + backup swap: never a moment
     * where the live path is the only copy gone; restore on failure.
     */
-  private def rewriteVia(newData: DataFrame,
+  private def rewriteVia(newData0: DataFrame,
       writerTweak: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
         org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = identity): Unit = {
+    // Enforce CHECK constraints on every rewrite product (merge results,
+    // updates, restores) and carry the constraint registry across the
+    // swap, which replaces the _graft_meta directory.
+    val constraints = checkConstraints
+    val newData = enforced(newData0)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"${path}__graft_tmp_$suffix")
     val dst = new Path(path)
@@ -176,6 +247,7 @@ final class MedallionTable(
       // produce zero rows (merge with delete-not-matched, row-level
       // DELETE), and an empty parquet dir carries no schema of its own.
       stashSchema(newData.schema)
+      persistConstraints(constraints)
     } finally {
       if (!written) fs.delete(tmp, true) // failed write leaves no litter
     }

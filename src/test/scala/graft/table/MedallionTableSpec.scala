@@ -251,6 +251,28 @@ class MedallionTableSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints gate every write path and survive rewrites") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = MedallionTable(spark, tmpDir("mt_constraints"))
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    // violating append fails and commits nothing
+    intercept[Throwable] { t.append(Seq((3L, -1.0)).toDF("id", "v")) }
+    assert(t.read.count() == 2, "failed append must not commit rows")
+    t.append(Seq((3L, 3.0)).toDF("id", "v")) // clean append passes
+    // the registry survives a rewrite (merge swaps the directory)...
+    t.merge(Seq((1L, 11.0), (2L, 20.0), (3L, 3.0)).toDF("id", "v"), Seq("id"))
+    assert(t.checkConstraints == Map("v_pos" -> "v > 0"))
+    // ...and a violating UPDATE is rejected by the rewrite-side gate
+    intercept[Throwable] {
+      t.update(col("id") === 1, Map("v" -> org.apache.spark.sql.functions.lit(-5.0)))
+    }
+    assert(t.read.filter("id = 1").collect().head.getDouble(1) == 11.0)
+    // adding a constraint the existing data violates is refused
+    intercept[IllegalArgumentException] { t.addCheckConstraint("v_big", "v > 100") }
+  }
+
   test("update evaluates SET expressions against the OLD row (a=b, b=a swaps)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
