@@ -80,20 +80,15 @@ final class MedallionTable(
     val schemaFile = new Path(path, "_graft_meta/schema.ddl")
     // A table whose rows were all DELETEd has no data files to carry the
     // schema — fall back to the stashed DDL and stay readable (empty).
-    if (fs.exists(p) && !hasDataFiles(p) && fs.exists(schemaFile)) {
-      val in = fs.open(schemaFile)
-      val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    if (fs.exists(p) && !hasDataFiles(p) && fs.exists(schemaFile))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
-    } else spark.read.option("mergeSchema", "true").parquet(path)
+        org.apache.spark.sql.types.StructType.fromDDL(readMetaText(schemaFile)))
+    else spark.read.option("mergeSchema", "true").parquet(path)
   }
 
   /** Persist the schema beside the data (see [[read]]'s empty fallback). */
-  private def stashSchema(schema: org.apache.spark.sql.types.StructType): Unit = {
-    val out = fs.create(new Path(path, "_graft_meta/schema.ddl"), true)
-    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-  }
+  private def stashSchema(schema: org.apache.spark.sql.types.StructType): Unit =
+    writeMetaText(new Path(path, "_graft_meta/schema.ddl"), schema.toDDL)
 
   private def writer(df: DataFrame, mode: SaveMode) = {
     val w = df.write.mode(mode)
@@ -107,6 +102,19 @@ final class MedallionTable(
   private def invalidateStats(): Unit =
     fs.delete(new Path(path, "_graft_meta/stats"), true)
 
+  // ---- small metadata text files ----------------------------------------
+
+  private def readMetaText(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def writeMetaText(p: Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
   // ---- CHECK constraints (Delta-style quality gates) --------------------
 
   private def constraintsFile = new Path(path, "_graft_meta/constraints.tsv")
@@ -114,36 +122,29 @@ final class MedallionTable(
   /** Registered CHECK constraints: name → SQL boolean expression. */
   def checkConstraints: Map[String, String] =
     if (!fs.exists(constraintsFile)) Map.empty
-    else {
-      val in = fs.open(constraintsFile)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      text.split('\n').filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('\t')
-        line.substring(0, i) -> line.substring(i + 1)
-      }.toMap
-    }
+    else readMetaText(constraintsFile).split('\n').filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
 
   private def persistConstraints(cs: Map[String, String]): Unit =
-    if (cs.isEmpty) fs.delete(constraintsFile, false)
-    else {
-      val out = fs.create(constraintsFile, true)
-      try out.write(cs.map { case (n, e) => s"$n\t$e" }.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-    }
+    if (cs.isEmpty) { if (fs.exists(constraintsFile)) fs.delete(constraintsFile, false) }
+    else writeMetaText(constraintsFile,
+      cs.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
 
   /** Adds a CHECK constraint after validating the EXISTING data satisfies
-    * it (Delta `ALTER TABLE ADD CONSTRAINT` semantics — one scan). Every
-    * subsequent write path enforces it on the incoming rows in-pass.
-    * Constraint names must not contain tab/newline; expressions must not
-    * contain newline (the tsv layout).
+    * it (Delta `ALTER TABLE ADD CONSTRAINT` semantics — one scan; SQL
+    * CHECK semantics: only FALSE violates, NULL passes). Every subsequent
+    * write path enforces it on the incoming rows in-pass. Constraint
+    * names must not contain tab/newline; expressions must not contain
+    * newline (the tsv layout).
     */
   def addCheckConstraint(name: String, sqlExpr: String): Unit = {
     require(!name.exists(c => c == '\t' || c == '\n') && !sqlExpr.contains('\n'),
       "constraint name/expression must be tab/newline-free")
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     if (exists) {
-      val bad = read.filter(not(coalesce(expr(sqlExpr), lit(false)))).limit(1).count()
+      val bad = read.filter(not(coalesce(expr(sqlExpr), lit(true)))).limit(1).count()
       require(bad == 0,
         s"cannot add CHECK constraint $name: existing rows violate ($sqlExpr)")
     }
@@ -153,22 +154,31 @@ final class MedallionTable(
   def dropCheckConstraint(name: String): Unit =
     persistConstraints(checkConstraints - name)
 
-  /** Enforces the registered constraints on incoming rows IN the write
-    * pass: `assert_true` throws inside the task on the first violating
-    * row, so no extra scan is paid and no partial result commits (the
-    * write aborts before any swap/commit). Shaped as a filter — a
-    * projected-then-dropped guard column would be pruned away silently.
+  /** Enforces the given constraints on incoming rows IN the write pass:
+    * `assert_true` throws inside the task on the first violating row, so
+    * no extra scan is paid. SQL CHECK semantics — only a FALSE result
+    * violates; NULL passes. Columns a constraint references that the
+    * incoming frame does not carry (K1 schema evolution — they read back
+    * as NULL) are substituted with typed NULLs for evaluation, then
+    * dropped again. Shaped as a filter — a projected-then-dropped guard
+    * column would be pruned away silently.
     */
-  private def enforced(df: DataFrame): DataFrame = {
-    val cs = checkConstraints
+  private def enforced(df: DataFrame,
+      cs: Map[String, String] = checkConstraints): DataFrame = {
     if (cs.isEmpty) df
     else {
       import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
-      val all = cs.map { case (n, e) =>
-        coalesce(expr(e), lit(false)).as(s"c_$n")
-      }.reduce(_ && _)
+      val present = df.columns.map(_.toLowerCase).toSet
+      val missing = cs.values.flatMap { e =>
+        spark.sessionState.sqlParser.parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        }
+      }.toSeq.distinct.filterNot(c => present.contains(c.toLowerCase))
+      val widened = missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
+      val all = cs.values.map(e => coalesce(expr(e), lit(true))).reduce(_ && _)
       val msg = cs.map { case (n, e) => s"$n: $e" }.mkString("CHECK violated [", "; ", "]")
-      df.filter(assert_true(all, lit(msg)).isNull)
+      widened.filter(assert_true(all, lit(msg)).isNull)
+        .drop(missing: _*)
     }
   }
 
@@ -178,15 +188,30 @@ final class MedallionTable(
     invalidateStats()
   }
 
-  /** K2 — full replace (static dims, `bronze_table_creation.py:36,61`). */
+  /** K2 — full replace (static dims, `bronze_table_creation.py:36,61`).
+    * An EXISTING table replaces through the backup swap: a plain
+    * `SaveMode.Overwrite` deletes the old data BEFORE the job runs, so a
+    * constraint-violating (or simply failing) batch would destroy the
+    * table instead of being rejected — and it would wipe `_graft_meta`
+    * (the constraint registry) with it.
+    */
   def overwrite(df: DataFrame): Unit =
-    writer(enforced(df), SaveMode.Overwrite).parquet(path)
+    if (exists) rewriteVia(df)
+    else {
+      val cs = checkConstraints // pre-create registry survives the write
+      writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
+      stashSchema(df.schema)
+      persistConstraints(cs)
+    }
 
   /** K3 — first-run create, error if the table already exists. */
   def createOrError(df: DataFrame): Unit = {
     if (exists)
       throw new IllegalStateException(s"table already exists at $path")
-    writer(enforced(df), SaveMode.Overwrite).parquet(path)
+    val cs = checkConstraints
+    writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
+    stashSchema(df.schema)
+    persistConstraints(cs)
   }
 
   /** K4 — 3-clause merge (see [[MergeOps.merge3Clause]]): materializes the
@@ -215,9 +240,10 @@ final class MedallionTable(
         org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = identity): Unit = {
     // Enforce CHECK constraints on every rewrite product (merge results,
     // updates, restores) and carry the constraint registry across the
-    // swap, which replaces the _graft_meta directory.
+    // swap, which replaces the _graft_meta directory. One registry read
+    // serves both.
     val constraints = checkConstraints
-    val newData = enforced(newData0)
+    val newData = enforced(newData0, constraints)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"${path}__graft_tmp_$suffix")
     val dst = new Path(path)
@@ -604,7 +630,9 @@ final class MedallionTable(
       MergeOps.merge3Clause(prunedTarget, source, keys, updateCondition, deleteNotMatchedBySource)
     // Dynamic partition overwrite replaces exactly the partitions present in
     // `merged`; all other partition directories are untouched on disk.
-    merged.write
+    // CHECK constraints gate this path too — it is createOrMerge's (and so
+    // the pipeline's) canonical upsert route.
+    enforced(merged).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionColumns: _*)

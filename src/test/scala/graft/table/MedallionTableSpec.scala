@@ -273,6 +273,32 @@ class MedallionTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.addCheckConstraint("v_big", "v > 100") }
   }
 
+  test("CHECK constraints: SQL NULL semantics, schema evolution, safe overwrite, pruned merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val t = MedallionTable(spark, tmpDir("mt_constraints2"), partitionColumns = Seq("pt"))
+    t.overwrite(Seq((1L, Some(10.0), 0), (2L, None, 1)).toDF("id", "v", "pt"))
+    // NULL result passes (SQL CHECK): row 2 has v = null
+    t.addCheckConstraint("v_pos", "v > 0")
+    // schema evolution: an appended frame MISSING v reads back as v=null →
+    // passes, and must not fail analysis either
+    t.append(Seq((4L, 0)).toDF("id", "pt"))
+    assert(t.read.count() == 3)
+    // a violating overwrite is rejected AND the old data survives
+    intercept[Throwable] {
+      t.overwrite(Seq((9L, Some(-1.0), 0)).toDF("id", "v", "pt"))
+    }
+    assert(t.read.filter("id = 1").count() == 1, "overwrite must not destroy on violation")
+    // the registry survives a clean overwrite
+    t.overwrite(Seq((5L, Some(5.0), 1)).toDF("id", "v", "pt"))
+    assert(t.checkConstraints.contains("v_pos"))
+    // the partition-pruned merge path (createOrMerge's route) is gated too
+    intercept[Throwable] {
+      t.mergePruned(Seq((6L, Some(-2.0), 1)).toDF("id", "v", "pt"), Seq("id", "pt"))
+    }
+    assert(t.read.filter("v < 0").count() == 0)
+  }
+
   test("update evaluates SET expressions against the OLD row (a=b, b=a swaps)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
