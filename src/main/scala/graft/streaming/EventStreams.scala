@@ -32,6 +32,19 @@ object EventStreams {
     */
   case class SessionState(n: Long, total: Double, startMs: Long, lastMs: Long)
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * `dedup_exact_hash` path: `dropDuplicatesWithinWatermark` keeps one
+    * state entry per key seen within the watermark delay and EVICTS it as
+    * the watermark advances, so state is bounded by the key arrival rate ×
+    * delay (a plain streaming `dropDuplicates` would grow state forever).
+    * Contract: duplicates are only suppressed while the first sighting is
+    * within the watermark; a re-arrival after eviction passes through —
+    * the standard at-least-once dedup trade.
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Tumbling-window counts with a watermark: late events beyond the
     * watermark are dropped; windows close and emit once (append mode).
     */

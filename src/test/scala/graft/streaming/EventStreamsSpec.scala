@@ -42,6 +42,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses in-watermark duplicates, state evicts after") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupedEvents(input.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 10, 1, "c", 1.0), ev(1, 11, 1, "c", 1.0), ev(2, 12, 1, "c", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+        "in-batch duplicate must be suppressed")
+      input.addData(ev(1, 15, 1, "c", 1.0)) // still within watermark: dropped
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").filter("event_id = 1").count() == 1)
+      // push the watermark far past eviction, then replay id 1: passes
+      input.addData(ev(9, 500, 9, "c", 0.1))
+      q.processAllAvailable()
+      input.addData(ev(1, 510, 1, "c", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").filter("event_id = 1").count() == 2,
+        "post-eviction re-arrival passes (bounded-state contract)")
+    } finally q.stop()
+  }
+
   test("gap-based sessionization closes sessions on event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
