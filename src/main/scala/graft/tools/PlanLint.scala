@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-level anti-pattern sweep over EVERY registered query — the
+  * automated form of the "is this the plan you'd want at 100 TB" audit:
+  *
+  *   - CartesianProduct / BroadcastNestedLoopJoin (all-pairs blowups;
+  *     BNLJ with a broadcast side is tolerated only when allowlisted
+  *     with a bounded-side justification);
+  *   - Window or global Sort over a SINGLE partition (the whole dataset
+  *     funnels through one task — the compactZOrder-class scale-killer);
+  *
+  * Exit code 1 when a non-allowlisted violation appears, so the sweep
+  * can gate a round like selfcheck/benchgate do. Allowlist entries are
+  * deliberate, documented design decisions — not suppressions.
+  *
+  * Usage: runMain graft.tools.PlanLint [sfDir] [query ...]
+  */
+object PlanLint {
+
+  /** query -> justification for a tolerated pattern. */
+  private val allow: Map[String, String] = Map(
+    "j15_cross_join_small" ->
+      "deliberate CROSS JOIN coverage query; both sides broadcast-small by construction",
+    "j7_geo_nn_assignment" ->
+      "crossJoin against an explicitly broadcast, bounded dimension (stations)",
+    "ngram_jaccard_pairs" ->
+      "exact all-pairs Jaccard on a doc_id<25 bounded population (oracle baseline; the unbounded path is LSH)",
+    "dedup_cc_groups" ->
+      "edges derive from the same bounded all-pairs baseline as ngram_jaccard_pairs",
+    "dedup_embedding_pairs" ->
+      "documented bounded-corpus broadcast kernel; unbounded path is sim_ann_lsh/ivf",
+    "j12_range_join" ->
+      "broadcast range join: BNLJ against an explicitly broadcast, bounded interval set",
+    "sim_topk_bruteforce" ->
+      "corpus x broadcast(k query vectors): the bounded exact baseline; scale paths are sim_ann_lsh/ivf",
+    "sim_ann_ivf" ->
+      "corpus x broadcast(centroids) cell assignment — centroid count is a small constant"
+  )
+
+  private def offenses(plan: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.{SortExec, adaptive}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.{LocalLimitExec, ProjectExec}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    // A SinglePartition exchange is FINE when it carries pre-reduced data:
+    // a global aggregate ships one partial row per upstream partition, a
+    // limit ships ≤ limit rows. It is a funnel only when raw data flows in.
+    def reduced(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec | _: LocalLimitExec => true
+      case pr: ProjectExec => reduced(pr.child)
+      case _ => false
+    }
+    def walk(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case _: CartesianProductExec => Seq("CartesianProduct")
+        case j: BroadcastNestedLoopJoinExec => Seq(s"BroadcastNestedLoopJoin(${j.joinType})")
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq("Window over a single partition")
+        case s: SortExec if s.global &&
+            s.child.outputPartitioning == SinglePartition => Seq("global Sort into one partition")
+        case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition &&
+            !reduced(e.child) => Seq("Exchange to SinglePartition over raw data")
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case a: adaptive.QueryStageExec => Seq(a.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk)
+    }
+    walk(plan).distinct
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = 0
+    names.foreach { n =>
+      try {
+        val found = offenses(graft.SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.executedPlan)
+        if (found.nonEmpty) {
+          allow.get(n) match {
+            case Some(why) => println(s"ALLOW $n: ${found.mkString("; ")} — $why")
+            case None =>
+              bad += 1
+              println(s"FAIL  $n: ${found.mkString("; ")}")
+          }
+        }
+      } catch {
+        // side-effecting pipeline/sink queries mutate scratch state when
+        // planned; planning failures here are environment, not plan shape
+        case e: Throwable => println(s"SKIP  $n: ${e.getClass.getSimpleName}")
+      }
+    }
+    println(s"\n${names.size} plans checked, $bad non-allowlisted violations")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}
