@@ -154,8 +154,14 @@ object SinkQueries {
       val o = Tables.orders(s, dir)
       t.overwrite(o.filter($"o_totalprice" > 0))
       t.addCheckConstraint("pos_price", "o_totalprice > 0")
-      try t.append(o.limit(100).withColumn("o_totalprice", -$"o_totalprice"))
-      catch { case _: Throwable => () } // rejected batch, by design
+      // The violating append MUST throw — swallowing every Throwable would
+      // make this query pass even if enforcement silently stopped firing.
+      val gated =
+        try { t.append(o.limit(100).withColumn("o_totalprice", -$"o_totalprice")); false }
+        catch { case _: Throwable => true }
+      require(gated, "constraint gate did not reject the violating batch")
+      require(t.checkConstraints.contains("pos_price"),
+        "constraint registry lost after rejected append")
       t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
     }),

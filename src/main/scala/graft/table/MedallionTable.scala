@@ -111,8 +111,14 @@ final class MedallionTable(
   }
 
   private def writeMetaText(p: Path, text: String): Unit = {
-    val out = fs.create(p, true)
+    // Write-then-rename: an in-place create truncates first, so a crash
+    // mid-write would leave a corrupt metadata file with no recovery.
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"metadata write failed: $tmp -> $p")
   }
 
   // ---- CHECK constraints (Delta-style quality gates) --------------------
@@ -124,6 +130,8 @@ final class MedallionTable(
     if (!fs.exists(constraintsFile)) Map.empty
     else readMetaText(constraintsFile).split('\n').filter(_.nonEmpty).map { line =>
       val i = line.indexOf('\t')
+      if (i < 0) throw new IllegalStateException(
+        s"constraint registry corrupt at $constraintsFile: line without tab")
       line.substring(0, i) -> line.substring(i + 1)
     }.toMap
 
@@ -198,10 +206,13 @@ final class MedallionTable(
   def overwrite(df: DataFrame): Unit =
     if (exists) rewriteVia(df)
     else {
-      val cs = checkConstraints // pre-create registry survives the write
-      writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
+      val cs = checkConstraints
+      // SaveMode.Overwrite deletes the dir (registry included) BEFORE the
+      // job runs — restore the pre-create registry even when the write
+      // fails, or a rejected/failed first batch silently disarms the gate.
+      try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
+      finally persistConstraints(cs)
       stashSchema(df.schema)
-      persistConstraints(cs)
     }
 
   /** K3 — first-run create, error if the table already exists. */
@@ -209,9 +220,9 @@ final class MedallionTable(
     if (exists)
       throw new IllegalStateException(s"table already exists at $path")
     val cs = checkConstraints
-    writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
+    try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
+    finally persistConstraints(cs)
     stashSchema(df.schema)
-    persistConstraints(cs)
   }
 
   /** K4 — 3-clause merge (see [[MergeOps.merge3Clause]]): materializes the
