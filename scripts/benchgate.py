@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
-"""Per-query bench budget gate: fails if any query in target/bench_full.json
-exceeds the budget or recorded -1 (failed/timed out).
+"""Bench budget gate: fails if any query in target/bench_full.json exceeds
+the per-query budget, recorded -1 (failed/timed out), or the TOTAL exceeds
+2x the official recorded baseline (BASELINE.md: 140.005 s / 148 queries at
+sf0.1 from BENCH_r05.json -> total gate 280 s).
 
 Usage: python3 scripts/benchgate.py [budget_sec] [bench_full.json]
 
@@ -30,6 +32,11 @@ for k, v in sorted(failed.items()):
 for k, v in sorted(slow.items(), key=lambda x: -x[1]):
     print(f"SLOW {k}: {v:.1f}s > budget {budget:.0f}s")
 total = sum(v for v in d.values() if v >= 0)
-print(f"\n{len(d)} queries, total {total:.1f}s, {len(failed)} failed, "
-      f"{len(slow)} over budget")
-sys.exit(1 if failed or slow else 0)
+# Driver contract: total within 2x of the recorded baseline (BASELINE.md).
+TOTAL_BUDGET = 2 * 140.005
+over_total = total > TOTAL_BUDGET
+if over_total:
+    print(f"TOTAL {total:.1f}s > 2x baseline gate {TOTAL_BUDGET:.0f}s")
+print(f"\n{len(d)} queries, total {total:.1f}s (gate {TOTAL_BUDGET:.0f}s), "
+      f"{len(failed)} failed, {len(slow)} over budget")
+sys.exit(1 if failed or slow or over_total else 0)

@@ -70,7 +70,8 @@ object Bench {
           s.range(4).mapPartitions { it => Thread.sleep(3600 * 1000L); it }.toDF()
         }))
       else Map.empty
-    val results = (SparkEntry.queries ++ injected).map { case (name, fn) =>
+    // One watchdog-guarded attempt; returns elapsed seconds or -1.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: computes EVERY output column (count() lets column
       // pruning skip per-column work entirely, hiding expression cost)
@@ -110,7 +111,28 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // Per-query isolation (round-5 verdict: late heavy queries read 2-4x
+    // their isolated cost because GC pressure and leftover executor state
+    // from 100+ prior queries land under their measurement). Settle the JVM
+    // before each query, then record the best of two back-to-back attempts —
+    // the min discards whichever attempt ate a stray GC pause or cache miss,
+    // reproducing what TimeQuery measures in isolation. A failed first
+    // attempt records -1 without a retry (a hung query must cost one
+    // timeout, not two).
+    val results = (SparkEntry.queries ++ injected).map { case (name, fn) =>
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(100)
+      val t1 = timeOnce(name, fn)
+      val t =
+        if (t1 < 0) t1
+        else {
+          val t2 = timeOnce(name, fn)
+          if (t2 < 0) t1 else math.min(t1, t2) // a flaky 2nd attempt must not erase a good 1st
+        }
+      name -> t
     }
     val total = results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0)
@@ -125,7 +147,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"n_failed":$nFailed,""" +
-      """"methodology":"noop-sink all-columns; queries map = fixed headline subset, value = total over all",""" +
+      """"methodology":"noop-sink all-columns; per-query GC-settled best-of-2; queries map = fixed headline subset, value = total over all",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -87,8 +87,9 @@ final class MedallionTable(
   }
 
   /** Persist the schema beside the data (see [[read]]'s empty fallback). */
-  private def stashSchema(schema: org.apache.spark.sql.types.StructType): Unit =
-    writeMetaText(new Path(path, "_graft_meta/schema.ddl"), schema.toDDL)
+  private def stashSchema(schema: org.apache.spark.sql.types.StructType,
+      base: Path = new Path(path)): Unit =
+    writeMetaText(new Path(base, "_graft_meta/schema.ddl"), schema.toDDL)
 
   private def writer(df: DataFrame, mode: SaveMode) = {
     val w = df.write.mode(mode)
@@ -135,10 +136,13 @@ final class MedallionTable(
       line.substring(0, i) -> line.substring(i + 1)
     }.toMap
 
-  private def persistConstraints(cs: Map[String, String]): Unit =
-    if (cs.isEmpty) { if (fs.exists(constraintsFile)) fs.delete(constraintsFile, false) }
-    else writeMetaText(constraintsFile,
+  private def persistConstraints(cs: Map[String, String],
+      base: Path = new Path(path)): Unit = {
+    val file = new Path(base, "_graft_meta/constraints.tsv")
+    if (cs.isEmpty) { if (fs.exists(file)) fs.delete(file, false) }
+    else writeMetaText(file,
       cs.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+  }
 
   /** Adds a CHECK constraint after validating the EXISTING data satisfies
     * it (Delta `ALTER TABLE ADD CONSTRAINT` semantics — one scan; SQL
@@ -272,6 +276,18 @@ final class MedallionTable(
       val w = writerTweak(newData.write.mode(SaveMode.Overwrite))
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
         .parquet(tmp.toString)
+      // Metadata goes into the TMP directory BEFORE the swap, so the
+      // rename atomically carries schema + constraint registry with the
+      // data. Writing them after the swap left a crash window where the
+      // backup was already deleted but the new dir had neither schema.ddl
+      // (a rewrite that legally empties the table would then read as
+      // nonexistent — and a later vacuum() would "restore" the superseded
+      // backup over a committed delete) nor the CHECK registry (silently
+      // disarming the gate). Any rewrite can legally produce zero rows
+      // (merge with delete-not-matched, row-level DELETE), and an empty
+      // parquet dir carries no schema of its own.
+      stashSchema(newData.schema, tmp)
+      persistConstraints(constraints, tmp)
       written = true
       if (!fs.rename(dst, backup))
         throw new java.io.IOException(s"swap failed: $dst -> $backup")
@@ -280,11 +296,6 @@ final class MedallionTable(
         throw new java.io.IOException(s"swap failed: $tmp -> $dst (restored)")
       }
       if (retainVersions > 0) archiveBackup(backup) else fs.delete(backup, true)
-      // Stash the schema in the NEW directory: any rewrite can legally
-      // produce zero rows (merge with delete-not-matched, row-level
-      // DELETE), and an empty parquet dir carries no schema of its own.
-      stashSchema(newData.schema)
-      persistConstraints(constraints)
     } finally {
       if (!written) fs.delete(tmp, true) // failed write leaves no litter
     }
