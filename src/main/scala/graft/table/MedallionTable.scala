@@ -167,19 +167,29 @@ final class MedallionTable(
     persistConstraints(checkConstraints - name)
 
   /** Enforces the given constraints on incoming rows IN the write pass:
-    * `assert_true` throws inside the task on the first violating row, so
-    * no extra scan is paid. SQL CHECK semantics — only a FALSE result
+    * a [[graft.functions.CheckInvariant]] fused onto the first output
+    * column throws inside the task on the first violating row, so no
+    * extra scan is paid. SQL CHECK semantics — only a FALSE result
     * violates; NULL passes. Columns a constraint references that the
     * incoming frame does not carry (K1 schema evolution — they read back
     * as NULL) are substituted with typed NULLs for evaluation, then
-    * dropped again. Shaped as a filter — a projected-then-dropped guard
-    * column would be pruned away silently.
+    * dropped again.
+    *
+    * Shape matters (round-6 review finding): the earlier
+    * `filter(assert_true(...).isNull)` gate was a deterministic predicate
+    * that PushDownPredicates could move BELOW the caller's joins/
+    * aggregates — evaluating the constraint on intermediate rows not in
+    * the final batch and spuriously rejecting a valid write. Riding on a
+    * projected output column (Delta's CheckInvariant shape) pins the
+    * check to the final per-row output: projections don't push through
+    * joins, and the column can't be pruned because it IS written.
     */
   private def enforced(df: DataFrame,
       cs: Map[String, String] = checkConstraints): DataFrame = {
     if (cs.isEmpty) df
     else {
-      import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
+      import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+      import org.apache.spark.sql.GraftColumnBridge
       val present = df.columns.map(_.toLowerCase).toSet
       val missing = cs.values.flatMap { e =>
         spark.sessionState.sqlParser.parseExpression(e).collect {
@@ -189,8 +199,14 @@ final class MedallionTable(
       val widened = missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
       val all = cs.values.map(e => coalesce(expr(e), lit(true))).reduce(_ && _)
       val msg = cs.map { case (n, e) => s"$n: $e" }.mkString("CHECK violated [", "; ", "]")
-      widened.filter(assert_true(all, lit(msg)).isNull)
-        .drop(missing: _*)
+      // Selecting only df's original columns drops the widened NULL stand-ins
+      // again; the check expression still resolves against `widened`.
+      val guard = graft.functions.CheckInvariant(
+        GraftColumnBridge.expression(col(df.columns.head)),
+        GraftColumnBridge.expression(all), msg)
+      widened.select(df.columns.zipWithIndex.map { case (c, i) =>
+        if (i == 0) GraftColumnBridge.column(guard).as(c) else col(c)
+      }: _*)
     }
   }
 

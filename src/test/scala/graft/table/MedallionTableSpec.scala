@@ -299,6 +299,32 @@ class MedallionTableSpec extends SparkSpec {
     assert(t.read.filter("v < 0").count() == 0)
   }
 
+  test("CHECK gate evaluates on final batch rows, not pre-join/pre-agg rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val t = MedallionTable(spark, tmpDir("mt_checkpush"))
+    t.overwrite(Seq((1L, 10.0)).toDF("id", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    // Batch derived through an inner join: the raw left side carries a
+    // violating row (id=3, v=-5) that the join filters out. A gate pushed
+    // below the join (the round-6 filter-shape hazard) would evaluate
+    // v > 0 on that pre-join row and spuriously reject this valid batch.
+    val left = Seq((2L, 10.0), (3L, -5.0)).toDF("id", "v")
+    val keep = Seq(Tuple1(2L)).toDF("id")
+    t.append(left.join(keep, "id").select("id", "v"))
+    assert(t.read.count() == 2, "valid joined batch must pass the gate")
+    // Through an aggregate: negative addends, positive per-group sum.
+    t.append(Seq((4L, -3.0), (4L, 8.0)).toDF("id", "v")
+      .groupBy($"id").agg(sum($"v").as("v")))
+    assert(t.read.count() == 3, "valid aggregated batch must pass the gate")
+    // The gate still fires on a batch whose FINAL rows violate.
+    intercept[Throwable] {
+      t.append(Seq((5L, -1.0)).toDF("id", "v")
+        .join(Seq(Tuple1(5L)).toDF("id"), "id").select("id", "v"))
+    }
+    assert(t.read.count() == 3, "violating joined batch must not commit")
+  }
+
   test("update evaluates SET expressions against the OLD row (a=b, b=a swaps)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
