@@ -44,16 +44,24 @@ object ConnectedComponents {
       maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val sc = spark.sparkContext
-    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
+    // The checkpointed blocks to release are identified from the RETURNED
+    // DataFrame's own plan (its LogicalRDD leaf holds the checkpointed
+    // RDD), never by diffing sc.getPersistentRDDs around the call — under
+    // a shared SparkContext with concurrent jobs (Pipeline.inParallel, a
+    // draining watchdog-cancelled query) the diff could capture a FOREIGN
+    // job's checkpoint and later unpersist it out from under that job
+    // (round-5 review finding).
+    type Release = () => Unit
+    def ckpt(df: DataFrame): (DataFrame, Release) = {
       val out = df.localCheckpoint(false) // lazy: materialized by the next action
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+      val rdds = out.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      (out, () => rdds.foreach(_.unpersist(false)))
     }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def release(r: Release): Unit = r()
     // Symmetrize once: propagation below only follows a->b edges.
-    val (e, eIds) = ckpt(
+    val (e, eRelease) = ckpt(
       edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
         .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
         .distinct())
@@ -72,14 +80,12 @@ object ConnectedComponents {
     // Per-round checkpoints must be RELEASED once the next round no longer
     // reads them, or |V|-sized blocks accumulate in executor storage — one
     // dead copy of the labels per iteration (terabytes on a long-diameter
-    // 100 TB run). The checkpointed RDD has no public handle on the
-    // DataFrame, but localCheckpoint registers it with the context
-    // immediately even when lazy, so bracketing the call with
-    // getPersistentRDDs snapshots (ckpt above) captures exactly its ids.
-    // A round's blocks are released only AFTER the following round has
-    // materialized (lineage is truncated — unpersisting a still-needed
-    // local checkpoint would be unrecoverable, not just slow).
-    var (labels, labelIds) = ckpt(
+    // 100 TB run). The handle comes from the checkpointed frame's own
+    // LogicalRDD leaf (see ckpt above). A round's blocks are released only
+    // AFTER the following round has materialized (lineage is truncated —
+    // unpersisting a still-needed local checkpoint would be
+    // unrecoverable, not just slow).
+    var (labels, labelRelease) = ckpt(
       allIds.join(nbrSeed, Seq("id"), "left")
         .select($"id", least($"id", coalesce($"nmin", $"id")).as("comp")))
     var changed = 1L
@@ -92,19 +98,19 @@ object ConnectedComponents {
       // and actions-per-round are both kept minimal.
       val nbrMin = e.join(labels, e("b") === labels("id"))
         .groupBy(e("a").as("id")).agg(min(labels("comp")).as("nmin"))
-      val (next, nextIds) = ckpt(
+      val (next, nextRelease) = ckpt(
         labels.join(nbrMin, Seq("id"), "left")
           .select($"id",
             least($"comp", coalesce($"nmin", $"comp")).as("comp"),
             coalesce($"nmin" < $"comp", lit(false)).as("chg")))
       changed = next.filter($"chg").count() // materializes `next`
-      release(labelIds)                     // previous round: now unreferenced
+      release(labelRelease)                 // previous round: now unreferenced
       labels = next.drop("chg")
-      labelIds = nextIds
+      labelRelease = nextRelease
       iter += 1
     }
     require(changed == 0, s"connected components did not converge in $maxIter rounds")
-    release(eIds) // final labels are checkpointed; the edge copy is dead
+    release(eRelease) // final labels are checkpointed; the edge copy is dead
     labels
   }
 

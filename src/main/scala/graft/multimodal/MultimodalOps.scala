@@ -173,22 +173,33 @@ object MultimodalOps {
                 sb / np / 255f, (sr + sg + sb) / (3f * np) / 255f)
             }
           case "audio" =>
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(a.content))
-            val fmt = in.getFormat
-            val bytes = in.readAllBytes()
-            val ns = bytes.length / 2
-            var sum = 0L; var sumSq = 0.0
-            var i = 0
-            while (i < ns) {
-              val s = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
-              sum += s; sumSq += s.toDouble * s
-              i += 1
-            }
-            val mean = if (ns > 0) (sum.toDouble / ns).toFloat else 0f
-            val rms = if (ns > 0) math.sqrt(sumSq / ns).toFloat else 0f
-            Array(fmt.getSampleRate / 48000f, ns / 1e6f,
-              mean / 32768f, rms / 32768f)
+            // Degrade-not-fail, like the image branch's null check: one
+            // corrupt payload must yield pseudo-features, not throw
+            // (UnsupportedAudioFileException/IOException) and fail the
+            // task — and at scale the job — wholesale.
+            val in =
+              try javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(a.content))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (in == null) pseudo
+            else try {
+              val fmt = in.getFormat
+              val bytes = in.readAllBytes()
+              val ns = bytes.length / 2
+              var sum = 0L; var sumSq = 0.0
+              var i = 0
+              while (i < ns) {
+                val s = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+                sum += s; sumSq += s.toDouble * s
+                i += 1
+              }
+              val mean = if (ns > 0) (sum.toDouble / ns).toFloat else 0f
+              val rms = if (ns > 0) math.sqrt(sumSq / ns).toFloat else 0f
+              Array(fmt.getSampleRate / 48000f, ns / 1e6f,
+                mean / 32768f, rms / 32768f)
+            } catch {
+              case scala.util.control.NonFatal(_) => pseudo
+            } finally in.close()
           case _ =>
             // STUB: no video codec in the JDK — deterministic
             // pseudo-features from the payload checksum.

@@ -32,6 +32,37 @@ object EventStreams {
     */
   case class SessionState(n: Long, total: Double, startMs: Long, lastMs: Long)
 
+  /** Per-user state: ALL still-open sessions, not just the newest. A late
+    * in-watermark orphan opens a PRE-session that later orphans (or a
+    * bridging event) must be able to merge into — emitting each orphan as
+    * an immediate singleton splits sessions the gap contract says are one
+    * (round-5 review finding). Sessions in the buffer are pairwise more
+    * than `gap` apart by construction.
+    */
+  case class SessionBuf(sessions: Seq[SessionState])
+
+  /** Merges one event into the open-session buffer. The event extends every
+    * session whose extent ± gap covers it — at most two (the buffer keeps
+    * sessions > gap apart), and touching two BRIDGES them into one.
+    */
+  private[streaming] def mergeEvent(sessions: List[SessionState], t: Long,
+      v: Double, gapMs: Long): List[SessionState] = {
+    val (touch, rest) = sessions.partition(s =>
+      t >= s.startMs - gapMs && t <= s.lastMs + gapMs)
+    touch.foldLeft(SessionState(1, v, t, t)) { (acc, s) =>
+      SessionState(acc.n + s.n, acc.total + s.total,
+        math.min(acc.startMs, s.startMs), math.max(acc.lastMs, s.lastMs))
+    } :: rest
+  }
+
+  /** Splits the buffer into (closed, still-open) against the watermark: a
+    * session only closes once no in-watermark event can extend or merge
+    * into it (wm ≥ lastMs + gap).
+    */
+  private[streaming] def splitClosed(sessions: List[SessionState],
+      watermarkMs: Long, gapMs: Long): (List[SessionState], List[SessionState]) =
+    sessions.partition(s => s.lastMs + gapMs <= watermarkMs)
+
   /** Streaming exact dedup — the streaming twin of the batch
     * `dedup_exact_hash` path: `dropDuplicatesWithinWatermark` keeps one
     * state entry per key seen within the watermark delay and EVICTS it as
@@ -147,57 +178,47 @@ object EventStreams {
       .start()
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
-    * when no event arrives for `gapMinutes` (event-time timeout against the
-    * watermark); one summary row is emitted per closed session.
+    * once the watermark passes its extent + gap (event-time timeout), so
+    * late in-watermark events — including orphans older than the current
+    * session, and events bridging two buffered sessions — merge correctly
+    * before anything is emitted. One summary row per closed session.
+    *
+    * On a BATCH frame (no watermark, timeouts never fire) every session is
+    * flushed at end-of-group — the group's events are all present.
     */
   def userSessions(events: Dataset[Event], gapMinutes: Int = 30,
       watermark: String = "10 minutes"): Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
+    val flushAtEnd = !events.isStreaming
 
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionSummary](
+      .flatMapGroupsWithState[SessionBuf, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionSummary(userId, s.n, s.total,
-              new Timestamp(s.startMs), new Timestamp(s.lastMs)))
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuf]) =>
+          def summary(s: SessionState) = SessionSummary(userId, s.n, s.total,
+            new Timestamp(s.startMs), new Timestamp(s.lastMs))
+          var sessions = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+          it.foreach(e => sessions = mergeEvent(sessions, e.ts.getTime, e.value, gapMs))
+          if (flushAtEnd) {
+            if (state.exists) state.remove()
+            sessions.sortBy(_.startMs).map(summary).iterator
           } else {
-            val evs = it.toSeq.sortBy(_.ts.getTime)
-            val closed = Seq.newBuilder[SessionSummary]
-            var cur = state.getOption
-            evs.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // Merge only within the session's extent ± gap; a late
-                // in-watermark event can land BELOW lastMs, which must
-                // lower `started` (never report started > a member event).
-                case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
-                  cur = Some(SessionState(s.n + 1, s.total + e.value,
-                    math.min(s.startMs, t), math.max(s.lastMs, t)))
-                // Late orphan older than the session by more than the gap:
-                // its own session is already over — emit it closed.
-                case Some(s) if t < s.startMs - gapMs =>
-                  closed += SessionSummary(userId, 1, e.value,
-                    new Timestamp(t), new Timestamp(t))
-                case Some(s) =>
-                  closed += SessionSummary(userId, s.n, s.total,
-                    new Timestamp(s.startMs), new Timestamp(s.lastMs))
-                  cur = Some(SessionState(1, e.value, t, t))
-                case None =>
-                  cur = Some(SessionState(1, e.value, t, t))
-              }
+            // Same path for data and timeout invocations: close what the
+            // watermark allows, keep the rest armed on the earliest close.
+            val (done, open) =
+              splitClosed(sessions, state.getCurrentWatermarkMs(), gapMs)
+            if (open.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(SessionBuf(open))
+              // min(lastMs)+gap > watermark for every open session, so the
+              // timestamp is always valid to set.
+              state.setTimeoutTimestamp(open.map(_.lastMs).min + gapMs)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
-            closed.result().iterator
+            done.sortBy(_.startMs).map(summary).iterator
           }
       }
   }
@@ -209,58 +230,49 @@ object EventStreams {
     * `handleExpiredTimer`), RocksDB-backed state. Same semantics as
     * [[userSessions]] — the spec drives both and compares.
     */
-  class SessionProcessor(gapMs: Long)
+  class SessionProcessor(gapMs: Long, flushAtEnd: Boolean = false)
       extends StatefulProcessor[Long, Event, SessionSummary] {
-    @transient private var session: ValueState[SessionState] = _
+    @transient private var buf: ValueState[SessionBuf] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      session = getHandle.getValueState[SessionState]("session",
-        Encoders.product[SessionState], TTLConfig.NONE)
+      buf = getHandle.getValueState[SessionBuf]("sessions",
+        Encoders.product[SessionBuf], TTLConfig.NONE)
+
+    private def summary(userId: Long)(s: SessionState) = SessionSummary(
+      userId, s.n, s.total, new Timestamp(s.startMs), new Timestamp(s.lastMs))
+
+    /** Close what the watermark allows, re-arm the earliest remaining
+      * close; shared by the data and timer paths (see [[userSessions]]).
+      */
+    private def drain(userId: Long, sessions: List[SessionState],
+        watermarkMs: Long): Iterator[SessionSummary] = {
+      val (done, open) = splitClosed(sessions, watermarkMs, gapMs)
+      if (open.isEmpty) buf.clear()
+      else {
+        buf.update(SessionBuf(open))
+        // One timer per drain; superseded timers stay registered and are
+        // recognized as stale on expiry (cheaper than delete+re-register).
+        getHandle.registerTimer(open.map(_.lastMs).min + gapMs)
+      }
+      done.sortBy(_.startMs).map(summary(userId)).iterator
+    }
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[SessionSummary] = {
-      val evs = rows.toSeq.sortBy(_.ts.getTime)
-      val closed = Seq.newBuilder[SessionSummary]
-      var cur = if (session.exists()) Some(session.get()) else None
-      evs.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          // See userSessions: merge within extent ± gap (lowering
-          // `started` for below-lastMs lates), late orphans close solo.
-          case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
-            cur = Some(SessionState(s.n + 1, s.total + e.value,
-              math.min(s.startMs, t), math.max(s.lastMs, t)))
-          case Some(s) if t < s.startMs - gapMs =>
-            closed += SessionSummary(userId, 1, e.value,
-              new Timestamp(t), new Timestamp(t))
-          case Some(s) =>
-            closed += SessionSummary(userId, s.n, s.total,
-              new Timestamp(s.startMs), new Timestamp(s.lastMs))
-            cur = Some(SessionState(1, e.value, t, t))
-          case None =>
-            cur = Some(SessionState(1, e.value, t, t))
-        }
-      }
-      cur.foreach { s =>
-        session.update(s)
-        // One timer per extension; superseded timers stay registered and
-        // are ignored on expiry (cheaper than delete+re-register).
-        getHandle.registerTimer(s.lastMs + gapMs)
-      }
-      closed.result().iterator
+      var sessions =
+        if (buf.exists()) buf.get().sessions.toList else Nil
+      rows.foreach(e => sessions = mergeEvent(sessions, e.ts.getTime, e.value, gapMs))
+      if (flushAtEnd) { // batch frame: the group's events are all present
+        buf.clear()
+        sessions.sortBy(_.startMs).map(summary(userId)).iterator
+      } else drain(userId, sessions, tv.getCurrentWatermarkInMs())
     }
 
     override def handleExpiredTimer(userId: Long, tv: TimerValues,
-        info: ExpiredTimerInfo): Iterator[SessionSummary] = {
-      if (session.exists()) {
-        val s = session.get()
-        if (info.getExpiryTimeInMs >= s.lastMs + gapMs) {
-          session.clear()
-          Iterator.single(SessionSummary(userId, s.n, s.total,
-            new Timestamp(s.startMs), new Timestamp(s.lastMs)))
-        } else Iterator.empty // superseded timer: the session was extended
-      } else Iterator.empty
-    }
+        info: ExpiredTimerInfo): Iterator[SessionSummary] =
+      if (buf.exists())
+        drain(userId, buf.get().sessions.toList, tv.getCurrentWatermarkInMs())
+      else Iterator.empty // stale timer for an already-drained buffer
   }
 
   /** [[userSessions]] re-expressed on transformWithState (requires the
@@ -273,7 +285,8 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000L),
+      .transformWithState(
+        new SessionProcessor(gapMinutes * 60L * 1000L, !events.isStreaming),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -142,6 +142,44 @@ class ConnectedComponentsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(cl == Set((1L, 3L, 3L), (7L, 1L, 7L)))
   }
+
+  test("checkpoint release touches only its own RDDs, never foreign cached state") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // A FOREIGN lazy local checkpoint (another job's state on the shared
+    // context). Ownership must come from each frame's own LogicalRDD leaf —
+    // a getPersistentRDDs diff around ckpt() could capture this one and
+    // unpersist it out from under its owner (round-5 review finding).
+    val foreign = spark.range(1000).toDF("x").localCheckpoint(false)
+    assert(foreign.count() == 1000)
+    val foreignIds = foreign.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    assert(foreignIds.nonEmpty, "test setup: foreign checkpoint not registered")
+    val persistedBefore = sc.getPersistentRDDs.keySet.toSet
+
+    val edges = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = ConnectedComponents.components(edges, "a", "b")
+    assert(labels.count() == 20)
+
+    // The foreign checkpoint survived the run's release passes...
+    assert(foreignIds.subsetOf(sc.getPersistentRDDs.keySet.toSet),
+      "components() unpersisted a foreign job's checkpoint")
+    assert(foreign.count() == 1000)
+    // ...and the run left no orphans beyond its own final labels: every
+    // newly-persisted RDD is reachable from the returned frame's plan.
+    val labelIds = labels.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    val leaked = sc.getPersistentRDDs.keySet.toSet -- persistedBefore -- labelIds
+    assert(leaked.isEmpty, s"per-round checkpoints leaked: $leaked")
+    labels.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+    }
+    foreign.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -205,6 +243,28 @@ class MultimodalSpec extends SparkSpec {
     val decoded = Array.tabulate(bytes.length / 2)(i =>
       (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort)
     assert(decoded.toSeq == samples.toSeq)
+  }
+
+  test("corrupt audio/image payloads degrade to pseudo-features, never fail the job") {
+    import spark.implicits._
+    // Garbage bytes (no RIFF/BMP header) and a TRUNCATED WAV (header parses,
+    // data chunk short) — both must fall back to the checksum
+    // pseudo-features instead of throwing inside the task.
+    val truncatedWav = MultimodalOps.Wav.encode(16000,
+      Array.tabulate(64)(i => (i * 100).toShort)).take(50)
+    val bad = Seq(
+      MultimodalOps.Asset(10L, "audio", Array[Byte](1, 2, 3, 4, 5), 0, 0, 16000),
+      MultimodalOps.Asset(11L, "audio", truncatedWav, 0, 0, 16000),
+      MultimodalOps.Asset(12L, "image", Array[Byte](9, 9, 9), 4, 4, 0)).toDS()
+    val feats = MultimodalOps.extractFeatures(bad).collect()
+    assert(feats.length == 3, "every corrupt row must still produce a feature row")
+    // The headerless payloads are unparseable → exact pseudo-features; the
+    // truncated WAV may decode partially (either way: a row, no throw).
+    feats.filter(f => Set(10L, 12L).contains(f.asset_id)).foreach { f =>
+      val pseudo = Array.tabulate(6)(i => ((f.checksum >>> (i * 8)) & 0xff).toFloat / 255f)
+      assert(f.feat.take(6).toSeq == pseudo.toSeq,
+        s"asset ${f.asset_id} (${f.kind}) did not degrade to pseudo-features")
+    }
   }
 
   test("decodeImageStats recovers dims and exact pixel sum from the payload") {

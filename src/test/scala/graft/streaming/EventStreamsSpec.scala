@@ -150,6 +150,81 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two late orphans within the gap merge into ONE session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = userSessions(input.toDS(), gapMinutes = 30, watermark = "120 minutes")
+      .writeStream.format("memory").queryName("sessions_orphans")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 60, 1, "c", 1.0))
+      q.processAllAvailable()
+      // Two late orphans in SEPARATE micro-batches, 15 min apart (≤ gap):
+      // the round-5 sessionizer emitted each as its own singleton; they are
+      // one session [10, 25] by the gap contract.
+      input.addData(ev(2, 10, 1, "c", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 25, 1, "c", 3.0))
+      q.processAllAvailable()
+      input.addData(ev(4, 500, 9, "c", 0.1), ev(5, 900, 9, "c", 0.1)) // flush
+      q.processAllAvailable()
+      val rows = spark.table("sessions_orphans").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getTimestamp(3).getTime / 60000, r.getTimestamp(4).getTime / 60000)).toSet
+      assert(rows.contains((1L, 2L, 5.0, 10L, 25L)),
+        s"late orphans must merge into one [10,25] session: $rows")
+      assert(rows.contains((1L, 1L, 1.0, 60L, 60L)), s"main session missing: $rows")
+    } finally q.stop()
+  }
+
+  test("a late event bridging two buffered sessions merges them (fMGWS + TWS)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def drive(name: String,
+        mk: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[SessionSummary]) = {
+      val input = MemoryStream[Event]
+      val q = mk(input.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(ev(1, 100, 1, "c", 1.0)) // session A [100]
+        q.processAllAvailable()
+        input.addData(ev(2, 30, 1, "c", 2.0))  // orphan session B [30] (> gap below A)
+        q.processAllAvailable()
+        input.addData(ev(3, 65, 1, "c", 4.0))  // within gap of BOTH (30+40≥65, 100-40≤65)
+        q.processAllAvailable()
+        input.addData(ev(4, 600, 9, "c", 0.1), ev(5, 990, 9, "c", 0.1)) // flush
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getTimestamp(3).getTime / 60000, r.getTimestamp(4).getTime / 60000)).toSet
+      } finally q.stop()
+    }
+    try {
+      val fm = drive("sessions_bridge_fm",
+        ds => userSessions(ds, gapMinutes = 40, watermark = "120 minutes"))
+      val tws = drive("sessions_bridge_tws",
+        ds => userSessionsTws(ds, gapMinutes = 40, watermark = "120 minutes"))
+      // gap=40: A=[100], B=[30]; 65 is within 40 of both extents → one
+      // session [30,100] with all 3 events.
+      for ((rows, api) <- Seq((fm, "fMGWS"), (tws, "TWS"))) {
+        assert(rows.exists(r => r._1 == 1L && r._2 == 3L && r._3 == 7.0 &&
+          r._4 == 30L && r._5 == 100L),
+          s"$api: bridged session [30,100] n=3 missing: $rows")
+        assert(!rows.exists(r => r._1 == 1L && r._2 < 3L),
+          s"$api: partial sessions leaked past the merge: $rows")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming upsert sink merges micro-batches idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
