@@ -31,7 +31,9 @@ object Bench {
     "events_sessions_batch", "events_windowed_agg", "win_row_number",
     "sort_limit_topk", "u1_union",
     // round-5 additions (keys only ever grow; old keys stay comparable)
-    "dedup_cc_groups", "embed_stats", "mm_decode_image", "text_redact_pii"
+    "dedup_cc_groups", "embed_stats", "mm_decode_image", "text_redact_pii",
+    // round-7 additions
+    "mm_decode_video"
   )
 
   private def f3(v: Double): String =

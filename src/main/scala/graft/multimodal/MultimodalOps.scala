@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus decode / feature-extract / resize /
   * frame-sample plumbing.
   *
-  * Image and audio are REAL end-to-end using JDK-only codecs: image
-  * payloads are well-formed 24-bit BMP files decoded with
+  * Image, audio AND video are REAL end-to-end using JDK-only codecs:
+  * image payloads are well-formed 24-bit BMP files decoded with
   * `javax.imageio.ImageIO`, audio payloads are PCM-16 WAV files decoded
-  * with `javax.sound.sampled.AudioSystem`, and features are computed from
-  * the decoded pixels/samples. Only the VIDEO codec is STUBBED (no
-  * container/codec library ships in this environment, and the JDK has
-  * none): video features derive from a byte checksum, clearly marked
-  * below. Swapping in a real video decoder changes only that branch.
+  * with `javax.sound.sampled.AudioSystem`, video payloads are GMJB
+  * containers (MJPEG-shaped: length-prefixed intra-coded frames, see
+  * [[Mjb]]) whose BMP frames decode through ImageIO — features, frame
+  * extraction and resize all operate on the decoded pixels/samples.
+  * Every decode path degrades (pseudo-features / flagged rows) on corrupt
+  * payloads rather than failing the task.
   *
   * Scale shape: all per-asset work runs inside `mapPartitions` over a
   * typed Dataset — decoder state is partition-local, payloads never
@@ -92,20 +93,75 @@ object MultimodalOps {
     }
   }
 
+  /** Minimal motion-BMP video container ("GMJB"): 4-byte magic + u32-LE
+    * frame count + per-frame u32-LE length-prefixed BMP payloads — the
+    * MJPEG shape (independent intra-coded frames in a trivial container)
+    * with a lossless JDK-decodable frame codec, so video decode is REAL
+    * (ImageIO per frame) and oracle-checkable like the still-image path
+    * (exact pixel sums recomputable from the source bytes).
+    */
+  object Mjb {
+    private val Magic = Array[Byte]('G', 'M', 'J', 'B')
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val buf = ByteBuffer.allocate(8 + frames.map(4 + _.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(Magic).putInt(frames.length)
+      frames.foreach(f => buf.putInt(f.length).put(f))
+      buf.array()
+    }
+
+    /** None on anything that does not parse as a well-formed container —
+      * callers degrade (pseudo-features / byte-window framing), never throw.
+      */
+    def frames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      if (bytes.length < 8 || !Magic.indices.forall(i => bytes(i) == Magic(i)))
+        return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      buf.position(4)
+      val n = buf.getInt
+      if (n < 0 || n > (1 << 20)) return None
+      val out = Seq.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < n) {
+        if (buf.remaining() < 4) return None
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) return None
+        val f = new Array[Byte](len)
+        buf.get(f)
+        out += f
+        i += 1
+      }
+      Some(out.result())
+    }
+  }
+
   /** Image dims for the synthetic assets — kept small so the real pixel
     * payload stays a few KB per row (w ≤ 55, h ≤ 39).
     */
   def imageDims(nBytes: Int): (Int, Int) =
     (nBytes % 48 + 8, nBytes % 32 + 8)
 
+  /** Video frame dims / count / per-frame byte offset for the synthetic
+    * assets (smaller than stills — nFrames of them per asset). All three
+    * derive from the text byte length alone so the oracle can recompute
+    * the full pixel stream.
+    */
+  def videoDims(nBytes: Int): (Int, Int) = (nBytes % 24 + 8, nBytes % 16 + 8)
+  def videoFrameCount(nBytes: Int): Int = nBytes % 3 + 2
+  val VideoFrameByteStep = 31
+
   /** Builds a deterministic asset table from the documents fixture. The
     * payloads are REAL media containers built from the text bytes:
     * image → 24-bit BMP whose pixel stream cycles the UTF-8 bytes
     * (channel c of pixel (x,y) = byte[(y·w·3 + x·3 + c) mod n]);
-    * audio → PCM-16 WAV with one centered sample per byte; video → the
-    * raw bytes (stand-in payload for the stubbed codec). Kind cycles by
-    * id; every derivation is reproducible from `text` alone, which is
-    * what lets the decode path be oracle-checked cross-engine.
+    * audio → PCM-16 WAV with one centered sample per byte; video → a
+    * GMJB container of nFrames BMP frames whose pixel streams cycle the
+    * bytes with a per-frame offset (frame f starts at byte f·31). Kind
+    * cycles by id; every derivation is reproducible from `text` alone,
+    * which is what lets the decode paths be oracle-checked cross-engine.
     */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
@@ -127,8 +183,11 @@ object MultimodalOps {
             Asset(id, "audio", Wav.encode(16000, samples),
               tb0.length % 640 + 16, tb0.length % 480 + 16, 16000)
           case _ =>
-            Asset(id, "video", tb0,
-              tb0.length % 640 + 16, tb0.length % 480 + 16, 0)
+            val (w, h) = videoDims(tb0.length)
+            val nf = videoFrameCount(tb0.length)
+            val frames = (0 until nf).map(f => Bmp.encode(w, h, (x, y, c) =>
+              tb((f * VideoFrameByteStep + y * w * 3 + x * 3 + c) % n) & 0xff))
+            Asset(id, "video", Mjb.encode(frames), w, h, 0)
         }
     }
   }
@@ -201,9 +260,34 @@ object MultimodalOps {
               case scala.util.control.NonFatal(_) => pseudo
             } finally in.close()
           case _ =>
-            // STUB: no video codec in the JDK — deterministic
-            // pseudo-features from the payload checksum.
-            Array.tabulate(6)(i => ((checksum >>> (i * 8)) & 0xff).toFloat / 255f)
+            // REAL video decode: every GMJB frame through ImageIO, features
+            // from the decoded pixels (frame count + dims + mean RGB over
+            // all frames). Unparseable container/frames degrade to pseudo.
+            Mjb.frames(a.content) match {
+              case Some(fbs) if fbs.nonEmpty =>
+                val imgs = fbs.map(fb => javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(fb)))
+                if (imgs.exists(_ == null)) pseudo
+                else {
+                  val (w, h) = (imgs.head.getWidth, imgs.head.getHeight)
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  imgs.foreach { img =>
+                    val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+                      null, 0, img.getWidth)
+                    var i = 0
+                    while (i < px.length) {
+                      val rgb = px(i)
+                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                      sb += rgb & 0xff
+                      i += 1
+                    }
+                  }
+                  val np = imgs.map(img => img.getWidth.toLong * img.getHeight).sum.toFloat
+                  Array(imgs.length / 16f, w / 1024f, h / 1024f,
+                    sr / np / 255f, sg / np / 255f, sb / np / 255f)
+                }
+              case _ => pseudo
+            }
         }
         val feat = Array.tabulate(featDim)(i => if (i < raw.length) raw(i) else 0f)
         AssetFeatures(a.asset_id, a.kind, a.content.length, checksum, feat)
@@ -241,9 +325,25 @@ object MultimodalOps {
     }.toDF("asset_id", "dec_w", "dec_h", "px_sum")
   }
 
-  /** Resize: REAL for images — decode, rescale with Graphics2D, re-encode
-    * as BMP. Audio passes through untouched; video updates metadata only
-    * (payload re-encode needs the stubbed codec).
+  /** Rescale one decodable BMP payload to w×h (Graphics2D), None when the
+    * payload does not decode.
+    */
+  private def rescaleBmp(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (src == null) None
+    else {
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = dst.createGraphics()
+      try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+      val px = dst.getRGB(0, 0, w, h, null, 0, w) // one bulk fetch
+      Some(Bmp.encode(w, h, (x, y, c) => (px(y * w + x) >> (16 - 8 * c)) & 0xff))
+    }
+  }
+
+  /** Resize: REAL for images AND video — decode, rescale with Graphics2D,
+    * re-encode (BMP still / GMJB per frame). Audio passes through
+    * untouched; corrupt payloads update metadata only (degrade-not-fail).
     */
   def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
     val spark = assets.sparkSession
@@ -253,36 +353,77 @@ object MultimodalOps {
         a.kind match {
           case "audio" => a
           case "image" =>
-            val src = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(a.content))
-            if (src == null) a.copy(width = w, height = h) // corrupt: metadata only
-            else {
-              val dst = new java.awt.image.BufferedImage(
-                w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-              val g = dst.createGraphics()
-              try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
-              val px = dst.getRGB(0, 0, w, h, null, 0, w) // one bulk fetch
-              val content = Bmp.encode(w, h,
-                (x, y, c) => (px(y * w + x) >> (16 - 8 * c)) & 0xff)
-              a.copy(content = content, width = w, height = h)
+            rescaleBmp(a.content, w, h) match {
+              case Some(content) => a.copy(content = content, width = w, height = h)
+              case None => a.copy(width = w, height = h) // corrupt: metadata only
             }
-          case _ => a.copy(width = w, height = h)
+          case _ =>
+            Mjb.frames(a.content).map(_.map(rescaleBmp(_, w, h))) match {
+              case Some(rs) if rs.forall(_.isDefined) =>
+                a.copy(content = Mjb.encode(rs.map(_.get)), width = w, height = h)
+              case _ => a.copy(width = w, height = h) // corrupt: metadata only
+            }
         }
       }
     }
   }
 
-  /** Frame sampling for "video" assets: every `stride`-th byte window
-    * becomes a frame payload (STUB for real frame extraction; the
-    * explode/row-per-frame shape is the real part).
+  /** Frame extraction for "video" assets: one row per REAL container frame
+    * (the BMP payload, independently decodable downstream). Payloads that
+    * do not parse as GMJB degrade to `stride`-byte windows — a row per
+    * chunk, never a task failure.
     */
   def sampleFrames(assets: Dataset[Asset], stride: Int = 64): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.filter(_.kind == "video").flatMap { a =>
-      a.content.grouped(stride).zipWithIndex.map { case (frame, idx) =>
-        (a.asset_id, idx, frame)
+      Mjb.frames(a.content) match {
+        case Some(fbs) =>
+          fbs.zipWithIndex.map { case (frame, idx) => (a.asset_id, idx, frame) }
+        case None =>
+          a.content.grouped(stride).zipWithIndex.map { case (frame, idx) =>
+            (a.asset_id, idx, frame)
+          }.toSeq
       }
     }.toDF("asset_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Decode-verification projection for video assets (the [[decodeImageStats]]
+    * recipe lifted to the GMJB container): decoded frame count + frame dims
+    * + the EXACT integer sum of all channel values over ALL frames — the
+    * quantity a SQL oracle recomputes straight from the source text bytes,
+    * so a container, header, stride, padding, channel-order or per-frame
+    * offset bug shows up as a cross-engine mismatch. Corrupt payloads flag
+    * with -1s instead of throwing.
+    */
+  def decodeVideoStats(assets: Dataset[Asset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.kind == "video").mapPartitions { it =>
+      it.map { a =>
+        Mjb.frames(a.content) match {
+          case Some(fbs) if fbs.nonEmpty =>
+            val imgs = fbs.map(fb => javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(fb)))
+            if (imgs.exists(_ == null)) (a.asset_id, -1, -1, -1, -1L)
+            else {
+              val (w, h) = (imgs.head.getWidth, imgs.head.getHeight)
+              var s = 0L
+              imgs.foreach { img =>
+                val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+                  null, 0, img.getWidth)
+                var i = 0
+                while (i < px.length) {
+                  val rgb = px(i)
+                  s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  i += 1
+                }
+              }
+              (a.asset_id, imgs.length, w, h, s)
+            }
+          case _ => (a.asset_id, -1, -1, -1, -1L)
+        }
+      }
+    }.toDF("asset_id", "n_frames", "dec_w", "dec_h", "px_sum")
   }
 }

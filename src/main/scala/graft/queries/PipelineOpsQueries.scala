@@ -150,12 +150,13 @@ object PipelineOpsQueries {
         Tables.documents(s, dir).select("doc_id", "text"), "text")
         .select("doc_id", "sim")),
 
-    // Multimodal frame-sampling plumbing: frames per video asset. The
-    // byte-window framing is deterministic, so the count is SQL-derivable.
+    // Multimodal frame extraction: REAL GMJB container frames per video
+    // asset; the frame count derives from the text byte length alone, so
+    // it is SQL-derivable.
     "mm_frame_count" -> ((s, dir) => {
       import s.implicits._
       val assets = MultimodalOps.assetsFromDocuments(Tables.documents(s, dir))
-      MultimodalOps.sampleFrames(assets, stride = 64)
+      MultimodalOps.sampleFrames(assets)
         .groupBy($"asset_id").agg(count(lit(1)).as("n_frames"))
     }),
 
@@ -190,6 +191,18 @@ object PipelineOpsQueries {
       val docs = Tables.documents(s, dir)
         .where("LENGTH(text) >= 1 AND LENGTH(text) = OCTET_LENGTH(text)")
       MultimodalOps.decodeImageStats(MultimodalOps.assetsFromDocuments(docs))
+    }),
+
+    // REAL video decode, oracle-checked (the mm_decode_image recipe on the
+    // GMJB container): every frame decoded via ImageIO, reduced to frame
+    // count + dims + the exact integer sum of all channel values across
+    // all frames; the oracle recomputes the same sum from the text bytes
+    // (frame f's pixel stream starts at byte f·31). ASCII-bounded like
+    // mm_decode_image for the same 1-based-ascii() reason.
+    "mm_decode_video" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .where("LENGTH(text) >= 1 AND LENGTH(text) = OCTET_LENGTH(text)")
+      MultimodalOps.decodeVideoStats(MultimodalOps.assetsFromDocuments(docs))
     }),
 
     // Streaming transform exercised on the batch events table (the same
@@ -256,8 +269,9 @@ object PipelineOpsQueries {
        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
     // n_bytes mirrors the real container sizes: a 64×64 24-bit BMP after
     // the real resize re-encode (54-byte headers + 64 rows of 192 bytes),
-    // a PCM-16 WAV (44-byte header + 2 bytes/sample), raw bytes for the
-    // stubbed video kind.
+    // a PCM-16 WAV (44-byte header + 2 bytes/sample), and a GMJB video
+    // container of nf re-encoded 64×64 frames (8-byte container header +
+    // nf × (4-byte length prefix + 12342-byte BMP)), nf = bytes % 3 + 2.
     "mm_resize_meta" ->
       ("""SELECT doc_id AS asset_id,
          |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
@@ -269,7 +283,8 @@ object PipelineOpsQueries {
          |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
          |       WHEN 0 THEN 54 + 64 * 192
          |       WHEN 1 THEN 44 + 2 * OCTET_LENGTH(ENCODE(text))
-         |       ELSE OCTET_LENGTH(ENCODE(text)) END AS INTEGER) AS n_bytes
+         |       ELSE 8 + (OCTET_LENGTH(ENCODE(text)) % 3 + 2) * (4 + 54 + 64 * 192)
+         |       END AS INTEGER) AS n_bytes
          |FROM documents""".stripMargin),
     "mm_decode_image" ->
       ("""WITH img AS (
@@ -288,8 +303,26 @@ object PipelineOpsQueries {
          |FROM px GROUP BY 1, 2, 3""".stripMargin),
     "mm_frame_count" ->
       ("SELECT doc_id AS asset_id, " +
-       "CAST(CEIL(CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) / 64) AS BIGINT) " +
+       "CAST(OCTET_LENGTH(ENCODE(text)) % 3 + 2 AS BIGINT) " +
        "AS n_frames FROM documents WHERE doc_id % 3 = 2"),
+    "mm_decode_video" ->
+      ("""WITH v AS (
+         |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,
+         |         OCTET_LENGTH(ENCODE(text)) % 24 + 8 AS w,
+         |         OCTET_LENGTH(ENCODE(text)) % 16 + 8 AS h,
+         |         OCTET_LENGTH(ENCODE(text)) % 3 + 2 AS nf
+         |  FROM documents
+         |  WHERE doc_id % 3 = 2 AND length(text) >= 1
+         |    AND length(text) = octet_length(encode(text))),
+         |px AS (
+         |  SELECT doc_id, w, h, nf, n, text, unnest(range(0, nf * w * h * 3)) AS j
+         |  FROM v)
+         |SELECT doc_id AS asset_id, CAST(nf AS INTEGER) AS n_frames,
+         |       CAST(w AS INTEGER) AS dec_w, CAST(h AS INTEGER) AS dec_h,
+         |       CAST(SUM(ascii(text[
+         |         CAST((CAST(j // (w * h * 3) AS INTEGER) * 31 + j % (w * h * 3)) % n
+         |           AS INTEGER) + 1])) AS BIGINT) AS px_sum
+         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin),
     "ngram_jaccard_pairs" ->
       (s"""WITH ${duckShingleDocsCte(25)}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

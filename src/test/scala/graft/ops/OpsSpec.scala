@@ -200,13 +200,51 @@ class MultimodalSpec extends SparkSpec {
     assert(rows1.forall(_._3.size == 8))
   }
 
-  test("frame sampling yields ceil(bytes/stride) frames for video assets") {
+  test("frame extraction yields the real container frames, each decodable") {
     val assets = MultimodalOps.assetsFromDocuments(docs)
-    val frames = MultimodalOps.sampleFrames(assets, stride = 64)
-      .groupBy("asset_id").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // doc_id % 3 == 2 → video; text len 320 bytes → 5 frames
-    assert(frames == Map(2L -> 5L))
+    val frames = MultimodalOps.sampleFrames(assets).collect()
+    // doc_id % 3 == 2 → video; 320 text bytes → 320 % 3 + 2 = 4 frames
+    assert(frames.map(_.getLong(0)).toSet == Set(2L))
+    assert(frames.length == MultimodalOps.videoFrameCount(320))
+    val (ew, eh) = MultimodalOps.videoDims(320)
+    frames.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_bytes")))
+      assert(img != null && img.getWidth == ew && img.getHeight == eh,
+        s"frame ${r.getInt(1)} must decode standalone via ImageIO")
+    }
+  }
+
+  test("video decode recovers frame count, dims and exact pixel sum (per-frame offset)") {
+    val stats = MultimodalOps.decodeVideoStats(MultimodalOps.assetsFromDocuments(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(stats.length == 1) // doc_id 2 is the only video
+    val (id, nf, w, h, pxSum) = stats.head
+    val tb = ("video payload bytes " * 16).getBytes("UTF-8")
+    val (ew, eh) = MultimodalOps.videoDims(tb.length)
+    val enf = MultimodalOps.videoFrameCount(tb.length)
+    val expected = (0 until enf).map { f =>
+      (0L until (ew.toLong * eh * 3)).map(i =>
+        (tb(((f * MultimodalOps.VideoFrameByteStep + i) % tb.length).toInt) & 0xff).toLong).sum
+    }.sum
+    assert((id, nf, w, h) == ((2L, enf, ew, eh)))
+    assert(pxSum == expected)
+  }
+
+  test("corrupt video payloads degrade: flagged decode stats, byte-window framing") {
+    import spark.implicits._
+    val bad = Seq(MultimodalOps.Asset(20L, "video",
+      Array.tabulate(150)(i => (i * 7).toByte), 8, 8, 0)).toDS()
+    val stats = MultimodalOps.decodeVideoStats(bad).collect()
+    assert(stats.length == 1 && stats.head.getInt(1) == -1,
+      "unparseable container must flag, not throw")
+    val frames = MultimodalOps.sampleFrames(bad, stride = 64).collect()
+    assert(frames.length == 3, "byte-window fallback: ceil(150/64) = 3 rows")
+    val feats = MultimodalOps.extractFeatures(bad).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    val pseudo = Array.tabulate(6)(i => ((f.checksum >>> (i * 8)) & 0xff).toFloat / 255f)
+    assert(f.feat.take(6).toSeq == pseudo.toSeq, "corrupt video → pseudo-features")
   }
 
   test("resize updates metadata for visual kinds only") {
