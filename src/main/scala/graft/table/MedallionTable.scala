@@ -24,9 +24,15 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
   *     the table).
   *   - the full-table swap keeps the previous data live until the
   *     replacement is fully in place (rename dst→backup, rename tmp→dst,
-  *     delete backup; restore backup on failure). Single-writer
-  *     assumption, documented (SURVEY.md §7.4) — the reference's Airflow
-  *     DAG is also strictly linear.
+  *     delete backup; restore backup on failure).
+  *   - multi-writer: optimistic concurrency via a create-exclusive
+  *     commit-marker CAS (see [[commitVersion]] / rewriteVia) — a rewrite
+  *     computed against a stale snapshot fails cleanly with
+  *     ConcurrentModificationException instead of silently discarding the
+  *     other writer's commit. Data-plane serialization stays
+  *     single-writer-preferred (the reference's Airflow DAG is strictly
+  *     linear, SURVEY.md §7.4); the CAS turns violations of that
+  *     assumption from corruption into detected conflicts.
   */
 final class MedallionTable(
     val spark: SparkSession,
@@ -122,6 +128,62 @@ final class MedallionTable(
       throw new java.io.IOException(s"metadata write failed: $tmp -> $p")
   }
 
+  // ---- optimistic concurrency (commit-marker CAS) -----------------------
+
+  /** Commit markers live in a SIBLING directory (`<path>__graft_commits`):
+    * the swap replaces the table directory wholesale, so a counter inside
+    * `_graft_meta` would travel with whichever writer staged it instead of
+    * recording the table's commit history. The sibling name matches
+    * neither vacuum litter pattern, so maintenance never touches it.
+    */
+  private def commitsDir = new Path(s"${path}__graft_commits")
+
+  private def commitMarkers: Seq[Long] =
+    if (!fs.exists(commitsDir)) Nil
+    else fs.listStatus(commitsDir).toSeq.map(_.getPath.getName).flatMap { n =>
+      if (n.startsWith("v") && n.endsWith(".commit"))
+        n.stripPrefix("v").stripSuffix(".commit").toLongOption
+      else None
+    }.sorted
+
+  /** Monotonic commit ordinal — every successful write path claims the
+    * next one via [[tryClaimCommit]].
+    */
+  def commitVersion: Long = commitMarkers.lastOption.getOrElse(0L)
+
+  /** CAS: atomically create the `v{expected+1}.commit` marker
+    * (create-exclusive — atomic on HDFS/object stores with conditional
+    * create; best-effort exists-then-create on the local fs). Returns
+    * false when another writer already claimed that ordinal, i.e. the
+    * table advanced since `expected` was read. Keeps the newest 8 markers.
+    */
+  private def tryClaimCommit(expected: Long): Boolean = {
+    fs.mkdirs(commitsDir)
+    val marker = new Path(commitsDir, s"v${expected + 1}.commit")
+    val created =
+      try { fs.create(marker, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (created)
+      commitMarkers.dropRight(8).foreach(v =>
+        fs.delete(new Path(commitsDir, s"v$v.commit"), false))
+    created
+  }
+
+  /** Claim the next commit ordinal for write paths whose effects COMMUTE
+    * with concurrent same-kind writers (append, pruned merge, fast-path
+    * delete): losing a claim race just means retrying against the advanced
+    * ordinal. A full rewrite that computed against a now-stale snapshot
+    * will still detect the conflict at ITS commit point.
+    */
+  private def claimNextCommit(): Unit = {
+    var attempts = 0
+    while (!tryClaimCommit(commitVersion)) {
+      attempts += 1
+      if (attempts >= 8) throw new java.util.ConcurrentModificationException(
+        s"could not claim a commit marker for $path after $attempts attempts")
+    }
+  }
+
   // ---- CHECK constraints (Delta-style quality gates) --------------------
 
   private def constraintsFile = new Path(path, "_graft_meta/constraints.tsv")
@@ -210,8 +272,14 @@ final class MedallionTable(
     }
   }
 
-  /** K1 — append with schema merge + partitioning. */
+  /** K1 — append with schema merge + partitioning. Claims a commit marker
+    * FIRST (appends write straight into the live directory, so there is no
+    * staged state to CAS at the end): a concurrent rewrite that merged
+    * against the pre-append snapshot then fails its own CAS instead of
+    * silently swapping the appended rows away.
+    */
   def append(df: DataFrame): Unit = {
+    claimNextCommit()
     writer(enforced(df), SaveMode.Append).parquet(path)
     invalidateStats()
   }
@@ -227,6 +295,7 @@ final class MedallionTable(
     if (exists) rewriteVia(df)
     else {
       val cs = checkConstraints
+      claimNextCommit()
       // SaveMode.Overwrite deletes the dir (registry included) BEFORE the
       // job runs — restore the pre-create registry even when the write
       // fails, or a rejected/failed first batch silently disarms the gate.
@@ -240,6 +309,7 @@ final class MedallionTable(
     if (exists)
       throw new IllegalStateException(s"table already exists at $path")
     val cs = checkConstraints
+    claimNextCommit()
     try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
     finally persistConstraints(cs)
     stashSchema(df.schema)
@@ -265,6 +335,15 @@ final class MedallionTable(
 
   /** Full-table rewrite through a tmp dir + backup swap: never a moment
     * where the live path is the only copy gone; restore on failure.
+    *
+    * Optimistic concurrency: the commit ordinal is read BEFORE the write
+    * job runs (the job consumes this table's current data); after staging,
+    * a create-exclusive marker CAS claims ordinal+1. If another writer
+    * committed in between, the CAS fails and this rewrite aborts with
+    * [[java.util.ConcurrentModificationException]] — its staged tmp is
+    * deleted and the live table is untouched, instead of the second swap
+    * silently discarding the first writer's commit (Delta-parity conflict
+    * detection; the reference relies on Delta's transactional commit).
     */
   private def rewriteVia(newData0: DataFrame,
       writerTweak: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
@@ -274,6 +353,7 @@ final class MedallionTable(
     // swap, which replaces the _graft_meta directory. One registry read
     // serves both.
     val constraints = checkConstraints
+    val expectedVersion = commitVersion
     val newData = enforced(newData0, constraints)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"${path}__graft_tmp_$suffix")
@@ -304,9 +384,16 @@ final class MedallionTable(
       // parquet dir carries no schema of its own.
       stashSchema(newData.schema, tmp)
       persistConstraints(constraints, tmp)
+      MedallionTable.testFailpoint("pre-commit")
+      if (!tryClaimCommit(expectedVersion))
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent write detected on $path: commit v${expectedVersion + 1} " +
+            "already claimed by another writer (this rewrite was computed " +
+            s"against v$expectedVersion); aborting without touching the table")
       written = true
       if (!fs.rename(dst, backup))
         throw new java.io.IOException(s"swap failed: $dst -> $backup")
+      MedallionTable.testFailpoint("mid-swap")
       if (!fs.rename(tmp, dst)) {
         fs.rename(backup, dst) // restore — table untouched on failure
         throw new java.io.IOException(s"swap failed: $tmp -> $dst (restored)")
@@ -354,6 +441,7 @@ final class MedallionTable(
         else fs.listStatus(base).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.contains("="))
           .flatMap(st => walk(st.getPath, depth - 1))
+      claimNextCommit()
       val dirs = walk(new Path(path), partitionColumns.size)
       if (dirs.nonEmpty) {
         val spark2 = spark
@@ -669,7 +757,10 @@ final class MedallionTable(
     // Dynamic partition overwrite replaces exactly the partitions present in
     // `merged`; all other partition directories are untouched on disk.
     // CHECK constraints gate this path too — it is createOrMerge's (and so
-    // the pipeline's) canonical upsert route.
+    // the pipeline's) canonical upsert route. Claim-first concurrency like
+    // append (no staged state to CAS; per-partition commit is the
+    // documented weaker atomicity of this path).
+    claimNextCommit()
     enforced(merged).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -697,4 +788,11 @@ object MedallionTable {
   def apply(spark: SparkSession, path: String, partitionColumns: Seq[String] = Nil,
       retainVersions: Int = 0): MedallionTable =
     new MedallionTable(spark, path, partitionColumns, retainVersions)
+
+  /** Test-only failpoint, invoked at named points of the rewrite commit
+    * protocol ("pre-commit": staged, before the marker CAS; "mid-swap":
+    * between the two swap renames). Specs inject a concurrent writer or a
+    * simulated crash here; production never sets it.
+    */
+  private[graft] var testFailpoint: String => Unit = _ => ()
 }

@@ -79,8 +79,10 @@ class MedallionTableSpec extends SparkSpec {
     assert(t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
       Set((1L, 10.0)))
     val parent = new Path(p).getParent
-    val siblings = fs(p).listStatus(parent).map(_.getPath.getName).toSeq
-    assert(siblings == Seq(new Path(p).getName), s"litter: $siblings")
+    val siblings = fs(p).listStatus(parent).map(_.getPath.getName).toSet
+    // the commit-marker log is a durable sibling by design, not litter
+    assert(siblings == Set(new Path(p).getName, new Path(p).getName + "__graft_commits"),
+      s"litter: $siblings")
   }
 
   test("vacuum removes crashed-swap litter, never the live table") {
@@ -372,6 +374,92 @@ class MedallionTableSpec extends SparkSpec {
     val live = t.read.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(applied == live, "CDC diff must transform the snapshot into the live state")
     assert(ch.nonEmpty && ch.exists(_._3 == "delete") && ch.exists(_._3 == "insert"))
+  }
+
+  test("concurrent rewrite detects the conflict at commit and aborts cleanly") {
+    import spark.implicits._
+    val p = tmpDir("mt_concurrent")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.addCheckConstraint("id_pos", "id > 0")
+    // Writer A stages its merge, then — at the pre-commit failpoint, i.e.
+    // AFTER A read the table and staged tmp but BEFORE A's marker CAS — a
+    // second writer B commits a full rewrite. A must then fail its CAS
+    // with ConcurrentModificationException, leaving B's data live (the
+    // round-6 hazard was A's swap silently discarding B's commit).
+    MedallionTable.testFailpoint = {
+      case "pre-commit" =>
+        MedallionTable.testFailpoint = _ => () // one-shot: B must not recurse
+        MedallionTable(spark, p).merge(Seq((2L, "B2"), (3L, "c")).toDF("id", "s"), Seq("id"))
+      case _ => ()
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        t.merge(Seq((1L, "A1"), (2L, "b")).toDF("id", "s"), Seq("id"))
+      }
+    } finally MedallionTable.testFailpoint = _ => ()
+    // B won; A's rewrite left no trace; table + registry intact and readable
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "B2"), (3L, "c")))
+    assert(t.checkConstraints == Map("id_pos" -> "id > 0"))
+    assert(t.vacuum() == 0, "loser's staged tmp must be cleaned up at abort")
+    // the loser retries against the new state and succeeds
+    t.merge(Seq((3L, "c3")).toDF("id", "s"), Seq("id"),
+      deleteNotMatchedBySource = false)
+    assert(t.read.filter("id = 3").collect().head.getString(1) == "c3")
+  }
+
+  test("append claims a commit marker so a racing rewrite cannot discard it") {
+    import spark.implicits._
+    val p = tmpDir("mt_concurrent_append")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    // The rewrite stages against v(N); the append claims v(N+1) before the
+    // rewrite's CAS → the rewrite must abort instead of swapping the
+    // appended row away.
+    MedallionTable.testFailpoint = {
+      case "pre-commit" =>
+        MedallionTable.testFailpoint = _ => ()
+        MedallionTable(spark, p).append(Seq((9L, "late")).toDF("id", "s"))
+      case _ => ()
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        t.merge(Seq((1L, "A")).toDF("id", "s"), Seq("id"))
+      }
+    } finally MedallionTable.testFailpoint = _ => ()
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (9L, "late")), "appended row must survive the aborted rewrite")
+  }
+
+  test("mid-swap crash: vacuum restores the backup with schema and constraints intact") {
+    import spark.implicits._
+    val p = tmpDir("mt_midswap")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    val before = t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // Kill between rename(dst, backup) and rename(tmp, dst): the live dir
+    // is gone, the only committed copy is the backup.
+    MedallionTable.testFailpoint = {
+      case "mid-swap" => throw new RuntimeException("injected crash")
+      case _ => ()
+    }
+    try {
+      intercept[RuntimeException] {
+        t.merge(Seq((1L, 11.0)).toDF("id", "v"), Seq("id"))
+      }
+    } finally MedallionTable.testFailpoint = _ => ()
+    assert(!t.exists, "test setup: crash must land between the two renames")
+    assert(t.vacuum() >= 1, "vacuum must clear the crashed rewrite's litter")
+    assert(t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == before,
+      "restore must bring back the pre-rewrite data")
+    assert(t.checkConstraints == Map("v_pos" -> "v > 0"),
+      "restore must bring back the constraint registry")
+    // the gate still fires after recovery, and a clean retry commits
+    intercept[Throwable] { t.append(Seq((3L, -1.0)).toDF("id", "v")) }
+    t.merge(Seq((1L, 11.0), (2L, 20.0)).toDF("id", "v"), Seq("id"))
+    assert(t.read.filter("id = 1").collect().head.getDouble(1) == 11.0)
   }
 
   test("mergePruned rewrites only partitions present in the source") {
