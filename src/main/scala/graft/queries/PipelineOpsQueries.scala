@@ -107,10 +107,16 @@ object PipelineOpsQueries {
         .select($"id".as("doc_id"), $"comp".as("component"))
     }),
 
-    // Corpus-trained char-bigram LM quality scores (rows-only — log/avg of
-    // logs is transcendental; ranking semantics proven in NgramLMSpec).
+    // Corpus-trained char-bigram LM quality scores, oracle-checked: the
+    // NLL is emitted as an integer micro-NLL (round(nll*1e6)) so the
+    // engines' last-ulp ln()/summation-order differences (≈1e-12) vanish
+    // under the 5e-7 rounding threshold while the oracle still recomputes
+    // the ENTIRE pipeline — normalization, per-doc bigram counts, add-one
+    // smoothing, vocab, and the per-doc mean NLL — from scratch in SQL.
     "text_lm_score" -> ((s, dir) =>
-      graft.text.NgramLM.selfScore(Tables.documents(s, dir), "doc_id", "text")),
+      graft.text.NgramLM.selfScore(Tables.documents(s, dir), "doc_id", "text")
+        .selectExpr("doc_id",
+          "CAST(ROUND(nll * 1000000) AS BIGINT) AS nll_micro", "n_bigrams")),
 
     // Winnowing rolling-hash fingerprints (rows-only; xxhash64 has no
     // DuckDB twin — semantics in WinnowingSpec).
@@ -137,12 +143,6 @@ object PipelineOpsQueries {
     "dedup_lsh_near_pairs" -> ((s, dir) =>
       MinHash.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
         threshold = 0.4)),
-
-    // Winnowing inverted-index candidate pairs (rows-only; WinnowingSpec).
-    "text_winnow_pairs" -> ((s, dir) =>
-      graft.dedup.Winnowing.candidatePairs(
-        Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text",
-        minShared = 3)),
 
     // 64-bit SimHash fingerprints (rows-only; see SimHashSpec).
     "dedup_simhash" -> ((s, dir) =>
@@ -360,6 +360,32 @@ object PipelineOpsQueries {
          |  UNION
          |  SELECT e.ea, reach.r FROM edges e JOIN reach ON e.eb = reach.id)
          |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin),
+    // Full cross-engine recompute of the bigram LM self-score: same
+    // normalization (explicit class ≡ Java \s), per-doc code-point bigram
+    // counts, corpus counts, add-one smoothing over first-char totals +
+    // observed vocab, per-doc mean NLL — compared at micro-NLL precision.
+    "text_lm_score" ->
+      ("""WITH n AS (
+         |  SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS s
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, substr(s, CAST(i AS INTEGER), 2) AS b
+         |  FROM n, unnest(range(1, length(s))) AS t(i)),
+         |dc AS (SELECT doc_id, b, COUNT(*) AS nb FROM bg GROUP BY 1, 2),
+         |cc AS (SELECT b, SUM(nb) AS c_ab FROM dc GROUP BY 1),
+         |pt AS (SELECT substr(b, 1, 1) AS p, SUM(c_ab) AS c_a FROM cc GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT ch) AS v FROM (
+         |         SELECT substr(b, 1, 1) AS ch FROM cc
+         |         UNION ALL SELECT substr(b, 2, 1) FROM cc)),
+         |model AS (
+         |  SELECT cc.b, ln((cc.c_ab + 1) / (pt.c_a + vv.v)) AS log_p
+         |  FROM cc JOIN pt ON substr(cc.b, 1, 1) = pt.p CROSS JOIN vv)
+         |SELECT dc.doc_id,
+         |       CAST(ROUND(-(SUM(dc.nb * m.log_p)) / SUM(dc.nb) * 1000000) AS BIGINT)
+         |         AS nll_micro,
+         |       CAST(SUM(dc.nb) AS BIGINT) AS n_bigrams
+         |FROM dc JOIN model m ON dc.b = m.b
+         |GROUP BY dc.doc_id""".stripMargin),
     "events_windowed_agg" ->
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, " +
        "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +

@@ -265,29 +265,54 @@ object TextQueries {
     // linear), take the 4-row window min per doc, distinct. The whitespace
     // class is spelled out because Java's \s includes \x0B where RE2's
     // does not (ADVICE r4).
-    "text_winnow_md5" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+    "text_winnow_md5" -> ((s, dir) => md5WinnowIndex(s, dir, bound = 100)),
+
+    // Winnowing inverted-index candidate pairs over the MD5 fingerprint
+    // set — the candidate-retrieval join at scale (equi-join on fp, never
+    // doc×doc), sharing [[md5WinnowIndex]] with text_winnow_md5 so the
+    // oracle proves BOTH the fingerprint construction and the pair
+    // semantics cross-engine (the xxhash64 fast path keeps the same shape
+    // in graft.dedup.Winnowing.candidatePairs, spec-proven).
+    "text_winnow_pairs" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .where("doc_id < 100")
-        // Repartition by doc_id BEFORE the explode: the source is one
-        // parquet file, so without it a single scan task pays the whole
-        // explode+hash fan-out. Hash-partitioning on doc_id also satisfies
-        // the window's and distinct's clustering — no further shuffle.
-        .repartition(col("doc_id"))
-        .selectExpr("doc_id",
-          "LOWER(REGEXP_REPLACE(text, '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' ')) AS norm")
-        .where("LENGTH(norm) >= 8")
-        .selectExpr("doc_id", "LENGTH(norm) - 4 AS n_h", "norm",
-          "EXPLODE(SEQUENCE(1, LENGTH(norm) - 4)) AS i")
-        .selectExpr("doc_id", "n_h", "i", "MD5(SUBSTRING(norm, i, 5)) AS h")
-        .withColumn("fp",
-          min($"h").over(Window.partitionBy($"doc_id").orderBy($"i").rowsBetween(0, 3)))
-        .where($"i" <= $"n_h" - 3)
-        .select($"doc_id", $"fp")
-        .distinct()
+      val idx = md5WinnowIndex(s, dir, bound = 200)
+      val a = idx.select($"doc_id".as("id_a"), $"fp")
+      val b = idx.select($"doc_id".as("id_b"), $"fp")
+      a.join(b, Seq("fp"))
+        .filter($"id_a" < $"id_b")
+        .groupBy($"id_a", $"id_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 3)
     })
   )
+
+  /** Shared MD5 winnowing fingerprint index (doc_id, fp): char-5-gram MD5
+    * hashes, window-4 minima, distinct per doc — the rows-first linear
+    * shape (see the r4 plan note on text_winnow_md5 below), bounded to
+    * `bound` docs.
+    */
+  private def md5WinnowIndex(s: SparkSession, dir: String, bound: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where(s"doc_id < $bound")
+      // Repartition by doc_id BEFORE the explode: the source is one
+      // parquet file, so without it a single scan task pays the whole
+      // explode+hash fan-out. Hash-partitioning on doc_id also satisfies
+      // the window's and distinct's clustering — no further shuffle.
+      .repartition(col("doc_id"))
+      .selectExpr("doc_id",
+        "LOWER(REGEXP_REPLACE(text, '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' ')) AS norm")
+      .where("LENGTH(norm) >= 8")
+      .selectExpr("doc_id", "LENGTH(norm) - 4 AS n_h", "norm",
+        "EXPLODE(SEQUENCE(1, LENGTH(norm) - 4)) AS i")
+      .selectExpr("doc_id", "n_h", "i", "MD5(SUBSTRING(norm, i, 5)) AS h")
+      .withColumn("fp",
+        min($"h").over(Window.partitionBy($"doc_id").orderBy($"i").rowsBetween(0, 3)))
+      .where($"i" <= $"n_h" - 3)
+      .select($"doc_id", $"fp")
+      .distinct()
+  }
 
   private val DuckTokens = "regexp_extract_all(text, '\\S+')"
 
@@ -448,19 +473,33 @@ object TextQueries {
          |  GROUP BY doc_id)""".stripMargin
     },
     "text_winnow_md5" ->
-      """WITH n AS (
-        |  SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
-        |  FROM documents WHERE doc_id < 100),
-        |h AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, length(norm) - 3),
-        |      i -> md5(substr(norm, CAST(i AS INTEGER), 5))) AS hs
-        |  FROM n WHERE length(norm) >= 8),
-        |m AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(hs) - 2),
-        |      j -> list_aggregate(hs[CAST(j AS INTEGER):CAST(j+3 AS INTEGER)], 'min'))) AS fps
-        |  FROM h)
-        |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin
+      s"""WITH ${duckWinnowCte(100)}
+        |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin,
+    "text_winnow_pairs" ->
+      s"""WITH ${duckWinnowCte(200)},
+        |idx AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
   )
+
+  /** DuckDB twin of [[md5WinnowIndex]] as CTE bodies ending in `m`
+    * (doc_id, fps list) — kept beside the Scala definition so the bound
+    * and construction can never silently diverge.
+    */
+  private def duckWinnowCte(bound: Int): String =
+    s"""n AS (
+      |  SELECT doc_id, lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
+      |  FROM documents WHERE doc_id < $bound),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, length(norm) - 3),
+      |      i -> md5(substr(norm, CAST(i AS INTEGER), 5))) AS hs
+      |  FROM n WHERE length(norm) >= 8),
+      |m AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(hs) - 2),
+      |      j -> list_aggregate(hs[CAST(j AS INTEGER):CAST(j+3 AS INTEGER)], 'min'))) AS fps
+      |  FROM h)""".stripMargin
 }

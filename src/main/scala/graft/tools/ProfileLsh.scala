@@ -23,7 +23,7 @@ object ProfileLsh {
       graft.queries.PipelineOpsQueries.defs("dedup_lsh_near_pairs")(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
     timed("text_winnow_pairs")(
-      graft.queries.PipelineOpsQueries.defs("text_winnow_pairs")(spark, sfDir)
+      graft.SparkEntry.queries("text_winnow_pairs")(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
