@@ -1,8 +1,12 @@
 #!/usr/bin/env python3
 """Bench budget gate: fails if any query in target/bench_full.json exceeds
 the per-query budget, recorded -1 (failed/timed out), or the TOTAL exceeds
-2x the official recorded baseline (BASELINE.md: 140.005 s / 148 queries at
-sf0.1 from BENCH_r05.json -> total gate 280 s).
+2x the official recorded baseline (scripts/baseline.json — the ONE source
+of the baseline constant; BASELINE.md narrates it).
+
+The gate REFUSES to run when the bench's sf/cpus/methodology do not match
+the baseline's: comparing a local[4] or sf0.01 run against the sf0.1
+local[32] baseline would pass or fail meaninglessly (round-6 ADVICE).
 
 Usage: python3 scripts/benchgate.py [budget_sec] [bench_full.json]
 
@@ -15,6 +19,7 @@ import json, os, sys, time
 
 budget = float(sys.argv[1]) if len(sys.argv) > 1 else 30.0
 path = sys.argv[2] if len(sys.argv) > 2 else "target/bench_full.json"
+baseline_path = os.path.join(os.path.dirname(__file__), "baseline.json")
 
 # Freshness: a bench run that crashed before writing the file would leave
 # a STALE json from an earlier run — gating on it would "pass" code that
@@ -24,7 +29,22 @@ if age > 3600:
     print(f"STALE {path}: written {age/60:.0f} min ago — re-run the bench first")
     sys.exit(1)
 
-d = json.load(open(path))
+baseline = json.load(open(baseline_path))
+raw = json.load(open(path))
+if "queries" not in raw:
+    print(f"LEGACY {path}: bare name->seconds map carries no sf/cpus — "
+          "re-run the bench (it now records the measurement environment)")
+    sys.exit(1)
+
+mismatches = [k for k in ("sf", "cpus", "methodology")
+              if raw.get(k) != baseline[k]]
+if mismatches:
+    for k in mismatches:
+        print(f"ENV MISMATCH {k}: bench={raw.get(k)!r} vs baseline={baseline[k]!r}")
+    print("refusing to gate a run whose environment does not match the baseline's")
+    sys.exit(1)
+
+d = raw["queries"]
 failed = {k: v for k, v in d.items() if v < 0}
 slow = {k: v for k, v in d.items() if v > budget}
 for k, v in sorted(failed.items()):
@@ -32,8 +52,8 @@ for k, v in sorted(failed.items()):
 for k, v in sorted(slow.items(), key=lambda x: -x[1]):
     print(f"SLOW {k}: {v:.1f}s > budget {budget:.0f}s")
 total = sum(v for v in d.values() if v >= 0)
-# Driver contract: total within 2x of the recorded baseline (BASELINE.md).
-TOTAL_BUDGET = 2 * 140.005
+# Driver contract: total within 2x of the recorded baseline.
+TOTAL_BUDGET = 2 * baseline["total_sec"]
 over_total = total > TOTAL_BUDGET
 if over_total:
     print(f"TOTAL {total:.1f}s > 2x baseline gate {TOTAL_BUDGET:.0f}s")

@@ -123,6 +123,9 @@ object Bench {
     // reproducing what TimeQuery measures in isolation. A failed first
     // attempt records -1 without a retry (a hung query must cost one
     // timeout, not two).
+    val methodology =
+      "noop-sink all-columns; per-query GC-settled best-of-2; " +
+        "queries map = fixed headline subset, value = total over all"
     val results = (SparkEntry.queries ++ injected).map { case (name, fn) =>
       spark.catalog.clearCache()
       System.gc()
@@ -130,6 +133,11 @@ object Bench {
       val t1 = timeOnce(name, fn)
       val t =
         if (t1 < 0) t1
+        // A slow-but-passing first attempt skips the retry: a hung second
+        // attempt would cost a full extra watchdog timeout per query, and
+        // best-of-2 on an already-over-budget query buys nothing
+        // (round-6 ADVICE — bounds worst-case bench wall-clock).
+        else if (t1 > timeout / 2.0) t1
         else {
           val t2 = timeOnce(name, fn)
           if (t2 < 0) t1 else math.min(t1, t2) // a flaky 2nd attempt must not erase a good 1st
@@ -138,18 +146,28 @@ object Bench {
     }
     val total = results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0)
-    // Full detail for local analysis (not part of the driver contract).
+    // Full detail + measurement environment for benchgate/local analysis
+    // (round-6 ADVICE: the gate must refuse to compare a run against a
+    // baseline recorded at a different sf/cpus/methodology).
+    val sfName = new java.io.File(sfDir).getName
     val fullJson = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}")
+      .map { case (k, v) => s"""    "$k": $v""" }.mkString("{\n", ",\n", "\n  }")
     try {
       val out = new java.io.PrintWriter("target/bench_full.json")
-      try out.println(fullJson) finally out.close()
+      try out.println(
+        s"""{
+           |  "sf": "$sfName",
+           |  "cpus": $cpus,
+           |  "methodology": "$methodology",
+           |  "queries": $fullJson
+           |}""".stripMargin)
+      finally out.close()
     } catch { case _: Throwable => () }
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v)}"))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"n_failed":$nFailed,""" +
-      """"methodology":"noop-sink all-columns; per-query GC-settled best-of-2; queries map = fixed headline subset, value = total over all",""" +
+      s""""methodology":"$methodology",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

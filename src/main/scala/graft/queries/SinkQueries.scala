@@ -156,9 +156,18 @@ object SinkQueries {
       t.addCheckConstraint("pos_price", "o_totalprice > 0")
       // The violating append MUST throw — swallowing every Throwable would
       // make this query pass even if enforcement silently stopped firing.
-      val gated =
+      // Logging is silenced around the EXPECTED abort: its executor/task
+      // stack traces land on stderr, and a long enough trace could push
+      // the bench's JSON line out of the driver's ~2000-char tail window.
+      val gated = {
+        val root = org.apache.logging.log4j.LogManager.getRootLogger
+          .asInstanceOf[org.apache.logging.log4j.core.Logger]
+        val prev = root.getLevel
+        s.sparkContext.setLogLevel("OFF")
         try { t.append(o.limit(100).withColumn("o_totalprice", -$"o_totalprice")); false }
         catch { case _: Throwable => true }
+        finally s.sparkContext.setLogLevel(prev.toString)
+      }
       require(gated, "constraint gate did not reject the violating batch")
       require(t.checkConstraints.contains("pos_price"),
         "constraint registry lost after rejected append")

@@ -2,14 +2,23 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scaling-curve probe for the documents-table operators: replicates the
-  * sf documents table `factor`× (each copy's tokens are suffixed with the
-  * copy index, so copies share NO shingles — corpus grows `factor`× while
-  * the per-copy duplicate structure stays constant, i.e. the probe
+/** Scaling-curve probe for the documents/embeddings operators: replicates
+  * the sf documents table `factor`× (each copy's tokens are suffixed with
+  * the copy index, so copies share NO shingles — corpus grows `factor`×
+  * while the per-copy duplicate structure stays constant, i.e. the probe
   * measures the operators' input scaling, not an artificial duplicate
-  * explosion) and reports t(factor×)/t(1×) per query. A linear operator
-  * lands near `factor`; a quadratic one lands near `factor`² — the
-  * out-of-band check that the plan-level specs can't give.
+  * explosion) plus the embeddings table `factor`× (each copy's components
+  * perturbed deterministically per copy — identical copies would pile
+  * into the same LSH/IVF buckets and measure an artificial bucket
+  * blowup, not input scaling), and reports t(factor×)/t(1×) per query.
+  * A linear operator lands near `factor`; a quadratic one lands near
+  * `factor`² — the out-of-band check plan-level specs can't give.
+  *
+  * `dedup_cc_groups`'s registered query is bounded (25 docs) by design,
+  * so connected components gets a DIRECT probe instead: a synthetic
+  * chain-of-4 near-dup graph at |V| and factor·|V| through the same
+  * ConnectedComponents.components code path (constant diameter — rounds
+  * stay fixed while per-round shuffles scale, exactly the 100 TB shape).
   *
   * Usage: runMain graft.tools.ScalingProbe [sfDir] [factor] [query ...]
   */
@@ -21,7 +30,8 @@ object ScalingProbe {
       else Seq("text_stats", "text_token_bpe", "text_quality", "lang_id_ngram",
         "text_fingerprint", "dedup_exact_hash", "dedup_simhash_md5",
         "dedup_minhash_sig", "dedup_lsh_near_pairs", "text_winnowing_fp",
-        "text_lm_score", "corpus_clean_e2e")
+        "text_lm_score", "corpus_clean_e2e", "sim_ann_lsh", "sim_ann_ivf",
+        "cc_components")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,11 +53,35 @@ object ScalingProbe {
     }.reduce(_ unionByName _)
     scaled.repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
-    println(s"[probe] scaled corpus: ${n * factor} docs at $scaledDir")
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val ne = emb.count()
+    val scaledEmb = (0 until factor).map { k =>
+      if (k == 0) emb
+      else emb.selectExpr(
+        s"vec_id + ${k}L * $ne AS vec_id",
+        // deterministic per-copy jitter: decorrelates copies so bucketed
+        // ANN sees a genuinely bigger corpus, not 10 co-located clones
+        s"transform(embedding, (v, i) -> v + CAST((vec_id * 31 + i * 7 + $k) % 17 AS FLOAT) * 0.013F) AS embedding",
+        "label")
+    }.reduce(_ unionByName _)
+    scaledEmb.repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+    println(s"[probe] scaled corpus: ${n * factor} docs, ${ne * factor} vectors at $scaledDir")
+
+    // Direct connected-components probe (see scaladoc): chain-of-4 graph,
+    // |V| = 40 × docs so the 1× side is big enough to dominate fixed cost.
+    def ccComponents(nDocs: Long): Unit = {
+      val v = nDocs * 40
+      val edges = spark.range(v).selectExpr("id AS a", "id + 1 AS b")
+        .where("id % 4 < 3")
+      graft.dedup.ConnectedComponents.components(edges, "a", "b")
+        .write.format("noop").mode("overwrite").save()
+    }
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir)
+      if (name == "cc_components") ccComponents(if (dir == sfDir) n else n * factor)
+      else graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
