@@ -388,6 +388,41 @@ object MultimodalOps {
     }.toDF("asset_id", "frame_idx", "frame_bytes")
   }
 
+  /** Decode-verification projection for audio assets: AudioSystem-decoded
+    * PCM-16 sample count plus the EXACT integer sum and sum-of-squares of
+    * all samples — both recomputable by a SQL oracle from the source text
+    * bytes (sample i = (byte_i - 128)·256), so a header, byte-order, or
+    * sample-width bug shows up as a cross-engine mismatch. Corrupt
+    * payloads flag with -1s instead of throwing.
+    */
+  def decodeAudioStats(assets: Dataset[Asset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { a =>
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(a.content))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (in == null) (a.asset_id, -1L, -1L, -1L)
+        else try {
+          val bytes = in.readAllBytes()
+          val ns = bytes.length / 2
+          var sum = 0L; var sumSq = 0L
+          var i = 0
+          while (i < ns) {
+            val s = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+            sum += s; sumSq += s.toLong * s
+            i += 1
+          }
+          (a.asset_id, ns.toLong, sum, sumSq)
+        } catch {
+          case scala.util.control.NonFatal(_) => (a.asset_id, -1L, -1L, -1L)
+        } finally in.close()
+      }
+    }.toDF("asset_id", "n_samples", "sample_sum", "sample_sq_sum")
+  }
+
   /** Decode-verification projection for video assets (the [[decodeImageStats]]
     * recipe lifted to the GMJB container): decoded frame count + frame dims
     * + the EXACT integer sum of all channel values over ALL frames — the

@@ -193,6 +193,17 @@ object PipelineOpsQueries {
       MultimodalOps.decodeImageStats(MultimodalOps.assetsFromDocuments(docs))
     }),
 
+    // REAL audio decode, oracle-checked: the PCM-16 WAV payload decoded
+    // with AudioSystem and reduced to sample count + exact integer sum and
+    // sum-of-squares of all samples; the oracle recomputes the same
+    // integers from the text bytes (sample i = (byte_i - 128)·256).
+    // ASCII-bounded like mm_decode_image for the same ascii() reason.
+    "mm_decode_audio" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .where("LENGTH(text) >= 1 AND LENGTH(text) = OCTET_LENGTH(text)")
+      MultimodalOps.decodeAudioStats(MultimodalOps.assetsFromDocuments(docs))
+    }),
+
     // REAL video decode, oracle-checked (the mm_decode_image recipe on the
     // GMJB container): every frame decoded via ImageIO, reduced to frame
     // count + dims + the exact integer sum of all channel values across
@@ -305,6 +316,19 @@ object PipelineOpsQueries {
       ("SELECT doc_id AS asset_id, " +
        "CAST(OCTET_LENGTH(ENCODE(text)) % 3 + 2 AS BIGINT) " +
        "AS n_frames FROM documents WHERE doc_id % 3 = 2"),
+    "mm_decode_audio" ->
+      ("""WITH au AS (
+         |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n
+         |  FROM documents
+         |  WHERE doc_id % 3 = 1 AND length(text) >= 1
+         |    AND length(text) = octet_length(encode(text))),
+         |sm AS (
+         |  SELECT doc_id, n, (ascii(text[CAST(i AS INTEGER) + 1]) - 128) * 256 AS s
+         |  FROM au, unnest(range(0, n)) AS t(i))
+         |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples,
+         |       CAST(SUM(s) AS BIGINT) AS sample_sum,
+         |       CAST(SUM(s * s) AS BIGINT) AS sample_sq_sum
+         |FROM sm GROUP BY 1, 2""".stripMargin),
     "mm_decode_video" ->
       ("""WITH v AS (
          |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,

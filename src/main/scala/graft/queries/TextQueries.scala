@@ -265,6 +265,50 @@ object TextQueries {
     // linear), take the 4-row window min per doc, distinct. The whitespace
     // class is spelled out because Java's \s includes \x0B where RE2's
     // does not (ADVICE r4).
+    // Repetition signals (the Gopher-style "repetitive document" filters):
+    // per-token counts via ONE explode + two aggregations — top-token
+    // frequency and duplicate-token fraction. The explode shuffle carries
+    // (doc_id, token) and the reduce is map-side combined; repartition by
+    // doc_id parallelizes the single-file scan's fan-out (see
+    // dedup_simhash_md5's plan note).
+    "text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .selectExpr("doc_id", s"EXPLODE($TokensExpr) AS t")
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("n"))
+        .groupBy($"doc_id")
+        .agg(sum($"n").as("n_tokens"), count(lit(1)).as("n_uniq_tokens"),
+          max($"n").as("top_tok_n"))
+        .selectExpr("doc_id", "n_tokens", "n_uniq_tokens", "top_tok_n",
+          "CAST(top_tok_n AS DOUBLE) / n_tokens AS top_tok_ratio",
+          "1.0 - CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS dup_tok_ratio")
+    }),
+
+    // Gopher-style quality rules as one narrow map (no shuffle): token
+    // count bounds, mean token length band, alphabetic-token ratio,
+    // minimum stopword hits — plus the composite pass flag a corpus
+    // filter would gate on.
+    "text_gopher_rules" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        s"SIZE($TokensExpr) AS n_tokens",
+        s"AGGREGATE($TokensExpr, 0, (a, t) -> a + LENGTH(t)) AS sum_tok_len",
+        s"SIZE(FILTER($TokensExpr, t -> t RLIKE '[A-Za-z]')) AS n_alpha",
+        s"SIZE(FILTER($TokensExpr, t -> t IN (${inList(Stopwords)}))) AS n_stop")
+        .where("n_tokens >= 1")
+        .selectExpr("doc_id", "n_tokens",
+          "CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_tok_len",
+          "CAST(n_alpha AS DOUBLE) / n_tokens AS alpha_ratio",
+          "n_tokens BETWEEN 5 AND 10000 AS r_count",
+          "CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10 AS r_meanlen",
+          "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AS r_alpha",
+          "n_stop >= 2 AS r_stop")
+        .selectExpr("doc_id", "n_tokens", "mean_tok_len", "alpha_ratio",
+          "r_count", "r_meanlen", "r_alpha", "r_stop",
+          "r_count AND r_meanlen AND r_alpha AND r_stop AS passes")
+    }),
+
     "text_winnow_md5" -> ((s, dir) => md5WinnowIndex(s, dir, bound = 100)),
 
     // Winnowing inverted-index candidate pairs over the MD5 fingerprint
@@ -472,6 +516,36 @@ object TextQueries {
          |  FROM (SELECT doc_id, unnest($DuckTokens) AS t FROM documents)
          |  GROUP BY doc_id)""".stripMargin
     },
+    "text_repetition" ->
+      (s"""WITH tc AS (
+         |  SELECT doc_id, t, COUNT(*) AS n
+         |  FROM (SELECT doc_id, unnest($DuckTokens) AS t FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |       CAST(COUNT(*) AS BIGINT) AS n_uniq_tokens,
+         |       CAST(MAX(n) AS BIGINT) AS top_tok_n,
+         |       CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_tok_ratio,
+         |       1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n) AS dup_tok_ratio
+         |FROM tc GROUP BY doc_id""".stripMargin),
+    "text_gopher_rules" ->
+      (s"""WITH st AS (
+         |  SELECT doc_id,
+         |    CAST(LEN($DuckTokens) AS INTEGER) AS n_tokens,
+         |    CAST(LIST_SUM(LIST_TRANSFORM($DuckTokens, x -> LENGTH(x))) AS INTEGER) AS sum_tok_len,
+         |    CAST(LEN(LIST_FILTER($DuckTokens, x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS n_alpha,
+         |    CAST(LEN(LIST_FILTER($DuckTokens, x -> x IN (${inList(Stopwords)}))) AS INTEGER) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |       CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_tok_len,
+         |       CAST(n_alpha AS DOUBLE) / n_tokens AS alpha_ratio,
+         |       n_tokens BETWEEN 5 AND 10000 AS r_count,
+         |       CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10 AS r_meanlen,
+         |       CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AS r_alpha,
+         |       n_stop >= 2 AS r_stop,
+         |       (n_tokens BETWEEN 5 AND 10000) AND
+         |       (CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10) AND
+         |       (CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8) AND (n_stop >= 2) AS passes
+         |FROM st WHERE n_tokens >= 1""".stripMargin),
     "text_winnow_md5" ->
       s"""WITH ${duckWinnowCte(100)}
         |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin,

@@ -294,6 +294,12 @@ class MultimodalSpec extends SparkSpec {
       MultimodalOps.Asset(10L, "audio", Array[Byte](1, 2, 3, 4, 5), 0, 0, 16000),
       MultimodalOps.Asset(11L, "audio", truncatedWav, 0, 0, 16000),
       MultimodalOps.Asset(12L, "image", Array[Byte](9, 9, 9), 4, 4, 0)).toDS()
+    // Headerless garbage flags -1; the truncated WAV may decode partially
+    // (header parses, short data chunk) — either way: a row, no throw.
+    val audioStats = MultimodalOps.decodeAudioStats(bad).collect()
+    assert(audioStats.length == 2, "every corrupt audio row must still produce stats")
+    assert(audioStats.find(_.getLong(0) == 10L).get.getLong(1) == -1L,
+      "unparseable audio must flag -1 in decodeAudioStats, not throw")
     val feats = MultimodalOps.extractFeatures(bad).collect()
     assert(feats.length == 3, "every corrupt row must still produce a feature row")
     // The headerless payloads are unparseable → exact pseudo-features; the
