@@ -309,6 +309,64 @@ object TextQueries {
           "r_count AND r_meanlen AND r_alpha AND r_stop AS passes")
     }),
 
+    // Benchmark decontamination — the eval-leakage pass of a training
+    // corpus build: documents sharing any 8-token gram with the benchmark
+    // set (here: doc_id % 97 == 0 as the deterministic stand-in) are
+    // flagged. Grams are built ROWS-FIRST (posexplode + lead window — the
+    // winnowing lesson: a TRANSFORM-over-SEQUENCE lambda would inline the
+    // tokenizer per element) and joined on their MD5 — an equi-join on a
+    // 32-char key, never doc×doc, the shape that survives 100 TB with the
+    // benchmark side broadcast.
+    "text_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      // The fixture has no natural 8-gram overlap with the benchmark
+      // subset, so contamination is PLANTED deterministically (the
+      // text_redact_pii recipe): benchmark docs and every 9th doc carry
+      // the same appended canary sentence, so every 9th doc must flag.
+      val docs = Tables.documents(s, dir).selectExpr("doc_id",
+        "CASE WHEN doc_id % 9 = 0 OR doc_id % 97 = 0 " +
+          s"THEN CONCAT(text, ' $DecontCanary') ELSE text END AS text")
+      val grams = tokenGramIndex(docs, k = 8)
+      val bench = grams.filter($"doc_id" % 97 === 0)
+        .select($"doc_id".as("bench_id"), $"gram")
+      val hits = grams.join(broadcast(bench), Seq("gram"))
+        .filter($"doc_id" =!= $"bench_id")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"gram").as("n_shared_grams"))
+      docs.select($"doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "CAST(COALESCE(n_shared_grams, 0) AS BIGINT) AS n_shared_grams",
+          "n_shared_grams IS NOT NULL AS contaminated")
+    }),
+
+    // Stratified quota sampling: an exact, reproducible per-stratum quota
+    // (20 docs per lang) ordered by content hash — the "balanced subset"
+    // op. Window per stratum: partition count = |strata|, each tiny; the
+    // unbounded-stratum scale path is the hash-rate variant below.
+    "sample_stratified_quota" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", "lang", "MD5(text) AS h")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 20)
+        .select($"doc_id", $"lang", $"rn")
+    }),
+
+    // Weighted source mixing: per-stratum sampling RATES (the data-mixing
+    // step that rebalances sources before training) as one shuffle-free
+    // narrow map — content-hash thresholding, reproducible across engines
+    // and runs, no quota coordination. The 100 TB-scale form of sampling.
+    "sample_mix_weighted" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr("doc_id", "lang",
+        "SUBSTRING(MD5(CONCAT(CAST(doc_id AS STRING), ':', lang)), 1, 2) AS hh")
+        .where("hh < CASE WHEN lang = 'en' THEN '40' " + // keep ~25% en
+          "WHEN lang = 'de' THEN '80' ELSE 'c0' END")    // ~50% de, ~75% rest
+        .selectExpr("doc_id", "lang")
+    }),
+
     "text_winnow_md5" -> ((s, dir) => md5WinnowIndex(s, dir, bound = 100)),
 
     // Winnowing inverted-index candidate pairs over the MD5 fingerprint
@@ -329,6 +387,32 @@ object TextQueries {
         .filter($"n_shared" >= 3)
     })
   )
+
+  /** 8-token canary appended to benchmark + every-9th docs so the
+    * decontamination hit path is deterministically exercised (and shared
+    * verbatim with the oracle SQL).
+    */
+  private val DecontCanary = "leak marker alpha beta gamma delta epsilon zeta"
+
+  /** Distinct (doc_id, gram-MD5) index of k-token grams, rows-first:
+    * posexplode the tokens, build each gram from the token plus k-1
+    * lead()s in ONE window pass, keep full-width grams only. Used by the
+    * decontamination join.
+    */
+  private def tokenGramIndex(docs: DataFrame, k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      // single-file source: spread the explode fan-out (cf. text_winnow_md5)
+      .repartition(col("doc_id"))
+      .selectExpr("doc_id", s"SIZE($TokensExpr) AS nt",
+        s"POSEXPLODE($TokensExpr) AS (pos, tok)")
+      .withColumn("gram", md5(concat_ws(" ",
+        Seq(col("tok")) ++ (1 until k).map(j => lead(col("tok"), j).over(w)): _*)))
+      .where(col("pos") <= col("nt") - k)
+      .select(col("doc_id"), col("gram"))
+      .distinct()
+  }
 
   /** Shared MD5 winnowing fingerprint index (doc_id, fp): char-5-gram MD5
     * hashes, window-4 minima, distinct per doc — the rows-first linear
@@ -516,6 +600,38 @@ object TextQueries {
          |  FROM (SELECT doc_id, unnest($DuckTokens) AS t FROM documents)
          |  GROUP BY doc_id)""".stripMargin
     },
+    "text_decontaminate" ->
+      (s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0 OR doc_id % 97 = 0
+         |         THEN text || ' $DecontCanary' ELSE text END AS text
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS gram
+         |  FROM (
+         |    SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+         |    FROM (SELECT doc_id, $DuckTokens AS toks FROM aug)
+         |    WHERE len(toks) >= 8)),
+         |hits AS (
+         |  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n
+         |  FROM g JOIN g b ON g.gram = b.gram
+         |   AND b.doc_id % 97 = 0 AND g.doc_id <> b.doc_id
+         |  GROUP BY g.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+         |       h.n IS NOT NULL AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin),
+    "sample_stratified_quota" ->
+      ("""SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang ORDER BY MD5(text), doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 20""".stripMargin),
+    "sample_mix_weighted" ->
+      ("""SELECT doc_id, lang FROM documents
+         |WHERE SUBSTRING(MD5(doc_id || ':' || lang), 1, 2) <
+         |      CASE WHEN lang = 'en' THEN '40' WHEN lang = 'de' THEN '80'
+         |           ELSE 'c0' END""".stripMargin),
     "text_repetition" ->
       (s"""WITH tc AS (
          |  SELECT doc_id, t, COUNT(*) AS n
