@@ -33,7 +33,8 @@ object Bench {
     // round-5 additions (keys only ever grow; old keys stay comparable)
     "dedup_cc_groups", "embed_stats", "mm_decode_image", "text_redact_pii",
     // round-7 additions
-    "mm_decode_video", "mm_decode_audio", "text_repetition", "text_gopher_rules"
+    "mm_decode_video", "mm_decode_audio", "text_repetition", "text_gopher_rules",
+    "text_decontaminate", "dedup_keep_best"
   )
 
   private def f3(v: Double): String =

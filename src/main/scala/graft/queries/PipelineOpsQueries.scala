@@ -107,6 +107,30 @@ object PipelineOpsQueries {
         .select($"id".as("doc_id"), $"comp".as("component"))
     }),
 
+    // The dedup DECISION end-to-end: near-dup clusters (same construction
+    // as dedup_cc_groups) reduced to one KEEPER per cluster by QUALITY
+    // (most tokens wins, ties to the smallest id) — real pipelines keep
+    // the best duplicate, not the first. One join + one hash aggregate
+    // over the labels; max_by on a (quality, -id) struct avoids a
+    // per-cluster sort.
+    "dedup_keep_best" -> ((s, dir) => {
+      import s.implicits._
+      val edges = jaccardPairs(s, dir, bound = 25)
+        .filter($"jaccard" >= 0.4).select($"id_a", $"id_b")
+      val labels = graft.dedup.ConnectedComponents
+        .components(edges, "id_a", "id_b",
+          vertices = Some(shingleDocs(s, dir, bound = 25).select($"doc_id")))
+      val quality = Tables.documents(s, dir).filter($"doc_id" < 25)
+        .selectExpr("doc_id", s"SIZE(${Q.TokensExpr}) AS n_tokens")
+      labels.select($"id".as("doc_id"), $"comp".as("component"))
+        .join(quality, Seq("doc_id"))
+        .groupBy($"component")
+        .agg(expr("max_by(doc_id, named_struct('q', n_tokens, 'neg_id', -doc_id))")
+            .as("keep_id"),
+          count(lit(1)).as("n_members"),
+          max($"n_tokens").as("best_n_tokens"))
+    }),
+
     // Corpus-trained char-bigram LM quality scores, oracle-checked: the
     // NLL is emitted as an integer micro-NLL (round(nll*1e6)) so the
     // engines' last-ulp ln()/summation-order differences (≈1e-12) vanish
@@ -371,6 +395,29 @@ object PipelineOpsQueries {
          |SELECT vec_id, idx,
          |       CAST(FLOOR(CAST(embedding[idx + 1] AS DOUBLE) * 127.0 / m + 0.5) AS INTEGER) AS q
          |FROM x""".stripMargin),
+    "dedup_keep_best" ->
+      (s"""WITH RECURSIVE ${duckShingleDocsCte(25)},
+         |e0 AS (
+         |  SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM d a, d b WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.4),
+         |edges AS (SELECT ea, eb FROM e0 UNION ALL SELECT eb, ea FROM e0),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT e.ea, reach.r FROM edges e JOIN reach ON e.eb = reach.id),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, CAST(LEN(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens
+         |      FROM documents WHERE doc_id < 25)
+         |SELECT component, doc_id AS keep_id, n_members, best_n_tokens FROM (
+         |  SELECT c.component, c.doc_id,
+         |         row_number() OVER (PARTITION BY c.component
+         |                            ORDER BY q.n_tokens DESC, c.doc_id) AS rn,
+         |         CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members,
+         |         MAX(q.n_tokens) OVER (PARTITION BY c.component) AS best_n_tokens
+         |  FROM comp c JOIN q USING (doc_id))
+         |WHERE rn = 1""".stripMargin),
     "dedup_cc_groups" ->
       (s"""WITH RECURSIVE ${duckShingleDocsCte(25)},
          |e0 AS (

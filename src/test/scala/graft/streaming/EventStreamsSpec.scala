@@ -225,6 +225,19 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("sessionizer flushes complete sessions on a BATCH frame (flushAtEnd)") {
+    import spark.implicits._
+    // Out-of-order batch input: sessions must still merge by gap, with all
+    // sessions emitted at end-of-group (batch mode has no timeouts).
+    val evs = Seq(ev(3, 90, 1, "c", 4.0), ev(1, 10, 1, "c", 1.0),
+      ev(4, 50, 2, "c", 8.0), ev(2, 25, 1, "c", 2.0)).toDS()
+    val got = userSessions(evs, gapMinutes = 30).collect()
+      .map(s => (s.user_id, s.n_events, s.total_value,
+        s.started.getTime / 60000, s.ended.getTime / 60000)).toSet
+    assert(got == Set((1L, 2L, 3.0, 10L, 25L), (1L, 1L, 4.0, 90L, 90L),
+      (2L, 1L, 8.0, 50L, 50L)))
+  }
+
   test("streaming upsert sink merges micro-batches idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
