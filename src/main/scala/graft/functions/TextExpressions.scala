@@ -223,6 +223,77 @@ case class BigramNll(child: Expression, model: Map[String, Double],
     copy(child = newChild)
 }
 
+/** `graft_token_grams(text, k)` → array<string> — the DISTINCT MD5 hashes
+  * of `text`'s k-token grams (whitespace tokens joined with ' '),
+  * bit-identical to the declarative posexplode + lead-window + md5 chain
+  * (and its DuckDB `list_transform(range(...), i -> md5(array_to_string(
+  * toks[i:i+k-1], ' ')))` twin), fused into one pass per document: no
+  * explode, no per-doc sort, no window exec — the decontamination index
+  * becomes a narrow map + explode of the already-reduced hash set.
+  */
+case class TokenGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "k must be >= 1")
+
+  override def prettyName: String = "graft_token_grams"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  @transient private lazy val tokenPattern = java.util.regex.Pattern.compile("\\S+")
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      out(i * 2) = hexChars(b >>> 4)
+      out(i * 2 + 1) = hexChars(b & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val m = tokenPattern.matcher(text)
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) tokens += m.group()
+    val nG = tokens.length - k + 1
+    if (nG < 1) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < nG) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      md5.reset()
+      md5.update(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      seen.add(UTF8String.fromString(hex(md5.digest())))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenGramHashes =
+    copy(child = newChild)
+}
+
 /** `graft_winnow_fps(text, k, w)` → array<bigint> — the distinct winnowing
   * fingerprints of `text` (Schleimer/Wilkerson/Aiken, public algorithm):
   * xxhash64 every character k-gram (seed 42, bit-identical to SQL

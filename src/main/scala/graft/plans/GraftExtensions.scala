@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BigramCounts, CosineSimilarity, DotProduct, Md5MinHash, Shingles, SimHash64, WinnowFingerprints, XxMinHashBands}
+import graft.functions.{BigramCounts, CosineSimilarity, DotProduct, Md5MinHash, Shingles, SimHash64, TokenGramHashes, WinnowFingerprints, XxMinHashBands}
 
 /** Session-extension entry point (`spark.sql.extensions=graft.plans.
   * GraftExtensions`) injecting the native vector expressions as SQL
@@ -51,6 +51,11 @@ object GraftFunctions {
     (new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))),
+    (new FunctionIdentifier("graft_token_grams"),
+      new ExpressionInfo(classOf[TokenGramHashes].getName, "graft_token_grams"),
+      // k must be a foldable int literal
+      (exprs: Seq[Expression]) => TokenGramHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())),
     (new FunctionIdentifier("graft_winnow_fps"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow_fps"),
       // k and w must be foldable int literals

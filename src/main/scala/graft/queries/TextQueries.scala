@@ -326,8 +326,10 @@ object TextQueries {
       val docs = Tables.documents(s, dir).selectExpr("doc_id",
         "CASE WHEN doc_id % 9 = 0 OR doc_id % 97 = 0 " +
           s"THEN CONCAT(text, ' $DecontCanary') ELSE text END AS text")
+      // Bench side built from the PRE-FILTERED docs (1% of the corpus) so
+      // its index never pays the full-corpus gram pass.
       val grams = tokenGramIndex(docs, k = 8)
-      val bench = grams.filter($"doc_id" % 97 === 0)
+      val bench = tokenGramIndex(docs.filter($"doc_id" % 97 === 0), k = 8)
         .select($"doc_id".as("bench_id"), $"gram")
       val hits = grams.join(broadcast(bench), Seq("gram"))
         .filter($"doc_id" =!= $"bench_id")
@@ -394,24 +396,19 @@ object TextQueries {
     */
   private val DecontCanary = "leak marker alpha beta gamma delta epsilon zeta"
 
-  /** Distinct (doc_id, gram-MD5) index of k-token grams, rows-first:
-    * posexplode the tokens, build each gram from the token plus k-1
-    * lead()s in ONE window pass, keep full-width grams only. Used by the
-    * decontamination join.
+  /** Distinct (doc_id, gram-MD5) index of k-token grams via the native
+    * one-pass [[graft.functions.TokenGramHashes]] kernel (tokenize, slide,
+    * hash, dedupe inside the expression): a narrow map + explode of the
+    * already-reduced per-doc hash set — no posexplode fan-out, no per-doc
+    * sort, no window exec, no distinct shuffle. Bit-parity with the
+    * declarative lead-window construction is pinned in TokenGramSpec.
     */
   private def tokenGramIndex(docs: DataFrame, k: Int) = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     docs
-      // single-file source: spread the explode fan-out (cf. text_winnow_md5)
+      // single-file source: spread the gram fan-out (cf. text_winnow_md5)
       .repartition(col("doc_id"))
-      .selectExpr("doc_id", s"SIZE($TokensExpr) AS nt",
-        s"POSEXPLODE($TokensExpr) AS (pos, tok)")
-      .withColumn("gram", md5(concat_ws(" ",
-        Seq(col("tok")) ++ (1 until k).map(j => lead(col("tok"), j).over(w)): _*)))
-      .where(col("pos") <= col("nt") - k)
-      .select(col("doc_id"), col("gram"))
-      .distinct()
+      .selectExpr("doc_id", s"EXPLODE(graft_token_grams(text, $k)) AS gram")
   }
 
   /** Shared MD5 winnowing fingerprint index (doc_id, fp): char-5-gram MD5

@@ -31,6 +31,32 @@ class DedupExpressionsSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("graft_token_grams ≡ declarative posexplode + lead-window + md5 grams") {
+    graft.plans.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val declarative = docs
+      .selectExpr("doc_id",
+        "SIZE(regexp_extract_all(text, '\\\\S+', 0)) AS nt",
+        "POSEXPLODE(regexp_extract_all(text, '\\\\S+', 0)) AS (pos, tok)")
+      .withColumn("gram", md5(concat_ws(" ",
+        Seq(col("tok")) ++ (1 until k).map(j => lead(col("tok"), j).over(w)): _*)))
+      .where(col("pos") <= col("nt") - k)
+      .select(col("doc_id"), col("gram")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val native = docs
+      .selectExpr("doc_id", s"EXPLODE(graft_token_grams(text, $k)) AS gram")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native == declarative)
+    assert(native.nonEmpty)
+    // short docs (< k tokens) produce no grams, not an error
+    import spark.implicits._
+    assert(Seq((1L, "too short")).toDF("doc_id", "text")
+      .selectExpr(s"graft_token_grams(text, $k) AS g")
+      .collect().head.getSeq[String](0).isEmpty)
+  }
+
   test("graft_shingles ≡ declarative array_distinct(transform(...)) shingles") {
     graft.plans.GraftFunctions.register(spark)
     val d = docs.filter(MinHash.shingleFilter(col("text")))
