@@ -175,6 +175,23 @@ object SinkQueries {
         "o_orderdate", "o_orderpriority")
     }),
 
+    // DESCRIBE HISTORY roundtrip: the commit-marker log records one row
+    // per write with its operation name — create, append, then a merge's
+    // full rewrite. The commits sibling is cleared along with the table so
+    // ordinals restart deterministically per run.
+    "k_history" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_history")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p)
+      t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+      t.append(Seq((2L, "b")).toDF("id", "v"))
+      t.merge(Seq((1L, "A"), (2L, "b")).toDF("id", "v"), Seq("id"))
+      t.history().map { case (version, op, _) => (version, op) }
+        .toDF("version", "op")
+    }),
+
     // DELETE WHERE roundtrip: a partition-aligned delete (metadata-only
     // directory drop) followed by a row-level delete (filtered rewrite) —
     // both Delta DELETE semantics the reference's tables support.
@@ -244,6 +261,10 @@ object SinkQueries {
        "FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0"),
     "k_constraint_gate_roundtrip" ->
       s"SELECT $OrderCols FROM orders WHERE o_totalprice > 0",
+    "k_history" ->
+      ("SELECT * FROM (VALUES (CAST(3 AS BIGINT), 'rewrite'), " +
+       "(CAST(2 AS BIGINT), 'append'), (CAST(1 AS BIGINT), 'create-overwrite')) " +
+       "t(version, op)"),
     "k_delete_where_roundtrip" ->
       (s"SELECT $OrderCols, CAST(o_orderkey % 4 AS INTEGER) AS blk FROM orders " +
        "WHERE o_orderkey % 4 <> 3 AND o_totalprice >= 50000.0"),

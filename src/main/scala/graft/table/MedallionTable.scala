@@ -155,16 +155,22 @@ final class MedallionTable(
     * (create-exclusive — atomic on HDFS/object stores with conditional
     * create; best-effort exists-then-create on the local fs). Returns
     * false when another writer already claimed that ordinal, i.e. the
-    * table advanced since `expected` was read. Keeps the newest 8 markers.
+    * table advanced since `expected` was read. Keeps the newest
+    * [[MedallionTable.HistoryDepth]] markers. The marker body records the
+    * operation name — existence is the CAS, the body is DESCRIBE
+    * HISTORY-style metadata.
     */
-  private def tryClaimCommit(expected: Long): Boolean = {
+  private def tryClaimCommit(expected: Long, op: String): Boolean = {
     fs.mkdirs(commitsDir)
     val marker = new Path(commitsDir, s"v${expected + 1}.commit")
     val created =
-      try { fs.create(marker, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = fs.create(marker, false)
+        try out.write(op.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
     if (created)
-      commitMarkers.dropRight(8).foreach(v =>
+      commitMarkers.dropRight(MedallionTable.HistoryDepth).foreach(v =>
         fs.delete(new Path(commitsDir, s"v$v.commit"), false))
     created
   }
@@ -175,14 +181,29 @@ final class MedallionTable(
     * ordinal. A full rewrite that computed against a now-stale snapshot
     * will still detect the conflict at ITS commit point.
     */
-  private def claimNextCommit(): Unit = {
+  private def claimNextCommit(op: String): Unit = {
     var attempts = 0
-    while (!tryClaimCommit(commitVersion)) {
+    while (!tryClaimCommit(commitVersion, op)) {
       attempts += 1
       if (attempts >= 8) throw new java.util.ConcurrentModificationException(
         s"could not claim a commit marker for $path after $attempts attempts")
     }
   }
+
+  /** Delta `DESCRIBE HISTORY` analog over the retained commit markers:
+    * (commit ordinal, operation, marker mtime millis), newest first.
+    * Depth is bounded by the marker retention
+    * ([[MedallionTable.HistoryDepth]]); bodies a crashed writer left
+    * empty read as "unknown".
+    */
+  def history(): Seq[(Long, String, Long)] =
+    commitMarkers.reverse.map { v =>
+      val p = new Path(commitsDir, s"v$v.commit")
+      val op =
+        try { val t = readMetaText(p); if (t.isEmpty) "unknown" else t }
+        catch { case _: java.io.IOException => "unknown" }
+      (v, op, fs.getFileStatus(p).getModificationTime)
+    }
 
   // ---- CHECK constraints (Delta-style quality gates) --------------------
 
@@ -279,7 +300,7 @@ final class MedallionTable(
     * silently swapping the appended rows away.
     */
   def append(df: DataFrame): Unit = {
-    claimNextCommit()
+    claimNextCommit("append")
     writer(enforced(df), SaveMode.Append).parquet(path)
     invalidateStats()
   }
@@ -295,7 +316,7 @@ final class MedallionTable(
     if (exists) rewriteVia(df)
     else {
       val cs = checkConstraints
-      claimNextCommit()
+      claimNextCommit("create-overwrite")
       // SaveMode.Overwrite deletes the dir (registry included) BEFORE the
       // job runs — restore the pre-create registry even when the write
       // fails, or a rejected/failed first batch silently disarms the gate.
@@ -309,7 +330,7 @@ final class MedallionTable(
     if (exists)
       throw new IllegalStateException(s"table already exists at $path")
     val cs = checkConstraints
-    claimNextCommit()
+    claimNextCommit("create")
     try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
     finally persistConstraints(cs)
     stashSchema(df.schema)
@@ -385,7 +406,7 @@ final class MedallionTable(
       stashSchema(newData.schema, tmp)
       persistConstraints(constraints, tmp)
       MedallionTable.testFailpoint("pre-commit")
-      if (!tryClaimCommit(expectedVersion))
+      if (!tryClaimCommit(expectedVersion, "rewrite"))
         throw new java.util.ConcurrentModificationException(
           s"concurrent write detected on $path: commit v${expectedVersion + 1} " +
             "already claimed by another writer (this rewrite was computed " +
@@ -441,7 +462,7 @@ final class MedallionTable(
         else fs.listStatus(base).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.contains("="))
           .flatMap(st => walk(st.getPath, depth - 1))
-      claimNextCommit()
+      claimNextCommit("delete-partitions")
       val dirs = walk(new Path(path), partitionColumns.size)
       if (dirs.nonEmpty) {
         val spark2 = spark
@@ -760,7 +781,7 @@ final class MedallionTable(
     // the pipeline's) canonical upsert route. Claim-first concurrency like
     // append (no staged state to CAS; per-partition commit is the
     // documented weaker atomicity of this path).
-    claimNextCommit()
+    claimNextCommit("merge-pruned")
     enforced(merged).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -788,6 +809,11 @@ object MedallionTable {
   def apply(spark: SparkSession, path: String, partitionColumns: Seq[String] = Nil,
       retainVersions: Int = 0): MedallionTable =
     new MedallionTable(spark, path, partitionColumns, retainVersions)
+
+  /** Commit markers (and so [[MedallionTable.history]] depth) retained per
+    * table — bounds the sibling directory's size on long-lived tables.
+    */
+  val HistoryDepth = 8
 
   /** Test-only failpoint, invoked at named points of the rewrite commit
     * protocol ("pre-commit": staged, before the marker CAS; "mid-swap":

@@ -376,6 +376,26 @@ class MedallionTableSpec extends SparkSpec {
     assert(ch.nonEmpty && ch.exists(_._3 == "delete") && ch.exists(_._3 == "insert"))
   }
 
+  test("history records operations per commit, newest first, depth-bounded") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_history"))
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))            // create-overwrite
+    t.append(Seq((2L, "b")).toDF("id", "s"))               // append
+    t.merge(Seq((1L, "A"), (2L, "b")).toDF("id", "s"), Seq("id")) // rewrite
+    val h = t.history()
+    assert(h.map(_._1) == h.map(_._1).sorted.reverse, "newest first")
+    assert(h.map(_._2) == Seq("rewrite", "append", "create-overwrite"))
+    assert(h.map(_._1) == Seq(3L, 2L, 1L))
+    // depth bound: many appends prune the oldest markers
+    (0 until MedallionTable.HistoryDepth + 2).foreach { i =>
+      t.append(Seq((10L + i, "x")).toDF("id", "s"))
+    }
+    val h2 = t.history()
+    assert(h2.size == MedallionTable.HistoryDepth)
+    assert(h2.head._1 == 3L + MedallionTable.HistoryDepth + 2)
+    assert(h2.forall(_._2 == "append"))
+  }
+
   test("concurrent rewrite detects the conflict at commit and aborts cleanly") {
     import spark.implicits._
     val p = tmpDir("mt_concurrent")
