@@ -262,7 +262,7 @@ object SinkQueries {
     "k_constraint_gate_roundtrip" ->
       s"SELECT $OrderCols FROM orders WHERE o_totalprice > 0",
     "k_history" ->
-      ("SELECT * FROM (VALUES (CAST(3 AS BIGINT), 'rewrite'), " +
+      ("SELECT * FROM (VALUES (CAST(3 AS BIGINT), 'merge'), " +
        "(CAST(2 AS BIGINT), 'append'), (CAST(1 AS BIGINT), 'create-overwrite')) " +
        "t(version, op)"),
     "k_delete_where_roundtrip" ->

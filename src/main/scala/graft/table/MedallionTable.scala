@@ -351,7 +351,8 @@ final class MedallionTable(
       checkUniqueKeys: Boolean = false): Unit = {
     if (checkUniqueKeys) MergeOps.requireUniqueKeys(source, keys)
     rewriteVia(
-      MergeOps.merge3Clause(read, source, keys, updateCondition, deleteNotMatchedBySource))
+      MergeOps.merge3Clause(read, source, keys, updateCondition, deleteNotMatchedBySource),
+      op = "merge")
   }
 
   /** Full-table rewrite through a tmp dir + backup swap: never a moment
@@ -368,7 +369,8 @@ final class MedallionTable(
     */
   private def rewriteVia(newData0: DataFrame,
       writerTweak: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
-        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = identity): Unit = {
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = identity,
+      op: String = "rewrite"): Unit = {
     // Enforce CHECK constraints on every rewrite product (merge results,
     // updates, restores) and carry the constraint registry across the
     // swap, which replaces the _graft_meta directory. One registry read
@@ -406,7 +408,7 @@ final class MedallionTable(
       stashSchema(newData.schema, tmp)
       persistConstraints(constraints, tmp)
       MedallionTable.testFailpoint("pre-commit")
-      if (!tryClaimCommit(expectedVersion, "rewrite"))
+      if (!tryClaimCommit(expectedVersion, op))
         throw new java.util.ConcurrentModificationException(
           s"concurrent write detected on $path: commit v${expectedVersion + 1} " +
             "already claimed by another writer (this rewrite was computed " +
@@ -495,7 +497,7 @@ final class MedallionTable(
       // DELETE removes rows where cond is TRUE; FALSE and NULL survive
       // (a bare `!cond` filter would also drop the NULL rows).
       import org.apache.spark.sql.functions.{coalesce, lit, not}
-      rewriteVia(df.filter(not(coalesce(cond, lit(false)))))
+      rewriteVia(df.filter(not(coalesce(cond, lit(false)))), op = "delete")
     }
   }
 
@@ -519,7 +521,7 @@ final class MedallionTable(
     // construction (no staging columns, no reserved names).
     rewriteVia(df.select(df.columns.map { c =>
       resolved.get(c).map(v => when(cond, v).otherwise(col(c)).as(c)).getOrElse(col(c))
-    }: _*))
+    }: _*), op = "update")
   }
 
   // ---- time travel ------------------------------------------------------
@@ -537,7 +539,7 @@ final class MedallionTable(
       .parquet(new Path(versionsDir, s"v$n").toString)
 
   /** Rewrite the live table back to snapshot `n` (itself versioned). */
-  def restoreVersion(n: Int): Unit = rewriteVia(readVersion(n))
+  def restoreVersion(n: Int): Unit = rewriteVia(readVersion(n), op = s"restore-v$n")
 
   /** Change-data-feed between snapshot `n` and the live table: the row
     * changes (`_change_type` insert / update_preimage / update_postimage /
@@ -587,7 +589,7 @@ final class MedallionTable(
         val cols = clusterBy.map(org.apache.spark.sql.functions.col)
         df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
       } else df.coalesce(n)
-    rewriteVia(shaped)
+    rewriteVia(shaped, op = "optimize")
   }
 
   /** Z-order clustering: interleave the bit patterns of each cluster
@@ -668,7 +670,7 @@ final class MedallionTable(
       .sortWithinPartitions(col("__graft_z"))
       .drop((clusterBy.indices.flatMap(i =>
         Seq(s"__graft_zb_$i", s"__graft_zs_$i")) :+ "__graft_z"): _*)
-    rewriteVia(shaped)
+    rewriteVia(shaped, op = "optimize-zorder")
   }
 
   /** VACUUM-style cleanup: remove sibling `__graft_tmp_*` / `__graft_old_*`

@@ -384,7 +384,7 @@ class MedallionTableSpec extends SparkSpec {
     t.merge(Seq((1L, "A"), (2L, "b")).toDF("id", "s"), Seq("id")) // rewrite
     val h = t.history()
     assert(h.map(_._1) == h.map(_._1).sorted.reverse, "newest first")
-    assert(h.map(_._2) == Seq("rewrite", "append", "create-overwrite"))
+    assert(h.map(_._2) == Seq("merge", "append", "create-overwrite"))
     assert(h.map(_._1) == Seq(3L, 2L, 1L))
     // depth bound: many appends prune the oldest markers
     (0 until MedallionTable.HistoryDepth + 2).foreach { i =>
