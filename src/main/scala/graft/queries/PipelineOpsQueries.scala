@@ -76,6 +76,21 @@ object PipelineOpsQueries {
         "ARRAY_MAX(TRANSFORM(embedding, v -> CAST(v AS DOUBLE))) AS max_v")
     }),
 
+    // L2 normalization — the unit-vector prep for cosine indexes, one row
+    // per (vector, index). Bit-exact across engines WITHOUT rounding:
+    // IEEE sqrt and divide are correctly rounded, and the squared-norm
+    // accumulates in index order through the codegen'd graft_dot kernel
+    // (the exact pairing already proven by embed_stats' sq_norm).
+    "embed_normalize" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "embedding",
+          "SQRT(graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>))) AS nrm")
+        .where("nrm > 0")
+        .selectExpr("vec_id",
+          "POSEXPLODE(TRANSFORM(embedding, v -> CAST(v AS DOUBLE) / nrm)) AS (idx, nv)")
+    }),
+
     // Symmetric int8 quantization (scale = 127/max|v|, round-half-up via
     // floor so both engines agree) — the storage/bandwidth prep step for
     // embedding indexes. One row per (vector, index); exact integers.
@@ -383,6 +398,18 @@ object PipelineOpsQueries {
        "list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS sum_v, " +
        "list_max(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS max_v " +
        "FROM embeddings"),
+    "embed_normalize" ->
+      ("""WITH t AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_sum(list_transform(embedding,
+         |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT vec_id, nrm, embedding,
+         |         CAST(unnest(range(0, len(embedding))) AS INTEGER) AS idx
+         |  FROM t WHERE nrm > 0)
+         |SELECT vec_id, idx, CAST(embedding[idx + 1] AS DOUBLE) / nrm AS nv
+         |FROM x""".stripMargin),
     "embed_quantize_int8" ->
       ("""WITH t AS (
          |  SELECT vec_id, embedding,
