@@ -74,4 +74,24 @@ class ScaleSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("decontamination joins on gram hash with the benchmark side broadcast") {
+    val df = graft.SparkEntry.queries("text_decontaminate")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast (equi-join on gram md5):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must never compare doc x doc:\n$plan")
+  }
+
+  test("keeper selection partial-aggregates labels, no cartesian") {
+    val df = graft.SparkEntry.queries("dedup_keep_best")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // struct-keyed max_by plans as SortAggregate (not hash-aggregable), but
+    // it must still be PARTIAL (map-side combined) — one partial + one
+    // final node around the exchange on the group key, linear in labels.
+    assert(plan.contains("partial_max_by"),
+      s"keeper max_by must be map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in keeper selection:\n$plan")
+  }
 }
