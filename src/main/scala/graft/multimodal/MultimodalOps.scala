@@ -192,11 +192,64 @@ object MultimodalOps {
     }
   }
 
+  /** Decoded PCM-16 stats (sampleRate, nSamples, sampleSum, sampleSqSum);
+    * None when the payload does not parse as a supported audio container —
+    * the ONE audio decode loop shared by feature extraction and the
+    * decode-verification projection, so a codec fix cannot diverge them.
+    */
+  private def decodePcm16(content: Array[Byte]): Option[(Float, Int, Long, Long)] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (in == null) None
+    else try {
+      val rate = in.getFormat.getSampleRate
+      val bytes = in.readAllBytes()
+      val ns = bytes.length / 2
+      var sum = 0L; var sumSq = 0L
+      var i = 0
+      while (i < ns) {
+        val s = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+        sum += s; sumSq += s.toLong * s
+        i += 1
+      }
+      Some((rate, ns, sum, sumSq))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally in.close()
+  }
+
+  /** Exact per-channel sums over one decoded image (single bulk getRGB). */
+  private def rgbChannelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      i += 1
+    }
+    (sr, sg, sb)
+  }
+
+  /** Every GMJB frame ImageIO-decoded; None unless the container parses
+    * AND all frames decode — the one video decode path shared by feature
+    * extraction and the decode-verification projection.
+    */
+  private def decodeVideoFrames(content: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+    Mjb.frames(content).filter(_.nonEmpty).flatMap { fbs =>
+      val imgs = fbs.map(fb => javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fb)))
+      if (imgs.exists(_ == null)) None else Some(imgs)
+    }
+
   /** Batch decode + feature extraction inside `mapPartitions` (decoder
-    * state per partition, payloads stay on the executor). Image and audio
-    * features come from REALLY decoding the payload (ImageIO pixels /
-    * AudioSystem PCM samples); video features are a byte-checksum STUB —
-    * the one codec the JDK cannot supply.
+    * state per partition, payloads stay on the executor). All three kinds
+    * come from REALLY decoding the payload (ImageIO pixels / AudioSystem
+    * PCM samples / ImageIO over every GMJB video frame); an undecodable
+    * payload of any kind degrades to checksum pseudo-features — one bad
+    * row must never fail the task (and at scale the job).
     */
   def extractFeatures(assets: Dataset[Asset], featDim: Int = 8): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
@@ -204,89 +257,38 @@ object MultimodalOps {
     assets.mapPartitions { it =>
       it.map { a =>
         val checksum = a.content.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
-        // Fallback for the stubbed video codec AND for undecodable
-        // payloads (ImageIO.read returns null on corrupt bytes — one bad
-        // row must degrade, not NPE the task and, at scale, the job).
         def pseudo: Array[Float] =
           Array.tabulate(6)(i => ((checksum >>> (i * 8)) & 0xff).toFloat / 255f)
         val raw: Array[Float] = a.kind match {
           case "image" =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(a.content))
-            if (img == null) pseudo
-            else {
-              val (w, h) = (img.getWidth, img.getHeight)
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              val np = (w.toLong * h).toFloat
-              Array(w / 1024f, h / 1024f, sr / np / 255f, sg / np / 255f,
-                sb / np / 255f, (sr + sg + sb) / (3f * np) / 255f)
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(a.content))) match {
+              case None => pseudo
+              case Some(img) =>
+                val (w, h) = (img.getWidth, img.getHeight)
+                val (sr, sg, sb) = rgbChannelSums(img)
+                val np = (w.toLong * h).toFloat
+                Array(w / 1024f, h / 1024f, sr / np / 255f, sg / np / 255f,
+                  sb / np / 255f, (sr + sg + sb) / (3f * np) / 255f)
             }
           case "audio" =>
-            // Degrade-not-fail, like the image branch's null check: one
-            // corrupt payload must yield pseudo-features, not throw
-            // (UnsupportedAudioFileException/IOException) and fail the
-            // task — and at scale the job — wholesale.
-            val in =
-              try javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(a.content))
-              catch { case scala.util.control.NonFatal(_) => null }
-            if (in == null) pseudo
-            else try {
-              val fmt = in.getFormat
-              val bytes = in.readAllBytes()
-              val ns = bytes.length / 2
-              var sum = 0L; var sumSq = 0.0
-              var i = 0
-              while (i < ns) {
-                val s = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
-                sum += s; sumSq += s.toDouble * s
-                i += 1
-              }
-              val mean = if (ns > 0) (sum.toDouble / ns).toFloat else 0f
-              val rms = if (ns > 0) math.sqrt(sumSq / ns).toFloat else 0f
-              Array(fmt.getSampleRate / 48000f, ns / 1e6f,
-                mean / 32768f, rms / 32768f)
-            } catch {
-              case scala.util.control.NonFatal(_) => pseudo
-            } finally in.close()
+            decodePcm16(a.content) match {
+              case None => pseudo
+              case Some((rate, ns, sum, sumSq)) =>
+                val mean = if (ns > 0) (sum.toDouble / ns).toFloat else 0f
+                val rms = if (ns > 0) math.sqrt(sumSq.toDouble / ns).toFloat else 0f
+                Array(rate / 48000f, ns / 1e6f, mean / 32768f, rms / 32768f)
+            }
           case _ =>
-            // REAL video decode: every GMJB frame through ImageIO, features
-            // from the decoded pixels (frame count + dims + mean RGB over
-            // all frames). Unparseable container/frames degrade to pseudo.
-            Mjb.frames(a.content) match {
-              case Some(fbs) if fbs.nonEmpty =>
-                val imgs = fbs.map(fb => javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(fb)))
-                if (imgs.exists(_ == null)) pseudo
-                else {
-                  val (w, h) = (imgs.head.getWidth, imgs.head.getHeight)
-                  var sr = 0L; var sg = 0L; var sb = 0L
-                  imgs.foreach { img =>
-                    val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
-                      null, 0, img.getWidth)
-                    var i = 0
-                    while (i < px.length) {
-                      val rgb = px(i)
-                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
-                      sb += rgb & 0xff
-                      i += 1
-                    }
-                  }
-                  val np = imgs.map(img => img.getWidth.toLong * img.getHeight).sum.toFloat
-                  Array(imgs.length / 16f, w / 1024f, h / 1024f,
-                    sr / np / 255f, sg / np / 255f, sb / np / 255f)
-                }
-              case _ => pseudo
+            decodeVideoFrames(a.content) match {
+              case None => pseudo
+              case Some(imgs) =>
+                val (w, h) = (imgs.head.getWidth, imgs.head.getHeight)
+                val sums = imgs.map(rgbChannelSums)
+                val (sr, sg, sb) = (sums.map(_._1).sum, sums.map(_._2).sum, sums.map(_._3).sum)
+                val np = imgs.map(img => img.getWidth.toLong * img.getHeight).sum.toFloat
+                Array(imgs.length / 16f, w / 1024f, h / 1024f,
+                  sr / np / 255f, sg / np / 255f, sb / np / 255f)
             }
         }
         val feat = Array.tabulate(featDim)(i => if (i < raw.length) raw(i) else 0f)
@@ -310,16 +312,8 @@ object MultimodalOps {
           new java.io.ByteArrayInputStream(a.content))
         if (img == null) (a.asset_id, -1, -1, -1L) // corrupt payload: flag, don't NPE
         else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk fetch
-          var s = 0L
-          var i = 0
-          while (i < px.length) {
-            val rgb = px(i)
-            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            i += 1
-          }
-          (a.asset_id, w, h, s)
+          val (sr, sg, sb) = rgbChannelSums(img)
+          (a.asset_id, img.getWidth, img.getHeight, sr + sg + sb)
         }
       }
     }.toDF("asset_id", "dec_w", "dec_h", "px_sum")
@@ -400,25 +394,10 @@ object MultimodalOps {
     import spark.implicits._
     assets.filter(_.kind == "audio").mapPartitions { it =>
       it.map { a =>
-        val in =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(a.content))
-          catch { case scala.util.control.NonFatal(_) => null }
-        if (in == null) (a.asset_id, -1L, -1L, -1L)
-        else try {
-          val bytes = in.readAllBytes()
-          val ns = bytes.length / 2
-          var sum = 0L; var sumSq = 0L
-          var i = 0
-          while (i < ns) {
-            val s = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
-            sum += s; sumSq += s.toLong * s
-            i += 1
-          }
-          (a.asset_id, ns.toLong, sum, sumSq)
-        } catch {
-          case scala.util.control.NonFatal(_) => (a.asset_id, -1L, -1L, -1L)
-        } finally in.close()
+        decodePcm16(a.content) match {
+          case Some((_, ns, sum, sumSq)) => (a.asset_id, ns.toLong, sum, sumSq)
+          case None => (a.asset_id, -1L, -1L, -1L)
+        }
       }
     }.toDF("asset_id", "n_samples", "sample_sum", "sample_sq_sum")
   }
@@ -436,27 +415,13 @@ object MultimodalOps {
     import spark.implicits._
     assets.filter(_.kind == "video").mapPartitions { it =>
       it.map { a =>
-        Mjb.frames(a.content) match {
-          case Some(fbs) if fbs.nonEmpty =>
-            val imgs = fbs.map(fb => javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(fb)))
-            if (imgs.exists(_ == null)) (a.asset_id, -1, -1, -1, -1L)
-            else {
-              val (w, h) = (imgs.head.getWidth, imgs.head.getHeight)
-              var s = 0L
-              imgs.foreach { img =>
-                val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
-                  null, 0, img.getWidth)
-                var i = 0
-                while (i < px.length) {
-                  val rgb = px(i)
-                  s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                  i += 1
-                }
-              }
-              (a.asset_id, imgs.length, w, h, s)
-            }
-          case _ => (a.asset_id, -1, -1, -1, -1L)
+        decodeVideoFrames(a.content) match {
+          case Some(imgs) =>
+            val s = imgs.map { img =>
+              val (sr, sg, sb) = rgbChannelSums(img); sr + sg + sb
+            }.sum
+            (a.asset_id, imgs.length, imgs.head.getWidth, imgs.head.getHeight, s)
+          case None => (a.asset_id, -1, -1, -1, -1L)
         }
       }
     }.toDF("asset_id", "n_frames", "dec_w", "dec_h", "px_sum")

@@ -175,18 +175,36 @@ final class MedallionTable(
     created
   }
 
-  /** Claim the next commit ordinal for write paths whose effects COMMUTE
-    * with concurrent same-kind writers (append, pruned merge, fast-path
-    * delete): losing a claim race just means retrying against the advanced
-    * ordinal. A full rewrite that computed against a now-stale snapshot
-    * will still detect the conflict at ITS commit point.
+  /** Claim the next commit ordinal, run the write, and release the marker
+    * if the write FAILS — for write paths whose effects COMMUTE with
+    * concurrent same-kind writers (append, pruned merge, fast-path
+    * delete, create): losing a claim race just means retrying against the
+    * advanced ordinal, and a rewrite that computed against the pre-claim
+    * snapshot detects the conflict at ITS commit point. The
+    * failure-release keeps [[history]] honest (no marker for a batch that
+    * never landed, e.g. a CHECK-rejected append) and stops a failed write
+    * from aborting innocent concurrent rewrites; deleting the marker is
+    * safe because commitVersion is max-based, so a freed latest ordinal is
+    * simply re-claimable (create-exclusive prevents reuse races).
     */
-  private def claimNextCommit(op: String): Unit = {
+  private def withClaimedCommit[T](op: String)(write: => T): T = {
+    var claimed = -1L
     var attempts = 0
-    while (!tryClaimCommit(commitVersion, op)) {
-      attempts += 1
-      if (attempts >= 8) throw new java.util.ConcurrentModificationException(
-        s"could not claim a commit marker for $path after $attempts attempts")
+    while (claimed < 0) {
+      val expected = commitVersion
+      if (tryClaimCommit(expected, op)) claimed = expected + 1
+      else {
+        attempts += 1
+        if (attempts >= 8) throw new java.util.ConcurrentModificationException(
+          s"could not claim a commit marker for $path after $attempts attempts")
+      }
+    }
+    try write
+    catch {
+      case t: Throwable =>
+        try fs.delete(new Path(commitsDir, s"v$claimed.commit"), false)
+        catch { case _: java.io.IOException => () }
+        throw t
     }
   }
 
@@ -197,12 +215,16 @@ final class MedallionTable(
     * empty read as "unknown".
     */
   def history(): Seq[(Long, String, Long)] =
-    commitMarkers.reverse.map { v =>
+    commitMarkers.reverse.flatMap { v =>
+      // A concurrent writer's retention pruning can delete a marker between
+      // the listing and these reads — drop the row, never throw from a
+      // read-only call.
       val p = new Path(commitsDir, s"v$v.commit")
-      val op =
-        try { val t = readMetaText(p); if (t.isEmpty) "unknown" else t }
-        catch { case _: java.io.IOException => "unknown" }
-      (v, op, fs.getFileStatus(p).getModificationTime)
+      try {
+        val t = readMetaText(p)
+        Some((v, if (t.isEmpty) "unknown" else t,
+          fs.getFileStatus(p).getModificationTime))
+      } catch { case _: java.io.IOException => None }
     }
 
   // ---- CHECK constraints (Delta-style quality gates) --------------------
@@ -284,11 +306,15 @@ final class MedallionTable(
       val msg = cs.map { case (n, e) => s"$n: $e" }.mkString("CHECK violated [", "; ", "]")
       // Selecting only df's original columns drops the widened NULL stand-ins
       // again; the check expression still resolves against `widened`.
+      // Column names are backtick-quoted: a bare col("a.b") would parse as
+      // nested-field access and break on dotted names the old filter shape
+      // never re-parsed.
+      def q(c: String) = col("`" + c.replace("`", "``") + "`")
       val guard = graft.functions.CheckInvariant(
-        GraftColumnBridge.expression(col(df.columns.head)),
+        GraftColumnBridge.expression(q(df.columns.head)),
         GraftColumnBridge.expression(all), msg)
       widened.select(df.columns.zipWithIndex.map { case (c, i) =>
-        if (i == 0) GraftColumnBridge.column(guard).as(c) else col(c)
+        if (i == 0) GraftColumnBridge.column(guard).as(c) else q(c)
       }: _*)
     }
   }
@@ -299,8 +325,7 @@ final class MedallionTable(
     * against the pre-append snapshot then fails its own CAS instead of
     * silently swapping the appended rows away.
     */
-  def append(df: DataFrame): Unit = {
-    claimNextCommit("append")
+  def append(df: DataFrame): Unit = withClaimedCommit("append") {
     writer(enforced(df), SaveMode.Append).parquet(path)
     invalidateStats()
   }
@@ -316,13 +341,14 @@ final class MedallionTable(
     if (exists) rewriteVia(df)
     else {
       val cs = checkConstraints
-      claimNextCommit("create-overwrite")
-      // SaveMode.Overwrite deletes the dir (registry included) BEFORE the
-      // job runs — restore the pre-create registry even when the write
-      // fails, or a rejected/failed first batch silently disarms the gate.
-      try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
-      finally persistConstraints(cs)
-      stashSchema(df.schema)
+      withClaimedCommit("create-overwrite") {
+        // SaveMode.Overwrite deletes the dir (registry included) BEFORE the
+        // job runs — restore the pre-create registry even when the write
+        // fails, or a rejected/failed first batch silently disarms the gate.
+        try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
+        finally persistConstraints(cs)
+        stashSchema(df.schema)
+      }
     }
 
   /** K3 — first-run create, error if the table already exists. */
@@ -330,10 +356,11 @@ final class MedallionTable(
     if (exists)
       throw new IllegalStateException(s"table already exists at $path")
     val cs = checkConstraints
-    claimNextCommit("create")
-    try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
-    finally persistConstraints(cs)
-    stashSchema(df.schema)
+    withClaimedCommit("create") {
+      try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
+      finally persistConstraints(cs)
+      stashSchema(df.schema)
+    }
   }
 
   /** K4 — 3-clause merge (see [[MergeOps.merge3Clause]]): materializes the
@@ -413,6 +440,22 @@ final class MedallionTable(
           s"concurrent write detected on $path: commit v${expectedVersion + 1} " +
             "already claimed by another writer (this rewrite was computed " +
             s"against v$expectedVersion); aborting without touching the table")
+      MedallionTable.testFailpoint("pre-swap")
+      // Close the claim→swap window: a claim-FIRST writer (append / pruned
+      // merge / fast delete) that claimed a LATER ordinal after our CAS has
+      // written — or is writing — rows into the live directory that this
+      // swap would silently discard. Abort and release our marker instead
+      // (max-based commitVersion tolerates the gap). Residual race: a claim
+      // landing between this check and the renames (~ms of metadata ops)
+      // can still lose; claim-first writers claim BEFORE their multi-second
+      // write job, so the practical window is the check-to-rename gap only.
+      if (commitVersion != expectedVersion + 1) {
+        fs.delete(new Path(commitsDir, s"v${expectedVersion + 1}.commit"), false)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent write detected on $path: another writer claimed " +
+            s"v${commitVersion} after this rewrite's CAS; aborting before " +
+            "the swap could discard its rows")
+      }
       written = true
       if (!fs.rename(dst, backup))
         throw new java.io.IOException(s"swap failed: $dst -> $backup")
@@ -464,7 +507,7 @@ final class MedallionTable(
         else fs.listStatus(base).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.contains("="))
           .flatMap(st => walk(st.getPath, depth - 1))
-      claimNextCommit("delete-partitions")
+      withClaimedCommit("delete-partitions") {
       val dirs = walk(new Path(path), partitionColumns.size)
       if (dirs.nonEmpty) {
         val spark2 = spark
@@ -493,6 +536,7 @@ final class MedallionTable(
       // Fast path bypasses rewriteVia (which stashes after its swap): a
       // delete that drops every partition must leave the table readable.
       stashSchema(schema)
+      }
     } else {
       // DELETE removes rows where cond is TRUE; FALSE and NULL survive
       // (a bare `!cond` filter would also drop the NULL rows).
@@ -783,13 +827,14 @@ final class MedallionTable(
     // the pipeline's) canonical upsert route. Claim-first concurrency like
     // append (no staged state to CAS; per-partition commit is the
     // documented weaker atomicity of this path).
-    claimNextCommit("merge-pruned")
-    enforced(merged).write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionColumns: _*)
-      .parquet(path)
-    invalidateStats()
+    withClaimedCommit("merge-pruned") {
+      enforced(merged).write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionColumns: _*)
+        .parquet(path)
+      invalidateStats()
+    }
   }
 
   /** The reference's canonical upsert entry (`silver_table_creation.py:43-66`):

@@ -452,6 +452,61 @@ class MedallionTableSpec extends SparkSpec {
       Set((1L, "a"), (9L, "late")), "appended row must survive the aborted rewrite")
   }
 
+  test("rewrite aborts when an append claims a later ordinal AFTER its CAS") {
+    import spark.implicits._
+    val p = tmpDir("mt_postcas_append")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    // The append lands between the rewrite's successful CAS and its swap —
+    // the order the original protocol could NOT detect: the swap would have
+    // silently discarded the appended rows while both writers "succeeded".
+    MedallionTable.testFailpoint = {
+      case "pre-swap" =>
+        MedallionTable.testFailpoint = _ => ()
+        MedallionTable(spark, p).append(Seq((9L, "late")).toDF("id", "s"))
+      case _ => ()
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        t.merge(Seq((1L, "A")).toDF("id", "s"), Seq("id"))
+      }
+    } finally MedallionTable.testFailpoint = _ => ()
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (9L, "late")),
+      "post-CAS appended row must survive the aborted rewrite")
+    // the aborted rewrite released its marker: no phantom 'merge' commit
+    assert(!t.history().exists(_._2 == "merge"), s"phantom commit: ${t.history()}")
+  }
+
+  test("a rejected append releases its marker: no phantom history, no fake conflicts") {
+    import spark.implicits._
+    val p = tmpDir("mt_phantom")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, 10.0)).toDF("id", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    val v0 = t.commitVersion
+    intercept[Throwable] { t.append(Seq((2L, -1.0)).toDF("id", "v")) }
+    assert(t.commitVersion == v0,
+      "a batch that never landed must not advance the commit ordinal")
+    assert(!t.history().exists(_._2 == "append"),
+      s"history must not record the rejected append: ${t.history()}")
+    // and a rewrite computed against the pre-append state commits cleanly
+    // (the stale marker would have produced a spurious conflict abort)
+    t.merge(Seq((1L, 11.0)).toDF("id", "v"), Seq("id"))
+    assert(t.read.collect().head.getDouble(1) == 11.0)
+  }
+
+  test("CHECK gate handles dotted column names (projection must not re-parse)") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("mt_dotted"))
+    t.overwrite(Seq((1L, 10.0)).toDF("id", "a.b"))
+    t.addCheckConstraint("ab_pos", "`a.b` > 0")
+    t.append(Seq((2L, 5.0)).toDF("id", "a.b")) // valid batch must pass
+    assert(t.read.count() == 2)
+    intercept[Throwable] { t.append(Seq((3L, -1.0)).toDF("id", "a.b")) }
+    assert(t.read.count() == 2)
+  }
+
   test("mid-swap crash: vacuum restores the backup with schema and constraints intact") {
     import spark.implicits._
     val p = tmpDir("mt_midswap")
