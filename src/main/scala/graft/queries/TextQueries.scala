@@ -228,27 +228,34 @@ object TextQueries {
     // is engine-independent, unlike the xxhash-based 64-bit fast path in
     // `dedup_simhash` (graft.dedup.SimHash) — this twin proves the simhash
     // SEMANTICS cross-engine; the native expression covers scale.
-    "dedup_simhash_md5" -> ((s, dir) => {
-      // The digest is hoisted into a pre-projection: MD5 inside each of the
-      // 16 SUMs would hash every token 16× (measured ~7.4 s at sf0.1).
-      val bitSums = (0 until 16).map { b =>
-        val k = 1 + b / 4; val p = 1 << (b % 4)
-        s"SUM(CASE WHEN (CAST(INSTR('0123456789abcdef', SUBSTR(h, $k, 1)) - 1 AS INT) DIV $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
-      }
-      val code = (0 until 16)
-        .map(b => s"(CASE WHEN s$b >= 0 THEN 1 ELSE 0 END) * ${1 << b}")
-        .mkString(" + ")
-      Tables.documents(s, dir)
-        // Repartition by doc_id before the token explode: parallelizes the
-        // tokenize+hash fan-out across cores (single-file scan = one task)
-        // and pre-clusters for the groupBy — one shuffle total, carrying
-        // documents, not tokens.
-        .repartition(col("doc_id"))
-        .selectExpr("doc_id", s"EXPLODE($TokensExpr) AS t")
-        .selectExpr("doc_id", "MD5(t) AS h")
-        .groupBy("doc_id")
-        .agg(expr(bitSums.head), bitSums.tail.map(expr): _*)
-        .selectExpr("doc_id", s"CAST($code AS INT) AS simhash16")
+    "dedup_simhash_md5" -> ((s, dir) => md5Simhash16(s, dir)),
+
+    // Banded-Hamming near-dup PAIRS over the oracled 16-bit simhash —
+    // the retrieval step the fingerprint exists for: 4 bands of 4 bits;
+    // by pigeonhole any pair within Hamming distance 3 shares at least
+    // one band, so candidates come from an equi-join on (band, nibble) —
+    // never doc×doc — and the exact popcount gate drops false positives.
+    // Bounded to 1000 docs like the other pair oracles: at 16 bits a full
+    // corpus drowns in chance collisions; the unbounded scale path is the
+    // 64-bit xxhash SimHash (graft.dedup.SimHash) with 16-bit bands.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sh = md5Simhash16(s, dir).where($"doc_id" < 1000)
+      val bands = sh.selectExpr("doc_id", "simhash16",
+          "EXPLODE(SEQUENCE(0, 3)) AS band_idx")
+        .selectExpr("doc_id", "simhash16", "band_idx",
+          "CAST(SHIFTRIGHT(simhash16, band_idx * 4) & 15 AS INT) AS nib")
+      val a = bands.selectExpr("doc_id AS id_a", "simhash16 AS code_a",
+        "band_idx", "nib")
+      val b = bands.selectExpr("doc_id AS id_b", "simhash16 AS code_b",
+        "band_idx", "nib")
+      a.join(b, Seq("band_idx", "nib"))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b", $"code_a", $"code_b")
+        .distinct() // a pair can share several bands
+        .selectExpr("id_a", "id_b",
+          "CAST(BIT_COUNT(code_a ^ code_b) AS INT) AS hamming")
+        .where("hamming <= 3")
     }),
 
     // Oracle-able winnowing (MD5 char-5-gram hashes, window 4, distinct
@@ -409,6 +416,32 @@ object TextQueries {
       // single-file source: spread the gram fan-out (cf. text_winnow_md5)
       .repartition(col("doc_id"))
       .selectExpr("doc_id", s"EXPLODE(graft_token_grams(text, $k)) AS gram")
+  }
+
+  /** Oracle-able 16-bit SimHash (MD5 bit-planes over whitespace tokens),
+    * shared by the fingerprint query and the banded-Hamming pair query.
+    * The digest is hoisted into a pre-projection: MD5 inside each of the
+    * 16 SUMs would hash every token 16× (measured ~7.4 s at sf0.1).
+    * Repartition by doc_id before the token explode: parallelizes the
+    * tokenize+hash fan-out across cores (single-file scan = one task) and
+    * pre-clusters for the groupBy — one shuffle total, carrying documents,
+    * not tokens.
+    */
+  private def md5Simhash16(s: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until 16).map { b =>
+      val k = 1 + b / 4; val p = 1 << (b % 4)
+      s"SUM(CASE WHEN (CAST(INSTR('0123456789abcdef', SUBSTR(h, $k, 1)) - 1 AS INT) DIV $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }
+    val code = (0 until 16)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN 1 ELSE 0 END) * ${1 << b}")
+      .mkString(" + ")
+    Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .selectExpr("doc_id", s"EXPLODE($TokensExpr) AS t")
+      .selectExpr("doc_id", "MD5(t) AS h")
+      .groupBy("doc_id")
+      .agg(expr(bitSums.head), bitSums.tail.map(expr): _*)
+      .selectExpr("doc_id", s"CAST($code AS INT) AS simhash16")
   }
 
   /** Shared MD5 winnowing fingerprint index (doc_id, fp): char-5-gram MD5
@@ -584,19 +617,21 @@ object TextQueries {
          |UNION ALL
          |SELECT doc_id, CAST(1 AS INTEGER), md5(mh_2 || mh_3) FROM sigs""".stripMargin
     },
-    "dedup_simhash_md5" -> {
-      val bitSums = (0 until 16).map { b =>
-        val k = 1 + b / 4; val p = 1 << (b % 4)
-        s"SUM(CASE WHEN (CAST(strpos('0123456789abcdef', substr(md5(t), $k, 1)) - 1 AS INTEGER) // $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
-      }.mkString(", ")
-      val code = (0 until 16)
-        .map(b => s"(CASE WHEN s$b >= 0 THEN 1 ELSE 0 END) * ${1 << b}")
-        .mkString(" + ")
-      s"""SELECT doc_id, CAST($code AS INTEGER) AS simhash16 FROM (
-         |  SELECT doc_id, $bitSums
-         |  FROM (SELECT doc_id, unnest($DuckTokens) AS t FROM documents)
-         |  GROUP BY doc_id)""".stripMargin
-    },
+    "dedup_simhash_md5" -> duckSimhash16,
+    "dedup_simhash_pairs" ->
+      s"""WITH sh AS ($duckSimhash16),
+         |bands AS (SELECT doc_id, simhash16, unnest([0, 1, 2, 3]) AS band_idx FROM sh),
+         |nb AS (SELECT doc_id, simhash16, band_idx,
+         |       CAST((simhash16 >> (band_idx * 4)) & 15 AS INTEGER) AS nib FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, a.simhash16 AS code_a,
+         |         b.doc_id AS id_b, b.simhash16 AS code_b
+         |  FROM nb a JOIN nb b
+         |    ON a.band_idx = b.band_idx AND a.nib = b.nib AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id < 1000 AND b.doc_id < 1000)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(code_a, code_b)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(code_a, code_b)) <= 3""".stripMargin,
     "text_decontaminate" ->
       (s"""WITH aug AS (
          |  SELECT doc_id,
@@ -670,6 +705,23 @@ object TextQueries {
         |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
   )
+
+  /** DuckDB twin of [[md5Simhash16]] (a standalone SELECT, also embedded
+    * as a CTE by the pair oracle).
+    */
+  private def duckSimhash16: String = {
+    val bitSums = (0 until 16).map { b =>
+      val k = 1 + b / 4; val p = 1 << (b % 4)
+      s"SUM(CASE WHEN (CAST(strpos('0123456789abcdef', substr(md5(t), $k, 1)) - 1 AS INTEGER) // $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val code = (0 until 16)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN 1 ELSE 0 END) * ${1 << b}")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($code AS INTEGER) AS simhash16 FROM (
+       |  SELECT doc_id, $bitSums
+       |  FROM (SELECT doc_id, unnest($DuckTokens) AS t FROM documents)
+       |  GROUP BY doc_id)""".stripMargin
+  }
 
   /** DuckDB twin of [[md5WinnowIndex]] as CTE bodies ending in `m`
     * (doc_id, fps list) — kept beside the Scala definition so the bound
