@@ -211,15 +211,42 @@ object TextQueries {
     // 2 hashes, band key = MD5 of the concatenated band — the
     // signature→band→bucket-key step of the LSH join, proven cross-engine
     // (the xxhash64 scale path is graft_xx_minhash_bands, rows-only).
-    "dedup_lsh_bands_md5" -> ((s, dir) => {
-      graft.plans.GraftFunctions.register(s)
-      Tables.documents(s, dir)
-        .where(s"SIZE($TokensExpr) >= 3")
-        .selectExpr("doc_id", "graft_md5_minhash(text, 4) AS sig")
+    "dedup_lsh_bands_md5" -> ((s, dir) =>
+      md5LshBands(Tables.documents(s, dir))),
+
+    // INCREMENTAL dedup — the daily-batch shape a 100 TB corpus actually
+    // runs (dedupe the new 20% against the standing 80%, never re-dedupe
+    // the corpus): exact dups via a content-hash join against the corpus
+    // hash set, near-dup CANDIDATES via the LSH band-key equi-join against
+    // the corpus band index. Both sides are indexes (16-64 bytes/row), the
+    // batch side is the small one — broadcast at this scale, bucketed at
+    // 100 TB. Exact dups are planted (every 25th batch doc takes its
+    // corpus neighbor's text) so the exact branch is exercised.
+    "dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val donor = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("donor_text"))
+      val all = docs.join(donor, Seq("doc_id"), "left")
         .selectExpr("doc_id",
-          "STACK(2, 0, MD5(CONCAT(ELEMENT_AT(sig, 1), ELEMENT_AT(sig, 2))), " +
-            "1, MD5(CONCAT(ELEMENT_AT(sig, 3), ELEMENT_AT(sig, 4)))) " +
-            "AS (band_idx, band_key)")
+          "CASE WHEN doc_id % 25 = 0 AND doc_id % 5 = 0 AND donor_text IS NOT NULL " +
+            "THEN donor_text ELSE text END AS text")
+      val corpus = all.filter($"doc_id" % 5 =!= 0) // standing corpus (80%)
+      val batch = all.filter($"doc_id" % 5 === 0)  // today's landing (20%)
+      val exactHits = batch.select($"doc_id", md5($"text").as("h"))
+        .join(corpus.select(md5($"text").as("h")).distinct(), Seq("h"))
+        .select($"doc_id").distinct().withColumn("is_exact_dup", lit(true))
+      val candHits = md5LshBands(batch)
+        .join(md5LshBands(corpus)
+          .select($"band_idx", $"band_key", $"doc_id".as("corpus_id")),
+          Seq("band_idx", "band_key"))
+        .select($"doc_id", $"corpus_id").distinct()
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_candidates"))
+      batch.select($"doc_id")
+        .join(exactHits, Seq("doc_id"), "left")
+        .join(candHits, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "COALESCE(is_exact_dup, false) AS is_exact_dup",
+          "CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates")
     }),
 
     // Oracle-able SimHash (16-bit, MD5 bit-planes over whitespace tokens).
@@ -416,6 +443,23 @@ object TextQueries {
       // single-file source: spread the gram fan-out (cf. text_winnow_md5)
       .repartition(col("doc_id"))
       .selectExpr("doc_id", s"EXPLODE(graft_token_grams(text, $k)) AS gram")
+  }
+
+  /** Oracle-able LSH band keys (doc_id, band_idx, band_key): 2 bands of 2
+    * MD5-minhashes each, band key = MD5 of the concatenated band — shared
+    * by the band-index query and incremental dedup so the construction
+    * cannot diverge. Docs with fewer than 3 tokens have no shingles and
+    * drop out.
+    */
+  private def md5LshBands(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs
+      .where(s"SIZE($TokensExpr) >= 3")
+      .selectExpr("doc_id", "graft_md5_minhash(text, 4) AS sig")
+      .selectExpr("doc_id",
+        "STACK(2, 0, MD5(CONCAT(ELEMENT_AT(sig, 1), ELEMENT_AT(sig, 2))), " +
+          "1, MD5(CONCAT(ELEMENT_AT(sig, 3), ELEMENT_AT(sig, 4)))) " +
+          "AS (band_idx, band_key)")
   }
 
   /** Oracle-able 16-bit SimHash (MD5 bit-planes over whitespace tokens),
@@ -616,6 +660,40 @@ object TextQueries {
          |SELECT doc_id, CAST(0 AS INTEGER) AS band_idx, md5(mh_0 || mh_1) AS band_key FROM sigs
          |UNION ALL
          |SELECT doc_id, CAST(1 AS INTEGER), md5(mh_2 || mh_3) FROM sigs""".stripMargin
+    },
+    "dedup_incremental" -> {
+      val duckShingles =
+        s"list_transform(range(1, len($DuckTokens) - 1), " +
+          s"i -> ($DuckTokens)[i] || ' ' || ($DuckTokens)[i+1] || ' ' || ($DuckTokens)[i+2])"
+      val sigCols = (0 until 4).map { k =>
+        s"LIST_MIN(list_transform($duckShingles, sh -> MD5('$k:' || sh))) AS mh_$k"
+      }.mkString(", ")
+      def bands(src: String) =
+        s"""SELECT doc_id, CAST(0 AS INTEGER) AS band_idx, md5(mh_0 || mh_1) AS band_key FROM $src
+           |  UNION ALL
+           |  SELECT doc_id, CAST(1 AS INTEGER), md5(mh_2 || mh_3) FROM $src""".stripMargin
+      s"""WITH donor AS (SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),
+         |all_docs AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 25 = 0 AND d.doc_id % 5 = 0 AND donor_text IS NOT NULL
+         |         THEN donor_text ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN donor ON d.doc_id = donor.doc_id),
+         |corpus AS (SELECT * FROM all_docs WHERE doc_id % 5 <> 0),
+         |batch AS (SELECT * FROM all_docs WHERE doc_id % 5 = 0),
+         |exact AS (
+         |  SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)),
+         |bsig AS (SELECT doc_id, $sigCols FROM batch WHERE LEN($DuckTokens) >= 3),
+         |csig AS (SELECT doc_id, $sigCols FROM corpus WHERE LEN($DuckTokens) >= 3),
+         |bb AS (${bands("bsig")}),
+         |cb AS (${bands("csig")}),
+         |cand AS (
+         |  SELECT DISTINCT bb.doc_id, cb.doc_id AS corpus_id
+         |  FROM bb JOIN cb ON bb.band_idx = cb.band_idx AND bb.band_key = cb.band_key),
+         |cn AS (SELECT doc_id, COUNT(*) AS n FROM cand GROUP BY doc_id)
+         |SELECT b.doc_id, e.doc_id IS NOT NULL AS is_exact_dup,
+         |       CAST(COALESCE(cn.n, 0) AS BIGINT) AS n_candidates
+         |FROM batch b LEFT JOIN exact e ON b.doc_id = e.doc_id
+         |LEFT JOIN cn ON b.doc_id = cn.doc_id""".stripMargin
     },
     "dedup_simhash_md5" -> duckSimhash16,
     "dedup_simhash_pairs" ->
