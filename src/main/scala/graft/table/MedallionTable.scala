@@ -26,13 +26,16 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
   *     replacement is fully in place (rename dst→backup, rename tmp→dst,
   *     delete backup; restore backup on failure).
   *   - multi-writer: optimistic concurrency via a create-exclusive
-  *     commit-marker CAS (see [[commitVersion]] / rewriteVia) — a rewrite
-  *     computed against a stale snapshot fails cleanly with
-  *     ConcurrentModificationException instead of silently discarding the
-  *     other writer's commit. Data-plane serialization stays
-  *     single-writer-preferred (the reference's Airflow DAG is strictly
-  *     linear, SURVEY.md §7.4); the CAS turns violations of that
-  *     assumption from corruption into detected conflicts.
+  *     commit-marker CAS plus a rewrite-intent lease (two-phase; see
+  *     [[commitVersion]] / rewriteVia) — a rewrite computed against a
+  *     stale snapshot fails cleanly with ConcurrentModificationException
+  *     instead of silently discarding the other writer's commit, and a
+  *     claim-first writer racing a rewrite's swap backs off on the intent
+  *     instead of landing rows the swap would discard. Data-plane
+  *     serialization stays single-writer-preferred (the reference's
+  *     Airflow DAG is strictly linear, SURVEY.md §7.4); the protocol
+  *     turns violations of that assumption from corruption into detected
+  *     conflicts.
   */
 final class MedallionTable(
     val spark: SparkSession,
@@ -153,27 +156,75 @@ final class MedallionTable(
 
   /** CAS: atomically create the `v{expected+1}.commit` marker
     * (create-exclusive — atomic on HDFS/object stores with conditional
-    * create; best-effort exists-then-create on the local fs). Returns
-    * false when another writer already claimed that ordinal, i.e. the
-    * table advanced since `expected` was read. Keeps the newest
-    * [[MedallionTable.HistoryDepth]] markers. The marker body records the
-    * operation name — existence is the CAS, the body is DESCRIBE
-    * HISTORY-style metadata.
+    * create; on the local fs, Hadoop's `create(overwrite=false)` is
+    * check-then-create, so the claim goes through
+    * `java.io.File.createNewFile`, which the JDK documents as atomic —
+    * the guarantee holds uniformly in the environment the specs and
+    * bench actually run in). Returns false when another writer already
+    * claimed that ordinal, i.e. the table advanced since `expected` was
+    * read. Keeps the newest [[MedallionTable.HistoryDepth]] markers. The
+    * marker body records the operation name — existence is the CAS, the
+    * body is DESCRIBE HISTORY-style metadata (an empty body read between
+    * creation and the body write renders as "unknown" in [[history]]).
     */
   private def tryClaimCommit(expected: Long, op: String): Boolean = {
     fs.mkdirs(commitsDir)
     val marker = new Path(commitsDir, s"v${expected + 1}.commit")
     val created =
-      try {
-        val out = fs.create(marker, false)
-        try out.write(op.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      if ("file" == fs.getUri.getScheme) {
+        val local = new java.io.File(fs.makeQualified(marker).toUri.getPath)
+        try local.createNewFile() && {
+          val out = new java.io.FileOutputStream(local)
+          try out.write(op.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      } else
+        try {
+          val out = fs.create(marker, false)
+          try out.write(op.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
     if (created)
       commitMarkers.dropRight(MedallionTable.HistoryDepth).foreach(v =>
         fs.delete(new Path(commitsDir, s"v$v.commit"), false))
     created
   }
+
+  // ---- rewrite-intent lease (phase 2 of the rewrite commit) -------------
+
+  /** Rewrite-intent marker: published by [[rewriteVia]] AFTER its marker
+    * CAS and BEFORE its conflict re-check, cleared once the swap renames
+    * land (or the rewrite aborts). While an unexpired intent exists,
+    * claim-first writers refuse to claim — closing the re-check-to-rename
+    * window where a claim could land unseen and have its rows swapped
+    * away. Lease-based: the body carries the publish time, and claimants
+    * ignore intents older than [[MedallionTable.IntentLeaseMs]] so a
+    * crashed rewrite cannot block the table forever. The protocol is
+    * sound while the rewrite's intent-to-rename section (a handful of
+    * metadata ops, normally milliseconds) completes within the lease —
+    * the same clock assumption every lease-based commit protocol makes.
+    */
+  private def intentFile = new Path(commitsDir, "rewrite.intent")
+
+  private def publishIntent(op: String): Unit =
+    writeMetaText(intentFile, s"${System.currentTimeMillis()}\t$op")
+
+  private def clearIntent(): Unit =
+    try fs.delete(intentFile, false)
+    catch { case _: java.io.IOException => () }
+
+  /** True while a rewrite holds an unexpired intent lease. Expired or
+    * unreadable intents (crashed rewrites) are ignored, not deleted —
+    * a delete here could race a fresh re-publish; vacuum() cleans them.
+    */
+  private def unexpiredIntent(): Boolean =
+    fs.exists(intentFile) && {
+      try {
+        val ts = readMetaText(intentFile).takeWhile(_.isDigit)
+        ts.nonEmpty &&
+          System.currentTimeMillis() - ts.toLong < MedallionTable.IntentLeaseMs
+      } catch { case _: java.io.IOException => false } // deleted mid-read
+    }
 
   /** Claim the next commit ordinal, run the write, and release the marker
     * if the write FAILS — for write paths whose effects COMMUTE with
@@ -190,13 +241,32 @@ final class MedallionTable(
   private def withClaimedCommit[T](op: String)(write: => T): T = {
     var claimed = -1L
     var attempts = 0
+    def retryOrGiveUp(): Unit = {
+      attempts += 1
+      if (attempts >= 8) throw new java.util.ConcurrentModificationException(
+        s"could not claim a commit marker for $path after $attempts attempts " +
+          "(commit contention or a rewrite mid-swap)")
+      Thread.sleep(25) // rewrite intent windows are milliseconds — back off past them
+    }
     while (claimed < 0) {
-      val expected = commitVersion
-      if (tryClaimCommit(expected, op)) claimed = expected + 1
+      // Two-phase guard, claimant side: an unexpired rewrite intent means a
+      // rewrite has CAS'd its marker and is between its conflict re-check
+      // and its swap renames — a claim landing now would go unseen and its
+      // rows would be swapped away. Check BEFORE claiming (cheap, avoids
+      // burning ordinals) and re-check AFTER the claim (the intent may have
+      // been published between the pre-check and our CAS); on the
+      // post-claim hit, release the claim so the rewrite — which may
+      // already have aborted on seeing our marker — finds a clean ordinal
+      // when either side retries.
+      if (unexpiredIntent()) retryOrGiveUp()
       else {
-        attempts += 1
-        if (attempts >= 8) throw new java.util.ConcurrentModificationException(
-          s"could not claim a commit marker for $path after $attempts attempts")
+        val expected = commitVersion
+        if (!tryClaimCommit(expected, op)) retryOrGiveUp()
+        else if (unexpiredIntent()) {
+          try fs.delete(new Path(commitsDir, s"v${expected + 1}.commit"), false)
+          catch { case _: java.io.IOException => () }
+          retryOrGiveUp()
+        } else claimed = expected + 1
       }
     }
     try write
@@ -385,14 +455,33 @@ final class MedallionTable(
   /** Full-table rewrite through a tmp dir + backup swap: never a moment
     * where the live path is the only copy gone; restore on failure.
     *
-    * Optimistic concurrency: the commit ordinal is read BEFORE the write
-    * job runs (the job consumes this table's current data); after staging,
-    * a create-exclusive marker CAS claims ordinal+1. If another writer
-    * committed in between, the CAS fails and this rewrite aborts with
+    * Optimistic concurrency (two-phase): the commit ordinal is read BEFORE
+    * the write job runs (the job consumes this table's current data);
+    * after staging, a create-exclusive marker CAS claims ordinal+1, then a
+    * rewrite-intent lease is published and the ordinal re-checked before
+    * the swap renames. If another writer committed in between, the CAS (or
+    * re-check) fails and this rewrite aborts with
     * [[java.util.ConcurrentModificationException]] — its staged tmp is
-    * deleted and the live table is untouched, instead of the second swap
-    * silently discarding the first writer's commit (Delta-parity conflict
-    * detection; the reference relies on Delta's transactional commit).
+    * deleted, its marker released, and the live table is untouched,
+    * instead of the second swap silently discarding the first writer's
+    * commit (Delta-parity conflict detection; the reference relies on
+    * Delta's transactional commit). The intent lease closes the former
+    * re-check-to-rename residual race: claimants seeing an unexpired
+    * intent back off (see [[unexpiredIntent]]).
+    *
+    * Documented wider window (single-writer-preferred stance): a rewrite
+    * that reads `expectedVersion` AFTER a claim-first writer's marker
+    * landed but BEFORE that writer's multi-second data job finishes
+    * passes both the CAS and the re-check — the claim is already counted
+    * in `expectedVersion` — and can swap while the claimant is still
+    * writing into the live directory. The claimant then fails at its own
+    * task commit (the directory it was writing into was renamed away)
+    * rather than being detected as a conflict; no committed rows are
+    * lost, but the failure surfaces on the innocent writer. Closing it
+    * needs in-flight write fencing (claimants holding a lease for the
+    * duration of their data job), which trades a crashed writer blocking
+    * all rewrites — out of scope under the linear-DAG usage the
+    * reference assumes (SURVEY.md §7.4).
     */
   private def rewriteVia(newData0: DataFrame,
       writerTweak: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
@@ -440,31 +529,57 @@ final class MedallionTable(
           s"concurrent write detected on $path: commit v${expectedVersion + 1} " +
             "already claimed by another writer (this rewrite was computed " +
             s"against v$expectedVersion); aborting without touching the table")
-      MedallionTable.testFailpoint("pre-swap")
-      // Close the claim→swap window: a claim-FIRST writer (append / pruned
-      // merge / fast delete) that claimed a LATER ordinal after our CAS has
-      // written — or is writing — rows into the live directory that this
-      // swap would silently discard. Abort and release our marker instead
-      // (max-based commitVersion tolerates the gap). Residual race: a claim
-      // landing between this check and the renames (~ms of metadata ops)
-      // can still lose; claim-first writers claim BEFORE their multi-second
-      // write job, so the practical window is the check-to-rename gap only.
-      if (commitVersion != expectedVersion + 1) {
-        fs.delete(new Path(commitsDir, s"v${expectedVersion + 1}.commit"), false)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent write detected on $path: another writer claimed " +
-            s"v${commitVersion} after this rewrite's CAS; aborting before " +
-            "the swap could discard its rows")
+      var committed = false
+      try {
+        MedallionTable.testFailpoint("pre-swap")
+        // Two-phase close of the claim→swap window: a claim-FIRST writer
+        // (append / pruned merge / fast delete) that claimed a LATER
+        // ordinal after our CAS has written — or is writing — rows into
+        // the live directory that this swap would silently discard.
+        // Phase 2 publishes a rewrite intent BEFORE the conflict
+        // re-check; claimants check the intent both before AND after
+        // their own CAS. Case split: a claim landing before the re-check
+        // is seen there (abort, release marker); a claim landing after it
+        // necessarily runs its post-claim intent check after this intent
+        // was published and still unexpired — the claimant releases and
+        // retries once the intent clears, by which time the swap has
+        // landed and the retry writes into the new table state. No
+        // interleaving loses rows (spec: "two-phase intent closes the
+        // re-check-to-rename window").
+        publishIntent(op)
+        try {
+          if (commitVersion != expectedVersion + 1)
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent write detected on $path: another writer claimed " +
+                s"v${commitVersion} after this rewrite's CAS; aborting before " +
+                "the swap could discard its rows")
+          MedallionTable.testFailpoint("post-recheck")
+          written = true
+          if (!fs.rename(dst, backup))
+            throw new java.io.IOException(s"swap failed: $dst -> $backup")
+          MedallionTable.testFailpoint("mid-swap")
+          if (!fs.rename(tmp, dst)) {
+            fs.rename(backup, dst) // restore — table untouched on failure
+            throw new java.io.IOException(s"swap failed: $tmp -> $dst (restored)")
+          }
+          committed = true
+        } finally clearIntent()
+        if (retainVersions > 0) archiveBackup(backup) else fs.delete(backup, true)
+      } catch {
+        // Release the claimed marker on ANY post-CAS failure before the
+        // swap lands (conflict re-check, rename failure, injected crash):
+        // the batch never landed, so history() must not record it and
+        // commitVersion must not stay advanced past the (restored) state —
+        // the same contract withClaimedCommit enforces for claim-first
+        // paths. Post-swap failures (archiveBackup) keep the marker: the
+        // commit happened. A hard JVM death between CAS and swap still
+        // leaks a marker; vacuum()'s backup restore handles the data and
+        // history() renders the orphan row from its recorded body.
+        case t: Throwable if !committed =>
+          try fs.delete(new Path(commitsDir, s"v${expectedVersion + 1}.commit"), false)
+          catch { case _: java.io.IOException => () }
+          throw t
       }
-      written = true
-      if (!fs.rename(dst, backup))
-        throw new java.io.IOException(s"swap failed: $dst -> $backup")
-      MedallionTable.testFailpoint("mid-swap")
-      if (!fs.rename(tmp, dst)) {
-        fs.rename(backup, dst) // restore — table untouched on failure
-        throw new java.io.IOException(s"swap failed: $tmp -> $dst (restored)")
-      }
-      if (retainVersions > 0) archiveBackup(backup) else fs.delete(backup, true)
     } finally {
       if (!written) fs.delete(tmp, true) // failed write leaves no litter
     }
@@ -769,6 +884,10 @@ final class MedallionTable(
     }
     val toDelete = litter()
     toDelete.foreach(p => fs.delete(p, true))
+    // A crashed rewrite's stale intent lease: claimants already ignore it
+    // once expired, but clearing it here keeps the commits dir tidy. Safe
+    // unconditionally under vacuum's no-writer-in-flight assumption.
+    clearIntent()
     toDelete.length
   }
 
@@ -862,8 +981,19 @@ object MedallionTable {
     */
   val HistoryDepth = 8
 
+  /** Rewrite-intent lease duration: claim-first writers treat an intent
+    * older than this as a crashed rewrite's leftover and ignore it. The
+    * leased section (intent publish → swap renames) is a handful of
+    * metadata ops, so 30 s leaves orders-of-magnitude margin while
+    * bounding how long a crashed rewrite can stall claimants.
+    */
+  val IntentLeaseMs = 30000L
+
   /** Test-only failpoint, invoked at named points of the rewrite commit
-    * protocol ("pre-commit": staged, before the marker CAS; "mid-swap":
+    * protocol ("pre-commit": staged, before the marker CAS; "pre-swap":
+    * after the CAS, before the intent publish; "post-recheck": intent
+    * published and conflict re-check passed, immediately before the swap
+    * renames — the window the two-phase intent protects; "mid-swap":
     * between the two swap renames). Specs inject a concurrent writer or a
     * simulated crash here; production never sets it.
     */

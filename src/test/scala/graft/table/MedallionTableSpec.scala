@@ -478,6 +478,44 @@ class MedallionTableSpec extends SparkSpec {
     assert(!t.history().exists(_._2 == "merge"), s"phantom commit: ${t.history()}")
   }
 
+  test("two-phase intent closes the re-check-to-rename window") {
+    import spark.implicits._
+    // The round-7 residual race: an append whose claim lands AFTER the
+    // rewrite's conflict re-check but BEFORE its swap renames went unseen —
+    // both writers "succeeded" and the swap silently discarded the appended
+    // rows. With the intent lease, the append's claim-side checks see the
+    // rewrite's unexpired intent and back off: the append fails cleanly
+    // (no rows written, no marker kept), the rewrite commits, and the
+    // retried append lands on the post-swap state. No interleaving loses
+    // committed rows.
+    val p = tmpDir("mt_two_phase")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    @volatile var appendOutcome: Option[Throwable] = None
+    MedallionTable.testFailpoint = {
+      case "post-recheck" =>
+        MedallionTable.testFailpoint = _ => ()
+        // must catch here: a throw from the failpoint would abort the
+        // rewrite itself and void the scenario under test
+        try MedallionTable(spark, p).append(Seq((9L, "late")).toDF("id", "s"))
+        catch { case t: Throwable => appendOutcome = Some(t) }
+      case _ => ()
+    }
+    try t.merge(Seq((1L, "A")).toDF("id", "s"), Seq("id"))
+    finally MedallionTable.testFailpoint = _ => ()
+    assert(appendOutcome.exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"append inside the intent window must back off, got: $appendOutcome")
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "A")), "the rewrite must have committed its own rows exactly")
+    assert(!t.history().exists(_._2 == "append"),
+      s"the backed-off append must not leave a marker: ${t.history()}")
+    // the intent was cleared with the swap: a retried append lands cleanly
+    MedallionTable(spark, p).append(Seq((9L, "late")).toDF("id", "s"))
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "A"), (9L, "late")))
+  }
+
   test("a rejected append releases its marker: no phantom history, no fake conflicts") {
     import spark.implicits._
     val p = tmpDir("mt_phantom")
@@ -514,6 +552,7 @@ class MedallionTableSpec extends SparkSpec {
     t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
     t.addCheckConstraint("v_pos", "v > 0")
     val before = t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val v0 = t.commitVersion
     // Kill between rename(dst, backup) and rename(tmp, dst): the live dir
     // is gone, the only committed copy is the backup.
     MedallionTable.testFailpoint = {
@@ -526,6 +565,12 @@ class MedallionTableSpec extends SparkSpec {
       }
     } finally MedallionTable.testFailpoint = _ => ()
     assert(!t.exists, "test setup: crash must land between the two renames")
+    // the failed swap released its marker: after restore, history matches
+    // the restored state instead of recording a merge that never landed
+    assert(t.commitVersion == v0,
+      "a swap that never landed must not advance the commit ordinal")
+    assert(!t.history().exists(_._2 == "merge"),
+      s"history must not record the crashed merge: ${t.history()}")
     assert(t.vacuum() >= 1, "vacuum must clear the crashed rewrite's litter")
     assert(t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == before,
       "restore must bring back the pre-rewrite data")
