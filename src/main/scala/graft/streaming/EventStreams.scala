@@ -56,12 +56,18 @@ object EventStreams {
   }
 
   /** Splits the buffer into (closed, still-open) against the watermark: a
-    * session only closes once no in-watermark event can extend or merge
-    * into it (wm ≥ lastMs + gap).
+    * session only closes once no admissible event can extend or merge into
+    * it. STRICT inequality (wm > lastMs + gap): [[mergeEvent]] admits an
+    * event at exactly t == lastMs + gap, and Spark does not drop an event
+    * with ts == watermark — closing at equality would send that boundary
+    * event into a fresh session the gap contract says is the same one.
+    * With strict close, any admissible future event has
+    * t ≥ wm > lastMs + gap for every closed session, so the close and
+    * merge predicates partition the timeline exactly.
     */
   private[streaming] def splitClosed(sessions: List[SessionState],
       watermarkMs: Long, gapMs: Long): (List[SessionState], List[SessionState]) =
-    sessions.partition(s => s.lastMs + gapMs <= watermarkMs)
+    sessions.partition(s => s.lastMs + gapMs < watermarkMs)
 
   /** Streaming exact dedup — the streaming twin of the batch
     * `dedup_exact_hash` path: `dropDuplicatesWithinWatermark` keeps one
@@ -214,9 +220,11 @@ object EventStreams {
             if (open.isEmpty) { if (state.exists) state.remove() }
             else {
               state.update(SessionBuf(open))
-              // min(lastMs)+gap > watermark for every open session, so the
-              // timestamp is always valid to set.
-              state.setTimeoutTimestamp(open.map(_.lastMs).min + gapMs)
+              // +1: the session closes only when wm EXCEEDS lastMs+gap
+              // (strict close), so fire the timer at the first closing
+              // watermark. Open ⇒ lastMs+gap ≥ wm, so the timestamp is
+              // strictly above the watermark — always valid to set.
+              state.setTimeoutTimestamp(open.map(_.lastMs).min + gapMs + 1)
             }
             done.sortBy(_.startMs).map(summary).iterator
           }
@@ -252,7 +260,8 @@ object EventStreams {
         buf.update(SessionBuf(open))
         // One timer per drain; superseded timers stay registered and are
         // recognized as stale on expiry (cheaper than delete+re-register).
-        getHandle.registerTimer(open.map(_.lastMs).min + gapMs)
+        // +1 mirrors the strict close in splitClosed.
+        getHandle.registerTimer(open.map(_.lastMs).min + gapMs + 1)
       }
       done.sortBy(_.startMs).map(summary(userId)).iterator
     }

@@ -52,9 +52,25 @@ object SessionMergePropertiesSpec extends Properties("SessionMerge") {
     Prop.forAll(eventsGen, Gen.choose(0L, 2200L)) { (evs, wm) =>
       val ss = mergeAll(evs)
       val (done, open) = splitClosed(ss, wm, gapMs)
-      done.forall(s => s.lastMs + gapMs <= wm) &&
-        open.forall(s => s.lastMs + gapMs > wm) &&
+      done.forall(s => s.lastMs + gapMs < wm) &&
+        open.forall(s => s.lastMs + gapMs >= wm) &&
         (done.size + open.size) == ss.size
+    }
+
+  // Regression (round-7 advice): close and merge must PARTITION the
+  // timeline. mergeEvent admits an event at exactly t == lastMs + gap, and
+  // Spark does not drop an event with ts == watermark — so a session a
+  // strict-close watermark has passed must be unreachable by EVERY
+  // admissible event (t ≥ wm), boundary included. The old `<=` close
+  // violated this at t == wm == lastMs + gap: the event would have landed
+  // in a fresh session instead of extending the just-emitted one.
+  property("no admissible event can merge into a closed session") =
+    Prop.forAll(eventsGen, Gen.choose(0L, 2200L)) { (evs, wm) =>
+      val (done, _) = splitClosed(mergeAll(evs), wm, gapMs)
+      done.forall { s =>
+        // t = wm is the earliest admissible arrival — the worst case
+        !(wm >= s.startMs - gapMs && wm <= s.lastMs + gapMs)
+      }
     }
 
   property("sessions match the reference gap-split on sorted events") =
