@@ -297,6 +297,53 @@ object MultimodalOps {
     }
   }
 
+  /** Integer decode components the float feature vector derives from,
+    * kind-dependent layout (padded with 0, -1s on an undecodable payload):
+    * image (w, h, sumR, sumG, sumB, 0); audio (nSamples, sampleSum,
+    * sampleSqSum, 0, 0, 0); video (nFrames, w, h, sumR, sumG, sumB).
+    * Shares the single per-kind decode helpers with [[extractFeatures]],
+    * so the two cannot diverge on what was decoded.
+    */
+  private def decodeComponents(a: Asset): Option[Array[Long]] = a.kind match {
+    case "image" =>
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.content))).map { img =>
+        val (sr, sg, sb) = rgbChannelSums(img)
+        Array(img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb, 0L)
+      }
+    case "audio" =>
+      decodePcm16(a.content).map { case (_, ns, sum, sumSq) =>
+        Array(ns.toLong, sum, sumSq, 0L, 0L, 0L)
+      }
+    case _ =>
+      decodeVideoFrames(a.content).map { imgs =>
+        val sums = imgs.map(rgbChannelSums)
+        Array(imgs.length.toLong, imgs.head.getWidth.toLong,
+          imgs.head.getHeight.toLong,
+          sums.map(_._1).sum, sums.map(_._2).sum, sums.map(_._3).sum)
+      }
+  }
+
+  /** Feature extraction's oracle-checkable core: the EXACT integer
+    * components ([[decodeComponents]]) each float feature is a row-local
+    * constant-divisor function of — per-channel pixel sums, PCM sample
+    * moments, decoded dims, frame counts. Emitting the integers instead
+    * of the floats is what makes the cross-engine hash-match possible
+    * (IEEE float division order differs across engines; the integers
+    * don't), while still proving the full decode → reduce pipeline.
+    * Undecodable payloads flag with -1s (degrade-not-fail).
+    */
+  def featureComponents(assets: Dataset[Asset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val c = decodeComponents(a).getOrElse(Array.fill(6)(-1L))
+        (a.asset_id, a.kind, a.content.length, c(0), c(1), c(2), c(3), c(4), c(5))
+      }
+    }.toDF("asset_id", "kind", "n_bytes", "c1", "c2", "c3", "c4", "c5", "c6")
+  }
+
   /** Decode-verification projection for image assets: ImageIO-decoded
     * dimensions plus the EXACT integer sum of all channel values — the
     * quantity a SQL oracle can recompute from the source text bytes, so a

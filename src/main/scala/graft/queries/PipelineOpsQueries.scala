@@ -209,13 +209,19 @@ object PipelineOpsQueries {
           "CAST(OCTET_LENGTH(content) AS INTEGER) AS n_bytes")
     }),
 
-    // Multimodal feature extraction (mapPartitions batch shape; rows-only —
-    // the checksum has no SQL twin). Image/audio branches really decode
-    // the BMP/WAV payloads (see MultimodalOps).
+    // Multimodal feature extraction, oracle-checked: the integer decode
+    // components every float feature derives from (per-channel pixel sums
+    // for image/video, PCM sample moments for audio, decoded dims + frame
+    // counts) — all three REAL codecs exercised end-to-end, and every
+    // value recomputable by the SQL oracle straight from the text bytes
+    // (the mm_decode_* recipe, split per channel). ASCII-bounded in both
+    // engines for the same 1-based-ascii() reason as mm_decode_image.
+    // The float vector itself is a row-local constant-divisor function of
+    // these integers (MultimodalSpec pins that correspondence).
     "mm_features" -> ((s, dir) => {
-      val assets = MultimodalOps.assetsFromDocuments(Tables.documents(s, dir))
-      MultimodalOps.extractFeatures(assets).toDF()
-        .select("asset_id", "kind", "n_bytes", "checksum")
+      val docs = Tables.documents(s, dir)
+        .where("LENGTH(text) >= 1 AND LENGTH(text) = OCTET_LENGTH(text)")
+      MultimodalOps.featureComponents(MultimodalOps.assetsFromDocuments(docs))
     }),
 
     // REAL image decode, oracle-checked: the BMP payload built from the
@@ -355,6 +361,59 @@ object PipelineOpsQueries {
       ("SELECT doc_id AS asset_id, " +
        "CAST(OCTET_LENGTH(ENCODE(text)) % 3 + 2 AS BIGINT) " +
        "AS n_frames FROM documents WHERE doc_id % 3 = 2"),
+    "mm_features" ->
+      ("""WITH ascii_docs AS (
+         |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n
+         |  FROM documents
+         |  WHERE length(text) >= 1 AND length(text) = octet_length(encode(text))),
+         |img AS (
+         |  SELECT doc_id, text, n, n % 48 + 8 AS w, n % 32 + 8 AS h
+         |  FROM ascii_docs WHERE doc_id % 3 = 0),
+         |img_px AS (
+         |  SELECT doc_id, w, h,
+         |    SUM(CASE WHEN i % 3 = 0 THEN ascii(text[CAST(i % n AS INTEGER) + 1]) END) AS sr,
+         |    SUM(CASE WHEN i % 3 = 1 THEN ascii(text[CAST(i % n AS INTEGER) + 1]) END) AS sg,
+         |    SUM(CASE WHEN i % 3 = 2 THEN ascii(text[CAST(i % n AS INTEGER) + 1]) END) AS sb
+         |  FROM img, unnest(range(0, w * h * 3)) AS t(i)
+         |  GROUP BY 1, 2, 3),
+         |img_out AS (
+         |  SELECT doc_id AS asset_id, 'image' AS kind,
+         |         54 + ((3 * w + 3) // 4) * 4 * h AS n_bytes,
+         |         w AS c1, h AS c2, sr AS c3, sg AS c4, sb AS c5, 0 AS c6
+         |  FROM img_px),
+         |au_out AS (
+         |  SELECT doc_id AS asset_id, 'audio' AS kind, 44 + 2 * n AS n_bytes,
+         |         n AS c1,
+         |         SUM((ascii(text[CAST(i AS INTEGER) + 1]) - 128) * 256) AS c2,
+         |         SUM(((ascii(text[CAST(i AS INTEGER) + 1]) - 128) * 256) *
+         |             ((ascii(text[CAST(i AS INTEGER) + 1]) - 128) * 256)) AS c3,
+         |         0 AS c4, 0 AS c5, 0 AS c6
+         |  FROM ascii_docs, unnest(range(0, n)) AS t(i)
+         |  WHERE doc_id % 3 = 1
+         |  GROUP BY 1, 2, 3, 4),
+         |vid AS (
+         |  SELECT doc_id, text, n, n % 24 + 8 AS w, n % 16 + 8 AS h,
+         |         n % 3 + 2 AS nf
+         |  FROM ascii_docs WHERE doc_id % 3 = 2),
+         |vid_b AS (
+         |  SELECT doc_id, w, h, nf, j2 % (w * h * 3) AS j,
+         |         ascii(text[CAST((CAST(j2 // (w * h * 3) AS INTEGER) * 31
+         |           + j2 % (w * h * 3)) % n AS INTEGER) + 1]) AS b
+         |  FROM vid, unnest(range(0, nf * w * h * 3)) AS t(j2)),
+         |vid_out AS (
+         |  SELECT doc_id AS asset_id, 'video' AS kind,
+         |         8 + nf * (4 + 54 + ((3 * w + 3) // 4) * 4 * h) AS n_bytes,
+         |         nf AS c1, w AS c2, h AS c3,
+         |         SUM(CASE WHEN j % 3 = 0 THEN b END) AS c4,
+         |         SUM(CASE WHEN j % 3 = 1 THEN b END) AS c5,
+         |         SUM(CASE WHEN j % 3 = 2 THEN b END) AS c6
+         |  FROM vid_b GROUP BY 1, 2, 3, 4, 5, 6)
+         |SELECT asset_id, kind, CAST(n_bytes AS INTEGER) AS n_bytes,
+         |       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+         |       CAST(c3 AS BIGINT) AS c3, CAST(c4 AS BIGINT) AS c4,
+         |       CAST(c5 AS BIGINT) AS c5, CAST(c6 AS BIGINT) AS c6
+         |FROM (SELECT * FROM img_out UNION ALL SELECT * FROM au_out
+         |      UNION ALL SELECT * FROM vid_out)""".stripMargin),
     "mm_decode_audio" ->
       ("""WITH au AS (
          |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n

@@ -200,6 +200,48 @@ class MultimodalSpec extends SparkSpec {
     assert(rows1.forall(_._3.size == 8))
   }
 
+  test("featureComponents are the exact integers the float features derive from") {
+    // Pins the mm_features oracle's contract: every float feature is a
+    // row-local constant-divisor function of the emitted integer
+    // components, reproduced here operation-for-operation in float32.
+    val assets = MultimodalOps.assetsFromDocuments(docs)
+    val comps = MultimodalOps.featureComponents(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val feats = MultimodalOps.extractFeatures(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(comps.keySet == feats.keySet && comps.nonEmpty)
+    comps.foreach { case (id, r) =>
+      val f = feats(id)
+      val c = Array.tabulate(6)(i => r.getLong(i + 3)) // c1..c6
+      assert(r.getString(1) == f.kind && r.getInt(2) == f.n_bytes)
+      r.getString(1) match {
+        case "image" =>
+          val np = (c(0) * c(1)).toFloat
+          assert(f.feat.take(6).toSeq == Seq(c(0) / 1024f, c(1) / 1024f,
+            c(2) / np / 255f, c(3) / np / 255f, c(4) / np / 255f,
+            (c(2) + c(3) + c(4)) / (3f * np) / 255f))
+        case "audio" =>
+          val ns = c(0)
+          val mean = (c(1).toDouble / ns).toFloat
+          val rms = math.sqrt(c(2).toDouble / ns).toFloat
+          assert(f.feat.take(4).toSeq ==
+            Seq(16000 / 48000f, ns / 1e6f, mean / 32768f, rms / 32768f))
+        case _ =>
+          val np = (c(0) * c(1) * c(2)).toFloat
+          assert(f.feat.take(6).toSeq == Seq(c(0) / 16f, c(1) / 1024f,
+            c(2) / 1024f, c(3) / np / 255f, c(4) / np / 255f, c(5) / np / 255f))
+      }
+    }
+  }
+
+  test("featureComponents flags undecodable payloads with -1s") {
+    import spark.implicits._
+    val bad = Seq(MultimodalOps.Asset(20L, "video",
+      Array.tabulate(150)(i => (i * 7).toByte), 8, 8, 0)).toDS()
+    val r = MultimodalOps.featureComponents(bad).collect().head
+    assert((1 to 6).forall(i => r.getLong(i + 2) == -1L))
+  }
+
   test("frame extraction yields the real container frames, each decodable") {
     val assets = MultimodalOps.assetsFromDocuments(docs)
     val frames = MultimodalOps.sampleFrames(assets).collect()
