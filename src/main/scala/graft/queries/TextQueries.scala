@@ -249,6 +249,54 @@ object TextQueries {
           "CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates")
     }),
 
+    // DECISION-level cross-check of the xxhash scale path against the
+    // oracled MD5 twin: run BOTH near-dup pipelines over the planted-dup
+    // corpus and emit, for every ground-truth identical-text pair, whether
+    // each path found it. DuckDB cannot recompute xxhash64 — but it CAN
+    // predict the xxhash path's decisions HERE: identical text ⇒ identical
+    // signature ⇒ identical band keys ⇒ bucket-mates ⇒ exact Jaccard 1 ≥
+    // threshold, under ANY deterministic hash scheme. So the oracle's
+    // expected row is (true, true, agree) for every pair, and a banding,
+    // band-join, or Jaccard-gate bug in the scale path flips xx_found into
+    // a hash mismatch. Probabilistic sub-identical recall stays out of the
+    // output (left join FROM truth), keeping it deterministic.
+    "dedup_decision_xcheck" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val donor = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("donor_text"))
+      val planted = docs.join(donor, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 25 = 0 AND donor_text IS NOT NULL " +
+            "THEN donor_text ELSE text END AS text")
+      val eligible = planted.where(s"SIZE($TokensExpr) >= 3")
+      val hashed = eligible.select($"doc_id", md5($"text").as("h"))
+      val truth = hashed.select($"doc_id".as("id_a"), $"h")
+        .join(hashed.select($"doc_id".as("id_b"), $"h"), Seq("h"))
+        .filter($"id_a" < $"id_b")
+        .select("id_a", "id_b")
+      val xx = graft.dedup.MinHash
+        .nearDuplicates(planted, "doc_id", "text", threshold = 0.9)
+        .select($"id_a", $"id_b").withColumn("xx", lit(true))
+      val bands = md5LshBands(planted)
+      val md5Cand = bands.select($"doc_id".as("id_a"), $"band_idx", $"band_key")
+        .join(bands.select($"doc_id".as("id_b"), $"band_idx", $"band_key"),
+          Seq("band_idx", "band_key"))
+        .filter($"id_a" < $"id_b").select("id_a", "id_b").distinct()
+      val sh = eligible.selectExpr("doc_id", "graft_shingles(text, 3) AS sh")
+      val md5Found = md5Cand
+        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+        .where(graft.dedup.MinHash.jaccard($"sh_a", $"sh_b") >= 0.9)
+        .select("id_a", "id_b").withColumn("m5", lit(true))
+      truth.join(xx, Seq("id_a", "id_b"), "left")
+        .join(md5Found, Seq("id_a", "id_b"), "left")
+        .selectExpr("id_a", "id_b",
+          "COALESCE(xx, false) AS xx_found",
+          "COALESCE(m5, false) AS md5_found",
+          "COALESCE(xx, false) = COALESCE(m5, false) AS agree")
+    }),
+
     // Oracle-able SimHash (16-bit, MD5 bit-planes over whitespace tokens).
     // Each token votes ±1 per bit; bit = 1 iff the vote sum is >= 0. The
     // hex-digit arithmetic (INSTR on the hex alphabet, DIV/% bit extract)
@@ -695,6 +743,18 @@ object TextQueries {
          |FROM batch b LEFT JOIN exact e ON b.doc_id = e.doc_id
          |LEFT JOIN cn ON b.doc_id = cn.doc_id""".stripMargin
     },
+    "dedup_decision_xcheck" ->
+      s"""WITH donor AS (SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),
+         |planted AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 25 = 0 AND donor_text IS NOT NULL
+         |         THEN donor_text ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN donor ON d.doc_id = donor.doc_id),
+         |eligible AS (
+         |  SELECT doc_id, md5(text) AS h FROM planted WHERE LEN($DuckTokens) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       true AS xx_found, true AS md5_found, true AS agree
+         |FROM eligible a JOIN eligible b ON a.h = b.h AND a.doc_id < b.doc_id""".stripMargin,
     "dedup_simhash_md5" -> duckSimhash16,
     "dedup_simhash_pairs" ->
       s"""WITH sh AS ($duckSimhash16),
