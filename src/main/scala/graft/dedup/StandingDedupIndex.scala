@@ -1,0 +1,81 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent standing dedup index — the table-maintenance half of the
+  * incremental-dedup story (`dedup_incremental` proves the join shape;
+  * this owns the state): two append-only [[graft.table.MedallionTable]]s,
+  * a content-hash set `(doc_id, h)` and an LSH band index
+  * `(doc_id, band_idx, band_key)`, each row 16-64 bytes regardless of
+  * document size.
+  *
+  * The daily-batch protocol a 100 TB corpus runs:
+  * {{{
+  *   idx.check(batch)   // dedup today's landing against the index as
+  *                      // WRITTEN by prior batches — never the corpus
+  *   idx.ingest(batch)  // then append today's keys (index maintenance)
+  * }}}
+  * `check` reads ONLY the index tables: the equi-joins move index rows,
+  * never documents, and the batch side is the small one (broadcastable
+  * per batch, bucketed at full scale). `ingest` is an ordinary
+  * distributed append — commit-marked like every MedallionTable write,
+  * so a concurrent rewrite (compaction of the index) conflicts cleanly
+  * instead of discarding the day's keys.
+  *
+  * Band construction is caller-supplied (`bandKeys`): the oracle-checked
+  * queries pass the MD5 2-band builder, scale users pass the xxhash64
+  * `graft_xx_minhash_bands` one — the index machinery is hash-agnostic.
+  *
+  * Reference: the reference's medallion pipeline re-merges full tables
+  * per run (`silver_table_creation.py:43-66`); an append-only key index
+  * is what makes dedup O(batch), not O(corpus), at 100 TB.
+  */
+final class StandingDedupIndex(
+    spark: SparkSession,
+    basePath: String,
+    bandKeys: DataFrame => DataFrame) {
+
+  /** Content-hash set (doc_id, h) — exact-dup membership. */
+  val hashTable = graft.table.MedallionTable(spark, s"$basePath/hash_set")
+
+  /** Band index (doc_id, band_idx, band_key) — near-dup candidates. */
+  val bandTable = graft.table.MedallionTable(spark, s"$basePath/band_index")
+
+  private def hashesOf(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"), md5(col("text")).as("h"))
+
+  /** Dedup `batch` (doc_id, text) against the standing index as written
+    * by prior ingests: exact dups via the content-hash equi-join,
+    * near-dup candidates via the band-key equi-join. Returns one row per
+    * batch doc: (doc_id, is_exact_dup, n_candidates). Lazy like any
+    * DataFrame — materialize the result BEFORE ingesting the same batch,
+    * or the batch will count itself.
+    */
+  def check(batch: DataFrame): DataFrame = {
+    val exact = hashesOf(batch)
+      .join(hashTable.read.select(col("h")).distinct(), Seq("h"))
+      .select("doc_id").distinct().withColumn("is_exact_dup", lit(true))
+    val cands = bandKeys(batch)
+      .join(bandTable.read.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("corpus_id")), Seq("band_idx", "band_key"))
+      .select("doc_id", "corpus_id").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    batch.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(cands, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "COALESCE(is_exact_dup, false) AS is_exact_dup",
+        "CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates")
+  }
+
+  /** Append `batch`'s hash and band rows to the index tables. Every doc
+    * contributes a hash row; only docs the band builder accepts (≥ 3
+    * tokens for the shingle-based builders) contribute band rows.
+    */
+  def ingest(batch: DataFrame): Unit = {
+    hashTable.append(hashesOf(batch))
+    bandTable.append(bandKeys(batch)
+      .select(col("doc_id"), col("band_idx"), col("band_key")))
+  }
+}

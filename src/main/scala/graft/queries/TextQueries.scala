@@ -249,6 +249,39 @@ object TextQueries {
           "CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates")
     }),
 
+    // PERSISTED incremental dedup — dedup_incremental's join shape with
+    // the standing index living as append-only MedallionTables
+    // (graft.dedup.StandingDedupIndex): batch 1 (the 80% corpus) WRITES
+    // the hash-set + band-index tables, batch 2 dedups against the index
+    // READ BACK from disk, then ingests its own keys, and a post-ingest
+    // re-check proves the maintenance half (every batch doc now exact-dups
+    // its own indexed hash; candidates include itself). Day-2's report is
+    // materialized to scratch BEFORE the day-2 ingest — check() is lazy
+    // and would otherwise count the batch against itself.
+    "dedup_index_persisted" -> ((s, dir) => {
+      import s.implicits._
+      val work = Q.scratch(dir, "dedup_index")
+      Q.deleteDir(s, work)
+      val docs = Tables.documents(s, dir)
+      val donor = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("donor_text"))
+      val all = docs.join(donor, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 25 = 0 AND doc_id % 5 = 0 AND donor_text IS NOT NULL " +
+            "THEN donor_text ELSE text END AS text")
+      val corpus = all.filter($"doc_id" % 5 =!= 0) // day-1 landing (80%)
+      val batch = all.filter($"doc_id" % 5 === 0)  // day-2 landing (20%)
+      val idx = new graft.dedup.StandingDedupIndex(s, work, md5LshBands)
+      idx.ingest(corpus)
+      val day2 = s"$work/day2_report"
+      idx.check(batch).write.mode("overwrite").parquet(day2)
+      idx.ingest(batch)
+      val after = idx.check(batch).selectExpr("doc_id",
+        "is_exact_dup AS exact_after", "n_candidates AS n_candidates_after")
+      s.read.parquet(day2).join(after, Seq("doc_id"))
+        .select("doc_id", "is_exact_dup", "n_candidates",
+          "exact_after", "n_candidates_after")
+    }),
+
     // DECISION-level cross-check of the xxhash scale path against the
     // oracled MD5 twin: run BOTH near-dup pipelines over the planted-dup
     // corpus and emit, for every ground-truth identical-text pair, whether
@@ -742,6 +775,49 @@ object TextQueries {
          |       CAST(COALESCE(cn.n, 0) AS BIGINT) AS n_candidates
          |FROM batch b LEFT JOIN exact e ON b.doc_id = e.doc_id
          |LEFT JOIN cn ON b.doc_id = cn.doc_id""".stripMargin
+    },
+    "dedup_index_persisted" -> {
+      val duckShingles =
+        s"list_transform(range(1, len($DuckTokens) - 1), " +
+          s"i -> ($DuckTokens)[i] || ' ' || ($DuckTokens)[i+1] || ' ' || ($DuckTokens)[i+2])"
+      val sigCols = (0 until 4).map { k =>
+        s"LIST_MIN(list_transform($duckShingles, sh -> MD5('$k:' || sh))) AS mh_$k"
+      }.mkString(", ")
+      def bands(src: String) =
+        s"""SELECT doc_id, CAST(0 AS INTEGER) AS band_idx, md5(mh_0 || mh_1) AS band_key FROM $src
+           |  UNION ALL
+           |  SELECT doc_id, CAST(1 AS INTEGER), md5(mh_2 || mh_3) FROM $src""".stripMargin
+      s"""WITH donor AS (SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),
+         |all_docs AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 25 = 0 AND d.doc_id % 5 = 0 AND donor_text IS NOT NULL
+         |         THEN donor_text ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN donor ON d.doc_id = donor.doc_id),
+         |corpus AS (SELECT * FROM all_docs WHERE doc_id % 5 <> 0),
+         |batch AS (SELECT * FROM all_docs WHERE doc_id % 5 = 0),
+         |exact AS (
+         |  SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)),
+         |bsig AS (SELECT doc_id, $sigCols FROM batch WHERE LEN($DuckTokens) >= 3),
+         |csig AS (SELECT doc_id, $sigCols FROM corpus WHERE LEN($DuckTokens) >= 3),
+         |asig AS (SELECT doc_id, $sigCols FROM all_docs WHERE LEN($DuckTokens) >= 3),
+         |bb AS (${bands("bsig")}),
+         |cb AS (${bands("csig")}),
+         |ab AS (${bands("asig")}),
+         |cand AS (
+         |  SELECT DISTINCT bb.doc_id, cb.doc_id AS corpus_id
+         |  FROM bb JOIN cb ON bb.band_idx = cb.band_idx AND bb.band_key = cb.band_key),
+         |cn AS (SELECT doc_id, COUNT(*) AS n FROM cand GROUP BY doc_id),
+         |cand2 AS (
+         |  SELECT DISTINCT bb.doc_id, ab.doc_id AS corpus_id
+         |  FROM bb JOIN ab ON bb.band_idx = ab.band_idx AND bb.band_key = ab.band_key),
+         |cn2 AS (SELECT doc_id, COUNT(*) AS n FROM cand2 GROUP BY doc_id)
+         |SELECT b.doc_id, e.doc_id IS NOT NULL AS is_exact_dup,
+         |       CAST(COALESCE(cn.n, 0) AS BIGINT) AS n_candidates,
+         |       true AS exact_after,
+         |       CAST(COALESCE(cn2.n, 0) AS BIGINT) AS n_candidates_after
+         |FROM batch b LEFT JOIN exact e ON b.doc_id = e.doc_id
+         |LEFT JOIN cn ON b.doc_id = cn.doc_id
+         |LEFT JOIN cn2 ON b.doc_id = cn2.doc_id""".stripMargin
     },
     "dedup_decision_xcheck" ->
       s"""WITH donor AS (SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),

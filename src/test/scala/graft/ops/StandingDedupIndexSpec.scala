@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.dedup.StandingDedupIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persistent incremental-dedup index: check-then-ingest over
+  * append-only MedallionTables. The query twin (`dedup_index_persisted`)
+  * proves the numbers cross-engine; this spec pins the table-maintenance
+  * mechanics — what each ingest appends, commit history, and the
+  * check-before-ingest ordering hazard.
+  */
+class StandingDedupIndexSpec extends SparkSpec {
+
+  // Trivial 1-band builder: band key = md5 of the text itself, docs with
+  // ≥ 1 token. Keeps the band semantics (equal text ⇒ shared band)
+  // without dragging minhash into a table-mechanics spec.
+  private def oneBand(docs: DataFrame): DataFrame =
+    docs.where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), lit(0).as("band_idx"), md5(col("text")).as("band_key"))
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("check sees exactly the previously ingested batches") {
+    val idx = new StandingDedupIndex(spark, tmpDir("sdi_basic"), oneBand)
+    idx.ingest(df(1L -> "alpha beta", 2L -> "gamma delta"))
+    val day2 = df(10L -> "alpha beta", 11L -> "epsilon zeta")
+    val r = idx.check(day2).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(r(10L) == ((true, 1L)), "planted dup: exact hit + its band candidate")
+    assert(r(11L) == ((false, 0L)), "fresh doc: no hits against the standing index")
+  }
+
+  test("ingest appends; re-check after ingest counts the batch itself") {
+    val idx = new StandingDedupIndex(spark, tmpDir("sdi_after"), oneBand)
+    idx.ingest(df(1L -> "alpha beta"))
+    val day2 = df(10L -> "alpha beta", 11L -> "epsilon zeta")
+    idx.ingest(day2)
+    val r = idx.check(day2).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    // every doc's own keys are in the index now: exact always true, and
+    // candidates include self (10 also matches doc 1's identical band)
+    assert(r(10L) == ((true, 2L)))
+    assert(r(11L) == ((true, 1L)))
+  }
+
+  test("index tables are append-only MedallionTables with commit history") {
+    val idx = new StandingDedupIndex(spark, tmpDir("sdi_tables"), oneBand)
+    idx.ingest(df(1L -> "a b"))
+    idx.ingest(df(2L -> "c d"))
+    assert(idx.hashTable.read.count() == 2)
+    assert(idx.bandTable.read.count() == 2)
+    // two ingests = two append commits on each table, nothing rewritten
+    assert(idx.hashTable.history().map(_._2) == Seq("append", "append"))
+    assert(idx.bandTable.history().map(_._2) == Seq("append", "append"))
+  }
+
+  test("hash rows are unconditional; band rows only for builder-accepted docs") {
+    val idx = new StandingDedupIndex(spark, tmpDir("sdi_partial"), oneBand)
+    idx.ingest(df(1L -> "word", 2L -> "   ")) // doc 2: no tokens, no band
+    assert(idx.hashTable.read.count() == 2, "every doc gets a hash row")
+    assert(idx.bandTable.read.select("doc_id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    // the bandless doc still exact-dups by content hash
+    val r = idx.check(df(20L -> "   ")).collect().head
+    assert(r.getBoolean(1) && r.getLong(2) == 0L)
+  }
+}
