@@ -30,17 +30,101 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       timeCol: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedUnion(left, right, keyCols, timeCol, payloadCols)
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col)
+        ++ payloadCols.map(c => col("__carried").getField(c).as(c)): _*)
+  }
+
+  /** Hot-key-safe as-of join — same semantics as [[asOf]] (spec-pinned
+    * equal on identical inputs), with the per-key running carry computed
+    * in TWO window passes so a single hot key spreads over up to
+    * `buckets` tasks instead of funneling into one straggler (AQE does
+    * not skew-split window operators):
+    *
+    *  1. rows are range-bucketed on TIME within each key (bucket =
+    *     position in the [min, max] span — row-local arithmetic, no
+    *     ntile/global sort), and the running `last(ignoreNulls)` window
+    *     runs within (key, bucket);
+    *  2. a per-(key, bucket) boundary summary (the bucket's final right
+    *     payload — at most `buckets` rows per key) is prefix-carried
+    *     across buckets by a second window over those summary rows only,
+    *     and patched under rows that precede their bucket's first right
+    *     row (`coalesce(within-bucket carry, carry-in)`).
+    *
+    * Cost vs [[asOf]]: one extra tiny aggregation + a small equi-join
+    * keyed identically to pass 1 (reuses its partitioning), plus one
+    * 2-scalar min/max job up front to size the time grid (which makes
+    * this entry EAGER — it runs a job at call time). Use when a key can
+    * dominate the timeline; [[asOf]] is one shuffle cheaper when keys
+    * are well-distributed.
+    */
+  def asOfSalted(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      timeCol: String, payloadCols: Seq[String], buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val leftCols = left.columns.toSeq
+    val u0 = taggedUnion(left, right, keyCols, timeCol, payloadCols)
+    val bounds = u0
+      .agg(min(col(timeCol).cast("double")), max(col(timeCol).cast("double")))
+      .head()
+    if (bounds.isNullAt(0)) // no rows at all — nothing to salt
+      return asOf(left, right, keyCols, timeCol, payloadCols)
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = (hi - lo) / buckets
+    val bucket =
+      if (width <= 0) lit(0) // single distinct time — one bucket
+      else least(greatest(
+        floor((col(timeCol).cast("double") - lit(lo)) / lit(width)), lit(0)),
+        lit(buckets - 1)).cast("int")
+    val u = u0.withColumn("__bucket", bucket)
+    val keyB = keyCols :+ "__bucket"
+    val wIn = Window.partitionBy(keyB.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pass1 = u
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(wIn))
+    // Boundary summaries: the final right payload per (key, bucket) —
+    // right rows are unique per (key, time), so max_by is deterministic.
+    val bucketLast = u.filter(col("__tag") === 0)
+      .groupBy(keyB.map(col): _*)
+      .agg(max_by(col("__payload"), col(timeCol)).as("__bucket_last"))
+    // Prefix-carry across buckets: a window over AT MOST `buckets` rows
+    // per key — the funnel the salt exists to avoid now touches summary
+    // rows, not data rows.
+    val wCarry = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = u.select(keyB.map(col): _*).distinct()
+      .join(bucketLast, keyB, "left")
+      .withColumn("__carry_in", last(col("__bucket_last"), ignoreNulls = true).over(wCarry))
+      .select(keyB.map(col) :+ col("__carry_in"): _*)
+    pass1.filter(col("__tag") === 1)
+      .join(carry, keyB, "left")
+      .withColumn("__final", coalesce(col("__carried"), col("__carry_in")))
+      .select(leftCols.map(col)
+        ++ payloadCols.map(c => col("__final").getField(c).as(c)): _*)
+  }
+
+  /** Tag-and-union prep shared by [[asOf]] and [[asOfSalted]].
+    *
+    * tag 0 = right, 1 = left: at equal time the right row sorts first, so
+    * `time >= rightTime` is inclusive (ASOF JOIN convention).
+    *
+    * The payload travels as ONE struct column, not per-column: a right row's
+    * struct is non-null even when individual payload FIELDS are null, so a
+    * single last(ignoreNulls) carries the whole matched row atomically.
+    * Per-column carries would skip a legitimately-null field and splice in
+    * an older row's value — mixing payload values from different right rows.
+    */
+  private def taggedUnion(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], timeCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
     require(!leftCols.exists(payloadCols.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left side")
-
-    // tag 0 = right, 1 = left: at equal time the right row sorts first, so
-    // `time >= rightTime` is inclusive (ASOF JOIN convention).
-    //
-    // The payload travels as ONE struct column, not per-column: a right row's
-    // struct is non-null even when individual payload FIELDS are null, so a
-    // single last(ignoreNulls) carries the whole matched row atomically.
-    // Per-column carries would skip a legitimately-null field and splice in
-    // an older row's value — mixing payload values from different right rows.
     val payloadType = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => right.schema(c)))
     val taggedRight = right
@@ -51,16 +135,7 @@ object AsOfJoin {
         .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
     val taggedLeft = left.withColumn("__tag", lit(1))
       .withColumn("__payload", lit(null).cast(payloadType))
-
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
     taggedLeft.unionByName(taggedRight)
-      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__tag") === 1)
-      .select(leftCols.map(col)
-        ++ payloadCols.map(c => col("__carried").getField(c).as(c)): _*)
   }
 
   /** Range join against a (typically small) table of [lo, hi) intervals:

@@ -27,6 +27,21 @@ object AdvancedJoinQueries {
         payloadCols = Seq("view_value"))
     }),
 
+    // The hot-key-safe as-of variant (time-bucketed salt + boundary
+    // carry, operators/AsOfJoin.asOfSalted) on the SAME inputs and the
+    // SAME oracle as j11 — proving cross-engine that the salted two-pass
+    // carry reaches identical decisions to the single-window form.
+    "j11b_asof_salted" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("view_value"))
+      AsOfJoin.asOfSalted(clicks, views, keyCols = Seq("user_id"),
+        timeCol = "ts", payloadCols = Seq("view_value"), buckets = 16)
+    }),
+
     // Range join: orders tagged with their price band (broadcast interval
     // table, narrow map over the big side — no shuffle theta-join).
     "j12_range_join" -> ((s, dir) => {
@@ -125,6 +140,15 @@ object AdvancedJoinQueries {
 
   val oracles: Map[String, String] = Map(
     "j11_asof_join" ->
+      ("""WITH v AS (SELECT user_id, ts, MAX(value) AS view_value
+         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (SELECT event_id, user_id, ts, value
+         |      FROM events WHERE event_type = 'click')
+         |SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts, c.value,
+         |       v.view_value
+         |FROM c ASOF LEFT JOIN v
+         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin),
+    "j11b_asof_salted" ->
       ("""WITH v AS (SELECT user_id, ts, MAX(value) AS view_value
          |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
          |c AS (SELECT event_id, user_id, ts, value

@@ -90,6 +90,65 @@ class AsOfBloomJoinSpec extends SparkSpec {
     assert(r.getLong(2) == 7L)
   }
 
+  test("asOfSalted equals asOf on hot-keyed randomized data, all bucket counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // key 1 is HOT: 80% of all rows — the straggler case the salt exists
+    // for. Quotes unique per (key, time) per the operator contract.
+    val quotes = (0 until 500).map { _ =>
+      val u = if (rnd.nextInt(10) < 8) 1L else 2L + rnd.nextInt(3)
+      (u, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        rnd.nextInt(1000).toDouble)
+    }.groupBy(q => (q._1, q._2)).map { case ((u, t), vs) => (u, t, vs.map(_._3).max) }
+      .toSeq
+    val trades = (0 until 400).map { i =>
+      val u = if (rnd.nextInt(10) < 8) 1L else 2L + rnd.nextInt(4)
+      (1000L + i, u, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:30"))
+    }
+    val qDf = quotes.toDF("user_id", "ts", "px")
+    val tDf = trades.toDF("trade_id", "user_id", "ts")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("trade_id", "px").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val plain = run(AsOfJoin.asOf(tDf, qDf, Seq("user_id"), "ts", Seq("px")))
+    // 1 bucket (degenerate = plain), a divisor-free count, and many-buckets
+    // (most buckets empty on the cold keys) must all agree exactly.
+    for (b <- Seq(1, 7, 64)) {
+      val salted = run(AsOfJoin.asOfSalted(tDf, qDf, Seq("user_id"), "ts",
+        Seq("px"), buckets = b))
+      assert(salted == plain, s"buckets=$b diverged from the single-window as-of")
+    }
+  }
+
+  test("asOfSalted carries across empty and right-free buckets") {
+    import spark.implicits._
+    // One early quote, then a long quiet span, trades at the far end:
+    // every late trade's bucket has NO right rows, so its match comes
+    // entirely from the boundary carry-in.
+    val quotes = Seq((1L, ts("2024-01-01 00:00:00"), 42.0)).toDF("user_id", "ts", "px")
+    val trades = (0 until 10).map(i =>
+      (100L + i, 1L, ts(f"2024-01-07 ${i * 2}%02d:00:00"))).toDF("trade_id", "user_id", "ts")
+    val out = AsOfJoin.asOfSalted(trades, quotes, Seq("user_id"), "ts",
+      Seq("px"), buckets = 32).select("trade_id", "px").collect()
+    assert(out.length == 10 && out.forall(r => r.getDouble(1) == 42.0),
+      "carry-in must bridge buckets with no right rows")
+  }
+
+  test("asOfSalted windows partition on (key, bucket) — the hot key is split") {
+    import spark.implicits._
+    val l = (0 until 100).map(i => (1L, ts(f"2024-01-01 ${i % 24}%02d:00:30"), i))
+      .toDF("k", "ts", "payload_l")
+    val r = (0 until 100).map(i => (1L, ts(f"2024-01-01 ${i % 24}%02d:00:00"), i * 1.0))
+      .groupBy(q => (q._1, q._2)).map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }
+      .toSeq.toDF("k", "ts", "v")
+    val plan = AsOfJoin.asOfSalted(l, r, Seq("k"), "ts", Seq("v"), buckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bucket"),
+      s"pass-1 window must include the salt bucket in its partitioning:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"salted as-of must stay union+window+equi-join:\n$plan")
+  }
+
   test("asOf plan has no cartesian/broadcast-nested-loop join") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 00:00:00"), "a")).toDF("k", "ts", "payload_l")
