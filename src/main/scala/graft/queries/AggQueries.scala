@@ -104,6 +104,35 @@ object AggQueries {
         percentile_approx($"l_quantity", lit(0.75), lit(1000)).as("q75_qty"))
     }),
 
+    // DECISION-level cross-check for the sketches (the
+    // dedup_decision_xcheck recipe): compare each approximate aggregate
+    // against the IN-ENGINE exact value per group and emit whether it
+    // lands inside a 3-sigma accuracy bound (default HLL rsd 0.05 → 15%;
+    // rsd-0.01 HLL → 3%; approx-median rank-1/1000 → 2%, the SketchSpec
+    // figure). 1-sigma bounds are too tight per group — the measured 'N'
+    // group default-HLL error at sf0.01 is ~6%, well within 2 sigma. The
+    // oracle cannot recompute HLL++, but it CAN predict the decision:
+    // every bound-check must read true. Sketches are deterministic, so
+    // the row set is stable, and a sketch regression (merge bug, wrong
+    // precision mapping) flips a boolean into a hash mismatch.
+    "agg_sketch_xcheck" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val approx = li.groupBy($"l_returnflag").agg(
+        approx_count_distinct($"l_orderkey").as("a_orders"),
+        approx_count_distinct($"l_partkey", 0.01).as("a_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("a_p50"))
+      val exact = li.groupBy($"l_returnflag").agg(
+        countDistinct($"l_orderkey").as("e_orders"),
+        countDistinct($"l_partkey").as("e_parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("e_p50"))
+      approx.join(exact, Seq("l_returnflag"))
+        .selectExpr("l_returnflag",
+          "ABS(a_orders - e_orders) / e_orders <= 0.15 AS orders_ok",
+          "ABS(a_parts - e_parts) / e_parts <= 0.03 AS parts_ok",
+          "ABS(a_p50 - e_p50) / e_p50 <= 0.02 AS p50_ok")
+    }),
+
     // A6 — dynamic column profiler: per-column null/distinct/min/max stats
     // synthesized from df.columns at runtime (the data-quality "describe"
     // every pipeline runs before trusting a new table). One aggregation
@@ -164,6 +193,9 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_sketch_xcheck" ->
+      ("SELECT l_returnflag, true AS orders_ok, true AS parts_ok, " +
+       "true AS p50_ok FROM lineitem GROUP BY 1"),
     "a1_dynamic_groupby_sql" -> {
       // Same synthesis rule over lineitem's numeric columns (FIXTURES.md §A).
       val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -62,6 +62,31 @@ object PipelineOpsQueries {
     "sim_ann_ivf" -> ((s, dir) =>
       graft.similarity.Ivf.topK(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)),
 
+    // DECISION-level cross-check for BOTH ANN scale paths (the
+    // dedup_decision_xcheck recipe lifted to vectors): plant an exact
+    // duplicate of each query vector under a fresh id and demand each
+    // path return it as the top-1 neighbor. Deterministic without
+    // recomputing any hash in SQL: an identical vector shares every LSH
+    // band (same hyperplane signs) and the same IVF cell (same argmax
+    // centroid), so it is always a candidate, and its cosine ~1 beats
+    // every non-parallel vector. A bucketing, probe, candidate-join, or
+    // ranking bug in either path breaks the hash-match.
+    "sim_ann_xcheck" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val dups = emb.filter($"vec_id" < 8)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      val planted = emb.select($"vec_id", $"embedding").unionByName(dups)
+      val lsh1 = Ann.topK(planted, $"vec_id" < 8, k = 1)
+        .select($"query_id", $"neighbor_id".as("lsh_top1"))
+      val ivf1 = graft.similarity.Ivf.topK(planted, $"vec_id" < 8, k = 1)
+        .select($"query_id", $"neighbor_id".as("ivf_top1"))
+      lsh1.join(ivf1, Seq("query_id"))
+        .selectExpr("query_id", "lsh_top1", "ivf_top1",
+          "lsh_top1 = query_id + 100000 AS lsh_self",
+          "ivf_top1 = query_id + 100000 AS ivf_self")
+    }),
+
     // Embedding column statistics via the codegen'd graft_dot kernel
     // (float elements widened to double per-element, accumulated in index
     // order — bit-identical to the oracle's double-cast list_sum). The
@@ -451,6 +476,12 @@ object PipelineOpsQueries {
          |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |         len(list_distinct(a.sh || b.sh)) AS jaccard
          |FROM d a, d b WHERE a.doc_id < b.doc_id""".stripMargin),
+    "sim_ann_xcheck" ->
+      ("SELECT vec_id AS query_id, " +
+       "CAST(vec_id + 100000 AS BIGINT) AS lsh_top1, " +
+       "CAST(vec_id + 100000 AS BIGINT) AS ivf_top1, " +
+       "true AS lsh_self, true AS ivf_self " +
+       "FROM embeddings WHERE vec_id < 8"),
     "embed_stats" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
        "list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS sq_norm, " +

@@ -330,6 +330,54 @@ object TextQueries {
           "COALESCE(xx, false) = COALESCE(m5, false) AS agree")
     }),
 
+    // DECISION-level cross-check for the remaining xx fingerprint paths
+    // (the dedup_decision_xcheck recipe): on every planted identical-text
+    // pair — doc k (k%25==0) takes doc k+1's text, so the pair is
+    // (k, k+1) — the 64-bit xxhash SimHash banded-Hamming path must find
+    // the pair at Hamming 0 (identical text ⇒ identical token votes ⇒
+    // identical fingerprint ⇒ every band shared), and the xx winnowing
+    // fingerprint SETS must be exactly equal (count-of-A = count-of-B =
+    // shared count; a mere shared-candidate check would pass for ANY two
+    // docs sharing one 5-gram). Bounded to doc_id < 200 like the pair
+    // oracles; the oracle predicts every decision without recomputing
+    // xxhash64.
+    "dedup_xx_planted_decisions" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val donor = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("donor_text"))
+      val planted = docs.join(donor, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 25 = 0 AND donor_text IS NOT NULL " +
+            "THEN donor_text ELSE text END AS text")
+        .where("doc_id < 200")
+      // pair (id_a = k, id_b = k+1): built off doc k+1's row (its text is
+      // what doc k received), inner-joined to doc k's row for existence
+      val pairs = docs.select($"doc_id".as("id_b"), $"text")
+        .join(docs.select(($"doc_id" + 1).as("id_b"), $"doc_id".as("id_a")),
+          Seq("id_b"))
+        .where("id_a % 25 = 0 AND id_b < 200 AND LENGTH(text) >= 1")
+        .select("id_a", "id_b")
+      val simFound = graft.dedup.SimHash
+        .nearDuplicates(planted, "doc_id", "text", maxHamming = 3)
+      val idx = graft.dedup.Winnowing.fingerprintIndex(planted, "doc_id", "text")
+      val nFp = idx.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
+      val shared = idx.select($"doc_id".as("id_a"), $"fp")
+        .join(idx.select($"doc_id".as("id_b"), $"fp"), Seq("fp"))
+        .join(pairs, Seq("id_a", "id_b"))
+        .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(simFound, Seq("id_a", "id_b"), "left")
+        .join(nFp.select($"doc_id".as("id_a"), $"n_fp".as("n_fp_a")), Seq("id_a"), "left")
+        .join(nFp.select($"doc_id".as("id_b"), $"n_fp".as("n_fp_b")), Seq("id_b"), "left")
+        .join(shared, Seq("id_a", "id_b"), "left")
+        .selectExpr("id_a", "id_b",
+          "CAST(COALESCE(hamming, -1) AS INT) AS simhash_hamming",
+          "hamming IS NOT NULL AS simhash_found",
+          "COALESCE(n_fp_a, 0) = COALESCE(n_fp_b, 0) AND " +
+            "COALESCE(n_shared, 0) = COALESCE(n_fp_a, 0) AND " +
+            "COALESCE(n_fp_a, 0) > 0 AS winnow_sets_equal")
+    }),
+
     // Oracle-able SimHash (16-bit, MD5 bit-planes over whitespace tokens).
     // Each token votes ±1 per bit; bit = 1 iff the vote sum is >= 0. The
     // hex-digit arithmetic (INSTR on the hex alphabet, DIV/% bit extract)
@@ -819,6 +867,13 @@ object TextQueries {
          |LEFT JOIN cn ON b.doc_id = cn.doc_id
          |LEFT JOIN cn2 ON b.doc_id = cn2.doc_id""".stripMargin
     },
+    "dedup_xx_planted_decisions" ->
+      """SELECT p.doc_id AS id_a, d.doc_id AS id_b,
+        |       CAST(0 AS INTEGER) AS simhash_hamming,
+        |       true AS simhash_found, true AS winnow_sets_equal
+        |FROM documents d JOIN documents p ON p.doc_id = d.doc_id - 1
+        |WHERE p.doc_id % 25 = 0 AND d.doc_id < 200
+        |  AND length(d.text) >= 1""".stripMargin,
     "dedup_decision_xcheck" ->
       s"""WITH donor AS (SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),
          |planted AS (

@@ -40,7 +40,9 @@ object PlanLint {
     "sim_topk_bruteforce" -> (Set("BroadcastNestedLoopJoin"),
       "corpus x broadcast(k query vectors): the bounded exact baseline; scale paths are sim_ann_lsh/ivf"),
     "sim_ann_ivf" -> (Set("BroadcastNestedLoopJoin"),
-      "corpus x broadcast(centroids) cell assignment — centroid count is a small constant")
+      "corpus x broadcast(centroids) cell assignment — centroid count is a small constant"),
+    "sim_ann_xcheck" -> (Set("BroadcastNestedLoopJoin"),
+      "same IVF corpus x broadcast(centroids) cell assignment as sim_ann_ivf, on the planted-dup corpus")
   )
 
   private def offenses(plan: SparkPlan): Seq[String] = {
