@@ -27,15 +27,18 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
   *     delete backup; restore backup on failure).
   *   - multi-writer: optimistic concurrency via a create-exclusive
   *     commit-marker CAS plus a rewrite-intent lease (two-phase; see
-  *     [[commitVersion]] / rewriteVia) — a rewrite computed against a
-  *     stale snapshot fails cleanly with ConcurrentModificationException
-  *     instead of silently discarding the other writer's commit, and a
-  *     claim-first writer racing a rewrite's swap backs off on the intent
-  *     instead of landing rows the swap would discard. Data-plane
-  *     serialization stays single-writer-preferred (the reference's
-  *     Airflow DAG is strictly linear, SURVEY.md §7.4); the protocol
-  *     turns violations of that assumption from corruption into detected
-  *     conflicts.
+  *     [[commitVersion]] / rewriteVia) plus in-flight write fencing —
+  *     a rewrite computed against a stale snapshot fails cleanly with
+  *     ConcurrentModificationException instead of silently discarding
+  *     the other writer's commit; a claim-first writer racing a
+  *     rewrite's swap backs off on the intent instead of landing rows
+  *     the swap would discard; and a rewrite refuses to pin a snapshot
+  *     while a claim-first data job is in flight, so a visible marker
+  *     always implies visible data. No supported interleaving can
+  *     silently lose committed rows. Data-plane serialization stays
+  *     single-writer-preferred (the reference's Airflow DAG is strictly
+  *     linear, SURVEY.md §7.4); the protocol turns violations of that
+  *     assumption from corruption into detected conflicts.
   */
 final class MedallionTable(
     val spark: SparkSession,
@@ -226,6 +229,21 @@ final class MedallionTable(
       } catch { case _: java.io.IOException => false } // deleted mid-read
     }
 
+  /** In-flight claim-first write flags: created BEFORE the marker claim,
+    * deleted only after the data has landed (or after failure cleanup
+    * released the marker), so `no flag ∧ marker visible ⇒ that claim's
+    * data is visible` — the invariant [[rewriteVia]]'s snapshot fence
+    * relies on. Deliberately NO lease: a claim-first write may
+    * legitimately run for hours, and expiring the flag would let a
+    * rewrite swap the table out from under a slow healthy writer. A
+    * crashed writer's leftover flag fails rewrites FAST (clear
+    * ConcurrentModificationException) until [[vacuum]] clears it —
+    * fail-stop, never silent loss.
+    */
+  private def anyInflight(): Boolean =
+    fs.exists(commitsDir) &&
+      fs.listStatus(commitsDir).exists(_.getPath.getName.startsWith("inflight_"))
+
   /** Claim the next commit ordinal, run the write, and release the marker
     * if the write FAILS — for write paths whose effects COMMUTE with
     * concurrent same-kind writers (append, pruned merge, fast-path
@@ -237,44 +255,58 @@ final class MedallionTable(
     * from aborting innocent concurrent rewrites; deleting the marker is
     * safe because commitVersion is max-based, so a freed latest ordinal is
     * simply re-claimable (create-exclusive prevents reuse races).
+    *
+    * The whole claim+write section runs under an in-flight flag (see
+    * [[anyInflight]]); the flag is removed LAST, after either the data
+    * landed or the failed claim was released.
     */
   private def withClaimedCommit[T](op: String)(write: => T): T = {
-    var claimed = -1L
-    var attempts = 0
-    def retryOrGiveUp(): Unit = {
-      attempts += 1
-      if (attempts >= 8) throw new java.util.ConcurrentModificationException(
-        s"could not claim a commit marker for $path after $attempts attempts " +
-          "(commit contention or a rewrite mid-swap)")
-      Thread.sleep(25) // rewrite intent windows are milliseconds — back off past them
-    }
-    while (claimed < 0) {
-      // Two-phase guard, claimant side: an unexpired rewrite intent means a
-      // rewrite has CAS'd its marker and is between its conflict re-check
-      // and its swap renames — a claim landing now would go unseen and its
-      // rows would be swapped away. Check BEFORE claiming (cheap, avoids
-      // burning ordinals) and re-check AFTER the claim (the intent may have
-      // been published between the pre-check and our CAS); on the
-      // post-claim hit, release the claim so the rewrite — which may
-      // already have aborted on seeing our marker — finds a clean ordinal
-      // when either side retries.
-      if (unexpiredIntent()) retryOrGiveUp()
-      else {
-        val expected = commitVersion
-        if (!tryClaimCommit(expected, op)) retryOrGiveUp()
-        else if (unexpiredIntent()) {
-          try fs.delete(new Path(commitsDir, s"v${expected + 1}.commit"), false)
-          catch { case _: java.io.IOException => () }
-          retryOrGiveUp()
-        } else claimed = expected + 1
+    fs.mkdirs(commitsDir)
+    val flag = new Path(commitsDir,
+      s"inflight_${java.util.UUID.randomUUID().toString.take(8)}.write")
+    writeMetaText(flag, s"${System.currentTimeMillis()}\t$op")
+    try {
+      var claimed = -1L
+      var attempts = 0
+      def retryOrGiveUp(): Unit = {
+        attempts += 1
+        if (attempts >= 8) throw new java.util.ConcurrentModificationException(
+          s"could not claim a commit marker for $path after $attempts attempts " +
+            "(commit contention or a rewrite mid-swap)")
+        Thread.sleep(25) // rewrite intent windows are milliseconds — back off past them
       }
-    }
-    try write
-    catch {
-      case t: Throwable =>
-        try fs.delete(new Path(commitsDir, s"v$claimed.commit"), false)
-        catch { case _: java.io.IOException => () }
-        throw t
+      while (claimed < 0) {
+        // Two-phase guard, claimant side: an unexpired rewrite intent means a
+        // rewrite has CAS'd its marker and is between its conflict re-check
+        // and its swap renames — a claim landing now would go unseen and its
+        // rows would be swapped away. Check BEFORE claiming (cheap, avoids
+        // burning ordinals) and re-check AFTER the claim (the intent may have
+        // been published between the pre-check and our CAS); on the
+        // post-claim hit, release the claim so the rewrite — which may
+        // already have aborted on seeing our marker — finds a clean ordinal
+        // when either side retries.
+        if (unexpiredIntent()) retryOrGiveUp()
+        else {
+          val expected = commitVersion
+          if (!tryClaimCommit(expected, op)) retryOrGiveUp()
+          else if (unexpiredIntent()) {
+            try fs.delete(new Path(commitsDir, s"v${expected + 1}.commit"), false)
+            catch { case _: java.io.IOException => () }
+            retryOrGiveUp()
+          } else claimed = expected + 1
+        }
+      }
+      MedallionTable.testFailpoint("mid-claim-first")
+      try write
+      catch {
+        case t: Throwable =>
+          try fs.delete(new Path(commitsDir, s"v$claimed.commit"), false)
+          catch { case _: java.io.IOException => () }
+          throw t
+      }
+    } finally {
+      try fs.delete(flag, false)
+      catch { case _: java.io.IOException => () }
     }
   }
 
@@ -469,21 +501,21 @@ final class MedallionTable(
     * re-check-to-rename residual race: claimants seeing an unexpired
     * intent back off (see [[unexpiredIntent]]).
     *
-    * Documented wider window (single-writer-preferred stance): a rewrite
-    * that reads `expectedVersion` AFTER a claim-first writer's marker
-    * landed but BEFORE that writer's multi-second data job finishes
-    * passes both the CAS and the re-check — the claim is already counted
-    * in `expectedVersion` — and can swap while the claimant is still
-    * writing into the live directory. The claimant then fails at its own
-    * task commit (the directory it was writing into was renamed away)
-    * rather than being detected as a conflict; no committed rows are
-    * lost, but the failure surfaces on the innocent writer. Closing it
-    * needs in-flight write fencing (claimants holding a lease for the
-    * duration of their data job), which trades a crashed writer blocking
-    * all rewrites — out of scope under the linear-DAG usage the
-    * reference assumes (SURVEY.md §7.4).
+    * In-flight fencing closes the wider claim-read-to-swap window (the
+    * round-7 advice finding): a claim-first writer whose marker is
+    * visible but whose data job is still running would otherwise pass
+    * both the CAS and the re-check — its claim is already counted in
+    * `expectedVersion` — and the swap would discard its rows (or at
+    * best fail its task commit). The fence loop below reads the ordinal
+    * and THEN checks for in-flight flags, retrying until clean: a flag
+    * precedes every claim and outlives its data job, so a clean check
+    * proves every claim counted in `expectedVersion` has landed its
+    * data. `newData0` is BY-NAME and evaluated after the fence, so the
+    * table scan's file listing (eager at `read`) also sees that landed
+    * data — callers must construct the rewrite product (including their
+    * `read`) inside the argument expression.
     */
-  private def rewriteVia(newData0: DataFrame,
+  private def rewriteVia(newData0: => DataFrame,
       writerTweak: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
         org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = identity,
       op: String = "rewrite"): Unit = {
@@ -492,7 +524,22 @@ final class MedallionTable(
     // swap, which replaces the _graft_meta directory. One registry read
     // serves both.
     val constraints = checkConstraints
-    val expectedVersion = commitVersion
+    // Snapshot fence: ordinal BEFORE flags, retry until a flag-free
+    // listing — see the scaladoc. Fail-stop on a persistently-present
+    // flag (crashed writer): vacuum() clears it.
+    var expectedVersion = -1L
+    var fenceAttempts = 0
+    while (expectedVersion < 0) {
+      val v = commitVersion
+      if (!anyInflight()) expectedVersion = v
+      else {
+        fenceAttempts += 1
+        if (fenceAttempts >= 8) throw new java.util.ConcurrentModificationException(
+          s"claim-first write in flight on $path: rewrite cannot pin a " +
+            "snapshot (if a writer crashed, vacuum() clears its in-flight flag)")
+        Thread.sleep(25)
+      }
+    }
     val newData = enforced(newData0, constraints)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"${path}__graft_tmp_$suffix")
@@ -654,9 +701,11 @@ final class MedallionTable(
       }
     } else {
       // DELETE removes rows where cond is TRUE; FALSE and NULL survive
-      // (a bare `!cond` filter would also drop the NULL rows).
+      // (a bare `!cond` filter would also drop the NULL rows). Re-read
+      // inside the by-name argument: rewriteVia's fence must precede the
+      // scan's file listing (the outer `df` listed files pre-fence).
       import org.apache.spark.sql.functions.{coalesce, lit, not}
-      rewriteVia(df.filter(not(coalesce(cond, lit(false)))), op = "delete")
+      rewriteVia(read.filter(not(coalesce(cond, lit(false)))), op = "delete")
     }
   }
 
@@ -677,10 +726,17 @@ final class MedallionTable(
         s"update: column '$k' not in table schema ${df.columns.mkString("[", ",", "]")}")) -> v
     }
     // ONE projection: every SET expression reads the pre-update row by
-    // construction (no staging columns, no reserved names).
-    rewriteVia(df.select(df.columns.map { c =>
-      resolved.get(c).map(v => when(cond, v).otherwise(col(c)).as(c)).getOrElse(col(c))
-    }: _*), op = "update")
+    // construction (no staging columns, no reserved names). The frame is
+    // re-read inside the by-name argument (post-fence listing); the
+    // projection list comes from the pre-validated schema, which is
+    // stable under the supported concurrency.
+    rewriteVia({
+      val d = read
+      d.select(df.columns.map { c =>
+        resolved.get(c).map(v => when(cond, v).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }, op = "update")
   }
 
   // ---- time travel ------------------------------------------------------
@@ -740,15 +796,16 @@ final class MedallionTable(
     * min/max ranges and small files are compacted away.
     */
   def compact(clusterBy: Seq[String] = Nil, nFiles: Int = 0): Unit = {
-    val df = read
     val n = if (nFiles > 0) nFiles
       else math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
-    val shaped =
+    // read inside the by-name argument: post-fence listing (see rewriteVia)
+    rewriteVia({
+      val df = read
       if (clusterBy.nonEmpty) {
         val cols = clusterBy.map(org.apache.spark.sql.functions.col)
         df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
       } else df.coalesce(n)
-    rewriteVia(shaped, op = "optimize")
+    }, op = "optimize")
   }
 
   /** Z-order clustering: interleave the bit patterns of each cluster
@@ -769,6 +826,9 @@ final class MedallionTable(
     require(clusterBy.nonEmpty && clusterBy.size <= 4, "1-4 z-order columns")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
+    // The whole construction — read, quantile sketch jobs, bucketing —
+    // runs inside the by-name argument so it happens after the fence.
+    def buildShaped(): DataFrame = {
     val df = read
     val n = if (nFiles > 0) nFiles
       else math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
@@ -824,12 +884,13 @@ final class MedallionTable(
     }
     val hashCols = df.schema.fields.filter(f => hashSafe(f.dataType)).map(f => col(f.name))
     val tiebreak = if (hashCols.nonEmpty) xxhash64(hashCols: _*) else lit(0L)
-    val shaped = bucketed.withColumn("__graft_z", z)
+    bucketed.withColumn("__graft_z", z)
       .repartitionByRange(n, col("__graft_z"), tiebreak)
       .sortWithinPartitions(col("__graft_z"))
       .drop((clusterBy.indices.flatMap(i =>
         Seq(s"__graft_zb_$i", s"__graft_zs_$i")) :+ "__graft_z"): _*)
-    rewriteVia(shaped, op = "optimize-zorder")
+    }
+    rewriteVia(buildShaped(), op = "optimize-zorder")
   }
 
   /** VACUUM-style cleanup: remove sibling `__graft_tmp_*` / `__graft_old_*`
@@ -884,10 +945,16 @@ final class MedallionTable(
     }
     val toDelete = litter()
     toDelete.foreach(p => fs.delete(p, true))
-    // A crashed rewrite's stale intent lease: claimants already ignore it
-    // once expired, but clearing it here keeps the commits dir tidy. Safe
-    // unconditionally under vacuum's no-writer-in-flight assumption.
+    // Crashed-writer leftovers in the commits dir: a stale intent lease
+    // (claimants already ignore it once expired) and in-flight write
+    // flags (which fail rewrites fast until cleared — deliberately
+    // unexpiring, see anyInflight). Safe unconditionally under vacuum's
+    // no-writer-in-flight assumption.
     clearIntent()
+    if (fs.exists(commitsDir))
+      fs.listStatus(commitsDir).map(_.getPath)
+        .filter(_.getName.startsWith("inflight_"))
+        .foreach(p => fs.delete(p, false))
     toDelete.length
   }
 
@@ -989,13 +1056,16 @@ object MedallionTable {
     */
   val IntentLeaseMs = 30000L
 
-  /** Test-only failpoint, invoked at named points of the rewrite commit
-    * protocol ("pre-commit": staged, before the marker CAS; "pre-swap":
-    * after the CAS, before the intent publish; "post-recheck": intent
-    * published and conflict re-check passed, immediately before the swap
-    * renames — the window the two-phase intent protects; "mid-swap":
-    * between the two swap renames). Specs inject a concurrent writer or a
-    * simulated crash here; production never sets it.
+  /** Test-only failpoint, invoked at named points of the commit
+    * protocol ("mid-claim-first": a claim-first writer holds its
+    * in-flight flag and claimed marker but has not run its data job —
+    * the window the snapshot fence protects; "pre-commit": staged,
+    * before the marker CAS; "pre-swap": after the CAS, before the intent
+    * publish; "post-recheck": intent published and conflict re-check
+    * passed, immediately before the swap renames — the window the
+    * two-phase intent protects; "mid-swap": between the two swap
+    * renames). Specs inject a concurrent writer or a simulated crash
+    * here; production never sets it.
     */
   private[graft] var testFailpoint: String => Unit = _ => ()
 }

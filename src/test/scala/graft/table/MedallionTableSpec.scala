@@ -516,6 +516,59 @@ class MedallionTableSpec extends SparkSpec {
       Set((1L, "A"), (9L, "late")))
   }
 
+  test("in-flight fence: a rewrite cannot pin a snapshot under a running append") {
+    import spark.implicits._
+    // The round-7 advice's WIDER window: an append's marker is visible but
+    // its data job has not landed — the old protocol let a rewrite pin
+    // that ordinal as its snapshot, miss the in-flight rows in its scan,
+    // and swap them away with both writers "succeeding". The fence makes
+    // the rewrite refuse to pin while any in-flight flag exists.
+    val p = tmpDir("mt_inflight")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    @volatile var mergeOutcome: Option[Throwable] = None
+    MedallionTable.testFailpoint = {
+      case "mid-claim-first" =>
+        MedallionTable.testFailpoint = _ => ()
+        try MedallionTable(spark, p).merge(Seq((1L, "M")).toDF("id", "s"), Seq("id"))
+        catch { case t: Throwable => mergeOutcome = Some(t) }
+      case _ => ()
+    }
+    try t.append(Seq((9L, "late")).toDF("id", "s"))
+    finally MedallionTable.testFailpoint = _ => ()
+    assert(mergeOutcome.exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"rewrite must refuse to pin a snapshot over an in-flight claim: $mergeOutcome")
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (9L, "late")), "the append must land untouched")
+    // once the append landed (flag gone), a retried merge sees its rows
+    MedallionTable(spark, p).merge(Seq((1L, "M")).toDF("id", "s"), Seq("id"),
+      deleteNotMatchedBySource = false)
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "M"), (9L, "late")))
+  }
+
+  test("a crashed writer's in-flight flag fails rewrites fast until vacuum clears it") {
+    import spark.implicits._
+    val p = tmpDir("mt_stale_flag")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    val f = fs(p)
+    val flag = new Path(s"${p}__graft_commits", "inflight_deadbeef.write")
+    val out = f.create(flag, true)
+    out.write("123\tappend".getBytes("UTF-8")); out.close()
+    // fail-stop, not silent: the rewrite aborts with a clear conflict
+    intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq((1L, "M")).toDF("id", "s"), Seq("id"))
+    }
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a")), "the refused rewrite must not touch the table")
+    t.vacuum()
+    assert(!f.exists(flag), "vacuum clears the leftover flag")
+    t.merge(Seq((1L, "M")).toDF("id", "s"), Seq("id"))
+    assert(t.read.collect().head.getString(1) == "M")
+  }
+
   test("a rejected append releases its marker: no phantom history, no fake conflicts") {
     import spark.implicits._
     val p = tmpDir("mt_phantom")
