@@ -50,15 +50,25 @@ final class StandingDedupIndex(
     * near-dup candidates via the band-key equi-join. Returns one row per
     * batch doc: (doc_id, is_exact_dup, n_candidates). Lazy like any
     * DataFrame — materialize the result BEFORE ingesting the same batch,
-    * or the batch will count itself.
+    * or the batch will count itself. Before the first ingest the index
+    * reads as EMPTY (typed off the batch's own derivations), so a
+    * streaming sink's first micro-batch checks cleanly.
     */
   def check(batch: DataFrame): DataFrame = {
+    val corpusHashes =
+      if (hashTable.exists) hashTable.read.select(col("h"))
+      else hashesOf(batch).select(col("h")).limit(0)
+    val corpusBands =
+      if (bandTable.exists)
+        bandTable.read.select(col("band_idx"), col("band_key"),
+          col("doc_id").as("corpus_id"))
+      else bandKeys(batch).select(col("band_idx"), col("band_key"),
+        col("doc_id").as("corpus_id")).limit(0)
     val exact = hashesOf(batch)
-      .join(hashTable.read.select(col("h")).distinct(), Seq("h"))
+      .join(corpusHashes.distinct(), Seq("h"))
       .select("doc_id").distinct().withColumn("is_exact_dup", lit(true))
     val cands = bandKeys(batch)
-      .join(bandTable.read.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("corpus_id")), Seq("band_idx", "band_key"))
+      .join(corpusBands, Seq("band_idx", "band_key"))
       .select("doc_id", "corpus_id").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
     batch.select("doc_id")

@@ -183,6 +183,37 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming incremental dedup — [[graft.dedup.StandingDedupIndex]]'s
+    * check-then-ingest protocol lifted to Structured Streaming: each
+    * micro-batch of documents is deduplicated against the standing index
+    * AS WRITTEN BY ALL PRIOR BATCHES, its per-doc report (doc_id,
+    * is_exact_dup, n_candidates) is appended to a report table, and its
+    * own keys are then ingested. The report write lands BEFORE the
+    * ingest (check() is lazy; writing materializes it), so a batch never
+    * counts itself — the same ordering the batch query
+    * (`dedup_index_persisted`) pins.
+    *
+    * Scale shape: state lives in the index TABLES, not the streaming
+    * state store — unbounded corpus growth lands on disk as 16-64 B/row
+    * appends while executor state stays O(1); each micro-batch pays
+    * index-vs-batch equi-joins, never a corpus scan. Replays append
+    * duplicate index keys harmlessly (hash-set joins are
+    * membership-only, candidates are DISTINCT-ed) — the report table is
+    * the at-least-once surface, standard for foreachBatch sinks.
+    */
+  def dedupStream(docs: DataFrame, indexPath: String, reportPath: String,
+      bandKeys: DataFrame => DataFrame, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val idx = new graft.dedup.StandingDedupIndex(
+          batch.sparkSession, indexPath, bandKeys)
+        idx.check(batch).write.mode("append").parquet(reportPath)
+        idx.ingest(batch)
+      }
+      .start()
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * once the watermark passes its extent + gap (event-time timeout), so
     * late in-watermark events — including orphans older than the current

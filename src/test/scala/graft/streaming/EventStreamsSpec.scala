@@ -258,6 +258,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup checks each micro-batch against the index before ingesting it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    val idxPath = tmpDir("sdedup_idx")
+    val report = tmpDir("sdedup_report")
+    val ckpt = tmpDir("sdedup_ckpt")
+    // same trivial band builder as StandingDedupIndexSpec: equal text ⇒
+    // shared band, so both decision columns are exercised
+    val oneBand = (d: org.apache.spark.sql.DataFrame) =>
+      d.where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), lit(0).as("band_idx"), md5(col("text")).as("band_key"))
+    val q = EventStreams.dedupStream(
+      input.toDF().toDF("doc_id", "text"), idxPath, report, oneBand, ckpt)
+    try {
+      input.addData(1L -> "alpha beta", 2L -> "gamma delta")
+      q.processAllAvailable()
+      // batch 2: one dup of batch 1, one fresh doc
+      input.addData(10L -> "alpha beta", 11L -> "epsilon zeta")
+      q.processAllAvailable()
+      val rows = spark.read.parquet(report).collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      assert(rows(1L) == ((false, 0L)) && rows(2L) == ((false, 0L)),
+        "batch 1 must see an empty index — and never count itself")
+      assert(rows(10L) == ((true, 1L)),
+        "batch 2's dup must hit batch 1's indexed hash and band")
+      assert(rows(11L) == ((false, 0L)), "fresh doc must pass clean")
+      // the index accumulated both batches
+      val idx = new graft.dedup.StandingDedupIndex(spark, idxPath, oneBand)
+      assert(idx.hashTable.read.count() == 4)
+    } finally q.stop()
+  }
+
   test("file-source ingest processes each landed file exactly once across runs") {
     import spark.implicits._
     val src = tmpDir("ingest_src")
