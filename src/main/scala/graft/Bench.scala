@@ -49,17 +49,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // ConnectedComponents releases its lazily-localCheckpointed per-round
-    // state when done; Spark WARNs on every such unpersist ("lineage has
-    // been truncated..."), which is expected here and would sit between
-    // the last query and the JSON line in the ~2000-char tail the driver
-    // parses. Keep the tail JSON-only.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
-    // Likewise the one-shot "Truncated the string representation of a plan"
-    // notice (purely about log/UI strings, not execution).
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.util.SparkStringUtils", org.apache.logging.log4j.Level.ERROR)
+    LogNoise.silenceExpected() // keep the parsed tail JSON-only
     // Unmeasured warmup: absorb executor/codegen startup so the first
     // measured query reflects query cost, not JVM cost.
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -16,12 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Same rationale as Bench: the expected unpersist-of-localCheckpoint
-    // WARNs from ConnectedComponents' state release are noise here.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.util.SparkStringUtils", org.apache.logging.log4j.Level.ERROR)
+    LogNoise.silenceExpected()
     new java.io.File(outDir).mkdirs()
     // Per-query watchdog: one pathological query must not eat the whole
     // correctness round — cancel its job group after the timeout and move on.

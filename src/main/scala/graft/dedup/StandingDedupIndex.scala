@@ -54,13 +54,23 @@ final class StandingDedupIndex(
     * reads as EMPTY (typed off the batch's own derivations), so a
     * streaming sink's first micro-batch checks cleanly.
     */
-  def check(batch: DataFrame): DataFrame = {
+  def check(batch: DataFrame, excludeTag: Option[Long] = None): DataFrame = {
+    // excludeTag makes a REPLAYED batch's check idempotent: a foreachBatch
+    // sink that ingested tag T and crashed before its checkpoint commit
+    // re-runs the same batch — excluding the index rows it tagged T makes
+    // the re-check see exactly the pre-ingest index and reproduce the
+    // original report instead of flipping every doc to a self-duplicate.
+    def minusTag(df: DataFrame): DataFrame = excludeTag match {
+      case Some(t) if df.columns.contains("batch_tag") =>
+        df.filter(!(col("batch_tag") <=> lit(t)))
+      case _ => df
+    }
     val corpusHashes =
-      if (hashTable.exists) hashTable.read.select(col("h"))
+      if (hashTable.exists) minusTag(hashTable.read).select(col("h"))
       else hashesOf(batch).select(col("h")).limit(0)
     val corpusBands =
       if (bandTable.exists)
-        bandTable.read.select(col("band_idx"), col("band_key"),
+        minusTag(bandTable.read).select(col("band_idx"), col("band_key"),
           col("doc_id").as("corpus_id"))
       else bandKeys(batch).select(col("band_idx"), col("band_key"),
         col("doc_id").as("corpus_id")).limit(0)
@@ -79,13 +89,22 @@ final class StandingDedupIndex(
         "CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates")
   }
 
-  /** Append `batch`'s hash and band rows to the index tables. Every doc
-    * contributes a hash row; only docs the band builder accepts (≥ 3
-    * tokens for the shingle-based builders) contribute band rows.
+  /** Append `batch`'s hash and band rows to the index tables, tagged with
+    * `tag` (a batch/epoch id — [[check]]'s excludeTag and replay recovery
+    * key on it). Every doc contributes a hash row; only docs the band
+    * builder accepts (≥ 3 tokens for the shingle-based builders)
+    * contribute band rows.
+    *
+    * The two appends are not atomic as a pair: a crash between them
+    * leaves the batch's hash rows without its band rows. Recovery is
+    * re-running ingest for the same batch — duplicate index rows are
+    * harmless (the exact join is membership-only and candidates are
+    * DISTINCT-ed), which is also what makes a foreachBatch replay safe.
     */
-  def ingest(batch: DataFrame): Unit = {
-    hashTable.append(hashesOf(batch))
+  def ingest(batch: DataFrame, tag: Long = 0L): Unit = {
+    hashTable.append(hashesOf(batch).withColumn("batch_tag", lit(tag)))
     bandTable.append(bandKeys(batch)
-      .select(col("doc_id"), col("band_idx"), col("band_key")))
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
+      .withColumn("batch_tag", lit(tag)))
   }
 }

@@ -98,12 +98,20 @@ object AsOfJoin {
     val wCarry = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__bucket").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = u.select(keyB.map(col): _*).distinct()
-      .join(bucketLast, keyB, "left")
+    // NULL-SAFE equi-joins on (key, bucket): window partitioning groups
+    // NULL keys (and a NULL bucket from a null time) into one partition
+    // exactly like [[asOf]], so the carry joins must match them too — a
+    // null-unsafe join would silently drop the carry-in for those rows
+    // and break the semantics-equal contract.
+    def nullSafeJoin(l: DataFrame, r: DataFrame, how: String): DataFrame = {
+      val renamed = keyB.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+      val cond = keyB.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+      l.join(renamed, cond, how).drop(keyB.map(c => s"__r_$c"): _*)
+    }
+    val carry = nullSafeJoin(u.select(keyB.map(col): _*).distinct(), bucketLast, "left")
       .withColumn("__carry_in", last(col("__bucket_last"), ignoreNulls = true).over(wCarry))
       .select(keyB.map(col) :+ col("__carry_in"): _*)
-    pass1.filter(col("__tag") === 1)
-      .join(carry, keyB, "left")
+    nullSafeJoin(pass1.filter(col("__tag") === 1), carry, "left")
       .withColumn("__final", coalesce(col("__carried"), col("__carry_in")))
       .select(leftCols.map(col)
         ++ payloadCols.map(c => col("__final").getField(c).as(c)): _*)

@@ -224,12 +224,7 @@ object TextQueries {
     // corpus neighbor's text) so the exact branch is exercised.
     "dedup_incremental" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val donor = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("donor_text"))
-      val all = docs.join(donor, Seq("doc_id"), "left")
-        .selectExpr("doc_id",
-          "CASE WHEN doc_id % 25 = 0 AND doc_id % 5 = 0 AND donor_text IS NOT NULL " +
-            "THEN donor_text ELSE text END AS text")
+      val all = plantedCorpus(Tables.documents(s, dir))
       val corpus = all.filter($"doc_id" % 5 =!= 0) // standing corpus (80%)
       val batch = all.filter($"doc_id" % 5 === 0)  // today's landing (20%)
       val exactHits = batch.select($"doc_id", md5($"text").as("h"))
@@ -262,12 +257,7 @@ object TextQueries {
       import s.implicits._
       val work = Q.scratch(dir, "dedup_index")
       Q.deleteDir(s, work)
-      val docs = Tables.documents(s, dir)
-      val donor = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("donor_text"))
-      val all = docs.join(donor, Seq("doc_id"), "left")
-        .selectExpr("doc_id",
-          "CASE WHEN doc_id % 25 = 0 AND doc_id % 5 = 0 AND donor_text IS NOT NULL " +
-            "THEN donor_text ELSE text END AS text")
+      val all = plantedCorpus(Tables.documents(s, dir))
       val corpus = all.filter($"doc_id" % 5 =!= 0) // day-1 landing (80%)
       val batch = all.filter($"doc_id" % 5 === 0)  // day-2 landing (20%)
       val idx = new graft.dedup.StandingDedupIndex(s, work, md5LshBands)
@@ -296,12 +286,7 @@ object TextQueries {
     "dedup_decision_xcheck" -> ((s, dir) => {
       import s.implicits._
       graft.plans.GraftFunctions.register(s)
-      val docs = Tables.documents(s, dir)
-      val donor = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("donor_text"))
-      val planted = docs.join(donor, Seq("doc_id"), "left")
-        .selectExpr("doc_id",
-          "CASE WHEN doc_id % 25 = 0 AND donor_text IS NOT NULL " +
-            "THEN donor_text ELSE text END AS text")
+      val planted = plantedCorpus(Tables.documents(s, dir))
       val eligible = planted.where(s"SIZE($TokensExpr) >= 3")
       val hashed = eligible.select($"doc_id", md5($"text").as("h"))
       val truth = hashed.select($"doc_id".as("id_a"), $"h")
@@ -344,12 +329,7 @@ object TextQueries {
     "dedup_xx_planted_decisions" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val donor = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("donor_text"))
-      val planted = docs.join(donor, Seq("doc_id"), "left")
-        .selectExpr("doc_id",
-          "CASE WHEN doc_id % 25 = 0 AND donor_text IS NOT NULL " +
-            "THEN donor_text ELSE text END AS text")
-        .where("doc_id < 200")
+      val planted = plantedCorpus(docs).where("doc_id < 200")
       // pair (id_a = k, id_b = k+1): built off doc k+1's row (its text is
       // what doc k received), inner-joined to doc k's row for existence
       val pairs = docs.select($"doc_id".as("id_b"), $"text")
@@ -580,6 +560,23 @@ object TextQueries {
     * cannot diverge. Docs with fewer than 3 tokens have no shingles and
     * drop out.
     */
+  /** The planted-duplicate corpus shared by the incremental-dedup and
+    * decision-check queries: every 25th doc takes its doc_id+1 neighbor's
+    * text, making (k, k+1) ground-truth identical pairs that any
+    * deterministic dedup path must find. ONE Spark-side copy — four
+    * queries and their DuckDB oracle twins share this ground truth, and
+    * a drift in any copy would silently desynchronize them.
+    */
+  private def plantedCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val donor = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("donor_text"))
+    docs.join(donor, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 25 = 0 AND donor_text IS NOT NULL " +
+          "THEN donor_text ELSE text END AS text")
+  }
+
   private def md5LshBands(docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     docs

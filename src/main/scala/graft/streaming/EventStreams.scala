@@ -196,21 +196,36 @@ object EventStreams {
     * Scale shape: state lives in the index TABLES, not the streaming
     * state store — unbounded corpus growth lands on disk as 16-64 B/row
     * appends while executor state stays O(1); each micro-batch pays
-    * index-vs-batch equi-joins, never a corpus scan. Replays append
-    * duplicate index keys harmlessly (hash-set joins are
-    * membership-only, candidates are DISTINCT-ed) — the report table is
-    * the at-least-once surface, standard for foreachBatch sinks.
+    * index-vs-batch equi-joins, never a corpus scan (the batch is
+    * persisted across its ~5 passes so the source is read once).
+    *
+    * Exactly-once EFFECT under replay (the fileIngest recipe): index
+    * rows are tagged with the batch id and check() EXCLUDES its own
+    * tag, so a replayed batch — one that ingested and then crashed
+    * before the checkpoint commit — re-checks against exactly the
+    * pre-ingest index and reproduces its original report, which then
+    * overwrites its own `ingest_batch_id` partition via dynamic
+    * partition overwrite; the re-ingest appends duplicate index rows,
+    * harmless by construction (membership joins + DISTINCT candidates).
     */
   def dedupStream(docs: DataFrame, indexPath: String, reportPath: String,
       bandKeys: DataFrame => DataFrame, checkpoint: String):
       org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val idx = new graft.dedup.StandingDedupIndex(
-          batch.sparkSession, indexPath, bandKeys)
-        idx.check(batch).write.mode("append").parquet(reportPath)
-        idx.ingest(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val idx = new graft.dedup.StandingDedupIndex(
+            b.sparkSession, indexPath, bandKeys)
+          idx.check(b, excludeTag = Some(batchId))
+            .withColumn("ingest_batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(reportPath)
+          idx.ingest(b, tag = batchId)
+        } finally b.unpersist()
       }
       .start()
 

@@ -173,19 +173,33 @@ final class MedallionTable(
   private def tryClaimCommit(expected: Long, op: String): Boolean = {
     fs.mkdirs(commitsDir)
     val marker = new Path(commitsDir, s"v${expected + 1}.commit")
+    // If the body write fails AFTER the create succeeded (disk full), the
+    // marker must be deleted before reporting failure — a leftover claims
+    // an ordinal nobody owns: history() would show a phantom commit and
+    // every concurrent rewrite would abort blaming a writer that does not
+    // exist.
     val created =
       if ("file" == fs.getUri.getScheme) {
         val local = new java.io.File(fs.makeQualified(marker).toUri.getPath)
         try local.createNewFile() && {
-          val out = new java.io.FileOutputStream(local)
-          try out.write(op.getBytes("UTF-8")) finally out.close()
-          true
+          try {
+            val out = new java.io.FileOutputStream(local)
+            try out.write(op.getBytes("UTF-8")) finally out.close()
+            true
+          } catch { case _: java.io.IOException => local.delete(); false }
         } catch { case _: java.io.IOException => false }
       } else
         try {
           val out = fs.create(marker, false)
-          try out.write(op.getBytes("UTF-8")) finally out.close()
-          true
+          try {
+            try out.write(op.getBytes("UTF-8")) finally out.close()
+            true
+          } catch {
+            case _: java.io.IOException =>
+              try fs.delete(marker, false)
+              catch { case _: java.io.IOException => () }
+              false
+          }
         } catch { case _: java.io.IOException => false }
     if (created)
       commitMarkers.dropRight(MedallionTable.HistoryDepth).foreach(v =>
@@ -197,15 +211,17 @@ final class MedallionTable(
 
   /** Rewrite-intent marker: published by [[rewriteVia]] AFTER its marker
     * CAS and BEFORE its conflict re-check, cleared once the swap renames
-    * land (or the rewrite aborts). While an unexpired intent exists,
-    * claim-first writers refuse to claim — closing the re-check-to-rename
-    * window where a claim could land unseen and have its rows swapped
-    * away. Lease-based: the body carries the publish time, and claimants
-    * ignore intents older than [[MedallionTable.IntentLeaseMs]] so a
-    * crashed rewrite cannot block the table forever. The protocol is
-    * sound while the rewrite's intent-to-rename section (a handful of
-    * metadata ops, normally milliseconds) completes within the lease —
-    * the same clock assumption every lease-based commit protocol makes.
+    * land (or the rewrite aborts). While the intent STANDS, claim-first
+    * writers refuse to claim — closing the re-check-to-rename window
+    * where a claim could land unseen and have its rows swapped away.
+    * Deliberately NO expiry (matching [[anyInflight]]): an expiring
+    * intent would let a claimant proceed under a rewrite stalled longer
+    * than the lease — a clock-dependent safety hole. Instead claimants
+    * wait a bounded [[MedallionTable.IntentWaitMs]] (healthy rewrites
+    * clear the intent in milliseconds) and then fail fast with a clear
+    * conflict; a crashed rewrite's leftover intent blocks claims until
+    * [[vacuum]] clears it. No clock assumption anywhere in the protocol.
+    * The body (publish time + op) is diagnostics only.
     */
   private def intentFile = new Path(commitsDir, "rewrite.intent")
 
@@ -216,18 +232,7 @@ final class MedallionTable(
     try fs.delete(intentFile, false)
     catch { case _: java.io.IOException => () }
 
-  /** True while a rewrite holds an unexpired intent lease. Expired or
-    * unreadable intents (crashed rewrites) are ignored, not deleted —
-    * a delete here could race a fresh re-publish; vacuum() cleans them.
-    */
-  private def unexpiredIntent(): Boolean =
-    fs.exists(intentFile) && {
-      try {
-        val ts = readMetaText(intentFile).takeWhile(_.isDigit)
-        ts.nonEmpty &&
-          System.currentTimeMillis() - ts.toLong < MedallionTable.IntentLeaseMs
-      } catch { case _: java.io.IOException => false } // deleted mid-read
-    }
+  private def intentStanding(): Boolean = fs.exists(intentFile)
 
   /** In-flight claim-first write flags: created BEFORE the marker claim,
     * deleted only after the data has landed (or after failure cleanup
@@ -272,8 +277,24 @@ final class MedallionTable(
         attempts += 1
         if (attempts >= 8) throw new java.util.ConcurrentModificationException(
           s"could not claim a commit marker for $path after $attempts attempts " +
-            "(commit contention or a rewrite mid-swap)")
-        Thread.sleep(25) // rewrite intent windows are milliseconds — back off past them
+            "(commit contention)")
+        Thread.sleep(25)
+      }
+      // The intent WAIT has its own budget, separate from claim-race
+      // attempts: a healthy rewrite clears its intent in milliseconds,
+      // so the wait almost never exceeds one sleep — but a crashed
+      // rewrite's leftover intent stands until vacuum(), and the
+      // claimant must fail with a message pointing there rather than
+      // burning its contention attempts inside 200 ms.
+      val intentDeadline =
+        System.currentTimeMillis() + MedallionTable.IntentWaitMs
+      def awaitIntent(): Unit = {
+        if (System.currentTimeMillis() > intentDeadline)
+          throw new java.util.ConcurrentModificationException(
+            s"rewrite intent on $path still standing after " +
+              s"${MedallionTable.IntentWaitMs} ms; if the rewrite crashed, " +
+              "vacuum() clears its leftovers")
+        Thread.sleep(50)
       }
       while (claimed < 0) {
         // Two-phase guard, claimant side: an unexpired rewrite intent means a
@@ -285,14 +306,14 @@ final class MedallionTable(
         // post-claim hit, release the claim so the rewrite — which may
         // already have aborted on seeing our marker — finds a clean ordinal
         // when either side retries.
-        if (unexpiredIntent()) retryOrGiveUp()
+        if (intentStanding()) awaitIntent()
         else {
           val expected = commitVersion
           if (!tryClaimCommit(expected, op)) retryOrGiveUp()
-          else if (unexpiredIntent()) {
+          else if (intentStanding()) {
             try fs.delete(new Path(commitsDir, s"v${expected + 1}.commit"), false)
             catch { case _: java.io.IOException => () }
-            retryOrGiveUp()
+            awaitIntent()
           } else claimed = expected + 1
         }
       }
@@ -499,7 +520,7 @@ final class MedallionTable(
     * commit (Delta-parity conflict detection; the reference relies on
     * Delta's transactional commit). The intent lease closes the former
     * re-check-to-rename residual race: claimants seeing an unexpired
-    * intent back off (see [[unexpiredIntent]]).
+    * intent back off (see [[intentStanding]]).
     *
     * In-flight fencing closes the wider claim-read-to-swap window (the
     * round-7 advice finding): a claim-first writer whose marker is
@@ -1048,13 +1069,14 @@ object MedallionTable {
     */
   val HistoryDepth = 8
 
-  /** Rewrite-intent lease duration: claim-first writers treat an intent
-    * older than this as a crashed rewrite's leftover and ignore it. The
-    * leased section (intent publish → swap renames) is a handful of
-    * metadata ops, so 30 s leaves orders-of-magnitude margin while
-    * bounding how long a crashed rewrite can stall claimants.
+  /** How long a claim-first writer waits on a standing rewrite intent
+    * before failing with a conflict. The guarded section (intent publish
+    * → swap renames) is a handful of metadata ops, normally
+    * milliseconds, so this bound exists only for crashed rewrites —
+    * whose leftovers vacuum() clears. private[graft] var so specs can
+    * shrink the wait when they deliberately hold the window open.
     */
-  val IntentLeaseMs = 30000L
+  private[graft] var IntentWaitMs = 30000L
 
   /** Test-only failpoint, invoked at named points of the commit
     * protocol ("mid-claim-first": a claim-first writer holds its

@@ -120,6 +120,34 @@ class AsOfBloomJoinSpec extends SparkSpec {
     }
   }
 
+  test("asOfSalted matches asOf on NULL keys and NULL times") {
+    import spark.implicits._
+    // window partitioning groups NULL keys into one partition; the salted
+    // carry joins must be null-safe or those rows silently lose their
+    // carry-in (round-8 review finding)
+    val quotes = Seq(
+      (Some(1L), Some(ts("2024-01-01 01:00:00")), 10.0),
+      (None, Some(ts("2024-01-01 02:00:00")), 20.0),
+      (None, Some(ts("2024-01-03 02:00:00")), 21.0),
+      (Some(2L), None, 30.0)
+    ).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (100L, Some(1L), Some(ts("2024-01-05 01:00:00"))),
+      (101L, None, Some(ts("2024-01-05 02:00:00"))), // null key, late bucket
+      (102L, None, Some(ts("2024-01-01 03:00:00"))), // null key, early bucket
+      (103L, Some(2L), None)                         // null time
+    ).toDF("trade_id", "user_id", "ts")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("trade_id", "px").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val plain = run(AsOfJoin.asOf(trades, quotes, Seq("user_id"), "ts", Seq("px")))
+    val salted = run(AsOfJoin.asOfSalted(trades, quotes, Seq("user_id"), "ts",
+      Seq("px"), buckets = 16))
+    assert(salted == plain, s"null-key/null-time divergence: $salted vs $plain")
+    assert(plain(101L) == Some(21.0) && plain(102L) == Some(20.0),
+      "fixture must exercise the null-key cross-bucket carry")
+  }
+
   test("asOfSalted carries across empty and right-free buckets") {
     import spark.implicits._
     // One early quote, then a long quiet span, trades at the far end:

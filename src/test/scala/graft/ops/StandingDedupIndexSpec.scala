@@ -48,6 +48,22 @@ class StandingDedupIndexSpec extends SparkSpec {
     assert(r(11L) == ((true, 1L)))
   }
 
+  test("excludeTag makes a replayed batch's check idempotent") {
+    val idx = new StandingDedupIndex(spark, tmpDir("sdi_replay"), oneBand)
+    idx.ingest(df(1L -> "alpha beta"), tag = 1L)
+    val day2 = df(10L -> "alpha beta", 11L -> "epsilon zeta")
+    def report(exclude: Option[Long]) = idx.check(day2, exclude).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    val first = report(Some(2L))
+    idx.ingest(day2, tag = 2L)
+    // replay: same batch, same tag — the re-check must reproduce the
+    // pre-ingest report exactly (the crash-after-ingest recovery path)
+    assert(report(Some(2L)) == first)
+    // and without the exclusion the self-count is visible, proving the
+    // filter is what provides the idempotence
+    assert(report(None) != first)
+  }
+
   test("index tables are append-only MedallionTables with commit history") {
     val idx = new StandingDedupIndex(spark, tmpDir("sdi_tables"), oneBand)
     idx.ingest(df(1L -> "a b"))

@@ -289,6 +289,19 @@ class EventStreamsSpec extends SparkSpec {
       // the index accumulated both batches
       val idx = new graft.dedup.StandingDedupIndex(spark, idxPath, oneBand)
       assert(idx.hashTable.read.count() == 4)
+      // simulate a replay of micro-batch 1 (ingested, then crashed before
+      // the checkpoint commit): tag-excluded re-check + partition
+      // overwrite must leave the report byte-identical in content
+      val b1 = Seq(10L -> "alpha beta", 11L -> "epsilon zeta")
+        .toDF("doc_id", "text")
+      idx.check(b1, excludeTag = Some(1L))
+        .withColumn("ingest_batch_id", lit(1L))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch_id").parquet(report)
+      idx.ingest(b1, tag = 1L)
+      val replayed = spark.read.parquet(report).collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      assert(replayed == rows, "batch replay must be idempotent on the report")
     } finally q.stop()
   }
 

@@ -496,9 +496,13 @@ class MedallionTableSpec extends SparkSpec {
       case "post-recheck" =>
         MedallionTable.testFailpoint = _ => ()
         // must catch here: a throw from the failpoint would abort the
-        // rewrite itself and void the scenario under test
+        // rewrite itself and void the scenario under test. The failpoint
+        // HOLDS the intent window open, so shrink the claimant's bounded
+        // wait — in production it spans only the ms-scale rename section.
+        MedallionTable.IntentWaitMs = 300L
         try MedallionTable(spark, p).append(Seq((9L, "late")).toDF("id", "s"))
         catch { case t: Throwable => appendOutcome = Some(t) }
+        finally MedallionTable.IntentWaitMs = 30000L
       case _ => ()
     }
     try t.merge(Seq((1L, "A")).toDF("id", "s"), Seq("id"))
@@ -546,6 +550,31 @@ class MedallionTableSpec extends SparkSpec {
       deleteNotMatchedBySource = false)
     assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "M"), (9L, "late")))
+  }
+
+  test("a crashed rewrite's standing intent blocks claims until vacuum clears it") {
+    import spark.implicits._
+    // The intent has NO expiry by design (an expiring intent would let a
+    // claimant proceed under a stalled-but-alive rewrite): claimants wait
+    // their bounded budget, then fail-stop pointing at vacuum.
+    val p = tmpDir("mt_stale_intent")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    val f = fs(p)
+    val intent = new Path(s"${p}__graft_commits", "rewrite.intent")
+    val out = f.create(intent, true)
+    out.write("123\tmerge".getBytes("UTF-8")); out.close()
+    MedallionTable.IntentWaitMs = 300L
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        t.append(Seq((9L, "late")).toDF("id", "s"))
+      }
+    } finally MedallionTable.IntentWaitMs = 30000L
+    assert(t.read.count() == 1, "the refused append must not land rows")
+    t.vacuum()
+    assert(!f.exists(intent), "vacuum clears the leftover intent")
+    t.append(Seq((9L, "late")).toDF("id", "s"))
+    assert(t.read.count() == 2)
   }
 
   test("a crashed writer's in-flight flag fails rewrites fast until vacuum clears it") {
