@@ -244,6 +244,42 @@ object TextQueries {
           "CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates")
     }),
 
+    // Cross-document BOILERPLATE removal (the C4/RefinedWeb repeated-
+    // segment dedup): segment each doc on sentence boundaries, count each
+    // segment's document frequency across the corpus, flag segments
+    // appearing in ≥ 50% of docs as boilerplate, and reconstruct the
+    // cleaned text from the surviving segments in order. Boilerplate is
+    // PLANTED (a footer on every doc, a promo line on half) so the hit
+    // path is exercised on any corpus, and every doc keeps a unique
+    // closing line so reconstruction is never empty. Scale shape: one
+    // explode shuffle carrying (segment, doc) pairs, an equi-join on the
+    // segment key, and a per-doc ordered re-assembly — no all-pairs
+    // anything; at 100 TB the join key becomes md5(segment).
+    "text_boilerplate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).selectExpr("doc_id",
+        "CONCAT(text, '. Subscribe to our newsletter today. ', " +
+          "CASE WHEN doc_id % 2 = 0 THEN 'Visit example dot com for more. ' ELSE '' END, " +
+          "'Doc ', CAST(doc_id AS STRING), ' unique closing line.') AS raw")
+      val n = docs.count() // corpus size for the relative threshold (1 scalar)
+      val segs = docs
+        .repartition($"doc_id") // single-file source: spread the explode fan-out
+        .selectExpr("doc_id", "POSEXPLODE(SPLIT(raw, '[.][ ]')) AS (pos, seg0)")
+        .selectExpr("doc_id", "pos", "TRIM(seg0) AS seg")
+        .where("seg != ''")
+      val freq = segs.groupBy($"seg").agg(countDistinct($"doc_id").as("df"))
+      segs.join(freq, Seq("seg"))
+        .selectExpr("doc_id", "pos", "seg", s"df >= ${n * 0.5} AS is_b")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_segments"),
+          sum(when($"is_b", 1L).otherwise(0L)).as("n_boilerplate"),
+          array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN NOT is_b " +
+              "THEN named_struct('pos', pos, 'seg', seg) END)), x -> x.seg)"),
+            ". ").as("clean_text"))
+    }),
+
     // PERSISTED incremental dedup — dedup_incremental's join shape with
     // the standing index living as append-only MedallionTables
     // (graft.dedup.StandingDedupIndex): batch 1 (the 80% corpus) WRITES
@@ -821,6 +857,29 @@ object TextQueries {
          |FROM batch b LEFT JOIN exact e ON b.doc_id = e.doc_id
          |LEFT JOIN cn ON b.doc_id = cn.doc_id""".stripMargin
     },
+    "text_boilerplate" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text || '. Subscribe to our newsletter today. ' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Visit example dot com for more. ' ELSE '' END ||
+        |    'Doc ' || doc_id || ' unique closing line.' AS raw
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |         TRIM(arr[CAST(i AS INTEGER) + 1]) AS seg
+        |  FROM (SELECT doc_id, regexp_split_to_array(raw, '[.][ ]') AS arr FROM raw),
+        |       unnest(range(0, len(arr))) AS t(i)
+        |  WHERE TRIM(arr[CAST(i AS INTEGER) + 1]) != ''),
+        |freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT s.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(CASE WHEN f.df >= 0.5 * (SELECT n_docs FROM n)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+        |  COALESCE(STRING_AGG(CASE WHEN f.df < 0.5 * (SELECT n_docs FROM n)
+        |                           THEN s.seg END, '. ' ORDER BY s.pos), '')
+        |    AS clean_text
+        |FROM segs s JOIN freq f USING (seg)
+        |GROUP BY 1""".stripMargin,
     "dedup_index_persisted" -> {
       val duckShingles =
         s"list_transform(range(1, len($DuckTokens) - 1), " +
