@@ -34,7 +34,10 @@ object Bench {
     "dedup_cc_groups", "embed_stats", "mm_decode_image", "text_redact_pii",
     // round-7 additions
     "mm_decode_video", "mm_decode_audio", "text_repetition", "text_gopher_rules",
-    "text_decontaminate", "dedup_keep_best"
+    "text_decontaminate", "dedup_keep_best",
+    // round-8 additions (line stays well under the ~2000-char tail budget)
+    "dedup_index_persisted", "dedup_decision_xcheck", "sim_ann_xcheck",
+    "text_boilerplate", "j11b_asof_salted"
   )
 
   private def f3(v: Double): String =
