@@ -15,7 +15,11 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
   *
   * Scale notes:
   *   - append/overwrite are plain distributed parquet writes — no driver
-  *     bottleneck, any partition count.
+  *     bottleneck, any partition count. Claim-first data jobs on ONE
+  *     table serialize behind the writer lock (Spark's
+  *     FileOutputCommitter shares `_temporary/0` per output path, so
+  *     truly simultaneous appends would corrupt each other's staging);
+  *     jobs on different tables are unaffected.
   *   - merge is one full-outer shuffle join (see [[MergeOps]]) followed by a
   *     distributed rewrite. When `partitionColumns ⊆ keys`,
   *     [[mergePruned]] restricts both the read and the rewrite to the
@@ -170,37 +174,43 @@ final class MedallionTable(
     * body is DESCRIBE HISTORY-style metadata (an empty body read between
     * creation and the body write renders as "unknown" in [[history]]).
     */
+  /** Atomic create-exclusive file creation with a body — the CAS
+    * primitive under commit markers AND the writer lock. Atomic on
+    * HDFS/object stores with conditional create; on the local fs,
+    * Hadoop's `create(overwrite=false)` is check-then-create, so the
+    * claim goes through `java.io.File.createNewFile`, which the JDK
+    * documents as atomic. If the body write fails AFTER the create
+    * succeeded (disk full), the file is deleted before reporting
+    * failure — a leftover would claim an ordinal/lock nobody owns.
+    */
+  private def atomicCreateExclusive(p: Path, body: String): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      val local = new java.io.File(fs.makeQualified(p).toUri.getPath)
+      try local.createNewFile() && {
+        try {
+          val out = new java.io.FileOutputStream(local)
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => local.delete(); false }
+      } catch { case _: java.io.IOException => false }
+    } else
+      try {
+        val out = fs.create(p, false)
+        try {
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+          true
+        } catch {
+          case _: java.io.IOException =>
+            try fs.delete(p, false)
+            catch { case _: java.io.IOException => () }
+            false
+        }
+      } catch { case _: java.io.IOException => false }
+
   private def tryClaimCommit(expected: Long, op: String): Boolean = {
     fs.mkdirs(commitsDir)
-    val marker = new Path(commitsDir, s"v${expected + 1}.commit")
-    // If the body write fails AFTER the create succeeded (disk full), the
-    // marker must be deleted before reporting failure — a leftover claims
-    // an ordinal nobody owns: history() would show a phantom commit and
-    // every concurrent rewrite would abort blaming a writer that does not
-    // exist.
-    val created =
-      if ("file" == fs.getUri.getScheme) {
-        val local = new java.io.File(fs.makeQualified(marker).toUri.getPath)
-        try local.createNewFile() && {
-          try {
-            val out = new java.io.FileOutputStream(local)
-            try out.write(op.getBytes("UTF-8")) finally out.close()
-            true
-          } catch { case _: java.io.IOException => local.delete(); false }
-        } catch { case _: java.io.IOException => false }
-      } else
-        try {
-          val out = fs.create(marker, false)
-          try {
-            try out.write(op.getBytes("UTF-8")) finally out.close()
-            true
-          } catch {
-            case _: java.io.IOException =>
-              try fs.delete(marker, false)
-              catch { case _: java.io.IOException => () }
-              false
-          }
-        } catch { case _: java.io.IOException => false }
+    val created = atomicCreateExclusive(
+      new Path(commitsDir, s"v${expected + 1}.commit"), op)
     if (created)
       commitMarkers.dropRight(MedallionTable.HistoryDepth).foreach(v =>
         fs.delete(new Path(commitsDir, s"v$v.commit"), false))
@@ -214,10 +224,10 @@ final class MedallionTable(
     * land (or the rewrite aborts). While the intent STANDS, claim-first
     * writers refuse to claim — closing the re-check-to-rename window
     * where a claim could land unseen and have its rows swapped away.
-    * Deliberately NO expiry (matching [[anyInflight]]): an expiring
+    * Deliberately NO expiry (matching [[writeLock]]): an expiring
     * intent would let a claimant proceed under a rewrite stalled longer
     * than the lease — a clock-dependent safety hole. Instead claimants
-    * wait a bounded [[MedallionTable.IntentWaitMs]] (healthy rewrites
+    * wait a bounded [[MedallionTable.WriterWaitMs]] (healthy rewrites
     * clear the intent in milliseconds) and then fail fast with a clear
     * conflict; a crashed rewrite's leftover intent blocks claims until
     * [[vacuum]] clears it. No clock assumption anywhere in the protocol.
@@ -234,20 +244,31 @@ final class MedallionTable(
 
   private def intentStanding(): Boolean = fs.exists(intentFile)
 
-  /** In-flight claim-first write flags: created BEFORE the marker claim,
-    * deleted only after the data has landed (or after failure cleanup
-    * released the marker), so `no flag ∧ marker visible ⇒ that claim's
-    * data is visible` — the invariant [[rewriteVia]]'s snapshot fence
-    * relies on. Deliberately NO lease: a claim-first write may
-    * legitimately run for hours, and expiring the flag would let a
-    * rewrite swap the table out from under a slow healthy writer. A
-    * crashed writer's leftover flag fails rewrites FAST (clear
-    * ConcurrentModificationException) until [[vacuum]] clears it —
-    * fail-stop, never silent loss.
+  /** Writer lock: held by claim-first writers from BEFORE their marker
+    * claim until their data has landed (or failure cleanup released the
+    * marker). It serves two purposes at once:
+    *
+    *  1. MUTEX between claim-first data jobs — Spark's
+    *     FileOutputCommitter stages every job writing a given path under
+    *     the SAME `<path>/_temporary/0`, so two simultaneous appends
+    *     corrupt each other's staging (observed: FileNotFoundException
+    *     at job commit in the thread-stress spec). The lock turns that
+    *     corruption into an orderly bounded wait.
+    *  2. In-flight fence for rewrites: `lock absent ∧ marker visible ⇒
+    *     that claim's data is visible` — the invariant [[rewriteVia]]'s
+    *     snapshot fence relies on (rewrites never take the lock; their
+    *     staging is a private tmp dir).
+    *
+    * Deliberately NO lease: a claim-first write may legitimately run for
+    * hours, and expiring the lock would let a rewrite swap the table out
+    * from under a slow healthy writer (or a second append corrupt its
+    * staging). A crashed writer's leftover lock fails others with a
+    * clear ConcurrentModificationException after a bounded wait until
+    * [[vacuum]] clears it — fail-stop, never silent loss.
     */
-  private def anyInflight(): Boolean =
-    fs.exists(commitsDir) &&
-      fs.listStatus(commitsDir).exists(_.getPath.getName.startsWith("inflight_"))
+  private def writeLock = new Path(commitsDir, "write.lock")
+
+  private def writeLockHeld(): Boolean = fs.exists(writeLock)
 
   /** Claim the next commit ordinal, run the write, and release the marker
     * if the write FAILS — for write paths whose effects COMMUTE with
@@ -261,15 +282,23 @@ final class MedallionTable(
     * safe because commitVersion is max-based, so a freed latest ordinal is
     * simply re-claimable (create-exclusive prevents reuse races).
     *
-    * The whole claim+write section runs under an in-flight flag (see
-    * [[anyInflight]]); the flag is removed LAST, after either the data
-    * landed or the failed claim was released.
+    * The whole claim+write section runs under the [[writeLock]] (atomic
+    * create-exclusive acquire with a bounded wait); the lock is released
+    * LAST, after either the data landed or the failed claim was
+    * released.
     */
   private def withClaimedCommit[T](op: String)(write: => T): T = {
     fs.mkdirs(commitsDir)
-    val flag = new Path(commitsDir,
-      s"inflight_${java.util.UUID.randomUUID().toString.take(8)}.write")
-    writeMetaText(flag, s"${System.currentTimeMillis()}\t$op")
+    val lockDeadline = System.currentTimeMillis() + MedallionTable.WriterWaitMs
+    while (!atomicCreateExclusive(writeLock,
+        s"${System.currentTimeMillis()}\t$op")) {
+      if (System.currentTimeMillis() > lockDeadline)
+        throw new java.util.ConcurrentModificationException(
+          s"another claim-first write holds the writer lock on $path after " +
+            s"${MedallionTable.WriterWaitMs} ms; if that writer crashed, " +
+            "vacuum() clears its lock")
+      Thread.sleep(50)
+    }
     try {
       var claimed = -1L
       var attempts = 0
@@ -287,12 +316,12 @@ final class MedallionTable(
       // claimant must fail with a message pointing there rather than
       // burning its contention attempts inside 200 ms.
       val intentDeadline =
-        System.currentTimeMillis() + MedallionTable.IntentWaitMs
+        System.currentTimeMillis() + MedallionTable.WriterWaitMs
       def awaitIntent(): Unit = {
         if (System.currentTimeMillis() > intentDeadline)
           throw new java.util.ConcurrentModificationException(
             s"rewrite intent on $path still standing after " +
-              s"${MedallionTable.IntentWaitMs} ms; if the rewrite crashed, " +
+              s"${MedallionTable.WriterWaitMs} ms; if the rewrite crashed, " +
               "vacuum() clears its leftovers")
         Thread.sleep(50)
       }
@@ -326,7 +355,7 @@ final class MedallionTable(
           throw t
       }
     } finally {
-      try fs.delete(flag, false)
+      try fs.delete(writeLock, false)
       catch { case _: java.io.IOException => () }
     }
   }
@@ -552,7 +581,7 @@ final class MedallionTable(
     var fenceAttempts = 0
     while (expectedVersion < 0) {
       val v = commitVersion
-      if (!anyInflight()) expectedVersion = v
+      if (!writeLockHeld()) expectedVersion = v
       else {
         fenceAttempts += 1
         if (fenceAttempts >= 8) throw new java.util.ConcurrentModificationException(
@@ -966,16 +995,13 @@ final class MedallionTable(
     }
     val toDelete = litter()
     toDelete.foreach(p => fs.delete(p, true))
-    // Crashed-writer leftovers in the commits dir: a stale intent lease
-    // (claimants already ignore it once expired) and in-flight write
-    // flags (which fail rewrites fast until cleared — deliberately
-    // unexpiring, see anyInflight). Safe unconditionally under vacuum's
-    // no-writer-in-flight assumption.
+    // Crashed-writer leftovers in the commits dir: a standing intent and
+    // the writer lock (both deliberately unexpiring — they fail others
+    // fast until cleared, see writeLock/intentFile). Safe unconditionally
+    // under vacuum's no-writer-in-flight assumption.
     clearIntent()
-    if (fs.exists(commitsDir))
-      fs.listStatus(commitsDir).map(_.getPath)
-        .filter(_.getName.startsWith("inflight_"))
-        .foreach(p => fs.delete(p, false))
+    try fs.delete(writeLock, false)
+    catch { case _: java.io.IOException => () }
     toDelete.length
   }
 
@@ -1069,14 +1095,16 @@ object MedallionTable {
     */
   val HistoryDepth = 8
 
-  /** How long a claim-first writer waits on a standing rewrite intent
-    * before failing with a conflict. The guarded section (intent publish
-    * → swap renames) is a handful of metadata ops, normally
-    * milliseconds, so this bound exists only for crashed rewrites —
-    * whose leftovers vacuum() clears. private[graft] var so specs can
-    * shrink the wait when they deliberately hold the window open.
+  /** Bounded wait budget for writer coordination: how long a claim-first
+    * writer waits on a standing rewrite intent OR on another writer's
+    * lock before failing with a conflict. Healthy holders release in
+    * milliseconds (intent) or one data job (lock), so the budget exists
+    * for crashed holders — whose leftovers vacuum() clears — and for
+    * long-running writes under contention (retryable). private[graft]
+    * var so specs can shrink it when they deliberately hold a window
+    * open.
     */
-  private[graft] var IntentWaitMs = 30000L
+  private[graft] var WriterWaitMs = 30000L
 
   /** Test-only failpoint, invoked at named points of the commit
     * protocol ("mid-claim-first": a claim-first writer holds its

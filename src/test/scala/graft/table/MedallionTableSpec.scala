@@ -499,10 +499,10 @@ class MedallionTableSpec extends SparkSpec {
         // rewrite itself and void the scenario under test. The failpoint
         // HOLDS the intent window open, so shrink the claimant's bounded
         // wait — in production it spans only the ms-scale rename section.
-        MedallionTable.IntentWaitMs = 300L
+        MedallionTable.WriterWaitMs = 300L
         try MedallionTable(spark, p).append(Seq((9L, "late")).toDF("id", "s"))
         catch { case t: Throwable => appendOutcome = Some(t) }
-        finally MedallionTable.IntentWaitMs = 30000L
+        finally MedallionTable.WriterWaitMs = 30000L
       case _ => ()
     }
     try t.merge(Seq((1L, "A")).toDF("id", "s"), Seq("id"))
@@ -564,12 +564,12 @@ class MedallionTableSpec extends SparkSpec {
     val intent = new Path(s"${p}__graft_commits", "rewrite.intent")
     val out = f.create(intent, true)
     out.write("123\tmerge".getBytes("UTF-8")); out.close()
-    MedallionTable.IntentWaitMs = 300L
+    MedallionTable.WriterWaitMs = 300L
     try {
       intercept[java.util.ConcurrentModificationException] {
         t.append(Seq((9L, "late")).toDF("id", "s"))
       }
-    } finally MedallionTable.IntentWaitMs = 30000L
+    } finally MedallionTable.WriterWaitMs = 30000L
     assert(t.read.count() == 1, "the refused append must not land rows")
     t.vacuum()
     assert(!f.exists(intent), "vacuum clears the leftover intent")
@@ -577,23 +577,29 @@ class MedallionTableSpec extends SparkSpec {
     assert(t.read.count() == 2)
   }
 
-  test("a crashed writer's in-flight flag fails rewrites fast until vacuum clears it") {
+  test("a crashed writer's lock fails rewrites AND writers until vacuum clears it") {
     import spark.implicits._
-    val p = tmpDir("mt_stale_flag")
+    val p = tmpDir("mt_stale_lock")
     val t = MedallionTable(spark, p)
     t.overwrite(Seq((1L, "a")).toDF("id", "s"))
     val f = fs(p)
-    val flag = new Path(s"${p}__graft_commits", "inflight_deadbeef.write")
-    val out = f.create(flag, true)
+    val lock = new Path(s"${p}__graft_commits", "write.lock")
+    val out = f.create(lock, true)
     out.write("123\tappend".getBytes("UTF-8")); out.close()
-    // fail-stop, not silent: the rewrite aborts with a clear conflict
+    // fail-stop, not silent: the rewrite's fence refuses to pin a snapshot
     intercept[java.util.ConcurrentModificationException] {
       t.merge(Seq((1L, "M")).toDF("id", "s"), Seq("id"))
     }
+    // and a second claim-first writer waits out its bounded budget, then
+    // fails with the vacuum pointer instead of corrupting shared staging
+    MedallionTable.WriterWaitMs = 300L
+    try intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq((9L, "late")).toDF("id", "s"))
+    } finally MedallionTable.WriterWaitMs = 30000L
     assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
-      Set((1L, "a")), "the refused rewrite must not touch the table")
+      Set((1L, "a")), "refused writes must not touch the table")
     t.vacuum()
-    assert(!f.exists(flag), "vacuum clears the leftover flag")
+    assert(!f.exists(lock), "vacuum clears the leftover lock")
     t.merge(Seq((1L, "M")).toDF("id", "s"), Seq("id"))
     assert(t.read.collect().head.getString(1) == "M")
   }
@@ -662,6 +668,56 @@ class MedallionTableSpec extends SparkSpec {
     intercept[Throwable] { t.append(Seq((3L, -1.0)).toDF("id", "v")) }
     t.merge(Seq((1L, 11.0), (2L, 20.0)).toDF("id", "v"), Seq("id"))
     assert(t.read.filter("id = 1").collect().head.getDouble(1) == 11.0)
+  }
+
+  test("thread stress: concurrent appends and merges never lose a committed row") {
+    import spark.implicits._
+    // Real threads, real interleavings — no failpoints. Whatever the
+    // schedule, the protocol's contract is: every write that RETURNED
+    // (possibly after retrying a detected conflict) has its rows in the
+    // final table. 4 appender threads race a merger thread; conflicts
+    // surface as ConcurrentModificationException and are retried, never
+    // silently absorbed.
+    val p = tmpDir("mt_stress")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((0L, "base")).toDF("id", "s"))
+    @annotation.tailrec
+    def retry[T](n: Int)(f: => T): T =
+      scala.util.Try(f) match {
+        case scala.util.Success(v) => v
+        case scala.util.Failure(_: java.util.ConcurrentModificationException)
+            if n > 0 =>
+          Thread.sleep(100); retry(n - 1)(f)
+        case scala.util.Failure(e) => throw e
+      }
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def guarded(body: => Unit): Thread = new Thread(() =>
+      try body catch { case e: Throwable => failures.add(e) })
+    val appenders = (1 to 4).map { w =>
+      guarded {
+        (0 until 4).foreach { i =>
+          val id = w * 100L + i
+          retry(60)(MedallionTable(spark, p).append(Seq((id, s"w$w")).toDF("id", "s")))
+          committed.add(id)
+        }
+      }
+    }
+    val merger = guarded {
+      (0 until 3).foreach { _ =>
+        retry(60)(MedallionTable(spark, p).merge(
+          Seq((0L, "merged")).toDF("id", "s"), Seq("id"),
+          deleteNotMatchedBySource = false))
+      }
+    }
+    val threads = appenders :+ merger
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    val ids = t.read.select("id").collect().map(_.getLong(0)).toSet
+    committed.forEach(id => assert(ids.contains(id), s"lost appended row $id"))
+    assert(ids.contains(0L), "merged base row must survive")
+    assert(t.read.count() == ids.size, "no duplicated rows either")
   }
 
   test("mergePruned rewrites only partitions present in the source") {
