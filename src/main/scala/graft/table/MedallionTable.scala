@@ -557,10 +557,10 @@ final class MedallionTable(
     * both the CAS and the re-check — its claim is already counted in
     * `expectedVersion` — and the swap would discard its rows (or at
     * best fail its task commit). The fence loop below reads the ordinal
-    * and THEN checks for in-flight flags, retrying until clean: a flag
-    * precedes every claim and outlives its data job, so a clean check
-    * proves every claim counted in `expectedVersion` has landed its
-    * data. `newData0` is BY-NAME and evaluated after the fence, so the
+    * and THEN checks the writer lock, retrying until clean: the lock is
+    * acquired before every claim and held past its data job, so a clean
+    * check proves every claim counted in `expectedVersion` has landed
+    * its data. `newData0` is BY-NAME and evaluated after the fence, so the
     * table scan's file listing (eager at `read`) also sees that landed
     * data — callers must construct the rewrite product (including their
     * `read`) inside the argument expression.
@@ -574,9 +574,9 @@ final class MedallionTable(
     // swap, which replaces the _graft_meta directory. One registry read
     // serves both.
     val constraints = checkConstraints
-    // Snapshot fence: ordinal BEFORE flags, retry until a flag-free
-    // listing — see the scaladoc. Fail-stop on a persistently-present
-    // flag (crashed writer): vacuum() clears it.
+    // Snapshot fence: ordinal BEFORE the lock check, retry until the
+    // lock is free — see the scaladoc. Fail-stop on a persistently-held
+    // lock (crashed writer): vacuum() clears it.
     var expectedVersion = -1L
     var fenceAttempts = 0
     while (expectedVersion < 0) {
@@ -586,7 +586,7 @@ final class MedallionTable(
         fenceAttempts += 1
         if (fenceAttempts >= 8) throw new java.util.ConcurrentModificationException(
           s"claim-first write in flight on $path: rewrite cannot pin a " +
-            "snapshot (if a writer crashed, vacuum() clears its in-flight flag)")
+            "snapshot (if that writer crashed, vacuum() clears its lock)")
         Thread.sleep(25)
       }
     }
@@ -1108,7 +1108,7 @@ object MedallionTable {
 
   /** Test-only failpoint, invoked at named points of the commit
     * protocol ("mid-claim-first": a claim-first writer holds its
-    * in-flight flag and claimed marker but has not run its data job —
+    * writer lock and claimed marker but has not run its data job —
     * the window the snapshot fence protects; "pre-commit": staged,
     * before the marker CAS; "pre-swap": after the CAS, before the intent
     * publish; "post-recheck": intent published and conflict re-check

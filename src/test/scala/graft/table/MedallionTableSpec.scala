@@ -526,7 +526,7 @@ class MedallionTableSpec extends SparkSpec {
     // its data job has not landed — the old protocol let a rewrite pin
     // that ordinal as its snapshot, miss the in-flight rows in its scan,
     // and swap them away with both writers "succeeding". The fence makes
-    // the rewrite refuse to pin while any in-flight flag exists.
+    // the rewrite refuse to pin while the writer lock is held.
     val p = tmpDir("mt_inflight")
     val t = MedallionTable(spark, p)
     t.overwrite(Seq((1L, "a")).toDF("id", "s"))
