@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{MinHash, SimHash}
 import graft.multimodal.MultimodalOps
-import graft.similarity.{Ann, Similarity}
+import graft.similarity.{Ann, SemDeDup, Similarity}
 
 /** Queries backed by the LLM-pipeline modules (dedup, ANN, multimodal).
   * SQL-expressible ones carry DuckDB oracles; signature/ANN queries whose
@@ -85,6 +85,31 @@ object PipelineOpsQueries {
         .selectExpr("query_id", "lsh_top1", "ivf_top1",
           "lsh_top1 = query_id + 100000 AS lsh_self",
           "ivf_top1 = query_id + 100000 AS ivf_self")
+    }),
+
+    // SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup over
+    // the FULL corpus, decision-oracled on planted ground truths (the
+    // dedup_decision_xcheck recipe): an exact copy of each query vector
+    // under a fresh higher id lands in the same k-means cell as its
+    // original under ANY deterministic assignment (identical vector ⇒
+    // identical argmax centroid), scores cosine 1 ≥ τ against it, and τ
+    // = 0.9 clears every natural pair (measured max natural cosine ≈ 0.6
+    // at sf0.1) — so the copy MUST be dropped with dup_of = the original,
+    // and the original MUST survive. Truth-driven output (left side = the
+    // planted set) keeps probabilistic sub-identical recall out of the
+    // hash.
+    "sim_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val dups = emb.filter($"vec_id" < 8)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      val planted = emb.select($"vec_id", $"embedding").unionByName(dups)
+      val dec = SemDeDup.decisions(planted, nCentroids = 16, tau = 0.9)
+      emb.filter($"vec_id" < 8).select($"vec_id")
+        .join(dec.select($"vec_id", $"keep".as("orig_kept")), Seq("vec_id"))
+        .join(dec.select(($"vec_id" - 100000).as("vec_id"),
+          $"keep".as("dup_kept"), $"dup_of"), Seq("vec_id"))
+        .select($"vec_id", $"orig_kept", $"dup_kept", $"dup_of")
     }),
 
     // Embedding column statistics via the codegen'd graft_dot kernel
@@ -482,6 +507,9 @@ object PipelineOpsQueries {
        "CAST(vec_id + 100000 AS BIGINT) AS ivf_top1, " +
        "true AS lsh_self, true AS ivf_self " +
        "FROM embeddings WHERE vec_id < 8"),
+    "sim_semdedup" ->
+      ("SELECT vec_id, true AS orig_kept, false AS dup_kept, " +
+       "vec_id AS dup_of FROM embeddings WHERE vec_id < 8"),
     "embed_stats" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
        "list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS sq_norm, " +

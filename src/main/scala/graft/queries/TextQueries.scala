@@ -548,6 +548,16 @@ object TextQueries {
         .selectExpr("doc_id", "lang")
     }),
 
+    // Deterministic training-order shuffle + sharding
+    // ([[graft.operators.ShardShuffle]]): seed-keyed md5 decides shard
+    // membership AND within-shard order, reproducible across engines and
+    // re-runs. No global total order — one window task per shard, with
+    // nShards as the parallelism/file-size knob (see the operator
+    // scaladoc for the 100 TB layout argument).
+    "shard_shuffle" -> ((s, dir) =>
+      graft.operators.ShardShuffle.assign(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", nShards = 16)),
+
     "text_winnow_md5" -> ((s, dir) => md5WinnowIndex(s, dir, bound = 100)),
 
     // Winnowing inverted-index candidate pairs over the MD5 fingerprint
@@ -989,6 +999,17 @@ object TextQueries {
          |WHERE SUBSTRING(MD5(doc_id || ':' || lang), 1, 2) <
          |      CASE WHEN lang = 'en' THEN '40' WHEN lang = 'de' THEN '80'
          |           ELSE 'c0' END""".stripMargin),
+    "shard_shuffle" ->
+      ("""WITH h AS (
+         |  SELECT doc_id,
+         |         MD5('graft-shuffle:42:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents)
+         |SELECT doc_id,
+         |       ('0x' || SUBSTRING(hx, 1, 8))::BIGINT % 16 AS shard_id,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY ('0x' || SUBSTRING(hx, 1, 8))::BIGINT % 16
+         |         ORDER BY hx, doc_id) AS INTEGER) AS pos_in_shard
+         |FROM h""".stripMargin),
     "text_repetition" ->
       (s"""WITH tc AS (
          |  SELECT doc_id, t, COUNT(*) AS n

@@ -42,7 +42,9 @@ object PlanLint {
     "sim_ann_ivf" -> (Set("BroadcastNestedLoopJoin"),
       "corpus x broadcast(centroids) cell assignment — centroid count is a small constant"),
     "sim_ann_xcheck" -> (Set("BroadcastNestedLoopJoin"),
-      "same IVF corpus x broadcast(centroids) cell assignment as sim_ann_ivf, on the planted-dup corpus")
+      "same IVF corpus x broadcast(centroids) cell assignment as sim_ann_ivf, on the planted-dup corpus"),
+    "sim_semdedup" -> (Set("BroadcastNestedLoopJoin"),
+      "same IVF corpus x broadcast(centroids) cell assignment; the pair join itself is an equi-join on cell_id")
   )
 
   private def offenses(plan: SparkPlan): Seq[String] = {

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import graft.dedup.Winnowing
-import graft.similarity.{Ivf, Similarity}
+import graft.similarity.{Ivf, SemDeDup, Similarity}
 import org.apache.spark.sql.functions._
 
 class IvfSpec extends SparkSpec {
@@ -56,6 +56,52 @@ class IvfSpec extends SparkSpec {
     val r3 = recallAt(3)
     assert(r3 >= r0, s"refinement must not hurt recall: iters0=$r0 iters3=$r3")
     assert(r3 >= 0.8, s"refined IVF recall too low: $r3")
+  }
+}
+
+class SemDeDupSpec extends SparkSpec {
+  test("semantic duplicates drop greedily to the lowest id; distinct vectors survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 40 well-separated random vectors, plus exact copies of 3 of them
+    // and a near-parallel copy (same direction, different magnitude —
+    // cosine 1) of a fourth, all under higher ids.
+    val base = (0 until 40).map { i =>
+      val r = new scala.util.Random(100 + i)
+      (i.toLong, Seq.fill(16)(r.nextGaussian().toFloat))
+    }
+    val copies = Seq(3L, 11L, 25L).map(i => (i + 1000L, base(i.toInt)._2)) :+
+      (1040L, base(7)._2.map(x => x * 2.5f))
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+    val dec = SemDeDup.decisions(emb, nCentroids = 8, tau = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(3), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    for (orig <- Seq(3L, 11L, 25L, 7L))
+      assert(dec(orig) == (true, -1L), s"original $orig must survive: ${dec(orig)}")
+    for ((copy, orig) <- Seq(1003L -> 3L, 1011L -> 11L, 1025L -> 25L, 1040L -> 7L))
+      assert(dec(copy) == (false, orig), s"copy $copy must drop to $orig: ${dec(copy)}")
+    assert(dec.size == 44 && dec.count(_._2._1) == 40)
+    // dedup() keeps exactly the survivors, schema preserved
+    val kept = SemDeDup.dedup(emb, nCentroids = 8, tau = 0.95)
+    assert(kept.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(kept.select("vec_id").as[Long].collect().toSet ==
+      dec.filter(_._2._1).keySet)
+  }
+
+  test("within-cell pair join is an equi-join — no cartesian over the corpus") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dec = SemDeDup.decisions(emb, nCentroids = 8, tau = 0.9)
+    val plan = dec.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the only BNLJ allowed is the bounded broadcast(centroids) assignment,
+    // which feeds BOTH sides of the self-join (≤ 2 occurrences); the pair
+    // join itself must be a hash/merge equi-join on cell_id
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2, s"corpus-side BNLJ leaked into the pair join:\n$plan")
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(plan.contains), s"pair join is not an equi-join:\n$plan")
+    assert(dec.count() == emb.count())
   }
 }
 
