@@ -37,7 +37,8 @@ object Bench {
     "text_decontaminate", "dedup_keep_best",
     // round-8 additions (line stays well under the ~2000-char tail budget)
     "dedup_index_persisted", "dedup_decision_xcheck", "sim_ann_xcheck",
-    "text_boilerplate", "j11b_asof_salted", "sim_semdedup", "shard_shuffle"
+    "text_boilerplate", "j11b_asof_salted", "sim_semdedup", "shard_shuffle",
+    "pipeline_llm_curate"
   )
 
   private def f3(v: Double): String =

@@ -558,6 +558,56 @@ object TextQueries {
       graft.operators.ShardShuffle.assign(
         Tables.documents(s, dir).select("doc_id"), "doc_id", nShards = 16)),
 
+    // The WHOLE curation funnel composed into one declarative plan —
+    // what a user actually runs to build a training set: Gopher quality
+    // gate → exact dedup (keep-lowest-id per identical text) → benchmark
+    // decontamination (8-gram MD5 equi-join, bench side broadcast, bench
+    // members excluded) → per-source weighted mixing → deterministic
+    // shard layout. Every stage is md5/SQL-decidable, so the END-TO-END
+    // composition is oracle-checked: a wrong decision at ANY stage
+    // changes the surviving population and therefore every downstream
+    // shard position. Stage recipes are shared verbatim with their
+    // standalone queries (text_gopher_rules, dedup_exact, text_
+    // decontaminate, sample_mix_weighted, shard_shuffle), so the funnel
+    // and the per-stage oracles cannot drift apart.
+    "pipeline_llm_curate" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // canary planting: same recipe as text_decontaminate, applied ONCE
+      // so every stage sees one consistent text column
+      val docs = Tables.documents(s, dir).selectExpr("doc_id", "lang",
+        "CASE WHEN doc_id % 9 = 0 OR doc_id % 97 = 0 " +
+          s"THEN CONCAT(text, ' $DecontCanary') ELSE text END AS text")
+      val quality = docs.selectExpr("doc_id", "lang", "text",
+        s"SIZE($TokensExpr) AS n_tokens",
+        s"AGGREGATE($TokensExpr, 0, (a, t) -> a + LENGTH(t)) AS sum_tok_len",
+        s"SIZE(FILTER($TokensExpr, t -> t RLIKE '[A-Za-z]')) AS n_alpha",
+        s"SIZE(FILTER($TokensExpr, t -> t IN (${inList(Stopwords)}))) AS n_stop")
+        .where("n_tokens BETWEEN 5 AND 10000 AND " +
+          "CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10 AND " +
+          "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2")
+        .select($"doc_id", $"lang", $"text")
+      val deduped = quality
+        .withColumn("__mn", min($"doc_id").over(Window.partitionBy(md5($"text"))))
+        .where($"doc_id" === $"__mn").drop("__mn")
+      val bench = tokenGramIndex(docs.filter($"doc_id" % 97 === 0), k = 8)
+        .select($"doc_id".as("bench_id"), $"gram")
+      val contaminated = tokenGramIndex(deduped.select($"doc_id", $"text"), k = 8)
+        .join(broadcast(bench), Seq("gram"))
+        .filter($"doc_id" =!= $"bench_id")
+        .select($"doc_id").distinct()
+      val clean = deduped
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter($"doc_id" % 97 =!= 0) // bench members never train
+      val mixed = clean.where(
+        "SUBSTRING(MD5(CONCAT(CAST(doc_id AS STRING), ':', lang)), 1, 2) < " +
+          "CASE WHEN lang = 'en' THEN '40' WHEN lang = 'de' THEN '80' " +
+          "ELSE 'c0' END")
+      graft.operators.ShardShuffle
+        .assign(mixed.select("doc_id", "lang"), "doc_id", nShards = 16)
+        .select("doc_id", "lang", "shard_id", "pos_in_shard")
+    }),
+
     "text_winnow_md5" -> ((s, dir) => md5WinnowIndex(s, dir, bound = 100)),
 
     // Winnowing inverted-index candidate pairs over the MD5 fingerprint
@@ -1005,6 +1055,66 @@ object TextQueries {
          |         MD5('graft-shuffle:42:' || CAST(doc_id AS VARCHAR)) AS hx
          |  FROM documents)
          |SELECT doc_id,
+         |       ('0x' || SUBSTRING(hx, 1, 8))::BIGINT % 16 AS shard_id,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY ('0x' || SUBSTRING(hx, 1, 8))::BIGINT % 16
+         |         ORDER BY hx, doc_id) AS INTEGER) AS pos_in_shard
+         |FROM h""".stripMargin),
+    "pipeline_llm_curate" ->
+      (s"""WITH aug AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 9 = 0 OR doc_id % 97 = 0
+         |         THEN text || ' $DecontCanary' ELSE text END AS text
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(LEN(toks) AS INTEGER) AS n_tokens,
+         |    CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS INTEGER) AS sum_tok_len,
+         |    CAST(LEN(LIST_FILTER(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS n_alpha,
+         |    CAST(LEN(LIST_FILTER(toks, x -> x IN (${inList(Stopwords)}))) AS INTEGER) AS n_stop
+         |  FROM (SELECT doc_id, lang, text, $DuckTokens AS toks FROM aug)),
+         |qs AS (
+         |  SELECT doc_id, lang, text FROM q
+         |  WHERE n_tokens BETWEEN 5 AND 10000
+         |    AND CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10
+         |    AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2),
+         |dd AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |           MIN(doc_id) OVER (PARTITION BY md5(text)) AS mn
+         |    FROM qs)
+         |  WHERE doc_id = mn),
+         |bg AS (
+         |  SELECT DISTINCT doc_id AS bench_id,
+         |    md5(array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS gram
+         |  FROM (
+         |    SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+         |    FROM (SELECT doc_id, $DuckTokens AS toks FROM aug WHERE doc_id % 97 = 0)
+         |    WHERE len(toks) >= 8)),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS gram
+         |  FROM (
+         |    SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+         |    FROM (SELECT dd.doc_id, $DuckTokens AS toks FROM dd)
+         |    WHERE len(toks) >= 8)),
+         |hits AS (
+         |  SELECT DISTINCT g.doc_id
+         |  FROM g JOIN bg ON g.gram = bg.gram AND g.doc_id <> bg.bench_id),
+         |cl AS (
+         |  SELECT dd.doc_id, dd.lang FROM dd
+         |  LEFT JOIN hits ON dd.doc_id = hits.doc_id
+         |  WHERE hits.doc_id IS NULL AND dd.doc_id % 97 <> 0),
+         |mx AS (
+         |  SELECT doc_id, lang FROM cl
+         |  WHERE SUBSTRING(MD5(doc_id || ':' || lang), 1, 2) <
+         |        CASE WHEN lang = 'en' THEN '40' WHEN lang = 'de' THEN '80'
+         |             ELSE 'c0' END),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |         MD5('graft-shuffle:42:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM mx)
+         |SELECT doc_id, lang,
          |       ('0x' || SUBSTRING(hx, 1, 8))::BIGINT % 16 AS shard_id,
          |       CAST(row_number() OVER (
          |         PARTITION BY ('0x' || SUBSTRING(hx, 1, 8))::BIGINT % 16

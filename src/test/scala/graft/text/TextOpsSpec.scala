@@ -40,4 +40,22 @@ class TextOpsSpec extends SparkSpec {
     val ordered = (0 until 10).map(i => out(i.toLong))
     assert(ordered == ordered.sorted)
   }
+
+  test("pipeline_llm_curate: funnel drops bench/canary docs, layout stays dense") {
+    val s = spark
+    val out = graft.queries.TextQueries.defs("pipeline_llm_curate")(
+      s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    val total = s.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    // the funnel actually selects: nonempty, strictly smaller than the corpus
+    assert(out.nonEmpty && out.length < total, s"${out.length} of $total")
+    // benchmark members and canary-contaminated docs never reach training
+    assert(!out.exists { case (id, _, _) => id % 97 == 0 || id % 9 == 0 },
+      "bench/contaminated doc leaked through the funnel")
+    // every shard's positions are dense 1..|shard|
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.size),
+        s"shard $shard positions not dense")
+    }
+  }
 }
