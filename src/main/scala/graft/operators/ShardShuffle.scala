@@ -28,12 +28,20 @@ object ShardShuffle {
   /** Adds `shard_id` (0 until nShards) and `pos_in_shard` (1-based rank
     * in the shard's deterministic pseudo-random order) to `df`.
     *
-    * The hash string orders; `idCol` breaks the (practically impossible)
-    * md5-prefix ties so the order is total for any id population.
+    * `idCol` must be UNIQUE (like [[PrefixSum]]'s order key): the hash
+    * string orders and `idCol` breaks md5-prefix ties, so the order is
+    * total — and therefore reproducible — only for a unique id
+    * population. Duplicate ids would tie on both sort keys and take
+    * arrival-order positions, silently breaking the re-run guarantee.
     */
   def assign(df: DataFrame, idCol: String, nShards: Int,
       seed: String = "42"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    require(!df.columns.contains("__graft_h"),
+      "input must not carry the reserved column __graft_h")
+    for (c <- Seq("shard_id", "pos_in_shard"))
+      require(!df.columns.contains(c),
+        s"input already has a $c column; assign() would clobber it")
     val h = md5(concat(lit(s"graft-shuffle:$seed:"), col(idCol).cast("string")))
     val w = Window.partitionBy(col("shard_id")).orderBy(col("__graft_h"), col(idCol))
     df.withColumn("__graft_h", h)

@@ -105,11 +105,16 @@ object PipelineOpsQueries {
         .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
       val planted = emb.select($"vec_id", $"embedding").unionByName(dups)
       val dec = SemDeDup.decisions(planted, nCentroids = 16, tau = 0.9)
-      emb.filter($"vec_id" < 8).select($"vec_id")
-        .join(dec.select($"vec_id", $"keep".as("orig_kept")), Seq("vec_id"))
-        .join(dec.select(($"vec_id" - 100000).as("vec_id"),
-          $"keep".as("dup_kept"), $"dup_of"), Seq("vec_id"))
-        .select($"vec_id", $"orig_kept", $"dup_kept", $"dup_of")
+      // Pivot original + copy onto one row via vec_id % 100000, so `dec`
+      // appears ONCE in the plan — a self-join here would re-expand the
+      // whole SemDeDup subtree (cell assignments + pair join) per side.
+      dec.filter($"vec_id" < 8 || ($"vec_id" >= 100000 && $"vec_id" < 100008))
+        .groupBy(($"vec_id" % 100000).as("__base"))
+        .agg(
+          max(when($"vec_id" < 100000, $"keep")).as("orig_kept"),
+          max(when($"vec_id" >= 100000, $"keep")).as("dup_kept"),
+          max(when($"vec_id" >= 100000, $"dup_of")).as("dup_of"))
+        .select($"__base".as("vec_id"), $"orig_kept", $"dup_kept", $"dup_of")
     }),
 
     // Embedding column statistics via the codegen'd graft_dot kernel

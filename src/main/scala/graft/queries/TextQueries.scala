@@ -19,6 +19,36 @@ object TextQueries {
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
+  /** The four Gopher rule predicates over the stat columns (n_tokens,
+    * sum_tok_len, n_alpha, n_stop). Syntactically valid in BOTH Spark SQL
+    * and DuckDB, so `text_gopher_rules`, `pipeline_llm_curate`, and both
+    * of their oracles read the thresholds from this ONE definition — the
+    * stat computations differ per engine (SIZE/FILTER vs LEN/LIST_*),
+    * the decisions cannot drift.
+    */
+  /** The Spark-side Gopher stat columns the rules read — shared by
+    * `text_gopher_rules` and `pipeline_llm_curate`.
+    */
+  private val GopherStatExprs = Seq(
+    s"SIZE($TokensExpr) AS n_tokens",
+    s"AGGREGATE($TokensExpr, 0, (a, t) -> a + LENGTH(t)) AS sum_tok_len",
+    s"SIZE(FILTER($TokensExpr, t -> t RLIKE '[A-Za-z]')) AS n_alpha",
+    s"SIZE(FILTER($TokensExpr, t -> t IN (${inList(Stopwords)}))) AS n_stop")
+
+  private val GopherRules = Seq(
+    "n_tokens BETWEEN 5 AND 10000",
+    "CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10",
+    "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8",
+    "n_stop >= 2")
+  private val GopherPass = GopherRules.mkString(" AND ")
+
+  /** Per-source sampling-rate thresholds (first md5 byte as hex) —
+    * shared, engine-valid-in-both, by `sample_mix_weighted`,
+    * `pipeline_llm_curate`, and their oracles.
+    */
+  private val MixCase =
+    "CASE WHEN lang = 'en' THEN '40' WHEN lang = 'de' THEN '80' ELSE 'c0' END"
+
   val defs: Map[String, QueryFn] = Map(
     // Exact dedup via group-by text: deterministic keeper (min doc_id).
     "dedup_exact" -> ((s, dir) => {
@@ -469,20 +499,16 @@ object TextQueries {
     // minimum stopword hits — plus the composite pass flag a corpus
     // filter would gate on.
     "text_gopher_rules" -> ((s, dir) => {
-      Tables.documents(s, dir).selectExpr(
-        "doc_id",
-        s"SIZE($TokensExpr) AS n_tokens",
-        s"AGGREGATE($TokensExpr, 0, (a, t) -> a + LENGTH(t)) AS sum_tok_len",
-        s"SIZE(FILTER($TokensExpr, t -> t RLIKE '[A-Za-z]')) AS n_alpha",
-        s"SIZE(FILTER($TokensExpr, t -> t IN (${inList(Stopwords)}))) AS n_stop")
+      Tables.documents(s, dir)
+        .selectExpr("doc_id" +: GopherStatExprs: _*)
         .where("n_tokens >= 1")
         .selectExpr("doc_id", "n_tokens",
           "CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_tok_len",
           "CAST(n_alpha AS DOUBLE) / n_tokens AS alpha_ratio",
-          "n_tokens BETWEEN 5 AND 10000 AS r_count",
-          "CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10 AS r_meanlen",
-          "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AS r_alpha",
-          "n_stop >= 2 AS r_stop")
+          s"${GopherRules(0)} AS r_count",
+          s"${GopherRules(1)} AS r_meanlen",
+          s"${GopherRules(2)} AS r_alpha",
+          s"${GopherRules(3)} AS r_stop")
         .selectExpr("doc_id", "n_tokens", "mean_tok_len", "alpha_ratio",
           "r_count", "r_meanlen", "r_alpha", "r_stop",
           "r_count AND r_meanlen AND r_alpha AND r_stop AS passes")
@@ -541,10 +567,10 @@ object TextQueries {
     // narrow map — content-hash thresholding, reproducible across engines
     // and runs, no quota coordination. The 100 TB-scale form of sampling.
     "sample_mix_weighted" -> ((s, dir) => {
-      Tables.documents(s, dir).selectExpr("doc_id", "lang",
-        "SUBSTRING(MD5(CONCAT(CAST(doc_id AS STRING), ':', lang)), 1, 2) AS hh")
-        .where("hh < CASE WHEN lang = 'en' THEN '40' " + // keep ~25% en
-          "WHEN lang = 'de' THEN '80' ELSE 'c0' END")    // ~50% de, ~75% rest
+      // rates from MixCase: ~25% en, ~50% de, ~75% rest
+      Tables.documents(s, dir)
+        .where("SUBSTRING(MD5(CONCAT(CAST(doc_id AS STRING), ':', lang)), " +
+          s"1, 2) < $MixCase")
         .selectExpr("doc_id", "lang")
     }),
 
@@ -566,10 +592,11 @@ object TextQueries {
     // shard layout. Every stage is md5/SQL-decidable, so the END-TO-END
     // composition is oracle-checked: a wrong decision at ANY stage
     // changes the surviving population and therefore every downstream
-    // shard position. Stage recipes are shared verbatim with their
-    // standalone queries (text_gopher_rules, dedup_exact, text_
-    // decontaminate, sample_mix_weighted, shard_shuffle), so the funnel
-    // and the per-stage oracles cannot drift apart.
+    // shard position. The stage DECISION constants are shared with the
+    // standalone queries — Gopher thresholds via [[GopherRules]], mix
+    // rates via [[MixCase]], gram construction via [[tokenGramIndex]],
+    // layout via [[graft.operators.ShardShuffle]] — so the funnel and
+    // the per-stage queries cannot drift on any decision.
     "pipeline_llm_curate" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -578,14 +605,9 @@ object TextQueries {
       val docs = Tables.documents(s, dir).selectExpr("doc_id", "lang",
         "CASE WHEN doc_id % 9 = 0 OR doc_id % 97 = 0 " +
           s"THEN CONCAT(text, ' $DecontCanary') ELSE text END AS text")
-      val quality = docs.selectExpr("doc_id", "lang", "text",
-        s"SIZE($TokensExpr) AS n_tokens",
-        s"AGGREGATE($TokensExpr, 0, (a, t) -> a + LENGTH(t)) AS sum_tok_len",
-        s"SIZE(FILTER($TokensExpr, t -> t RLIKE '[A-Za-z]')) AS n_alpha",
-        s"SIZE(FILTER($TokensExpr, t -> t IN (${inList(Stopwords)}))) AS n_stop")
-        .where("n_tokens BETWEEN 5 AND 10000 AND " +
-          "CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10 AND " +
-          "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2")
+      val quality = docs
+        .selectExpr(Seq("doc_id", "lang", "text") ++ GopherStatExprs: _*)
+        .where(GopherPass)
         .select($"doc_id", $"lang", $"text")
       val deduped = quality
         .withColumn("__mn", min($"doc_id").over(Window.partitionBy(md5($"text"))))
@@ -601,8 +623,7 @@ object TextQueries {
         .filter($"doc_id" % 97 =!= 0) // bench members never train
       val mixed = clean.where(
         "SUBSTRING(MD5(CONCAT(CAST(doc_id AS STRING), ':', lang)), 1, 2) < " +
-          "CASE WHEN lang = 'en' THEN '40' WHEN lang = 'de' THEN '80' " +
-          "ELSE 'c0' END")
+          MixCase)
       graft.operators.ShardShuffle
         .assign(mixed.select("doc_id", "lang"), "doc_id", nShards = 16)
         .select("doc_id", "lang", "shard_id", "pos_in_shard")
@@ -1045,10 +1066,8 @@ object TextQueries {
          |  FROM documents)
          |WHERE rn <= 20""".stripMargin),
     "sample_mix_weighted" ->
-      ("""SELECT doc_id, lang FROM documents
-         |WHERE SUBSTRING(MD5(doc_id || ':' || lang), 1, 2) <
-         |      CASE WHEN lang = 'en' THEN '40' WHEN lang = 'de' THEN '80'
-         |           ELSE 'c0' END""".stripMargin),
+      (s"""SELECT doc_id, lang FROM documents
+         |WHERE SUBSTRING(MD5(doc_id || ':' || lang), 1, 2) < $MixCase""".stripMargin),
     "shard_shuffle" ->
       ("""WITH h AS (
          |  SELECT doc_id,
@@ -1074,10 +1093,7 @@ object TextQueries {
          |    CAST(LEN(LIST_FILTER(toks, x -> x IN (${inList(Stopwords)}))) AS INTEGER) AS n_stop
          |  FROM (SELECT doc_id, lang, text, $DuckTokens AS toks FROM aug)),
          |qs AS (
-         |  SELECT doc_id, lang, text FROM q
-         |  WHERE n_tokens BETWEEN 5 AND 10000
-         |    AND CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10
-         |    AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2),
+         |  SELECT doc_id, lang, text FROM q WHERE $GopherPass),
          |dd AS (
          |  SELECT doc_id, lang, text FROM (
          |    SELECT doc_id, lang, text,
@@ -1107,9 +1123,7 @@ object TextQueries {
          |  WHERE hits.doc_id IS NULL AND dd.doc_id % 97 <> 0),
          |mx AS (
          |  SELECT doc_id, lang FROM cl
-         |  WHERE SUBSTRING(MD5(doc_id || ':' || lang), 1, 2) <
-         |        CASE WHEN lang = 'en' THEN '40' WHEN lang = 'de' THEN '80'
-         |             ELSE 'c0' END),
+         |  WHERE SUBSTRING(MD5(doc_id || ':' || lang), 1, 2) < $MixCase),
          |h AS (
          |  SELECT doc_id, lang,
          |         MD5('graft-shuffle:42:' || CAST(doc_id AS VARCHAR)) AS hx
@@ -1142,13 +1156,11 @@ object TextQueries {
          |SELECT doc_id, n_tokens,
          |       CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_tok_len,
          |       CAST(n_alpha AS DOUBLE) / n_tokens AS alpha_ratio,
-         |       n_tokens BETWEEN 5 AND 10000 AS r_count,
-         |       CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10 AS r_meanlen,
-         |       CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AS r_alpha,
-         |       n_stop >= 2 AS r_stop,
-         |       (n_tokens BETWEEN 5 AND 10000) AND
-         |       (CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3 AND 10) AND
-         |       (CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8) AND (n_stop >= 2) AS passes
+         |       ${GopherRules(0)} AS r_count,
+         |       ${GopherRules(1)} AS r_meanlen,
+         |       ${GopherRules(2)} AS r_alpha,
+         |       ${GopherRules(3)} AS r_stop,
+         |       $GopherPass AS passes
          |FROM st WHERE n_tokens >= 1""".stripMargin),
     "text_winnow_md5" ->
       s"""WITH ${duckWinnowCte(100)}

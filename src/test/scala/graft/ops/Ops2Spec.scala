@@ -62,7 +62,6 @@ class IvfSpec extends SparkSpec {
 class SemDeDupSpec extends SparkSpec {
   test("semantic duplicates drop greedily to the lowest id; distinct vectors survive") {
     import spark.implicits._
-    val rnd = new scala.util.Random(7)
     // 40 well-separated random vectors, plus exact copies of 3 of them
     // and a near-parallel copy (same direction, different magnitude —
     // cosine 1) of a fourth, all under higher ids.
