@@ -38,7 +38,7 @@ object Bench {
     // round-8 additions (line stays well under the ~2000-char tail budget)
     "dedup_index_persisted", "dedup_decision_xcheck", "sim_ann_xcheck",
     "text_boilerplate", "j11b_asof_salted", "sim_semdedup", "shard_shuffle",
-    "pipeline_llm_curate"
+    "pipeline_llm_curate", "sample_upsample_epochs", "text_bpe_pair_freq"
   )
 
   private def f3(v: Double): String =

@@ -19,6 +19,14 @@ object TextQueries {
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
+  /** BPE pre-tokenizer (letter runs / digit runs / single punctuation) as a
+    * Spark SQL expression — shared by `text_token_bpe` and
+    * `text_bpe_pair_freq`. The oracle twin spells the whitespace class out
+    * (Java `\s` ⊃ RE2 `\s` on `\x0B`, ADVICE r4).
+    */
+  private val BpeTokens =
+    "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"
+
   /** The four Gopher rule predicates over the stat columns (n_tokens,
     * sum_tok_len, n_alpha, n_stop). Syntactically valid in BOTH Spark SQL
     * and DuckDB, so `text_gopher_rules`, `pipeline_llm_curate`, and both
@@ -48,6 +56,15 @@ object TextQueries {
     */
   private val MixCase =
     "CASE WHEN lang = 'en' THEN '40' WHEN lang = 'de' THEN '80' ELSE 'c0' END"
+
+  /** Epoch-weighted upsampling constants (mixture weights en=2.5, de=1.25,
+    * else 1.0): integer part as base epoch count, fractional part as a
+    * first-md5-byte threshold — engine-valid-in-both, shared by
+    * `sample_upsample_epochs` and its oracle.
+    */
+  private val EpochBase = "CASE WHEN lang = 'en' THEN 2 ELSE 1 END"
+  private val EpochFracHex =
+    "CASE WHEN lang = 'en' THEN '80' WHEN lang = 'de' THEN '40' ELSE '00' END"
 
   val defs: Map[String, QueryFn] = Map(
     // Exact dedup via group-by text: deterministic keeper (min doc_id).
@@ -82,8 +99,8 @@ object TextQueries {
     "text_token_bpe" -> ((s, dir) => {
       Tables.documents(s, dir).selectExpr(
         "doc_id",
-        "SIZE(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS n_bpe_tokens",
-        "SIZE(ARRAY_DISTINCT(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))) AS n_bpe_uniq")
+        s"SIZE($BpeTokens) AS n_bpe_tokens",
+        s"SIZE(ARRAY_DISTINCT($BpeTokens)) AS n_bpe_uniq")
     }),
 
     // Quality scoring: stopword ratio + banding (length/stopword heuristics).
@@ -647,6 +664,43 @@ object TextQueries {
         .groupBy($"id_a", $"id_b")
         .agg(count(lit(1)).as("n_shared"))
         .filter($"n_shared" >= 3)
+    }),
+
+    // Epoch-weighted upsampling: mixture weights > 1 replicate a source
+    // across training epochs (en=2.5, de=1.25, else 1.0). Integer part
+    // explodes to epochs 1..floor(w); the fractional epoch is gated per
+    // doc by a content-hash threshold — sample_mix_weighted's reproducible
+    // -rate trick applied to w > 1. One narrow map + explode, no shuffle,
+    // no quota coordination: the 100 TB-scale form of upsampling.
+    "sample_upsample_epochs" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", "lang", s"$EpochBase AS base",
+          "CASE WHEN SUBSTRING(MD5(CONCAT('ep:', CAST(doc_id AS STRING), " +
+            s"':', lang)), 1, 2) < $EpochFracHex THEN 1 ELSE 0 END AS extra")
+        .selectExpr("doc_id", "lang",
+          "EXPLODE(SEQUENCE(1, base + extra)) AS epoch")
+    }),
+
+    // The BPE trainer's first pass: adjacent symbol-pair frequencies over
+    // the word-frequency table (symbols = characters at iteration zero).
+    // The corpus collapses to its distinct-word vocabulary (map-side-
+    // combined count) BEFORE the character-pair fan-out, so the explode
+    // runs over the vocabulary, not the corpus — at 100 TB the vocabulary
+    // is MBs while the corpus is TBs. Top-50 by (count DESC, pair ASC):
+    // a total order, so the result multiset is engine-independent.
+    "text_bpe_pair_freq" -> ((s, dir) => {
+      import s.implicits._
+      val wordFreq = Tables.documents(s, dir)
+        .selectExpr(s"EXPLODE($BpeTokens) AS word")
+        .where("LENGTH(word) >= 2")
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+      wordFreq
+        .selectExpr("freq",
+          "EXPLODE(TRANSFORM(SEQUENCE(1, LENGTH(word) - 1), " +
+            "i -> SUBSTRING(word, i, 2))) AS pair")
+        .groupBy($"pair").agg(sum($"freq").as("n_occurrences"))
+        .orderBy($"n_occurrences".desc, $"pair".asc)
+        .limit(50)
     })
   )
 
@@ -1171,7 +1225,27 @@ object TextQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+    "sample_upsample_epochs" ->
+      (s"""SELECT doc_id, lang, CAST(e AS INTEGER) AS epoch FROM (
+         |  SELECT doc_id, lang, unnest(range(1, base + extra + 1)) AS e FROM (
+         |    SELECT doc_id, lang, $EpochBase AS base,
+         |      CASE WHEN SUBSTRING(MD5('ep:' || doc_id || ':' || lang), 1, 2)
+         |           < $EpochFracHex THEN 1 ELSE 0 END AS extra
+         |    FROM documents))""".stripMargin),
+    "text_bpe_pair_freq" ->
+      ("""WITH wf AS (
+         |  SELECT word, COUNT(*) AS freq FROM (
+         |    SELECT unnest(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS word
+         |    FROM documents)
+         |  WHERE LENGTH(word) >= 2 GROUP BY word),
+         |p AS (
+         |  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+         |  FROM (SELECT word, freq, unnest(range(1, LENGTH(word))) AS i FROM wf))
+         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+         |FROM p GROUP BY pair
+         |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin)
   )
 
   /** DuckDB twin of [[md5Simhash16]] (a standalone SELECT, also embedded
