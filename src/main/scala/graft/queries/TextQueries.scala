@@ -701,6 +701,35 @@ object TextQueries {
         .groupBy($"pair").agg(sum($"freq").as("n_occurrences"))
         .orderBy($"n_occurrences".desc, $"pair".asc)
         .limit(50)
+    }),
+
+    // TF-IDF keyword extraction: per-document top-3 lowercased terms by
+    // tf·ln(N/df). Both the ranking and the emitted score use integer
+    // micro-units (text_lm_score recipe) so the engines' last-ulp ln()
+    // differences cannot flip a rank or a hash. Shapes: tf and df are
+    // two hash aggs, the tf⋈df join keys on term (df is vocabulary-
+    // sized — AQE broadcasts it when it fits), N is a scalar subquery
+    // (one column-less count job, no cross join), and top-3 is a window
+    // partitioned per doc — |docs| partitions of a few terms each.
+    "text_tfidf_topk" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("tfidf_docs")
+      s.sql(s"""
+        |WITH t AS (
+        |  SELECT doc_id, LOWER(tok) AS term
+        |  FROM tfidf_docs LATERAL VIEW EXPLODE($TokensExpr) x AS tok),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    CAST(ROUND(tf.tf * LN(
+        |      CAST((SELECT COUNT(*) FROM tfidf_docs) AS DOUBLE) / df.df)
+        |      * 1000000) AS BIGINT) AS tfidf_micro
+        |  FROM tf JOIN df ON tf.term = df.term)
+        |SELECT doc_id, term, tf, tfidf_micro, rn FROM (
+        |  SELECT sc.*, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS rn
+        |  FROM sc)
+        |WHERE rn <= 3""".stripMargin)
     })
   )
 
@@ -1245,7 +1274,24 @@ object TextQueries {
          |  FROM (SELECT word, freq, unnest(range(1, LENGTH(word))) AS i FROM wf))
          |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
          |FROM p GROUP BY pair
-         |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin)
+         |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin),
+    "text_tfidf_topk" ->
+      (s"""WITH t AS (
+         |  SELECT doc_id, LOWER(tok) AS term FROM (
+         |    SELECT doc_id, unnest($DuckTokens) AS tok FROM documents)),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    CAST(ROUND(tf.tf * LN(
+         |      CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df)
+         |      * 1000000) AS BIGINT) AS tfidf_micro
+         |  FROM tf JOIN df ON tf.term = df.term)
+         |SELECT doc_id, term, tf, tfidf_micro, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT sc.*, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS rn
+         |  FROM sc)
+         |WHERE rn <= 3""".stripMargin)
   )
 
   /** DuckDB twin of [[md5Simhash16]] (a standalone SELECT, also embedded
