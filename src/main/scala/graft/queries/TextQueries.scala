@@ -730,6 +730,52 @@ object TextQueries {
         |    PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS rn
         |  FROM sc)
         |WHERE rn <= 3""".stripMargin)
+    }),
+
+    // Cross-document repeated-span detection — the substring-dedup pass
+    // of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    // Models Better") re-expressed in Spark's vocabulary: instead of a
+    // suffix array, a positional 8-token-gram index. A position is
+    // covered when its gram occurs in >= 2 DISTINCT docs; covered
+    // positions merge into maximal per-doc spans via gaps-and-islands.
+    // Runs on [[plantedCorpus]] so the (k, k+1) identical pairs are
+    // ground-truth full-coverage spans. Scale shapes: ONE gram fan-out
+    // (the cross-doc test is a window min/max-per-gram — min(doc)!=
+    // max(doc) iff >= 2 distinct docs — not a groupBy+self-join that
+    // would re-expand the gram subtree per side); then one shuffle back
+    // to doc_id for the islands window. Index rows are (id, pos, 32-char
+    // md5) — the corpus text itself never shuffles.
+    "dedup_span_runs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val W = 8
+      // toks materializes BEFORE the position explode (Generate carries
+      // the array per doc); slicing per position is O(W), the tokenizer
+      // runs once per doc — the CollapseProject-inlining lesson.
+      val grams = plantedCorpus(Tables.documents(s, dir))
+        .repartition(col("doc_id"))
+        .selectExpr("doc_id", s"$TokensExpr AS toks")
+        .where(s"SIZE(toks) >= $W")
+        .selectExpr("doc_id", "toks",
+          s"EXPLODE(SEQUENCE(1, SIZE(toks) - ${W - 1})) AS i")
+        .selectExpr("doc_id", "i",
+          s"MD5(ARRAY_JOIN(SLICE(toks, i, $W), ' ')) AS gram")
+      val perGram = Window.partitionBy($"gram")
+      val perDoc = Window.partitionBy($"doc_id").orderBy($"i")
+      grams
+        .withColumn("mn", min($"doc_id").over(perGram))
+        .withColumn("mx", max($"doc_id").over(perGram))
+        .where($"mn" =!= $"mx")
+        .select($"doc_id", $"i")
+        .withColumn("prev", lag($"i", 1).over(perDoc))
+        .withColumn("brk",
+          when($"prev".isNull || $"i" =!= $"prev" + 1, 1).otherwise(0))
+        .withColumn("run", sum($"brk").over(perDoc))
+        .groupBy($"doc_id", $"run")
+        .agg(min($"i").as("span_start"),
+          (max($"i") + lit(W - 1)).as("span_end"),
+          count(lit(1)).as("n_dup_grams"))
+        .select($"doc_id", $"span_start", $"span_end", $"n_dup_grams")
     })
   )
 
@@ -1291,7 +1337,39 @@ object TextQueries {
          |  SELECT sc.*, ROW_NUMBER() OVER (
          |    PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS rn
          |  FROM sc)
-         |WHERE rn <= 3""".stripMargin)
+         |WHERE rn <= 3""".stripMargin),
+    "dedup_span_runs" ->
+      (s"""WITH donor AS (SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),
+         |base AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 25 = 0 AND donor_text IS NOT NULL
+         |         THEN donor_text ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN donor ON d.doc_id = donor.doc_id),
+         |g AS (
+         |  SELECT doc_id, i,
+         |    md5(array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS gram
+         |  FROM (
+         |    SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+         |    FROM (SELECT doc_id, $DuckTokens AS toks FROM base)
+         |    WHERE len(toks) >= 8)),
+         |h AS (
+         |  SELECT doc_id, i FROM (
+         |    SELECT doc_id, i,
+         |           MIN(doc_id) OVER (PARTITION BY gram) AS mn,
+         |           MAX(doc_id) OVER (PARTITION BY gram) AS mx
+         |    FROM g)
+         |  WHERE mn <> mx),
+         |r AS (
+         |  SELECT doc_id, i,
+         |    SUM(CASE WHEN prev IS NULL OR i <> prev + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY i) AS run
+         |  FROM (SELECT doc_id, i,
+         |          lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         |        FROM h))
+         |SELECT doc_id, CAST(MIN(i) AS INTEGER) AS span_start,
+         |       CAST(MAX(i) + 7 AS INTEGER) AS span_end,
+         |       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+         |FROM r GROUP BY doc_id, run""".stripMargin)
   )
 
   /** DuckDB twin of [[md5Simhash16]] (a standalone SELECT, also embedded
