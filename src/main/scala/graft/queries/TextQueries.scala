@@ -66,6 +66,16 @@ object TextQueries {
   private val EpochFracHex =
     "CASE WHEN lang = 'en' THEN '80' WHEN lang = 'de' THEN '40' ELSE '00' END"
 
+  /** Min-frequency thresholds for the vocabulary coverage curve, shared
+    * by `text_vocab_coverage` and its oracle.
+    */
+  private val VocabMinFreqs = Seq(1, 2, 5, 10, 20, 50, 100)
+
+  /** Temperature exponent for `sample_mix_temperature` (XLM-R's 0.7),
+    * shared with the oracle.
+    */
+  private val MixAlpha = "0.7"
+
   val defs: Map[String, QueryFn] = Map(
     // Exact dedup via group-by text: deterministic keeper (min doc_id).
     "dedup_exact" -> ((s, dir) => {
@@ -776,6 +786,58 @@ object TextQueries {
           (max($"i") + lit(W - 1)).as("span_end"),
           count(lit(1)).as("n_dup_grams"))
         .select($"doc_id", $"span_start", $"span_end", $"n_dup_grams")
+    }),
+
+    // Vocabulary coverage curve — what fraction of corpus tokens survives
+    // truncating the vocabulary at min-frequency f? Deliberately framed
+    // as FREQUENCY-THRESHOLD truncation, not top-K: top-K needs a global
+    // order over the vocabulary (the single-partition window PlanLint
+    // forbids), while thresholding is one map-side-combined term count
+    // followed by one conditional agg — the formulation that holds at a
+    // 100 TB corpus (vocabulary is MBs after the first combine). The
+    // coverage ratio is emitted in micro-units over an all-BIGINT
+    // numerator/denominator: ROUND(covered * 1e6 / total) is two
+    // correctly-rounded IEEE ops, identical across engines.
+    "text_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val tf = Tables.documents(s, dir)
+        .selectExpr(s"EXPLODE($TokensExpr) AS tok")
+        .selectExpr("LOWER(tok) AS term")
+        .groupBy($"term").agg(count(lit(1)).as("freq"))
+      val cases = VocabMinFreqs.flatMap(f => Seq(
+        s"SUM(CASE WHEN freq >= $f THEN freq ELSE 0 END) AS cov_$f",
+        s"SUM(CASE WHEN freq >= $f THEN 1 ELSE 0 END) AS terms_$f"))
+      val stacked = VocabMinFreqs
+        .map(f => s"$f, terms_$f, cov_$f").mkString(", ")
+      tf.selectExpr(cases :+ "SUM(freq) AS total": _*)
+        .selectExpr("total",
+          s"STACK(${VocabMinFreqs.size}, $stacked) AS (min_freq, n_terms, covered_tokens)")
+        .selectExpr("min_freq", "n_terms", "covered_tokens", "total AS total_tokens",
+          "CAST(ROUND(covered_tokens * 1000000.0 / total) AS BIGINT) AS coverage_micro")
+    }),
+
+    // Temperature-based source mixing (the multilingual-sampling rule of
+    // XLM-R: p_i ~ n_i^alpha, alpha = 0.7, flattening skewed source
+    // sizes). Engine-hash safety via the text_lm_score recipe: POW is
+    // transcendental, so each source's n^alpha is micro-rounded to a
+    // BIGINT FIRST (per-row, order-free); the normalizing denominator is
+    // then an INTEGER sum — deterministic under any aggregation order —
+    // and the final weight is two correctly-rounded IEEE ops. The group
+    // count is map-side combined; the result is |sources| rows.
+    "sample_mix_temperature" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .selectExpr("source", "n_docs",
+          s"CAST(ROUND(POWER(n_docs, $MixAlpha) * 1000000) AS BIGINT) AS pow_micro")
+        .createOrReplaceTempView("mix_pow")
+      // scalar subquery, not SUM() OVER (): the unpartitioned window
+      // would single-partition the (already tiny) set AND trip PlanLint;
+      // the subquery is one scalar broadcast
+      s.sql("""SELECT source, n_docs, pow_micro,
+        |  CAST(ROUND(pow_micro * 1000000.0 /
+        |    (SELECT SUM(pow_micro) FROM mix_pow)) AS BIGINT) AS weight_micro
+        |FROM mix_pow""".stripMargin)
     })
   )
 
@@ -1369,7 +1431,30 @@ object TextQueries {
          |SELECT doc_id, CAST(MIN(i) AS INTEGER) AS span_start,
          |       CAST(MAX(i) + 7 AS INTEGER) AS span_end,
          |       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
-         |FROM r GROUP BY doc_id, run""".stripMargin)
+         |FROM r GROUP BY doc_id, run""".stripMargin),
+    "text_vocab_coverage" ->
+      (s"""WITH tf AS (
+         |  SELECT LOWER(tok) AS term, COUNT(*) AS freq
+         |  FROM (SELECT unnest($DuckTokens) AS tok FROM documents)
+         |  GROUP BY 1),
+         |f AS (SELECT unnest([${VocabMinFreqs.mkString(", ")}]) AS min_freq)
+         |SELECT CAST(f.min_freq AS INTEGER) AS min_freq,
+         |  CAST(SUM(CASE WHEN tf.freq >= f.min_freq THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+         |  CAST(SUM(CASE WHEN tf.freq >= f.min_freq THEN tf.freq ELSE 0 END) AS BIGINT) AS covered_tokens,
+         |  CAST(SUM(tf.freq) AS BIGINT) AS total_tokens,
+         |  CAST(ROUND(SUM(CASE WHEN tf.freq >= f.min_freq THEN tf.freq ELSE 0 END)
+         |    * 1000000.0 / SUM(tf.freq)) AS BIGINT) AS coverage_micro
+         |FROM tf CROSS JOIN f
+         |GROUP BY f.min_freq""".stripMargin),
+    "sample_mix_temperature" ->
+      (s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |p AS (SELECT source, n_docs,
+         |        CAST(ROUND(POW(n_docs, $MixAlpha) * 1000000) AS BIGINT) AS pow_micro
+         |      FROM c)
+         |SELECT source, n_docs, pow_micro,
+         |  CAST(ROUND(pow_micro * 1000000.0 /
+         |    (SELECT SUM(pow_micro) FROM p)) AS BIGINT) AS weight_micro
+         |FROM p""".stripMargin)
   )
 
   /** DuckDB twin of [[md5Simhash16]] (a standalone SELECT, also embedded
