@@ -76,6 +76,13 @@ object TextQueries {
     */
   private val MixAlpha = "0.7"
 
+  /** Corpus-wide suffix giving `dedup_paragraph_global` a deterministic
+    * cross-corpus repeated segment (kept only at its global first
+    * occurrence); shared with the oracle. No quotes/backslashes — it is
+    * embedded in single-quoted SQL literals on both sides.
+    */
+  private val ParaSuffix = ". Subscribe to our newsletter today. Thanks for reading"
+
   val defs: Map[String, QueryFn] = Map(
     // Exact dedup via group-by text: deterministic keeper (min doc_id).
     "dedup_exact" -> ((s, dir) => {
@@ -824,6 +831,42 @@ object TextQueries {
     // then an INTEGER sum — deterministic under any aggregation order —
     // and the final weight is two correctly-rounded IEEE ops. The group
     // count is map-side combined; the result is |sources| rows.
+    // Global segment-level dedup (C4's "discard repeated spans" rule at
+    // sentence-segment granularity): every DISTINCT segment survives only
+    // at its globally FIRST occurrence — lowest doc_id, then lowest
+    // position — whether the repeat is cross-document (planted (k, k+1)
+    // doc pairs; the corpus-wide suffix) or within-document. Differs from
+    // text_boilerplate (frequency-threshold removal: a segment in >= 50%
+    // of docs vanishes EVERYWHERE) — here every segment is kept exactly
+    // once, corpus-wide. Shapes: one explode fan-out, ONE shuffle on seg
+    // feeding two stacked same-partition windows (min doc, then min pos
+    // within that doc — no min-by-struct, which DuckDB cannot mirror),
+    // then the per-doc reassembly agg. Segment rows shuffle once; at
+    // 100 TB the seg key could be its md5 to bound shuffle width.
+    "dedup_paragraph_global" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val segs = plantedCorpus(Tables.documents(s, dir))
+        .selectExpr("doc_id", s"CONCAT(text, '$ParaSuffix') AS raw")
+        .repartition(col("doc_id"))
+        .selectExpr("doc_id", "POSEXPLODE(SPLIT(raw, '[.][ ]')) AS (pos, seg0)")
+        .selectExpr("doc_id", "pos", "TRIM(seg0) AS seg")
+        .where("seg != ''")
+      val perSeg = Window.partitionBy($"seg")
+      segs
+        .withColumn("mn_doc", min($"doc_id").over(perSeg))
+        .withColumn("keep", $"doc_id" === $"mn_doc" &&
+          $"pos" === min(when($"doc_id" === $"mn_doc", $"pos")).over(perSeg))
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_segments"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN keep " +
+              "THEN named_struct('pos', pos, 'seg', seg) END)), x -> x.seg)"),
+            ". ").as("clean_text"))
+    }),
+
     "sample_mix_temperature" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -1446,6 +1489,35 @@ object TextQueries {
          |    * 1000000.0 / SUM(tf.freq)) AS BIGINT) AS coverage_micro
          |FROM tf CROSS JOIN f
          |GROUP BY f.min_freq""".stripMargin),
+    "dedup_paragraph_global" ->
+      (s"""WITH donor AS (SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),
+         |base AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 25 = 0 AND donor_text IS NOT NULL
+         |         THEN donor_text ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN donor ON d.doc_id = donor.doc_id),
+         |raw AS (SELECT doc_id, text || '$ParaSuffix' AS raw FROM base),
+         |segs AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |         TRIM(arr[CAST(i AS INTEGER) + 1]) AS seg
+         |  FROM (SELECT doc_id, regexp_split_to_array(raw, '[.][ ]') AS arr FROM raw),
+         |       unnest(range(0, len(arr))) AS t(i)
+         |  WHERE TRIM(arr[CAST(i AS INTEGER) + 1]) != ''),
+         |m1 AS (
+         |  SELECT doc_id, pos, seg,
+         |         MIN(doc_id) OVER (PARTITION BY seg) AS mn_doc
+         |  FROM segs),
+         |m2 AS (
+         |  SELECT doc_id, pos, seg,
+         |    (doc_id = mn_doc AND pos = MIN(CASE WHEN doc_id = mn_doc THEN pos END)
+         |       OVER (PARTITION BY seg)) AS keep
+         |  FROM m1)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(STRING_AGG(CASE WHEN keep THEN seg END, '. ' ORDER BY pos), '')
+         |    AS clean_text
+         |FROM m2 GROUP BY doc_id""".stripMargin),
     "sample_mix_temperature" ->
       (s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
          |p AS (SELECT source, n_docs,
