@@ -142,6 +142,46 @@ object ScalarQueries {
         .agg(count(lit(1)).as("n_events"),
           (sum(round($"value" * 100)) / 100.0).as("total_value"),
           min($"ts").as("started"), max($"ts").as("ended"))
+    }),
+
+    // Ordered conversion funnel (view -> click -> purchase): each stage's
+    // timestamp is the FIRST qualifying event strictly after the previous
+    // stage — the sequential dependency is three per-user min-aggregates
+    // chained through equi-joins on user_id, not a window over the raw
+    // event stream. Each stage's output is users-sized (broadcastable at
+    // any corpus scale); events shuffle once per stage on user_id.
+    "events_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+      val v = ev.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      val c = ev.where($"event_type" === "click")
+        .join(v, Seq("user_id")).where($"ts" > $"t_view")
+        .groupBy($"user_id").agg(min($"ts").as("t_click"))
+      val p = ev.where($"event_type" === "purchase")
+        .join(c, Seq("user_id")).where($"ts" > $"t_click")
+        .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select($"user_id", $"t_view", $"t_click", $"t_purchase")
+    }),
+
+    // Weekly cohort retention: cohort = ISO week of the user's first
+    // event (DATE_TRUNC('week') is Monday-start in both engines),
+    // retention cell = distinct users from that cohort active at each
+    // week offset. The corpus reduces to distinct (user, week) rows
+    // FIRST — the only full-data pass; everything after is users-sized.
+    "events_retention" -> ((s, dir) => {
+      import s.implicits._
+      val wk = Tables.events(s, dir)
+        .selectExpr("user_id", "CAST(DATE_TRUNC('week', ts) AS DATE) AS wk")
+        .distinct()
+      val cohort = wk.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+      wk.join(cohort, Seq("user_id"))
+        .selectExpr("cohort_week",
+          "CAST(DATEDIFF(wk, cohort_week) DIV 7 AS INT) AS week_offset",
+          "user_id")
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
     })
   )
 
@@ -227,6 +267,34 @@ object ScalarQueries {
          |       SUM(ROUND(value * 100)) / 100.0 AS total_value,
          |       CAST(MIN(ts) AS TIMESTAMP) AS started,
          |       CAST(MAX(ts) AS TIMESTAMP) AS ended
-         |FROM sess GROUP BY user_id, session_id""".stripMargin)
+         |FROM sess GROUP BY user_id, session_id""".stripMargin),
+    "events_funnel" ->
+      ("""WITH v AS (
+         |  SELECT user_id, MIN(ts) AS t_view FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |c AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t_click
+         |  FROM events e JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+         |p AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+         |  FROM events e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+         |SELECT v.user_id, CAST(v.t_view AS TIMESTAMP) AS t_view,
+         |       CAST(c.t_click AS TIMESTAMP) AS t_click,
+         |       CAST(p.t_purchase AS TIMESTAMP) AS t_purchase
+         |FROM v LEFT JOIN c ON v.user_id = c.user_id
+         |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin),
+    "events_retention" ->
+      ("""WITH wk AS (
+         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+         |  FROM events),
+         |cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY 1)
+         |SELECT cohort.cohort_week,
+         |       CAST(date_diff('day', cohort.cohort_week, wk.wk) // 7 AS INTEGER)
+         |         AS week_offset,
+         |       CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_users
+         |FROM wk JOIN cohort ON wk.user_id = cohort.user_id
+         |GROUP BY 1, 2""".stripMargin)
   )
 }
