@@ -236,6 +236,56 @@ object SinkQueries {
       t.createOrMerge(o.filter($"o_orderkey" % 2 === 0), Seq("o_orderkey"))
       t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
+    }),
+
+    // RESTORE roundtrip (Delta RESTORE TABLE ... TO VERSION semantics):
+    // a merge mutates the table, restoreVersion(1) rewrites it back to the
+    // pre-merge snapshot, and the table stays fully writable afterwards —
+    // the closing append proves restore rewrote live state (not a view)
+    // with version lineage intact. Final state = original rows ∪ appended
+    // rows at ORIGINAL prices; a silently-skipped restore would leave the
+    // merge's doubled prices (hash mismatch) and duplicate the
+    // even∧multiple-of-3 keys (row-count mismatch).
+    "k_restore_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_restore")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p, retainVersions = 2)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 3 =!= 0))
+      t.merge(o.filter($"o_orderkey" % 2 === 0)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 5 === 0, $"o_totalprice" * 2)
+              .otherwise($"o_totalprice")),
+        Seq("o_orderkey"))
+      t.restoreVersion(1)
+      t.append(o.filter($"o_orderkey" % 3 === 0))
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }),
+
+    // OPTIMIZE + data-skipping roundtrip: three appends leave small
+    // unclustered files; compact range-clusters them on o_orderdate and
+    // the stats-manifest read (readRange) answers a date-range query
+    // touching only overlapping files — with a result identical to the
+    // plain filter (TableStatsSpec proves the file-set actually shrinks;
+    // this query pins result parity through the compact+skip path into
+    // the oracle gate). Bounds are full canonical timestamp strings so
+    // the manifest's lexicographic compare equals chronological order.
+    "k_optimize_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_optimize")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 5 === 0))
+      t.append(o.filter($"o_orderkey" % 5 === 1))
+      t.append(o.filter($"o_orderkey" % 5 === 2))
+      t.compact(clusterBy = Seq("o_orderdate"), nFiles = 8)
+      t.refreshStats(Seq("o_orderdate"))
+      t.readRange("o_orderdate", "1995-01-01 00:00:00", "1995-12-31 00:00:00")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
     })
   )
 
@@ -317,6 +367,12 @@ object SinkQueries {
        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
        "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END, " +
        "o_orderdate, o_orderpriority, 'delete' FROM orders " +
-       "WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0")
+       "WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0"),
+    "k_restore_roundtrip" ->
+      s"SELECT $OrderCols FROM orders",
+    "k_optimize_skipping" ->
+      (s"SELECT $OrderCols FROM orders WHERE o_orderkey % 5 IN (0, 1, 2) " +
+       "AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' " +
+       "AND TIMESTAMP '1995-12-31 00:00:00'")
   )
 }

@@ -36,7 +36,11 @@ object TableStats {
     val df = spark.read.parquet(tablePath)
     val cols = (if (columns.nonEmpty) columns else df.columns.toSeq)
       .filter(c => df.schema(c).dataType match {
-        case _: NumericType | StringType | TimestampType | DateType => true
+        // NTZ included: parquet timestamps with isAdjustedToUTC=false read
+        // as TIMESTAMP_NTZ in Spark 4, and both flavors share the
+        // lexicographic-canonical-string property pruning relies on.
+        case _: NumericType | StringType | TimestampType | TimestampNTZType
+           | DateType => true
         case _ => false
       })
     val aggs = cols.flatMap { c =>

@@ -40,6 +40,28 @@ class TableStatsSpec extends SparkSpec {
     assert(pruned.inputFiles.length <= 2)
   }
 
+  test("timestamp_ntz columns get stats and prune (regression: NTZ was filtered out of the manifest)") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("stats_ntz"))
+    // LocalDateTime columns land as TIMESTAMP_NTZ — the same type parquet
+    // timestamps with isAdjustedToUTC=false (the fixture tables) read as.
+    val rows = (0 until 1000).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(1995, 1, 1, 0, 0).plusHours(i.toLong))
+    }.toDF("id", "ts")
+    t.overwrite(rows)
+    t.compact(clusterBy = Seq("ts"), nFiles = 4)
+    t.refreshStats(Seq("ts"))
+    assert(spark.read.parquet(t.path + "/_graft_meta/stats").columns
+      .contains("min_str__ts"), "NTZ column missing from the stats manifest")
+    val pruned = t.readRange("ts", "1995-01-05 00:00:00", "1995-01-08 00:00:00")
+    val expected = t.read
+      .filter($"ts" >= "1995-01-05 00:00:00" && $"ts" <= "1995-01-08 00:00:00")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      expected.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(pruned.inputFiles.length <= 2,
+      s"expected <=2 files after NTZ pruning, scanned ${pruned.inputFiles.length} of 4")
+  }
+
   test("time travel: rewrites archive versions, readVersion/restore work, pruning caps history") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("tt"), retainVersions = 2)
