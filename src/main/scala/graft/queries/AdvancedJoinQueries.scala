@@ -109,6 +109,32 @@ object AdvancedJoinQueries {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"c_mktsegment")
     }),
 
+    // Bucketed co-located join: both sides written as 8-bucket tables on
+    // the join key, so the SortMergeJoin reads bucket k against bucket k
+    // with NO Exchange on either side (ScaleSpec pins the plan shape) —
+    // the layout that turns every recurring fact⋈fact join at 100 TB from
+    // a full shuffle into a local merge. The merge hint (not a session
+    // conf) keeps the demonstration on the SMJ path: the returned frame
+    // plans lazily, after this function has returned.
+    "j18_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val po = Q.scratch(dir, "bk_orders")
+      val pc = Q.scratch(dir, "bk_customer")
+      s.sql("DROP TABLE IF EXISTS graft_bk_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bk_customer")
+      Q.deleteDir(s, po)
+      Q.deleteDir(s, pc)
+      Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.option("path", po)
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_bk_orders")
+      Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+        .write.option("path", pc)
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_bk_customer")
+      s.table("graft_bk_orders").hint("merge")
+        .join(s.table("graft_bk_customer"), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"c_mktsegment")
+    }),
+
     // Deterministic hash-mod sampling (content-addressed ≈25% sample) —
     // the reproducible cross-engine form of TABLESAMPLE.
     "s6_sample_hash_mod" -> ((s, dir) => {
@@ -168,6 +194,9 @@ object AdvancedJoinQueries {
        "FROM orders JOIN customer ON o_custkey = c_custkey " +
        "WHERE c_mktsegment = 'BUILDING'"),
     "j14_salted_skew_join" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey"),
+    "j18_bucketed_join" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment " +
        "FROM orders JOIN customer ON o_custkey = c_custkey"),
     "j15_cross_join_small" ->

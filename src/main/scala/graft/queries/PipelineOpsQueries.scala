@@ -158,6 +158,25 @@ object PipelineOpsQueries {
           "POSEXPLODE(TRANSFORM(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / m + 0.5) AS INT))) AS (idx, q)")
     }),
 
+    // Signed random projection (Achlioptas-style ±1 sketch): 64-dim float
+    // embeddings down to 16 dense dims, out_j = 0.125 * Σ_i s(i,j)·v_i
+    // with deterministic ±1 signs derived from (i, j) — the cheap
+    // dimensionality-reduction front of an ANN index (project first, then
+    // bucket/score in 16-d instead of 64-d). Bit-exact across engines:
+    // signs are integer-derived, accumulation is index-ordered double
+    // adds (the embed_normalize discipline), and the 1/√64 scale is a
+    // power of two. One narrow map per row — no shuffle at any scale.
+    "embed_srp_project" -> ((s, dir) => {
+      def sign(j: Int) =
+        s"CASE WHEN ((i * 73 + $j * 151 + i * $j * 11) % 97) % 2 = 0 " +
+          "THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END"
+      val comps = (0 until 16).map(j =>
+        s"AGGREGATE(TRANSFORM(embedding, (v, i) -> ${sign(j)}), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x) * 0.125").mkString(", ")
+      Tables.embeddings(s, dir)
+        .selectExpr("vec_id", s"POSEXPLODE(ARRAY($comps)) AS (j, p)")
+    }),
+
     // N-gram Jaccard similarity over a bounded pair set (oracle-checked;
     // the unbounded path goes through MinHash LSH candidates instead).
     "ngram_jaccard_pairs" -> ((s, dir) => jaccardPairs(s, dir, bound = 25)),
@@ -545,6 +564,13 @@ object PipelineOpsQueries {
          |SELECT vec_id, idx,
          |       CAST(FLOOR(CAST(embedding[idx + 1] AS DOUBLE) * 127.0 / m + 0.5) AS INTEGER) AS q
          |FROM x""".stripMargin),
+    "embed_srp_project" ->
+      ("""SELECT vec_id, CAST(j AS INTEGER) AS j,
+         |  0.125 * list_sum(list_transform(range(0, len(embedding)), i ->
+         |    CASE WHEN ((i * 73 + j * 151 + i * j * 11) % 97) % 2 = 0
+         |         THEN CAST(embedding[i + 1] AS DOUBLE)
+         |         ELSE -CAST(embedding[i + 1] AS DOUBLE) END)) AS p
+         |FROM embeddings, range(16) t(j)""".stripMargin),
     "dedup_keep_best" ->
       (s"""WITH RECURSIVE ${duckShingleDocsCte(25)},
          |e0 AS (

@@ -548,6 +548,29 @@ object TextQueries {
           "r_count AND r_meanlen AND r_alpha AND r_stop AS passes")
     }),
 
+    // Hashed linear quality classifier — the fastText-shaped corpus
+    // filter (CCNet/DCLM style): each token hashes into a weight-table
+    // bucket, the doc score is the mean bucket weight, and a threshold
+    // gates keep/drop. The weight table ships INSIDE the expression
+    // (corpus-size-independent, like text_lm_score); here the weights are
+    // a deterministic function of the MD5 bucket so DuckDB recomputes the
+    // exact integers — a learned table would swap in via the same bucket
+    // lookup without changing the plan. One narrow map, no shuffle: the
+    // 100 TB shape of every quality-classifier sweep.
+    "text_hash_classifier" -> ((s, dir) => {
+      val w = "(ASCII(SUBSTRING(MD5(t), 1, 1)) * 256 + " +
+        "ASCII(SUBSTRING(MD5(t), 2, 1))) % 61 - 30"
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"$TokensExpr AS toks")
+        .where("SIZE(toks) >= 1")
+        .selectExpr("doc_id", "SIZE(toks) AS n_tokens",
+          s"AGGREGATE(TRANSFORM(toks, t -> CAST($w AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (a, x) -> a + x) AS raw_score")
+        .selectExpr("doc_id", "n_tokens", "raw_score",
+          "CAST(raw_score AS DOUBLE) / n_tokens AS clf_score",
+          "CAST(raw_score AS DOUBLE) / n_tokens > 0.0 AS keep")
+    }),
+
     // Benchmark decontamination — the eval-leakage pass of a training
     // corpus build: documents sharing any 8-token gram with the benchmark
     // set (here: doc_id % 97 == 0 as the deterministic stand-in) are
@@ -1396,6 +1419,18 @@ object TextQueries {
          |       ${GopherRules(3)} AS r_stop,
          |       $GopherPass AS passes
          |FROM st WHERE n_tokens >= 1""".stripMargin),
+    "text_hash_classifier" ->
+      (s"""WITH t AS (SELECT doc_id, $DuckTokens AS toks FROM documents),
+         |sc AS (
+         |  SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_tokens,
+         |    CAST(LIST_SUM(LIST_TRANSFORM(toks, t ->
+         |      (ASCII(SUBSTR(MD5(t), 1, 1)) * 256 +
+         |       ASCII(SUBSTR(MD5(t), 2, 1))) % 61 - 30)) AS BIGINT) AS raw_score
+         |  FROM t WHERE LEN(toks) >= 1)
+         |SELECT doc_id, n_tokens, raw_score,
+         |       CAST(raw_score AS DOUBLE) / n_tokens AS clf_score,
+         |       CAST(raw_score AS DOUBLE) / n_tokens > 0.0 AS keep
+         |FROM sc""".stripMargin),
     "text_winnow_md5" ->
       s"""WITH ${duckWinnowCte(100)}
         |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin,

@@ -56,6 +56,21 @@ object WindowSetQueries {
         cume_dist().over(w).as("cd"))
     }),
 
+    // ntile quantile bucketing — the windowed form of quota sampling:
+    // each customer's orders split into 4 price quartiles. The order key
+    // (o_totalprice, o_orderkey) is a total order, so bucket boundaries
+    // are engine-independent (ntile with ties under a partial order is
+    // not). Per-customer partitions: the window parallelizes across the
+    // key space at any scale.
+    "win_ntile" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      Tables.orders(s, dir).select(
+        $"o_orderkey", $"o_custkey", $"o_totalprice",
+        ntile(4).over(w).as("price_quartile"))
+    }),
+
     // nth_value over the whole partition (explicit full frame — the
     // default frame stops at CURRENT ROW, which both engines honor but
     // which is rarely what "the customer's 2nd order" means).
@@ -297,6 +312,11 @@ object WindowSetQueries {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_orderstatus
          |             ORDER BY o_totalprice, o_orderkey)""".stripMargin),
+    "win_ntile" ->
+      ("""SELECT o_orderkey, o_custkey, o_totalprice,
+         |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+         |    ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS price_quartile
+         |FROM orders""".stripMargin),
     "win_nth_value" ->
       ("""SELECT o_orderkey, o_custkey,
          |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
