@@ -28,10 +28,29 @@ object AsOfJoin {
     *                    null when no right row precedes the left row)
     */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      timeCol: String, payloadCols: Seq[String]): DataFrame = {
+      timeCol: String, payloadCols: Seq[String]): DataFrame =
+    asOfDirected(left, right, keyCols, timeCol, payloadCols, forward = false)
+
+  /** Forward as-of: each left row matches the right row with the SMALLEST
+    * `rightTime >= leftTime` within the same key (inclusive) — the
+    * "next event" enrichment (next price tick, next maintenance window).
+    * Same union + one-window shape as [[asOf]], just carried in reverse
+    * time order; identical cost and skew profile.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      timeCol: String, payloadCols: Seq[String]): DataFrame =
+    asOfDirected(left, right, keyCols, timeCol, payloadCols, forward = true)
+
+  private def asOfDirected(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], timeCol: String, payloadCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Descending time flips the carry to "nearest following"; the right
+    // row still sorts before the left row at equal time (tag asc), so
+    // the match stays inclusive in BOTH directions.
+    val timeOrder = if (forward) col(timeCol).desc else col(timeCol).asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__tag").asc)
+      .orderBy(timeOrder, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedUnion(left, right, keyCols, timeCol, payloadCols)
       .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))

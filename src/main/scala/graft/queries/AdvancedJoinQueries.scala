@@ -42,6 +42,20 @@ object AdvancedJoinQueries {
         timeCol = "ts", payloadCols = Seq("view_value"), buckets = 16)
     }),
 
+    // Forward as-of: each click enriched with the EARLIEST same-or-later
+    // view of the same user ("what did they see next") — the reverse-time
+    // twin of j11, same inputs, same one-window cost.
+    "j11c_asof_forward" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("view_value"))
+      AsOfJoin.asOfForward(clicks, views, keyCols = Seq("user_id"),
+        timeCol = "ts", payloadCols = Seq("view_value"))
+    }),
+
     // Range join: orders tagged with their price band (broadcast interval
     // table, narrow map over the big side — no shuffle theta-join).
     "j12_range_join" -> ((s, dir) => {
@@ -183,6 +197,15 @@ object AdvancedJoinQueries {
          |       v.view_value
          |FROM c ASOF LEFT JOIN v
          |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin),
+    "j11c_asof_forward" ->
+      ("""WITH v AS (SELECT user_id, ts, MAX(value) AS view_value
+         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (SELECT event_id, user_id, ts, value
+         |      FROM events WHERE event_type = 'click')
+         |SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts, c.value,
+         |       v.view_value
+         |FROM c ASOF LEFT JOIN v
+         |  ON c.user_id = v.user_id AND c.ts <= v.ts""".stripMargin),
     "j12_range_join" ->
       ("""WITH bands(band, lo, hi) AS (
          |  SELECT i, i * 50000.0, (i + 1) * 50000.0 FROM range(12) t(i))

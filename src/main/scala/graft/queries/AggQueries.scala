@@ -163,6 +163,29 @@ object AggQueries {
           (sum(round($"o_totalprice" * 100)) / 100.0).as("bucket_total"))
     }),
 
+    // Distributed content fingerprint — the cross-engine audit for "did
+    // the copy/migration/rewrite preserve every row": each row hashes its
+    // canonical key fields (integers only — no float/timestamp formatting
+    // divergence) into 64 buckets with a commutative integer checksum per
+    // bucket, so the 64-row signature is order- and partitioning-
+    // independent and two engines (or two clusters) can compare tables
+    // without moving data. Map-side combine into a 64-group shuffle —
+    // O(rows) scan, O(1) output at any scale.
+    "agg_table_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .selectExpr("MD5(CONCAT_WS('|', CAST(o_orderkey AS STRING), " +
+          "o_orderstatus, " +
+          "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING))) AS h")
+        .selectExpr(
+          "(ASCII(SUBSTRING(h, 1, 1)) * 256 + ASCII(SUBSTRING(h, 2, 1))) % 64 AS bucket",
+          "CAST(ASCII(SUBSTRING(h, 3, 1)) * 65536 + " +
+            "ASCII(SUBSTRING(h, 4, 1)) * 256 + " +
+            "ASCII(SUBSTRING(h, 5, 1)) AS BIGINT) AS w")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_rows"), sum($"w").as("checksum"))
+    }),
+
     // ROLLUP / CUBE grouping sets (beyond the reference — completes the
     // aggregation surface a switching user expects).
     "agg_rollup" -> ((s, dir) => {
@@ -249,6 +272,19 @@ object AggQueries {
        "CAST(COUNT(*) AS BIGINT) AS n, " +
        "SUM(ROUND(o_totalprice * 100)) / 100.0 AS bucket_total " +
        "FROM orders GROUP BY 1"),
+    "agg_table_fingerprint" ->
+      ("""WITH h AS (
+         |  SELECT MD5(CONCAT_WS('|', CAST(o_orderkey AS VARCHAR),
+         |    o_orderstatus,
+         |    CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))) AS h
+         |  FROM orders)
+         |SELECT CAST((ASCII(SUBSTR(h, 1, 1)) * 256 + ASCII(SUBSTR(h, 2, 1))) % 64
+         |         AS INTEGER) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(ASCII(SUBSTR(h, 3, 1)) * 65536 +
+         |                ASCII(SUBSTR(h, 4, 1)) * 256 +
+         |                ASCII(SUBSTR(h, 5, 1))) AS BIGINT) AS checksum
+         |FROM h GROUP BY 1""".stripMargin),
     "agg_rollup" ->
       ("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, " +
        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem " +

@@ -36,6 +36,60 @@ class AsOfBloomJoinSpec extends SparkSpec {
       13L -> None, 14L -> None))
   }
 
+  test("asOfForward matches the earliest right row at or after each left time") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (1L, ts("2024-01-01 10:10:00"), 99.0),
+      (2L, ts("2024-01-01 10:02:00"), 50.0)
+    ).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:03:00")), // next quote is 10:05
+      (11L, 1L, ts("2024-01-01 10:05:00")), // equal ts: inclusive match
+      (12L, 1L, ts("2024-01-01 10:30:00")), // nothing follows
+      (13L, 2L, ts("2024-01-01 10:01:00")), // 10:02 quote follows
+      (14L, 3L, ts("2024-01-01 10:00:00"))  // user with no quotes at all
+    ).toDF("trade_id", "user_id", "ts")
+
+    val out = AsOfJoin.asOfForward(trades, quotes, Seq("user_id"), "ts", Seq("px"))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(
+      10L -> Some(101.0), 11L -> Some(101.0), 12L -> None,
+      13L -> Some(50.0), 14L -> None))
+  }
+
+  test("asOfForward matches a brute-force reference model on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val quotes = (0 until 400).map { i =>
+      (rnd.nextInt(8).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        rnd.nextInt(1000).toDouble)
+    }.distinct
+      .groupBy(q => (q._1, q._2)).map { case ((u, t), vs) => (u, t, vs.map(_._3).max) }
+      .toSeq
+    val trades = (0 until 300).map { i =>
+      (1000L + i, rnd.nextInt(10).toLong,
+        ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:30"))
+    }
+    val got = AsOfJoin.asOfForward(trades.toDF("trade_id", "user_id", "ts"),
+        quotes.toDF("user_id", "ts", "px"), Seq("user_id"), "ts", Seq("px"))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val byUser = quotes.groupBy(_._1)
+    val expected = trades.map { case (tid, u, t) =>
+      tid -> byUser.getOrElse(u, Seq.empty)
+        .filter(q => !q._2.before(t))
+        .sortBy(_._2.getTime)
+        .headOption.map(_._3)
+    }.toMap
+    assert(got == expected)
+    assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty),
+      "fixture must exercise both matched and unmatched trades")
+  }
+
   test("asOf matches a brute-force reference model on randomized data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
