@@ -220,6 +220,44 @@ object MultimodalOps {
     } finally in.close()
   }
 
+  /** 64-bit perceptual difference-hash (dHash) from DECODED pixels: gray
+    * = r+g+b over the top-left 9×8 window; bit (y·8 + x) = 1 iff
+    * gray(x+1, y) > gray(x, y). Comparing ADJACENT pixels makes the hash
+    * invariant under uniform brightness shifts — the canonical
+    * perceptual-duplicate class — while any structural edit flips bits.
+    * One narrow decode map (no shuffle); images smaller than 9×8 or
+    * undecodable payloads are dropped, not failed (degrade-not-fail).
+    */
+  def decodeImagePHash(assets: Dataset[Asset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      it.flatMap { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.content))
+        if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+        else {
+          val px = img.getRGB(0, 0, 9, 8, null, 0, 9)
+          def gray(x: Int, y: Int): Int = {
+            val rgb = px(y * 9 + x)
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          }
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          Some((a.asset_id, hash))
+        }
+      }
+    }.toDF("asset_id", "phash")
+  }
+
   /** Exact per-channel sums over one decoded image (single bulk getRGB). */
   private def rgbChannelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
     val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)

@@ -335,6 +335,45 @@ object PipelineOpsQueries {
       MultimodalOps.decodeVideoStats(MultimodalOps.assetsFromDocuments(docs))
     }),
 
+    // Image near-dup dedup via perceptual hash — the missing MODALITY in
+    // the dedup family (text: minhash/simhash/winnow; vectors: semdedup;
+    // here: pixels). Every image decodes to a 64-bit dHash (adjacent-pixel
+    // gray comparisons — invariant under uniform brightness shift), hashes
+    // band into 4×16 bits, and candidates pair by band equi-join (never
+    // image×image), Hamming ≤ 2. Decision-oracled on planted ground truth
+    // (the sim_semdedup recipe): a pixel-identical copy of each small-id
+    // image under id+99999 (≡ 0 mod 3, so the asset stays an image) shares
+    // every band and pairs its original at Hamming 0 — a decode, hashing,
+    // banding, or pairing bug breaks the hash-match. The band self-join
+    // re-expands the bounded decode subtree once per side (the
+    // sim_semdedup caveat) — acceptable: the planted population is fixed
+    // and the full-corpus path is the same band index at any scale.
+    "dedup_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .where("LENGTH(text) >= 1 AND LENGTH(text) = OCTET_LENGTH(text)")
+        .select($"doc_id", $"text")
+      val planted = base.filter($"doc_id" % 3 === 0 && $"doc_id" < 60)
+        .select(($"doc_id" + 99999).as("doc_id"), $"text")
+      val hashes = MultimodalOps.decodeImagePHash(
+        MultimodalOps.assetsFromDocuments(base.unionByName(planted)))
+      val bands = hashes.select($"asset_id", $"phash",
+        posexplode(array((0 until 4).map(k =>
+          shiftright($"phash", k * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "bv")))
+      val pairs = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bv" === $"b.bv" &&
+            $"a.asset_id" < $"b.asset_id")
+        .select($"a.asset_id".as("id_a"), $"b.asset_id".as("id_b"),
+          $"a.phash".as("ha"), $"b.phash".as("hb"))
+        .distinct()
+        .filter(expr("bit_count(ha ^ hb) <= 2"))
+      pairs.filter($"id_b" - $"id_a" === 99999)
+        .select($"id_a".as("orig_id"), $"id_b".as("copy_id"),
+          expr("CAST(bit_count(ha ^ hb) AS INTEGER)").as("hamming"),
+          lit(true).as("is_pair"))
+    }),
+
     // Streaming transform exercised on the batch events table (the same
     // windowedCounts plan runs under readStream with a watermark — see
     // EventStreamsSpec for the streaming drive).
@@ -416,6 +455,13 @@ object PipelineOpsQueries {
          |       ELSE 8 + (OCTET_LENGTH(ENCODE(text)) % 3 + 2) * (4 + 54 + 64 * 192)
          |       END AS INTEGER) AS n_bytes
          |FROM documents""".stripMargin),
+    "dedup_image_phash" ->
+      ("""SELECT doc_id AS orig_id, doc_id + 99999 AS copy_id,
+         |       CAST(0 AS INTEGER) AS hamming, true AS is_pair
+         |FROM documents
+         |WHERE doc_id % 3 = 0 AND doc_id < 60
+         |  AND length(text) >= 1 AND length(text) = octet_length(encode(text))
+         |  AND octet_length(encode(text)) % 48 >= 1""".stripMargin),
     "mm_decode_image" ->
       ("""WITH img AS (
          |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,

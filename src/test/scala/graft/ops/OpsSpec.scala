@@ -366,6 +366,28 @@ class MultimodalSpec extends SparkSpec {
     assert(pxSum == expected)
   }
 
+  test("image dHash: brightness-shift invariant, structural edits flip bits, small images drop") {
+    import spark.implicits._
+    val (w, h) = (16, 12)
+    def grad(x: Int, y: Int, c: Int): Int = (x * 13 + y * 7 + c * 3) % 200
+    def asset(id: Long, pix: (Int, Int, Int) => Int) =
+      MultimodalOps.Asset(id, "image", MultimodalOps.Bmp.encode(w, h, pix), w, h, 0)
+    val assets = Seq(
+      asset(0L, grad),
+      asset(1L, (x, y, c) => grad(x, y, c) + 40),           // uniform brightness shift
+      asset(2L, (x, y, c) => grad(w - 1 - x, y, c)),        // mirrored: structure differs
+      MultimodalOps.Asset(3L, "image",
+        MultimodalOps.Bmp.encode(5, 5, grad), 5, 5, 0),     // below the 9×8 window
+      MultimodalOps.Asset(4L, "image", Array[Byte](1, 2, 3), w, h, 0) // undecodable
+    ).toDS()
+    val out = MultimodalOps.decodeImagePHash(assets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L), "small/corrupt images must drop, not fail")
+    assert(out(0L) == out(1L), "dHash must be invariant under uniform brightness shift")
+    assert(java.lang.Long.bitCount(out(0L) ^ out(2L)) > 2,
+      "a structural edit must move the hash beyond the near-dup threshold")
+  }
+
   test("extractFeatures decodes audio to the real mean/RMS of the samples") {
     val feats = MultimodalOps.extractFeatures(MultimodalOps.assetsFromDocuments(docs))
       .collect().filter(_.kind == "audio")
