@@ -169,6 +169,57 @@ case class Md5MinHash(child: Expression, nHashes: Int)
     copy(child = newChild)
 }
 
+/** `graft_md5_bucket_score(text)` → struct<n_tokens:int, raw_score:bigint>
+  * — the hashed-linear-classifier kernel: each whitespace token's weight is
+  * `(ascii(md5hex[0])·256 + ascii(md5hex[1])) % 61 − 30`, summed over the
+  * document. Bit-identical to the declarative
+  * `AGGREGATE(TRANSFORM(tokens, t -> ...MD5(t)...), 0L, +)` form (and its
+  * DuckDB `list_sum(list_transform(...))` twin), fused into one pass with
+  * ONE digest per token — the lambda form re-runs MD5 once per SUBSTRING
+  * reference and evaluates interpreted. Null when the text has no tokens
+  * (no mean exists).
+  */
+case class Md5BucketScore(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_md5_bucket_score"
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("raw_score", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  @transient private lazy val tokenPattern = java.util.regex.Pattern.compile("\\S+")
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val m = tokenPattern.matcher(text)
+    var n = 0
+    var score = 0L
+    while (m.find()) {
+      md5.reset()
+      val d = md5.digest(
+        m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first two hex chars of the digest, as the declarative form sees them
+      val c0 = hexChars((d(0) & 0xFF) >>> 4)
+      val c1 = hexChars(d(0) & 0xF)
+      score += (c0.toInt * 256 + c1.toInt) % 61 - 30
+      n += 1
+    }
+    if (n == 0) null else InternalRow(n, score)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5BucketScore =
+    copy(child = newChild)
+}
+
 /** `BigramNll(bigramCounts, model, unseenLogP)` →
   * struct<nll:double, n_bigrams:bigint> — mean negative log-probability of a
   * document's bigrams under a (small, driver-collected) bigram→logP model.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BigramCounts, CosineSimilarity, DotProduct, Md5MinHash, Shingles, SimHash64, TokenGramHashes, WinnowFingerprints, XxMinHashBands}
+import graft.functions.{BigramCounts, CosineSimilarity, DotProduct, Md5BucketScore, Md5MinHash, Shingles, SimHash64, TokenGramHashes, WinnowFingerprints, XxMinHashBands}
 
 /** Session-extension entry point (`spark.sql.extensions=graft.plans.
   * GraftExtensions`) injecting the native vector expressions as SQL
@@ -37,6 +37,9 @@ object GraftFunctions {
       // nHashes must be a foldable int literal
       (exprs: Seq[Expression]) => Md5MinHash(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())),
+    (new FunctionIdentifier("graft_md5_bucket_score"),
+      new ExpressionInfo(classOf[Md5BucketScore].getName, "graft_md5_bucket_score"),
+      (exprs: Seq[Expression]) => Md5BucketScore(exprs(0))),
     (new FunctionIdentifier("graft_xx_minhash_bands"),
       new ExpressionInfo(classOf[XxMinHashBands].getName, "graft_xx_minhash_bands"),
       // numHashes, bands, shingleSize must be foldable int literals

@@ -558,17 +558,14 @@ object TextQueries {
     // lookup without changing the plan. One narrow map, no shuffle: the
     // 100 TB shape of every quality-classifier sweep.
     "text_hash_classifier" -> ((s, dir) => {
-      val w = "(ASCII(SUBSTRING(MD5(t), 1, 1)) * 256 + " +
-        "ASCII(SUBSTRING(MD5(t), 2, 1))) % 61 - 30"
+      graft.plans.GraftFunctions.register(s)
       Tables.documents(s, dir)
-        .selectExpr("doc_id", s"$TokensExpr AS toks")
-        .where("SIZE(toks) >= 1")
-        .selectExpr("doc_id", "SIZE(toks) AS n_tokens",
-          s"AGGREGATE(TRANSFORM(toks, t -> CAST($w AS BIGINT)), " +
-            "CAST(0 AS BIGINT), (a, x) -> a + x) AS raw_score")
-        .selectExpr("doc_id", "n_tokens", "raw_score",
-          "CAST(raw_score AS DOUBLE) / n_tokens AS clf_score",
-          "CAST(raw_score AS DOUBLE) / n_tokens > 0.0 AS keep")
+        .selectExpr("doc_id", "graft_md5_bucket_score(text) AS sc")
+        .where("sc IS NOT NULL")
+        .selectExpr("doc_id", "sc.n_tokens AS n_tokens",
+          "sc.raw_score AS raw_score",
+          "CAST(sc.raw_score AS DOUBLE) / sc.n_tokens AS clf_score",
+          "CAST(sc.raw_score AS DOUBLE) / sc.n_tokens > 0.0 AS keep")
     }),
 
     // Benchmark decontamination — the eval-leakage pass of a training

@@ -79,6 +79,37 @@ class DedupExpressionsSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("graft_md5_bucket_score ≡ declarative MD5 AGGREGATE form") {
+    graft.plans.GraftFunctions.register(spark)
+    val T = graft.queries.Q.TokensExpr
+    val w = "(ASCII(SUBSTRING(MD5(t), 1, 1)) * 256 + " +
+      "ASCII(SUBSTRING(MD5(t), 2, 1))) % 61 - 30"
+    val declarative = docs
+      .selectExpr("doc_id", s"$T AS toks")
+      .where("SIZE(toks) >= 1")
+      .selectExpr("doc_id", "SIZE(toks) AS n",
+        s"AGGREGATE(TRANSFORM(toks, t -> CAST($w AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x) AS s")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val native = docs
+      .selectExpr("doc_id", "graft_md5_bucket_score(text) AS sc")
+      .where("sc IS NOT NULL")
+      .selectExpr("doc_id", "sc.n_tokens AS n", "sc.raw_score AS s")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(native == declarative)
+    assert(native.nonEmpty)
+  }
+
+  test("graft_md5_bucket_score is null only on token-free text") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val out = Seq((0L, "one two"), (1L, "   "), (2L, ""))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "graft_md5_bucket_score(text) IS NULL AS isnull")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(0L -> false, 1L -> true, 2L -> true))
+  }
+
   test("graft_md5_minhash ≡ declarative MD5 TRANSFORM/ARRAY_MIN form") {
     graft.plans.GraftFunctions.register(spark)
     val T = graft.queries.Q.TokensExpr
