@@ -38,7 +38,10 @@ object Bench {
     // round-8 additions (line stays well under the ~2000-char tail budget)
     "dedup_index_persisted", "dedup_decision_xcheck", "sim_ann_xcheck",
     "text_boilerplate", "j11b_asof_salted", "sim_semdedup", "shard_shuffle",
-    "pipeline_llm_curate", "sample_upsample_epochs", "text_bpe_pair_freq"
+    "pipeline_llm_curate", "sample_upsample_epochs", "text_bpe_pair_freq",
+    // round-8 second wave
+    "dedup_image_phash", "text_hash_classifier", "j18_bucketed_join",
+    "agg_table_fingerprint"
   )
 
   private def f3(v: Double): String =

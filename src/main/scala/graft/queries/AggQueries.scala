@@ -163,6 +163,22 @@ object AggQueries {
           (sum(round($"o_totalprice" * 100)) / 100.0).as("bucket_total"))
     }),
 
+    // Winsorization — the robust-statistics clip a quality-score pipeline
+    // applies before averaging: per-group exact p05/p95 (a group-count-
+    // sized aggregate, broadcast back) and every value clipped into the
+    // band. The percentile table is 3 rows at any scale; the clip itself
+    // is a narrow map over the fact side — no second shuffle.
+    "agg_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val pcts = o.groupBy($"o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+      o.join(broadcast(pcts), Seq("o_orderstatus"))
+        .select($"o_orderkey", $"o_orderstatus",
+          expr("LEAST(GREATEST(o_totalprice, p05), p95)").as("w_price"))
+    }),
+
     // Distributed content fingerprint — the cross-engine audit for "did
     // the copy/migration/rewrite preserve every row": each row hashes its
     // canonical key fields (integers only — no float/timestamp formatting
@@ -272,6 +288,14 @@ object AggQueries {
        "CAST(COUNT(*) AS BIGINT) AS n, " +
        "SUM(ROUND(o_totalprice * 100)) / 100.0 AS bucket_total " +
        "FROM orders GROUP BY 1"),
+    "agg_winsorize" ->
+      ("""WITH p AS (
+         |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.05) AS p05,
+         |         quantile_cont(o_totalprice, 0.95) AS p95
+         |  FROM orders GROUP BY 1)
+         |SELECT o_orderkey, orders.o_orderstatus,
+         |       LEAST(GREATEST(o_totalprice, p05), p95) AS w_price
+         |FROM orders JOIN p ON orders.o_orderstatus = p.o_orderstatus""".stripMargin),
     "agg_table_fingerprint" ->
       ("""WITH h AS (
          |  SELECT MD5(CONCAT_WS('|', CAST(o_orderkey AS VARCHAR),
