@@ -258,6 +258,60 @@ object MultimodalOps {
     }.toDF("asset_id", "phash")
   }
 
+  /** 64-bit acoustic fingerprint from DECODED samples (chromaprint-lite):
+    * the sample stream splits into 65 equal windows, window energy =
+    * Σ s², and bit j = 1 iff energy(j+1) > energy(j). Comparing ADJACENT
+    * window energies makes the fingerprint invariant under uniform volume
+    * change (every energy scales by the same factor) — the acoustic
+    * analog of the dHash brightness-shift class — while structural edits
+    * (cuts, re-orders) flip bits. Streams shorter than 65 samples or
+    * undecodable payloads drop, never fail.
+    */
+  def decodeAudioFPrint(assets: Dataset[Asset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { a =>
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(a.content))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (in == null) None
+        else try {
+          val bytes = in.readAllBytes()
+          val ns = bytes.length / 2
+          val w = ns / 65
+          if (w < 1) None
+          else {
+            val energy = new Array[Long](65)
+            var j = 0
+            while (j < 65) {
+              var e = 0L
+              var i = j * w
+              val end = i + w
+              while (i < end) {
+                val s = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+                e += s.toLong * s
+                i += 1
+              }
+              energy(j) = e
+              j += 1
+            }
+            var hash = 0L
+            j = 0
+            while (j < 64) {
+              if (energy(j + 1) > energy(j)) hash |= 1L << j
+              j += 1
+            }
+            Some((a.asset_id, hash))
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => None
+        } finally in.close()
+      }
+    }.toDF("asset_id", "afp")
+  }
+
   /** Exact per-channel sums over one decoded image (single bulk getRGB). */
   private def rgbChannelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
     val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)

@@ -149,6 +149,27 @@ object AdvancedJoinQueries {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"c_mktsegment")
     }),
 
+    // Dynamic partition pruning — the star-schema runtime scan cut: the
+    // fact side is hive-partitioned on blk and the dim side arrives
+    // FILTERED, so Catalyst injects a runtime subquery into the fact
+    // scan's PartitionFilters (ScaleSpec asserts `dynamicpruning` in the
+    // plan) and only dim-selected partitions are listed/read. The static
+    // twin (literal partition filter) is ScaleSpec's pruning test; at
+    // 100 TB DPP is what keeps a fact⋈filtered-dim join from scanning
+    // every partition.
+    "j19_dpp_join" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "dpp_fact")
+      Q.deleteDir(s, p)
+      Tables.orders(s, dir).withColumn("blk", ($"o_orderkey" % 8).cast("int"))
+        .write.partitionBy("blk").parquet(p)
+      val dim = Tables.nation(s, dir)
+        .select($"n_nationkey".cast("int").as("blk"), $"n_name")
+        .filter($"blk" < 3)
+      s.read.parquet(p).join(dim, Seq("blk"))
+        .select($"o_orderkey", $"blk", $"n_name")
+    }),
+
     // Deterministic hash-mod sampling (content-addressed ≈25% sample) —
     // the reproducible cross-engine form of TABLESAMPLE.
     "s6_sample_hash_mod" -> ((s, dir) => {
@@ -222,6 +243,10 @@ object AdvancedJoinQueries {
     "j18_bucketed_join" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment " +
        "FROM orders JOIN customer ON o_custkey = c_custkey"),
+    "j19_dpp_join" ->
+      ("SELECT o_orderkey, CAST(o_orderkey % 8 AS INTEGER) AS blk, n_name " +
+       "FROM orders JOIN nation ON o_orderkey % 8 = n_nationkey " +
+       "WHERE n_nationkey < 3"),
     "j15_cross_join_small" ->
       ("SELECT r_regionkey, r_name, n_nationkey, n_name " +
        "FROM region CROSS JOIN nation"),

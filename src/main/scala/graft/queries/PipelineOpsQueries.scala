@@ -27,6 +27,47 @@ object PipelineOpsQueries {
       .select($"doc_id", MinHash.shingles(col("text")).as("sh"))
   }
 
+  /** Shared perceptual-dedup pipeline for the media modalities: plant a
+    * payload-identical copy of each small-id asset under id+99999 (≡ 0
+    * mod 3, so the asset KIND of the original is preserved), fingerprint
+    * through `decode` (a 64-bit hash from DECODED pixels/samples), band
+    * 4×16 bits, pair candidates by band equi-join (never asset×asset),
+    * Hamming ≤ 2, and emit the planted-truth rows: every copy must pair
+    * its original at Hamming 0 — a decode, hashing, banding, or pairing
+    * bug breaks the hash-match. The band self-join re-expands the bounded
+    * decode subtree once per side (the sim_semdedup caveat) — acceptable:
+    * the planted population is fixed and the full-corpus path is the same
+    * band index at any scale.
+    */
+  private def perceptualPairs(s: SparkSession, dir: String, kindMod: Int,
+      decode: org.apache.spark.sql.Dataset[MultimodalOps.Asset] =>
+        org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .where("LENGTH(text) >= 1 AND LENGTH(text) = OCTET_LENGTH(text)")
+      .select($"doc_id", $"text")
+    val planted = base.filter($"doc_id" % 3 === kindMod && $"doc_id" < 60)
+      .select(($"doc_id" + 99999).as("doc_id"), $"text")
+    val hashes = decode(
+        MultimodalOps.assetsFromDocuments(base.unionByName(planted)))
+      .toDF("asset_id", "fp")
+    val bands = hashes.select($"asset_id", $"fp",
+      posexplode(array((0 until 4).map(k =>
+        shiftright($"fp", k * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bv")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bv" === $"b.bv" &&
+          $"a.asset_id" < $"b.asset_id")
+      .select($"a.asset_id".as("id_a"), $"b.asset_id".as("id_b"),
+        $"a.fp".as("ha"), $"b.fp".as("hb"))
+      .distinct()
+      .filter(expr("bit_count(ha ^ hb) <= 2"))
+    pairs.filter($"id_b" - $"id_a" === 99999)
+      .select($"id_a".as("orig_id"), $"id_b".as("copy_id"),
+        expr("CAST(bit_count(ha ^ hb) AS INTEGER)").as("hamming"),
+        lit(true).as("is_pair"))
+  }
+
   /** All-pairs exact Jaccard over [[shingleDocs]]. */
   private def jaccardPairs(s: SparkSession, dir: String, bound: Int) = {
     import s.implicits._
@@ -348,31 +389,17 @@ object PipelineOpsQueries {
     // re-expands the bounded decode subtree once per side (the
     // sim_semdedup caveat) — acceptable: the planted population is fixed
     // and the full-corpus path is the same band index at any scale.
-    "dedup_image_phash" -> ((s, dir) => {
-      import s.implicits._
-      val base = Tables.documents(s, dir)
-        .where("LENGTH(text) >= 1 AND LENGTH(text) = OCTET_LENGTH(text)")
-        .select($"doc_id", $"text")
-      val planted = base.filter($"doc_id" % 3 === 0 && $"doc_id" < 60)
-        .select(($"doc_id" + 99999).as("doc_id"), $"text")
-      val hashes = MultimodalOps.decodeImagePHash(
-        MultimodalOps.assetsFromDocuments(base.unionByName(planted)))
-      val bands = hashes.select($"asset_id", $"phash",
-        posexplode(array((0 until 4).map(k =>
-          shiftright($"phash", k * 16).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("band", "bv")))
-      val pairs = bands.as("a").join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.bv" === $"b.bv" &&
-            $"a.asset_id" < $"b.asset_id")
-        .select($"a.asset_id".as("id_a"), $"b.asset_id".as("id_b"),
-          $"a.phash".as("ha"), $"b.phash".as("hb"))
-        .distinct()
-        .filter(expr("bit_count(ha ^ hb) <= 2"))
-      pairs.filter($"id_b" - $"id_a" === 99999)
-        .select($"id_a".as("orig_id"), $"id_b".as("copy_id"),
-          expr("CAST(bit_count(ha ^ hb) AS INTEGER)").as("hamming"),
-          lit(true).as("is_pair"))
-    }),
+    "dedup_image_phash" -> ((s, dir) =>
+      perceptualPairs(s, dir, kindMod = 0, MultimodalOps.decodeImagePHash)),
+
+    // The AUDIO modality of the same dedup family: decoded PCM streams
+    // fingerprint via adjacent-window energy comparisons
+    // (decodeAudioFPrint — invariant under uniform volume change, the
+    // acoustic analog of the brightness-shift class), then the identical
+    // banded-Hamming pairing as dedup_image_phash. Same planted ground
+    // truth: a sample-identical copy must pair its original at Hamming 0.
+    "dedup_audio_fprint" -> ((s, dir) =>
+      perceptualPairs(s, dir, kindMod = 1, MultimodalOps.decodeAudioFPrint)),
 
     // Streaming transform exercised on the batch events table (the same
     // windowedCounts plan runs under readStream with a watermark — see
@@ -462,6 +489,13 @@ object PipelineOpsQueries {
          |WHERE doc_id % 3 = 0 AND doc_id < 60
          |  AND length(text) >= 1 AND length(text) = octet_length(encode(text))
          |  AND octet_length(encode(text)) % 48 >= 1""".stripMargin),
+    "dedup_audio_fprint" ->
+      ("""SELECT doc_id AS orig_id, doc_id + 99999 AS copy_id,
+         |       CAST(0 AS INTEGER) AS hamming, true AS is_pair
+         |FROM documents
+         |WHERE doc_id % 3 = 1 AND doc_id < 60
+         |  AND length(text) >= 1 AND length(text) = octet_length(encode(text))
+         |  AND octet_length(encode(text)) >= 65""".stripMargin),
     "mm_decode_image" ->
       ("""WITH img AS (
          |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,

@@ -286,6 +286,30 @@ object SinkQueries {
       t.readRange("o_orderdate", "1995-01-01 00:00:00", "1995-12-31 00:00:00")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")
+    }),
+
+    // Schema-drift audit between versions — the "what changed in this
+    // table since the last snapshot" question an operator asks before a
+    // backfill: mergeSchema evolution adds a column in v2; the audit
+    // diffs the archived snapshot's schema against the live schema. The
+    // diff runs over SCHEMAS (metadata, bounded by column count), never
+    // rows — driver-side by construction.
+    "k_schema_drift" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_drift")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p, retainVersions = 2)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      t.overwrite(o)
+      t.merge(o.filter($"o_orderkey" % 10 === 0)
+          .withColumn("o_channel", lit("web")),
+        Seq("o_orderkey"))
+      val before = t.readVersion(1).schema.fieldNames.toSet
+      val after = t.read.schema.fieldNames.toSet
+      ((after -- before).toSeq.sorted.map((_, "added")) ++
+        (before -- after).toSeq.sorted.map((_, "removed")))
+        .toDF("column_name", "change")
     })
   )
 
@@ -373,6 +397,8 @@ object SinkQueries {
     "k_optimize_skipping" ->
       (s"SELECT $OrderCols FROM orders WHERE o_orderkey % 5 IN (0, 1, 2) " +
        "AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' " +
-       "AND TIMESTAMP '1995-12-31 00:00:00'")
+       "AND TIMESTAMP '1995-12-31 00:00:00'"),
+    "k_schema_drift" ->
+      "SELECT 'o_channel' AS column_name, 'added' AS change"
   )
 }

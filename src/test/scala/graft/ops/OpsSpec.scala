@@ -388,6 +388,27 @@ class MultimodalSpec extends SparkSpec {
       "a structural edit must move the hash beyond the near-dup threshold")
   }
 
+  test("audio fingerprint: volume-invariant, edits flip bits, short streams drop") {
+    import spark.implicits._
+    def wave(i: Int): Short = (math.sin(i / 9.0) * 900 + (i % 37) * 11).toShort
+    def asset(id: Long, s: Int => Short, n: Int = 650) =
+      MultimodalOps.Asset(id, "audio",
+        MultimodalOps.Wav.encode(16000, Array.tabulate(n)(s)), 0, 0, 16000)
+    val assets = Seq(
+      asset(0L, wave),
+      asset(1L, i => (wave(i) * 3).toShort),                // uniform volume change
+      asset(2L, i => wave(649 - i)),                        // reversed: structure differs
+      asset(3L, wave, n = 40),                              // below the 65-sample floor
+      MultimodalOps.Asset(4L, "audio", Array[Byte](9, 9), 0, 0, 0) // undecodable
+    ).toDS()
+    val out = MultimodalOps.decodeAudioFPrint(assets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L), "short/corrupt audio must drop, not fail")
+    assert(out(0L) == out(1L), "fingerprint must be invariant under uniform volume change")
+    assert(java.lang.Long.bitCount(out(0L) ^ out(2L)) > 2,
+      "a structural edit must move the fingerprint beyond the near-dup threshold")
+  }
+
   test("extractFeatures decodes audio to the real mean/RMS of the samples") {
     val feats = MultimodalOps.extractFeatures(MultimodalOps.assetsFromDocuments(docs))
       .collect().filter(_.kind == "audio")

@@ -52,6 +52,31 @@ class ScaleSpec extends SparkSpec {
       s"expected 1/4 of $allFiles files scanned, got $scanned")
   }
 
+  test("filtered-dim join injects dynamic partition pruning into the fact scan") {
+    val df = graft.queries.AdvancedJoinQueries
+      .defs("j19_dpp_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a runtime partition-pruning subquery:\n$plan")
+    df.collect() // fill scan metrics with the post-pruning file set
+    val allBlocks = 8
+    // AQE nests materialized stages in QueryStageExec whose inner plan is
+    // a MEMBER, not a child — plain collect/collectLeaves stops at the
+    // stage boundary, so recurse through stages to the real scans.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    }.flatten
+    val scanned = scans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("numPartitions").map(_.value)).headOption
+    // 3 of 8 partitions survive the dim filter (blk ∈ {0,1,2})
+    assert(scanned.contains(3L),
+      s"expected 3/$allBlocks partitions after DPP, got $scanned")
+  }
+
   test("flagship wide-table plan keeps broadcast dims and scan pushdown") {
     val df = graft.queries.Flagship.defs("m0_wide_table")(spark, "/root/testdata/sf0.001")
     df.collect() // finalize AQE plan
