@@ -235,27 +235,65 @@ object MultimodalOps {
       it.flatMap { a =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(a.content))
-        if (img == null || img.getWidth < 9 || img.getHeight < 8) None
-        else {
-          val px = img.getRGB(0, 0, 9, 8, null, 0, 9)
-          def gray(x: Int, y: Int): Int = {
-            val rgb = px(y * 9 + x)
-            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-          }
-          var hash = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 8 + x)
-              x += 1
-            }
-            y += 1
-          }
-          Some((a.asset_id, hash))
-        }
+        dHash64(img).map((a.asset_id, _))
       }
     }.toDF("asset_id", "phash")
+  }
+
+  /** The dHash core shared by the still-image and per-video-frame paths;
+    * None when the image is null (undecodable) or below the 9×8 window.
+    */
+  private def dHash64(img: java.awt.image.BufferedImage): Option[Long] = {
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+    else {
+      val px = img.getRGB(0, 0, 9, 8, null, 0, 9)
+      def gray(x: Int, y: Int): Int = {
+        val rgb = px(y * 9 + x)
+        ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** 64-bit video fingerprint: every GMJB frame dHashes ([[dHash64]]) and
+    * bit b of the fingerprint is the MAJORITY vote of the frames' bit b —
+    * invariant under frame REORDERING (the vote is order-free) and under
+    * per-frame brightness shifts (inherited from dHash), while splicing
+    * in different frames flips bits. Undecodable containers, frames, or
+    * sub-9×8 frames drop the asset, never fail the task.
+    */
+  def decodeVideoFPrint(assets: Dataset[Asset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { a =>
+        decodeVideoFrames(a.content).flatMap { frames =>
+          val hs = frames.map(dHash64)
+          if (hs.exists(_.isEmpty)) None
+          else {
+            val hashes = hs.map(_.get)
+            var fp = 0L
+            var b = 0
+            while (b < 64) {
+              val votes = hashes.count(h => (h & (1L << b)) != 0)
+              if (votes * 2 > hashes.length) fp |= 1L << b
+              b += 1
+            }
+            Some((a.asset_id, fp))
+          }
+        }
+      }
+    }.toDF("asset_id", "vfp")
   }
 
   /** 64-bit acoustic fingerprint from DECODED samples (chromaprint-lite):

@@ -401,6 +401,13 @@ object PipelineOpsQueries {
     "dedup_audio_fprint" -> ((s, dir) =>
       perceptualPairs(s, dir, kindMod = 1, MultimodalOps.decodeAudioFPrint)),
 
+    // And the VIDEO modality: per-frame dHash + order-free majority vote
+    // per bit (decodeVideoFPrint — invariant under frame reorder and
+    // per-frame brightness shift), same banding, same planted truth. All
+    // three media kinds now run the one perceptual-dedup pipeline.
+    "dedup_video_fprint" -> ((s, dir) =>
+      perceptualPairs(s, dir, kindMod = 2, MultimodalOps.decodeVideoFPrint)),
+
     // Streaming transform exercised on the batch events table (the same
     // windowedCounts plan runs under readStream with a watermark — see
     // EventStreamsSpec for the streaming drive).
@@ -496,6 +503,13 @@ object PipelineOpsQueries {
          |WHERE doc_id % 3 = 1 AND doc_id < 60
          |  AND length(text) >= 1 AND length(text) = octet_length(encode(text))
          |  AND octet_length(encode(text)) >= 65""".stripMargin),
+    "dedup_video_fprint" ->
+      ("""SELECT doc_id AS orig_id, doc_id + 99999 AS copy_id,
+         |       CAST(0 AS INTEGER) AS hamming, true AS is_pair
+         |FROM documents
+         |WHERE doc_id % 3 = 2 AND doc_id < 60
+         |  AND length(text) >= 1 AND length(text) = octet_length(encode(text))
+         |  AND octet_length(encode(text)) % 24 >= 1""".stripMargin),
     "mm_decode_image" ->
       ("""WITH img AS (
          |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,

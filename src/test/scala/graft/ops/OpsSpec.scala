@@ -409,6 +409,30 @@ class MultimodalSpec extends SparkSpec {
       "a structural edit must move the fingerprint beyond the near-dup threshold")
   }
 
+  test("video fingerprint: frame-reorder invariant, frame splice flips bits") {
+    import spark.implicits._
+    val (w, h) = (16, 12)
+    // per-seed GRADIENTS (not offsets): a constant offset is exactly the
+    // brightness-shift class dHash ignores by design
+    def frame(seed: Int) = MultimodalOps.Bmp.encode(w, h,
+      (x, y, c) => (x * (7 + seed * 11) + y * (5 + seed * 3) + c * 3) % 200)
+    def asset(id: Long, frames: Seq[Array[Byte]]) =
+      MultimodalOps.Asset(id, "video", MultimodalOps.Mjb.encode(frames), w, h, 0)
+    val f = (0 until 3).map(frame)
+    val assets = Seq(
+      asset(0L, f),
+      asset(1L, f.reverse),                         // reordered frames
+      asset(2L, Seq(frame(0), frame(7), frame(9))), // spliced: content differs
+      MultimodalOps.Asset(3L, "video", Array[Byte](5, 5), w, h, 0) // undecodable
+    ).toDS()
+    val out = MultimodalOps.decodeVideoFPrint(assets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L), "corrupt containers must drop, not fail")
+    assert(out(0L) == out(1L), "majority vote must be frame-order invariant")
+    assert(java.lang.Long.bitCount(out(0L) ^ out(2L)) > 2,
+      "a frame splice must move the fingerprint beyond the near-dup threshold")
+  }
+
   test("extractFeatures decodes audio to the real mean/RMS of the samples") {
     val feats = MultimodalOps.extractFeatures(MultimodalOps.assetsFromDocuments(docs))
       .collect().filter(_.kind == "audio")
