@@ -158,6 +158,32 @@ object PipelineOpsQueries {
         .select($"__base".as("vec_id"), $"orig_kept", $"dup_kept", $"dup_of")
     }),
 
+    // PQ-ADC approximate top-k (third ANN scale path, the memory-side
+    // one: m codes/vector instead of raw floats; rows-only like its
+    // LSH/IVF siblings — ranks depend on the trained codebooks).
+    "sim_pq_topk" -> ((s, dir) =>
+      graft.similarity.Pq.topK(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)),
+
+    // DECISION-level cross-check for the PQ path (the sim_ann_xcheck
+    // recipe): plant an exact duplicate of each query vector under a
+    // fresh id. An identical vector reaches the SAME argmin code in
+    // every subspace (deterministic codebooks + deterministic argmin),
+    // so its ADC distance is the attainable minimum — Σ_s min_c
+    // d(q_s, c) — which no other corpus vector can undercut, and only a
+    // full code-collision can tie. The copy MUST therefore rank top-1
+    // once self is excluded. A codebook, encoding, LUT, or ranking bug
+    // breaks the hash-match.
+    "sim_pq_xcheck" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val dups = emb.filter($"vec_id" < 8)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      val planted = emb.select($"vec_id", $"embedding").unionByName(dups)
+      graft.similarity.Pq.topK(planted, $"vec_id" < 8, k = 1)
+        .select($"query_id", $"neighbor_id".as("pq_top1"),
+          ($"neighbor_id" === $"query_id" + 100000).as("pq_self"))
+    }),
+
     // Embedding column statistics via the codegen'd graft_dot kernel
     // (float elements widened to double per-element, accumulated in index
     // order — bit-identical to the oracle's double-cast list_sum). The
@@ -628,6 +654,10 @@ object PipelineOpsQueries {
     "sim_semdedup" ->
       ("SELECT vec_id, true AS orig_kept, false AS dup_kept, " +
        "vec_id AS dup_of FROM embeddings WHERE vec_id < 8"),
+    "sim_pq_xcheck" ->
+      ("SELECT vec_id AS query_id, " +
+       "CAST(vec_id + 100000 AS BIGINT) AS pq_top1, true AS pq_self " +
+       "FROM embeddings WHERE vec_id < 8"),
     "embed_stats" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
        "list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS sq_norm, " +

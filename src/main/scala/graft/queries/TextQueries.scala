@@ -76,6 +76,33 @@ object TextQueries {
     */
   private val MixAlpha = "0.7"
 
+  /** BM25 query-term set (terms from the fixture vocabulary), shared by
+    * `text_bm25_topk` and its oracle.
+    */
+  private val Bm25Terms = Seq("spark", "merge", "window")
+
+  /** Per-(doc, term) BM25 contribution in micro-units — Robertson k1=1.2,
+    * b=0.75, Lucene-style idf ln(1 + (N - df + 0.5)/(df + 0.5)). The
+    * SAME double expression text runs in Spark SQL and DuckDB (it reads
+    * columns tf, df, dl, n_docs, sum_dl), and each contribution is
+    * micro-rounded BEFORE the per-doc integer sum, so the final score is
+    * independent of summation order — engine-comparable and
+    * cluster-stable.
+    */
+  private val Bm25ContribExpr =
+    "CAST(ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * " +
+      "(tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / " +
+      "(CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000) AS BIGINT)"
+
+  /** Per-bigram DSIR log-ratio contribution in micro-units: add-0.5
+    * smoothing over 256 first-md5-byte buckets (reads columns ct, cr,
+    * t_t, t_r — target/raw bucket counts and totals). Shared verbatim
+    * with the oracle; micro-rounded before the per-doc integer sum.
+    */
+  private val DsirContribExpr =
+    "CAST(ROUND((LN((ct + 0.5) / (t_t + 128.0)) - " +
+      "LN((cr + 0.5) / (t_r + 128.0))) * 1000000) AS BIGINT)"
+
   /** Corpus-wide suffix giving `dedup_paragraph_global` a deterministic
     * cross-corpus repeated segment (kept only at its global first
     * occurrence); shared with the oracle. No quotes/backslashes — it is
@@ -887,6 +914,90 @@ object TextQueries {
             ". ").as("clean_text"))
     }),
 
+    // BM25 retrieval (Robertson; Lucene idf variant) for a fixed query
+    // term set. Scale shapes: the tokenizer runs ONCE per doc inside a
+    // narrow map that emits (dl, hits) — document length plus the
+    // FILTERed query-term matches — so Generate explodes only matching
+    // tokens, never the corpus token stream; df and the (n_docs, sum_dl)
+    // scalars reduce to <= |terms| + 1 rows and come back as broadcasts;
+    // only the candidate docs (>= 1 hit) reach the scoring aggregation.
+    // Global top-10 via orderBy+limit = TakeOrderedAndProject (per-
+    // partition heaps, no global sort), total-ordered by (score, doc_id).
+    "text_bm25_topk" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("bm25_docs")
+      // (n_docs, sum_dl) attach as SCALAR SUBQUERIES — one broadcastable
+      // row each, no join operator at all (a crossJoin / constant-key
+      // join both plan as BroadcastNestedLoopJoin once Catalyst folds
+      // the key; the mix_temperature precedent)
+      s.sql(s"""
+        |WITH base AS (
+        |  SELECT doc_id, SIZE(toks) AS dl,
+        |         FILTER(TRANSFORM(toks, t -> LOWER(t)),
+        |                t -> t IN (${inList(Bm25Terms)})) AS hits
+        |  FROM (SELECT doc_id, $TokensExpr AS toks FROM bm25_docs)),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, EXPLODE(hits) AS term
+        |        FROM base WHERE SIZE(hits) > 0)
+        |  GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, $Bm25ContribExpr AS cm FROM (
+        |    SELECT tf.doc_id, tf.tf, tf.dl, dfx.df,
+        |           (SELECT n_docs FROM stats) AS n_docs,
+        |           (SELECT sum_dl FROM stats) AS sum_dl
+        |    FROM tf JOIN dfx ON tf.term = dfx.term))
+        |SELECT doc_id, SUM(cm) AS score_micro
+        |FROM sc GROUP BY 1
+        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)
+    }),
+
+    // DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    // Importance Resampling") re-expressed Spark-first: hashed-bigram
+    // features (256 buckets = first md5 byte as 2 hex chars), target
+    // distribution estimated from the lang='en' slice, raw distribution
+    // from the whole corpus; per-doc importance weight = sum over bigram
+    // instances of log(p_target(bucket) / p_raw(bucket)), add-0.5
+    // smoothed. Scale shapes: ONE bigram fan-out of 2-hex-char bucket
+    // keys (the text itself never shuffles; the md5 runs inside the same
+    // projection); BOTH distributions reduce in one 256-row aggregation
+    // (raw = count, target = conditional sum — no second pass, no
+    // left-join null-fill) broadcast back onto the bigram stream; the
+    // per-doc sum is the only corpus-wide shuffle. Contributions are
+    // micro-rounded before the integer sum — order-independent.
+    "sample_dsir_weights" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("dsir_docs")
+      // totals attach as scalar subqueries (see text_bm25_topk); the
+      // REPARTITION hint spreads the bigram fan-out of the single-file
+      // fixture across cores
+      s.sql(s"""
+        |WITH bi AS (
+        |  SELECT /*+ REPARTITION(doc_id) */ doc_id, lang,
+        |         SUBSTRING(MD5(CONCAT(toks[i - 1], ' ', toks[i])), 1, 2) AS bucket
+        |  FROM (
+        |    SELECT doc_id, lang, toks,
+        |           EXPLODE(SEQUENCE(1, SIZE(toks) - 1)) AS i
+        |    FROM (SELECT doc_id, lang,
+        |            TRANSFORM($TokensExpr, t -> LOWER(t)) AS toks
+        |          FROM dsir_docs)
+        |    WHERE SIZE(toks) >= 2)),
+        |b AS (SELECT bucket, COUNT(*) AS cr,
+        |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |      FROM bi GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS t_r,
+        |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_t
+        |      FROM bi)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, SUM(cm) AS dsir_micro
+        |FROM (
+        |  SELECT doc_id, $DsirContribExpr AS cm FROM (
+        |    SELECT bi.doc_id, b.cr, b.ct,
+        |           (SELECT t_r FROM t) AS t_r,
+        |           (SELECT t_t FROM t) AS t_t
+        |    FROM bi JOIN b ON bi.bucket = b.bucket))
+        |GROUP BY 1""".stripMargin)
+    }),
+
     "sample_mix_temperature" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -1558,7 +1669,50 @@ object TextQueries {
          |SELECT source, n_docs, pow_micro,
          |  CAST(ROUND(pow_micro * 1000000.0 /
          |    (SELECT SUM(pow_micro) FROM p)) AS BIGINT) AS weight_micro
-         |FROM p""".stripMargin)
+         |FROM p""".stripMargin),
+
+    "text_bm25_topk" ->
+      (s"""WITH base AS (
+         |  SELECT doc_id, len(toks) AS dl,
+         |         list_filter(list_transform(toks, t -> lower(t)),
+         |                     t -> t IN (${inList(Bm25Terms)})) AS hits
+         |  FROM (SELECT doc_id, $DuckTokens AS toks FROM documents)),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM base),
+         |tf AS (
+         |  SELECT doc_id, dl, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(hits) AS term
+         |        FROM base WHERE len(hits) > 0)
+         |  GROUP BY 1, 2, 3),
+         |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, $Bm25ContribExpr AS cm
+         |  FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN stats)
+         |SELECT doc_id, CAST(SUM(cm) AS BIGINT) AS score_micro
+         |FROM sc GROUP BY 1
+         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin),
+
+    "sample_dsir_weights" ->
+      (s"""WITH bi AS (
+         |  SELECT doc_id, lang,
+         |         substr(md5(toks[CAST(i AS INTEGER)] || ' ' ||
+         |                    toks[CAST(i AS INTEGER) + 1]), 1, 2) AS bucket
+         |  FROM (SELECT doc_id, lang, toks,
+         |               unnest(range(1, len(toks))) AS i
+         |        FROM (SELECT doc_id, lang,
+         |                list_transform($DuckTokens, t -> lower(t)) AS toks
+         |              FROM documents)
+         |        WHERE len(toks) >= 2)),
+         |b AS (SELECT bucket, COUNT(*) AS cr,
+         |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+         |      FROM bi GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS t_r,
+         |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_t
+         |      FROM bi)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(cm) AS BIGINT) AS dsir_micro
+         |FROM (SELECT bi.doc_id, $DsirContribExpr AS cm
+         |      FROM bi JOIN b USING (bucket) CROSS JOIN t)
+         |GROUP BY 1""".stripMargin)
   )
 
   /** DuckDB twin of [[md5Simhash16]] (a standalone SELECT, also embedded

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.similarity.Pq
+import org.apache.spark.sql.functions._
+
+/** Product quantization: encoding determinism, ADC ranking invariants,
+  * recall on clustered data, and plan hygiene (exact decisions on planted
+  * copies are oracle-checked by the driver via `sim_pq_xcheck`).
+  */
+class PqSpec extends SparkSpec {
+
+  private def clustered(nClusters: Int, per: Int, dim: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = for (c <- 0 until nClusters; i <- 0 until per) yield {
+      val id = c * per + i
+      val jitter = new scala.util.Random(id)
+      (id.toLong, centers(c).map(x => x + 0.05f * jitter.nextGaussian().toFloat).toSeq, c)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+  }
+
+  test("ADC neighbors land in the query's own cluster (quantization-level recall)") {
+    // PQ resolves structure at CODE granularity: a tight cluster's members
+    // share codes, so within-cluster ADC ranks are tie-broken arbitrarily
+    // — element-level recall vs brute force is the wrong yardstick (that
+    // is what the IVF/LSH exact-rerank paths are for). The quantization
+    // promise is cluster membership: top-k neighbors of a clustered query
+    // must come from the query's cluster.
+    val emb = clustered(20, 20, 16)
+    val labels = emb.select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Pq.topK(emb, col("vec_id") < 20, 5, m = 4, kCent = 16, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val inCluster = rows.count { case (q, n) => labels(q) == labels(n) }
+    val frac = inCluster.toDouble / rows.length
+    assert(frac >= 0.9, s"only $frac of ADC neighbors share the query's cluster")
+  }
+
+  test("encoding is bit-deterministic across runs and exact copies share codes") {
+    import spark.implicits._
+    val emb = clustered(8, 12, 16)
+    val dups = emb.filter($"vec_id" < 4)
+      .select(($"vec_id" + 5000).as("vec_id"), $"embedding")
+    val planted = emb.select($"vec_id", $"embedding").unionByName(dups)
+    def run() = Pq.encode(planted, m = 4, k = 8, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val a = run()
+    assert(a == run(), "codes differ between identical runs")
+    for (q <- 0 until 4; s <- 0 until 4)
+      assert(a((q.toLong, s)) == a((q + 5000L, s)),
+        s"copy of vec $q differs in subspace $s")
+  }
+
+  test("ranks are contiguous per query, self never appears, k respected") {
+    val emb = clustered(6, 10, 16)
+    val rows = Pq.topK(emb, col("vec_id") < 6, 5, m = 4, kCent = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"query $q ranks gap")
+      assert(rs.length <= 5)
+      assert(!rs.exists(_._2 == q), s"query $q returned itself")
+    }
+  }
+
+  test("PQ plan never cross-joins the corpus with itself") {
+    import spark.implicits._
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(16)(((i * 31) % 7 - 3).toFloat), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val plan = Pq.topK(emb, col("vec_id") < 3, 2, m = 4, kCent = 8)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), s"PQ plan contains a cross join:\n$plan")
+  }
+}
