@@ -122,11 +122,20 @@ object AggQueries {
         approx_count_distinct($"l_orderkey").as("a_orders"),
         approx_count_distinct($"l_partkey", 0.01).as("a_parts"),
         percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("a_p50"))
-      val exact = li.groupBy($"l_returnflag").agg(
-        countDistinct($"l_orderkey").as("e_orders"),
-        countDistinct($"l_partkey").as("e_parts"),
-        expr("percentile(l_extendedprice, 0.5)").as("e_p50"))
-      approx.join(exact, Seq("l_returnflag"))
+      // exact side: one SINGLE-distinct aggregation per key — each
+      // rewrites to a two-phase hash agg (partial per (flag, key), then
+      // count) with map-side combine; two distincts in ONE agg would
+      // Expand every row 3× through a single hash aggregate instead.
+      // The join glue is 3 rows per side.
+      val eOrders = li.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("e_orders"))
+      val eParts = li.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("e_parts"))
+      val eP50 = li.groupBy($"l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("e_p50"))
+      approx.join(eOrders, Seq("l_returnflag"))
+        .join(eParts, Seq("l_returnflag"))
+        .join(eP50, Seq("l_returnflag"))
         .selectExpr("l_returnflag",
           "ABS(a_orders - e_orders) / e_orders <= 0.15 AS orders_ok",
           "ABS(a_parts - e_parts) / e_parts <= 0.03 AS parts_ok",

@@ -120,7 +120,12 @@ object PipelineOpsQueries {
       val planted = emb.select($"vec_id", $"embedding").unionByName(dups)
       val lsh1 = Ann.topK(planted, $"vec_id" < 8, k = 1)
         .select($"query_id", $"neighbor_id".as("lsh_top1"))
-      val ivf1 = graft.similarity.Ivf.topK(planted, $"vec_id" < 8, k = 1)
+      // iterations = 1: the planted-copy invariant holds under ANY
+      // deterministic centroid set (identical vector ⇒ identical argmax
+      // cell), so extra Lloyd refinement buys the cross-check nothing —
+      // recall quality is sim_ann_ivf's and AnnSpec's concern
+      val ivf1 = graft.similarity.Ivf.topK(planted, $"vec_id" < 8, k = 1,
+          iterations = 1)
         .select($"query_id", $"neighbor_id".as("ivf_top1"))
       lsh1.join(ivf1, Seq("query_id"))
         .selectExpr("query_id", "lsh_top1", "ivf_top1",
@@ -145,7 +150,12 @@ object PipelineOpsQueries {
       val dups = emb.filter($"vec_id" < 8)
         .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
       val planted = emb.select($"vec_id", $"embedding").unionByName(dups)
-      val dec = SemDeDup.decisions(planted, nCentroids = 16, tau = 0.9)
+      // iterations = 1 (cf. sim_ann_xcheck): the planted decisions are
+      // cell-quality-independent — identical vectors co-cell under any
+      // deterministic centroids, only the copy reaches cosine >= tau, and
+      // keep-lowest-id shields the original from its higher-id copy
+      val dec = SemDeDup.decisions(planted, nCentroids = 16, iterations = 1,
+        tau = 0.9)
       // Pivot original + copy onto one row via vec_id % 100000, so `dec`
       // appears ONCE in the plan — a self-join here would re-expand the
       // whole SemDeDup subtree (cell assignments + pair join) per side.
