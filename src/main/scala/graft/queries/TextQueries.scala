@@ -103,6 +103,36 @@ object TextQueries {
     "CAST(ROUND((LN((ct + 0.5) / (t_t + 128.0)) - " +
       "LN((cr + 0.5) / (t_r + 128.0))) * 1000000) AS BIGINT)"
 
+  /** Per-(doc, term) entropy contribution in nano-units: −p·ln(p) with
+    * p = c/n (term count over doc length). Shared verbatim with the
+    * oracle; nano-rounded BEFORE the per-doc integer sum so the entropy
+    * is independent of summation order.
+    */
+  private val EntropyContribExpr =
+    "CAST(ROUND(-(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n) " +
+      "* 1000000000) AS BIGINT)"
+
+  /** Per-(source, term) KL contribution in nano-units:
+    * p_s·ln(p_s/p) with p_s = c_st/n_s (in-source term probability) and
+    * p = c_t/n_tot (corpus term probability). Shared verbatim with the
+    * oracle; nano-rounded before the per-source integer sum.
+    */
+  private val KlContribExpr =
+    "CAST(ROUND((CAST(c_st AS DOUBLE) / n_s) * " +
+      "LN((CAST(c_st AS DOUBLE) / n_s) / (CAST(c_t AS DOUBLE) / n_tot)) " +
+      "* 1000000000) AS BIGINT)"
+
+  /** Zipf-slope regression scalars from milli-rounded (x, y) =
+    * (ln rank, ln freq): OLS slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    * computed from EXACT integer sums (order-independent), the final
+    * division in double with an identical expression shape in both
+    * engines, micro-rounded. Reads columns n, s1, s2, s11, s12.
+    */
+  private val ZipfSlopeExpr =
+    "CAST(ROUND((CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2) / " +
+      "(CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1) " +
+      "* 1000000) AS BIGINT)"
+
   /** Corpus-wide suffix giving `dedup_paragraph_global` a deterministic
     * cross-corpus repeated segment (kept only at its global first
     * occurrence); shared with the oracle. No quotes/backslashes — it is
@@ -998,6 +1028,96 @@ object TextQueries {
         |GROUP BY 1""".stripMargin)
     }),
 
+    // Per-document unigram entropy — the information-theoretic quality
+    // signal (low entropy = repetitive/templated text; complements the
+    // Gopher repetition ratios, which count surface repeats). Scale
+    // shapes: doc length n rides through the explode from the SAME
+    // narrow map that tokenizes (no join back to the corpus); one
+    // (doc, term) aggregation then one per-doc sum. Contributions are
+    // nano-rounded before the integer sum — order-independent.
+    "text_entropy" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("ent_docs")
+      s.sql(s"""
+        |WITH t AS (
+        |  SELECT doc_id, n, term, COUNT(*) AS c
+        |  FROM (
+        |    SELECT doc_id, SIZE(toks) AS n, EXPLODE(toks) AS term
+        |    FROM (SELECT doc_id, TRANSFORM($TokensExpr, t -> LOWER(t)) AS toks
+        |          FROM ent_docs)
+        |    WHERE SIZE(toks) >= 1)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       COUNT(*) AS n_distinct,
+        |       SUM($EntropyContribExpr) AS entropy_nano
+        |FROM t GROUP BY 1, 2""".stripMargin)
+    }),
+
+    // Per-source KL divergence from the corpus unigram distribution —
+    // the data-mixing diagnostic (a source whose language diverges from
+    // the mixture shifts the trained model; KL quantifies how much).
+    // Scale shapes: one token fan-out; (source, term) counts reduce to
+    // |sources|·|vocab| rows; the corpus term table (|vocab|) and
+    // per-source totals (|sources|) come back as broadcasts; the corpus
+    // total is a scalar subquery. Nano-rounded contributions, integer
+    // sums.
+    "lang_kl_divergence" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("kl_docs")
+      s.sql(s"""
+        |WITH tok AS (
+        |  SELECT source, term FROM (
+        |    SELECT source, EXPLODE(TRANSFORM($TokensExpr, t -> LOWER(t))) AS term
+        |    FROM kl_docs)),
+        |st AS (SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT term, SUM(c_st) AS c_t FROM st GROUP BY 1),
+        |ns AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY 1)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+        |       SUM(cm) AS kl_nano
+        |FROM (
+        |  SELECT source, n_s, $KlContribExpr AS cm FROM (
+        |    SELECT st.source, st.term, st.c_st, ct.c_t, ns.n_s,
+        |           (SELECT SUM(c_st) FROM st) AS n_tot
+        |    FROM st JOIN ct ON st.term = ct.term
+        |            JOIN ns ON st.source = ns.source))
+        |GROUP BY 1, 2""".stripMargin)
+    }),
+
+    // Zipf's-law slope of the corpus rank-frequency curve (natural text
+    // sits near −1; synthetic/templated corpora flatten) — the
+    // corpus-statistics audit a curation pipeline runs per snapshot.
+    // The global rank over the REDUCED vocabulary avoids the
+    // single-partition window PlanLint forbids: per-frequency offsets
+    // (= count of strictly-more-frequent terms) are driver-side
+    // metadata — distinct frequency values are O(√total_tokens) since
+    // frequencies f₁>f₂>…>f_k sum to ≥ k(k+1)/2 — and the rank within
+    // a frequency is an ordinary PARTITION BY freq window. Equal to
+    // ROW_NUMBER() OVER (ORDER BY freq DESC, term), which the oracle
+    // uses directly. Regression sums are exact integers over
+    // milli-rounded (ln rank, ln freq); only the final slope divides in
+    // double.
+    "text_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val tf = Tables.documents(s, dir)
+        .selectExpr(s"EXPLODE(TRANSFORM($TokensExpr, t -> LOWER(t))) AS term")
+        .groupBy($"term").agg(count(lit(1)).as("freq"))
+      val freqCounts = tf.groupBy($"freq").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+      val offsets = freqCounts
+        .scanLeft((0L, 0L)) { case ((_, acc), (f, c)) => (f, acc + c) }
+        .init.map(_._2).zip(freqCounts)
+        .map { case (off, (f, _)) => (f, off) }
+      val offDf = s.createDataFrame(offsets.toSeq).toDF("freq", "off")
+      val wf = Window.partitionBy($"freq").orderBy($"term")
+      tf.join(broadcast(offDf), Seq("freq"))
+        .withColumn("rank", $"off" + row_number().over(wf))
+        .selectExpr(
+          "CAST(ROUND(LN(rank) * 1000) AS BIGINT) AS xm",
+          "CAST(ROUND(LN(freq) * 1000) AS BIGINT) AS ym")
+        .agg(count(lit(1)).as("n"), sum($"xm").as("s1"), sum($"ym").as("s2"),
+          sum($"xm" * $"xm").as("s11"), sum($"xm" * $"ym").as("s12"))
+        .selectExpr("n AS n_terms", s"$ZipfSlopeExpr AS slope_micro")
+    }),
+
     "sample_mix_temperature" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -1712,7 +1832,57 @@ object TextQueries {
          |       CAST(SUM(cm) AS BIGINT) AS dsir_micro
          |FROM (SELECT bi.doc_id, $DsirContribExpr AS cm
          |      FROM bi JOIN b USING (bucket) CROSS JOIN t)
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin),
+
+    "text_entropy" ->
+      (s"""WITH t AS (
+         |  SELECT doc_id, n, term, COUNT(*) AS c
+         |  FROM (
+         |    SELECT doc_id, len(toks) AS n, unnest(toks) AS term
+         |    FROM (SELECT doc_id,
+         |            list_transform($DuckTokens, t -> lower(t)) AS toks
+         |          FROM documents)
+         |    WHERE len(toks) >= 1)
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |       CAST(SUM($EntropyContribExpr) AS BIGINT) AS entropy_nano
+         |FROM t GROUP BY 1, 2""".stripMargin),
+
+    "lang_kl_divergence" ->
+      (s"""WITH tok AS (
+         |  SELECT source, term FROM (
+         |    SELECT source, unnest(list_transform($DuckTokens,
+         |             t -> lower(t))) AS term
+         |    FROM documents)),
+         |st AS (SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT term, SUM(c_st) AS c_t FROM st GROUP BY 1),
+         |ns AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY 1)
+         |SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+         |       CAST(SUM(cm) AS BIGINT) AS kl_nano
+         |FROM (
+         |  SELECT source, n_s, $KlContribExpr AS cm FROM (
+         |    SELECT st.source, st.term, st.c_st, ct.c_t, ns.n_s,
+         |           (SELECT SUM(c_st) FROM st) AS n_tot
+         |    FROM st JOIN ct ON st.term = ct.term
+         |            JOIN ns ON st.source = ns.source))
+         |GROUP BY 1, 2""".stripMargin),
+
+    "text_zipf_slope" ->
+      (s"""WITH tf AS (
+         |  SELECT term, COUNT(*) AS freq FROM (
+         |    SELECT unnest(list_transform($DuckTokens, t -> lower(t))) AS term
+         |    FROM documents)
+         |  GROUP BY 1),
+         |r AS (
+         |  SELECT CAST(ROUND(LN(ROW_NUMBER() OVER (ORDER BY freq DESC, term))
+         |           * 1000) AS BIGINT) AS xm,
+         |         CAST(ROUND(LN(freq) * 1000) AS BIGINT) AS ym
+         |  FROM tf),
+         |s AS (SELECT COUNT(*) AS n, SUM(xm) AS s1, SUM(ym) AS s2,
+         |        SUM(xm * xm) AS s11, SUM(xm * ym) AS s12 FROM r)
+         |SELECT CAST(n AS BIGINT) AS n_terms, $ZipfSlopeExpr AS slope_micro
+         |FROM s""".stripMargin)
   )
 
   /** DuckDB twin of [[md5Simhash16]] (a standalone SELECT, also embedded
