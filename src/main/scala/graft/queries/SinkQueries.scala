@@ -310,6 +310,32 @@ object SinkQueries {
       ((after -- before).toSeq.sorted.map((_, "added")) ++
         (before -- after).toSeq.sorted.map((_, "removed")))
         .toDF("column_name", "change")
+    }),
+
+    // SCD2 — type-2 slowly-changing dimension merge (MergeOps.scd2Merge):
+    // day-0 snapshot loads every row current; the day-1 snapshot doubles
+    // balances (differs unless 0) and migrates %7 keys' segment. Changed
+    // keys must show a CLOSED day-0 row plus an OPEN day-1 version,
+    // brand-new keys (day-1-only) open directly, untouched keys ride
+    // through still-current — exactly what the oracle derives set-wise
+    // from the base customer table. One current×source shuffle join; the
+    // closed/opened/passthrough classes are branches over it.
+    "k_scd2_merge" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_scd2")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val day1 = c.filter($"c_custkey" % 2 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" * 2)
+        .withColumn("c_mktsegment",
+          when($"c_custkey" % 7 === 0, lit("MIGRATED")).otherwise($"c_mktsegment"))
+      t.overwrite(MergeOps.scd2Init(
+        c.filter($"c_custkey" % 3 =!= 0), to_date(lit("1995-01-01"))))
+      t.scd2Merge(day1, Seq("c_custkey"), to_date(lit("1995-06-01")))
+      t.read.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+        "valid_from", "valid_to", "is_current")
     })
   )
 
@@ -399,6 +425,31 @@ object SinkQueries {
        "AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' " +
        "AND TIMESTAMP '1995-12-31 00:00:00'"),
     "k_schema_drift" ->
-      "SELECT 'o_channel' AS column_name, 'added' AS change"
+      "SELECT 'o_channel' AS column_name, 'added' AS change",
+    "k_scd2_merge" ->
+      ("""WITH t0 AS (
+         |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+         |  FROM customer WHERE c_custkey % 3 <> 0),
+         |src AS (
+         |  SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal,
+         |    CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED' ELSE c_mktsegment END
+         |      AS c_mktsegment
+         |  FROM customer WHERE c_custkey % 2 = 0),
+         |chg AS (
+         |  SELECT s.c_custkey FROM src s JOIN t0 t USING (c_custkey)
+         |  WHERE s.c_name <> t.c_name OR s.c_acctbal <> t.c_acctbal
+         |     OR s.c_mktsegment <> t.c_mktsegment)
+         |SELECT t.c_custkey, t.c_name, t.c_acctbal, t.c_mktsegment,
+         |       DATE '1995-01-01' AS valid_from,
+         |       CASE WHEN c.c_custkey IS NOT NULL THEN DATE '1995-06-01' END
+         |         AS valid_to,
+         |       c.c_custkey IS NULL AS is_current
+         |FROM t0 t LEFT JOIN chg c USING (c_custkey)
+         |UNION ALL
+         |SELECT s.c_custkey, s.c_name, s.c_acctbal, s.c_mktsegment,
+         |       DATE '1995-06-01', CAST(NULL AS DATE), true
+         |FROM src s
+         |WHERE s.c_custkey NOT IN (SELECT c_custkey FROM t0)
+         |   OR s.c_custkey IN (SELECT c_custkey FROM chg)""".stripMargin)
   )
 }

@@ -534,6 +534,21 @@ final class MedallionTable(
       op = "merge")
   }
 
+  /** Type-2 SCD merge (see [[MergeOps.scd2Merge]]): applies an attribute
+    * snapshot effective at `effective`, closing changed current rows and
+    * opening their new versions, through the same rewrite commit protocol
+    * as [[merge]] (history records the op, concurrent writers conflict
+    * cleanly).
+    */
+  def scd2Merge(
+      source: DataFrame,
+      keys: Seq[String],
+      effective: Column,
+      changeCondition: Option[(MergeOps.ColRef, MergeOps.ColRef) => Column] = None): Unit =
+    rewriteVia(
+      MergeOps.scd2Merge(read, source, keys, effective, changeCondition),
+      op = "scd2-merge")
+
   /** Full-table rewrite through a tmp dir + backup swap: never a moment
     * where the live path is the only copy gone; restore on failure.
     *

@@ -191,4 +191,108 @@ object MergeOps {
     val changes = inserts.union(pre).union(post)
     if (deleteNotMatchedBySource) changes.union(dels) else changes
   }
+
+  /** SCD2 metadata columns: validity interval + current flag. `valid_to`
+    * is null on open rows (the "current" convention the reference's Delta
+    * stack uses for type-2 dims; a sentinel date would leak into range
+    * predicates).
+    */
+  val Scd2Cols: Seq[String] = Seq("valid_from", "valid_to", "is_current")
+
+  /** Bootstrap a type-2 dimension from a day-0 snapshot: every row current
+    * as of `effective`.
+    */
+  def scd2Init(snapshot: DataFrame, effective: Column): DataFrame = {
+    val effType = snapshot.select(effective.as("__e")).schema.head.dataType
+    snapshot
+      .withColumn("valid_from", effective)
+      .withColumn("valid_to", lit(null).cast(effType))
+      .withColumn("is_current", lit(true))
+  }
+
+  /** Slowly-changing-dimension type-2 merge (the history-keeping sibling of
+    * [[merge3Clause]]): apply a day-N attribute snapshot to a dimension
+    * whose schema carries [[Scd2Cols]]. Per business key:
+    *
+    *   - matched current row, any tracked column differs → the current row
+    *     CLOSES (`valid_to = effective`, `is_current = false`) and the
+    *     source row opens as the new current version;
+    *   - matched, nothing differs → current row passes through untouched
+    *     (re-applying the same snapshot is a no-op — idempotent loads);
+    *   - source-only key → opens as a new current row;
+    *   - target-only key → passes through still-current (SCD2 never
+    *     deletes; a retired entity is closed by a later snapshot that
+    *     carries its tombstone attribute, not by absence).
+    *
+    * Closed history rows ride along unjoined. Cost profile: ONE shuffle
+    * join of current-rows × source on the keys (history is a filter,
+    * no join), the closed/opened/passthrough classes are filter+project
+    * branches over it (Catalyst reuses the exchange), all codegen. At
+    * 100 TB the dimension's current slice — not its history — is the join
+    * side, which is what keeps daily loads O(|dim|), not O(|dim|·days).
+    *
+    * Reference analog: the 3-clause MERGE sites (`silver_table_creation
+    * .py:57-66`) overwrite matched rows in place — type-1. This is the
+    * type-2 counterpart a warehouse needs for point-in-time joins.
+    *
+    * @param changeCondition tracked-change gate, default
+    *        [[anyColumnDiffers]] over the business columns.
+    */
+  def scd2Merge(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      effective: Column,
+      changeCondition: Option[(ColRef, ColRef) => Column] = None): DataFrame = {
+    require(keys.nonEmpty, "scd2 merge requires at least one key column")
+    require(Scd2Cols.forall(target.columns.contains),
+      s"target is not an SCD2 dimension (missing ${Scd2Cols.mkString("/")})")
+    require(Scd2Cols.forall(c => !source.columns.contains(c)),
+      "source must carry business columns only, not SCD2 metadata")
+
+    val bizCols = target.columns.toSeq.filterNot(Scd2Cols.contains)
+    require(source.columns.toSet == bizCols.toSet,
+      s"source columns ${source.columns.mkString(",")} must equal the " +
+        s"dimension's business columns ${bizCols.mkString(",")}")
+
+    val history = target.filter(!col("is_current"))
+    val current = target.filter(col("is_current"))
+
+    def prep(df: DataFrame, cols: Seq[String], prefix: String, mark: String) =
+      df.select(cols.map(c => col(c).as(prefix + c)) :+ lit(true).as(mark): _*)
+
+    val t = prep(current, bizCols ++ Scd2Cols, TPrefix, TgtMark)
+    val s = prep(source, bizCols, SPrefix, SrcMark)
+    val tc: ColRef = c => col(TPrefix + c)
+    val sc: ColRef = c => col(SPrefix + c)
+    val joined = t.join(s, keys.map(k => tc(k) === sc(k)).reduce(_ && _), "full_outer")
+
+    val srcPresent = col(SrcMark).isNotNull
+    val tgtPresent = col(TgtMark).isNotNull
+    val differs = changeCondition
+      .map(f => f(tc, sc))
+      .getOrElse(anyColumnDiffers(current.select(bizCols.map(col): _*),
+        source, keys)(tc, sc))
+    val changing = srcPresent && tgtPresent && differs
+
+    // Surviving target-side rows: closed when the source changes them,
+    // untouched otherwise (incl. target-only keys).
+    val fromTarget = joined.filter(tgtPresent).select(
+      bizCols.map(c => tc(c).as(c)) ++ Seq(
+        tc("valid_from").as("valid_from"),
+        when(changing, effective).otherwise(tc("valid_to")).as("valid_to"),
+        when(changing, lit(false)).otherwise(tc("is_current")).as("is_current")): _*)
+
+    // Newly-opened versions: brand-new keys plus the changed ones.
+    val opened = joined.filter(srcPresent && (!tgtPresent || differs)).select(
+      bizCols.map(c => sc(c).as(c)) ++ Seq(
+        effective.as("valid_from"),
+        lit(null).cast(target.schema("valid_to").dataType).as("valid_to"),
+        lit(true).as("is_current")): _*)
+
+    val outCols = (bizCols ++ Scd2Cols).map(col)
+    history.select(outCols: _*)
+      .union(fromTarget.select(outCols: _*))
+      .union(opened.select(outCols: _*))
+  }
 }
