@@ -211,6 +211,53 @@ object AggQueries {
         .agg(count(lit(1)).as("n_rows"), sum($"w").as("checksum"))
     }),
 
+    // Referential-integrity audit — the dbt-test / Deequ-style FK check a
+    // warehouse runs after every load: per relationship, how many child
+    // rows (and distinct keys) point at a nonexistent parent. Violations
+    // are PLANTED deterministically (negated keys on %97 / %89 strata) so
+    // the audit has real orphans to find and the oracle predicts them
+    // exactly. Scale shape per FK: child keys reduce to per-key counts
+    // FIRST (map-side combine — the join moves |distinct keys| rows, not
+    // |child|), then one left join against the parent's distinct key set
+    // (broadcast for dims) and a single aggregate. NOT EXISTS semantics,
+    // so a null FK counts as an orphan only if the planted data makes one
+    // (TPC-H keys are non-null).
+    "audit_referential" -> ((s, dir) => {
+      import s.implicits._
+      val orders = Tables.orders(s, dir).withColumn("o_custkey",
+        when($"o_orderkey" % 97 === 0, -$"o_custkey").otherwise($"o_custkey"))
+      val li = Tables.lineitem(s, dir).withColumn("l_suppkey",
+        when($"l_orderkey" % 89 === 0, -$"l_suppkey").otherwise($"l_suppkey"))
+      def fk(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val cnt = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("n"))
+        val marked = cnt.join(
+          parent.select(col(pk).as("k")).distinct().withColumn("ok", lit(true)),
+          Seq("k"), "left")
+        marked.agg(
+          lit(name).as("fk"),
+          sum($"n").as("child_rows"),
+          coalesce(sum(when($"ok".isNull, $"n")), lit(0L)).as("orphan_rows"),
+          count(when($"ok".isNull, 1)).as("orphan_keys"))
+      }
+      Seq(
+        fk("orders.o_custkey->customer.c_custkey",
+          orders, "o_custkey", Tables.customer(s, dir), "c_custkey"),
+        fk("lineitem.l_orderkey->orders.o_orderkey",
+          li, "l_orderkey", orders, "o_orderkey"),
+        fk("lineitem.l_partkey->part.p_partkey",
+          li, "l_partkey", Tables.part(s, dir), "p_partkey"),
+        fk("lineitem.l_suppkey->supplier.s_suppkey",
+          li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+        fk("customer.c_nationkey->nation.n_nationkey",
+          Tables.customer(s, dir), "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
+        fk("supplier.s_nationkey->nation.n_nationkey",
+          Tables.supplier(s, dir), "s_nationkey", Tables.nation(s, dir), "n_nationkey"),
+        fk("nation.n_regionkey->region.r_regionkey",
+          Tables.nation(s, dir), "n_regionkey", Tables.region(s, dir), "r_regionkey")
+      ).reduce(_ unionByName _)
+    }),
+
     // ROLLUP / CUBE grouping sets (beyond the reference — completes the
     // aggregation surface a switching user expects).
     "agg_rollup" -> ((s, dir) => {
@@ -331,6 +378,43 @@ object AggQueries {
        "SUM(ROUND(l_extendedprice * 100)) / 100.0 AS sum_base_price, " +
        "SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100.0 AS sum_disc_price, " +
        "AVG(l_quantity) AS avg_qty, CAST(COUNT(*) AS BIGINT) AS count_order " +
-       "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+       "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "audit_referential" -> {
+      // one branch per FK; NOT EXISTS mirrors the anti-join orphan rule
+      def fk(name: String, child: String, ck: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS fk,
+           |  CAST(COUNT(*) AS BIGINT) AS child_rows,
+           |  CAST(COUNT(*) FILTER (WHERE NOT EXISTS (
+           |    SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS BIGINT)
+           |    AS orphan_rows,
+           |  CAST(COUNT(DISTINCT $ck) FILTER (WHERE NOT EXISTS (
+           |    SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS BIGINT)
+           |    AS orphan_keys
+           |FROM $child c""".stripMargin
+      s"""WITH o AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END
+         |      AS o_custkey
+         |  FROM orders),
+         |li AS (
+         |  SELECT l_orderkey, l_partkey,
+         |    CASE WHEN l_orderkey % 89 = 0 THEN -l_suppkey ELSE l_suppkey END
+         |      AS l_suppkey
+         |  FROM lineitem)
+         |${fk("orders.o_custkey->customer.c_custkey", "o", "o_custkey", "customer", "c_custkey")}
+         |UNION ALL
+         |${fk("lineitem.l_orderkey->orders.o_orderkey", "li", "l_orderkey", "o", "o_orderkey")}
+         |UNION ALL
+         |${fk("lineitem.l_partkey->part.p_partkey", "li", "l_partkey", "part", "p_partkey")}
+         |UNION ALL
+         |${fk("lineitem.l_suppkey->supplier.s_suppkey", "li", "l_suppkey", "supplier", "s_suppkey")}
+         |UNION ALL
+         |${fk("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey")}
+         |UNION ALL
+         |${fk("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey")}
+         |UNION ALL
+         |${fk("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey")}""".stripMargin
+    }
   )
 }

@@ -605,6 +605,39 @@ object TextQueries {
           "r_count AND r_meanlen AND r_alpha AND r_stop AS passes")
     }),
 
+    // C4-style line-level cleaning (Raffel et al. 2020 §2.2's heuristics):
+    // keep a line only if it ends in terminal punctuation, has >= 5 words,
+    // and doesn't mention javascript; drop the whole page when it has
+    // < 3 surviving lines, contains "lorem ipsum", or a curly brace. The
+    // raw pages are PLANTED around each doc (the punctuation-free corpus
+    // text itself is the always-failing line; junk lines land on %3/%4
+    // strata; two proper sentences always survive) so every rule fires on
+    // any corpus and the oracle predicts each decision. Scale shape: ONE
+    // narrow map — the line split, per-line rules, and cleaned-page
+    // reassembly are all array HOFs inside whole-stage codegen; no
+    // explode, no shuffle. md5(clean_text) pins exact reconstruction.
+    "text_c4_rules" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr("doc_id",
+        ("CONCAT_WS(CHR(10), text, " +
+          "'The quick brown fox jumps over the lazy dog today.', " +
+          "CASE WHEN doc_id % 3 = 0 THEN 'lorem ipsum dolor sit amet consectetur.' END, " +
+          "CASE WHEN doc_id % 4 = 0 THEN 'enable javascript { var x } to view this site.' END, " +
+          "'Too short.', " +
+          "CONCAT('Document ', CAST(doc_id AS STRING), " +
+          "' ends with a unique proper closing sentence.')) AS page"))
+        .selectExpr("doc_id", "SPLIT(page, CHR(10)) AS lines", "page")
+        .selectExpr("doc_id", "SIZE(lines) AS n_lines",
+          "FILTER(lines, l -> l RLIKE '[.!?\"]$' " +
+            "AND SIZE(SPLIT(l, ' ')) >= 5 " +
+            "AND NOT CONTAINS(LOWER(l), 'javascript')) AS kept",
+          "CONTAINS(LOWER(page), 'lorem ipsum') AS has_lorem",
+          "CONTAINS(page, '{') AS has_brace")
+        .selectExpr("doc_id", "n_lines", "SIZE(kept) AS n_kept",
+          "has_lorem", "has_brace",
+          "SIZE(kept) >= 3 AND NOT has_lorem AND NOT has_brace AS page_pass",
+          "MD5(ARRAY_JOIN(kept, CHR(10))) AS clean_md5")
+    }),
+
     // Hashed linear quality classifier — the fastText-shaped corpus
     // filter (CCNet/DCLM style): each token hashes into a weight-table
     // bucket, the doc score is the mean bucket weight, and a threshold
@@ -1882,7 +1915,36 @@ object TextQueries {
          |s AS (SELECT COUNT(*) AS n, SUM(xm) AS s1, SUM(ym) AS s2,
          |        SUM(xm * xm) AS s11, SUM(xm * ym) AS s12 FROM r)
          |SELECT CAST(n AS BIGINT) AS n_terms, $ZipfSlopeExpr AS slope_micro
-         |FROM s""".stripMargin)
+         |FROM s""".stripMargin),
+
+    "text_c4_rules" ->
+      ("""WITH pages AS (
+         |  SELECT doc_id, CONCAT_WS(chr(10), text,
+         |    'The quick brown fox jumps over the lazy dog today.',
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN 'lorem ipsum dolor sit amet consectetur.' END,
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN 'enable javascript { var x } to view this site.' END,
+         |    'Too short.',
+         |    CONCAT('Document ', CAST(doc_id AS VARCHAR),
+         |      ' ends with a unique proper closing sentence.')) AS page
+         |  FROM documents),
+         |split AS (
+         |  SELECT doc_id, page, string_split(page, chr(10)) AS lines
+         |  FROM pages),
+         |f AS (
+         |  SELECT doc_id, len(lines) AS n_lines,
+         |    list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+         |      AND len(string_split(l, ' ')) >= 5
+         |      AND NOT contains(lower(l), 'javascript')) AS kept,
+         |    contains(lower(page), 'lorem ipsum') AS has_lorem,
+         |    contains(page, '{') AS has_brace
+         |  FROM split)
+         |SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+         |  CAST(len(kept) AS INTEGER) AS n_kept, has_lorem, has_brace,
+         |  len(kept) >= 3 AND NOT has_lorem AND NOT has_brace AS page_pass,
+         |  md5(array_to_string(kept, chr(10))) AS clean_md5
+         |FROM f""".stripMargin)
   )
 
   /** DuckDB twin of [[md5Simhash16]] (a standalone SELECT, also embedded
