@@ -54,9 +54,26 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Round-8 postmortem: a transient local-mode RPC stall (default ask
+      // timeout 120s, but the heartbeat/ask retry loop stalled one query
+      // for ~37s × 2 attempts) inflated a2_static_agg14 7.8× and printed a
+      // stack into the parsed tail. Generous timeouts make a GC-pause-class
+      // hiccup a non-event; the per-query watchdog still bounds true hangs.
+      .config("spark.network.timeout", "600s")
+      .config("spark.rpc.askTimeout", "600s")
+      .config("spark.rpc.lookupTimeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    LogNoise.silenceExpected() // keep the parsed tail JSON-only
+    LogNoise.silenceExpected()
+    // Keep the parsed tail JSON-only by construction: every log4j event
+    // (including any ERROR stack) goes to a file, never stdout/stderr.
+    try LogNoise.redirectToFile("target/bench_spark.log")
+    catch { case _: Throwable => () }
+    val rpcTrip = LogNoise.installRpcTripDetector()
+    // Bench's own diagnostics also go to the log file, not stderr: the
+    // driver's parsed tail must hold nothing but the final JSON line.
+    val blog = org.apache.logging.log4j.LogManager.getLogger("graft.Bench")
     // Unmeasured warmup: absorb executor/codegen startup so the first
     // measured query reflects query cost, not JVM cost.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -81,8 +98,12 @@ object Bench {
           s.range(4).mapPartitions { it => Thread.sleep(3600 * 1000L); it }.toDF()
         }))
       else Map.empty
-    // One watchdog-guarded attempt; returns elapsed seconds or -1.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // One watchdog-guarded attempt; returns (elapsed seconds or -1,
+    // whether an RPC stall was logged during the attempt — see
+    // LogNoise.RpcTripDetector for why a tripped attempt's time is
+    // evidence about the stall, not the query).
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      rpcTrip.reset()
       val t0 = System.nanoTime()
       // noop sink: computes EVERY output column (count() lets column
       // pruning skip per-column work entirely, hiding expression cost)
@@ -116,13 +137,13 @@ object Bench {
             }, s"bench-cancel-$name")
             canceller.setDaemon(true)
             canceller.start()
-            System.err.println(s"[bench] $name timed out after ${timeout}s (cancelled)")
+            blog.warn(s"$name timed out after ${timeout}s (cancelled)")
             false
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            blog.warn(s"$name failed: ${e.getMessage}")
             false
         }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, rpcTrip.tripped)
     }
     // Per-query isolation (round-5 verdict: late heavy queries read 2-4x
     // their isolated cost because GC pressure and leftover executor state
@@ -133,24 +154,41 @@ object Bench {
     // attempt records -1 without a retry (a hung query must cost one
     // timeout, not two).
     val methodology =
-      "noop-sink all-columns; per-query GC-settled best-of-2; " +
+      "noop-sink all-columns; per-query GC-settled best-of-2, rpc-tripped attempts invalid; " +
         "queries map = fixed headline subset, value = total over all"
     val results = (SparkEntry.queries ++ injected).map { case (name, fn) =>
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(100)
-      val t1 = timeOnce(name, fn)
+      val (t1, trip1) = timeOnce(name, fn)
       val t =
         if (t1 < 0) t1
-        // A slow-but-passing first attempt skips the retry: a hung second
-        // attempt would cost a full extra watchdog timeout per query, and
-        // best-of-2 on an already-over-budget query buys nothing
-        // (round-6 ADVICE — bounds worst-case bench wall-clock).
-        else if (t1 > timeout / 2.0) t1
+        // A slow-but-passing CLEAN first attempt skips the retry: a hung
+        // second attempt would cost a full extra watchdog timeout per query,
+        // and best-of-2 on an already-over-budget query buys nothing
+        // (round-6 ADVICE — bounds worst-case bench wall-clock). An
+        // rpc-tripped attempt never earns the skip: its inflated time is the
+        // round-8 failure class and must not stand unchallenged.
+        else if (!trip1 && t1 > timeout / 2.0) t1
         else {
-          val t2 = timeOnce(name, fn)
-          if (t2 < 0) t1 else math.min(t1, t2) // a flaky 2nd attempt must not erase a good 1st
+          val (t2, trip2) = timeOnce(name, fn)
+          // Best-of-2 over CLEAN attempts only: a measurement taken across
+          // a logged RPC stall is invalid (round-8 verdict). If every
+          // attempt tripped, one bounded extra attempt; still tripped →
+          // record the min and let n_rpc_tripped flag the run.
+          (t2 < 0, trip1, trip2) match {
+            case (true, _, _)      => t1
+            case (_, false, false) => math.min(t1, t2)
+            case (_, true, false)  => t2
+            case (_, false, true)  => t1
+            case (_, true, true)   =>
+              val (t3, trip3) = timeOnce(name, fn)
+              if (t3 >= 0 && !trip3) t3
+              else math.min(t1, math.min(t2, if (t3 < 0) t2 else t3))
+          }
         }
+      if (trip1 || rpcTrip.tripped)
+        blog.warn(s"$name: rpc stall logged during an attempt")
       name -> t
     }
     val total = results.values.filter(_ >= 0).sum

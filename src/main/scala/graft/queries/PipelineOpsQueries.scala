@@ -62,7 +62,12 @@ object PipelineOpsQueries {
         $"a.fp".as("ha"), $"b.fp".as("hb"))
       .distinct()
       .filter(expr("bit_count(ha ^ hb) <= 2"))
-    pairs.filter($"id_b" - $"id_a" === 99999)
+    // Planted-truth rows, tied STRUCTURALLY to the planting predicate
+    // (id_a from the planted originals: < 60 and ≡ kindMod mod 3; id_b its
+    // +99999 copy) — an id-delta filter alone could alias a natural
+    // doc_id ≥ 99999 as a "copy" on a bigger corpus (round-8 advice).
+    pairs.filter($"id_b" - $"id_a" === 99999 &&
+        $"id_a" < 60 && $"id_a" % 3 === kindMod && $"id_b" >= 99999)
       .select($"id_a".as("orig_id"), $"id_b".as("copy_id"),
         expr("CAST(bit_count(ha ^ hb) AS INTEGER)").as("hamming"),
         lit(true).as("is_pair"))

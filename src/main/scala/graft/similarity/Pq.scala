@@ -73,8 +73,22 @@ object Pq {
     * code keeps its previous centroid (standard fallback).
     */
   def trainCodebooks(subs: DataFrame, k: Int, iterations: Int): DataFrame = {
-    var books = subs.filter(col("vec_id") < k)
-      .select(col("sub_id"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+    // Seed = the subvectors of the k LOWEST OBSERVED vec_ids, not
+    // `vec_id < k` (round-8 advice: that assumed ids dense from 0 — a
+    // corpus whose ids start above k, or with gaps, would train fewer or
+    // zero centroids and topK would silently return empty). orderBy+limit
+    // is TakeOrderedAndProject (distributed, no full sort); the ≤k-row
+    // collect is parameter-bounded (k ≈ 16), the same class as the dims
+    // probe. Codes = rank within the seed list, dense 0..k-1 under any
+    // id distribution.
+    val seedIds = subs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k).collect().map(_.get(0))
+    require(seedIds.nonEmpty, "PQ codebook training requires a non-empty corpus")
+    val codeOf = map(seedIds.zipWithIndex.flatMap { case (id, i) =>
+      Seq(lit(id), lit(i)) }.toIndexedSeq: _*)
+    var books = subs.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("sub_id"), element_at(codeOf, col("vec_id")).cast("int").as("code"),
+        col("sv").as("cv"))
     var i = 0
     while (i < iterations) {
       val means = assignCodes(subs, books)
@@ -107,7 +121,9 @@ object Pq {
 
   private def dimsPerSub(emb: DataFrame, m: Int): Int = {
     // one metadata-bounded row: the fixture schema fixes dims per table
-    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val probe = emb.select(size(col("embedding"))).limit(1).collect()
+    require(probe.nonEmpty, "PQ requires a non-empty corpus (no vectors to probe dims from)")
+    val dims = probe.head.getInt(0)
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     dims / m
   }

@@ -544,10 +544,15 @@ final class MedallionTable(
       source: DataFrame,
       keys: Seq[String],
       effective: Column,
-      changeCondition: Option[(MergeOps.ColRef, MergeOps.ColRef) => Column] = None): Unit =
+      changeCondition: Option[(MergeOps.ColRef, MergeOps.ColRef) => Column] = None): Unit = {
+    // A duplicate-keyed snapshot would fan out the SCD2 full-outer join and
+    // break the one-current-row-per-key invariant (MergeOps.scd2Merge's
+    // documented contract) — enforce it here, where an action is fine.
+    MergeOps.requireUniqueKeys(source, keys)
     rewriteVia(
       MergeOps.scd2Merge(read, source, keys, effective, changeCondition),
       op = "scd2-merge")
+  }
 
   /** Full-table rewrite through a tmp dir + backup swap: never a moment
     * where the live path is the only copy gone; restore on failure.

@@ -61,6 +61,24 @@ object MergeOps {
       else shared.map(c => t(c) =!= s(c)).reduce(_ || _)
   }
 
+  /** Null-SAFE variant of [[anyColumnDiffers]]: `NOT (t <=> s)` treats a
+    * value↔NULL transition as a change instead of an unknown. This is the
+    * [[scd2Merge]] default — dimension attributes are commonly nullable,
+    * and under null-unsafe `<>` a tracked column transitioning to or from
+    * NULL yields a NULL predicate, so the update would be silently dropped
+    * (round-8 advice). [[merge3Clause]] keeps the null-unsafe default
+    * because it replicates the reference's synthesized condition verbatim
+    * and the reference guarantees no nulls via dropna.
+    */
+  def anyColumnDiffersNullSafe(
+      target: DataFrame, source: DataFrame, keys: Seq[String]): (ColRef, ColRef) => Column = {
+    val shared =
+      target.columns.toSeq.filterNot(keys.contains).filter(source.columns.contains)
+    (t, s) =>
+      if (shared.isEmpty) lit(false)
+      else shared.map(c => !(t(c) <=> s(c))).reduce(_ || _)
+  }
+
   /** Delta fails a MERGE when one target row matches multiple source rows.
     * Single distributed aggregation; call before [[merge3Clause]] when the
     * source is not known-deduplicated (reference sources always are —
@@ -235,8 +253,18 @@ object MergeOps {
     * .py:57-66`) overwrite matched rows in place — type-1. This is the
     * type-2 counterpart a warehouse needs for point-in-time joins.
     *
+    * CONTRACT — unique source keys: like Delta MERGE, the source snapshot
+    * must carry at most one row per business key. A duplicate key fans out
+    * the full-outer join, emitting duplicate closed rows and multiple
+    * `is_current = true` rows per key — silently breaking the
+    * one-current-row invariant. This builder is pure (no actions), so the
+    * check lives in the caller: [[graft.table.MedallionTable.scd2Merge]]
+    * runs [[requireUniqueKeys]] before invoking this.
+    *
     * @param changeCondition tracked-change gate, default
-    *        [[anyColumnDiffers]] over the business columns.
+    *        [[anyColumnDiffersNullSafe]] over the business columns
+    *        (null-SAFE: dimensions commonly have nullable attributes, and
+    *        a value↔NULL transition must read as a change, not unknown).
     */
   def scd2Merge(
       target: DataFrame,
@@ -271,7 +299,7 @@ object MergeOps {
     val tgtPresent = col(TgtMark).isNotNull
     val differs = changeCondition
       .map(f => f(tc, sc))
-      .getOrElse(anyColumnDiffers(current.select(bizCols.map(col): _*),
+      .getOrElse(anyColumnDiffersNullSafe(current.select(bizCols.map(col): _*),
         source, keys)(tc, sc))
     val changing = srcPresent && tgtPresent && differs
 

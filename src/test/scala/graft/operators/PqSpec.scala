@@ -67,6 +67,27 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("codebooks train on a corpus whose ids start above k (sparse/offset ids)") {
+    import spark.implicits._
+    // Round-8 advice: seeding with filter(vec_id < k) trained ZERO
+    // centroids on an id-offset corpus, so topK silently returned empty.
+    // Seeding by the k lowest OBSERVED ids must make this corpus behave
+    // identically to its dense-id twin.
+    val dense = clustered(6, 10, 16)
+    val offset = dense.select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
+    val rows = Pq.topK(offset, col("vec_id") < 1000006, 5, m = 4, kCent = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty, "offset-id corpus returned no neighbors")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"query $q ranks gap")
+    }
+    // and an empty corpus fails loudly instead of returning empty results
+    val empty = dense.filter($"vec_id" < 0).select($"vec_id", $"embedding")
+    intercept[IllegalArgumentException] {
+      Pq.encode(empty, m = 4, k = 8, iterations = 1)
+    }
+  }
+
   test("PQ plan never cross-joins the corpus with itself") {
     import spark.implicits._
     val emb = (0 until 40).map(i =>

@@ -87,6 +87,40 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("null transitions are tracked changes (null-safe default detection)") {
+    import spark.implicits._
+    // v: 10.0 → NULL for id=1 and NULL → 20.0 for id=2. Under null-unsafe
+    // <> both predicates evaluate to NULL and the updates would silently
+    // drop (the round-8 advice finding); the null-safe default must close
+    // and reopen both keys.
+    val s0 = Seq((1L, "alice", Some(10.0)), (2L, "bob", None: Option[Double]))
+      .toDF("id", "name", "v")
+    val dim = MergeOps.scd2Init(s0, lit(D0))
+    val day1 = Seq((1L, "alice", None: Option[Double]), (2L, "bob", Some(20.0)))
+      .toDF("id", "name", "v")
+    val out = MergeOps.scd2Merge(dim, day1, Seq("id"), lit(D1))
+    assert(asSet(out) == Set(
+      Seq(1L, "alice", 10.0, D0, D1, false),
+      Seq(1L, "alice", null, D1, null, true),
+      Seq(2L, "bob", null, D0, D1, false),
+      Seq(2L, "bob", 20.0, D1, null, true)))
+    // and re-applying the same all-null-bearing snapshot stays a no-op
+    assert(asSet(MergeOps.scd2Merge(out, day1, Seq("id"), lit(D2))) == asSet(out))
+  }
+
+  test("MedallionTable.scd2Merge rejects a duplicate-keyed snapshot") {
+    import spark.implicits._
+    val p = tmpDir("scd2_dupkeys")
+    val t = MedallionTable(spark, p)
+    t.overwrite(dim0)
+    val dup = Seq((1L, "alice", 11.0), (1L, "alice", 12.0)).toDF("id", "name", "v")
+    intercept[IllegalArgumentException] {
+      t.scd2Merge(dup, Seq("id"), lit(D1))
+    }
+    // the failed merge must not have touched the table
+    assert(asSet(t.read) == asSet(dim0))
+  }
+
   test("MedallionTable.scd2Merge round trip records the op in history") {
     import spark.implicits._
     val p = tmpDir("scd2_table")
