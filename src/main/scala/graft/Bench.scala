@@ -102,6 +102,12 @@ object Bench {
     // whether an RPC stall was logged during the attempt — see
     // LogNoise.RpcTripDetector for why a tripped attempt's time is
     // evidence about the stall, not the query).
+    // Live watchdog cancellers from earlier timed-out queries keep
+    // re-cancelling their job group; the interrupt/cleanup fallout can log
+    // "Futures timed out" during LATER attempts and spuriously trip the
+    // detector (round-9 advice). While any canceller is alive, a trip is
+    // attributed to the cleanup, not the measured query.
+    val activeCancellers = new java.util.concurrent.atomic.AtomicInteger(0)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       rpcTrip.reset()
       val t0 = System.nanoTime()
@@ -129,11 +135,14 @@ object Bench {
             // runaway can't burn cores under every later measurement.
             spark.sparkContext.cancelJobGroup(name)
             Option(workerThread.get()).foreach(_.interrupt())
+            activeCancellers.incrementAndGet()
             val canceller = new Thread(() => {
-              while (!work.isCompleted) {
-                Thread.sleep(5000)
-                spark.sparkContext.cancelJobGroup(name)
-              }
+              try {
+                while (!work.isCompleted) {
+                  Thread.sleep(5000)
+                  spark.sparkContext.cancelJobGroup(name)
+                }
+              } finally activeCancellers.decrementAndGet()
             }, s"bench-cancel-$name")
             canceller.setDaemon(true)
             canceller.start()
@@ -143,7 +152,12 @@ object Bench {
             blog.warn(s"$name failed: ${e.getMessage}")
             false
         }
-      (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, rpcTrip.tripped)
+      // A trip observed while a cleanup canceller is live is cleanup
+      // fallout, not a stall under this query's measurement.
+      val trippedClean = rpcTrip.tripped && activeCancellers.get() == 0
+      if (rpcTrip.tripped && !trippedClean)
+        blog.warn(s"$name: rpc-ish log event ignored (watchdog canceller live)")
+      (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, trippedClean)
     }
     // Per-query isolation (round-5 verdict: late heavy queries read 2-4x
     // their isolated cost because GC pressure and leftover executor state
@@ -156,49 +170,63 @@ object Bench {
     val methodology =
       "noop-sink all-columns; per-query GC-settled best-of-2, rpc-tripped attempts invalid; " +
         "queries map = fixed headline subset, value = total over all"
-    val results = (SparkEntry.queries ++ injected).map { case (name, fn) =>
-      spark.catalog.clearCache()
-      System.gc()
-      Thread.sleep(100)
-      val (t1, trip1) = timeOnce(name, fn)
-      val t =
-        if (t1 < 0) t1
-        // A slow-but-passing CLEAN first attempt skips the retry: a hung
-        // second attempt would cost a full extra watchdog timeout per query,
-        // and best-of-2 on an already-over-budget query buys nothing
-        // (round-6 ADVICE — bounds worst-case bench wall-clock). An
-        // rpc-tripped attempt never earns the skip: its inflated time is the
-        // round-8 failure class and must not stand unchallenged.
-        else if (!trip1 && t1 > timeout / 2.0) t1
-        else {
-          val (t2, trip2) = timeOnce(name, fn)
-          // Best-of-2 over CLEAN attempts only: a measurement taken across
-          // a logged RPC stall is invalid (round-8 verdict). If every
-          // attempt tripped, one bounded extra attempt; still tripped →
-          // record the min and let n_rpc_tripped flag the run.
-          (t2 < 0, trip1, trip2) match {
-            case (true, _, _)      => t1
-            case (_, false, false) => math.min(t1, t2)
-            case (_, true, false)  => t2
-            case (_, false, true)  => t1
-            case (_, true, true)   =>
-              val (t3, trip3) = timeOnce(name, fn)
-              if (t3 >= 0 && !trip3) t3
-              else math.min(t1, math.min(t2, if (t3 < 0) t2 else t3))
+    // Per query: (recorded seconds or -1, whether the RECORDED value came
+    // from an rpc-tripped attempt — i.e. no clean attempt was available and
+    // the figure is measurement-suspect, round-9 advice).
+    val results: Map[String, (Double, Boolean)] =
+      (SparkEntry.queries ++ injected).map { case (name, fn) =>
+        spark.catalog.clearCache()
+        System.gc()
+        Thread.sleep(100)
+        val (t1, trip1) = timeOnce(name, fn)
+        val rec: (Double, Boolean) =
+          if (t1 < 0) (t1, false)
+          // A slow-but-passing CLEAN first attempt skips the retry: a hung
+          // second attempt would cost a full extra watchdog timeout per
+          // query, and best-of-2 on an already-over-budget query buys
+          // nothing (round-6 ADVICE — bounds worst-case bench wall-clock).
+          // An rpc-tripped attempt never earns the skip: its inflated time
+          // is the round-8 failure class and must not stand unchallenged.
+          else if (!trip1 && t1 > timeout / 2.0) (t1, false)
+          else {
+            val (t2, trip2) = timeOnce(name, fn)
+            // Best-of-2 over CLEAN attempts only: a measurement taken
+            // across a logged RPC stall is invalid (round-8 verdict). A
+            // tripped attempt whose retry failed, or two tripped attempts,
+            // earns ONE bounded extra attempt; still no clean figure →
+            // record the min, marked tripped, and n_rpc_tripped flags it.
+            (t2 < 0, trip1, trip2) match {
+              case (true, false, _)  => (t1, false)
+              case (true, true, _)   =>
+                val (t3, trip3) = timeOnce(name, fn)
+                if (t3 >= 0 && !trip3) (t3, false)
+                else (math.min(t1, if (t3 < 0) t1 else t3), true)
+              case (_, false, false) => (math.min(t1, t2), false)
+              case (_, true, false)  => (t2, false)
+              case (_, false, true)  => (t1, false)
+              case (_, true, true)   =>
+                val (t3, trip3) = timeOnce(name, fn)
+                if (t3 >= 0 && !trip3) (t3, false)
+                else (math.min(t1, math.min(t2, if (t3 < 0) t2 else t3)), true)
+            }
           }
-        }
-      if (trip1 || rpcTrip.tripped)
-        blog.warn(s"$name: rpc stall logged during an attempt")
-      name -> t
-    }
-    val total = results.values.filter(_ >= 0).sum
-    val nFailed = results.values.count(_ < 0)
+        if (rec._2) blog.warn(s"$name: recorded value came from an rpc-tripped attempt")
+        name -> rec
+      }
+    val times = results.map { case (k, (t, _)) => k -> t }
+    val total = times.values.filter(_ >= 0).sum
+    val nFailed = times.values.count(_ < 0)
+    val rpcTrippedNames = results.collect { case (k, (_, true)) => k }.toSeq.sorted
+    val nRpcTripped = rpcTrippedNames.size
     // Full detail + measurement environment for benchgate/local analysis
     // (round-6 ADVICE: the gate must refuse to compare a run against a
     // baseline recorded at a different sf/cpus/methodology).
     val sfName = new java.io.File(sfDir).getName
-    val fullJson = results.toSeq.sortBy(-_._2)
+    val fullJson = times.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"""    "$k": $v""" }.mkString("{\n", ",\n", "\n  }")
+    // `queries` stays a flat name→seconds map (benchgate.py's contract);
+    // trip markers ride in a sibling list.
+    val trippedJson = rpcTrippedNames.map(n => s""""$n"""").mkString("[", ", ", "]")
     try {
       val out = new java.io.PrintWriter("target/bench_full.json")
       try out.println(
@@ -206,14 +234,16 @@ object Bench {
            |  "sf": "$sfName",
            |  "cpus": $cpus,
            |  "methodology": "$methodology",
+           |  "n_rpc_tripped": $nRpcTripped,
+           |  "rpc_tripped": $trippedJson,
            |  "queries": $fullJson
            |}""".stripMargin)
       finally out.close()
     } catch { case _: Throwable => () }
-    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v)}"))
+    val qs = headline.flatMap(k => times.get(k).map(v => s"\"$k\":${f3(v)}"))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""n_queries":${results.size},"n_failed":$nFailed,""" +
+      s""""n_queries":${times.size},"n_failed":$nFailed,"n_rpc_tripped":$nRpcTripped,""" +
       s""""methodology":"$methodology",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -27,6 +27,26 @@ object SinkQueries {
         "o_orderdate", "o_orderpriority")
     }),
 
+    // K6 (round-8 verdict #2) — named-table catalog surface: a
+    // MedallionTable registered via CREATE TABLE … USING graft LOCATION
+    // (graft.sources.GraftSqlSource), then read back through spark.sql BY
+    // NAME — no temp view. The reference's users consume tables by
+    // registered name (silver_table_creation.py:353). Aggregate + filters
+    // exercise the V2 pruning/pushdown path, not just a full scan.
+    "k6_catalog_named_table" -> ((s, dir) => {
+      val p = Q.scratch(dir, "k6_catalog")
+      Q.deleteDir(s, p)
+      MedallionTable(s, p).overwrite(Tables.customer(s, dir))
+      s.sql("DROP TABLE IF EXISTS graft_cat_customer")
+      s.sql(s"CREATE TABLE graft_cat_customer USING graft LOCATION '$p'")
+      s.sql("""
+        |SELECT c_nationkey, COUNT(*) AS n_cust,
+        |       CAST(SUM(ROUND(c_acctbal * 100)) AS BIGINT) AS bal_cents
+        |FROM graft_cat_customer
+        |WHERE c_acctbal > 0 AND c_mktsegment <> 'MACHINERY'
+        |GROUP BY c_nationkey""".stripMargin)
+    }),
+
     // K2 — overwrite fully replaces (bronze_table_creation.py:36,61)
     "k2_overwrite_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -347,6 +367,11 @@ object SinkQueries {
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 4 IN (0, 1)",
     "k2_overwrite_roundtrip" ->
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 4 = 2",
+    "k6_catalog_named_table" ->
+      ("SELECT c_nationkey, COUNT(*) AS n_cust, " +
+       "CAST(SUM(ROUND(c_acctbal * 100)) AS BIGINT) AS bal_cents " +
+       "FROM customer WHERE c_acctbal > 0 AND c_mktsegment <> 'MACHINERY' " +
+       "GROUP BY c_nationkey"),
     "k4_merge_schema_evolution" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
        "o_totalprice + 1 AS o_totalprice, o_orderdate, " +

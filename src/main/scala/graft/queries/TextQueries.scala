@@ -830,6 +830,40 @@ object TextQueries {
         .limit(50)
     }),
 
+    // Full BPE merge-training loop (round-8 verdict #4): iterate
+    // pair-count → merge → re-segment via [[graft.text.BpeTrainer]]. The
+    // real training surface over the whole ≥2-char vocabulary — merges
+    // interact (a merged symbol joins later pair counts), which no
+    // single SQL pass can express, so this row is rows-only; its
+    // decision-level oracle is `text_bpe_train_xcheck` below, and
+    // BpeTrainerSpec pins the interacting-merge semantics on a
+    // hand-computed corpus.
+    "text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val wordFreq = Tables.documents(s, dir)
+        .selectExpr(s"EXPLODE($BpeTokens) AS word")
+        .where("LENGTH(word) >= 2")
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+      graft.text.BpeTrainer.trainDf(wordFreq, 20)
+    }),
+
+    // Decision-level oracle for the training loop: on the LENGTH=2 word
+    // slice a merge collapses its word type to one symbol and removes it
+    // from every later round without creating new pairs (no interaction),
+    // so the trained merge list provably equals the top-k initial pairs
+    // by (count DESC, pair ASC) — one SQL window. The full iterative
+    // machinery (per-round count, argmax, merge application, working-set
+    // shrink) still runs on the Spark side; only the EXPECTATION
+    // simplifies.
+    "text_bpe_train_xcheck" -> ((s, dir) => {
+      import s.implicits._
+      val wordFreq = Tables.documents(s, dir)
+        .selectExpr(s"EXPLODE($BpeTokens) AS word")
+        .where("LENGTH(word) = 2")
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+      graft.text.BpeTrainer.trainDf(wordFreq, 12)
+    }),
+
     // TF-IDF keyword extraction: per-document top-3 lowercased terms by
     // tf·ln(N/df). Both the ranking and the emitted score use integer
     // micro-units (text_lm_score recipe) so the engines' last-ulp ln()
@@ -1119,10 +1153,13 @@ object TextQueries {
     // corpus-statistics audit a curation pipeline runs per snapshot.
     // The global rank over the REDUCED vocabulary avoids the
     // single-partition window PlanLint forbids: per-frequency offsets
-    // (= count of strictly-more-frequent terms) are driver-side
-    // metadata — distinct frequency values are O(√total_tokens) since
-    // frequencies f₁>f₂>…>f_k sum to ≥ k(k+1)/2 — and the rank within
-    // a frequency is an ordinary PARTITION BY freq window. Equal to
+    // (= count of strictly-more-frequent terms) come from a distributed
+    // [[PrefixSum]] over the frequency histogram — distinct frequency
+    // values are O(√total_tokens) since frequencies f₁>f₂>…>f_k sum to
+    // ≥ k(k+1)/2, and PrefixSum's only driver traffic is its
+    // |buckets|-row totals (round-8 verdict asked the histogram
+    // `.collect()` this replaced to go) — and the rank within a
+    // frequency is an ordinary PARTITION BY freq window. Equal to
     // ROW_NUMBER() OVER (ORDER BY freq DESC, term), which the oracle
     // uses directly. Regression sums are exact integers over
     // milli-rounded (ln rank, ln freq); only the final slope divides in
@@ -1133,13 +1170,13 @@ object TextQueries {
       val tf = Tables.documents(s, dir)
         .selectExpr(s"EXPLODE(TRANSFORM($TokensExpr, t -> LOWER(t))) AS term")
         .groupBy($"term").agg(count(lit(1)).as("freq"))
+      // order key −freq: ascending PrefixSum order = descending frequency;
+      // freq is unique post-groupBy, so the total order is well-defined
       val freqCounts = tf.groupBy($"freq").agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
-      val offsets = freqCounts
-        .scanLeft((0L, 0L)) { case ((_, acc), (f, c)) => (f, acc + c) }
-        .init.map(_._2).zip(freqCounts)
-        .map { case (off, (f, _)) => (f, off) }
-      val offDf = s.createDataFrame(offsets.toSeq).toDF("freq", "off")
+        .withColumn("negf", -$"freq")
+      val offDf = graft.operators.PrefixSum
+        .runningTotal(freqCounts, "negf", "cnt", "cum")
+        .select($"freq", ($"cum" - $"cnt").as("off"))
       val wf = Window.partitionBy($"freq").orderBy($"term")
       tf.join(broadcast(offDf), Seq("freq"))
         .withColumn("rank", $"off" + row_number().over(wf))
@@ -1722,6 +1759,18 @@ object TextQueries {
          |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
          |FROM p GROUP BY pair
          |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin),
+    "text_bpe_train_xcheck" ->
+      ("""WITH wf AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS word
+         |    FROM documents)
+         |  WHERE LENGTH(word) = 2 GROUP BY word)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC)
+         |         AS INTEGER) AS rank,
+         |       substr(word, 1, 1) AS lhs, substr(word, 2, 1) AS rhs,
+         |       freq AS n_occurrences
+         |FROM wf ORDER BY freq DESC, word ASC LIMIT 12""".stripMargin),
     "text_tfidf_topk" ->
       (s"""WITH t AS (
          |  SELECT doc_id, LOWER(tok) AS term FROM (

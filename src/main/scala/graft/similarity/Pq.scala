@@ -81,7 +81,11 @@ object Pq {
     // collect is parameter-bounded (k ≈ 16), the same class as the dims
     // probe. Codes = rank within the seed list, dense 0..k-1 under any
     // id distribution.
-    val seedIds = subs.select(col("vec_id")).distinct()
+    // null ids are excluded explicitly: under asc ordering a null sorts
+    // first, would be picked as a seed, and `map()` rejects null keys at
+    // runtime (round-9 advice)
+    val seedIds = subs.filter(col("vec_id").isNotNull)
+      .select(col("vec_id")).distinct()
       .orderBy(col("vec_id")).limit(k).collect().map(_.get(0))
     require(seedIds.nonEmpty, "PQ codebook training requires a non-empty corpus")
     val codeOf = map(seedIds.zipWithIndex.flatMap { case (id, i) =>
