@@ -34,6 +34,37 @@ class IvfSpec extends SparkSpec {
     assert(cells.select("cell_id").distinct().count() <= 8)
   }
 
+  test("recall is monotone in nProbe — the multi-probe knob (1, 2, 4)") {
+    import spark.implicits._
+    // Probed cells are nested (top-1 ⊆ top-2 ⊆ top-4 by centroid sim), so
+    // the candidate set only grows and recall vs brute force cannot drop —
+    // the invariant that makes nProbe a safe recall/cost dial at 100 TB
+    // (probe 2-8 cells instead of re-clustering). Figures → SCALING.md.
+    val rnd = new scala.util.Random(37)
+    val centers = Array.fill(12)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = for (c <- 0 until 12; i <- 0 until 25) yield {
+      val id = c * 25 + i
+      val j = new scala.util.Random(500 + id)
+      // heavy jitter: clusters OVERLAP, so true neighbors straddle cell
+      // boundaries and nProbe=1 demonstrably misses some
+      (id.toLong, centers(c).map(x => x + 0.9 * j.nextGaussian()).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val pred = col("vec_id") % 25 === 0
+    val exact = Similarity.bruteForceTopK(emb, pred, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 2, 4).map { np =>
+      val approx = Ivf.topK(emb, pred, 5, nCentroids = 12, nProbe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      np -> (exact intersect approx).size.toDouble / exact.size
+    }
+    info(s"recall vs nProbe: ${recalls.map { case (n, r) => s"$n→${"%.3f".format(r)}" }.mkString(", ")}")
+    recalls.sliding(2).foreach { case Seq((nl, rl), (nh, rh)) =>
+      assert(rh >= rl, s"recall must be monotone in nProbe: $nl→$rl but $nh→$rh")
+    }
+    assert(recalls.last._2 >= 0.9, s"nProbe=4 recall too low: ${recalls.last._2}")
+  }
+
   test("k-means refinement moves centroids toward planted clusters (recall not worse)") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
