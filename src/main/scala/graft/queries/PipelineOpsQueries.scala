@@ -199,6 +199,32 @@ object PipelineOpsQueries {
           ($"neighbor_id" === $"query_id" + 100000).as("pq_self"))
     }),
 
+    // IVF-PQ composite (IVFADC): coarse cells narrow the search, PQ codes
+    // over CELL RESIDUALS score it — the fourth ANN path and the one
+    // production systems run at billion-vector scale (cells bound the
+    // candidates, codes bound the memory). Rows-only like its siblings.
+    "sim_ivfpq_topk" -> ((s, dir) =>
+      graft.similarity.IvfPq.topK(Tables.embeddings(s, dir),
+        col("vec_id") < 8, k = 5)),
+
+    // Decision cross-check (the sim_pq_xcheck recipe lifted to the
+    // composite): an exact copy of each query assigns to the query's own
+    // cell, leaves the identical residual, encodes to the same codes, and
+    // the query always probes its own cell first — so the copy attains
+    // the minimum ADC distance among probed candidates and must rank
+    // top-1. Breaks if cell assignment, residual math, codebooks, the
+    // probe rule, or the ADC join drift.
+    "sim_ivfpq_xcheck" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val dups = emb.filter($"vec_id" < 8)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      val planted = emb.select($"vec_id", $"embedding").unionByName(dups)
+      graft.similarity.IvfPq.topK(planted, $"vec_id" < 8, k = 1)
+        .select($"query_id", $"neighbor_id".as("ivfpq_top1"),
+          ($"neighbor_id" === $"query_id" + 100000).as("ivfpq_self"))
+    }),
+
     // Embedding column statistics via the codegen'd graft_dot kernel
     // (float elements widened to double per-element, accumulated in index
     // order — bit-identical to the oracle's double-cast list_sum). The
@@ -672,6 +698,10 @@ object PipelineOpsQueries {
     "sim_pq_xcheck" ->
       ("SELECT vec_id AS query_id, " +
        "CAST(vec_id + 100000 AS BIGINT) AS pq_top1, true AS pq_self " +
+       "FROM embeddings WHERE vec_id < 8"),
+    "sim_ivfpq_xcheck" ->
+      ("SELECT vec_id AS query_id, " +
+       "CAST(vec_id + 100000 AS BIGINT) AS ivfpq_top1, true AS ivfpq_self " +
        "FROM embeddings WHERE vec_id < 8"),
     "embed_stats" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +

@@ -36,9 +36,15 @@ object SinkQueries {
     "k6_catalog_named_table" -> ((s, dir) => {
       val p = Q.scratch(dir, "k6_catalog")
       Q.deleteDir(s, p)
-      MedallionTable(s, p).overwrite(Tables.customer(s, dir))
+      val cust = Tables.customer(s, dir)
+      // half lands through the API write path, half through SQL
+      // `INSERT INTO` (the V1Write bridge → MedallionTable.append — same
+      // CAS commit protocol), so the oracle covers BOTH write routes
+      MedallionTable(s, p).overwrite(cust.filter("c_custkey % 2 = 0"))
       s.sql("DROP TABLE IF EXISTS graft_cat_customer")
       s.sql(s"CREATE TABLE graft_cat_customer USING graft LOCATION '$p'")
+      cust.filter("c_custkey % 2 = 1").createOrReplaceTempView("k6_src_odd")
+      s.sql("INSERT INTO graft_cat_customer SELECT * FROM k6_src_odd")
       s.sql("""
         |SELECT c_nationkey, COUNT(*) AS n_cust,
         |       CAST(SUM(ROUND(c_acctbal * 100)) AS BIGINT) AS bal_cents

@@ -864,6 +864,25 @@ object TextQueries {
       graft.text.BpeTrainer.trainDf(wordFreq, 12)
     }),
 
+    // ENCODE side of the tokenizer, decision-oracled on the same
+    // non-interacting LENGTH=2 slice: after training 12 merges there, a
+    // word encodes to ONE symbol iff it is a trained merge, else to its
+    // two characters — derivable in SQL with a top-12 window + left
+    // join, while the Spark side runs the real rank-ordered greedy
+    // passes. Interacting encode chains (u+g → h+ug → hug+s) are pinned
+    // by BpeTrainerSpec.
+    "text_bpe_encode_xcheck" -> ((s, dir) => {
+      import s.implicits._
+      val wordFreq = Tables.documents(s, dir)
+        .selectExpr(s"EXPLODE($BpeTokens) AS word")
+        .where("LENGTH(word) = 2")
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+      val merges = graft.text.BpeTrainer.train(wordFreq, 12)
+      graft.text.BpeTrainer.encode(wordFreq.select($"word"), merges)
+        .selectExpr("word", "SIZE(syms) AS n_syms",
+          "CONCAT_WS(' ', syms) AS encoded")
+    }),
+
     // TF-IDF keyword extraction: per-document top-3 lowercased terms by
     // tf·ln(N/df). Both the ranking and the emitted score use integer
     // micro-units (text_lm_score recipe) so the engines' last-ulp ln()
@@ -1771,6 +1790,20 @@ object TextQueries {
          |       substr(word, 1, 1) AS lhs, substr(word, 2, 1) AS rhs,
          |       freq AS n_occurrences
          |FROM wf ORDER BY freq DESC, word ASC LIMIT 12""".stripMargin),
+    "text_bpe_encode_xcheck" ->
+      ("""WITH wf AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS word
+         |    FROM documents)
+         |  WHERE LENGTH(word) = 2 GROUP BY word),
+         |top AS (SELECT word FROM wf ORDER BY freq DESC, word ASC LIMIT 12)
+         |SELECT wf.word AS word,
+         |       CASE WHEN top.word IS NOT NULL THEN 1 ELSE 2 END AS n_syms,
+         |       CASE WHEN top.word IS NOT NULL THEN wf.word
+         |            ELSE substr(wf.word, 1, 1) || ' ' || substr(wf.word, 2, 1)
+         |       END AS encoded
+         |FROM wf LEFT JOIN top ON wf.word = top.word""".stripMargin),
     "text_tfidf_topk" ->
       (s"""WITH t AS (
          |  SELECT doc_id, LOWER(tok) AS term FROM (

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  private def prepared(emb: DataFrame): DataFrame = {
+  private[similarity] def prepared(emb: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
   }
@@ -40,7 +40,7 @@ object Ivf {
     * by sim desc, cell_id asc), not a sort-window: one partial-aggregating
     * shuffle instead of a full sort of corpus × centroids rows.
     */
-  private def assignCells(base: DataFrame, centroids: DataFrame): DataFrame =
+  private[similarity] def assignCells(base: DataFrame, centroids: DataFrame): DataFrame =
     base.crossJoin(broadcast(centroids))
       .withColumn("sim", call_function("graft_cosine", col("v"), col("cv")))
       .groupBy(col("vec_id"))

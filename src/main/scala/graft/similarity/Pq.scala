@@ -40,14 +40,14 @@ object Pq {
     * TRANSFORM materializes all m slices from ONE pass over the row
     * before Generate fans them out.
     */
-  private def subRows(base: DataFrame, m: Int, d: Int): DataFrame =
+  private[similarity] def subRows(base: DataFrame, m: Int, d: Int): DataFrame =
     base.select(col("vec_id"),
       expr(s"EXPLODE(TRANSFORM(SEQUENCE(0, ${m - 1}), " +
         s"s -> NAMED_STRUCT('sub_id', s, 'sv', SLICE(v, s * $d + 1, $d))))").as("e"))
       .select(col("vec_id"), col("e.sub_id").as("sub_id"), col("e.sv").as("sv"))
 
   /** Squared L2 via three codegen'd dot products: |a-b|² = a·a + b·b − 2a·b. */
-  private def l2sq(a: Column, b: Column): Column =
+  private[similarity] def l2sq(a: Column, b: Column): Column =
     call_function("graft_dot", a, a) + call_function("graft_dot", b, b) -
       lit(2.0) * call_function("graft_dot", a, b)
 
@@ -56,7 +56,7 @@ object Pq {
     * to the lowest code id), not a sort-window: one partial-aggregating
     * shuffle instead of a full sort of corpus × k rows.
     */
-  private def assignCodes(subs: DataFrame, books: DataFrame): DataFrame =
+  private[similarity] def assignCodes(subs: DataFrame, books: DataFrame): DataFrame =
     subs.join(broadcast(books), Seq("sub_id"))
       .withColumn("dist", l2sq(col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("sub_id"))
@@ -123,7 +123,7 @@ object Pq {
       .select(col("vec_id"), col("sub_id"), col("code"))
   }
 
-  private def dimsPerSub(emb: DataFrame, m: Int): Int = {
+  private[similarity] def dimsPerSub(emb: DataFrame, m: Int): Int = {
     // one metadata-bounded row: the fixture schema fixes dims per table
     val probe = emb.select(size(col("embedding"))).limit(1).collect()
     require(probe.nonEmpty, "PQ requires a non-empty corpus (no vectors to probe dims from)")

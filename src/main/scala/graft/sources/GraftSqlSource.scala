@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -42,9 +43,14 @@ import graft.table.MedallionTable
   * re-evaluating them above the scan is semantically free and keeps the
   * translator conservative.
   *
-  * Writes stay API-side ([[MedallionTable.append]]/merge/etc.), matching
-  * the verdict's scope ("writes may stay API-side"): the table layer's
-  * CAS-serialized commit protocol has no V2 `BatchWrite` twin yet.
+  * Writes: `INSERT INTO g …` appends and `INSERT OVERWRITE g …` replaces,
+  * both through the V1 write bridge ([[V1Write]] → `InsertableRelation`)
+  * into [[MedallionTable.append]]/[[MedallionTable.overwrite]] — so SQL
+  * writes go through the SAME CAS-serialized commit protocol (claimed
+  * commits, write fencing) as the API path; nothing bypasses the
+  * multi-writer safety layer. MERGE/DELETE/UPDATE stay API-side (Spark
+  * routes those through a catalog's `StagedTable`/row-level-op plugins,
+  * out of scope for a plain `TableProvider`).
   */
 final class GraftSqlSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -67,13 +73,37 @@ final class GraftSqlSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] final class GraftSqlTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    // V1_BATCH_WRITE (not BATCH_WRITE): routes the planner to the
+    // AppendDataExecV1 path that honors V1Write.toInsertableRelation
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path, replace = false)
+}
+
+/** INSERT INTO → [[MedallionTable.append]]; INSERT OVERWRITE arrives as
+  * `truncate()` + write → [[MedallionTable.overwrite]]. The V1 bridge
+  * hands the data over as a DataFrame, which is exactly what the table
+  * layer's commit protocol consumes — SQL and API writes share one path.
+  */
+private[sources] final class GraftWriteBuilder(path: String, replace: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = new GraftWriteBuilder(path, replace = true)
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val mt = new MedallionTable(data.sparkSession, path)
+          if (replace || overwrite) mt.overwrite(data) else mt.append(data)
+        }
+      }
+  }
 }
 
 private[sources] final class GraftScanBuilder(path: String, fullSchema: StructType)

@@ -94,6 +94,18 @@ object BpeTrainer {
     merges.result()
   }
 
+  /** Applies a trained merge list to segment words — the tokenizer's
+    * ENCODE side: each merge is one greedy left-to-right pass, applied in
+    * rank order (the standard BPE inference rule). Adds `syms:
+    * array<string>` to a df with a `word` column. At corpus scale, encode
+    * the distinct-word VOCABULARY and join segments back to the corpus —
+    * the same corpus→vocabulary collapse as training.
+    */
+  def encode(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.sortBy(_.rank).foldLeft(
+      words.withColumn("syms", split(col("word"), "(?!^)(?=.)")))(
+      (df, m) => applyMerge(df, m.left, m.right))
+
   /** The trained merge list as a DataFrame (rank, lhs, rhs,
     * n_occurrences) — the query-surface form (`lhs`/`rhs`, not
     * `left`/`right`: those are function names in the oracle dialect).

@@ -44,7 +44,11 @@ object PlanLint {
     "sim_ann_xcheck" -> (Set("BroadcastNestedLoopJoin"),
       "same IVF corpus x broadcast(centroids) cell assignment as sim_ann_ivf, on the planted-dup corpus"),
     "sim_semdedup" -> (Set("BroadcastNestedLoopJoin"),
-      "same IVF corpus x broadcast(centroids) cell assignment; the pair join itself is an equi-join on cell_id")
+      "same IVF corpus x broadcast(centroids) cell assignment; the pair join itself is an equi-join on cell_id"),
+    "sim_ivfpq_topk" -> (Set("BroadcastNestedLoopJoin"),
+      "IVFADC composite: same corpus x broadcast(centroids) assignment as sim_ann_ivf; ADC itself is an equi-join on (cell_id, sub_id, code)"),
+    "sim_ivfpq_xcheck" -> (Set("BroadcastNestedLoopJoin"),
+      "same IVFADC assignment on the planted-dup corpus")
   )
 
   private def offenses(plan: SparkPlan): Seq[String] = {

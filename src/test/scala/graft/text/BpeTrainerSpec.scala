@@ -37,6 +37,20 @@ class BpeTrainerSpec extends SparkSpec {
       Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("encode applies merges in rank order (tokenizer inference rule)") {
+    import spark.implicits._
+    val merges = BpeTrainer.train(
+      wf("hug" -> 10L, "pug" -> 5L, "pun" -> 12L, "bun" -> 4L, "hugs" -> 5L), 5)
+    val enc = BpeTrainer.encode(
+      Seq("hugs", "pugs", "bun").toDF("word"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // "hugs" follows the full chain u+g → h+ug → hug+s; "pugs" has no
+    // (hug,s) merge available so the s stays split; "bun" only gets un.
+    assert(enc("hugs") == Seq("hugs"))
+    assert(enc("pugs") == Seq("p", "ug", "s"))
+    assert(enc("bun") == Seq("b", "un"))
+  }
+
   test("single-symbol and empty words are inert") {
     val merges = BpeTrainer.train(wf("a" -> 100L, "b" -> 50L, "xy" -> 2L), 3)
     assert(merges.map(m => (m.left, m.right, m.nOccurrences)) == Seq(("x", "y", 2L)))
