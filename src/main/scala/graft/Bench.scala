@@ -41,7 +41,10 @@ object Bench {
     "pipeline_llm_curate", "sample_upsample_epochs", "text_bpe_pair_freq",
     // round-8 second wave
     "dedup_image_phash", "text_hash_classifier", "j18_bucketed_join",
-    "agg_table_fingerprint"
+    "agg_table_fingerprint",
+    // round-10 additions
+    "k6_catalog_named_table", "text_bpe_train_xcheck", "sim_ivfpq_topk",
+    "embed_centroid_classifier"
   )
 
   private def f3(v: Double): String =
@@ -242,9 +245,14 @@ object Bench {
     } catch { case _: Throwable => () }
     val qs = headline.flatMap(k => times.get(k).map(v => s"\"$k\":${f3(v)}"))
       .mkString("{", ",", "}")
+    // The stdout line must fit the driver's ~2000-char parsed tail
+    // together with sbt's trailing "[success]" line; the full methodology
+    // string (~160 chars) lives in target/bench_full.json, where
+    // benchgate.py enforces it against the baseline — here a short
+    // pointer keeps ~180 chars of headroom for future headline keys.
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""n_queries":${times.size},"n_failed":$nFailed,"n_rpc_tripped":$nRpcTripped,""" +
-      s""""methodology":"$methodology",""" +
+      s""""methodology":"bench_full.json",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

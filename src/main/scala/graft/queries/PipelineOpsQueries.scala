@@ -225,6 +225,35 @@ object PipelineOpsQueries {
           ($"neighbor_id" === $"query_id" + 100000).as("ivfpq_self"))
     }),
 
+    // Nearest-class-mean classifier over the labeled embeddings — the
+    // simplest trained quality/domain classifier a curation pipeline
+    // runs at scale (fastText-centroid style): TRAIN is one aggregation
+    // pass (per-label 1e-6-grid quantized mean, the Ivf recipe — integer
+    // sums, bit-deterministic under any partial-agg order), INFER is an
+    // equi-join against the broadcast |labels|·dims centroid table with
+    // an integer micro-rounded squared-L2 argmin. Fully oracled: both
+    // engines quantize identically, so train AND infer decisions
+    // hash-match. Scale: corpus appears as (vec_id, pos, x) narrow rows;
+    // centroids are metadata-sized; one hash-agg shuffle per phase.
+    "embed_centroid_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val ex = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label",
+          posexplode(expr("TRANSFORM(embedding, v -> CAST(v AS DOUBLE))"))
+            .as(Seq("pos", "x")))
+      val cent = ex.groupBy($"label".as("clabel"), $"pos")
+        .agg((sum(round($"x" * 1e6)) / count(lit(1)) / 1e6).as("cx"))
+      val dist = ex.join(broadcast(cent), Seq("pos"))
+        .groupBy($"vec_id", $"clabel")
+        .agg(sum(round(($"x" - $"cx") * ($"x" - $"cx") * 1e6)).cast("long")
+          .as("d_micro"))
+      val best = dist.groupBy($"vec_id")
+        .agg(expr("min_by(clabel, named_struct('d', d_micro, 'l', clabel))")
+          .as("pred_label"))
+      Tables.embeddings(s, dir).select($"vec_id", $"label".as("true_label"))
+        .join(best, Seq("vec_id"))
+    }),
+
     // Embedding column statistics via the codegen'd graft_dot kernel
     // (float elements widened to double per-element, accumulated in index
     // order — bit-identical to the oracle's double-cast list_sum). The
@@ -703,6 +732,29 @@ object PipelineOpsQueries {
       ("SELECT vec_id AS query_id, " +
        "CAST(vec_id + 100000 AS BIGINT) AS ivfpq_top1, true AS ivfpq_self " +
        "FROM embeddings WHERE vec_id < 8"),
+    "embed_centroid_classifier" ->
+      ("""WITH ex AS (
+         |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |         CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS clabel, pos,
+         |         SUM(ROUND(x * 1e6)) / COUNT(*) / 1e6 AS cx
+         |  FROM ex GROUP BY 1, 2),
+         |dist AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         CAST(SUM(ROUND((e.x - c.cx) * (e.x - c.cx) * 1e6)) AS BIGINT)
+         |           AS d_micro
+         |  FROM ex e JOIN cent c ON e.pos = c.pos
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT vec_id, clabel,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id
+         |           ORDER BY d_micro ASC, clabel ASC) AS rn
+         |  FROM dist)
+         |SELECT e.vec_id, e.label AS true_label, b.clabel AS pred_label
+         |FROM embeddings e JOIN best b ON e.vec_id = b.vec_id
+         |WHERE b.rn = 1""".stripMargin),
     "embed_stats" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
        "list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS sq_norm, " +

@@ -53,6 +53,27 @@ object SinkQueries {
         |GROUP BY c_nationkey""".stripMargin)
     }),
 
+    // Catalog time travel: the k_time_travel scenario (overwrite → merge,
+    // retained snapshots) read back through a cataloged table pinned with
+    // OPTIONS (versionAsOf 1) — Delta's `VERSION AS OF` as a named-table
+    // surface. Same oracle as k_time_travel: the pre-merge state.
+    "k6_catalog_version_as_of" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k6_cat_tt")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p, retainVersions = 2)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 3 =!= 0))
+      t.merge(o.filter($"o_orderkey" % 2 === 0), Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS graft_cat_tt")
+      s.sql(s"CREATE TABLE graft_cat_tt USING graft LOCATION '$p' " +
+        "OPTIONS (versionAsOf 1)")
+      s.sql("""
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM graft_cat_tt""".stripMargin)
+    }),
+
     // K2 — overwrite fully replaces (bronze_table_creation.py:36,61)
     "k2_overwrite_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -373,6 +394,8 @@ object SinkQueries {
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 4 IN (0, 1)",
     "k2_overwrite_roundtrip" ->
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 4 = 2",
+    "k6_catalog_version_as_of" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 3 <> 0",
     "k6_catalog_named_table" ->
       ("SELECT c_nationkey, COUNT(*) AS n_cust, " +
        "CAST(SUM(ROUND(c_acctbal * 100)) AS BIGINT) AS bal_cents " +

@@ -64,17 +64,31 @@ final class GraftSqlSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft data source requires LOCATION (or a path option)"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new MedallionTable(SparkSession.active, pathOf(options)).read.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val mt = new MedallionTable(SparkSession.active, pathOf(options))
+    Option(options.get(GraftSqlSource.VersionAsOf))
+      .map(v => mt.readVersion(v.toInt)).getOrElse(mt.read).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftSqlTable(properties.get("path"), schema)
+    new GraftSqlTable(properties.get("path"), schema,
+      Option(properties.get(GraftSqlSource.VersionAsOf)).map(_.toInt))
 }
 
-private[sources] final class GraftSqlTable(path: String, tableSchema: StructType)
+object GraftSqlSource {
+  /** `OPTIONS (versionAsOf N)` pins the table to a retained snapshot — the
+    * catalog twin of [[MedallionTable.readVersion]] (Delta's `VERSION AS
+    * OF`). Snapshot tables are read-only: INSERT refuses.
+    */
+  val VersionAsOf = "versionAsOf"
+}
+
+private[sources] final class GraftSqlTable(path: String, tableSchema: StructType,
+    versionAsOf: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft.`$path`"
+  override def name(): String =
+    s"graft.`$path`" + versionAsOf.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     // V1_BATCH_WRITE (not BATCH_WRITE): routes the planner to the
@@ -82,9 +96,14 @@ private[sources] final class GraftSqlTable(path: String, tableSchema: StructType
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftScanBuilder(path, tableSchema, versionAsOf)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    versionAsOf.foreach { v =>
+      throw new IllegalArgumentException(
+        s"table pinned to versionAsOf=$v is read-only — write to the live table instead")
+    }
     new GraftWriteBuilder(path, replace = false)
+  }
 }
 
 /** INSERT INTO → [[MedallionTable.append]]; INSERT OVERWRITE arrives as
@@ -106,7 +125,8 @@ private[sources] final class GraftWriteBuilder(path: String, replace: Boolean)
   }
 }
 
-private[sources] final class GraftScanBuilder(path: String, fullSchema: StructType)
+private[sources] final class GraftScanBuilder(path: String, fullSchema: StructType,
+    versionAsOf: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -124,11 +144,11 @@ private[sources] final class GraftScanBuilder(path: String, fullSchema: StructTy
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftV1Scan(path, required, pushed)
+  override def build(): Scan = new GraftV1Scan(path, required, pushed, versionAsOf)
 }
 
 private[sources] final class GraftV1Scan(path: String, required: StructType,
-    pushed: Array[Filter]) extends V1Scan {
+    pushed: Array[Filter], versionAsOf: Option[Int] = None) extends V1Scan {
   override def readSchema(): StructType = required
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -138,7 +158,8 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
       override def buildScan(): RDD[Row] = {
         // Re-declared as a DataFrame so Catalyst pushes the projection and
         // every translated filter into the parquet scan underneath.
-        val base = new MedallionTable(context.sparkSession, path).read
+        val mt = new MedallionTable(context.sparkSession, path)
+        val base = versionAsOf.map(mt.readVersion).getOrElse(mt.read)
         val projected = base.select(required.fieldNames.map(col).toIndexedSeq: _*)
         pushed.flatMap(GraftFilterTranslator.translate)
           .foldLeft(projected)(_.filter(_))
