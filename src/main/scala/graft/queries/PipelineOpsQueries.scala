@@ -254,6 +254,30 @@ object PipelineOpsQueries {
         .join(best, Seq("vec_id"))
     }),
 
+    // kNN label-vote classifier: top-5 cosine neighbors (the oracled
+    // brute-force kernel, bounded query set — the ANN paths Ivf/IvfPq
+    // share the output shape, so at scale the same vote composes over a
+    // bucketed top-k instead) → majority label, ties by count DESC, best
+    // rank ASC, label ASC. Fully oracled end-to-end: neighbor ranks AND
+    // vote decisions hash-match.
+    "embed_knn_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val topk = graft.similarity.Similarity
+        .bruteForceTopK(emb, col("vec_id") < 25, k = 5)
+      val votes = topk
+        .join(emb.select($"vec_id".as("neighbor_id"), $"label".as("nlabel")),
+          Seq("neighbor_id"))
+        .groupBy($"query_id", $"nlabel")
+        .agg(count(lit(1)).as("n"), min($"rank").as("best_rank"))
+      val best = votes.groupBy($"query_id")
+        .agg(expr("max_by(nlabel, named_struct('n', n, 'nr', -best_rank, " +
+          "'nl', -nlabel))").as("pred_label"))
+      emb.filter($"vec_id" < 25)
+        .select($"vec_id".as("query_id"), $"label".as("true_label"))
+        .join(best, Seq("query_id"))
+    }),
+
     // Embedding column statistics via the codegen'd graft_dot kernel
     // (float elements widened to double per-element, accumulated in index
     // order — bit-identical to the oracle's double-cast list_sum). The
@@ -732,6 +756,30 @@ object PipelineOpsQueries {
       ("SELECT vec_id AS query_id, " +
        "CAST(vec_id + 100000 AS BIGINT) AS ivfpq_top1, true AS ivfpq_self " +
        "FROM embeddings WHERE vec_id < 8"),
+    "embed_knn_classifier" ->
+      ("""WITH topk AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |           CAST(row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |               DESC, n.vec_id) AS INTEGER) AS rank
+         |    FROM embeddings q, embeddings n
+         |    WHERE q.vec_id < 25 AND n.vec_id <> q.vec_id)
+         |  WHERE rank <= 5),
+         |votes AS (
+         |  SELECT t.query_id, e.label AS nlabel, COUNT(*) AS n,
+         |         MIN(t.rank) AS best_rank
+         |  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT query_id, nlabel,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY n DESC, best_rank ASC, nlabel ASC) AS rn
+         |  FROM votes)
+         |SELECT e.vec_id AS query_id, e.label AS true_label,
+         |       b.nlabel AS pred_label
+         |FROM embeddings e JOIN best b ON e.vec_id = b.query_id
+         |WHERE e.vec_id < 25 AND b.rn = 1""".stripMargin),
     "embed_centroid_classifier" ->
       ("""WITH ex AS (
          |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,

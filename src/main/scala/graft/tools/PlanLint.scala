@@ -48,7 +48,9 @@ object PlanLint {
     "sim_ivfpq_topk" -> (Set("BroadcastNestedLoopJoin"),
       "IVFADC composite: same corpus x broadcast(centroids) assignment as sim_ann_ivf; ADC itself is an equi-join on (cell_id, sub_id, code)"),
     "sim_ivfpq_xcheck" -> (Set("BroadcastNestedLoopJoin"),
-      "same IVFADC assignment on the planted-dup corpus")
+      "same IVFADC assignment on the planted-dup corpus"),
+    "embed_knn_classifier" -> (Set("BroadcastNestedLoopJoin"),
+      "vote over the bounded sim_topk_bruteforce kernel (25 broadcast queries); the scale path swaps in Ivf/IvfPq topK — same output shape")
   )
 
   private def offenses(plan: SparkPlan): Seq[String] = {
