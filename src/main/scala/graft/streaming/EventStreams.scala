@@ -183,6 +183,22 @@ object EventStreams {
       }
       .start()
 
+  /** Streams a MedallionTable's APPEND TAIL: every parquet file the table
+    * gains after the stream starts arrives as streaming rows — the
+    * "table as a stream source" read Delta users wire downstream jobs to.
+    * Pure composition: appends land as new parquet files, and Spark's own
+    * FileStreamSource discovers new files per micro-batch with
+    * checkpointed exactly-once progress, so no custom source is needed;
+    * `_graft_meta`/`_`-prefixed paths are already invisible to it (Spark
+    * skips hidden dirs). Caveat (spec'd, same as Delta's
+    * `ignoreChanges`): rewrite operations (merge/compact/restore) replace
+    * files wholesale and would re-emit rows — tail ONLY append-workload
+    * tables, the medallion bronze shape.
+    */
+  def tableTail(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(tablePath)
+
   /** Streaming incremental dedup — [[graft.dedup.StandingDedupIndex]]'s
     * check-then-ingest protocol lifted to Structured Streaming: each
     * micro-batch of documents is deduplicated against the standing index

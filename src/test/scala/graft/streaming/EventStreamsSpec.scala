@@ -386,6 +386,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tableTail streams a table's append tail exactly once") {
+    import spark.implicits._
+    val p = tmpDir("tail_tbl")
+    val t = new graft.table.MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val q = tableTail(spark, p, t.read.schema)
+      .writeStream.format("memory").queryName("tail_rows")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail_rows").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L), "initial snapshot streams through")
+      t.append(Seq((3L, "c")).toDF("id", "s"))
+      q.processAllAvailable()
+      // the append arrives, and earlier rows are NOT re-emitted
+      assert(spark.table("tail_rows").collect().map(_.getLong(0)).toSeq.sorted ==
+        Seq(1L, 2L, 3L), "append tail arrives exactly once")
+      t.append(Seq((4L, "d"), (5L, "e")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(spark.table("tail_rows").count() == 5)
+    } finally q.stop()
+  }
+
   test("windowed counts transform also runs on the batch events table") {
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val out = windowedCounts(batch)
