@@ -335,6 +335,32 @@ object TextQueries {
     "dedup_lsh_bands_md5" -> ((s, dir) =>
       md5LshBands(Tables.documents(s, dir))),
 
+    // Train/eval split + near-dup LEAKAGE AUDIT — the step after
+    // decontamination a training pipeline runs before freezing an eval
+    // set: split deterministically (hash of doc_id, ~12.5% eval), then
+    // find eval docs whose LSH band keys collide with any train doc —
+    // near-duplicate leakage that inflates eval scores. The planted
+    // corpus (every 25th doc borrows its neighbor's text) guarantees
+    // cross-split dup pairs exist. Scale shape: the audit is the SAME
+    // band-key equi-join as the dedup paths (16-64 B band rows, never
+    // text, never all-pairs); the split itself is a narrow map.
+    "sample_split_leakage" -> ((s, dir) => {
+      import s.implicits._
+      val docs = plantedCorpus(Tables.documents(s, dir))
+        .withColumn("is_eval",
+          expr("SUBSTRING(MD5(CONCAT('split:', CAST(doc_id AS STRING))), 1, 1)" +
+            " IN ('0', '1')"))
+      val bands = md5LshBands(docs)
+        .join(docs.select($"doc_id", $"is_eval"), Seq("doc_id"))
+      bands.filter($"is_eval")
+        .select($"doc_id".as("eval_doc"), $"band_idx", $"band_key")
+        .join(bands.filter(!$"is_eval")
+          .select($"doc_id".as("train_doc"), $"band_idx", $"band_key"),
+          Seq("band_idx", "band_key"))
+        .select($"eval_doc", $"train_doc").distinct()
+        .groupBy($"eval_doc").agg(count(lit(1)).as("n_leaky_train_docs"))
+    }),
+
     // INCREMENTAL dedup — the daily-batch shape a 100 TB corpus actually
     // runs (dedupe the new 20% against the standing 80%, never re-dedupe
     // the corpus): exact dups via a content-hash join against the corpus
@@ -1477,6 +1503,36 @@ object TextQueries {
          |SELECT doc_id, CAST(0 AS INTEGER) AS band_idx, md5(mh_0 || mh_1) AS band_key FROM sigs
          |UNION ALL
          |SELECT doc_id, CAST(1 AS INTEGER), md5(mh_2 || mh_3) FROM sigs""".stripMargin
+    },
+    "sample_split_leakage" -> {
+      val duckShingles =
+        s"list_transform(range(1, len($DuckTokens) - 1), " +
+          s"i -> ($DuckTokens)[i] || ' ' || ($DuckTokens)[i+1] || ' ' || ($DuckTokens)[i+2])"
+      val sigCols = (0 until 4).map { k =>
+        s"LIST_MIN(list_transform($duckShingles, sh -> MD5('$k:' || sh))) AS mh_$k"
+      }.mkString(", ")
+      s"""WITH donor AS (SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),
+         |all_docs AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 25 = 0 AND donor_text IS NOT NULL
+         |         THEN donor_text ELSE d.text END AS text,
+         |    substr(md5('split:' || d.doc_id), 1, 1) IN ('0', '1') AS is_eval
+         |  FROM documents d LEFT JOIN donor ON d.doc_id = donor.doc_id),
+         |sigs AS (
+         |  SELECT doc_id, is_eval, $sigCols FROM all_docs
+         |  WHERE LEN($DuckTokens) >= 3),
+         |bands AS (
+         |  SELECT doc_id, is_eval, CAST(0 AS INTEGER) AS band_idx,
+         |         md5(mh_0 || mh_1) AS band_key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, is_eval, CAST(1 AS INTEGER), md5(mh_2 || mh_3) FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT e.doc_id AS eval_doc, t.doc_id AS train_doc
+         |  FROM bands e JOIN bands t
+         |    ON e.band_idx = t.band_idx AND e.band_key = t.band_key
+         |  WHERE e.is_eval AND NOT t.is_eval)
+         |SELECT eval_doc, COUNT(*) AS n_leaky_train_docs
+         |FROM pairs GROUP BY 1""".stripMargin
     },
     "dedup_incremental" -> {
       val duckShingles =
