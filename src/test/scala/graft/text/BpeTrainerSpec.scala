@@ -55,4 +55,28 @@ class BpeTrainerSpec extends SparkSpec {
     val merges = BpeTrainer.train(wf("a" -> 100L, "b" -> 50L, "xy" -> 2L), 3)
     assert(merges.map(m => (m.left, m.right, m.nOccurrences)) == Seq(("x", "y", 2L)))
   }
+
+  test("property: encoding reconstructs every word exactly (random corpora)") {
+    import spark.implicits._
+    // Segmentation must be a PARTITION of the word: whatever the trained
+    // merges, concatenating a word's symbols yields the word back, and no
+    // symbol is empty. One deterministic sweep over seeded random corpora
+    // (the invariant a tokenizer must never break — lost or duplicated
+    // characters corrupt every downstream token count).
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcde"
+      val words = Seq.fill(30)(
+        (1 to (1 + rnd.nextInt(7))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+        .distinct.map(w => w -> (1L + rnd.nextInt(20)))
+      val merges = BpeTrainer.train(words.toDF("word", "freq"), 8)
+      val enc = BpeTrainer.encode(words.map(_._1).toDF("word"), merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+      assert(enc.nonEmpty)
+      enc.foreach { case (w, syms) =>
+        assert(syms.mkString == w, s"seed=$seed: '$w' re-segmented to $syms")
+        assert(syms.forall(_.nonEmpty), s"seed=$seed: empty symbol in $syms for '$w'")
+      }
+    }
+  }
 }
