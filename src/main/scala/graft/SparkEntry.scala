@@ -26,6 +26,7 @@ object SparkEntry {
       (TextQueries.defs, TextQueries.oracles),
       (PipelineOpsQueries.defs, PipelineOpsQueries.oracles),
       (HeadlineQueries.defs, HeadlineQueries.oracles),
+      (TpchDeepQueries.defs, TpchDeepQueries.oracles),
       (ScalarQueries.defs, ScalarQueries.oracles),
       (WindowSetQueries.defs, WindowSetQueries.oracles),
       (AdvancedJoinQueries.defs, AdvancedJoinQueries.oracles),
