@@ -57,6 +57,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // Round-8 postmortem: a transient local-mode RPC stall (default ask
       // timeout 120s, but the heartbeat/ask retry loop stalled one query
       // for ~37s × 2 attempts) inflated a2_static_agg14 7.8× and printed a

@@ -12,8 +12,13 @@ import graft.functions.{BigramCounts, CosineSimilarity, DotProduct, Md5BucketSco
   * custom Catalyst Expressions registered via SparkSessionExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    // SQL DML over graft catalog tables (MERGE INTO / UPDATE / DELETE) —
+    // post-hoc so the commands arrive fully resolved (stars expanded,
+    // assignments aligned) before the rewrite fires.
+    ext.injectPostHocResolutionRule(s => new GraftDmlRule(s))
+  }
 }
 
 /** The same registrations, applicable to an already-built session (the

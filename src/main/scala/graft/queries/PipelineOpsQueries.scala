@@ -381,6 +381,26 @@ object PipelineOpsQueries {
           max($"n_tokens").as("best_n_tokens"))
     }),
 
+    // GROUP-AWARE train/eval split: the whole near-dup CLUSTER goes to one
+    // side, decided by a hash of the cluster label — the constructive fix
+    // for the leakage `sample_split_leakage` audits (a doc-level hash can
+    // strand two near-identical docs on opposite sides; a cluster-level
+    // hash cannot). Same CC labels as dedup_cc_groups, then a narrow map;
+    // leakage across the split is zero BY CONSTRUCTION, which the oracle
+    // re-derives independently from the recursive-CTE reachability.
+    "sample_split_group" -> ((s, dir) => {
+      import s.implicits._
+      val edges = jaccardPairs(s, dir, bound = 25)
+        .filter($"jaccard" >= 0.4).select($"id_a", $"id_b")
+      graft.dedup.ConnectedComponents
+        .components(edges, "id_a", "id_b",
+          vertices = Some(shingleDocs(s, dir, bound = 25).select($"doc_id")))
+        .select($"id".as("doc_id"), $"comp".as("component"))
+        .withColumn("is_eval",
+          expr("SUBSTRING(MD5(CONCAT('gsplit:', CAST(component AS STRING))), 1, 1)" +
+            " IN ('0', '1', '2', '3')"))
+    }),
+
     // Corpus-trained char-bigram LM quality scores, oracle-checked: the
     // NLL is emitted as an integer micro-NLL (round(nll*1e6)) so the
     // engines' last-ulp ln()/summation-order differences (≈1e-12) vanish
@@ -876,6 +896,23 @@ object PipelineOpsQueries {
          |  UNION
          |  SELECT e.ea, reach.r FROM edges e JOIN reach ON e.eb = reach.id)
          |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin),
+    "sample_split_group" ->
+      (s"""WITH RECURSIVE ${duckShingleDocsCte(25)},
+         |e0 AS (
+         |  SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM d a, d b WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.4),
+         |edges AS (SELECT ea, eb FROM e0 UNION ALL SELECT eb, ea FROM e0),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT e.ea, reach.r FROM edges e JOIN reach ON e.eb = reach.id),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+         |SELECT doc_id, component,
+         |       substr(md5('gsplit:' || component), 1, 1)
+         |         IN ('0', '1', '2', '3') AS is_eval
+         |FROM comp""".stripMargin),
     // Full cross-engine recompute of the bigram LM self-score: same
     // normalization (explicit class ≡ Java \s), per-doc code-point bigram
     // counts, corpus counts, add-one smoothing over first-char totals +

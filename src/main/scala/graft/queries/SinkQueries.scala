@@ -87,6 +87,50 @@ object SinkQueries {
         "o_orderdate", "o_orderpriority")
     }),
 
+    // K7 — SQL MERGE INTO through the catalog (GraftDmlRule): conditional
+    // matched DELETE, matched UPDATE, partial-column INSERT, all through
+    // the same commit protocol; the oracle recomputes the final state with
+    // join algebra. Exercises the analyzer-rule DML bridge end-to-end.
+    "k7_sql_merge_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k7_sql_merge")
+      Q.deleteDir(s, p)
+      val o = Tables.orders(s, dir)
+      MedallionTable(s, p).overwrite(o.filter($"o_orderkey" % 3 =!= 0))
+      s.sql("DROP TABLE IF EXISTS graft_dml_orders")
+      s.sql(s"CREATE TABLE graft_dml_orders USING graft LOCATION '$p'")
+      o.filter($"o_orderkey" % 2 === 0)
+        .selectExpr("o_orderkey AS sid", "o_totalprice + 10 AS new_price")
+        .createOrReplaceTempView("k7_merge_src")
+      s.sql(
+        """MERGE INTO graft_dml_orders t USING k7_merge_src s
+          |ON t.o_orderkey = s.sid
+          |WHEN MATCHED AND s.new_price > 150000 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.new_price
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
+          |  VALUES (s.sid, s.new_price)""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |       o_orderdate, o_orderpriority
+          |FROM graft_dml_orders""".stripMargin)
+    }),
+
+    // K7 — SQL DELETE then UPDATE through the catalog, composed: the
+    // oracle replays both statements as algebra over the base table.
+    "k7_sql_update_delete" -> ((s, dir) => {
+      val p = Q.scratch(dir, "k7_sql_upd")
+      Q.deleteDir(s, p)
+      MedallionTable(s, p).overwrite(Tables.customer(s, dir))
+      s.sql("DROP TABLE IF EXISTS graft_dml_customer")
+      s.sql(s"CREATE TABLE graft_dml_customer USING graft LOCATION '$p'")
+      s.sql("DELETE FROM graft_dml_customer WHERE c_acctbal < 0")
+      s.sql("UPDATE graft_dml_customer SET c_acctbal = c_acctbal + 100 " +
+        "WHERE c_mktsegment = 'BUILDING'")
+      s.sql(
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |FROM graft_dml_customer""".stripMargin)
+    }),
+
     // K4 — 3-clause merge with schema evolution: source drops a column and
     // changes a measure; matched rows keep the target-only column (Delta
     // UPDATE SET semantics), inserted rows get a typed null.
@@ -401,6 +445,27 @@ object SinkQueries {
        "CAST(SUM(ROUND(c_acctbal * 100)) AS BIGINT) AS bal_cents " +
        "FROM customer WHERE c_acctbal > 0 AND c_mktsegment <> 'MACHINERY' " +
        "GROUP BY c_nationkey"),
+    "k7_sql_merge_roundtrip" ->
+      ("""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+         |s AS (SELECT o_orderkey AS sid, o_totalprice + 10 AS new_price
+         |      FROM orders WHERE o_orderkey % 2 = 0)
+         |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+         |       CASE WHEN s.sid IS NOT NULL THEN s.new_price
+         |            ELSE t.o_totalprice END AS o_totalprice,
+         |       t.o_orderdate, t.o_orderpriority
+         |FROM t LEFT JOIN s ON t.o_orderkey = s.sid
+         |WHERE s.sid IS NULL OR s.new_price <= 150000
+         |UNION ALL
+         |SELECT s.sid, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+         |       s.new_price, CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR)
+         |FROM s LEFT JOIN t ON t.o_orderkey = s.sid
+         |WHERE t.o_orderkey IS NULL""".stripMargin),
+    "k7_sql_update_delete" ->
+      ("""SELECT c_custkey, c_name, c_nationkey,
+         |       CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100
+         |            ELSE c_acctbal END AS c_acctbal,
+         |       c_mktsegment
+         |FROM customer WHERE c_acctbal >= 0""".stripMargin),
     "k4_merge_schema_evolution" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
        "o_totalprice + 1 AS o_totalprice, o_orderdate, " +

@@ -82,11 +82,24 @@ object GraftSqlSource {
     * OF`). Snapshot tables are read-only: INSERT refuses.
     */
   val VersionAsOf = "versionAsOf"
+
+  /** (location, pinned version) when `t` is a graft catalog table — the
+    * hook the SQL DML bridge ([[graft.plans.GraftDmlRule]]) uses to
+    * recognize its targets without widening [[GraftSqlTable]]'s
+    * visibility.
+    */
+  def tableLocation(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[(String, Option[Int])] = t match {
+    case g: GraftSqlTable => Some((g.location, g.pinnedVersion))
+    case _ => None
+  }
 }
 
 private[sources] final class GraftSqlTable(path: String, tableSchema: StructType,
     versionAsOf: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite {
+  private[sources] def location: String = path
+  private[sources] def pinnedVersion: Option[Int] = versionAsOf
   override def name(): String =
     s"graft.`$path`" + versionAsOf.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = tableSchema

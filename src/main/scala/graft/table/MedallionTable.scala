@@ -534,6 +534,31 @@ final class MedallionTable(
       op = "merge")
   }
 
+  /** General ordered-clause merge (see [[MergeOps.mergeClauses]]) — the
+    * full `MERGE INTO … WHEN …` surface, through the SAME rewrite commit
+    * protocol as [[merge]]. This is what the SQL DML bridge
+    * ([[graft.plans.GraftDmlRule]]) executes.
+    *
+    * @param checkUniqueKeys when matched clauses exist, replicate Delta's
+    *        "multiple source rows matched" failure by requiring unique
+    *        source keys (one aggregation; stricter than Delta in that an
+    *        unmatched duplicate also fails — deterministic either way).
+    */
+  def mergeClauses(
+      source: DataFrame,
+      keys: Seq[(String, String)],
+      matched: Seq[MergeOps.WhenClause],
+      notMatched: Seq[MergeOps.WhenNotMatchedInsert],
+      notMatchedBySource: Seq[MergeOps.WhenClause],
+      checkUniqueKeys: Boolean = true): Unit = {
+    if (checkUniqueKeys && matched.nonEmpty)
+      MergeOps.requireUniqueKeys(source, keys.map(_._2))
+    rewriteVia(
+      MergeOps.mergeClauses(read, source, keys, matched, notMatched,
+        notMatchedBySource),
+      op = "merge")
+  }
+
   /** Type-2 SCD merge (see [[MergeOps.scd2Merge]]): applies an attribute
     * snapshot effective at `effective`, closing changed current rows and
     * opening their new versions, through the same rewrite commit protocol

@@ -323,4 +323,147 @@ object MergeOps {
       .union(fromTarget.select(outCols: _*))
       .union(opened.select(outCols: _*))
   }
+
+  // ---------------------------------------------------------------------
+  // General ordered-clause merge (the full SQL MERGE INTO surface)
+  // ---------------------------------------------------------------------
+
+  /** One resolved WHEN clause of a general merge. Conditions and assigned
+    * values are functions of the (target, source) column resolvers — the
+    * same [[ColRef]] convention as [[merge3Clause]]'s update condition —
+    * so callers (including the SQL DML bridge, [[graft.plans.GraftDmlRule]])
+    * never see the internal prefix names.
+    */
+  sealed trait WhenClause { def condition: Option[(ColRef, ColRef) => Column] }
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET … — unassigned target columns
+    * keep their target value.
+    */
+  final case class WhenMatchedUpdate(
+      condition: Option[(ColRef, ColRef) => Column],
+      set: Map[String, (ColRef, ColRef) => Column]) extends WhenClause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class WhenMatchedDelete(
+      condition: Option[(ColRef, ColRef) => Column]) extends WhenClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT … — unassigned target columns
+    * become NULL (Delta parity). Conditions/values may reference only the
+    * source side (the analyzer guarantees this for SQL-originated merges).
+    */
+  final case class WhenNotMatchedInsert(
+      condition: Option[(ColRef, ColRef) => Column],
+      values: Map[String, (ColRef, ColRef) => Column]) extends WhenClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … — target-side
+    * references only.
+    */
+  final case class WhenNotMatchedBySourceUpdate(
+      condition: Option[(ColRef, ColRef) => Column],
+      set: Map[String, (ColRef, ColRef) => Column]) extends WhenClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+  final case class WhenNotMatchedBySourceDelete(
+      condition: Option[(ColRef, ColRef) => Column]) extends WhenClause
+
+  /** General SQL-MERGE semantics over the same single full-outer shuffle
+    * join as [[merge3Clause]]: per row class (matched / source-only /
+    * target-only) the FIRST clause whose condition holds applies — UPDATE
+    * rewrites columns, DELETE drops the row, INSERT materializes it — and
+    * a row matching no clause takes the default (matched & target-only
+    * keep the target row, source-only vanishes). This is the executable
+    * form of `MERGE INTO t USING s ON … WHEN …` and subsumes
+    * [[merge3Clause]] (which stays as the reference-shaped fast path).
+    *
+    * The output schema is exactly the target schema — SQL MERGE without
+    * schema evolution never widens the table — and every assigned value is
+    * cast to the target column's type (the analyzer has already aligned
+    * SQL-originated assignments; the cast also protects library callers).
+    *
+    * Cost profile at 100 TB: one shuffle of each side on the merge keys,
+    * then narrow codegen'd projections — clause count adds expression
+    * width, never extra joins or passes.
+    *
+    * @param keys equi-join pairs (targetCol, sourceCol) extracted from the
+    *        ON condition. Non-equi ON conditions are out of scope (they
+    *        would force a theta-join; Delta itself plans them as
+    *        cartesian-ish joins that do not survive scale).
+    */
+  def mergeClauses(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[(String, String)],
+      matched: Seq[WhenClause],
+      notMatched: Seq[WhenNotMatchedInsert],
+      notMatchedBySource: Seq[WhenClause]): DataFrame = {
+    require(keys.nonEmpty, "merge requires at least one equi-key pair")
+    matched.foreach {
+      case _: WhenMatchedUpdate | _: WhenMatchedDelete => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED clause: $other")
+    }
+    notMatchedBySource.foreach {
+      case _: WhenNotMatchedBySourceUpdate | _: WhenNotMatchedBySourceDelete => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE clause: $other")
+    }
+
+    val targetCols = target.columns.toSeq
+    val t = target.select(
+      targetCols.map(c => col(c).as(TPrefix + c)) :+ lit(true).as(TgtMark): _*)
+    val s = source.select(
+      source.columns.toSeq.map(c => col(c).as(SPrefix + c)) :+ lit(true).as(SrcMark): _*)
+    val tc: ColRef = c => col(TPrefix + c)
+    val sc: ColRef = c => col(SPrefix + c)
+
+    val joined = t.join(s,
+      keys.map { case (tk, sk) => tc(tk) === sc(sk) }.reduce(_ && _), "full_outer")
+
+    val srcPresent = col(SrcMark).isNotNull
+    val tgtPresent = col(TgtMark).isNotNull
+
+    // First clause whose condition holds (NULL = does not hold, SQL
+    // three-valued semantics via when()); -1 = no clause applies.
+    def chosen(clauses: Seq[WhenClause]): Column =
+      clauses.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), els) =>
+        when(cl.condition.map(f => f(tc, sc)).getOrElse(lit(true)), lit(i))
+          .otherwise(els)
+      }
+    val mIdx = chosen(matched)
+    val iIdx = chosen(notMatched)
+    val nIdx = chosen(notMatchedBySource)
+
+    def chainValues(clauses: Seq[WhenClause], idx: Column, c: String,
+        default: Column): Column = {
+      val dt = target.schema(c).dataType
+      clauses.zipWithIndex.foldRight(default) { case ((cl, i), els) =>
+        val v: Column = cl match {
+          case WhenMatchedUpdate(_, set) =>
+            set.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(default)
+          case WhenNotMatchedBySourceUpdate(_, set) =>
+            set.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(default)
+          case WhenNotMatchedInsert(_, values) =>
+            values.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(lit(null).cast(dt))
+          case _ => default // DELETE rows are filtered out; value unused
+        }
+        when(idx === i, v).otherwise(els)
+      }
+    }
+
+    def deleteChosen(clauses: Seq[WhenClause], idx: Column): Column =
+      clauses.zipWithIndex.collect {
+        case (_: WhenMatchedDelete, i)         => idx === i
+        case (_: WhenNotMatchedBySourceDelete, i) => idx === i
+      }.reduceOption(_ || _).getOrElse(lit(false))
+
+    val keep =
+      when(tgtPresent && srcPresent, !deleteChosen(matched, mIdx))
+        .when(srcPresent, iIdx =!= -1)
+        .otherwise(!deleteChosen(notMatchedBySource, nIdx))
+
+    val resolved = targetCols.map { c =>
+      when(tgtPresent && srcPresent, chainValues(matched, mIdx, c, tc(c)))
+        .when(srcPresent, chainValues(notMatched, iIdx, c,
+          lit(null).cast(target.schema(c).dataType)))
+        .otherwise(chainValues(notMatchedBySource, nIdx, c, tc(c)))
+        .as(c)
+    }
+
+    joined.filter(keep).select(resolved: _*)
+  }
 }

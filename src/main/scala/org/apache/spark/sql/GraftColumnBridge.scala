@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over an already-analyzed logical plan — how the SQL DML
+    * bridge re-executes a MERGE source plan (`Dataset.ofRows` is
+    * `private[sql]`, same justification as the converters above).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

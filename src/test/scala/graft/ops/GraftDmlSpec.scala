@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.table.MedallionTable
+
+/** SQL DML over graft catalog tables ([[graft.plans.GraftDmlRule]]):
+  * MERGE INTO / UPDATE / DELETE FROM semantics, clause ordering, Delta
+  * multi-match parity, and the documented refusals.
+  */
+class GraftDmlSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private var n = 0
+  private def fresh(rows: Seq[(Long, String, Double)]): (String, MedallionTable) = {
+    import spark.implicits._
+    n += 1
+    val name = s"dml_t$n"
+    val p = tmpDir(name)
+    val t = new MedallionTable(spark, p)
+    t.overwrite(rows.toDF("id", "name", "v"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graft LOCATION '$p'")
+    (name, t)
+  }
+
+  private def state(t: MedallionTable): Set[(Long, String, Double)] =
+    t.read.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Double]("v"))).toSet
+
+  test("DELETE FROM with WHERE removes matching rows only") {
+    val (name, t) = fresh(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    spark.sql(s"DELETE FROM $name WHERE v >= 20.0")
+    assert(state(t) == Set((1L, "a", 10.0)))
+  }
+
+  test("DELETE keeps NULL-predicate rows (SQL semantics)") {
+    import spark.implicits._
+    n += 1
+    val name = s"dml_t$n"
+    val p = tmpDir(name)
+    val t = new MedallionTable(spark, p)
+    t.overwrite(Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "x"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graft LOCATION '$p'")
+    spark.sql(s"DELETE FROM $name WHERE x > 2.0")
+    assert(t.read.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("UPDATE applies simultaneous assignment (swap)") {
+    import spark.implicits._
+    n += 1
+    val name = s"dml_t$n"
+    val p = tmpDir(name)
+    val t = new MedallionTable(spark, p)
+    t.overwrite(Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0)).toDF("id", "a", "b"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graft LOCATION '$p'")
+    spark.sql(s"UPDATE $name SET a = b, b = a WHERE id = 1")
+    assert(t.read.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet == Set((1L, 100.0, 10.0), (2L, 20.0, 200.0)))
+  }
+
+  test("UPDATE without WHERE touches every row") {
+    val (name, t) = fresh(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    spark.sql(s"UPDATE $name SET v = v * 10")
+    assert(state(t) == Set((1L, "a", 10.0), (2L, "b", 20.0)))
+  }
+
+  test("MERGE 3-clause: update matched, insert new, delete by source") {
+    val (name, t) = fresh(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    spark.sql(
+      s"""MERGE INTO $name t
+         |USING (SELECT 2L AS id, 'B' AS name, 22.0 AS v
+         |       UNION ALL SELECT 9L, 'i', 90.0) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(state(t) == Set((2L, "B", 22.0), (9L, "i", 90.0)))
+  }
+
+  test("MERGE clause ordering: first matching WHEN wins") {
+    val (name, t) = fresh(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    spark.sql(
+      s"""MERGE INTO $name t
+         |USING (SELECT 1L AS id, 5.0 AS v UNION ALL SELECT 2L, 95.0) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.v > 90.0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(state(t) == Set((1L, "a", 5.0)))
+  }
+
+  test("MERGE conditions may reference both sides") {
+    val (name, t) = fresh(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    spark.sql(
+      s"""MERGE INTO $name t
+         |USING (SELECT 1L AS id, 5.0 AS v UNION ALL SELECT 2L, 25.0) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v""".stripMargin)
+    // only id=2 rises (25 > 20); id=1 keeps 10 (5 < 10)
+    assert(state(t) == Set((1L, "a", 10.0), (2L, "b", 25.0)))
+  }
+
+  test("partial INSERT leaves unassigned columns NULL; partial UPDATE keeps them") {
+    val (name, t) = fresh(Seq((1L, "a", 10.0)))
+    spark.sql(
+      s"""MERGE INTO $name t
+         |USING (SELECT 1L AS id, 111.0 AS v UNION ALL SELECT 7L, 70.0) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val rows = t.read.collect()
+      .map(r => (r.getAs[Long]("id"), Option(r.getAs[String]("name")),
+        r.getAs[Double]("v"))).toSet
+    assert(rows == Set((1L, Some("a"), 111.0), (7L, None, 70.0)))
+  }
+
+  test("NOT MATCHED BY SOURCE UPDATE touches only unreferenced target rows") {
+    val (name, t) = fresh(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    spark.sql(
+      s"""MERGE INTO $name t
+         |USING (SELECT 1L AS id) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1.0""".stripMargin)
+    assert(state(t) == Set((1L, "a", 10.0), (2L, "b", -1.0)))
+  }
+
+  test("duplicate source keys fail like Delta's multiple-matches error") {
+    val (name, _) = fresh(Seq((1L, "a", 10.0)))
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $name t
+         |USING (SELECT 1L AS id, 1.0 AS v UNION ALL SELECT 1L, 2.0) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin))
+    assert(e.getMessage.contains("duplicate key"), e.getMessage)
+  }
+
+  test("non-equi ON refuses with a clear message") {
+    val (name, _) = fresh(Seq((1L, "a", 10.0)))
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $name t
+         |USING (SELECT 1L AS id, 1.0 AS v) s
+         |ON t.id <= s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin))
+    assert(e.getMessage.contains("conjunction of target=source column equalities"),
+      e.getMessage)
+  }
+
+  test("DML against a versionAsOf-pinned table refuses") {
+    import spark.implicits._
+    n += 1
+    val name = s"dml_t$n"
+    val p = tmpDir(name)
+    val t = new MedallionTable(spark, p, retainVersions = 2)
+    t.overwrite(Seq((1L, 1.0)).toDF("id", "x"))
+    t.merge(Seq((1L, 2.0)).toDF("id", "x"), Seq("id"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graft LOCATION '$p' OPTIONS (versionAsOf 1)")
+    val e = intercept[Exception](spark.sql(s"DELETE FROM $name WHERE id = 1"))
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+  }
+
+  test("MERGE after UPDATE after DELETE composes through history") {
+    val (name, t) = fresh(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    spark.sql(s"DELETE FROM $name WHERE id = 3")
+    spark.sql(s"UPDATE $name SET v = v + 1.0 WHERE id = 1")
+    spark.sql(
+      s"""MERGE INTO $name t USING (SELECT 2L AS id, 'B' AS name, 0.0 AS v) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET name = s.name""".stripMargin)
+    assert(state(t) == Set((1L, "a", 11.0), (2L, "B", 20.0)))
+    val ops = t.history().map(_._2)
+    assert(ops.count(_ == "merge") >= 1)
+  }
+}
