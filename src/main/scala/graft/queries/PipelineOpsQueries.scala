@@ -100,6 +100,36 @@ object PipelineOpsQueries {
     "dedup_embedding_pairs" -> ((s, dir) =>
       Similarity.allPairsAboveThreshold(Tables.embeddings(s, dir), 0.45)),
 
+    // SEMANTIC benchmark decontamination (the embedding sibling of
+    // text_decontaminate's 8-gram overlap): flag corpus vectors whose
+    // cosine to ANY benchmark vector clears τ=0.9 — n-gram overlap misses
+    // paraphrased contamination, embeddings catch it. The benchmark slice
+    // (every 25th vec) stays IN the corpus, so each bench vector's corpus
+    // twin is a guaranteed cos=1.0 hit exercising the flag path; natural
+    // cross-vector cosines top out ≈0.6 (the sim_semdedup measurement), so
+    // τ=0.9 is boundary-safe for the float compare in both engines.
+    // Scale shape: the benchmark side is bounded by contract (an eval
+    // suite, thousands of rows at worst) and broadcasts; the corpus
+    // streams through one narrow pass — the same allowlisted
+    // broadcast-bounded BNLJ class as sim_ann_xcheck. A benchmark too big
+    // to broadcast moves to the IVF cell join (similarity/Ivf.scala).
+    "sim_decontaminate_semantic" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val bench = emb.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("bench_id"), $"embedding".cast("array<double>").as("bv"))
+      val hits = emb
+        .select($"vec_id", $"embedding".cast("array<double>").as("cv"))
+        .crossJoin(broadcast(bench))
+        .filter(expr("graft_cosine(cv, bv) >= 0.9"))
+        .groupBy($"vec_id").agg(count(lit(1)).as("n_bench_hits"))
+      emb.select($"vec_id").join(hits, Seq("vec_id"), "left")
+        .selectExpr("vec_id",
+          "CAST(COALESCE(n_bench_hits, 0) AS BIGINT) AS n_bench_hits",
+          "n_bench_hits IS NOT NULL AS is_contaminated")
+    }),
+
     // LSH-bucketed approximate top-k (the scale path; rows-only).
     "sim_ann_lsh" -> ((s, dir) =>
       Ann.topK(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)),
@@ -610,6 +640,17 @@ object PipelineOpsQueries {
       ("SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
+    "sim_decontaminate_semantic" ->
+      ("""WITH hits AS (
+         |  SELECT c.vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits
+         |  FROM embeddings c JOIN embeddings b
+         |    ON b.vec_id % 25 = 0
+         |   AND list_cosine_similarity(c.embedding, b.embedding) >= 0.9
+         |  GROUP BY c.vec_id)
+         |SELECT e.vec_id,
+         |       COALESCE(h.n_bench_hits, 0) AS n_bench_hits,
+         |       h.n_bench_hits IS NOT NULL AS is_contaminated
+         |FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.vec_id""".stripMargin),
     // n_bytes mirrors the real container sizes: a 64×64 24-bit BMP after
     // the real resize re-encode (54-byte headers + 64 rows of 192 bytes),
     // a PCM-16 WAV (44-byte header + 2 bytes/sample), and a GMJB video

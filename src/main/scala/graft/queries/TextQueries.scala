@@ -673,6 +673,32 @@ object TextQueries {
     // exact integers — a learned table would swap in via the same bucket
     // lookup without changing the plan. One narrow map, no shuffle: the
     // 100 TB shape of every quality-classifier sweep.
+    // The TRAIN side of the hashed quality classifier: distributed
+    // full-batch logistic regression over md5-bucket features
+    // (graft.text.HashedLr), decision-xchecked the sim_semdedup way — the
+    // corpus carries PLANTED separable labels (class phrase by doc_id
+    // parity plus a unique noise token), so a correct trainer must reach
+    // zero training error with O(1) margins and the oracle re-derives
+    // label = prediction directly. Weights are float-sum order-sensitive
+    // at the ulp level; decisions are not (HashedLr scaladoc).
+    "text_lr_train_xcheck" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).selectExpr("doc_id",
+        "doc_id % 2 = 0 AS y",
+        "CASE WHEN doc_id % 2 = 0 " +
+          "THEN CONCAT('alpha beta gamma alpha beta gamma alpha beta gamma noise', doc_id) " +
+          "ELSE CONCAT('delta epsilon zeta delta epsilon zeta delta epsilon zeta noise', doc_id) " +
+          "END AS text")
+      // disjoint class vocabularies separate within a few steps; 10
+      // iterations keeps margins O(1) without paying 40+ driver rounds
+      val model = graft.text.HashedLr.train(docs, "doc_id", "text", "y",
+        iterations = 10)
+      graft.text.HashedLr.predict(docs, "doc_id", "text", model)
+        .select($"did".as("doc_id"), $"predicted")
+        .join(docs.select($"doc_id", $"y"), Seq("doc_id"))
+        .select($"doc_id", $"y", $"predicted")
+    }),
+
     "text_hash_classifier" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
       Tables.documents(s, dir)
@@ -1792,6 +1818,9 @@ object TextQueries {
          |       ${GopherRules(3)} AS r_stop,
          |       $GopherPass AS passes
          |FROM st WHERE n_tokens >= 1""".stripMargin),
+    "text_lr_train_xcheck" ->
+      ("""SELECT doc_id, doc_id % 2 = 0 AS y, doc_id % 2 = 0 AS predicted
+         |FROM documents""".stripMargin),
     "text_hash_classifier" ->
       (s"""WITH t AS (SELECT doc_id, $DuckTokens AS toks FROM documents),
          |sc AS (

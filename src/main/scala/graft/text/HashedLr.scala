@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed training for the hashed-feature linear quality classifier —
+  * the TRAIN side of the fastText-shaped scorer whose inference the engine
+  * already runs (`text_hash_classifier`): logistic regression by full-batch
+  * gradient descent over hashed bag-of-tokens features.
+  *
+  * Feature space: token → MD5-derived bucket in [0, dim) using the exact
+  * integer recipe the inference kernel and its DuckDB oracle already share
+  * (`ascii(hex)` arithmetic — cross-engine parity is proven by the
+  * `text_hash_classifier` hash-match), value = token count normalized by
+  * document length (mean-of-features, as fastText does).
+  *
+  * Scale shape, per iteration:
+  *   - the model (dim + 1 doubles) rides in the PLAN as an array literal —
+  *     nothing is collected per row;
+  *   - one hash-aggregate per doc for margins (feature rows are built once
+  *     and persisted — the explode/shuffle is paid once, not per
+  *     iteration);
+  *   - one hash-aggregate per bucket for the gradient, collected to the
+  *     driver at `dim` rows — parameter-bounded, the same class as the
+  *     [[graft.similarity.Pq]] codebook and [[NgramLM]] model collects.
+  * Iterations are a bounded constant; at 100 TB the cost is
+  * O(iterations · one pass over cached feature rows), the canonical
+  * distributed-LR profile (mini-batching swaps in by sampling the cached
+  * features without changing the loop).
+  *
+  * Decision determinism: gradient sums are floating-point and
+  * partition-order dependent at the ulp level, so WEIGHTS are only
+  * reproducible to ~1e-15 — but on a separable corpus the DECISION margins
+  * are O(1), which is what the planted-truth oracle asserts
+  * (`text_lr_train_xcheck`), the same robustness argument as the k-means
+  * paths ([[graft.similarity.SemDeDup]]).
+  */
+object HashedLr {
+
+  final case class Model(weights: Array[Double], bias: Double, dim: Int)
+
+  /** Same bucket arithmetic as the native kernel's oracle — two hex chars
+    * of md5(token), mod dim.
+    */
+  def bucketExpr(tokCol: String, dim: Int): String =
+    s"(ascii(substr(md5($tokCol), 1, 1)) * 256 + " +
+      s"ascii(substr(md5($tokCol), 2, 1))) % $dim"
+
+  /** (docId, bucket, x, y) feature rows: x = count/len. */
+  private def featureRows(docs: DataFrame, docId: String, text: String,
+      label: String, dim: Int): DataFrame = {
+    docs
+      .selectExpr(s"$docId AS did", s"${TextOps.tokensExpr(text)} AS toks",
+        s"CAST(CAST($label AS INT) AS DOUBLE) AS y")
+      .where("SIZE(toks) >= 1")
+      .select(col("did"), col("y"),
+        size(col("toks")).cast("double").as("len"), explode(col("toks")).as("tok"))
+      .selectExpr("did", "y", "len", s"${bucketExpr("tok", dim)} AS b")
+      .groupBy("did", "y", "b")
+      .agg((count(lit(1)) / first("len")).as("x"))
+  }
+
+  private def wArr(w: Array[Double]): Column =
+    array(w.toIndexedSeq.map(lit): _*)
+
+  def train(docs: DataFrame, docId: String, text: String, label: String,
+      dim: Int = 32, iterations: Int = 15, learningRate: Double = 1.0): Model = {
+    val feats = featureRows(docs, docId, text, label, dim).persist()
+    try {
+      val nDocs = feats.select("did").distinct().count().toDouble
+      require(nDocs > 0, "training corpus has no tokenizable documents")
+      val w = Array.fill(dim)(0.0)
+      var bias = 0.0
+      for (_ <- 0 until iterations) {
+        // margin + residual per doc, then the gradient per bucket; both are
+        // hash aggregates, the second collects dim rows.
+        val resid = feats
+          .groupBy("did", "y")
+          .agg(sum(col("x") * element_at(wArr(w), col("b") + 1)).as("m"))
+          .select(col("did"),
+            (col("y") - lit(1.0) / (lit(1.0) + exp(-(col("m") + lit(bias)))))
+              .as("r"))
+          .persist()
+        try {
+          val grad = feats.join(resid, "did")
+            .groupBy("b")
+            .agg(sum(col("x") * col("r")).as("g"))
+            .collect()
+          grad.foreach { row =>
+            val b = row.getAs[Number]("b").intValue()
+            w(b) += learningRate * row.getAs[Double]("g") / nDocs
+          }
+          bias += learningRate *
+            resid.agg(sum("r")).collect()(0).getDouble(0) / nDocs
+        } finally { resid.unpersist() }
+      }
+      Model(w, bias, dim)
+    } finally { feats.unpersist() }
+  }
+
+  /** One narrow pass + one per-doc aggregate: margin and decision for every
+    * tokenizable document.
+    */
+  def predict(docs: DataFrame, docId: String, text: String, model: Model): DataFrame =
+    docs
+      .selectExpr(s"$docId AS did", s"${TextOps.tokensExpr(text)} AS toks")
+      .where("SIZE(toks) >= 1")
+      .select(col("did"),
+        size(col("toks")).cast("double").as("len"), explode(col("toks")).as("tok"))
+      .selectExpr("did", "len", s"${bucketExpr("tok", model.dim)} AS b")
+      .groupBy("did", "len", "b").agg(count(lit(1)).as("cnt"))
+      .groupBy("did")
+      .agg((sum(col("cnt") / col("len") * element_at(wArr(model.weights), col("b") + 1))
+        + lit(model.bias)).as("margin"))
+      .select(col("did"), col("margin"), (col("margin") >= 0).as("predicted"))
+}

@@ -50,7 +50,9 @@ object PlanLint {
     "sim_ivfpq_xcheck" -> (Set("BroadcastNestedLoopJoin"),
       "same IVFADC assignment on the planted-dup corpus"),
     "embed_knn_classifier" -> (Set("BroadcastNestedLoopJoin"),
-      "vote over the bounded sim_topk_bruteforce kernel (25 broadcast queries); the scale path swaps in Ivf/IvfPq topK — same output shape")
+      "vote over the bounded sim_topk_bruteforce kernel (25 broadcast queries); the scale path swaps in Ivf/IvfPq topK — same output shape"),
+    "sim_decontaminate_semantic" -> (Set("BroadcastNestedLoopJoin"),
+      "corpus x broadcast(benchmark vectors): the bench side is bounded by contract (an eval suite); an unbroadcastable benchmark moves to the IVF cell join")
   )
 
   private def offenses(plan: SparkPlan): Seq[String] = {
