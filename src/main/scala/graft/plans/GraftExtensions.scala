@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-hoc so the commands arrive fully resolved (stars expanded,
     // assignments aligned) before the rewrite fires.
     ext.injectPostHocResolutionRule(s => new GraftDmlRule(s))
+    // Delta's utility statements (DESCRIBE HISTORY / OPTIMIZE / VACUUM /
+    // RESTORE) + table-valued CDC/history reads.
+    ext.injectParser((s, delegate) => new GraftSqlParser(s, delegate))
+    GraftTableFunctions.injections.foreach(ext.injectTableFunction)
   }
 }
 

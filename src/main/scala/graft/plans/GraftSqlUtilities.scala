@@ -1,0 +1,237 @@
+package graft.plans
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.table.MedallionTable
+
+/** Delta's utility SQL statements for graft tables, via a delegating parser
+  * (`injectParser` — the same mechanism as Delta's own `DeltaSqlParser`):
+  *
+  *   - `DESCRIBE HISTORY t | '<path>'`
+  *   - `OPTIMIZE t [ZORDER BY (c1, c2)]`
+  *   - `VACUUM t`
+  *   - `RESTORE [TABLE] t TO VERSION AS OF n`
+  *
+  * Targets are either a catalog table created `USING graft` (resolved
+  * through the session catalog at run time) or a quoted location. Anything
+  * the grammar does not match falls through verbatim to the delegate —
+  * the interceptor only ever claims statements Spark itself cannot parse
+  * (plus `DESCRIBE HISTORY`, which Delta also shadows).
+  *
+  * All four lower onto the SAME table-layer maintenance calls the API
+  * exposes (`history` / `compact(ZOrder)` / `vacuum` / `restoreVersion`),
+  * so SQL and API users see one behavior — commit protocol, retention,
+  * Z-order file-skipping layout included.
+  */
+class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val t = sqlText.trim.stripSuffix(";").trim
+    t match {
+      case DescribeHistoryRe(target) =>
+        GraftDescribeHistoryCommand(target.trim)
+      case OptimizeZOrderRe(target, cols) =>
+        GraftOptimizeCommand(target.trim,
+          cols.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty))
+      case OptimizeRe(target) =>
+        GraftOptimizeCommand(target.trim, Nil)
+      case VacuumRe(target) =>
+        GraftVacuumCommand(target.trim)
+      case RestoreRe(target, version) =>
+        GraftRestoreCommand(target.trim, version.toInt)
+      case _ => delegate.parsePlan(sqlText)
+    }
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // target = quoted path, backquoted identifier, or [db.]identifier
+  private val T = """('[^']+'|`[^`]+`|[\w.]+)"""
+  private[plans] val DescribeHistoryRe: Regex =
+    s"""(?is)DESCRIBE\\s+HISTORY\\s+$T""".r
+  private[plans] val OptimizeZOrderRe: Regex =
+    s"""(?is)OPTIMIZE\\s+$T\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)""".r
+  private[plans] val OptimizeRe: Regex = s"""(?is)OPTIMIZE\\s+$T""".r
+  private[plans] val VacuumRe: Regex = s"""(?is)VACUUM\\s+$T""".r
+  private[plans] val RestoreRe: Regex =
+    s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
+
+  private[plans] def stripQuotes(s: String): String = {
+    val t = s.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("`") && t.endsWith("`"))) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Target → table location: a quoted string is a path; an identifier
+    * resolves through the session catalog and must be a `USING graft`
+    * table.
+    */
+  private[plans] def resolvePath(spark: SparkSession, target: String): String = {
+    val t = target.trim
+    if (t.startsWith("'")) stripQuotes(t)
+    else {
+      val parts = stripQuotes(t).split("\\.").toSeq
+      val ident = parts match {
+        case Seq(name)     => TableIdentifier(name)
+        case Seq(db, name) => TableIdentifier(name, Some(db))
+        case _ => throw new IllegalArgumentException(
+          s"cannot resolve table identifier '$target'")
+      }
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      if (!meta.provider.exists(_.equalsIgnoreCase("graft")))
+        throw new IllegalArgumentException(
+          s"$target is not a graft table (provider=${meta.provider.getOrElse("?")})")
+      meta.location.toString
+    }
+  }
+}
+
+/** `DESCRIBE HISTORY` — (version, op, timestamp), newest first, bounded by
+  * marker retention.
+  */
+final case class GraftDescribeHistoryCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("timestamp", TimestampType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mt = new MedallionTable(spark, GraftSqlParser.resolvePath(spark, target))
+    mt.history().map { case (v, op, millis) =>
+      Row(v, op, new java.sql.Timestamp(millis))
+    }
+  }
+}
+
+/** `OPTIMIZE [ZORDER BY (…)]` — compaction (+ Z-order clustering) through
+  * the rewrite commit protocol; reports the parquet file count change.
+  */
+final case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)())
+  private def nParquet(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+  }
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val before = nParquet(spark, path)
+    val mt = new MedallionTable(spark, path)
+    if (zorderBy.nonEmpty) mt.compactZOrder(zorderBy) else mt.compact()
+    Seq(Row(path, before, nParquet(spark, path)))
+  }
+}
+
+/** `VACUUM` — removes crashed writers' leftover staging/backup directories
+  * and stale locks next to the table.
+  */
+final case class GraftVacuumCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("removed", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    Seq(Row(path, new MedallionTable(spark, path).vacuum()))
+  }
+}
+
+/** `RESTORE … TO VERSION AS OF n` — rewrites the live table to a retained
+  * snapshot (itself a new commit, so a restore is undoable).
+  */
+final case class GraftRestoreCommand(target: String, version: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("restored_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    new MedallionTable(spark, path).restoreVersion(version)
+    Seq(Row(path, version))
+  }
+}
+
+/** Table-valued SQL functions for the read-side maintenance surfaces —
+  * Delta's `table_changes(…)` analog plus history-as-a-table:
+  *
+  *   - `graft_table_changes('<path>', sinceVersion, 'k1' [, 'k2'…])`
+  *   - `graft_table_history('<path>')`
+  *
+  * Arguments must be literals (they parameterize plan construction). The
+  * changes TVF returns the keyed diff `MedallionTable.changesSince`
+  * computes — inserts / updates (pre+post image) / deletes since the given
+  * commit — so CDC consumers can stay in pure SQL.
+  */
+object GraftTableFunctions {
+  type TvfInjection =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  private def litString(e: Expression, what: String): String = e.eval() match {
+    case null => throw new IllegalArgumentException(s"$what must be a literal string")
+    case v    => v.toString
+  }
+
+  val injections: Seq[TvfInjection] = Seq(
+    (new FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(classOf[MedallionTable].getName, "graft_table_changes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 3,
+          "usage: graft_table_changes('<path>', sinceVersion, 'key1'[, 'key2'…])")
+        val spark = SparkSession.active
+        val path = litString(exprs.head, "path")
+        val since = exprs(1).eval().asInstanceOf[Number].intValue()
+        val keys = exprs.drop(2).map(litString(_, "key column"))
+        new MedallionTable(spark, path).changesSince(since, keys)
+          .queryExecution.logical
+      }),
+    (new FunctionIdentifier("graft_table_history"),
+      new ExpressionInfo(classOf[MedallionTable].getName, "graft_table_history"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "usage: graft_table_history('<path>')")
+        val spark = SparkSession.active
+        val path = litString(exprs.head, "path")
+        import spark.implicits._
+        new MedallionTable(spark, path).history()
+          .toDF("version", "operation", "ts_millis")
+          .queryExecution.logical
+      })
+  )
+}

@@ -283,6 +283,37 @@ object SinkQueries {
         .toDF("version", "op")
     }),
 
+    // K8 — the Delta utility-SQL surface end-to-end: many small appends,
+    // `OPTIMIZE … ZORDER BY` via the injected parser (same compaction +
+    // commit protocol as the API), then the content read back — a
+    // compaction that loses or duplicates rows breaks the hash.
+    "k8_sql_optimize_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k8_sql_opt")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir).filter($"o_orderkey" % 2 === 0)
+      (0 until 4).foreach(i => t.append(o.filter($"o_orderkey" % 4 === i)))
+      s.sql(s"OPTIMIZE '$p' ZORDER BY (o_orderkey)")
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }),
+
+    // K8 — history through the SQL TVF (the k_history scenario read back
+    // with `graft_table_history` instead of the API).
+    "k8_sql_history_tvf" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k8_sql_hist")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p)
+      t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+      t.append(Seq((2L, "b")).toDF("id", "v"))
+      t.merge(Seq((1L, "A"), (2L, "b")).toDF("id", "v"), Seq("id"))
+      s.sql(s"SELECT version, operation FROM graft_table_history('$p')")
+    }),
+
     // DELETE WHERE roundtrip: a partition-aligned delete (metadata-only
     // directory drop) followed by a row-level delete (filtered rewrite) —
     // both Delta DELETE semantics the reference's tables support.
@@ -484,6 +515,12 @@ object SinkQueries {
       ("SELECT * FROM (VALUES (CAST(3 AS BIGINT), 'merge'), " +
        "(CAST(2 AS BIGINT), 'append'), (CAST(1 AS BIGINT), 'create-overwrite')) " +
        "t(version, op)"),
+    "k8_sql_optimize_roundtrip" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 2 = 0",
+    "k8_sql_history_tvf" ->
+      ("SELECT * FROM (VALUES (CAST(3 AS BIGINT), 'merge'), " +
+       "(CAST(2 AS BIGINT), 'append'), (CAST(1 AS BIGINT), 'create-overwrite')) " +
+       "t(version, operation)"),
     "k_delete_where_roundtrip" ->
       (s"SELECT $OrderCols, CAST(o_orderkey % 4 AS INTEGER) AS blk FROM orders " +
        "WHERE o_orderkey % 4 <> 3 AND o_totalprice >= 50000.0"),

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.table.MedallionTable
+
+/** Delta-utility SQL statements (DESCRIBE HISTORY / OPTIMIZE / VACUUM /
+  * RESTORE) and the CDC/history table functions, through a real session
+  * with the graft extensions.
+  */
+class GraftSqlUtilitiesSpec extends SparkSpec {
+
+  test("DESCRIBE HISTORY lists operations newest-first, by name and by path") {
+    import spark.implicits._
+    val p = tmpDir("sqlutil_hist")
+    val t = new MedallionTable(spark, p)
+    t.overwrite(Seq((1L, 1.0)).toDF("id", "x"))
+    t.merge(Seq((1L, 2.0), (2L, 3.0)).toDF("id", "x"), Seq("id"))
+    spark.sql("DROP TABLE IF EXISTS sqlutil_hist_t")
+    spark.sql(s"CREATE TABLE sqlutil_hist_t USING graft LOCATION '$p'")
+    val byName = spark.sql("DESCRIBE HISTORY sqlutil_hist_t").collect()
+    assert(byName.map(_.getString(1)).toSeq == Seq("merge", "create-overwrite"))
+    val byPath = spark.sql(s"DESCRIBE HISTORY '$p'").collect()
+    assert(byPath.map(_.getLong(0)).toSeq == byName.map(_.getLong(0)).toSeq)
+  }
+
+  test("OPTIMIZE compacts the file count; ZORDER BY variant clusters") {
+    import spark.implicits._
+    val p = tmpDir("sqlutil_opt")
+    val t = new MedallionTable(spark, p)
+    // many small appends → many files
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, i.toString)).toDF("id", "s")))
+    spark.sql("DROP TABLE IF EXISTS sqlutil_opt_t")
+    spark.sql(s"CREATE TABLE sqlutil_opt_t USING graft LOCATION '$p'")
+    val r = spark.sql("OPTIMIZE sqlutil_opt_t").collect()(0)
+    assert(r.getInt(1) >= 5, s"expected >=5 files before, got ${r.getInt(1)}")
+    assert(r.getInt(2) < r.getInt(1), "compaction must reduce file count")
+    assert(t.read.count() == 5)
+    val z = spark.sql("OPTIMIZE sqlutil_opt_t ZORDER BY (id)").collect()(0)
+    assert(z.getInt(2) >= 1 && t.read.count() == 5)
+  }
+
+  test("VACUUM reports zero on a clean table") {
+    import spark.implicits._
+    val p = tmpDir("sqlutil_vac")
+    new MedallionTable(spark, p).overwrite(Seq((1L, "a")).toDF("id", "s"))
+    assert(spark.sql(s"VACUUM '$p'").collect()(0).getInt(1) == 0)
+  }
+
+  test("RESTORE TO VERSION AS OF rewinds and is itself a commit") {
+    import spark.implicits._
+    val p = tmpDir("sqlutil_restore")
+    val t = new MedallionTable(spark, p, retainVersions = 3)
+    t.overwrite(Seq((1L, 10.0)).toDF("id", "x"))
+    t.merge(Seq((1L, 99.0), (2L, 5.0)).toDF("id", "x"), Seq("id"))
+    spark.sql(s"RESTORE TABLE '$p' TO VERSION AS OF 1")
+    assert(t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 10.0)))
+    assert(t.history().head._2.startsWith("restore"))
+  }
+
+  test("graft_table_history and graft_table_changes TVFs read in pure SQL") {
+    import spark.implicits._
+    val p = tmpDir("sqlutil_tvf")
+    val t = new MedallionTable(spark, p, retainVersions = 3)
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    t.merge(Seq((1L, 11.0), (3L, 30.0)).toDF("id", "x"), Seq("id"),
+      deleteNotMatchedBySource = false)
+    val hist = spark.sql(s"SELECT * FROM graft_table_history('$p')").collect()
+    assert(hist.map(_.getString(1)).toSeq == Seq("merge", "create-overwrite"))
+    val changes = spark.sql(
+      s"SELECT _change_type, id FROM graft_table_changes('$p', 1, 'id')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(changes == Set(("update_preimage", 1L), ("update_postimage", 1L),
+      ("insert", 3L)))
+  }
+
+  test("utility statements refuse non-graft tables") {
+    spark.sql("DROP TABLE IF EXISTS sqlutil_plain")
+    spark.sql("CREATE TABLE sqlutil_plain (id BIGINT) USING parquet")
+    val e = intercept[Exception](spark.sql("DESCRIBE HISTORY sqlutil_plain").collect())
+    assert(e.getMessage.contains("not a graft table"), e.getMessage)
+  }
+
+  test("unmatched statements fall through to the delegate parser untouched") {
+    // a statement containing the keywords but not the shape
+    assert(spark.sql("SELECT 'OPTIMIZE nothing' AS s").collect()(0)
+      .getString(0) == "OPTIMIZE nothing")
+    intercept[Exception](spark.sql("OPTIMIZE"))
+  }
+}
