@@ -50,8 +50,64 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftVacuumCommand(target.trim)
       case RestoreRe(target, version) =>
         GraftRestoreCommand(target.trim, version.toInt)
-      case _ => delegate.parsePlan(sqlText)
+      case _ => resolveTimeTravel(delegate.parsePlan(sqlText))
     }
+  }
+
+  /** Inline `SELECT … FROM t VERSION AS OF n` / `TIMESTAMP AS OF ts` over
+    * graft catalog tables: Spark parses these natively into
+    * [[RelationTimeTravel]] but the session catalog cannot load versioned
+    * tables, so the graft-owned nodes are swapped for the snapshot read
+    * here (the relation carries the concrete table name — nothing else in
+    * the query is touched, and non-graft targets pass through for Spark's
+    * own handling). `TIMESTAMP AS OF` resolves to the newest commit at or
+    * before the instant (Delta semantics) via the history mtimes.
+    */
+  private def resolveTimeTravel(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        graftSnapshotFor(tt).getOrElse(tt)
+    }
+
+  private def graftSnapshotFor(
+      tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
+      : Option[LogicalPlan] = {
+    val identParts = tt.relation match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        u.multipartIdentifier
+      case _ => return None
+    }
+    val ident = identParts match {
+      case Seq(name)     => TableIdentifier(name)
+      case Seq(db, name) => TableIdentifier(name, Some(db))
+      case _             => return None
+    }
+    val catalog = spark.sessionState.catalog
+    // temp views and foreign tables fall through to Spark's own handling
+    if (catalog.isTempView(identParts) || !catalog.tableExists(ident)) return None
+    val meta = catalog.getTableMetadata(ident)
+    if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) return None
+    val mt = new MedallionTable(spark, meta.location.toString)
+    val version = (tt.version, tt.timestamp) match {
+      case (Some(v), _) => v.toInt
+      case (None, Some(tsExpr)) =>
+        val millis = tsExpr match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, StringType) =>
+            java.sql.Timestamp.valueOf(s.toString).getTime
+          case e => e.eval() match {
+            case micros: java.lang.Long => micros / 1000L // TimestampType
+            case other => throw new IllegalArgumentException(
+              s"cannot evaluate TIMESTAMP AS OF expression: $other")
+          }
+        }
+        val at = mt.history().filter(_._3 <= millis).map(_._1)
+        if (at.isEmpty) throw new IllegalArgumentException(
+          s"no retained version of ${ident.unquotedString} at or before " +
+            new java.sql.Timestamp(millis))
+        at.max.toInt
+      case _ => return None
+    }
+    Some(mt.readVersion(version).queryExecution.logical)
   }
 
   override def parseExpression(sqlText: String): Expression =

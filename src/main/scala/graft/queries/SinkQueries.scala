@@ -314,6 +314,27 @@ object SinkQueries {
       s.sql(s"SELECT version, operation FROM graft_table_history('$p')")
     }),
 
+    // K8 — inline time travel (`VERSION AS OF` in the FROM clause, Delta's
+    // native syntax; the k6 variant pins via OPTIONS instead): the
+    // k_time_travel scenario read back through the parser-resolved
+    // snapshot. Same oracle: the pre-merge state.
+    "k8_sql_version_as_of" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k8_sql_tt")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p, retainVersions = 2)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 3 =!= 0))
+      t.merge(o.filter($"o_orderkey" % 2 === 0), Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS graft_tt_inline")
+      s.sql(s"CREATE TABLE graft_tt_inline USING graft LOCATION '$p'")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |       o_orderdate, o_orderpriority
+          |FROM graft_tt_inline VERSION AS OF 1""".stripMargin)
+    }),
+
     // DELETE WHERE roundtrip: a partition-aligned delete (metadata-only
     // directory drop) followed by a row-level delete (filtered rewrite) —
     // both Delta DELETE semantics the reference's tables support.
@@ -521,6 +542,8 @@ object SinkQueries {
       ("SELECT * FROM (VALUES (CAST(3 AS BIGINT), 'merge'), " +
        "(CAST(2 AS BIGINT), 'append'), (CAST(1 AS BIGINT), 'create-overwrite')) " +
        "t(version, operation)"),
+    "k8_sql_version_as_of" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 3 <> 0",
     "k_delete_where_roundtrip" ->
       (s"SELECT $OrderCols, CAST(o_orderkey % 4 AS INTEGER) AS blk FROM orders " +
        "WHERE o_orderkey % 4 <> 3 AND o_totalprice >= 50000.0"),
