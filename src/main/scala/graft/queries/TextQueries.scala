@@ -780,6 +780,28 @@ object TextQueries {
       graft.operators.ShardShuffle.assign(
         Tables.documents(s, dir).select("doc_id"), "doc_id", nShards = 16)),
 
+    // CURRICULUM ordering: band documents by a quality heuristic (token
+    // count here; any score column slots in), then lay each band out in
+    // shard_shuffle's deterministic pseudo-random shard order — training
+    // reads bands easy→hard (or the reverse) while I/O stays shard-
+    // parallel. No global total order: every window is partitioned by
+    // (band, shard), the ShardShuffle scale argument verbatim.
+    "sample_curriculum_order" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"SIZE(${Q.TokensExpr}) AS n_tokens")
+        .selectExpr("doc_id",
+          "CASE WHEN n_tokens >= 60 THEN 0 WHEN n_tokens >= 30 THEN 1 ELSE 2 END AS band",
+          "md5(CONCAT('graft-curr:42:', CAST(doc_id AS STRING))) AS h")
+        .withColumn("shard_id",
+          expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) % 4"))
+        .withColumn("pos_in_shard", row_number().over(
+          Window.partitionBy($"band", $"shard_id").orderBy($"h", $"doc_id")))
+        .selectExpr("doc_id", "band", "shard_id",
+          "CAST(pos_in_shard AS BIGINT) AS pos_in_shard")
+    }),
+
     // The WHOLE curation funnel composed into one declarative plan —
     // what a user actually runs to build a training set: Gopher quality
     // gate → exact dedup (keep-lowest-id per identical text) → benchmark
@@ -1724,6 +1746,23 @@ object TextQueries {
     "sample_mix_weighted" ->
       (s"""SELECT doc_id, lang FROM documents
          |WHERE SUBSTRING(MD5(doc_id || ':' || lang), 1, 2) < $MixCase""".stripMargin),
+    "sample_curriculum_order" ->
+      (s"""WITH t AS (
+         |  SELECT doc_id, LEN($DuckTokens) AS n_tokens,
+         |         MD5('graft-curr:42:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n_tokens >= 60 THEN 0
+         |              WHEN n_tokens >= 30 THEN 1 ELSE 2 END AS band,
+         |         hx,
+         |         ('0x' || SUBSTRING(hx, 1, 8))::BIGINT % 4 AS shard_id
+         |  FROM t)
+         |SELECT doc_id, band, shard_id,
+         |       CAST(row_number() OVER (PARTITION BY band, shard_id
+         |                               ORDER BY hx, doc_id) AS BIGINT)
+         |         AS pos_in_shard
+         |FROM b""".stripMargin),
     "shard_shuffle" ->
       ("""WITH h AS (
          |  SELECT doc_id,

@@ -71,9 +71,20 @@ final class GraftSqlSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // CREATE TABLE … PARTITIONED BY (c) arrives as identity transforms;
+    // anything fancier (bucket/days/…) has no MedallionTable layout and
+    // must refuse rather than silently ignore the clause.
+    val partCols = partitioning.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1)
+        t.references.head.fieldNames.mkString(".")
+      else throw new IllegalArgumentException(
+        s"graft tables support only identity PARTITIONED BY columns, got: $t")
+    }
     new GraftSqlTable(properties.get("path"), schema,
-      Option(properties.get(GraftSqlSource.VersionAsOf)).map(_.toInt))
+      Option(properties.get(GraftSqlSource.VersionAsOf)).map(_.toInt),
+      partCols)
+  }
 }
 
 object GraftSqlSource {
@@ -96,13 +107,16 @@ object GraftSqlSource {
 }
 
 private[sources] final class GraftSqlTable(path: String, tableSchema: StructType,
-    versionAsOf: Option[Int] = None)
+    versionAsOf: Option[Int] = None, partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
   private[sources] def location: String = path
   private[sources] def pinnedVersion: Option[Int] = versionAsOf
   override def name(): String =
     s"graft.`$path`" + versionAsOf.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+      .identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     // V1_BATCH_WRITE (not BATCH_WRITE): routes the planner to the
     // AppendDataExecV1 path that honors V1Write.toInsertableRelation
@@ -115,7 +129,7 @@ private[sources] final class GraftSqlTable(path: String, tableSchema: StructType
       throw new IllegalArgumentException(
         s"table pinned to versionAsOf=$v is read-only — write to the live table instead")
     }
-    new GraftWriteBuilder(path, replace = false)
+    new GraftWriteBuilder(path, replace = false, partCols)
   }
 }
 
@@ -124,14 +138,17 @@ private[sources] final class GraftSqlTable(path: String, tableSchema: StructType
   * hands the data over as a DataFrame, which is exactly what the table
   * layer's commit protocol consumes — SQL and API writes share one path.
   */
-private[sources] final class GraftWriteBuilder(path: String, replace: Boolean)
+private[sources] final class GraftWriteBuilder(path: String, replace: Boolean,
+    partCols: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder = new GraftWriteBuilder(path, replace = true)
+  override def truncate(): WriteBuilder =
+    new GraftWriteBuilder(path, replace = true, partCols)
   override def build(): V1Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-          val mt = new MedallionTable(data.sparkSession, path)
+          val mt = new MedallionTable(data.sparkSession, path,
+            partitionColumns = partCols)
           if (replace || overwrite) mt.overwrite(data) else mt.append(data)
         }
       }

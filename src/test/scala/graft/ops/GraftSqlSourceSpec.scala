@@ -15,6 +15,35 @@ class GraftSqlSourceSpec extends SparkSpec {
     (p, new MedallionTable(spark, p))
   }
 
+  test("CREATE TABLE … PARTITIONED BY writes hive-partitioned dirs via SQL") {
+    import spark.implicits._
+    val (p, t) = freshTable("cat_part")
+    spark.sql("DROP TABLE IF EXISTS cat_part_t")
+    spark.sql(s"CREATE TABLE cat_part_t (id BIGINT, blk INT) USING graft " +
+      s"PARTITIONED BY (blk) LOCATION '$p'")
+    (1L to 20L).map(i => (i, (i % 3).toInt)).toDF("id", "blk")
+      .createOrReplaceTempView("cat_part_src")
+    spark.sql("INSERT INTO cat_part_t SELECT * FROM cat_part_src")
+    // the write landed hive-partitioned: blk=N directories on disk
+    val dirs = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("blk=")).sorted
+    assert(dirs.toSeq == Seq("blk=0", "blk=1", "blk=2"))
+    // partition-pruned read returns the right slice
+    assert(spark.sql("SELECT COUNT(*) FROM cat_part_t WHERE blk = 1")
+      .collect()(0).getLong(0) == 7)
+    assert(t.read.count() == 20)
+    // non-identity transforms refuse instead of silently ignoring
+    spark.sql("DROP TABLE IF EXISTS cat_part_bad")
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE IF EXISTS cat_part_bad")
+      spark.sql(s"CREATE TABLE cat_part_bad (id BIGINT, b INT) USING graft " +
+        s"PARTITIONED BY (bucket(4, b)) LOCATION '${tmpDir("cat_part_bad")}'")
+      Seq((1L, 1)).toDF("id", "b").createOrReplaceTempView("cat_part_bad_src")
+      spark.sql("INSERT INTO cat_part_bad SELECT * FROM cat_part_bad_src")
+    }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+  }
+
   test("INSERT OVERWRITE replaces through the commit protocol") {
     import spark.implicits._
     val (p, t) = freshTable("cat_ovw")
