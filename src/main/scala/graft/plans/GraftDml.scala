@@ -48,12 +48,13 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       graftTarget(target).map { case (rel, path) =>
         requireNoSubquery(cond, "DELETE condition")
         GraftDeleteCommand(path,
-          toColumn(cond, rel.outputSet, c => col(quoted(c)), unusedRef))
+          toColumn(cond, rel.outputSet, c => col(quoted(c)), unusedRef), rel)
       }.getOrElse(d)
 
     case u @ UpdateTable(target, assignments, cond) if u.resolved =>
       graftTarget(target).map { case (rel, path) =>
         cond.foreach(requireNoSubquery(_, "UPDATE condition"))
+        assignments.foreach(a => requireNoSubquery(a.value, "UPDATE assignment"))
         val set = assignments.map { a =>
           assignmentName(a) ->
             toColumn(a.value, rel.outputSet, c => col(quoted(c)), unusedRef)
@@ -61,7 +62,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         GraftUpdateCommand(path,
           cond.map(toColumn(_, rel.outputSet, c => col(quoted(c)), unusedRef))
             .getOrElse(lit(true)),
-          set)
+          set, rel)
       }.getOrElse(u)
 
     case m: MergeIntoTable if m.resolved =>
@@ -72,7 +73,16 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val sOut = m.sourceTable.outputSet
         requireNoSubquery(m.mergeCondition, "MERGE ON condition")
         (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
-          .foreach(_.condition.foreach(requireNoSubquery(_, "MERGE WHEN condition")))
+          .foreach { a =>
+            a.condition.foreach(requireNoSubquery(_, "MERGE WHEN condition"))
+            a match {
+              case ua: UpdateAction => ua.assignments
+                .foreach(x => requireNoSubquery(x.value, "MERGE assignment"))
+              case ia: InsertAction => ia.assignments
+                .foreach(x => requireNoSubquery(x.value, "MERGE assignment"))
+              case _ => ()
+            }
+          }
         val srcNames = m.sourceTable.output.map(_.name)
         require(srcNames.distinct.size == srcNames.size,
           "MERGE source has duplicate column names — alias them apart first")
@@ -100,7 +110,8 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case other => throw new UnsupportedOperationException(
             s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
         }
-        GraftMergeCommand(path, m.sourceTable, keys, matched, notMatched, bySource)
+        GraftMergeCommand(path, m.sourceTable, keys, matched, notMatched,
+          bySource, rel)
       }.getOrElse(m)
 
     case p => p
@@ -197,11 +208,27 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * survive, SQL semantics; partition-aligned predicates drop whole
   * directories metadata-only).
   */
-final case class GraftDeleteCommand(path: String, cond: Column)
-    extends LeafRunnableCommand {
+final case class GraftDeleteCommand(path: String, cond: Column,
+    targetRelation: LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     new MedallionTable(spark, path).delete(cond)
+    GraftDml.invalidateCaches(spark, path, targetRelation)
     Seq.empty
+  }
+}
+
+private[plans] object GraftDml {
+  /** Cached plans over the table (CACHE TABLE / df.cache) must not keep
+    * serving pre-DML rows — the same invalidation Spark's own v2 DML and
+    * Delta perform after a write (review finding, round 10).
+    */
+  def invalidateCaches(spark: SparkSession, path: String,
+      targetRelation: LogicalPlan): Unit = {
+    // path-derived caches of the inner parquet scan...
+    spark.catalog.refreshByPath(path)
+    // ...and CACHE TABLE entries over the DSv2 relation itself, matched by
+    // sameResult (GraftSqlTable value equality makes instances comparable)
+    B.recacheByPlan(spark, targetRelation)
   }
 }
 
@@ -209,9 +236,11 @@ final case class GraftDeleteCommand(path: String, cond: Column)
   * assignment semantics, matching SQL).
   */
 final case class GraftUpdateCommand(path: String, cond: Column,
-    set: Map[String, Column]) extends LeafRunnableCommand {
+    set: Map[String, Column], targetRelation: LogicalPlan)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     new MedallionTable(spark, path).update(cond, set)
+    GraftDml.invalidateCaches(spark, path, targetRelation)
     Seq.empty
   }
 }
@@ -226,11 +255,13 @@ final case class GraftMergeCommand(
     keys: Seq[(String, String)],
     matched: Seq[MergeOps.WhenClause],
     notMatched: Seq[MergeOps.WhenNotMatchedInsert],
-    notMatchedBySource: Seq[MergeOps.WhenClause]) extends LeafRunnableCommand {
+    notMatchedBySource: Seq[MergeOps.WhenClause],
+    targetRelation: LogicalPlan) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     new MedallionTable(spark, path).mergeClauses(
       B.ofRows(spark, source), keys, matched, notMatched, notMatchedBySource)
+    GraftDml.invalidateCaches(spark, path, targetRelation)
     Seq.empty
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types._
 
@@ -89,11 +89,21 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) return None
     val mt = new MedallionTable(spark, meta.location.toString)
     val version = (tt.version, tt.timestamp) match {
-      case (Some(v), _) => v.toInt
+      case (Some(v), _) => v.toLong
       case (None, Some(tsExpr)) =>
+        // String instants go through Spark's own timestamp parser in the
+        // SESSION time zone (accepts date-only forms too) — a JVM-default-
+        // zone java.sql parse would shift the resolved snapshot.
+        val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
         val millis = tsExpr match {
           case org.apache.spark.sql.catalyst.expressions.Literal(s, StringType) =>
-            java.sql.Timestamp.valueOf(s.toString).getTime
+            org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .stringToTimestamp(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s.toString),
+                zone)
+              .getOrElse(throw new IllegalArgumentException(
+                s"cannot parse TIMESTAMP AS OF instant: $s")) / 1000L
           case e => e.eval() match {
             case micros: java.lang.Long => micros / 1000L // TimestampType
             case other => throw new IllegalArgumentException(
@@ -104,10 +114,21 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         if (at.isEmpty) throw new IllegalArgumentException(
           s"no retained version of ${ident.unquotedString} at or before " +
             new java.sql.Timestamp(millis))
-        at.max.toInt
+        at.max
       case _ => return None
     }
-    Some(mt.readVersion(version).queryExecution.logical)
+    // The live state's ordinal is not an archived snapshot — read it live;
+    // a commit recorded in history but pruned from snapshot retention must
+    // refuse clearly, not die in the parquet scan with PATH_NOT_FOUND.
+    val snapshot =
+      if (version == mt.commitVersion) mt.read
+      else if (mt.listVersions().contains(version.toInt)) mt.readVersion(version.toInt)
+      else throw new IllegalArgumentException(
+        s"version $version of ${ident.unquotedString} is not retained " +
+          s"(retained: ${mt.listVersions().mkString(", ")}; live: ${mt.commitVersion})")
+    // keep the table name as a qualifier so `t.col` references still
+    // resolve against the substituted snapshot
+    Some(SubqueryAlias(ident.table, snapshot.queryExecution.logical))
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -145,6 +166,17 @@ object GraftSqlParser {
     if ((t.startsWith("'") && t.endsWith("'")) ||
         (t.startsWith("`") && t.endsWith("`"))) t.substring(1, t.length - 1)
     else t
+  }
+
+  /** Post-rewrite cache upkeep: refresh path-derived caches, and for
+    * named targets also the catalog table entry (OPTIMIZE/RESTORE change
+    * the files a cached plan pins).
+    */
+  private[plans] def refreshTarget(spark: SparkSession, target: String,
+      path: String): Unit = {
+    spark.catalog.refreshByPath(path)
+    val t = target.trim
+    if (!t.startsWith("'")) spark.catalog.refreshTable(stripQuotes(t))
   }
 
   /** Target → table location: a quoted string is a path; an identifier
@@ -204,7 +236,13 @@ final case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
     else {
       val it = fs.listFiles(p, true)
       var n = 0
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      while (it.hasNext) {
+        val f = it.next().getPath
+        // live data only: retained-version snapshots under _graft_meta
+        // would otherwise inflate the counts on versioned tables
+        if (f.getName.endsWith(".parquet") &&
+            !f.toString.contains("_graft_meta")) n += 1
+      }
       n
     }
   }
@@ -213,6 +251,7 @@ final case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
     val before = nParquet(spark, path)
     val mt = new MedallionTable(spark, path)
     if (zorderBy.nonEmpty) mt.compactZOrder(zorderBy) else mt.compact()
+    GraftSqlParser.refreshTarget(spark, target, path)
     Seq(Row(path, before, nParquet(spark, path)))
   }
 }
@@ -241,6 +280,7 @@ final case class GraftRestoreCommand(target: String, version: Int)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     new MedallionTable(spark, path).restoreVersion(version)
+    GraftSqlParser.refreshTarget(spark, target, path)
     Seq(Row(path, version))
   }
 }

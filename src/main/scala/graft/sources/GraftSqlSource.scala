@@ -111,6 +111,16 @@ private[sources] final class GraftSqlTable(path: String, tableSchema: StructType
     extends Table with SupportsRead with SupportsWrite {
   private[sources] def location: String = path
   private[sources] def pinnedVersion: Option[Int] = versionAsOf
+  // Value equality: the catalog loads a fresh Table instance per query, and
+  // cache invalidation after SQL DML matches cached plans via sameResult —
+  // which canonicalizes DataSourceV2Relation down to `table` equality.
+  // Reference equality would leave CACHE TABLE entries serving stale rows.
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftSqlTable =>
+      g.location == path && g.pinnedVersion == versionAsOf
+    case _ => false
+  }
+  override def hashCode(): Int = (path, versionAsOf).hashCode()
   override def name(): String =
     s"graft.`$path`" + versionAsOf.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = tableSchema

@@ -539,10 +539,14 @@ final class MedallionTable(
     * protocol as [[merge]]. This is what the SQL DML bridge
     * ([[graft.plans.GraftDmlRule]]) executes.
     *
-    * @param checkUniqueKeys when matched clauses exist, replicate Delta's
-    *        "multiple source rows matched" failure by requiring unique
-    *        source keys (one aggregation; stricter than Delta in that an
-    *        unmatched duplicate also fails — deterministic either way).
+    * @param checkUniqueKeys replicate Delta's "multiple source rows
+    *        matched" failure by requiring unique source keys (one
+    *        aggregation). Stricter than Delta in two ways, both
+    *        deterministic refusals: an unmatched duplicate also fails, and
+    *        the check applies even to insert-only merges — the full-outer
+    *        rewrite would otherwise FAN OUT a matched target row once per
+    *        duplicate source row and silently duplicate it in the
+    *        rewritten table (review finding, round 10).
     */
   def mergeClauses(
       source: DataFrame,
@@ -551,7 +555,7 @@ final class MedallionTable(
       notMatched: Seq[MergeOps.WhenNotMatchedInsert],
       notMatchedBySource: Seq[MergeOps.WhenClause],
       checkUniqueKeys: Boolean = true): Unit = {
-    if (checkUniqueKeys && matched.nonEmpty)
+    if (checkUniqueKeys)
       MergeOps.requireUniqueKeys(source, keys.map(_._2))
     rewriteVia(
       MergeOps.mergeClauses(read, source, keys, matched, notMatched,

@@ -19,4 +19,15 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-executes every cached entry containing a sub-plan `sameResult` to
+    * `plan` — the invalidation SQL DML owes CACHE TABLE users (the cache
+    * manager is reachable only through the classic session's shared
+    * state).
+    */
+  def recacheByPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.sharedState.cacheManager.recacheByPlan(cs, plan)
+  }
 }

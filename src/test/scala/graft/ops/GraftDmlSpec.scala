@@ -136,6 +136,38 @@ class GraftDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate key"), e.getMessage)
   }
 
+  test("insert-only MERGE with duplicate source keys refuses (no silent fan-out)") {
+    val (name, t) = fresh(Seq((1L, "a", 10.0)))
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $name t
+         |USING (SELECT 1L AS id, 'x' AS name, 1.0 AS v
+         |       UNION ALL SELECT 1L, 'y', 2.0) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("duplicate key"), e.getMessage)
+    // and the table is untouched — the full-outer fan-out never ran
+    assert(state(t) == Set((1L, "a", 10.0)))
+  }
+
+  test("SQL DML invalidates cached plans over the table") {
+    val (name, _) = fresh(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    spark.sql(s"CACHE TABLE $name")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $name").collect()(0).getLong(0) == 2)
+    spark.sql(s"DELETE FROM $name WHERE id = 1")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $name").collect()(0).getLong(0) == 1,
+      "cached pre-delete rows served after DELETE")
+    spark.sql(s"UNCACHE TABLE $name")
+  }
+
+  test("subqueries in assignment values refuse like condition subqueries") {
+    val (name, _) = fresh(Seq((1L, "a", 10.0)))
+    import spark.implicits._
+    Seq(1.0).toDF("m").createOrReplaceTempView("dml_sub_aux")
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE $name SET v = (SELECT MAX(m) FROM dml_sub_aux)"))
+    assert(e.getMessage.contains("subqueries are not supported"), e.getMessage)
+  }
+
   test("non-equi ON refuses with a clear message") {
     val (name, _) = fresh(Seq((1L, "a", 10.0)))
     val e = intercept[Exception](spark.sql(

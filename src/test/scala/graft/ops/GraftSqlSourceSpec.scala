@@ -44,6 +44,15 @@ class GraftSqlSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("identity"), e.getMessage)
   }
 
+  test("CREATE TABLE AS SELECT materializes through the write bridge") {
+    val p = tmpDir("cat_ctas")
+    spark.sql("DROP TABLE IF EXISTS cat_ctas_t")
+    spark.sql(s"CREATE TABLE cat_ctas_t USING graft LOCATION '$p' " +
+      "AS SELECT id, id * 2 AS v FROM RANGE(10)")
+    assert(spark.sql("SELECT SUM(v) FROM cat_ctas_t").collect()(0).getLong(0) == 90)
+    assert(new MedallionTable(spark, p).read.count() == 10)
+  }
+
   test("INSERT OVERWRITE replaces through the commit protocol") {
     import spark.implicits._
     val (p, t) = freshTable("cat_ovw")

@@ -103,10 +103,21 @@ class GraftSqlUtilitiesSpec extends SparkSpec {
       s"SELECT id, x FROM sqlutil_tt_t TIMESTAMP AS OF '$tsLit'")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(byTs == Set((1L, 10.0)))
-    // an instant before the earliest retained version refuses clearly
+    // an instant before the earliest retained version refuses clearly —
+    // date-only form included (session-zone parse, not java.sql.Timestamp)
     val e = intercept[Exception](spark.sql(
-      "SELECT * FROM sqlutil_tt_t TIMESTAMP AS OF '1990-01-01 00:00:00'"))
+      "SELECT * FROM sqlutil_tt_t TIMESTAMP AS OF '1990-01-01'"))
     assert(e.getMessage.contains("no retained version"), e.getMessage)
+    // table-qualified references resolve against the substituted snapshot
+    val q = spark.sql(
+      "SELECT sqlutil_tt_t.id FROM sqlutil_tt_t VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(q == Seq(1L))
+    // the live ordinal reads the live table through the same syntax
+    val live = spark.sql(
+      s"SELECT COUNT(*) FROM sqlutil_tt_t VERSION AS OF ${t.commitVersion}")
+      .collect()(0).getLong(0)
+    assert(live == 2)
   }
 
   test("utility statements refuse non-graft tables") {
