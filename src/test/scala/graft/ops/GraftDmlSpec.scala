@@ -193,6 +193,25 @@ class GraftDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("read-only"), e.getMessage)
   }
 
+  test("the reference's 3-clause merge with synthesized clauses runs as SQL (K5)") {
+    import spark.implicits._
+    val (name, t) = fresh(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    val src = Seq((1L, "a", 10.0), (2L, "B", 22.0), (9L, "i", 90.0))
+    src.toDF("id", "name", "v").createOrReplaceTempView("dml_ref_src")
+    // dynamic synthesis from the column list, the reference's K5 pattern
+    // (silver_table_creation.py:50-54) spelled in SQL
+    val cols = Seq("name", "v")
+    val changeCond = cols.map(c => s"t.$c <> s.$c").mkString(" OR ")
+    val setClause = cols.map(c => s"$c = s.$c").mkString(", ")
+    spark.sql(
+      s"""MERGE INTO $name t USING dml_ref_src s ON t.id = s.id
+         |WHEN MATCHED AND ($changeCond) THEN UPDATE SET $setClause
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // full target↔source sync, the reference's invariant
+    assert(state(t) == src.toSet)
+  }
+
   test("MERGE after UPDATE after DELETE composes through history") {
     val (name, t) = fresh(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
     spark.sql(s"DELETE FROM $name WHERE id = 3")

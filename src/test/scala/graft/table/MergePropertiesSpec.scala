@@ -63,6 +63,26 @@ object MergePropertiesSpec extends Properties("MergeOps") {
       out.count() == (t.map(_._1).toSet ++ s.map(_._1).toSet).size
     }
 
+  property("general mergeClauses ≡ merge3Clause on the reference 3-clause pattern") =
+    Prop.forAllNoShrink(frameGen, frameGen) { (t, s) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val tDF = t.toDF("id", "name", "v")
+      val sDF = s.toDF("id", "name", "v")
+      val legacy = MergeOps.merge3Clause(tDF, sDF, Seq("id"))
+        .collect().map(_.toSeq).toSet
+      // same semantics spelled as SQL-style WHEN clauses: update-all
+      // matched, insert-all unmatched, delete not-matched-by-source
+      val setAll = Seq("id", "name", "v").map(c =>
+        c -> ((tc: MergeOps.ColRef, sc: MergeOps.ColRef) => sc(c))).toMap
+      val general = MergeOps.mergeClauses(tDF, sDF, Seq(("id", "id")),
+        matched = Seq(MergeOps.WhenMatchedUpdate(None, setAll)),
+        notMatched = Seq(MergeOps.WhenNotMatchedInsert(None, setAll)),
+        notMatchedBySource = Seq(MergeOps.WhenNotMatchedBySourceDelete(None)))
+        .collect().map(_.toSeq).toSet
+      legacy == general
+    }
+
   // Keep runtime bounded: each Spark round-trip is ~0.2 s.
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(10)
