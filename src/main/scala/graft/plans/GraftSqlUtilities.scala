@@ -50,6 +50,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftVacuumCommand(target.trim)
       case RestoreRe(target, version) =>
         GraftRestoreCommand(target.trim, version.toInt)
+      case AddConstraintRe(target, cname, cexpr) =>
+        GraftAddConstraintCommand(target.trim, cname.trim, cexpr.trim)
+      case DropConstraintRe(target, cname) =>
+        GraftDropConstraintCommand(target.trim, cname.trim)
       case _ => resolveTimeTravel(delegate.parsePlan(sqlText))
     }
   }
@@ -160,6 +164,12 @@ object GraftSqlParser {
   private[plans] val VacuumRe: Regex = s"""(?is)VACUUM\\s+$T""".r
   private[plans] val RestoreRe: Regex =
     s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
+  // Delta's CHECK-constraint DDL: Spark's own ALTER TABLE grammar has no
+  // ADD CONSTRAINT for v1 tables, so the shapes are free to claim.
+  private[plans] val AddConstraintRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
+  private[plans] val DropConstraintRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)""".r
 
   private[plans] def stripQuotes(s: String): String = {
     val t = s.trim
@@ -282,6 +292,30 @@ final case class GraftRestoreCommand(target: String, version: Int)
     new MedallionTable(spark, path).restoreVersion(version)
     GraftSqlParser.refreshTarget(spark, target, path)
     Seq(Row(path, version))
+  }
+}
+
+/** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)` — Delta's quality-gate
+  * DDL: validates existing rows on add, then every write enforces the
+  * predicate in the write pass (no extra scan) through the same registry
+  * the API maintains.
+  */
+final case class GraftAddConstraintCommand(target: String, cname: String,
+    cexpr: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    new MedallionTable(spark, path).addCheckConstraint(cname, cexpr)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE … DROP CONSTRAINT name`. */
+final case class GraftDropConstraintCommand(target: String, cname: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    new MedallionTable(spark, path).dropCheckConstraint(cname)
+    Seq.empty
   }
 }
 

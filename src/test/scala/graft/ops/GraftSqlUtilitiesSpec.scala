@@ -120,6 +120,28 @@ class GraftSqlUtilitiesSpec extends SparkSpec {
     assert(live == 2)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT manages CHECK gates via SQL") {
+    import spark.implicits._
+    val p = tmpDir("sqlutil_chk")
+    val t = new MedallionTable(spark, p)
+    t.overwrite(Seq((1L, 5.0), (2L, 7.0)).toDF("id", "v"))
+    spark.sql("DROP TABLE IF EXISTS sqlutil_chk_t")
+    spark.sql(s"CREATE TABLE sqlutil_chk_t USING graft LOCATION '$p'")
+    spark.sql("ALTER TABLE sqlutil_chk_t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(t.checkConstraints == Map("v_pos" -> "v > 0"))
+    // violating write refuses through the same gate the API enforces
+    intercept[Exception](t.append(Seq((3L, -1.0)).toDF("id", "v")))
+    assert(t.read.count() == 2)
+    // adding a constraint existing rows violate refuses
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE sqlutil_chk_t ADD CONSTRAINT v_big CHECK (v > 6)"))
+    assert(t.checkConstraints.keySet == Set("v_pos"))
+    spark.sql("ALTER TABLE sqlutil_chk_t DROP CONSTRAINT v_pos")
+    assert(t.checkConstraints.isEmpty)
+    t.append(Seq((3L, -1.0)).toDF("id", "v"))
+    assert(t.read.count() == 3)
+  }
+
   test("utility statements refuse non-graft tables") {
     spark.sql("DROP TABLE IF EXISTS sqlutil_plain")
     spark.sql("CREATE TABLE sqlutil_plain (id BIGINT) USING parquet")
