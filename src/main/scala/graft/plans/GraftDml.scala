@@ -212,7 +212,7 @@ final case class GraftDeleteCommand(path: String, cond: Column,
     targetRelation: LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     new MedallionTable(spark, path).delete(cond)
-    GraftDml.invalidateCaches(spark, path, targetRelation)
+    GraftDml.invalidateCaches(spark, path, Some(targetRelation))
     Seq.empty
   }
 }
@@ -222,13 +222,20 @@ private[plans] object GraftDml {
     * serving pre-DML rows — the same invalidation Spark's own v2 DML and
     * Delta perform after a write (review finding, round 10).
     */
+  /** Invalidation owed after any data-mutating statement: path-derived
+    * caches of the inner parquet scan via refreshByPath, CACHE TABLE
+    * entries over the catalog relation via recacheByPlan (sameResult —
+    * DataSourceV2Relation equality includes the catalog identifier, so
+    * the RESOLVED target relation is threaded through when available),
+    * and read-by-path caches via a freshly-built path relation.
+    */
   def invalidateCaches(spark: SparkSession, path: String,
-      targetRelation: LogicalPlan): Unit = {
-    // path-derived caches of the inner parquet scan...
+      targetRelation: Option[LogicalPlan] = None): Unit = {
     spark.catalog.refreshByPath(path)
-    // ...and CACHE TABLE entries over the DSv2 relation itself, matched by
-    // sameResult (GraftSqlTable value equality makes instances comparable)
-    B.recacheByPlan(spark, targetRelation)
+    targetRelation.foreach(B.recacheByPlan(spark, _))
+    B.recacheByPlan(spark,
+      spark.read.format("graft").option("path", path).load()
+        .queryExecution.logical)
   }
 }
 
@@ -240,7 +247,7 @@ final case class GraftUpdateCommand(path: String, cond: Column,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     new MedallionTable(spark, path).update(cond, set)
-    GraftDml.invalidateCaches(spark, path, targetRelation)
+    GraftDml.invalidateCaches(spark, path, Some(targetRelation))
     Seq.empty
   }
 }
@@ -261,7 +268,7 @@ final case class GraftMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     new MedallionTable(spark, path).mergeClauses(
       B.ofRows(spark, source), keys, matched, notMatched, notMatchedBySource)
-    GraftDml.invalidateCaches(spark, path, targetRelation)
+    GraftDml.invalidateCaches(spark, path, Some(targetRelation))
     Seq.empty
   }
 }

@@ -19,17 +19,23 @@ import graft.table.MedallionTable
   *   - `OPTIMIZE t [ZORDER BY (c1, c2)]`
   *   - `VACUUM t`
   *   - `RESTORE [TABLE] t TO VERSION AS OF n`
+  *   - `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` / `DROP CONSTRAINT`
+  *     (claimed ONLY for graft targets — Spark 4.1 parses constraint DDL
+  *     natively for v2 tables, so non-graft targets delegate)
+  *
+  * plus inline `FROM t VERSION AS OF n` / `TIMESTAMP AS OF ts` resolution.
+  *
+  * Version numbers on this surface are COMMIT ORDINALS — the numbering
+  * `DESCRIBE HISTORY` reports (appends included), mapped to archived
+  * snapshots via the per-snapshot ordinal stamp
+  * ([[MedallionTable.snapshotOrdinals]]). The API's `readVersion` /
+  * `restoreVersion` keep their documented snapshot-id space; the SQL
+  * surface never exposes snapshot ids, so a describe-then-travel workflow
+  * cannot cross numbering spaces.
   *
   * Targets are either a catalog table created `USING graft` (resolved
   * through the session catalog at run time) or a quoted location. Anything
-  * the grammar does not match falls through verbatim to the delegate —
-  * the interceptor only ever claims statements Spark itself cannot parse
-  * (plus `DESCRIBE HISTORY`, which Delta also shadows).
-  *
-  * All four lower onto the SAME table-layer maintenance calls the API
-  * exposes (`history` / `compact(ZOrder)` / `vacuum` / `restoreVersion`),
-  * so SQL and API users see one behavior — commit protocol, retention,
-  * Z-order file-skipping layout included.
+  * the grammar does not match falls through verbatim to the delegate.
   */
 class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
@@ -49,10 +55,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       case VacuumRe(target) =>
         GraftVacuumCommand(target.trim)
       case RestoreRe(target, version) =>
-        GraftRestoreCommand(target.trim, version.toInt)
-      case AddConstraintRe(target, cname, cexpr) =>
+        GraftRestoreCommand(target.trim, version.toLong)
+      // Spark 4.1's own grammar handles constraint DDL for v2 tables —
+      // claim the statement only when the target is actually ours.
+      case AddConstraintRe(target, cname, cexpr) if isGraftTarget(spark, target) =>
         GraftAddConstraintCommand(target.trim, cname.trim, cexpr.trim)
-      case DropConstraintRe(target, cname) =>
+      case DropConstraintRe(target, cname) if isGraftTarget(spark, target) =>
         GraftDropConstraintCommand(target.trim, cname.trim)
       case _ => resolveTimeTravel(delegate.parsePlan(sqlText))
     }
@@ -61,11 +69,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
   /** Inline `SELECT … FROM t VERSION AS OF n` / `TIMESTAMP AS OF ts` over
     * graft catalog tables: Spark parses these natively into
     * [[RelationTimeTravel]] but the session catalog cannot load versioned
-    * tables, so the graft-owned nodes are swapped for the snapshot read
-    * here (the relation carries the concrete table name — nothing else in
-    * the query is touched, and non-graft targets pass through for Spark's
-    * own handling). `TIMESTAMP AS OF` resolves to the newest commit at or
-    * before the instant (Delta semantics) via the history mtimes.
+    * tables, so the graft-owned nodes are swapped for the state-at-ordinal
+    * read here (non-graft targets pass through for Spark's own handling).
+    * `TIMESTAMP AS OF` resolves to the newest commit at or before the
+    * instant (Delta semantics) via the history mtimes.
     */
   private def resolveTimeTravel(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
@@ -84,7 +91,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     val ident = identParts match {
       case Seq(name)     => TableIdentifier(name)
       case Seq(db, name) => TableIdentifier(name, Some(db))
-      case _             => return None
+      case Seq(cat, db, name) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(name, Some(db))
+      case _ => return None
     }
     val catalog = spark.sessionState.catalog
     // temp views and foreign tables fall through to Spark's own handling
@@ -92,7 +101,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     val meta = catalog.getTableMetadata(ident)
     if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) return None
     val mt = new MedallionTable(spark, meta.location.toString)
-    val version = (tt.version, tt.timestamp) match {
+    val ordinal = (tt.version, tt.timestamp) match {
       case (Some(v), _) => v.toLong
       case (None, Some(tsExpr)) =>
         // String instants go through Spark's own timestamp parser in the
@@ -121,15 +130,13 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         at.max
       case _ => return None
     }
-    // The live state's ordinal is not an archived snapshot — read it live;
-    // a commit recorded in history but pruned from snapshot retention must
-    // refuse clearly, not die in the parquet scan with PATH_NOT_FOUND.
-    val snapshot =
-      if (version == mt.commitVersion) mt.read
-      else if (mt.listVersions().contains(version.toInt)) mt.readVersion(version.toInt)
-      else throw new IllegalArgumentException(
-        s"version $version of ${ident.unquotedString} is not retained " +
-          s"(retained: ${mt.listVersions().mkString(", ")}; live: ${mt.commitVersion})")
+    // Commit-ordinal space throughout (stamped snapshots or the live
+    // table); anything else refuses clearly instead of dying in the scan
+    // or silently reading a neighboring snapshot.
+    val snapshot = mt.stateAtOrdinal(ordinal).getOrElse(
+      throw new IllegalArgumentException(
+        s"state at commit $ordinal of ${ident.unquotedString} is not retained " +
+          s"(reconstructible commits: ${mt.reconstructibleOrdinals.mkString(", ")})"))
     // keep the table name as a qualifier so `t.col` references still
     // resolve against the substituted snapshot
     Some(SubqueryAlias(ident.table, snapshot.queryExecution.logical))
@@ -144,7 +151,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
   override def parseMultipartIdentifier(sqlText: String): Seq[String] =
     delegate.parseMultipartIdentifier(sqlText)
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+    // stored VIEW text re-parses through parseQuery — a view over
+    // `t VERSION AS OF n` must resolve here too, not only at CREATE time
+    resolveTimeTravel(delegate.parseQuery(sqlText))
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
   override def parseTableSchema(sqlText: String): StructType =
@@ -164,8 +173,6 @@ object GraftSqlParser {
   private[plans] val VacuumRe: Regex = s"""(?is)VACUUM\\s+$T""".r
   private[plans] val RestoreRe: Regex =
     s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
-  // Delta's CHECK-constraint DDL: Spark's own ALTER TABLE grammar has no
-  // ADD CONSTRAINT for v1 tables, so the shapes are free to claim.
   private[plans] val AddConstraintRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
   private[plans] val DropConstraintRe: Regex =
@@ -178,16 +185,27 @@ object GraftSqlParser {
     else t
   }
 
-  /** Post-rewrite cache upkeep: refresh path-derived caches, and for
-    * named targets also the catalog table entry (OPTIMIZE/RESTORE change
-    * the files a cached plan pins).
+  /** Post-rewrite cache upkeep: named targets resolve their catalog
+    * relation (so CACHE TABLE entries recache); quoted-path targets cover
+    * path-derived and read-by-path caches — a CACHE TABLE entry can only
+    * be matched through its name, so path-target maintenance of a
+    * separately-cataloged location should use the name form.
     */
   private[plans] def refreshTarget(spark: SparkSession, target: String,
       path: String): Unit = {
-    spark.catalog.refreshByPath(path)
-    val t = target.trim
-    if (!t.startsWith("'")) spark.catalog.refreshTable(stripQuotes(t))
+    val named = if (target.trim.startsWith("'")) None
+      else scala.util.Try(
+        spark.table(stripQuotes(target.trim)).queryExecution.analyzed).toOption
+    GraftDml.invalidateCaches(spark, path, named)
   }
+
+  /** Whether a statement target is ours: a quoted path always is; an
+    * identifier is when it resolves to a `USING graft` catalog table.
+    * Used to avoid shadowing Spark's native DDL on foreign tables.
+    */
+  private[plans] def isGraftTarget(spark: SparkSession, target: String): Boolean =
+    target.trim.startsWith("'") ||
+      scala.util.Try(resolvePath(spark, target)).isSuccess
 
   /** Target → table location: a quoted string is a path; an identifier
     * resolves through the session catalog and must be a `USING graft`
@@ -201,6 +219,8 @@ object GraftSqlParser {
       val ident = parts match {
         case Seq(name)     => TableIdentifier(name)
         case Seq(db, name) => TableIdentifier(name, Some(db))
+        case Seq(cat, db, name) if cat.equalsIgnoreCase("spark_catalog") =>
+          TableIdentifier(name, Some(db))
         case _ => throw new IllegalArgumentException(
           s"cannot resolve table identifier '$target'")
       }
@@ -279,18 +299,28 @@ final case class GraftVacuumCommand(target: String) extends LeafRunnableCommand 
   }
 }
 
-/** `RESTORE … TO VERSION AS OF n` — rewrites the live table to a retained
-  * snapshot (itself a new commit, so a restore is undoable).
+/** `RESTORE … TO VERSION AS OF n` — rewinds the live table to the state at
+  * COMMIT ORDINAL n (the DESCRIBE HISTORY numbering; restoring to the
+  * current ordinal is a no-op). The restore is itself a new commit, so it
+  * is undoable.
   */
-final case class GraftRestoreCommand(target: String, version: Int)
+final case class GraftRestoreCommand(target: String, version: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
-    AttributeReference("restored_version", IntegerType, nullable = false)())
+    AttributeReference("restored_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
-    new MedallionTable(spark, path).restoreVersion(version)
-    GraftSqlParser.refreshTarget(spark, target, path)
+    val mt = new MedallionTable(spark, path)
+    if (version != mt.commitVersion) {
+      val snap = mt.snapshotOrdinals.collectFirst {
+        case (v, ord) if ord == version => v
+      }.getOrElse(throw new IllegalArgumentException(
+        s"state at commit $version of $target is not retained " +
+          s"(reconstructible commits: ${mt.reconstructibleOrdinals.mkString(", ")})"))
+      mt.restoreVersion(snap)
+      GraftSqlParser.refreshTarget(spark, target, path)
+    }
     Seq(Row(path, version))
   }
 }
@@ -322,13 +352,14 @@ final case class GraftDropConstraintCommand(target: String, cname: String)
 /** Table-valued SQL functions for the read-side maintenance surfaces —
   * Delta's `table_changes(…)` analog plus history-as-a-table:
   *
-  *   - `graft_table_changes('<path>', sinceVersion, 'k1' [, 'k2'…])`
+  *   - `graft_table_changes('<path>', sinceCommit, 'k1' [, 'k2'…])`
   *   - `graft_table_history('<path>')`
   *
-  * Arguments must be literals (they parameterize plan construction). The
-  * changes TVF returns the keyed diff `MedallionTable.changesSince`
-  * computes — inserts / updates (pre+post image) / deletes since the given
-  * commit — so CDC consumers can stay in pure SQL.
+  * Arguments must be literals (they parameterize plan construction).
+  * `sinceCommit` is a COMMIT ORDINAL (the history numbering); the TVF
+  * returns the keyed diff — inserts / updates (pre+post image) / deletes —
+  * between that commit's state and the live table, so CDC consumers can
+  * stay in pure SQL.
   */
 object GraftTableFunctions {
   type TvfInjection =
@@ -339,17 +370,23 @@ object GraftTableFunctions {
     case v    => v.toString
   }
 
+  private def litLong(e: Expression, what: String): Long = e.eval() match {
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
   val injections: Seq[TvfInjection] = Seq(
     (new FunctionIdentifier("graft_table_changes"),
       new ExpressionInfo(classOf[MedallionTable].getName, "graft_table_changes"),
       (exprs: Seq[Expression]) => {
         require(exprs.length >= 3,
-          "usage: graft_table_changes('<path>', sinceVersion, 'key1'[, 'key2'…])")
+          "usage: graft_table_changes('<path>', sinceCommit, 'key1'[, 'key2'…])")
         val spark = SparkSession.active
         val path = litString(exprs.head, "path")
-        val since = exprs(1).eval().asInstanceOf[Number].intValue()
+        val since = litLong(exprs(1), "sinceCommit")
         val keys = exprs.drop(2).map(litString(_, "key column"))
-        new MedallionTable(spark, path).changesSince(since, keys)
+        new MedallionTable(spark, path).changesSinceOrdinal(since, keys)
           .queryExecution.logical
       }),
     (new FunctionIdentifier("graft_table_history"),

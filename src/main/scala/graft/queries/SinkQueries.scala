@@ -294,7 +294,8 @@ object SinkQueries {
       Q.deleteDir(s, p + "__graft_commits")
       val t = MedallionTable(s, p)
       val o = Tables.orders(s, dir).filter($"o_orderkey" % 2 === 0)
-      (0 until 4).foreach(i => t.append(o.filter($"o_orderkey" % 4 === i)))
+      // four NON-EMPTY small appends (o is even-keyed, so split mod 8)
+      (0 until 4).foreach(i => t.append(o.filter($"o_orderkey" % 8 === i * 2)))
       s.sql(s"OPTIMIZE '$p' ZORDER BY (o_orderkey)")
       t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -710,7 +710,8 @@ final class MedallionTable(
           }
           committed = true
         } finally clearIntent()
-        if (retainVersions > 0) archiveBackup(backup) else fs.delete(backup, true)
+        if (retainVersions > 0) archiveBackup(backup, expectedVersion)
+        else fs.delete(backup, true)
       } catch {
         // Release the claimed marker on ANY post-CAS failure before the
         // swap lands (conflict re-check, rename failure, injected crash):
@@ -868,11 +869,32 @@ final class MedallionTable(
       Some(MergeOps.anyColumnDiffers(old, cur, keys)))
   }
 
+  /** [[changesSince]] in COMMIT-ORDINAL space (the numbering `history()` /
+    * DESCRIBE HISTORY report — see [[stateAtOrdinal]]); the SQL CDC surface
+    * uses this so "since version N" means the N a user just read from
+    * history, not an internal snapshot id.
+    */
+  def changesSinceOrdinal(c: Long, keys: Seq[String]): DataFrame = {
+    val old = stateAtOrdinal(c).getOrElse(throw new IllegalArgumentException(
+      s"state at commit $c of $path is not retained " +
+        s"(reconstructible commits: ${reconstructibleOrdinals.mkString(", ")})"))
+    val cur = read
+    MergeOps.merge3ClauseCDC(old, cur, keys,
+      Some(MergeOps.anyColumnDiffers(old, cur, keys)))
+  }
+
+  /** Commit ordinals whose state can be read back (stamped snapshots plus
+    * the live table).
+    */
+  def reconstructibleOrdinals: Seq[Long] =
+    (snapshotOrdinals.values.toSeq ++ (if (exists) Seq(commitVersion) else Nil))
+      .distinct.sorted
+
   /** Archive the pre-rewrite state as the next version: carry forward the
     * older snapshots it holds, strip its metadata, move its data files in,
     * and prune beyond `retainVersions`.
     */
-  private def archiveBackup(backup: Path): Unit = {
+  private def archiveBackup(backup: Path, atOrdinal: Long): Unit = {
     fs.mkdirs(versionsDir)
     val backupVersions = new Path(backup, "_graft_meta/versions")
     if (fs.exists(backupVersions))
@@ -883,11 +905,38 @@ final class MedallionTable(
     val next = (listVersions() :+ 0).max + 1 // after carry-forward, so ids continue
     if (!fs.rename(backup, new Path(versionsDir, s"v$next")))
       throw new java.io.IOException(s"version archive failed: $backup -> v$next")
+    // Stamp which COMMIT ORDINAL this snapshot's state belongs to: snapshot
+    // ids advance only on rewrites while commit ordinals advance on every
+    // write (appends included), so the two numberings diverge — the SQL
+    // time-travel surface needs the mapping to stay consistent with
+    // DESCRIBE HISTORY (review finding, round 10). Underscore-prefixed, so
+    // parquet listing ignores it.
+    writeMetaText(new Path(versionsDir, s"v$next/_graft_ordinal"),
+      atOrdinal.toString)
     val vs = listVersions()
     vs.dropRight(retainVersions).foreach { old =>
       fs.delete(new Path(versionsDir, s"v$old"), true)
     }
   }
+
+  /** snapshot id → the commit ordinal whose table state it archived
+    * (pre-stamping snapshots are absent — they cannot be ordinal-resolved).
+    */
+  def snapshotOrdinals: Map[Int, Long] = listVersions().flatMap { v =>
+    val p = new Path(versionsDir, s"v$v/_graft_ordinal")
+    try {
+      if (fs.exists(p)) Some(v -> readMetaText(p).trim.toLong) else None
+    } catch { case _: java.io.IOException => None }
+  }.toMap
+
+  /** The table state as of COMMIT ORDINAL `c` (the numbering DESCRIBE
+    * HISTORY reports): the live table for the newest commit, an archived
+    * snapshot when one was stamped for `c`, None otherwise — the caller
+    * refuses rather than guessing across the snapshot-id space.
+    */
+  def stateAtOrdinal(c: Long): Option[DataFrame] =
+    if (exists && c == commitVersion) Some(read)
+    else snapshotOrdinals.collectFirst { case (v, ord) if ord == c => readVersion(v) }
 
   /** OPTIMIZE-style maintenance: rewrite the table with `nFiles` output
     * files range-clustered on `clusterBy` (Z-order-lite: range partition +

@@ -120,6 +120,55 @@ class GraftSqlUtilitiesSpec extends SparkSpec {
     assert(live == 2)
   }
 
+  test("SQL version numbers stay in commit-ordinal space when appends interleave") {
+    import spark.implicits._
+    val p = tmpDir("sqlutil_ord")
+    val t = new MedallionTable(spark, p, retainVersions = 3)
+    t.overwrite(Seq((1L, 10.0)).toDF("id", "x"))                    // commit 1
+    t.append(Seq((2L, 20.0)).toDF("id", "x"))                       // commit 2
+    t.merge(Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x"),
+      Seq("id"))                                                    // commit 3
+    spark.sql("DROP TABLE IF EXISTS sqlutil_ord_t")
+    spark.sql(s"CREATE TABLE sqlutil_ord_t USING graft LOCATION '$p'")
+    // DESCRIBE HISTORY ordinals: 3=merge, 2=append, 1=create-overwrite.
+    // VERSION AS OF 2 must be the POST-APPEND state (ids 1,2) — the naive
+    // snapshot-id read would return a different commit's rows.
+    val v2 = spark.sql("SELECT id FROM sqlutil_ord_t VERSION AS OF 2")
+      .collect().map(_.getLong(0)).toSet
+    assert(v2 == Set(1L, 2L))
+    // commit 1's state was never archived (the append mutated in place) —
+    // refuse with the ordinal-space message instead of wrong rows
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM sqlutil_ord_t VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    // the CDC TVF speaks the same numbering: changes since the append
+    val ch = spark.sql(
+      s"SELECT _change_type, id FROM graft_table_changes('$p', 2, 'id')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ch == Set(("update_preimage", 1L), ("update_postimage", 1L),
+      ("insert", 3L)))
+    // RESTORE in ordinal space: back to the post-append state
+    spark.sql(s"RESTORE TABLE sqlutil_ord_t TO VERSION AS OF 2")
+    assert(t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+  }
+
+  test("a view over VERSION AS OF survives re-parse (parseQuery path)") {
+    import spark.implicits._
+    val p = tmpDir("sqlutil_view")
+    val t = new MedallionTable(spark, p, retainVersions = 2)
+    t.overwrite(Seq((1L, 1.0)).toDF("id", "x"))
+    t.merge(Seq((1L, 2.0), (2L, 3.0)).toDF("id", "x"), Seq("id"))
+    spark.sql("DROP TABLE IF EXISTS sqlutil_view_t")
+    spark.sql(s"CREATE TABLE sqlutil_view_t USING graft LOCATION '$p'")
+    spark.sql("DROP VIEW IF EXISTS sqlutil_view_v")
+    spark.sql(
+      "CREATE VIEW sqlutil_view_v AS SELECT id, x FROM sqlutil_view_t VERSION AS OF 1")
+    assert(spark.sql("SELECT id, x FROM sqlutil_view_v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((1L, 1.0)))
+    spark.sql("DROP VIEW sqlutil_view_v")
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT manages CHECK gates via SQL") {
     import spark.implicits._
     val p = tmpDir("sqlutil_chk")
