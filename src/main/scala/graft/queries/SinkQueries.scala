@@ -234,6 +234,40 @@ object SinkQueries {
       t.changesSince(1, Seq("o_orderkey"))
     }),
 
+    // K9 — incremental gold maintenance (graft.table.IncrementalAgg): the
+    // gold aggregate is bootstrapped once with a full compute, then the
+    // fact table absorbs a merge (updates + inserts) AND a delete, and the
+    // gold is refreshed FROM THE CDC FEED ALONE — no fact rescan. The
+    // oracle recomputes the aggregate from the final fact state with plain
+    // SQL, proving delta-maintenance ≡ full recompute bit-exactly (cents
+    // sums are integer deltas). At 100 TB this is the difference between
+    // an O(batch) refresh and the reference's O(fact) nightly rebuild
+    // (gold_table_creation.py:103,134).
+    "k9_incremental_gold" -> ((s, dir) => {
+      import s.implicits._
+      import graft.table.IncrementalAgg
+      val p = Q.scratch(dir, "k9_inc_fact")
+      val gp = Q.scratch(dir, "k9_inc_gold")
+      Q.deleteDir(s, p); Q.deleteDir(s, gp)
+      val o = Tables.orders(s, dir)
+      val t = MedallionTable(s, p, retainVersions = 2)
+      t.overwrite(o.filter($"o_orderkey" % 3 =!= 0))
+      val grp = Seq("o_orderpriority")
+      val sums = Seq(
+        "price_cents" -> round($"o_totalprice" * 100).cast("long"))
+      val g = MedallionTable(s, gp)
+      g.overwrite(IncrementalAgg.fullCompute(t.read, grp, sums))
+      // batch 2: upsert that bumps every matched price (update deltas) and
+      // inserts the source-only keys; then a predicate delete
+      t.merge(o.filter($"o_orderkey" % 2 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 1),
+        Seq("o_orderkey"), deleteNotMatchedBySource = false)
+      t.delete($"o_totalprice" > 200000)
+      val changes = t.changesSince(1, Seq("o_orderkey"))
+      g.overwrite(IncrementalAgg.refresh(g.read, changes, grp, sums))
+      g.read
+    }),
+
     // CHECK-constraint gate roundtrip: a registered quality gate rejects a
     // violating batch wholesale (job aborts before commit) while clean
     // writes pass — the final state proves the bad batch left no rows.
@@ -498,6 +532,21 @@ object SinkQueries {
        "CAST(SUM(ROUND(c_acctbal * 100)) AS BIGINT) AS bal_cents " +
        "FROM customer WHERE c_acctbal > 0 AND c_mktsegment <> 'MACHINERY' " +
        "GROUP BY c_nationkey"),
+    "k9_incremental_gold" ->
+      ("""WITH init AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+         |src AS (SELECT o_orderkey, o_orderpriority,
+         |               o_totalprice + 1 AS price
+         |        FROM orders WHERE o_orderkey % 2 = 0),
+         |merged AS (
+         |  SELECT o_orderkey, o_orderpriority, price FROM src
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+         |  FROM init
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)),
+         |final AS (SELECT * FROM merged WHERE NOT price > 200000)
+         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(ROUND(price * 100)) AS BIGINT) AS price_cents
+         |FROM final GROUP BY o_orderpriority""".stripMargin),
     "k7_sql_merge_roundtrip" ->
       ("""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
          |s AS (SELECT o_orderkey AS sid, o_totalprice + 10 AS new_price

@@ -229,6 +229,31 @@ object TpchDeepQueries {
         .limit(20)
     }),
 
+    // Q20-shaped: suppliers concentrated on a recent year — their 1995
+    // shipped quantity of a flagged part exceeds half their all-time
+    // quantity for it (the "excess stock" predicate adapted to the
+    // testdata: no partsupp.availqty, so the threshold is the supplier's
+    // own history). The correlated IN collapses to aggregate → broadcast
+    // part filter → left-semi join; the comparison is division-free
+    // (qty95*2 > qty_all) so both engines decide on exact doubles.
+    "q20_excess_stock_suppliers" -> ((s, dir) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+      val q = l.groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum(when(year($"l_shipdate") === 1995, $"l_quantity")
+          .otherwise(lit(0.0))).as("qty95"),
+          sum($"l_quantity").as("qty_all"))
+      val p = Tables.part(s, dir)
+        .filter($"p_name".contains("bolt")).select($"p_partkey")
+      val cand = q.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .filter($"qty95" * 2 > $"qty_all")
+        .select($"l_suppkey").distinct()
+      Tables.supplier(s, dir).filter($"s_nationkey".isin(3, 5, 7))
+        .join(cand, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_suppkey")
+    }),
+
     // Q22-shaped: lapsed high-balance customers per segment — scalar AVG
     // subquery threshold (exact cents, division sequence identical in both
     // engines) plus NOT EXISTS recent orders.
@@ -343,6 +368,18 @@ object TpchDeepQueries {
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |JOIN agg ON a_pk = l.l_partkey
          |WHERE p_brand = 'Brand#23' AND l_quantity*5*cnt < sum_qty""".stripMargin),
+    "q20_excess_stock_suppliers" ->
+      ("""WITH q AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         SUM(CASE WHEN year(l_shipdate)=1995 THEN l_quantity ELSE 0 END) AS qty95,
+         |         SUM(l_quantity) AS qty_all
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT s_suppkey, s_name FROM supplier
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey FROM q JOIN part ON l_partkey = p_partkey
+         |  WHERE p_name LIKE '%bolt%' AND qty95 * 2 > qty_all)
+         |AND s_nationkey IN (3, 5, 7)
+         |ORDER BY s_suppkey""".stripMargin),
     "q21_waiting_suppliers" ->
       ("""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
          |FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey

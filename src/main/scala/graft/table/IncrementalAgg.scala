@@ -1,0 +1,93 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of an algebraic grouped aggregate (COUNT +
+  * SUMs) from a CDC change feed — the medallion gold-refresh that never
+  * rescans the fact table.
+  *
+  * The reference recomputes its gold aggregates from the full silver
+  * table on every pipeline run (gold_table_creation.py:103,134 rebuilds
+  * the SQL aggregation end-to-end). That is O(fact) per refresh; at
+  * 100 TB the fact scan dominates everything else the pipeline does. For
+  * algebraic aggregates (COUNT, SUM — and anything derivable from them:
+  * AVG, ratios) the classic delta-maintenance identity applies:
+  *
+  *   gold' = gold ⊕ Σ signed(changes)
+  *
+  * where inserts and update POST-images contribute +1 and deletes and
+  * update PRE-images contribute −1. A row whose GROUP KEY moves is
+  * handled for free: its preimage decrements the old group and its
+  * postimage increments the new one. The refresh therefore costs one
+  * shuffle of the CHANGE BATCH (O(batch)) plus an equi-join against the
+  * gold table (O(groups)) — never a fact scan.
+  *
+  * Exactness contract: sum expressions should be integer-valued (e.g.
+  * money in cents via `round(col * 100).cast("long")`). Integer deltas
+  * are associative and cancel exactly, so an incrementally maintained
+  * gold is BIT-IDENTICAL to a full recompute — which is exactly what the
+  * spec and the `k9_incremental_gold` oracle assert. Floating-point sums
+  * would drift by re-association order, as they do in any engine.
+  */
+object IncrementalAgg {
+
+  /** Gold schema: groupCols ++ `n_rows` ++ one column per named sum. */
+  def fullCompute(
+      fact: DataFrame,
+      groupCols: Seq[String],
+      sums: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      sums.map { case (name, e) => sum(e).as(name) }
+    fact.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Apply a CDC batch (schema: fact columns + `_change_type` ∈ insert /
+    * delete / update_preimage / update_postimage, the
+    * [[MergeOps.merge3ClauseCDC]] feed) to a previously computed gold.
+    * Result ≡ [[fullCompute]] over the post-change fact state.
+    *
+    * Scale shape: one hash aggregate over the change batch, then a
+    * null-safe full-outer equi-join with gold on the group keys — both
+    * sides are groups-sized after the aggregate. Groups whose row count
+    * reaches zero disappear, matching the full recompute. An unknown
+    * `_change_type` fails the job rather than silently skewing the sums.
+    */
+  def refresh(
+      gold: DataFrame,
+      changes: DataFrame,
+      groupCols: Seq[String],
+      sums: Seq[(String, Column)]): DataFrame = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+      .otherwise(raise_error(concat(
+        lit("IncrementalAgg: unknown _change_type "), col("_change_type"))))
+    val sumNames = sums.map(_._1)
+    val deltaAggs = sum(col("__sign")).as("__d_n") +:
+      sums.map { case (name, e) => sum(e * col("__sign")).as("__d_" + name) }
+    val delta = changes
+      .withColumn("__sign", sign)
+      .groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      // rename keys so the join below has unambiguous sides
+      .select(groupCols.map(k => col(k).as("__k_" + k)) ++
+        ("__d_n" +: sumNames.map("__d_" + _)).map(col): _*)
+
+    // NULL group keys are legitimate group values; plain equality would
+    // fail to pair them, double-counting the group. <=> pairs them.
+    val joinCond = groupCols
+      .map(k => col(k) <=> col("__k_" + k))
+      .reduce(_ && _)
+    val joined = gold.join(delta, joinCond, "full_outer")
+
+    val outKeys = groupCols.map(k => coalesce(col(k), col("__k_" + k)).as(k))
+    val outN = (coalesce(col("n_rows"), lit(0L)) +
+      coalesce(col("__d_n"), lit(0L))).as("n_rows")
+    val outSums = sumNames.map { n =>
+      (coalesce(col(n), lit(0L)) + coalesce(col("__d_" + n), lit(0L))).as(n)
+    }
+    joined
+      .select((outKeys :+ outN) ++ outSums: _*)
+      .filter(col("n_rows") =!= 0L)
+  }
+}
