@@ -113,6 +113,63 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming medallion gold: each micro-batch upserts the fact table,
+    * then delta-maintains a grouped gold aggregate
+    * ([[graft.table.IncrementalAgg]]) from the fact table's CDC — the gold
+    * never rescans the fact table, so per-batch cost is O(batch ⋈ fact
+    * partitions touched) for the merge plus O(batch)+O(groups) for the
+    * refresh.
+    *
+    * Exactly-once EFFECT without trusting foreachBatch's delivery: the
+    * gold table carries the FACT COMMIT ORDINAL it reflects in a constant
+    * `_fact_commit` column — atomic with the gold content because both
+    * land in one table swap. Every batch refreshes from
+    * `changesSinceOrdinal(reflected)`, i.e. "whatever happened to the fact
+    * since the state I reflect", NOT "this batch's rows". A replayed batch
+    * re-merges idempotently and the recomputed diff is exactly the part
+    * the gold has not absorbed yet — nothing double-counts, nothing is
+    * lost, even if the stream crashed between the merge and the gold
+    * swap. The same property makes the gold SELF-HEALING: an out-of-band
+    * writer to the fact table is picked up by the next batch's refresh.
+    *
+    * `retainVersions` on the fact table must cover the deepest replay
+    * window (snapshots archive per rewrite; the refresh needs the state at
+    * the reflected ordinal to still be reconstructible). The default of 3
+    * covers a crash-replay plus one out-of-band rewrite. Retention is a
+    * property of the WRITING HANDLE, not the table: out-of-band writers
+    * must open the fact table with at least this retention, or their
+    * rewrite prunes the snapshot the next refresh diffs against.
+    */
+  def goldStream(rows: DataFrame, factPath: String, goldPath: String,
+      keys: Seq[String], groupCols: Seq[String],
+      sums: Seq[(String, org.apache.spark.sql.Column)], checkpoint: String,
+      retainVersions: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.table.{IncrementalAgg, MedallionTable}
+        val s = batch.sparkSession
+        val fact = MedallionTable(s, factPath, retainVersions = retainVersions)
+        val gold = MedallionTable(s, goldPath)
+        val reflected = // one row of one column — metadata-bounded driver read
+          if (!fact.exists || !gold.exists) None
+          else gold.read.select("_fact_commit").take(1).headOption.map(_.getLong(0))
+        if (reflected.isEmpty) {
+          if (!fact.exists) fact.overwrite(batch)
+          else fact.merge(batch, keys, deleteNotMatchedBySource = false)
+          gold.overwrite(IncrementalAgg.fullCompute(fact.read, groupCols, sums)
+            .withColumn("_fact_commit", lit(fact.commitVersion)))
+        } else {
+          fact.merge(batch, keys, deleteNotMatchedBySource = false)
+          val changes = fact.changesSinceOrdinal(reflected.get, keys)
+          gold.overwrite(
+            IncrementalAgg.refresh(gold.read.drop("_fact_commit"), changes,
+                groupCols, sums)
+              .withColumn("_fact_commit", lit(fact.commitVersion)))
+        }
+      }
+      .start()
+
   /** Stream-static enrichment join: the static side is re-resolved per
     * micro-batch (picking up dim-table updates between batches) and, being
     * small, broadcast — the standard streaming fact⋈dim shape. Works
