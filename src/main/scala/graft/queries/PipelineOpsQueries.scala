@@ -168,6 +168,32 @@ object PipelineOpsQueries {
           "ivf_top1 = query_id + 100000 AS ivf_self")
     }),
 
+    // Standing ANN index decision-xcheck: train frozen centroids on the
+    // low-id corpus, ingest the rest in two append-only batches (the
+    // second carrying planted exact copies of the query vectors), then
+    // query the PERSISTED index — the StandingDedupIndex recipe lifted to
+    // vectors. An identical vector lands in the same argmax cell under
+    // the frozen centroids, the probe ranks that cell first, and cosine
+    // ~1 beats every non-parallel vector, so top-1 must be the planted
+    // id. An assignment, ingest, tag-skip, probe, or ranking bug breaks
+    // the hash-match.
+    "sim_standing_index" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "sim_standing_idx")
+      Q.deleteDir(s, p)
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val idx = new graft.similarity.StandingAnnIndex(s, p)
+      idx.train(emb.filter($"vec_id" < 200), nCentroids = 8, iterations = 1)
+      idx.ingest(emb.filter($"vec_id" >= 200 && $"vec_id" < 400), tag = 1L)
+      val dups = emb.filter($"vec_id" < 8)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      idx.ingest(emb.filter($"vec_id" >= 400).unionByName(dups), tag = 2L)
+      idx.ingest(emb.filter($"vec_id" >= 400).unionByName(dups), tag = 2L) // replay: must skip
+      idx.query(emb.filter($"vec_id" < 8), k = 1, nProbe = 2)
+        .selectExpr("query_id", "neighbor_id AS top1",
+          "neighbor_id = query_id + 100000 AS found_planted")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup over
     // the FULL corpus, decision-oracled on planted ground truths (the
     // dedup_decision_xcheck recipe): an exact copy of each query vector
@@ -805,6 +831,10 @@ object PipelineOpsQueries {
        "CAST(vec_id + 100000 AS BIGINT) AS lsh_top1, " +
        "CAST(vec_id + 100000 AS BIGINT) AS ivf_top1, " +
        "true AS lsh_self, true AS ivf_self " +
+       "FROM embeddings WHERE vec_id < 8"),
+    "sim_standing_index" ->
+      ("SELECT vec_id AS query_id, " +
+       "CAST(vec_id + 100000 AS BIGINT) AS top1, true AS found_planted " +
        "FROM embeddings WHERE vec_id < 8"),
     "sim_semdedup" ->
       ("SELECT vec_id, true AS orig_kept, false AS dup_kept, " +

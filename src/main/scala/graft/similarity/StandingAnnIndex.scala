@@ -1,0 +1,101 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent standing ANN index — the table-maintenance half of the
+  * similarity-search story, mirroring [[graft.dedup.StandingDedupIndex]]:
+  * two [[graft.table.MedallionTable]]s, a trained centroid table
+  * `(cell_id, cv)` and an append-only assignment table
+  * `(vec_id, cell_id, v, batch_tag)`.
+  *
+  * The daily-batch protocol a 100 TB embedding corpus runs:
+  * {{{
+  *   idx.train(bootstrap, nCentroids)  // once, on a representative sample
+  *   idx.ingest(batch, tag)            // per landing: assign to FROZEN
+  *                                     // centroids, append — O(batch)
+  *   idx.query(qs, k, nProbe)          // reads ONLY the index tables
+  * }}}
+  * `ingest` never retrains or rescans the corpus: assignment is
+  * batch × broadcast(centroids) — a narrow map — and the append is
+  * commit-marked like every MedallionTable write. `query` probes each
+  * query's `nProbe` nearest cells and rescores candidates by exact
+  * cosine, so it reads ~nProbe/nCells of the assignment table via the
+  * cell_id equi-join, never all of it (with the table partitioned by
+  * `cell_id` at scale, the probe prunes to directories). Frozen
+  * centroids drift from the data distribution as batches accumulate —
+  * re-`train` periodically (the standard IVF re-index cadence);
+  * assignments rebuild in one pass.
+  *
+  * Vectors are stored raw here (d doubles/row); at the far end of the
+  * memory curve swap the `v` column for PQ codes ([[Pq]] — m bytes/row)
+  * and rescore by ADC exactly as `sim_ivfpq_topk` does: the index
+  * machinery (frozen-codebook ingest, cell-pruned probe) is identical.
+  */
+final class StandingAnnIndex(spark: SparkSession, basePath: String) {
+
+  /** Trained centroids (cell_id, cv) — overwritten only by [[train]]. */
+  val centroidTable = graft.table.MedallionTable(spark, s"$basePath/centroids")
+
+  /** Append-only assignments (vec_id, cell_id, v, batch_tag). */
+  val vectorTable = graft.table.MedallionTable(spark, s"$basePath/vectors")
+
+  /** Train centroids on a bootstrap corpus (k-means from deterministic
+    * seeds, [[Ivf.refineCentroids]]) and (re)build the assignment table
+    * for it. Tag 0 marks bootstrap rows.
+    */
+  def train(bootstrap: DataFrame, nCentroids: Int, iterations: Int = 2): Unit = {
+    val base = Ivf.prepared(bootstrap)
+    val cents = Ivf.refineCentroids(base, nCentroids, iterations)
+    centroidTable.overwrite(cents)
+    vectorTable.overwrite(
+      Ivf.assignCells(base, cents).withColumn("batch_tag", lit(0L)))
+  }
+
+  /** Assign `batch` (vec_id, embedding) to the frozen centroids and
+    * append. Idempotent per `tag`: a replayed batch (at-least-once
+    * foreachBatch delivery) that already landed is skipped, so the index
+    * never double-counts a vector. The tag probe is a column-pruned
+    * aggregate over the index — at scale, partition the table by
+    * batch_tag and the probe is a directory listing.
+    */
+  def ingest(batch: DataFrame, tag: Long): Unit = {
+    require(tag != 0L, "tag 0 is reserved for the bootstrap build")
+    if (vectorTable.exists &&
+        !vectorTable.read.filter(col("batch_tag") === tag).isEmpty) return
+    vectorTable.append(
+      Ivf.assignCells(Ivf.prepared(batch), centroidTable.read)
+        .withColumn("batch_tag", lit(tag)))
+  }
+
+  /** Approximate top-k for `queries` (vec_id, embedding) against the
+    * standing index. Output shape matches [[Similarity.bruteForceTopK]]:
+    * (query_id, neighbor_id, rank). Self-matches are excluded by id.
+    */
+  def query(queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val cents = centroidTable.read
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", call_function("graft_cosine", col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell_id"))
+
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    vectorTable.read
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell_id"))
+      .join(probes, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", call_function("graft_cosine", col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}

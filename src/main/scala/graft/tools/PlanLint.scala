@@ -43,6 +43,8 @@ object PlanLint {
       "corpus x broadcast(centroids) cell assignment — centroid count is a small constant"),
     "sim_ann_xcheck" -> (Set("BroadcastNestedLoopJoin"),
       "same IVF corpus x broadcast(centroids) cell assignment as sim_ann_ivf, on the planted-dup corpus"),
+    "sim_standing_index" -> (Set("BroadcastNestedLoopJoin"),
+      "queries x broadcast(trained centroid table) probe — centroid count is a small constant; the candidate join is an equi-join on cell_id"),
     "sim_semdedup" -> (Set("BroadcastNestedLoopJoin"),
       "same IVF corpus x broadcast(centroids) cell assignment; the pair join itself is an equi-join on cell_id"),
     "sim_ivfpq_topk" -> (Set("BroadcastNestedLoopJoin"),
