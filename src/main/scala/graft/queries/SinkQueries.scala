@@ -74,6 +74,27 @@ object SinkQueries {
         |FROM graft_cat_tt""".stripMargin)
     }),
 
+    // K6 — metadata-only aggregates: COUNT(*)/MIN/MAX over a stats-fresh
+    // cataloged table complete-push into the manifest (no data scan —
+    // ManifestAggPushdownSpec pins the plan shape); the oracle recomputes
+    // the same aggregates from the raw rows, proving the manifest path
+    // answer-identical to the scan path.
+    "k6_catalog_stats_agg" -> ((s, dir) => {
+      val p = Q.scratch(dir, "k6_stats_agg")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      t.overwrite(Tables.orders(s, dir))
+      t.refreshStats()
+      s.sql("DROP TABLE IF EXISTS graft_cat_stats")
+      s.sql(s"CREATE TABLE graft_cat_stats USING graft LOCATION '$p'")
+      s.sql("""
+        |SELECT COUNT(*) AS n_orders, MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key, MIN(o_orderdate) AS first_dt,
+        |       MAX(o_totalprice) AS max_price,
+        |       MIN(o_orderpriority) AS min_prio
+        |FROM graft_cat_stats""".stripMargin)
+    }),
+
     // K2 — overwrite fully replaces (bronze_table_creation.py:36,61)
     "k2_overwrite_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -532,6 +553,11 @@ object SinkQueries {
        "CAST(SUM(ROUND(c_acctbal * 100)) AS BIGINT) AS bal_cents " +
        "FROM customer WHERE c_acctbal > 0 AND c_mktsegment <> 'MACHINERY' " +
        "GROUP BY c_nationkey"),
+    "k6_catalog_stats_agg" ->
+      ("SELECT COUNT(*) AS n_orders, MIN(o_orderkey) AS min_key, " +
+       "MAX(o_orderkey) AS max_key, MIN(o_orderdate) AS first_dt, " +
+       "MAX(o_totalprice) AS max_price, MIN(o_orderpriority) AS min_prio " +
+       "FROM orders"),
     "k9_incremental_gold" ->
       ("""WITH init AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
          |src AS (SELECT o_orderkey, o_orderpriority,

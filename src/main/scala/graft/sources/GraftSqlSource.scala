@@ -167,16 +167,21 @@ private[sources] final class GraftWriteBuilder(path: String, replace: Boolean,
 
 private[sources] final class GraftScanBuilder(path: String, fullSchema: StructType,
     versionAsOf: Option[Int] = None)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggPushed: Option[(Seq[graft.table.TableStats.ManifestAgg], StructType)] = None
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    if (aggPushed.isDefined) return // output is the agg schema, not table columns
     // empty pruning (e.g. COUNT(*)) keeps one narrowest column: a
     // zero-column scan df has no row count to carry
     required =
       if (requiredSchema.fields.nonEmpty) requiredSchema
       else StructType(fullSchema.fields.take(1))
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftFilterTranslator.translate(_).isDefined)
@@ -184,7 +189,90 @@ private[sources] final class GraftScanBuilder(path: String, fullSchema: StructTy
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftV1Scan(path, required, pushed, versionAsOf)
+  /** Metadata-only aggregates (Delta's "answer COUNT(*) from the log"
+    * behavior): an ungrouped, unfiltered COUNT(*)/MIN/MAX over a table
+    * whose stats manifest is present (writes invalidate it, so present ⇒
+    * current — see [[graft.table.TableStats.hasManifest]]) is answered
+    * from the manifest without opening one data file. Anything else —
+    * filters (Spark skips aggregate pushdown when post-scan filters
+    * remain, and ours always remain), GROUP BY, other functions, a
+    * column the manifest doesn't cover, a pinned snapshot — falls back
+    * to the ordinary scan.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAggregation(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAggregation(agg) match {
+      case some @ Some(_) => aggPushed = some; true
+      case None => false
+    }
+
+  private def translateAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(Seq[graft.table.TableStats.ManifestAgg], StructType)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    import graft.table.TableStats
+    if (versionAsOf.nonEmpty || pushed.nonEmpty ||
+        agg.groupByExpressions.nonEmpty) return None
+    val spark = SparkSession.active
+    if (!TableStats.hasManifest(spark, path)) return None
+    val covered = TableStats.coveredColumns(spark, path)
+    def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+        covered(nr.fieldNames.head) => Some(nr.fieldNames.head)
+      case _ => None
+    }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((TableStats.RowCount: TableStats.ManifestAgg,
+          StructField("count(*)", LongType, nullable = false)))
+      case m: Min => columnOf(m.column).map(c =>
+        (TableStats.ColMin(c): TableStats.ManifestAgg,
+          StructField(s"min($c)", fullSchema(c).dataType)))
+      case m: Max => columnOf(m.column).map(c =>
+        (TableStats.ColMax(c): TableStats.ManifestAgg,
+          StructField(s"max($c)", fullSchema(c).dataType)))
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) {
+      val flat = specs.map(_.get)
+      Some((flat.map(_._1), StructType(flat.map(_._2))))
+    } else None
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some((specs, outSchema)) =>
+      new GraftManifestAggScan(path, specs, outSchema, fullSchema)
+    case None => new GraftV1Scan(path, required, pushed, versionAsOf)
+  }
+}
+
+/** One-row scan over the stats manifest — the completely-pushed-down
+  * aggregate's data source. Reads `_graft_meta/stats` (one row per data
+  * file), never the data.
+  */
+private[sources] final class GraftManifestAggScan(path: String,
+    specs: Seq[graft.table.TableStats.ManifestAgg], outSchema: StructType,
+    tableSchema: StructType) extends V1Scan {
+  override def readSchema(): StructType = outSchema
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val relation = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = outSchema
+      override def toString: String = "GraftManifestAggRelation"
+      override def buildScan(): RDD[Row] =
+        graft.table.TableStats.aggregateFromManifest(context.sparkSession,
+          path, specs, tableSchema).rdd
+    }
+    relation.asInstanceOf[T]
+  }
 }
 
 private[sources] final class GraftV1Scan(path: String, required: StructType,

@@ -62,6 +62,55 @@ object TableStats {
       .write.mode("overwrite").parquet(statsPath(tablePath))
   }
 
+  /** Manifest presence. Every table mutation either deletes the stats dir
+    * (`invalidateStats`) or swaps `_graft_meta` away wholesale (rewrites),
+    * so a PRESENT manifest always describes the live files — the
+    * invariant the aggregate pushdown below relies on.
+    */
+  def hasManifest(spark: SparkSession, tablePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(statsPath(tablePath))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Columns the manifest carries min/max for (refresh may cover a
+    * subset). Driver-side parquet footer read — no job.
+    */
+  def coveredColumns(spark: SparkSession, tablePath: String): Set[String] =
+    spark.read.parquet(statsPath(tablePath)).schema.fieldNames
+      .collect { case f if f.startsWith("min_str__") =>
+        f.stripPrefix("min_str__")
+      }.toSet
+
+  /** Global aggregates a fresh manifest answers without opening one data
+    * file (the `SELECT COUNT(*) / MIN / MAX FROM t` metadata path).
+    */
+  sealed trait ManifestAgg
+  case object RowCount extends ManifestAgg
+  final case class ColMin(column: String) extends ManifestAgg
+  final case class ColMax(column: String) extends ManifestAgg
+
+  /** One-row result computed purely from the manifest: COUNT(*) sums the
+    * per-file row counts; MIN/MAX re-aggregate the per-file bounds AFTER
+    * casting back to the column's own type (per-file bounds were written
+    * as canonical strings; casting first keeps ordering numeric where the
+    * column is numeric — a lexicographic min over "9","10" would be
+    * wrong). String round-trips are exact for every stats-covered type
+    * (longs, shortest-repr doubles, canonical timestamps/dates, strings).
+    */
+  def aggregateFromManifest(spark: SparkSession, tablePath: String,
+      specs: Seq[ManifestAgg], tableSchema: StructType): DataFrame = {
+    val stats = spark.read.parquet(statsPath(tablePath))
+    val aggs = specs.zipWithIndex.map {
+      case (RowCount, i) =>
+        coalesce(sum(col("row_count")), lit(0L)).as(s"agg_$i")
+      case (ColMin(c), i) =>
+        min(col(s"min_str__$c").cast(tableSchema(c).dataType)).as(s"agg_$i")
+      case (ColMax(c), i) =>
+        max(col(s"max_str__$c").cast(tableSchema(c).dataType)).as(s"agg_$i")
+    }
+    stats.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Files whose [min,max] for `column` overlaps [lower, upper]. */
   private def candidateFiles(spark: SparkSession, tablePath: String,
       column: String, lower: Column, upper: Column, numeric: Boolean): Seq[String] = {

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.table.MedallionTable
+
+/** Metadata-only aggregate pushdown through the catalog surface:
+  * ungrouped COUNT(*)/MIN/MAX over a stats-fresh graft table is answered
+  * from the manifest (plan shows GraftManifestAggRelation, no data scan),
+  * and every disqualifier — filter, GROUP BY, stale/absent manifest,
+  * uncovered function — falls back to the ordinary scan with the same
+  * answers.
+  */
+class ManifestAggPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(name: String, refresh: Boolean): String = {
+    val p = tmpDir(name)
+    val t = new MedallionTable(spark, p)
+    t.overwrite(Seq((1L, 10.0, "a"), (2L, -3.5, "b"), (3L, 99.25, "c"),
+      (4L, 0.0, null)).toDF("id", "v", "s").repartition(3))
+    if (refresh) t.refreshStats()
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graft LOCATION '$p'")
+    p
+  }
+
+  private def planOf(sql: String): String =
+    spark.sql(sql).queryExecution.executedPlan.toString
+
+  test("COUNT/MIN/MAX on a stats-fresh table read only the manifest") {
+    mkTable("agg_push_t", refresh = true)
+    val q = "SELECT COUNT(*) AS n, MIN(id) AS min_id, MAX(v) AS max_v, " +
+      "MIN(s) AS min_s FROM agg_push_t"
+    assert(planOf(q).contains("GraftManifestAggRelation"),
+      s"expected manifest-backed scan in:\n${planOf(q)}")
+    val r = spark.sql(q).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)) ==
+      ((4L, 1L, 99.25, "a")))
+  }
+
+  test("filters, GROUP BY, and other aggregates fall back to the scan") {
+    mkTable("agg_push_fb", refresh = true)
+    for (q <- Seq(
+        "SELECT COUNT(*) FROM agg_push_fb WHERE id > 1",
+        "SELECT s, COUNT(*) FROM agg_push_fb GROUP BY s",
+        "SELECT SUM(v) FROM agg_push_fb",
+        "SELECT COUNT(DISTINCT s) FROM agg_push_fb")) {
+      assert(!planOf(q).contains("GraftManifestAggRelation"), q)
+    }
+    // and the fallback answers stay right
+    assert(spark.sql("SELECT COUNT(*) FROM agg_push_fb WHERE id > 1")
+      .collect()(0).getLong(0) == 3)
+  }
+
+  test("absent or invalidated manifest disables the metadata path") {
+    mkTable("agg_push_nostats", refresh = false)
+    val q = "SELECT COUNT(*) FROM agg_push_nostats"
+    assert(!planOf(q).contains("GraftManifestAggRelation"))
+    // refresh enables it; a write then invalidates it again
+    val p = mkTable("agg_push_inv", refresh = true)
+    val qi = "SELECT COUNT(*), MAX(id) FROM agg_push_inv"
+    assert(planOf(qi).contains("GraftManifestAggRelation"))
+    new MedallionTable(spark, p).append(Seq((9L, 1.0, "z")).toDF("id", "v", "s"))
+    assert(!planOf(qi).contains("GraftManifestAggRelation"),
+      "append must invalidate the manifest and the metadata path with it")
+    val r = spark.sql(qi).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((5L, 9L)))
+  }
+}
