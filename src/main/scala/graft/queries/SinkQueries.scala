@@ -95,6 +95,25 @@ object SinkQueries {
         |FROM graft_cat_stats""".stripMargin)
     }),
 
+    // K6 — manifest file skipping through the catalog: a range predicate
+    // over a range-clustered, stats-fresh table prunes the file list at
+    // plan time (CatalogFileSkippingSpec pins the plan; this oracles the
+    // answers against the full-scan recompute).
+    "k6_catalog_file_skipping" -> ((s, dir) => {
+      val p = Q.scratch(dir, "k6_file_skip")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      t.overwrite(Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderkey")))
+      t.refreshStats()
+      s.sql("DROP TABLE IF EXISTS graft_cat_skip")
+      s.sql(s"CREATE TABLE graft_cat_skip USING graft LOCATION '$p'")
+      s.sql("""
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM graft_cat_skip
+        |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin)
+    }),
+
     // K2 — overwrite fully replaces (bronze_table_creation.py:36,61)
     "k2_overwrite_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -553,6 +572,9 @@ object SinkQueries {
        "CAST(SUM(ROUND(c_acctbal * 100)) AS BIGINT) AS bal_cents " +
        "FROM customer WHERE c_acctbal > 0 AND c_mktsegment <> 'MACHINERY' " +
        "GROUP BY c_nationkey"),
+    "k6_catalog_file_skipping" ->
+      ("SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders " +
+       "WHERE o_orderkey BETWEEN 1000 AND 3000"),
     "k6_catalog_stats_agg" ->
       ("SELECT COUNT(*) AS n_orders, MIN(o_orderkey) AS min_key, " +
        "MAX(o_orderkey) AS max_key, MIN(o_orderdate) AS first_dt, " +

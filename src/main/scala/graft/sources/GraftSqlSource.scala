@@ -280,14 +280,50 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
   override def readSchema(): StructType = required
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
+    // Manifest-based FILE skipping for pushed range/equality predicates
+    // (Delta's data skipping, wired into the SQL scan): when the stats
+    // manifest is present (⇒ current — writes invalidate it), a pushed
+    // bound on a numeric or string column prunes the file LIST, so a
+    // selective query never opens — or even lists into the scan — the
+    // files whose [min,max] can't match. Computed at plan time (one tiny
+    // driver-side manifest read) so the plan itself shows the pruning.
+    val pruned: Option[Seq[String]] =
+      if (versionAsOf.nonEmpty) None
+      else {
+        val bounds = pushed.toSeq
+          .flatMap(GraftFilterTranslator.pruneBounds(_, required))
+        if (bounds.isEmpty) None
+        else graft.table.TableStats.prunedFiles(
+          context.sparkSession, path, bounds, required)
+      }
     val relation = new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = required
+      override def toString: String = pruned match {
+        case Some(files) => s"GraftPrunedScanRelation(${files.size} files)"
+        case None => "GraftScanRelation"
+      }
       override def buildScan(): RDD[Row] = {
         // Re-declared as a DataFrame so Catalyst pushes the projection and
         // every translated filter into the parquet scan underneath.
         val mt = new MedallionTable(context.sparkSession, path)
-        val base = versionAsOf.map(mt.readVersion).getOrElse(mt.read)
+        val base = pruned match {
+          case Some(Nil) =>
+            mt.read.filter(org.apache.spark.sql.functions.lit(false))
+          case Some(files) =>
+            // mergeSchema as in MedallionTable.read; a schema-evolved
+            // column absent from every SURVIVING file is restored as a
+            // typed null so the projection below never goes unresolved
+            val sub = context.sparkSession.read
+              .option("mergeSchema", "true").option("basePath", path)
+              .parquet(files: _*)
+            required.fields.foldLeft(sub) { (df, f) =>
+              if (df.columns.contains(f.name)) df
+              else df.withColumn(f.name,
+                org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+            }
+          case None => versionAsOf.map(mt.readVersion).getOrElse(mt.read)
+        }
         val projected = base.select(required.fieldNames.map(col).toIndexedSeq: _*)
         pushed.flatMap(GraftFilterTranslator.translate)
           .foldLeft(projected)(_.filter(_))
@@ -322,5 +358,41 @@ private[sources] object GraftFilterTranslator {
       for (lc <- translate(l); rc <- translate(r)) yield lc || rc
     case Not(c) => translate(c).map(!_)
     case _      => None
+  }
+
+  /** Per-column [lower, upper] constraints implied by a pushed conjunct,
+    * for manifest file pruning ([[graft.table.TableStats.prunedFiles]]).
+    * Numeric and string columns only — timestamp/date filter values don't
+    * render in the manifest's canonical string form (see prunedFiles), and
+    * any unhandled shape safely contributes nothing (no pruning, never
+    * wrong pruning). Strict bounds are relaxed to inclusive: file-level
+    * pruning only needs a superset of matching files.
+    */
+  def pruneBounds(f: Filter, schema: StructType)
+      : Seq[(String, Option[Any], Option[Any])] = {
+    def ok(a: String, v: Any): Boolean =
+      schema.fieldNames.contains(a) && (schema(a).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => v.isInstanceOf[Number]
+        case org.apache.spark.sql.types.StringType => v.isInstanceOf[String]
+        case _ => false
+      })
+    f match {
+      case EqualTo(a, v) if ok(a, v)            => Seq((a, Some(v), Some(v)))
+      case GreaterThan(a, v) if ok(a, v)        => Seq((a, Some(v), None))
+      case GreaterThanOrEqual(a, v) if ok(a, v) => Seq((a, Some(v), None))
+      case LessThan(a, v) if ok(a, v)           => Seq((a, None, Some(v)))
+      case LessThanOrEqual(a, v) if ok(a, v)    => Seq((a, None, Some(v)))
+      // IN → [min, max] envelope, NUMERIC only: picking string min/max
+      // here would use Scala's UTF-16 ordering while the manifest compares
+      // in Spark's UTF-8 byte order — divergent for non-BMP text, and a
+      // too-narrow envelope prunes wrongly. (Range predicates on strings
+      // are safe: their comparison runs inside Spark.)
+      case In(a, vs) if vs.nonEmpty && vs.forall(ok(a, _)) &&
+          schema(a).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        val ds = vs.map(_.asInstanceOf[Number].doubleValue())
+        Seq((a, Some(ds.min), Some(ds.max)))
+      case And(l, r) => pruneBounds(l, schema) ++ pruneBounds(r, schema)
+      case _ => Seq.empty
+    }
   }
 }

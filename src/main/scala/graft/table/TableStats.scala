@@ -111,6 +111,36 @@ object TableStats {
     stats.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Data files that can hold a row matching ALL the given per-column
+    * bound constraints (None = unbounded on that side): the intersection
+    * of each column's overlap set, computed in ONE manifest pass. Files
+    * with missing stats for a constrained column are kept (conservative).
+    * `None` result = no manifest — caller must read everything.
+    *
+    * Only numeric columns (double-cast bounds) and string columns
+    * (raw-value bounds) participate; timestamp/date constraints must not
+    * be passed here — their filter values' `toString` does not match the
+    * manifest's canonical cast-to-string form, and a lexicographic
+    * comparison of mismatched renderings can skip a matching file.
+    */
+  def prunedFiles(spark: SparkSession, tablePath: String,
+      bounds: Seq[(String, Option[Any], Option[Any])],
+      schema: StructType): Option[Seq[String]] = {
+    if (!hasManifest(spark, tablePath)) return None
+    val stats = spark.read.parquet(statsPath(tablePath))
+    val keep = bounds.foldLeft(lit(true)) { case (acc, (c, loOpt, hiOpt)) =>
+      val numeric = isNumeric(schema(c).dataType)
+      val (fileLo, fileHi) =
+        if (numeric) (col(s"min_num__$c"), col(s"max_num__$c"))
+        else (col(s"min_str__$c"), col(s"max_str__$c"))
+      def b(v: Any): Column = if (numeric) lit(v).cast("double") else lit(v)
+      val missTooLow = hiOpt.map(v => fileLo > b(v)).getOrElse(lit(false))
+      val missTooHigh = loOpt.map(v => fileHi < b(v)).getOrElse(lit(false))
+      acc && (fileLo.isNull || fileHi.isNull || !(missTooLow || missTooHigh))
+    }
+    Some(stats.filter(keep).select("file").collect().map(_.getString(0)).toSeq)
+  }
+
   /** Files whose [min,max] for `column` overlaps [lower, upper]. */
   private def candidateFiles(spark: SparkSession, tablePath: String,
       column: String, lower: Column, upper: Column, numeric: Boolean): Seq[String] = {

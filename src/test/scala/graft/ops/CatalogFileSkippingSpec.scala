@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.table.MedallionTable
+import org.apache.spark.sql.functions._
+
+/** Manifest-based file skipping through the catalog scan: pushed
+  * range/equality predicates prune the file LIST at plan time (the plan
+  * names the pruned relation and its surviving file count), results stay
+  * identical to the unpruned read, and every disqualifier falls back.
+  */
+class CatalogFileSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkClustered(name: String): String = {
+    val p = tmpDir(name)
+    val t = new MedallionTable(spark, p)
+    // 4 range-clustered files over id 0..399 → tight per-file [min,max]
+    t.overwrite((0L until 400L).map(i => (i, s"s$i", i / 2.0)).toDF("id", "s", "v")
+      .repartitionByRange(4, col("id")))
+    t.refreshStats()
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graft LOCATION '$p'")
+    p
+  }
+
+  private def planOf(sql: String): String =
+    spark.sql(sql).queryExecution.executedPlan.toString
+
+  test("a selective range predicate opens a strict subset of files") {
+    mkClustered("fskip_t")
+    val q = "SELECT id, v FROM fskip_t WHERE id >= 50 AND id < 120"
+    val plan = planOf(q)
+    assert(plan.contains("GraftPrunedScanRelation(2 files)"), s"plan:\n$plan")
+    assert(spark.sql(q).collect().map(_.getLong(0)).sorted.toSeq ==
+      (50L until 120L))
+  }
+
+  test("an impossible predicate prunes to zero files and zero rows") {
+    mkClustered("fskip_zero")
+    val q = "SELECT id FROM fskip_zero WHERE id > 5000"
+    assert(planOf(q).contains("GraftPrunedScanRelation(0 files)"))
+    assert(spark.sql(q).count() == 0)
+  }
+
+  test("IN-list envelope and equality prune; no manifest means no pruning") {
+    mkClustered("fskip_in")
+    val qin = "SELECT id FROM fskip_in WHERE id IN (10, 30, 55)"
+    assert(planOf(qin).contains("GraftPrunedScanRelation(1 files)"))
+    assert(spark.sql(qin).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 30L, 55L))
+    val qeq = "SELECT s FROM fskip_in WHERE id = 399"
+    assert(planOf(qeq).contains("GraftPrunedScanRelation(1 files)"))
+    assert(spark.sql(qeq).collect().map(_.getString(0)).toSeq == Seq("s399"))
+    // a write invalidates the manifest → ordinary scan, same answers
+    val p = mkClustered("fskip_stale")
+    new MedallionTable(spark, p)
+      .append(Seq((1000L, "s1000", 0.5)).toDF("id", "s", "v"))
+    val q = "SELECT id FROM fskip_stale WHERE id >= 900"
+    assert(planOf(q).contains("GraftScanRelation"), planOf(q))
+    assert(spark.sql(q).collect().map(_.getLong(0)).toSeq == Seq(1000L))
+  }
+
+  test("string ranges prune in Spark's ordering; doubles prune numerically") {
+    mkClustered("fskip_types")
+    // v = id/2.0 → file ranges [0,49.5][50,99.5][100,149.5][150,199.5]
+    val qv = "SELECT v FROM fskip_types WHERE v >= 150.0"
+    assert(planOf(qv).contains("GraftPrunedScanRelation(1 files)"))
+    assert(spark.sql(qv).count() == 100)
+    // string bounds compare inside Spark (UTF-8 order) — correctness only,
+    // the s-values' lexicographic order doesn't follow the id clustering
+    val qs = "SELECT s FROM fskip_types WHERE s = 's123'"
+    assert(spark.sql(qs).collect().map(_.getString(0)).toSeq == Seq("s123"))
+  }
+}
