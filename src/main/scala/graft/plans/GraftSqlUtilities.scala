@@ -54,6 +54,13 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftOptimizeCommand(target.trim, Nil)
       case VacuumRe(target) =>
         GraftVacuumCommand(target.trim)
+      // ANALYZE is also Spark grammar — claim it only for graft targets
+      // (quoted paths always; named tables when the catalog says so).
+      case AnalyzeColsRe(target, cols) if isGraftTarget(spark, target) =>
+        GraftAnalyzeCommand(target.trim,
+          cols.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty))
+      case AnalyzeRe(target) if isGraftTarget(spark, target) =>
+        GraftAnalyzeCommand(target.trim, Nil)
       case RestoreRe(target, version) =>
         GraftRestoreCommand(target.trim, version.toLong)
       // Spark 4.1's own grammar handles constraint DDL for v2 tables —
@@ -171,6 +178,10 @@ object GraftSqlParser {
     s"""(?is)OPTIMIZE\\s+$T\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)""".r
   private[plans] val OptimizeRe: Regex = s"""(?is)OPTIMIZE\\s+$T""".r
   private[plans] val VacuumRe: Regex = s"""(?is)VACUUM\\s+$T""".r
+  private[plans] val AnalyzeColsRe: Regex =
+    s"""(?is)ANALYZE\\s+TABLE\\s+$T\\s+COMPUTE\\s+STATISTICS\\s+FOR\\s+COLUMNS\\s+(.+)""".r
+  private[plans] val AnalyzeRe: Regex =
+    s"""(?is)ANALYZE\\s+TABLE\\s+$T\\s+COMPUTE\\s+STATISTICS""".r
   private[plans] val RestoreRe: Regex =
     s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
   private[plans] val AddConstraintRe: Regex =
@@ -283,6 +294,29 @@ final case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
     if (zorderBy.nonEmpty) mt.compactZOrder(zorderBy) else mt.compact()
     GraftSqlParser.refreshTarget(spark, target, path)
     Seq(Row(path, before, nParquet(spark, path)))
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]` — builds the
+  * file-level min/max manifest ([[graft.table.TableStats.refresh]]),
+  * arming manifest file skipping and the metadata-only COUNT/MIN/MAX
+  * path on the catalog scan. Reports what the fresh manifest covers.
+  */
+final case class GraftAnalyzeCommand(target: String, columns: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    new MedallionTable(spark, path).refreshStats(columns)
+    val m = graft.table.TableStats.aggregateFromManifest(spark, path,
+      Seq(graft.table.TableStats.RowCount),
+      new MedallionTable(spark, path).read.schema)
+    val rows = m.collect()(0).getLong(0)
+    val files = spark.read.parquet(s"$path/_graft_meta/stats").count()
+    Seq(Row(path, files, rows))
   }
 }
 

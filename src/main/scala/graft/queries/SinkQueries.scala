@@ -114,6 +114,24 @@ object SinkQueries {
         |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin)
     }),
 
+    // K8 — ANALYZE TABLE through the SQL parser arms the same metadata
+    // path (GraftAnalyzeCommand → TableStats.refresh); the follow-up
+    // aggregate answers from the manifest, oracled against a raw-row
+    // recompute.
+    "k8_sql_analyze_stats" -> ((s, dir) => {
+      val p = Q.scratch(dir, "k8_analyze")
+      Q.deleteDir(s, p)
+      MedallionTable(s, p).overwrite(Tables.customer(s, dir)
+        .repartitionByRange(6, col("c_custkey")))
+      s.sql("DROP TABLE IF EXISTS graft_cat_an")
+      s.sql(s"CREATE TABLE graft_cat_an USING graft LOCATION '$p'")
+      s.sql("ANALYZE TABLE graft_cat_an COMPUTE STATISTICS")
+      s.sql("""
+        |SELECT COUNT(*) AS n_cust, MIN(c_custkey) AS min_ck,
+        |       MAX(c_custkey) AS max_ck, MAX(c_acctbal) AS max_bal
+        |FROM graft_cat_an""".stripMargin)
+    }),
+
     // K2 — overwrite fully replaces (bronze_table_creation.py:36,61)
     "k2_overwrite_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -575,6 +593,9 @@ object SinkQueries {
     "k6_catalog_file_skipping" ->
       ("SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders " +
        "WHERE o_orderkey BETWEEN 1000 AND 3000"),
+    "k8_sql_analyze_stats" ->
+      ("SELECT COUNT(*) AS n_cust, MIN(c_custkey) AS min_ck, " +
+       "MAX(c_custkey) AS max_ck, MAX(c_acctbal) AS max_bal FROM customer"),
     "k6_catalog_stats_agg" ->
       ("SELECT COUNT(*) AS n_orders, MIN(o_orderkey) AS min_key, " +
        "MAX(o_orderkey) AS max_key, MIN(o_orderdate) AS first_dt, " +

@@ -954,6 +954,10 @@ final class MedallionTable(
         df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
       } else df.coalesce(n)
     }, op = "optimize")
+    // Clustering exists to enable skipping, and the rewrite just dropped
+    // the manifest — rebuild it so OPTIMIZE leaves pruning armed, exactly
+    // when the per-file ranges are at their tightest.
+    refreshStats()
   }
 
   /** Z-order clustering: interleave the bit patterns of each cluster
@@ -1039,6 +1043,7 @@ final class MedallionTable(
         Seq(s"__graft_zb_$i", s"__graft_zs_$i")) :+ "__graft_z"): _*)
     }
     rewriteVia(buildShaped(), op = "optimize-zorder")
+    refreshStats() // same rationale as compact: leave pruning armed
   }
 
   /** VACUUM-style cleanup: remove sibling `__graft_tmp_*` / `__graft_old_*`

@@ -52,6 +52,37 @@ class ManifestAggPushdownSpec extends SparkSpec {
       .collect()(0).getLong(0) == 3)
   }
 
+  test("ANALYZE TABLE arms the metadata path; FOR COLUMNS limits coverage") {
+    val p = mkTable("agg_push_an", refresh = false)
+    val q = "SELECT COUNT(*), MIN(id) FROM agg_push_an"
+    assert(!planOf(q).contains("GraftManifestAggRelation"))
+    val r = spark.sql("ANALYZE TABLE agg_push_an COMPUTE STATISTICS").collect()(0)
+    assert(r.getString(0).stripPrefix("file:") == p && r.getLong(2) == 4L,
+      r.toString)
+    assert(planOf(q).contains("GraftManifestAggRelation"))
+    // subset coverage: only v is covered → MIN(id) must fall back
+    spark.sql(s"DROP TABLE IF EXISTS agg_push_an2")
+    val p2 = tmpDir("agg_push_an2")
+    new MedallionTable(spark, p2).overwrite(
+      Seq((1L, 2.0)).toDF("id", "v"))
+    spark.sql(s"CREATE TABLE agg_push_an2 USING graft LOCATION '$p2'")
+    spark.sql("ANALYZE TABLE agg_push_an2 COMPUTE STATISTICS FOR COLUMNS v")
+    assert(planOf("SELECT MAX(v) FROM agg_push_an2")
+      .contains("GraftManifestAggRelation"))
+    assert(!planOf("SELECT MIN(id) FROM agg_push_an2")
+      .contains("GraftManifestAggRelation"))
+    assert(spark.sql("SELECT MIN(id) FROM agg_push_an2").collect()(0).getLong(0) == 1L)
+  }
+
+  test("OPTIMIZE leaves the manifest rebuilt — pruning armed right after") {
+    val p = mkTable("agg_push_opt", refresh = false)
+    spark.sql("OPTIMIZE agg_push_opt")
+    assert(planOf("SELECT COUNT(*), MAX(id) FROM agg_push_opt")
+      .contains("GraftManifestAggRelation"))
+    val r = spark.sql("SELECT COUNT(*), MAX(id) FROM agg_push_opt").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 4L)))
+  }
+
   test("absent or invalidated manifest disables the metadata path") {
     mkTable("agg_push_nostats", refresh = false)
     val q = "SELECT COUNT(*) FROM agg_push_nostats"
