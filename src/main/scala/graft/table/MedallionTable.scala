@@ -478,8 +478,43 @@ final class MedallionTable(
     * silently swapping the appended rows away.
     */
   def append(df: DataFrame): Unit = withClaimedCommit("append") {
+    // Incremental manifest maintenance (TableStats.beginIncrementalUpdate
+    // scaladoc): when a manifest exists, park it as pending, write the
+    // data, then stats JUST the new files and commit the manifest back by
+    // rename — append keeps file skipping armed at O(batch) stats cost.
+    // Any failure leaves the manifest absent (conservative), never stale.
+    val incremental = TableStats.beginIncrementalUpdate(spark, path)
+    val before = if (incremental) dataFileSet() else Set.empty[String]
     writer(enforced(df), SaveMode.Append).parquet(path)
-    invalidateStats()
+    if (incremental)
+      try TableStats.completeIncrementalUpdate(spark, path,
+        (dataFileSet() -- before).toSeq)
+      catch { case scala.util.control.NonFatal(_) => () } // pending = junk
+    else invalidateStats()
+  }
+
+  /** Live data files (qualified path strings), `_graft_meta` excluded by
+    * path segments below the table root (substring-matching the absolute
+    * path would misjudge tables under an underscore-prefixed ancestor —
+    * see [[hasDataFiles]]).
+    */
+  private def dataFileSet(): Set[String] = {
+    val p = new Path(path)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val rootUri = fs.makeQualified(p).toUri
+      val b = Set.newBuilder[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
+        val segs = rel.split('/')
+        if (f.getName.endsWith(".parquet") &&
+            !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+          b += f.toString
+      }
+      b.result()
+    }
   }
 
   /** K2 — full replace (static dims, `bronze_table_creation.py:36,61`).

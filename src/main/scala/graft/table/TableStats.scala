@@ -30,19 +30,21 @@ object TableStats {
     case _ => false
   }
 
-  /** One distributed pass: per file × column min/max (string + numeric). */
-  def refresh(spark: SparkSession, tablePath: String,
-      columns: Seq[String] = Nil): Unit = {
-    val df = spark.read.parquet(tablePath)
-    val cols = (if (columns.nonEmpty) columns else df.columns.toSeq)
-      .filter(c => df.schema(c).dataType match {
-        // NTZ included: parquet timestamps with isAdjustedToUTC=false read
-        // as TIMESTAMP_NTZ in Spark 4, and both flavors share the
-        // lexicographic-canonical-string property pruning relies on.
-        case _: NumericType | StringType | TimestampType | TimestampNTZType
-           | DateType => true
-        case _ => false
-      })
+  private def pendingPath(tablePath: String) = s"$tablePath/_graft_meta/stats_pending"
+
+  private def statsWorthy(dt: DataType): Boolean = dt match {
+    // NTZ included: parquet timestamps with isAdjustedToUTC=false read
+    // as TIMESTAMP_NTZ in Spark 4, and both flavors share the
+    // lexicographic-canonical-string property pruning relies on.
+    case _: NumericType | StringType | TimestampType | TimestampNTZType
+       | DateType => true
+    case _ => false
+  }
+
+  /** Per-file stats rows for `df` over `cols` (each must be stats-worthy
+    * and present in `df`): one row per `input_file_name()`.
+    */
+  private def perFileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       val numericMin =
         if (isNumeric(df.schema(c).dataType)) min(col(c)).cast("double")
@@ -58,8 +60,77 @@ object TableStats {
     } :+ count(lit(1)).as("row_count")
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One distributed pass: per file × column min/max (string + numeric). */
+  def refresh(spark: SparkSession, tablePath: String,
+      columns: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(tablePath)
+    val cols = (if (columns.nonEmpty) columns else df.columns.toSeq)
+      .filter(c => statsWorthy(df.schema(c).dataType))
+    // a leftover pending dir from a crashed incremental update is junk
+    // once a full rebuild lands
+    val pp = new org.apache.hadoop.fs.Path(pendingPath(tablePath))
+    pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    perFileStats(df, cols)
       .coalesce(1) // manifest is tiny: one row per data file
       .write.mode("overwrite").parquet(statsPath(tablePath))
+  }
+
+  /** Crash-safe incremental manifest maintenance for APPEND (the one
+    * mutation that adds files without touching existing ones). Protocol —
+    * the manifest on disk is either COMPLETE or ABSENT, never stale:
+    *
+    *  1. [[beginIncrementalUpdate]] (before the data write): rename
+    *     `stats` → `stats_pending`. From here until completion the table
+    *     has NO manifest — readers fall back to full scans, which is
+    *     merely conservative. A crash leaves only the pending dir
+    *     (harmless junk; `refresh` clears it).
+    *  2. write the data files.
+    *  3. [[completeIncrementalUpdate]]: append per-file stats rows for
+    *     JUST the new files into the pending dir (one job over the new
+    *     files — O(batch), the incremental point), then atomically rename
+    *     `stats_pending` → `stats`. The rename is the commit: before it,
+    *     no manifest; after it, a complete one.
+    *
+    * Covered columns follow the EXISTING manifest (schema-evolved new
+    * columns get no stats until the next full refresh; a covered column
+    * missing from the appended batch records null bounds — both
+    * conservative under pruning and correct under min/max).
+    */
+  def beginIncrementalUpdate(spark: SparkSession, tablePath: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sp = new org.apache.hadoop.fs.Path(statsPath(tablePath))
+    val pp = new org.apache.hadoop.fs.Path(pendingPath(tablePath))
+    fs.delete(pp, true) // stray pending from a crashed predecessor
+    fs.exists(sp) && fs.rename(sp, pp)
+  }
+
+  def completeIncrementalUpdate(spark: SparkSession, tablePath: String,
+      newFiles: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pp = new org.apache.hadoop.fs.Path(pendingPath(tablePath))
+    if (newFiles.nonEmpty) {
+      val covered = spark.read.parquet(pendingPath(tablePath)).schema
+        .fieldNames.collect { case f if f.startsWith("min_str__") =>
+          f.stripPrefix("min_str__")
+        }.toSeq
+      val df = spark.read.option("mergeSchema", "true")
+        .option("basePath", tablePath).parquet(newFiles: _*)
+      val (present, missing) = covered.partition(df.columns.contains)
+      val stats = missing.foldLeft(perFileStats(df, present)) { (s, c) =>
+        s.withColumn(s"min_str__$c", lit(null).cast("string"))
+          .withColumn(s"max_str__$c", lit(null).cast("string"))
+          .withColumn(s"min_num__$c", lit(null).cast("double"))
+          .withColumn(s"max_num__$c", lit(null).cast("double"))
+      }
+      stats.coalesce(1).write.mode("append").parquet(pendingPath(tablePath))
+    }
+    if (!fs.rename(pp, new org.apache.hadoop.fs.Path(statsPath(tablePath))))
+      throw new java.io.IOException(
+        s"stats manifest commit rename failed for $tablePath")
   }
 
   /** Manifest presence. Every table mutation either deletes the stats dir

@@ -52,12 +52,13 @@ class CatalogFileSkippingSpec extends SparkSpec {
     val qeq = "SELECT s FROM fskip_in WHERE id = 399"
     assert(planOf(qeq).contains("GraftPrunedScanRelation(1 files)"))
     assert(spark.sql(qeq).collect().map(_.getString(0)).toSeq == Seq("s399"))
-    // a write invalidates the manifest → ordinary scan, same answers
+    // an append maintains the manifest incrementally: pruning stays armed,
+    // the new file is statted, and a range hitting ONLY it opens 1 of 5
     val p = mkClustered("fskip_stale")
     new MedallionTable(spark, p)
       .append(Seq((1000L, "s1000", 0.5)).toDF("id", "s", "v"))
     val q = "SELECT id FROM fskip_stale WHERE id >= 900"
-    assert(planOf(q).contains("GraftScanRelation"), planOf(q))
+    assert(planOf(q).contains("GraftPrunedScanRelation(1 files)"), planOf(q))
     assert(spark.sql(q).collect().map(_.getLong(0)).toSeq == Seq(1000L))
   }
 

@@ -74,6 +74,21 @@ class ManifestAggPushdownSpec extends SparkSpec {
     assert(spark.sql("SELECT MIN(id) FROM agg_push_an2").collect()(0).getLong(0) == 1L)
   }
 
+  test("appending a batch missing a covered column records null bounds") {
+    val p = mkTable("agg_push_evo", refresh = true)
+    // batch without column s: its file gets null s-bounds — conservative
+    // under pruning, invisible to min/max
+    new MedallionTable(spark, p).append(Seq((7L, 5.5)).toDF("id", "v"))
+    val q = "SELECT COUNT(*), MAX(id), MIN(s), MAX(v) FROM agg_push_evo"
+    assert(planOf(q).contains("GraftManifestAggRelation"), planOf(q))
+    val r = spark.sql(q).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)) ==
+      ((5L, 7L, "a", 99.25)))
+    // and a range filter on the missing-stats column keeps that file
+    assert(spark.sql("SELECT id FROM agg_push_evo WHERE v > 50")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("OPTIMIZE leaves the manifest rebuilt — pruning armed right after") {
     val p = mkTable("agg_push_opt", refresh = false)
     spark.sql("OPTIMIZE agg_push_opt")
@@ -83,18 +98,27 @@ class ManifestAggPushdownSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1)) == ((4L, 4L)))
   }
 
-  test("absent or invalidated manifest disables the metadata path") {
+  test("absent manifest disables the metadata path; append maintains it") {
     mkTable("agg_push_nostats", refresh = false)
     val q = "SELECT COUNT(*) FROM agg_push_nostats"
     assert(!planOf(q).contains("GraftManifestAggRelation"))
-    // refresh enables it; a write then invalidates it again
+    // refresh enables it; an APPEND keeps it armed — the incremental
+    // update stats the new files and the metadata answers move with them
     val p = mkTable("agg_push_inv", refresh = true)
     val qi = "SELECT COUNT(*), MAX(id) FROM agg_push_inv"
     assert(planOf(qi).contains("GraftManifestAggRelation"))
     new MedallionTable(spark, p).append(Seq((9L, 1.0, "z")).toDF("id", "v", "s"))
-    assert(!planOf(qi).contains("GraftManifestAggRelation"),
-      "append must invalidate the manifest and the metadata path with it")
+    assert(planOf(qi).contains("GraftManifestAggRelation"),
+      "append must maintain the manifest incrementally, not disarm it")
     val r = spark.sql(qi).collect()(0)
     assert((r.getLong(0), r.getLong(1)) == ((5L, 9L)))
+    // a REWRITE (update) still drops the manifest wholesale → fallback
+    new MedallionTable(spark, p).update(
+      org.apache.spark.sql.functions.col("id") === 9L,
+      Map("v" -> org.apache.spark.sql.functions.lit(2.0)))
+    assert(!planOf(qi).contains("GraftManifestAggRelation"),
+      "rewrites drop _graft_meta and must disarm the metadata path")
+    val r2 = spark.sql(qi).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1)) == ((5L, 9L)))
   }
 }
