@@ -52,6 +52,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           cols.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty))
       case OptimizeRe(target) =>
         GraftOptimizeCommand(target.trim, Nil)
+      case DescribeDetailRe(target) =>
+        GraftDescribeDetailCommand(target.trim)
       case VacuumRe(target) =>
         GraftVacuumCommand(target.trim)
       // ANALYZE is also Spark grammar — claim it only for graft targets
@@ -178,6 +180,8 @@ object GraftSqlParser {
     s"""(?is)OPTIMIZE\\s+$T\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)""".r
   private[plans] val OptimizeRe: Regex = s"""(?is)OPTIMIZE\\s+$T""".r
   private[plans] val VacuumRe: Regex = s"""(?is)VACUUM\\s+$T""".r
+  private[plans] val DescribeDetailRe: Regex =
+    s"""(?is)DESCRIBE\\s+DETAIL\\s+$T""".r
   private[plans] val AnalyzeColsRe: Regex =
     s"""(?is)ANALYZE\\s+TABLE\\s+$T\\s+COMPUTE\\s+STATISTICS\\s+FOR\\s+COLUMNS\\s+(.+)""".r
   private[plans] val AnalyzeRe: Regex =
@@ -294,6 +298,63 @@ final case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
     if (zorderBy.nonEmpty) mt.compactZOrder(zorderBy) else mt.compact()
     GraftSqlParser.refreshTarget(spark, target, path)
     Seq(Row(path, before, nParquet(spark, path)))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — Delta's one-row table summary: location, live
+  * file count and bytes, discovered partition columns, current commit
+  * ordinal (the DESCRIBE HISTORY numbering), retained snapshot count,
+  * registered CHECK constraints, and whether the stats manifest is
+  * present (⇒ current; arms skipping + metadata aggregates).
+  */
+final case class GraftDescribeDetailCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("commit_version", LongType, nullable = false)(),
+    AttributeReference("num_retained_snapshots", LongType, nullable = false)(),
+    AttributeReference("check_constraints", StringType, nullable = false)(),
+    AttributeReference("stats_fresh", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val mt = new MedallionTable(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var (nFiles, bytes) = (0L, 0L)
+    if (fs.exists(root)) {
+      val rootUri = fs.makeQualified(root).toUri
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+        if (f.getPath.getName.endsWith(".parquet") &&
+            !rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))) {
+          nFiles += 1; bytes += f.getLen
+        }
+      }
+    }
+    // partition columns read off the directory layout (k=v segments),
+    // outermost first
+    def partCols(p: org.apache.hadoop.fs.Path, acc: Seq[String]): Seq[String] = {
+      val sub =
+        if (fs.exists(p)) fs.listStatus(p).filter(st =>
+          st.isDirectory && st.getPath.getName.contains("="))
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
+      if (sub.isEmpty) acc
+      else partCols(sub.head.getPath,
+        acc :+ sub.head.getPath.getName.takeWhile(_ != '='))
+    }
+    val snapshots = mt.reconstructibleOrdinals
+      .filterNot(_ == mt.commitVersion)
+    Seq(Row("graft/parquet", path, nFiles, bytes,
+      partCols(root, Nil).mkString(","), mt.commitVersion,
+      snapshots.size.toLong,
+      mt.checkConstraints.keys.toSeq.sorted.mkString(","),
+      graft.table.TableStats.hasManifest(spark, path)))
   }
 }
 

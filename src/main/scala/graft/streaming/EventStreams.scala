@@ -151,22 +151,11 @@ object EventStreams {
         val s = batch.sparkSession
         val fact = MedallionTable(s, factPath, retainVersions = retainVersions)
         val gold = MedallionTable(s, goldPath)
-        val reflected = // one row of one column — metadata-bounded driver read
-          if (!fact.exists || !gold.exists) None
-          else gold.read.select("_fact_commit").take(1).headOption.map(_.getLong(0))
-        if (reflected.isEmpty) {
-          if (!fact.exists) fact.overwrite(batch)
-          else fact.merge(batch, keys, deleteNotMatchedBySource = false)
-          gold.overwrite(IncrementalAgg.fullCompute(fact.read, groupCols, sums)
-            .withColumn("_fact_commit", lit(fact.commitVersion)))
-        } else {
-          fact.merge(batch, keys, deleteNotMatchedBySource = false)
-          val changes = fact.changesSinceOrdinal(reflected.get, keys)
-          gold.overwrite(
-            IncrementalAgg.refresh(gold.read.drop("_fact_commit"), changes,
-                groupCols, sums)
-              .withColumn("_fact_commit", lit(fact.commitVersion)))
-        }
+        // An empty-gold edge (first batch empty / gold lost) makes catchUp
+        // bootstrap with a full compute — same self-heal as a stale gold.
+        if (!fact.exists) fact.overwrite(batch)
+        else fact.merge(batch, keys, deleteNotMatchedBySource = false)
+        IncrementalAgg.catchUp(fact, gold, keys, groupCols, sums)
       }
       .start()
 

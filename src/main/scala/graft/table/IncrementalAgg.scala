@@ -90,4 +90,40 @@ object IncrementalAgg {
       .select((outKeys :+ outN) ++ outSums: _*)
       .filter(col("n_rows") =!= 0L)
   }
+
+  /** The column a [[catchUp]]-managed gold uses to remember which fact
+    * commit ordinal it reflects. A constant per version of the gold, it
+    * commits atomically WITH the gold content (one table swap), which is
+    * what makes the maintenance loop replay-safe and self-healing.
+    */
+  val FactCommitCol = "_fact_commit"
+
+  /** Batch "REFRESH MATERIALIZED VIEW": bring `gold` up to `fact`'s
+    * current state by refreshing from `fact.changesSinceOrdinal(reflected)`
+    * — whatever happened to the fact since the state the gold reflects,
+    * regardless of who wrote it or how many times this is re-run. A
+    * missing/empty gold bootstraps with a full compute. This is the body
+    * of [[graft.streaming.EventStreams.goldStream]]'s per-batch step,
+    * exposed for cron-cadence refresh jobs.
+    *
+    * `fact` must be opened with `retainVersions` covering the refresh
+    * cadence (the state at `reflected` has to be reconstructible).
+    */
+  def catchUp(fact: MedallionTable, gold: MedallionTable,
+      keys: Seq[String], groupCols: Seq[String],
+      sums: Seq[(String, Column)]): Unit = {
+    val reflected = // one row of one column — metadata-bounded driver read
+      if (!gold.exists) None
+      else gold.read.select(FactCommitCol).take(1).headOption.map(_.getLong(0))
+    reflected match {
+      case None =>
+        gold.overwrite(fullCompute(fact.read, groupCols, sums)
+          .withColumn(FactCommitCol, lit(fact.commitVersion)))
+      case Some(ord) =>
+        val changes = fact.changesSinceOrdinal(ord, keys)
+        gold.overwrite(
+          refresh(gold.read.drop(FactCommitCol), changes, groupCols, sums)
+            .withColumn(FactCommitCol, lit(fact.commitVersion)))
+    }
+  }
 }

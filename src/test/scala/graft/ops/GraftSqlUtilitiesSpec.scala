@@ -39,6 +39,27 @@ class GraftSqlUtilitiesSpec extends SparkSpec {
     assert(z.getInt(2) >= 1 && t.read.count() == 5)
   }
 
+  test("DESCRIBE DETAIL summarizes files, partitioning, version, and gates") {
+    import spark.implicits._
+    val p = tmpDir("sqlutil_detail")
+    val t = new MedallionTable(spark, p, partitionColumns = Seq("blk"),
+      retainVersions = 2)
+    t.overwrite((1L to 20L).map(i => (i, (i % 2).toInt)).toDF("id", "blk"))
+    t.addCheckConstraint("pos_id", "id > 0")
+    t.merge(Seq((1L, 0), (21L, 1)).toDF("id", "blk"), Seq("id"))
+    t.refreshStats()
+    spark.sql("DROP TABLE IF EXISTS sqlutil_detail_t")
+    spark.sql(s"CREATE TABLE sqlutil_detail_t USING graft LOCATION '$p'")
+    val r = spark.sql("DESCRIBE DETAIL sqlutil_detail_t").collect()(0)
+    assert(r.getString(0) == "graft/parquet")
+    assert(r.getLong(2) > 0 && r.getLong(3) > 0, "files and bytes counted")
+    assert(r.getString(4) == "blk", s"partition columns: ${r.getString(4)}")
+    assert(r.getLong(5) == 2L, "overwrite + merge = commit ordinal 2")
+    assert(r.getLong(6) == 1L, "one retained pre-merge snapshot")
+    assert(r.getString(7) == "pos_id")
+    assert(r.getBoolean(8), "manifest present after refreshStats")
+  }
+
   test("VACUUM reports zero on a clean table") {
     import spark.implicits._
     val p = tmpDir("sqlutil_vac")

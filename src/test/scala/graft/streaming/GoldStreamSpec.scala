@@ -58,6 +58,27 @@ class GoldStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch catchUp bootstraps, absorbs any fact writes, and is idempotent") {
+    import spark.implicits._
+    val factPath = tmpDir("gold_catchup_fact")
+    val goldPath = tmpDir("gold_catchup_gold")
+    val fact = MedallionTable(spark, factPath, retainVersions = 3)
+    val gold = MedallionTable(spark, goldPath)
+    fact.overwrite(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "cents"))
+    IncrementalAgg.catchUp(fact, gold, Seq("id"), grp, sums) // bootstrap
+    assert(goldNow(factPath, goldPath) == recompute(factPath))
+    // two fact mutations between refreshes, from different "writers"
+    fact.merge(Seq((2L, "b", 25L), (3L, "c", 30L)).toDF("id", "g", "cents"),
+      Seq("id"), deleteNotMatchedBySource = false)
+    fact.delete($"g" === "a")
+    IncrementalAgg.catchUp(fact, gold, Seq("id"), grp, sums)
+    assert(goldNow(factPath, goldPath) == recompute(factPath))
+    assert(goldNow(factPath, goldPath) == Set(Seq("b", 1L, 25L), Seq("c", 1L, 30L)))
+    // re-running with no fact changes is a no-op on the content
+    IncrementalAgg.catchUp(fact, gold, Seq("id"), grp, sums)
+    assert(goldNow(factPath, goldPath) == Set(Seq("b", 1L, 25L), Seq("c", 1L, 30L)))
+  }
+
   test("replaying an already-applied state transition is a no-op on the gold") {
     import spark.implicits._
     val factPath = tmpDir("gold_replay_fact")
