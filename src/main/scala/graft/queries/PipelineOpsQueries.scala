@@ -194,6 +194,28 @@ object PipelineOpsQueries {
           "neighbor_id = query_id + 100000 AS found_planted")
     }),
 
+    // PQ mode of the standing index: same planted-copy decision xcheck
+    // through trainPq + two ingestPq batches + a replayed tag, but the
+    // persisted corpus is m integer codes per vector and scoring is ADC —
+    // an exact copy encodes to the query's own argmin codes under the
+    // frozen codebooks, so its ADC distance is the attainable minimum.
+    "sim_standing_pq" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "sim_standing_pq")
+      Q.deleteDir(s, p)
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val idx = new graft.similarity.StandingAnnIndex(s, p)
+      idx.trainPq(emb.filter($"vec_id" < 200), m = 8, kCent = 16)
+      idx.ingestPq(emb.filter($"vec_id" >= 200 && $"vec_id" < 400), tag = 1L)
+      val dups = emb.filter($"vec_id" < 8)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      idx.ingestPq(emb.filter($"vec_id" >= 400).unionByName(dups), tag = 2L)
+      idx.ingestPq(emb.filter($"vec_id" >= 400).unionByName(dups), tag = 2L) // replay
+      idx.queryPq(emb.filter($"vec_id" < 8), k = 1)
+        .selectExpr("query_id", "neighbor_id AS pq_top1",
+          "neighbor_id = query_id + 100000 AS pq_self")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup over
     // the FULL corpus, decision-oracled on planted ground truths (the
     // dedup_decision_xcheck recipe): an exact copy of each query vector
@@ -835,6 +857,10 @@ object PipelineOpsQueries {
     "sim_standing_index" ->
       ("SELECT vec_id AS query_id, " +
        "CAST(vec_id + 100000 AS BIGINT) AS top1, true AS found_planted " +
+       "FROM embeddings WHERE vec_id < 8"),
+    "sim_standing_pq" ->
+      ("SELECT vec_id AS query_id, " +
+       "CAST(vec_id + 100000 AS BIGINT) AS pq_top1, true AS pq_self " +
        "FROM embeddings WHERE vec_id < 8"),
     "sim_semdedup" ->
       ("SELECT vec_id, true AS orig_kept, false AS dup_kept, " +

@@ -28,10 +28,14 @@ import org.apache.spark.sql.functions._
   * re-`train` periodically (the standard IVF re-index cadence);
   * assignments rebuild in one pass.
   *
-  * Vectors are stored raw here (d doubles/row); at the far end of the
-  * memory curve swap the `v` column for PQ codes ([[Pq]] — m bytes/row)
-  * and rescore by ADC exactly as `sim_ivfpq_topk` does: the index
-  * machinery (frozen-codebook ingest, cell-pruned probe) is identical.
+  * Two storage modes share the protocol: the RAW side ([[train]] /
+  * [[ingest]] / [[query]]) keeps vectors as d doubles per row and
+  * rescores by exact cosine; the PQ side ([[trainPq]] / [[ingestPq]] /
+  * [[queryPq]]) keeps m small integer codes per vector ([[Pq]] — the
+  * memory end of the curve, ~32× smaller at m=8, dims=64) and rescores
+  * by ADC. At 100 TB the two compose: IVF cells bound the candidate set,
+  * PQ codes bound the bytes per candidate (`sim_ivfpq_topk` demonstrates
+  * the composition on the non-persisted path).
   */
 final class StandingAnnIndex(spark: SparkSession, basePath: String) {
 
@@ -67,6 +71,87 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     vectorTable.append(
       Ivf.assignCells(Ivf.prepared(batch), centroidTable.read)
         .withColumn("batch_tag", lit(tag)))
+  }
+
+  // ---- PQ side: m small integer codes per vector instead of d doubles —
+  // the 100 TB memory story (~32× smaller at m=8, dims=64). Same
+  // freeze/ingest/query protocol: codebooks train once on the bootstrap,
+  // ingests encode against them frozen, queries run ADC against the
+  // persisted code table only.
+
+  /** Trained PQ codebooks (sub_id, code, cv) — overwritten only by
+    * [[trainPq]].
+    */
+  val codebookTable = graft.table.MedallionTable(spark, s"$basePath/codebooks")
+
+  /** Append-only PQ codes (vec_id, sub_id, code, batch_tag). */
+  val codeTable = graft.table.MedallionTable(spark, s"$basePath/codes")
+
+  def trainPq(bootstrap: DataFrame, m: Int = 8, kCent: Int = 16,
+      iterations: Int = 1): Unit = {
+    val base = Ivf.prepared(bootstrap)
+    val d = Pq.dimsPerSub(bootstrap, m)
+    val subs = Pq.subRows(base, m, d)
+    val books = Pq.trainCodebooks(subs, kCent, iterations)
+    codebookTable.overwrite(books)
+    codeTable.overwrite(Pq.assignCodes(subs, books)
+      .select(col("vec_id"), col("sub_id"), col("code"))
+      .withColumn("batch_tag", lit(0L)))
+  }
+
+  /** Encode `batch` against the frozen codebooks and append — O(batch),
+    * tag-idempotent like [[ingest]].
+    */
+  def ingestPq(batch: DataFrame, tag: Long): Unit = {
+    require(tag != 0L, "tag 0 is reserved for the bootstrap build")
+    if (codeTable.exists &&
+        !codeTable.read.filter(col("batch_tag") === tag).isEmpty) return
+    val books = codebookTable.read
+    val (m, d) = bookShape(books)
+    codeTable.append(
+      Pq.assignCodes(Pq.subRows(Ivf.prepared(batch), m, d), books)
+        .select(col("vec_id"), col("sub_id"), col("code"))
+        .withColumn("batch_tag", lit(tag)))
+  }
+
+  /** ADC top-k against the persisted code table ([[Pq.topK]] semantics:
+    * micro-rounded integer distances, self excluded). The corpus side of
+    * the join moves only (vec_id, sub_id, code) integer rows.
+    */
+  def queryPq(queries: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val books = codebookTable.read
+    val (m, d) = bookShape(books)
+    val lut = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("query_id"),
+        expr(s"EXPLODE(TRANSFORM(SEQUENCE(0, ${m - 1}), " +
+          s"s -> NAMED_STRUCT('sub_id', s, 'qv', SLICE(v, s * $d + 1, $d))))").as("e"))
+      .select(col("query_id"), col("e.sub_id").as("sub_id"), col("e.qv").as("qv"))
+      .join(broadcast(books), Seq("sub_id"))
+      .select(col("query_id"), col("sub_id"), col("code"),
+        round(Pq.l2sq(col("qv"), col("cv")) * 1e6).cast("long").as("dist_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_micro").asc, col("neighbor_id"))
+    codeTable.read
+      .select(col("vec_id").as("neighbor_id"), col("sub_id"), col("code"))
+      .join(broadcast(lut), Seq("sub_id", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dist_micro")).as("adist_micro"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** (m, dims-per-subspace) off the codebook table — two metadata-bounded
+    * driver reads.
+    */
+  private def bookShape(books: DataFrame): (Int, Int) = {
+    val m = books.agg(max(col("sub_id")).cast("int")).head.getInt(0) + 1
+    val d = books.select(size(col("cv"))).limit(1).head.getInt(0)
+    (m, d)
   }
 
   /** Approximate top-k for `queries` (vec_id, embedding) against the

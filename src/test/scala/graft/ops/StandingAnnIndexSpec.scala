@@ -38,6 +38,30 @@ class StandingAnnIndexSpec extends SparkSpec {
     assert(recall >= 0.8, s"standing-index recall too low: $recall")
   }
 
+  test("PQ mode: planted copy is ADC-top-1; replay skipped; books frozen") {
+    import spark.implicits._
+    val emb = clustered(240, 8, 16)
+    val idx = new StandingAnnIndex(spark, tmpDir("ann_idx_pq"))
+    idx.trainPq(emb.filter($"vec_id" < 120), m = 4, kCent = 12)
+    val booksBefore = idx.codebookTable.read.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    // second batch carries exact copies of 3 query vectors under new ids
+    val dups = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding")
+    idx.ingestPq(emb.filter($"vec_id" >= 120).unionByName(dups), tag = 4L)
+    val n1 = idx.codeTable.read.count()
+    idx.ingestPq(emb.filter($"vec_id" >= 120).unionByName(dups), tag = 4L)
+    assert(idx.codeTable.read.count() == n1, "replayed tag must not re-append")
+    val booksAfter = idx.codebookTable.read.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    assert(booksAfter == booksBefore, "ingestPq must never retrain codebooks")
+    val top1 = idx.queryPq(emb.filter($"vec_id" < 3), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 3L).foreach { q =>
+      assert(top1(q) == q + 9000, s"query $q: expected planted copy, got ${top1(q)}")
+    }
+  }
+
   test("replayed ingest tag is skipped; centroids stay frozen across ingest") {
     import spark.implicits._
     val emb = clustered(200, 5, 8)
