@@ -326,6 +326,58 @@ object SinkQueries {
       g.read
     }),
 
+    // K8 — Z-order + skipping end-to-end: OPTIMIZE ZORDER BY via SQL
+    // (which now rebuilds the manifest it dropped), then range predicates
+    // on BOTH cluster columns — answers oracled; the plan-level pruning
+    // proof lives in ManifestAggPushdownSpec/CatalogFileSkippingSpec.
+    "k8_sql_zorder_skip" -> ((s, dir) => {
+      val p = Q.scratch(dir, "k8_zorder_skip")
+      Q.deleteDir(s, p)
+      MedallionTable(s, p).overwrite(Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"))
+      s.sql("DROP TABLE IF EXISTS graft_cat_z")
+      s.sql(s"CREATE TABLE graft_cat_z USING graft LOCATION '$p'")
+      s.sql("OPTIMIZE graft_cat_z ZORDER BY (l_orderkey, l_partkey)")
+      s.sql("""
+        |SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM graft_cat_z
+        |WHERE l_orderkey BETWEEN 500 AND 2500
+        |  AND l_partkey BETWEEN 100 AND 900""".stripMargin)
+    }),
+
+    // K9 — incremental TOKEN-FREQUENCY gold: the IncrementalAgg delta
+    // identity composed with a text fan-out. The CDC feed is exploded
+    // into (token, _change_type) rows — each token row inherits its
+    // document's change sign — and the SAME refresh then delta-maintains
+    // the per-token counts. At 100 TB this keeps a corpus vocabulary
+    // current at O(changed docs × tokens), never re-tokenizing the
+    // corpus (the Zipf/entropy/KL audits all start from this table).
+    "k9_tokenfreq_incremental" -> ((s, dir) => {
+      import s.implicits._
+      import graft.table.IncrementalAgg
+      val p = Q.scratch(dir, "k9_tokfreq")
+      Q.deleteDir(s, p)
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val t = MedallionTable(s, p, retainVersions = 2)
+      t.overwrite(docs.filter($"doc_id" % 2 === 0))
+      def explode(df: org.apache.spark.sql.DataFrame, extra: Seq[String]) =
+        df.selectExpr((s"EXPLODE(${Q.TokensExpr}) AS token" +: extra): _*)
+      // gold persists BEFORE the fact mutates: a lazy gold plan over the
+      // pre-merge files would read directories the rewrite swaps away
+      val gp = Q.scratch(dir, "k9_tokfreq_gold")
+      Q.deleteDir(s, gp)
+      val g = MedallionTable(s, gp)
+      g.overwrite(IncrementalAgg.fullCompute(
+        explode(t.read, Nil), Seq("token"), Nil))
+      t.merge(docs.filter($"doc_id" % 3 === 0)
+          .withColumn("text", concat($"text", lit(" graftzz"))),
+        Seq("doc_id"), deleteNotMatchedBySource = false)
+      t.delete(length($"text") > 900)
+      val exploded = explode(t.changesSince(1, Seq("doc_id")),
+        Seq("_change_type"))
+      IncrementalAgg.refresh(g.read, exploded, Seq("token"), Nil)
+    }),
+
     // CHECK-constraint gate roundtrip: a registered quality gate rejects a
     // violating batch wholesale (job aborts before commit) while clean
     // writes pass — the final state proves the bad batch left no rows.
@@ -601,6 +653,24 @@ object SinkQueries {
        "MAX(o_orderkey) AS max_key, MIN(o_orderdate) AS first_dt, " +
        "MAX(o_totalprice) AS max_price, MIN(o_orderpriority) AS min_prio " +
        "FROM orders"),
+    "k8_sql_zorder_skip" ->
+      ("SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice " +
+       "FROM lineitem WHERE l_orderkey BETWEEN 500 AND 2500 " +
+       "AND l_partkey BETWEEN 100 AND 900"),
+    "k9_tokenfreq_incremental" ->
+      ("""WITH init AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |src AS (SELECT doc_id, text || ' graftzz' AS text
+         |        FROM documents WHERE doc_id % 3 = 0),
+         |merged AS (
+         |  SELECT doc_id, text FROM src
+         |  UNION ALL
+         |  SELECT doc_id, text FROM init
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM src)),
+         |final AS (SELECT * FROM merged WHERE NOT length(text) > 900)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+         |      FROM final)
+         |GROUP BY token""".stripMargin),
     "k9_incremental_gold" ->
       ("""WITH init AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
          |src AS (SELECT o_orderkey, o_orderpriority,
