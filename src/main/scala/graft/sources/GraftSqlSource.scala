@@ -285,9 +285,12 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
     // manifest is present (⇒ current — writes invalidate it), a pushed
     // bound on a numeric or string column prunes the file LIST, so a
     // selective query never opens — or even lists into the scan — the
-    // files whose [min,max] can't match. Computed at plan time (one tiny
-    // driver-side manifest read) so the plan itself shows the pruning.
-    val pruned: Option[Seq[String]] =
+    // files whose [min,max] can't match. Resolved inside buildScan (one
+    // tiny driver-side manifest read per execution) so a cached plan
+    // re-executed after an append sees the appended files, matching the
+    // unpruned path's execute-time table resolution. The plan-time
+    // toString count below is best-effort display only.
+    def computePruned(): Option[Seq[String]] =
       if (versionAsOf.nonEmpty) None
       else {
         val bounds = pushed.toSeq
@@ -296,14 +299,18 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
         else graft.table.TableStats.prunedFiles(
           context.sparkSession, path, bounds, required)
       }
+    // evaluated once, lazily, when the plan is rendered — not at execute
+    lazy val planTimePruned: Option[Seq[String]] =
+      try computePruned() catch { case scala.util.control.NonFatal(_) => None }
     val relation = new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = required
-      override def toString: String = pruned match {
+      override def toString: String = planTimePruned match {
         case Some(files) => s"GraftPrunedScanRelation(${files.size} files)"
         case None => "GraftScanRelation"
       }
       override def buildScan(): RDD[Row] = {
+        val pruned = computePruned()
         // Re-declared as a DataFrame so Catalyst pushes the projection and
         // every translated filter into the parquet scan underneath.
         val mt = new MedallionTable(context.sparkSession, path)

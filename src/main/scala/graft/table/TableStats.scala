@@ -199,15 +199,25 @@ object TableStats {
       schema: StructType): Option[Seq[String]] = {
     if (!hasManifest(spark, tablePath)) return None
     val stats = spark.read.parquet(statsPath(tablePath))
+    // A partial manifest (ANALYZE ... FOR COLUMNS, or a schema-evolved
+    // append whose new column predates the last refresh) may not carry
+    // stats for every constrained column. Constraints on uncovered
+    // columns contribute nothing (conservative: all files kept for them)
+    // instead of referencing absent min_*/max_* columns and failing.
+    val statCols = stats.schema.fieldNames.toSet
     val keep = bounds.foldLeft(lit(true)) { case (acc, (c, loOpt, hiOpt)) =>
       val numeric = isNumeric(schema(c).dataType)
-      val (fileLo, fileHi) =
-        if (numeric) (col(s"min_num__$c"), col(s"max_num__$c"))
-        else (col(s"min_str__$c"), col(s"max_str__$c"))
-      def b(v: Any): Column = if (numeric) lit(v).cast("double") else lit(v)
-      val missTooLow = hiOpt.map(v => fileLo > b(v)).getOrElse(lit(false))
-      val missTooHigh = loOpt.map(v => fileHi < b(v)).getOrElse(lit(false))
-      acc && (fileLo.isNull || fileHi.isNull || !(missTooLow || missTooHigh))
+      val (loName, hiName) =
+        if (numeric) (s"min_num__$c", s"max_num__$c")
+        else (s"min_str__$c", s"max_str__$c")
+      if (!statCols.contains(loName) || !statCols.contains(hiName)) acc
+      else {
+        val (fileLo, fileHi) = (col(loName), col(hiName))
+        def b(v: Any): Column = if (numeric) lit(v).cast("double") else lit(v)
+        val missTooLow = hiOpt.map(v => fileLo > b(v)).getOrElse(lit(false))
+        val missTooHigh = loOpt.map(v => fileHi < b(v)).getOrElse(lit(false))
+        acc && (fileLo.isNull || fileHi.isNull || !(missTooLow || missTooHigh))
+      }
     }
     Some(stats.filter(keep).select("file").collect().map(_.getString(0)).toSeq)
   }

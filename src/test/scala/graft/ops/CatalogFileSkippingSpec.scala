@@ -73,4 +73,41 @@ class CatalogFileSkippingSpec extends SparkSpec {
     val qs = "SELECT s FROM fskip_types WHERE s = 's123'"
     assert(spark.sql(qs).collect().map(_.getString(0)).toSeq == Seq("s123"))
   }
+
+  test("a partial manifest (FOR COLUMNS) never breaks filters on uncovered columns") {
+    val p = mkClustered("fskip_partial")
+    // Re-analyze covering ONLY v: id/s bounds are now absent from the
+    // manifest schema. Filters on them must run (unpruned-by-id) rather
+    // than reference min_num__id and fail to resolve.
+    spark.sql("ANALYZE TABLE fskip_partial COMPUTE STATISTICS FOR COLUMNS v")
+    assert(!graft.table.TableStats.coveredColumns(spark, p).contains("id"))
+    val qId = "SELECT id FROM fskip_partial WHERE id > 390"
+    assert(spark.sql(qId).collect().map(_.getLong(0)).sorted.toSeq ==
+      (391L until 400L))
+    // the covered column still prunes
+    val qv = "SELECT v FROM fskip_partial WHERE v >= 150.0"
+    assert(planOf(qv).contains("GraftPrunedScanRelation(1 files)"), planOf(qv))
+    assert(spark.sql(qv).count() == 100)
+    // mixed: covered v prunes, uncovered id passes through conservatively
+    val qm = "SELECT id FROM fskip_partial WHERE v >= 150.0 AND id < 320"
+    assert(spark.sql(qm).collect().map(_.getLong(0)).sorted.toSeq ==
+      (300L until 320L))
+  }
+
+  test("a DataFrame created before an append sees the appended rows at first action") {
+    val p = mkClustered("fskip_replan")
+    // created (analyzed) pre-append but NOT physically planned: the
+    // pruned file list must resolve at first action, like the fallback
+    // path's table read does — not at DataFrame-creation time
+    val df = spark.sql("SELECT id FROM fskip_replan WHERE id >= 390")
+    new MedallionTable(spark, p)
+      .append(Seq((1000L, "s1000", 0.5)).toDF("id", "s", "v"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      ((390L until 400L) :+ 1000L))
+    // Once physically planned, BOTH paths pin their input snapshot —
+    // standard Spark semantics (FileSourceScanExec does the same); the
+    // symmetry, not live re-resolution, is the contract.
+    assert(df.queryExecution.executedPlan.toString
+      .contains("GraftPrunedScanRelation"))
+  }
 }
