@@ -36,11 +36,19 @@ final class StandingDedupIndex(
     basePath: String,
     bandKeys: DataFrame => DataFrame) {
 
-  /** Content-hash set (doc_id, h) — exact-dup membership. */
-  val hashTable = graft.table.MedallionTable(spark, s"$basePath/hash_set")
+  /** Content-hash set (doc_id, h) — exact-dup membership. Partitioned by
+    * `batch_tag` (h is too high-cardinality to partition on): the
+    * excludeTag replay filter and any per-batch compaction prune to
+    * directories instead of scanning every prior batch's keys.
+    */
+  val hashTable = graft.table.MedallionTable(spark, s"$basePath/hash_set",
+    partitionColumns = Seq("batch_tag"))
 
-  /** Band index (doc_id, band_idx, band_key) — near-dup candidates. */
-  val bandTable = graft.table.MedallionTable(spark, s"$basePath/band_index")
+  /** Band index (doc_id, band_idx, band_key) — near-dup candidates.
+    * Partitioned by `batch_tag`, same rationale as [[hashTable]].
+    */
+  val bandTable = graft.table.MedallionTable(spark, s"$basePath/band_index",
+    partitionColumns = Seq("batch_tag"))
 
   private def hashesOf(batch: DataFrame): DataFrame =
     batch.select(col("doc_id"), md5(col("text")).as("h"))

@@ -33,6 +33,13 @@ object IvfPq {
     * same argmin codes, and the query's own cell is always its top
     * probe — so the copy attains the minimum ADC distance among probed
     * candidates and must rank top-1: the `sim_ivfpq_xcheck` invariant.
+    *
+    * NOTE (bench readers): this trains centroids AND codebooks inside the
+    * query — deliberate, so the oracle demo is self-contained — which is
+    * most of `sim_ivfpq_topk`'s wall time. The production path persists
+    * both and amortizes training across batches:
+    * [[StandingAnnIndex.trainPq]] / [[StandingAnnIndex.queryPq]]
+    * (benched as `sim_standing_pq`).
     */
   def topK(emb: DataFrame, queryPred: Column, k: Int,
            nCells: Int = 16, nProbe: Int = 2, m: Int = 8, kCent: Int = 16,

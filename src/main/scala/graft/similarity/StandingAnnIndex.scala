@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * commit-marked like every MedallionTable write. `query` probes each
   * query's `nProbe` nearest cells and rescores candidates by exact
   * cosine, so it reads ~nProbe/nCells of the assignment table via the
-  * cell_id equi-join, never all of it (with the table partitioned by
-  * `cell_id` at scale, the probe prunes to directories). Frozen
+  * cell_id equi-join, never all of it — and because the vector table is
+  * PARTITIONED by `cell_id`, the probe statically prunes the scan to the
+  * probed cells' directories (spec-asserted in
+  * StandingIndexPruningSpec). Frozen
   * centroids drift from the data distribution as batches accumulate —
   * re-`train` periodically (the standard IVF re-index cadence);
   * assignments rebuild in one pass.
@@ -42,8 +44,13 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
   /** Trained centroids (cell_id, cv) — overwritten only by [[train]]. */
   val centroidTable = graft.table.MedallionTable(spark, s"$basePath/centroids")
 
-  /** Append-only assignments (vec_id, cell_id, v, batch_tag). */
-  val vectorTable = graft.table.MedallionTable(spark, s"$basePath/vectors")
+  /** Append-only assignments (vec_id, v, batch_tag) partitioned by
+    * `cell_id`: [[query]]'s probe narrows to the probed cells' directories
+    * (static partition pruning — see the isin filter there), so the scan
+    * cost is ~nProbe/nCells of the table in FILES, not just rows.
+    */
+  val vectorTable = graft.table.MedallionTable(spark, s"$basePath/vectors",
+    partitionColumns = Seq("cell_id"))
 
   /** Train centroids on a bootstrap corpus (k-means from deterministic
     * seeds, [[Ivf.refineCentroids]]) and (re)build the assignment table
@@ -60,9 +67,12 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
   /** Assign `batch` (vec_id, embedding) to the frozen centroids and
     * append. Idempotent per `tag`: a replayed batch (at-least-once
     * foreachBatch delivery) that already landed is skipped, so the index
-    * never double-counts a vector. The tag probe is a column-pruned
-    * aggregate over the index — at scale, partition the table by
-    * batch_tag and the probe is a directory listing.
+    * never double-counts a vector. The vector table is partitioned by
+    * cell_id (the QUERY probe key — the hotter path), so the tag probe
+    * here stays a column-pruned min/max-skippable scan of the tiny
+    * batch_tag column rather than a directory listing; the PQ code table,
+    * whose only selective read IS the tag probe, partitions by batch_tag
+    * instead.
     */
   def ingest(batch: DataFrame, tag: Long): Unit = {
     require(tag != 0L, "tag 0 is reserved for the bootstrap build")
@@ -84,8 +94,12 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     */
   val codebookTable = graft.table.MedallionTable(spark, s"$basePath/codebooks")
 
-  /** Append-only PQ codes (vec_id, sub_id, code, batch_tag). */
-  val codeTable = graft.table.MedallionTable(spark, s"$basePath/codes")
+  /** Append-only PQ codes (vec_id, sub_id, code) partitioned by
+    * `batch_tag`: [[ingestPq]]'s tag-idempotence probe prunes to one
+    * directory instead of scanning every prior batch's codes.
+    */
+  val codeTable = graft.table.MedallionTable(spark, s"$basePath/codes",
+    partitionColumns = Seq("batch_tag"))
 
   def trainPq(bootstrap: DataFrame, m: Int = 8, kCent: Int = 16,
       iterations: Int = 1): Unit = {
@@ -172,9 +186,17 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell_id"))
 
+    // The probed-cell set is ≤ nCells values (centroids are broadcast-
+    // bounded by construction), so collecting it is parameter-sized —
+    // same class as the centroid broadcast itself. The isin filter turns
+    // the probe into STATIC partition pruning on the cell_id-partitioned
+    // vector table: the scan lists only the probed cells' directories.
+    val probedCells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.get(0))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     vectorTable.read
+      .filter(col("cell_id").isin(probedCells.toIndexedSeq: _*))
       .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell_id"))
       .join(probes, Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))

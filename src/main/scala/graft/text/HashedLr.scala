@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *   - one hash-aggregate per doc for margins (feature rows are built once
   *     and persisted — the explode/shuffle is paid once, not per
   *     iteration);
-  *   - one hash-aggregate per bucket for the gradient, collected to the
-  *     driver at `dim` rows — parameter-bounded, the same class as the
+  *   - one hash-aggregate per bucket for the gradient — the bias gradient
+  *     rides in the same aggregate as synthetic bucket −1, so each
+  *     iteration is ONE driver-synchronized job — collected at `dim` + 1
+  *     rows: parameter-bounded, the same class as the
   *     [[graft.similarity.Pq]] codebook and [[NgramLM]] model collects.
   * Iterations are a bounded constant; at 100 TB the cost is
   * O(iterations · one pass over cached feature rows), the canonical
@@ -72,8 +74,10 @@ object HashedLr {
       val w = Array.fill(dim)(0.0)
       var bias = 0.0
       for (_ <- 0 until iterations) {
-        // margin + residual per doc, then the gradient per bucket; both are
-        // hash aggregates, the second collects dim rows.
+        // margin + residual per doc, then ONE gradient aggregate per
+        // iteration: the bias rides as synthetic bucket −1 with x = 1
+        // (∂L/∂bias = Σ r = Σ 1·r), so the whole iteration is a single
+        // driver-synchronized job collecting dim + 1 rows.
         val resid = feats
           .groupBy("did", "y")
           .agg(sum(col("x") * element_at(wArr(w), col("b") + 1)).as("m"))
@@ -83,15 +87,16 @@ object HashedLr {
           .persist()
         try {
           val grad = feats.join(resid, "did")
+            .select(col("b"), (col("x") * col("r")).as("c"))
+            .unionByName(resid.select(lit(-1).as("b"), col("r").as("c")))
             .groupBy("b")
-            .agg(sum(col("x") * col("r")).as("g"))
+            .agg(sum(col("c")).as("g"))
             .collect()
           grad.foreach { row =>
             val b = row.getAs[Number]("b").intValue()
-            w(b) += learningRate * row.getAs[Double]("g") / nDocs
+            val step = learningRate * row.getAs[Double]("g") / nDocs
+            if (b == -1) bias += step else w(b) += step
           }
-          bias += learningRate *
-            resid.agg(sum("r")).collect()(0).getDouble(0) / nDocs
         } finally { resid.unpersist() }
       }
       Model(w, bias, dim)
