@@ -138,6 +138,27 @@ object PipelineOpsQueries {
     "sim_ann_ivf" -> ((s, dir) =>
       graft.similarity.Ivf.topK(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)),
 
+    // Seeded (iterations = 0) IVF: centroids ARE the vec_id < 4 vectors,
+    // so every stage — assignment argmax, probe ranking, candidate cosine
+    // ranking — reproduces formula-for-formula in the DuckDB oracle (the
+    // J7 same-formula-both-sides discipline). This hash-matches the WHOLE
+    // IVF pipeline end-to-end; `sim_ann_ivf` keeps Lloyd refinement for
+    // recall and stays rows-only with the planted-copy xcheck.
+    "sim_ann_ivf_seeded" -> ((s, dir) =>
+      graft.similarity.Ivf.topK(Tables.embeddings(s, dir), col("vec_id") < 8,
+        k = 5, nCentroids = 4, nProbe = 2, iterations = 0)),
+
+    // Seeded PQ/ADC twin, same discipline: iterations = 0 keeps the
+    // codebooks at their deterministic seeds (subvectors of the 16
+    // lowest-id vectors), so code assignment, the micro-rounded LUT, and
+    // the integer ADC ranking all reproduce in DuckDB (double-cast lists
+    // make list_inner_product bit-match graft_dot's left-to-right double
+    // accumulation). Hash-matches the WHOLE PQ pipeline; `sim_pq_topk`
+    // keeps Lloyd refinement and the planted-copy xcheck.
+    "sim_pq_topk_seeded" -> ((s, dir) =>
+      graft.similarity.Pq.topK(Tables.embeddings(s, dir), col("vec_id") < 8,
+        k = 5, m = 8, kCent = 16, iterations = 0)),
+
     // DECISION-level cross-check for BOTH ANN scale paths (the
     // dedup_decision_xcheck recipe lifted to vectors): plant an exact
     // duplicate of each query vector under a fresh id and demand each
@@ -684,6 +705,73 @@ object PipelineOpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_ann_ivf_seeded" ->
+      ("""WITH cents AS (
+         |  SELECT vec_id AS cell_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 4),
+         |assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+         |                      c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cell_id FROM (
+         |    SELECT q.vec_id AS query_id, c.cell_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_cosine_similarity(q.embedding, c.cv) DESC,
+         |                      c.cell_id) AS rn
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8)
+         |  WHERE rn <= 2)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY p.query_id
+         |           ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+         |                    a.vec_id) AS INTEGER) AS rank
+         |  FROM probes p
+         |  JOIN assign a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN embeddings n ON n.vec_id = a.vec_id)
+         |WHERE rank <= 5""".stripMargin),
+    "sim_pq_topk_seeded" ->
+      ("""WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub_id),
+         |seeds AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+         |  FROM (SELECT DISTINCT vec_id FROM embeddings
+         |        WHERE vec_id IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |vsubs AS (
+         |  SELECT e.vec_id, s.sub_id,
+         |         (CAST(e.embedding AS DOUBLE[]))[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS sv
+         |  FROM embeddings e CROSS JOIN subs s),
+         |books AS (
+         |  SELECT v.sub_id, sd.code, v.sv AS cv
+         |  FROM seeds sd JOIN vsubs v ON v.vec_id = sd.vec_id),
+         |codes AS (
+         |  SELECT vec_id, sub_id, code FROM (
+         |    SELECT v.vec_id, v.sub_id, b.code,
+         |           row_number() OVER (PARTITION BY v.vec_id, v.sub_id ORDER BY
+         |             list_inner_product(v.sv, v.sv) + list_inner_product(b.cv, b.cv)
+         |               - 2 * list_inner_product(v.sv, b.cv), b.code) AS rn
+         |    FROM vsubs v JOIN books b ON b.sub_id = v.sub_id) WHERE rn = 1),
+         |lut AS (
+         |  SELECT qs.vec_id AS query_id, b.sub_id, b.code,
+         |         CAST(round((list_inner_product(qs.sv, qs.sv)
+         |             + list_inner_product(b.cv, b.cv)
+         |             - 2 * list_inner_product(qs.sv, b.cv)) * 1e6) AS BIGINT) AS dist_micro
+         |  FROM vsubs qs JOIN books b ON b.sub_id = qs.sub_id
+         |  WHERE qs.vec_id < 8),
+         |adc AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id,
+         |         SUM(l.dist_micro) AS adist
+         |  FROM codes c JOIN lut l ON l.sub_id = c.sub_id AND l.code = c.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+         |  FROM adc WHERE neighbor_id <> query_id)
+         |WHERE rank <= 5""".stripMargin),
     "dedup_embedding_pairs" ->
       ("SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +

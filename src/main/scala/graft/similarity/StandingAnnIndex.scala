@@ -83,6 +83,39 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
         .withColumn("batch_tag", lit(tag)))
   }
 
+  /** Periodic re-index: re-train centroids on the CURRENT persisted
+    * corpus (not the original bootstrap) and rebuild every assignment in
+    * one pass, preserving each row's batch_tag. This is the standard IVF
+    * re-train cadence the class scaladoc promises: frozen centroids
+    * drift from the data distribution as ingested batches move away from
+    * the bootstrap's clusters, recall at fixed nProbe decays, and a
+    * retrain recovers it (measured in StandingIndexRetrainSpec and
+    * SCALING.md). Safe against reading-from-self: MedallionTable
+    * overwrite stages the rewrite beside the table and swaps after the
+    * job, so the build reads the pre-swap files. At 100 TB, train on
+    * `sampleFraction` < 1 — k-means only needs a representative sample —
+    * while the one-pass reassignment still covers every row.
+    */
+  def retrain(nCentroids: Int, iterations: Int = 2,
+      sampleFraction: Double = 1.0): Unit = {
+    val current = vectorTable.read
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"),
+        col("batch_tag"))
+    val base = current.select(col("vec_id"), col("v"))
+    // the deterministic seed rows (vec_id < nCentroids) must survive the
+    // sample or refineCentroids would start from fewer than n seeds
+    val trainSet =
+      if (sampleFraction >= 1.0) base
+      else base.filter(col("vec_id") < nCentroids).unionByName(
+        base.filter(col("vec_id") >= nCentroids)
+          .sample(withReplacement = false, sampleFraction, seed = 7L))
+    val cents = Ivf.refineCentroids(trainSet, nCentroids, iterations)
+    centroidTable.overwrite(cents)
+    vectorTable.overwrite(
+      Ivf.assignCells(base, cents)
+        .join(current.select(col("vec_id"), col("batch_tag")), Seq("vec_id")))
+  }
+
   // ---- PQ side: m small integer codes per vector instead of d doubles —
   // the 100 TB memory story (~32× smaller at m=8, dims=64). Same
   // freeze/ingest/query protocol: codebooks train once on the bootstrap,

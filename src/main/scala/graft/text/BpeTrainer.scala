@@ -67,31 +67,101 @@ object BpeTrainer {
             .otherwise(concat(acc, array(x)))))
   }
 
+  /** Max count any NEW pair created by merging (l, r) can have, per
+    * candidate pair: a new pair (x, lr) / (lr, y) needs an adjacent
+    * triple x·l·r / l·r·y in the stream, so its count is bounded by that
+    * triple's count. One aggregate over the working set, max-rolled from
+    * both sides. Pairs with no adjacent triple bound at 0.
+    */
+  private def newPairBounds(working: DataFrame): DataFrame = {
+    val triples = working
+      .filter(size(col("syms")) >= 3)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i).as("t1"),
+            element_at(col("syms"), i + 1).as("t2"),
+            element_at(col("syms"), i + 2).as("t3")))).as("t"))
+      .groupBy(col("t.t1").as("t1"), col("t.t2").as("t2"), col("t.t3").as("t3"))
+      .agg(sum(col("freq")).as("cnt3"))
+    triples.select(col("t1").as("l"), col("t2").as("r"), col("cnt3"))
+      .unionByName(
+        triples.select(col("t2").as("l"), col("t3").as("r"), col("cnt3")))
+      .groupBy("l", "r").agg(max(col("cnt3")).as("new_pair_bound"))
+  }
+
   /** Trains `numMerges` merges over a (word, freq) table. Stops early when
     * no adjacent pair remains.
+    *
+    * Selection is BATCHED but provably identical to one-at-a-time greedy
+    * BPE: each round collects the top `batchSize` candidate pairs (with
+    * their [[newPairBounds]]) and accepts the maximal sorted PREFIX in
+    * which every pair (a) shares no symbol string with an earlier
+    * accepted pair or its concatenation — so its measured count and
+    * occurrence positions are untouched by applying them — and (b) has
+    * count strictly above every accepted pair's new-pair bound — so no
+    * pair CREATED by the accepted merges could outrank (or tie) it. Under
+    * (a)+(b) the prefix is exactly the next k picks sequential greedy
+    * would make, so the merge list (ranks, pairs, counts) is bit-identical
+    * to `batchSize = 1` — the equivalence BpeBatchSpec asserts on an
+    * interaction-heavy corpus — while driver round trips drop toward
+    * numMerges / batchSize on merge-disjoint vocabularies (a 32k-merge
+    * production vocab stops costing 32k Spark jobs).
     */
-  def train(wordFreq: DataFrame, numMerges: Int): Seq[Merge] = {
+  def train(wordFreq: DataFrame, numMerges: Int, batchSize: Int = 8): Seq[Merge] =
+    trainCounted(wordFreq, numMerges, batchSize)._1
+
+  /** [[train]] + the number of driver rounds it took (spec surface). */
+  private[text] def trainCounted(wordFreq: DataFrame, numMerges: Int,
+      batchSize: Int): (Seq[Merge], Int) = {
+    require(batchSize >= 1, "batchSize must be >= 1")
     var working = toSymbols(wordFreq)
       .filter(size(col("syms")) >= 2)
       .localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var rank = 1
+    var rounds = 0
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
+      val wanted = math.min(batchSize, numMerges - rank + 1)
       val top = adjacentPairCounts(working)
+        .join(newPairBounds(working), Seq("l", "r"), "left")
+        .select(col("l"), col("r"), col("cnt"),
+          coalesce(col("new_pair_bound"), lit(0L)).as("bound"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
+        .limit(wanted).collect()
+      rounds += 1
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += Merge(rank, l, r, cnt)
-        working = applyMerge(working, l, r)
-          .filter(size(col("syms")) >= 2)
-          .localCheckpoint()
-        rank += 1
+        // prefix-greedy acceptance: stop at the FIRST candidate that
+        // interacts — a later disjoint candidate may NOT be taken, or the
+        // batch could leapfrog a still-higher-count sequential pick
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        val usedSyms = scala.collection.mutable.Set.empty[String]
+        var maxBound = Long.MinValue
+        var open = true
+        top.foreach { row =>
+          if (open) {
+            val (l, r, cnt, bound) = (row.getString(0), row.getString(1),
+              row.getLong(2), row.getLong(3))
+            val m = l + r
+            val disjoint = usedSyms.isEmpty ||
+              (!usedSyms(l) && !usedSyms(r) && !usedSyms(m))
+            if (disjoint && (usedSyms.isEmpty || cnt > maxBound)) {
+              accepted += ((l, r, cnt))
+              usedSyms ++= Seq(l, r, m)
+              maxBound = math.max(maxBound, bound)
+            } else open = false
+          }
+        }
+        accepted.result().foreach { case (l, r, cnt) =>
+          merges += Merge(rank, l, r, cnt)
+          working = applyMerge(working, l, r)
+          rank += 1
+        }
+        working = working.filter(size(col("syms")) >= 2).localCheckpoint()
       }
     }
-    merges.result()
+    (merges.result(), rounds)
   }
 
   /** Applies a trained merge list to segment words — the tokenizer's

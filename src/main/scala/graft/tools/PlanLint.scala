@@ -41,6 +41,8 @@ object PlanLint {
       "corpus x broadcast(k query vectors): the bounded exact baseline; scale paths are sim_ann_lsh/ivf"),
     "sim_ann_ivf" -> (Set("BroadcastNestedLoopJoin"),
       "corpus x broadcast(centroids) cell assignment — centroid count is a small constant"),
+    "sim_ann_ivf_seeded" -> (Set("BroadcastNestedLoopJoin"),
+      "same corpus x broadcast(centroids) assignment as sim_ann_ivf, with seed (iterations=0) centroids for the end-to-end DuckDB oracle"),
     "sim_ann_xcheck" -> (Set("BroadcastNestedLoopJoin"),
       "same IVF corpus x broadcast(centroids) cell assignment as sim_ann_ivf, on the planted-dup corpus"),
     "sim_standing_index" -> (Set("BroadcastNestedLoopJoin"),
