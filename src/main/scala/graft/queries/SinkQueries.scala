@@ -27,6 +27,30 @@ object SinkQueries {
         "o_orderdate", "o_orderpriority")
     }),
 
+    // K10 (round-10 verdict stretch #7) — Delta _delta_log interop
+    // export: the table is written through the MedallionTable layer, the
+    // log is synced per commit (v0 create + adds, v1 incremental adds),
+    // and the QUERY returns the TABLE-LAYER read while the ORACLE replays
+    // the exported log externally in DuckDB (read_json over
+    // _delta_log/*.json → adds-minus-removes live set → semi-join against
+    // the parquet dir). Hash match ⟺ an external Delta-log reader
+    // reproduces the graft table exactly. The oracle embeds the sf0.01
+    // scratch path — the driver's correctness gate runs at sf0.01; bench
+    // runs at other sf write sibling dirs and cannot clobber it.
+    "k10_delta_export_replay" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "delta_export")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 4 === 0))
+      graft.table.DeltaLogExport.sync(s, p)
+      t.append(o.filter($"o_orderkey" % 4 === 1))
+      graft.table.DeltaLogExport.sync(s, p)
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }),
+
     // K6 (round-8 verdict #2) — named-table catalog surface: a
     // MedallionTable registered via CREATE TABLE … USING graft LOCATION
     // (graft.sources.GraftSqlSource), then read back through spark.sql BY
@@ -633,6 +657,26 @@ object SinkQueries {
   val oracles: Map[String, String] = Map(
     "k1_append_roundtrip" ->
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 4 IN (0, 1)",
+    // External replay of the exported Delta log: live set = adds minus
+    // removes across version files, then only those parquet files are
+    // read. Compared against the Spark TABLE-LAYER read, so a path,
+    // diff, or JSON bug in the export breaks the hash.
+    "k10_delta_export_replay" ->
+      (s"""WITH acts AS (
+         |  SELECT json FROM read_json_objects(
+         |    '/tmp/graft_scratch/_root_testdata_sf0.01/delta_export/_delta_log/*.json',
+         |    format='newline_delimited')),
+         |adds AS (SELECT json_extract_string(json, '$$.add.path') AS p
+         |         FROM acts WHERE json_extract_string(json, '$$.add.path') IS NOT NULL),
+         |rems AS (SELECT json_extract_string(json, '$$.remove.path') AS p
+         |         FROM acts WHERE json_extract_string(json, '$$.remove.path') IS NOT NULL),
+         |live AS (SELECT p FROM adds EXCEPT SELECT p FROM rems)
+         |SELECT $OrderCols
+         |FROM read_parquet(
+         |  '/tmp/graft_scratch/_root_testdata_sf0.01/delta_export/*.parquet',
+         |  filename=true) t
+         |WHERE regexp_extract(t.filename, '[^/]+$$') IN (SELECT p FROM live)"""
+        .stripMargin),
     "k2_overwrite_roundtrip" ->
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 4 = 2",
     "k6_catalog_version_as_of" ->

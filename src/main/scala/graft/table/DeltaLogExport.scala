@@ -1,0 +1,160 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import scala.collection.mutable
+
+/** Minimal checkpoint-less Delta-log EXPORT for a [[MedallionTable]]: the
+  * last interop gap with the reference's storage format
+  * (`medallion_init.sh:10-18` ships real Delta). [[sync]] writes
+  * `_delta_log/%020d.json` commit files — JSON-lines Delta actions:
+  * `protocol` (reader 1 / writer 2), `metaData` (deterministic table id,
+  * the Spark-JSON `schemaString` Delta itself uses, partition columns,
+  * parquet format) and one `add` per live data file (relative path,
+  * partitionValues parsed from hive dirs, size, modificationTime,
+  * dataChange) — plus `remove` actions when a previously-exported file
+  * vanished without a directory swap. An external Delta reader replays
+  * adds minus removes in version order; the `k10_delta_export_replay`
+  * oracle does exactly that replay in DuckDB SQL (`read_json` over the
+  * log → live-file semi-join against the parquet dir), and
+  * DeltaLogExportSpec replays it independently on the Scala side.
+  *
+  * Deliberate limits of "minimal": no checkpoint parquet (readers replay
+  * the JSON versions — fine at export cadence), `metaData` re-emitted
+  * only when the schema string changes, and a REWRITE (overwrite /
+  * merge / OPTIMIZE — MedallionTable swaps the whole directory, so the
+  * log vanishes with the old dir) restarts the export at version 0
+  * describing the post-rewrite snapshot, which replays correctly but
+  * does not preserve cross-rewrite history. Append-only tables — the
+  * reference's bronze landing pattern — get a faithful per-sync version
+  * chain. Driver-side work is file listing + tiny JSON, the same
+  * metadata class as Delta's own log writes.
+  */
+object DeltaLogExport {
+
+  private val mapper = new ObjectMapper()
+
+  /** Exported live set + last schemaString according to the existing log
+    * (replay of adds/removes in version order).
+    */
+  private def replayLog(fs: org.apache.hadoop.fs.FileSystem,
+      logDir: Path): (Long, mutable.LinkedHashSet[String], Option[String]) = {
+    val live = mutable.LinkedHashSet.empty[String]
+    var lastSchema: Option[String] = None
+    if (!fs.exists(logDir)) return (-1L, live, lastSchema)
+    val versions = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+    versions.foreach { vf =>
+      val in = fs.open(vf)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("add")) live += node.get("add").get("path").asText()
+        if (node.has("remove")) live -= node.get("remove").get("path").asText()
+        if (node.has("metaData"))
+          lastSchema = Some(node.get("metaData").get("schemaString").asText())
+      }
+    }
+    val lastV = versions.lastOption
+      .map(_.getName.stripSuffix(".json").toLong).getOrElse(-1L)
+    (lastV, live, lastSchema)
+  }
+
+  /** Sync the export to the table's CURRENT snapshot: diffs the live
+    * data-file set against what the log's last version describes and
+    * writes one new commit json with the delta (first call also carries
+    * `protocol` + `metaData`). Returns the version written, or -1 when
+    * the log already matches (idempotent no-op — nothing is written).
+    */
+  def sync(spark: SparkSession, tablePath: String): Long = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no table at $tablePath")
+    val logDir = new Path(root, "_delta_log")
+    val (lastVersion, exportedLive, exportedSchema) = replayLog(fs, logDir)
+
+    // current live files, relative to the table root (same traversal rule
+    // as MedallionTable.dataFileSet: skip _-/.-prefixed segments)
+    val rootUri = fs.makeQualified(root).toUri
+    val current = mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = rootUri.relativize(fs.makeQualified(st.getPath).toUri).getPath
+      val segs = rel.split('/')
+      if (st.getPath.getName.endsWith(".parquet") &&
+          !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+        current += rel -> ((st.getLen, st.getModificationTime))
+    }
+
+    val schemaString = new MedallionTable(spark, tablePath).read.schema.json
+    val adds = current.keysIterator.filterNot(exportedLive).toSeq
+    val removes = exportedLive.iterator.filterNot(current.keySet).toSeq
+    val needMeta = !exportedSchema.contains(schemaString)
+    if (adds.isEmpty && removes.isEmpty && !needMeta) return -1L
+
+    val version = lastVersion + 1
+    val sb = new StringBuilder
+    if (version == 0L) {
+      val protocol = mapper.createObjectNode()
+      protocol.putObject("protocol")
+        .put("minReaderVersion", 1).put("minWriterVersion", 2)
+      sb.append(mapper.writeValueAsString(protocol)).append('\n')
+    }
+    if (needMeta) {
+      val partCols = current.keysIterator.flatMap(
+        _.split('/').dropRight(1).filter(_.contains('=')).map(_.split('=')(0)))
+        .distinct.toSeq
+      val metaWrap = mapper.createObjectNode()
+      val meta = metaWrap.putObject("metaData")
+      meta.put("id",
+        java.util.UUID.nameUUIDFromBytes(tablePath.getBytes("UTF-8")).toString)
+      val fmt = meta.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      meta.put("schemaString", schemaString)
+      val pc = meta.putArray("partitionColumns")
+      partCols.foreach(pc.add)
+      meta.putObject("configuration")
+      meta.put("createdTime", 0L)
+      sb.append(mapper.writeValueAsString(metaWrap)).append('\n')
+    }
+    removes.foreach { p =>
+      val wrap = mapper.createObjectNode()
+      wrap.putObject("remove").put("path", p)
+        .put("dataChange", true).put("deletionTimestamp", 0L)
+      sb.append(mapper.writeValueAsString(wrap)).append('\n')
+    }
+    adds.foreach { p =>
+      val (len, mod) = current(p)
+      val wrap = mapper.createObjectNode()
+      val add = wrap.putObject("add")
+      add.put("path", p)
+      val pv = add.putObject("partitionValues")
+      p.split('/').dropRight(1).filter(_.contains('=')).foreach { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        pv.put(k, v)
+      }
+      add.put("size", len).put("modificationTime", mod).put("dataChange", true)
+      sb.append(mapper.writeValueAsString(wrap)).append('\n')
+    }
+
+    if (!fs.exists(logDir)) fs.mkdirs(logDir)
+    val out = fs.create(new Path(logDir, f"$version%020d.json"), true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    version
+  }
+
+  /** The files an external reader would scan: replay of the exported log
+    * (adds minus removes, version order) — the Scala half of the interop
+    * check; the DuckDB oracle replays the same JSON independently.
+    */
+  def liveFilesFromLog(spark: SparkSession, tablePath: String): Seq[String] = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    replayLog(fs, new Path(root, "_delta_log"))._2.toSeq
+  }
+}
