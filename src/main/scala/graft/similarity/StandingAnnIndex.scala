@@ -60,9 +60,17 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     val base = Ivf.prepared(bootstrap)
     val cents = Ivf.refineCentroids(base, nCentroids, iterations)
     centroidTable.overwrite(cents)
-    vectorTable.overwrite(
-      Ivf.assignCells(base, cents).withColumn("batch_tag", lit(0L)))
+    vectorTable.overwrite(clusterForWrite(
+      Ivf.assignCells(base, cents).withColumn("batch_tag", lit(0L))))
   }
+
+  /** Cluster rows by cell before a partitioned write: without this, every
+    * write task holding rows of k cells emits k files, so a 32-task write
+    * into 32 cells can scatter ~1000 small files; clustered, each cell's
+    * rows land in one task → one file per cell per write.
+    */
+  private def clusterForWrite(df: DataFrame): DataFrame =
+    df.repartition(col("cell_id"))
 
   /** Assign `batch` (vec_id, embedding) to the frozen centroids and
     * append. Idempotent per `tag`: a replayed batch (at-least-once
@@ -78,9 +86,9 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     require(tag != 0L, "tag 0 is reserved for the bootstrap build")
     if (vectorTable.exists &&
         !vectorTable.read.filter(col("batch_tag") === tag).isEmpty) return
-    vectorTable.append(
+    vectorTable.append(clusterForWrite(
       Ivf.assignCells(Ivf.prepared(batch), centroidTable.read)
-        .withColumn("batch_tag", lit(tag)))
+        .withColumn("batch_tag", lit(tag))))
   }
 
   /** Periodic re-index: re-train centroids on the CURRENT persisted
@@ -111,9 +119,9 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
           .sample(withReplacement = false, sampleFraction, seed = 7L))
     val cents = Ivf.refineCentroids(trainSet, nCentroids, iterations)
     centroidTable.overwrite(cents)
-    vectorTable.overwrite(
+    vectorTable.overwrite(clusterForWrite(
       Ivf.assignCells(base, cents)
-        .join(current.select(col("vec_id"), col("batch_tag")), Seq("vec_id")))
+        .join(current.select(col("vec_id"), col("batch_tag")), Seq("vec_id"))))
   }
 
   // ---- PQ side: m small integer codes per vector instead of d doubles —

@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * document length (mean-of-features, as fastText does).
   *
   * Scale shape, per iteration:
-  *   - the model (dim + 1 doubles) rides in the PLAN as an array literal —
-  *     nothing is collected per row;
+  *   - the model (dim + 1 doubles) rides as a broadcast (b, w) relation
+  *     joined to the feature rows — nothing is collected per row, and
+  *     because the plan TEXT never changes across iterations, whole-stage
+  *     codegen compiles once for the whole loop (an array-literal model
+  *     would force a fresh janino compile every iteration); inference
+  *     ([[predict]]) runs once, so it keeps the literal-array form;
   *   - one hash-aggregate per doc for margins (feature rows are built once
   *     and persisted — the explode/shuffle is paid once, not per
   *     iteration);
@@ -62,46 +66,55 @@ object HashedLr {
       .agg((count(lit(1)) / first("len")).as("x"))
   }
 
-  private def wArr(w: Array[Double]): Column =
-    array(w.toIndexedSeq.map(lit): _*)
-
   def train(docs: DataFrame, docId: String, text: String, label: String,
       dim: Int = 32, iterations: Int = 15, learningRate: Double = 1.0): Model = {
-    val feats = featureRows(docs, docId, text, label, dim).persist()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The bias rides as synthetic bucket −1 with x = 1 in the SAME rows
+    // as the hashed features: margins pick it up through the weight join
+    // (w(−1) = bias) and the gradient aggregate emits ∂L/∂bias at b = −1
+    // — one driver-synchronized job per iteration, collecting dim + 1
+    // rows. The model enters each iteration as a broadcast-joined
+    // (b, w) DataFrame, NOT a literal array: iteration plans are then
+    // textually identical, so whole-stage codegen compiles once and every
+    // later iteration is a cache hit instead of a fresh janino compile.
+    val feats0 = featureRows(docs, docId, text, label, dim)
+    val feats = feats0.unionByName(
+        feats0.select(col("did"), col("y")).distinct()
+          .select(col("did"), col("y"), lit(-1).as("b"), lit(1.0).as("x")))
+      .persist()
     try {
-      val nDocs = feats.select("did").distinct().count().toDouble
+      val nDocs = feats.filter(col("b") === -1).count().toDouble
       require(nDocs > 0, "training corpus has no tokenizable documents")
       val w = Array.fill(dim)(0.0)
       var bias = 0.0
       for (_ <- 0 until iterations) {
-        // margin + residual per doc, then ONE gradient aggregate per
-        // iteration: the bias rides as synthetic bucket −1 with x = 1
-        // (∂L/∂bias = Σ r = Σ 1·r), so the whole iteration is a single
-        // driver-synchronized job collecting dim + 1 rows.
+        val wDf = ((-1, bias) +: w.toIndexedSeq.zipWithIndex
+          .map { case (v, i) => (i, v) }).toDF("b", "w")
+        // resid has exactly ONE consumer (the gradient join), so it stays
+        // lazy inside the single per-iteration job — no persist round
         val resid = feats
+          .join(broadcast(wDf), "b")
           .groupBy("did", "y")
-          .agg(sum(col("x") * element_at(wArr(w), col("b") + 1)).as("m"))
+          .agg(sum(col("x") * col("w")).as("m"))
           .select(col("did"),
-            (col("y") - lit(1.0) / (lit(1.0) + exp(-(col("m") + lit(bias)))))
-              .as("r"))
-          .persist()
-        try {
-          val grad = feats.join(resid, "did")
-            .select(col("b"), (col("x") * col("r")).as("c"))
-            .unionByName(resid.select(lit(-1).as("b"), col("r").as("c")))
-            .groupBy("b")
-            .agg(sum(col("c")).as("g"))
-            .collect()
-          grad.foreach { row =>
-            val b = row.getAs[Number]("b").intValue()
-            val step = learningRate * row.getAs[Double]("g") / nDocs
-            if (b == -1) bias += step else w(b) += step
-          }
-        } finally { resid.unpersist() }
+            (col("y") - lit(1.0) / (lit(1.0) + exp(-col("m")))).as("r"))
+        val grad = feats.join(resid, "did")
+          .groupBy("b")
+          .agg(sum(col("x") * col("r")).as("g"))
+          .collect()
+        grad.foreach { row =>
+          val b = row.getAs[Number]("b").intValue()
+          val step = learningRate * row.getAs[Double]("g") / nDocs
+          if (b == -1) bias += step else w(b) += step
+        }
       }
       Model(w, bias, dim)
     } finally { feats.unpersist() }
   }
+
+  private def wArr(w: Array[Double]): Column =
+    array(w.toIndexedSeq.map(lit): _*)
 
   /** One narrow pass + one per-doc aggregate: margin and decision for every
     * tokenizable document.
