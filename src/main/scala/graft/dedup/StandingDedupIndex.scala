@@ -68,6 +68,13 @@ final class StandingDedupIndex(
     // re-runs the same batch — excluding the index rows it tagged T makes
     // the re-check see exactly the pre-ingest index and reproduce the
     // original report instead of flipping every doc to a self-duplicate.
+    excludeTag.foreach { t =>
+      val wm = graft.table.TagArchive.watermark(spark, basePath)
+      require(t > wm,
+        s"excludeTag $t is at or below the compaction watermark $wm: its " +
+          "rows were folded into the archive partition and can no longer " +
+          "be excluded — only tags above the watermark are replayable")
+    }
     def minusTag(df: DataFrame): DataFrame = excludeTag match {
       case Some(t) if df.columns.contains("batch_tag") =>
         df.filter(!(col("batch_tag") <=> lit(t)))
@@ -110,9 +117,32 @@ final class StandingDedupIndex(
     * DISTINCT-ed), which is also what makes a foreachBatch replay safe.
     */
   def ingest(batch: DataFrame, tag: Long = 0L): Unit = {
+    // a tag at or below the compaction watermark is KNOWN-ingested even
+    // though its partition has been folded into the archive — replaying
+    // it must stay a no-op, not a double count
+    if (tag <= graft.table.TagArchive.watermark(spark, basePath)) return
     hashTable.append(hashesOf(batch).withColumn("batch_tag", lit(tag)))
     bandTable.append(bandKeys(batch)
       .select(col("doc_id"), col("band_idx"), col("band_key"))
       .withColumn("batch_tag", lit(tag)))
+  }
+
+  /** Fold every `batch_tag ≤ w` partition of BOTH index tables into the
+    * single archive partition ([[graft.table.TagArchive]]): at daily
+    * cadence the per-tag directories that make replay probes O(1) become
+    * a listing burden after a year; compaction keeps the index
+    * content-identical (check() results are unchanged — the joins don't
+    * care which partition a key row lives in) while collapsing the
+    * layout to archive + recent tags. Replay of a COMPACTED tag is
+    * handled by the watermark in [[ingest]]; `excludeTag` replay-checks
+    * are only valid above the watermark (enforced in [[check]]) — the
+    * recovery window replay actually needs, since a crashed batch is the
+    * newest one.
+    */
+  def compactThrough(w: Long, nFiles: Int = 4): Unit = {
+    graft.table.TagArchive.archiveThrough(hashTable, w, nFiles)
+    graft.table.TagArchive.archiveThrough(bandTable, w, nFiles)
+    val prev = graft.table.TagArchive.watermark(spark, basePath)
+    if (w > prev) graft.table.TagArchive.setWatermark(spark, basePath, w)
   }
 }

@@ -319,7 +319,12 @@ object PipelineOpsQueries {
       val dups = emb.filter($"vec_id" < 8)
         .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
       val planted = emb.select($"vec_id", $"embedding").unionByName(dups)
-      graft.similarity.IvfPq.topK(planted, $"vec_id" < 8, k = 1)
+      // ivfIterations = 1 for the same reason sim_ann_xcheck trains one
+      // round: the planted-copy invariant holds under ANY deterministic
+      // centroid set, so extra Lloyd refinement buys the cross-check
+      // nothing — recall quality is sim_ivfpq_topk's concern
+      graft.similarity.IvfPq.topK(planted, $"vec_id" < 8, k = 1,
+          ivfIterations = 1)
         .select($"query_id", $"neighbor_id".as("ivfpq_top1"),
           ($"neighbor_id" === $"query_id" + 100000).as("ivfpq_self"))
     }),

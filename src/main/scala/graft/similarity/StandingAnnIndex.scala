@@ -159,6 +159,10 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     */
   def ingestPq(batch: DataFrame, tag: Long): Unit = {
     require(tag != 0L, "tag 0 is reserved for the bootstrap build")
+    // at or below the code table's compaction watermark = known-ingested
+    // (partition folded into the archive) — replay must stay a no-op
+    if (tag <= graft.table.TagArchive.watermark(spark, basePath, "codes"))
+      return
     if (codeTable.exists &&
         !codeTable.read.filter(col("batch_tag") === tag).isEmpty) return
     val books = codebookTable.read
@@ -167,6 +171,20 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
       Pq.assignCodes(Pq.subRows(Ivf.prepared(batch), m, d), books)
         .select(col("vec_id"), col("sub_id"), col("code"))
         .withColumn("batch_tag", lit(tag)))
+  }
+
+  /** Fold every `batch_tag ≤ w` partition of the PQ code table into the
+    * archive partition ([[graft.table.TagArchive]]) — the code table's
+    * only selective read is the ingest tag probe, so after a year of
+    * daily tags the compaction collapses ~365 directories to archive +
+    * recent without changing [[queryPq]] results (ADC scans all codes
+    * regardless of partition). Replay of a compacted tag is handled by
+    * the watermark check in [[ingestPq]].
+    */
+  def compactCodesThrough(w: Long, nFiles: Int = 4): Unit = {
+    graft.table.TagArchive.archiveThrough(codeTable, w, nFiles)
+    if (w > graft.table.TagArchive.watermark(spark, basePath, "codes"))
+      graft.table.TagArchive.setWatermark(spark, basePath, w, "codes")
   }
 
   /** ADC top-k against the persisted code table ([[Pq.topK]] semantics:
