@@ -455,6 +455,29 @@ object TextQueries {
           "exact_after", "n_candidates_after")
     }),
 
+    // The compaction twin of dedup_index_persisted: the day-1 corpus
+    // lands as THREE daily tags, tags 1-2 are folded into the archive
+    // partition (StandingDedupIndex.compactThrough), and the day-2 check
+    // must be BIT-IDENTICAL to checking against an uncompacted index
+    // holding the same keys — the oracle recomputes the check from the
+    // corpus directly and knows nothing about tags or archives, so any
+    // row lost or duplicated-into-visibility by compaction breaks the
+    // hash.
+    "dedup_index_compacted" -> ((s, dir) => {
+      import s.implicits._
+      val work = Q.scratch(dir, "dedup_index_compact")
+      Q.deleteDir(s, work)
+      val all = plantedCorpus(Tables.documents(s, dir))
+      val corpus = all.filter($"doc_id" % 5 =!= 0)
+      val batch = all.filter($"doc_id" % 5 === 0)
+      val idx = new graft.dedup.StandingDedupIndex(s, work, md5LshBands)
+      idx.ingest(corpus.filter($"doc_id" % 3 === 0), tag = 1L)
+      idx.ingest(corpus.filter($"doc_id" % 3 === 1), tag = 2L)
+      idx.ingest(corpus.filter($"doc_id" % 3 === 2), tag = 3L)
+      idx.compactThrough(2L)
+      idx.check(batch)
+    }),
+
     // DECISION-level cross-check of the xxhash scale path against the
     // oracled MD5 twin: run BOTH near-dup pipelines over the planted-dup
     // corpus and emit, for every ground-truth identical-text pair, whether
@@ -1681,6 +1704,42 @@ object TextQueries {
          |FROM batch b LEFT JOIN exact e ON b.doc_id = e.doc_id
          |LEFT JOIN cn ON b.doc_id = cn.doc_id
          |LEFT JOIN cn2 ON b.doc_id = cn2.doc_id""".stripMargin
+    },
+    // same check recompute as dedup_index_persisted's day-2 report —
+    // deliberately tag/archive-blind: compaction must be invisible
+    "dedup_index_compacted" -> {
+      val duckShingles =
+        s"list_transform(range(1, len($DuckTokens) - 1), " +
+          s"i -> ($DuckTokens)[i] || ' ' || ($DuckTokens)[i+1] || ' ' || ($DuckTokens)[i+2])"
+      val sigCols = (0 until 4).map { k =>
+        s"LIST_MIN(list_transform($duckShingles, sh -> MD5('$k:' || sh))) AS mh_$k"
+      }.mkString(", ")
+      def bands(src: String) =
+        s"""SELECT doc_id, CAST(0 AS INTEGER) AS band_idx, md5(mh_0 || mh_1) AS band_key FROM $src
+           |  UNION ALL
+           |  SELECT doc_id, CAST(1 AS INTEGER), md5(mh_2 || mh_3) FROM $src""".stripMargin
+      s"""WITH donor AS (SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),
+         |all_docs AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 25 = 0 AND d.doc_id % 5 = 0 AND donor_text IS NOT NULL
+         |         THEN donor_text ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN donor ON d.doc_id = donor.doc_id),
+         |corpus AS (SELECT * FROM all_docs WHERE doc_id % 5 <> 0),
+         |batch AS (SELECT * FROM all_docs WHERE doc_id % 5 = 0),
+         |exact AS (
+         |  SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)),
+         |bsig AS (SELECT doc_id, $sigCols FROM batch WHERE LEN($DuckTokens) >= 3),
+         |csig AS (SELECT doc_id, $sigCols FROM corpus WHERE LEN($DuckTokens) >= 3),
+         |bb AS (${bands("bsig")}),
+         |cb AS (${bands("csig")}),
+         |cand AS (
+         |  SELECT DISTINCT bb.doc_id, cb.doc_id AS corpus_id
+         |  FROM bb JOIN cb ON bb.band_idx = cb.band_idx AND bb.band_key = cb.band_key),
+         |cn AS (SELECT doc_id, COUNT(*) AS n FROM cand GROUP BY doc_id)
+         |SELECT b.doc_id, e.doc_id IS NOT NULL AS is_exact_dup,
+         |       CAST(COALESCE(cn.n, 0) AS BIGINT) AS n_candidates
+         |FROM batch b LEFT JOIN exact e ON b.doc_id = e.doc_id
+         |LEFT JOIN cn ON b.doc_id = cn.doc_id""".stripMargin
     },
     "dedup_xx_planted_decisions" ->
       """SELECT p.doc_id AS id_a, d.doc_id AS id_b,
