@@ -51,6 +51,28 @@ object SinkQueries {
         "o_orderdate", "o_orderpriority")
     }),
 
+    // The checkpoint half of the K10 interop story: two synced commits,
+    // a checkpoint at version 1, then a post-checkpoint commit. The
+    // ORACLE follows the external reader protocol — seed the live set
+    // from the checkpoint PARQUET, apply only the JSON tail after it —
+    // while the query returns the table-layer read.
+    "k10_delta_checkpoint_replay" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "delta_ck")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 4 === 0))
+      graft.table.DeltaLogExport.sync(s, p)
+      t.append(o.filter($"o_orderkey" % 4 === 1))
+      graft.table.DeltaLogExport.sync(s, p)
+      graft.table.DeltaLogExport.checkpoint(s, p)
+      t.append(o.filter($"o_orderkey" % 4 === 2))
+      graft.table.DeltaLogExport.sync(s, p)
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }),
+
     // K6 (round-8 verdict #2) — named-table catalog surface: a
     // MedallionTable registered via CREATE TABLE … USING graft LOCATION
     // (graft.sources.GraftSqlSource), then read back through spark.sql BY
@@ -674,6 +696,28 @@ object SinkQueries {
          |SELECT $OrderCols
          |FROM read_parquet(
          |  '/tmp/graft_scratch/_root_testdata_sf0.01/delta_export/*.parquet',
+         |  filename=true) t
+         |WHERE regexp_extract(t.filename, '[^/]+$$') IN (SELECT p FROM live)"""
+        .stripMargin),
+    // External-reader checkpoint protocol: live set = checkpoint parquet
+    // adds ∪ the post-checkpoint JSON tail's adds (versions ≤ the
+    // checkpoint are deliberately NOT read — reading them anyway would
+    // mask a wrong checkpoint).
+    "k10_delta_checkpoint_replay" ->
+      (s"""WITH ck AS (
+         |  SELECT add.path AS p FROM read_parquet(
+         |    '/tmp/graft_scratch/_root_testdata_sf0.01/delta_ck/_delta_log/00000000000000000001.checkpoint.parquet')
+         |  WHERE add IS NOT NULL),
+         |tail AS (
+         |  SELECT json_extract_string(json, '$$.add.path') AS p
+         |  FROM read_json_objects(
+         |    '/tmp/graft_scratch/_root_testdata_sf0.01/delta_ck/_delta_log/00000000000000000002.json',
+         |    format='newline_delimited')
+         |  WHERE json_extract_string(json, '$$.add.path') IS NOT NULL),
+         |live AS (SELECT p FROM ck UNION SELECT p FROM tail)
+         |SELECT $OrderCols
+         |FROM read_parquet(
+         |  '/tmp/graft_scratch/_root_testdata_sf0.01/delta_ck/*.parquet',
          |  filename=true) t
          |WHERE regexp_extract(t.filename, '[^/]+$$') IN (SELECT p FROM live)"""
         .stripMargin),

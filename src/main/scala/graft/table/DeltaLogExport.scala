@@ -21,8 +21,8 @@ import scala.collection.mutable
   * log → live-file semi-join against the parquet dir), and
   * DeltaLogExportSpec replays it independently on the Scala side.
   *
-  * Deliberate limits of "minimal": no checkpoint parquet (readers replay
-  * the JSON versions — fine at export cadence), `metaData` re-emitted
+  * Deliberate limits of "minimal": checkpoints ([[checkpoint]]) are
+  * written on demand rather than every-10-versions, `metaData` re-emitted
   * only when the schema string changes, and a REWRITE (overwrite /
   * merge / OPTIMIZE — MedallionTable swaps the whole directory, so the
   * log vanishes with the old dir) restarts the export at version 0
@@ -36,30 +36,50 @@ object DeltaLogExport {
 
   private val mapper = new ObjectMapper()
 
-  /** Exported live set + last schemaString according to the existing log
-    * (replay of adds/removes in version order).
+  /** Exported live set + last schemaString according to the existing log:
+    * the checkpoint (if `_last_checkpoint` names one) seeds the live set,
+    * then JSON versions AFTER it replay adds/removes in order — exactly
+    * the read protocol an external Delta client follows.
     */
-  private def replayLog(fs: org.apache.hadoop.fs.FileSystem,
+  private def replayLog(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
       logDir: Path): (Long, mutable.LinkedHashSet[String], Option[String]) = {
     val live = mutable.LinkedHashSet.empty[String]
     var lastSchema: Option[String] = None
     if (!fs.exists(logDir)) return (-1L, live, lastSchema)
+    var fromVersion = 0L
+    val lastCk = new Path(logDir, "_last_checkpoint")
+    if (fs.exists(lastCk)) {
+      val in = fs.open(lastCk)
+      val node = try mapper.readTree(
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      val ckV = node.get("version").asLong
+      val ck = spark.read.parquet(
+        new Path(logDir, f"$ckV%020d.checkpoint.parquet").toString)
+      ck.select("add.path").collect()
+        .foreach(r => if (!r.isNullAt(0)) live += r.getString(0))
+      ck.select("metaData.schemaString").collect()
+        .foreach(r => if (!r.isNullAt(0)) lastSchema = Some(r.getString(0)))
+      fromVersion = ckV + 1
+    }
     val versions = fs.listStatus(logDir).map(_.getPath)
       .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
-    versions.foreach { vf =>
-      val in = fs.open(vf)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      text.split('\n').filter(_.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
-        if (node.has("add")) live += node.get("add").get("path").asText()
-        if (node.has("remove")) live -= node.get("remove").get("path").asText()
-        if (node.has("metaData"))
-          lastSchema = Some(node.get("metaData").get("schemaString").asText())
+    versions.filter(_.getName.stripSuffix(".json").toLong >= fromVersion)
+      .foreach { vf =>
+        val in = fs.open(vf)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split('\n').filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          if (node.has("add")) live += node.get("add").get("path").asText()
+          if (node.has("remove")) live -= node.get("remove").get("path").asText()
+          if (node.has("metaData"))
+            lastSchema = Some(node.get("metaData").get("schemaString").asText())
+        }
       }
-    }
     val lastV = versions.lastOption
-      .map(_.getName.stripSuffix(".json").toLong).getOrElse(-1L)
+      .map(_.getName.stripSuffix(".json").toLong).getOrElse(fromVersion - 1)
     (lastV, live, lastSchema)
   }
 
@@ -74,7 +94,7 @@ object DeltaLogExport {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no table at $tablePath")
     val logDir = new Path(root, "_delta_log")
-    val (lastVersion, exportedLive, exportedSchema) = replayLog(fs, logDir)
+    val (lastVersion, exportedLive, exportedSchema) = replayLog(spark, fs, logDir)
 
     // current live files, relative to the table root (same traversal rule
     // as MedallionTable.dataFileSet: skip _-/.-prefixed segments)
@@ -155,6 +175,88 @@ object DeltaLogExport {
   def liveFilesFromLog(spark: SparkSession, tablePath: String): Seq[String] = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    replayLog(fs, new Path(root, "_delta_log"))._2.toSeq
+    replayLog(spark, fs, new Path(root, "_delta_log"))._2.toSeq
+  }
+
+  /** Write a Delta CHECKPOINT at the log's current version: one parquet
+    * file holding the full replayed state (a protocol row, a metaData
+    * row, one add row per live file — nullable struct columns, the Delta
+    * checkpoint layout) plus the `_last_checkpoint` pointer. Readers then
+    * seed from the checkpoint and replay only the JSON versions after it
+    * — the reason checkpoints exist: a year of per-batch syncs otherwise
+    * means a year of JSON files per snapshot read. Returns the
+    * checkpointed version, or -1 if there is no log yet.
+    */
+  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+    val (version, live, schemaOpt) = replayLog(spark, fs, logDir)
+    if (version < 0) return -1L
+    val schemaString = schemaOpt.getOrElse(
+      new MedallionTable(spark, tablePath).read.schema.json)
+
+    import org.apache.spark.sql.types._
+    val pvType = MapType(StringType, StringType)
+    val ckSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", pvType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", pvType),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", pvType),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+
+    def fileInfo(rel: String): (Long, Long) = {
+      val st = fs.getFileStatus(new Path(root, rel))
+      (st.getLen, st.getModificationTime)
+    }
+    val partCols = live.iterator.flatMap(
+      _.split('/').dropRight(1).filter(_.contains('=')).map(_.split('=')(0)))
+      .toSeq.distinct
+    import org.apache.spark.sql.Row
+    val protoRow = Row(Row(1, 2), null, null)
+    val metaRow = Row(null, Row(
+      java.util.UUID.nameUUIDFromBytes(tablePath.getBytes("UTF-8")).toString,
+      Row("parquet", Map.empty[String, String]), schemaString,
+      partCols, Map.empty[String, String], 0L), null)
+    val addRows = live.toSeq.map { rel =>
+      val (len, mod) = fileInfo(rel)
+      val pv = rel.split('/').dropRight(1).filter(_.contains('='))
+        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+      Row(null, null, Row(rel, pv, len, mod, true))
+    }
+    val ck = spark.createDataFrame(
+      spark.sparkContext.parallelize((protoRow +: metaRow +: addRows), 1),
+      ckSchema)
+    // parquet writers emit a directory; stage then move the single part
+    // file to the protocol-mandated flat name
+    val stage = new Path(logDir, s".ck_stage_$version")
+    ck.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint stage empty"))
+    val target = new Path(logDir, f"$version%020d.checkpoint.parquet")
+    fs.delete(target, false)
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(s"checkpoint rename failed: $target")
+    fs.delete(stage, true)
+    val ptr = mapper.createObjectNode()
+    ptr.put("version", version).put("size", 2L + addRows.size)
+    val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try out.write(mapper.writeValueAsString(ptr).getBytes("UTF-8"))
+    finally out.close()
+    version
   }
 }

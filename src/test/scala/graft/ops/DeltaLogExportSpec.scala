@@ -89,6 +89,38 @@ class DeltaLogExportSpec extends SparkSpec {
     assert(!DeltaLogExport.liveFilesFromLog(spark, p).contains(victim.split('/').last))
   }
 
+  test("checkpoint seeds replay; post-checkpoint versions extend it") {
+    val p = tmpDir("dlx_ck")
+    val t = MedallionTable(spark, p)
+    t.overwrite((0 until 60).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    assert(DeltaLogExport.sync(spark, p) == 0L)
+    t.append((60 until 90).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    assert(DeltaLogExport.sync(spark, p) == 1L)
+    assert(DeltaLogExport.checkpoint(spark, p) == 1L)
+    val ckFile = new java.io.File(s"$p/_delta_log/" + f"${1L}%020d.checkpoint.parquet")
+    assert(ckFile.isFile, "checkpoint must be a flat parquet FILE")
+    val ptr = mapper.readTree(scala.io.Source
+      .fromFile(s"$p/_delta_log/_last_checkpoint", "UTF-8").mkString)
+    assert(ptr.get("version").asLong == 1L)
+
+    // checkpoint contents: 1 protocol + 1 metaData + one add per file
+    val ck = spark.read.parquet(ckFile.getAbsolutePath)
+    val nAdds = ck.filter("add IS NOT NULL").count()
+    assert(nAdds == t.read.inputFiles.length)
+    assert(ck.filter("protocol IS NOT NULL").count() == 1)
+    assert(ck.filter("metaData IS NOT NULL").count() == 1)
+
+    // a post-checkpoint append replays on top of the checkpoint seed
+    t.append((90 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    assert(DeltaLogExport.sync(spark, p) == 2L)
+    val fromLog = DeltaLogExport.liveFilesFromLog(spark, p).toSet
+    assert(fromLog == t.read.inputFiles.map(_.split('/').last).toSet)
+    val replayed = spark.read.parquet(fromLog.map(f => s"$p/$f").toSeq: _*)
+    assert(replayed.count() == 100)
+    // and sync stays idempotent with a checkpoint present
+    assert(DeltaLogExport.sync(spark, p) == -1L)
+  }
+
   test("a rewrite restarts the log at a consistent version 0 snapshot") {
     val p = tmpDir("dlx_rewrite")
     val t = MedallionTable(spark, p)
