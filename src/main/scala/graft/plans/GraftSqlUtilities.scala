@@ -19,6 +19,8 @@ import graft.table.MedallionTable
   *   - `OPTIMIZE t [ZORDER BY (c1, c2)]`
   *   - `VACUUM t`
   *   - `RESTORE [TABLE] t TO VERSION AS OF n`
+  *   - `SYNC DELTA LOG FOR t` / `CHECKPOINT DELTA LOG FOR t`
+  *     ([[graft.table.DeltaLogExport]] — storage-format interop)
   *   - `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` / `DROP CONSTRAINT`
   *     (claimed ONLY for graft targets — Spark 4.1 parses constraint DDL
   *     natively for v2 tables, so non-graft targets delegate)
@@ -65,6 +67,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftAnalyzeCommand(target.trim, Nil)
       case RestoreRe(target, version) =>
         GraftRestoreCommand(target.trim, version.toLong)
+      case SyncDeltaLogRe(target) =>
+        GraftSyncDeltaLogCommand(target.trim, alsoCheckpoint = false)
+      case CheckpointDeltaLogRe(target) =>
+        GraftSyncDeltaLogCommand(target.trim, alsoCheckpoint = true)
       // Spark 4.1's own grammar handles constraint DDL for v2 tables —
       // claim the statement only when the target is actually ours.
       case AddConstraintRe(target, cname, cexpr) if isGraftTarget(spark, target) =>
@@ -188,6 +194,10 @@ object GraftSqlParser {
     s"""(?is)ANALYZE\\s+TABLE\\s+$T\\s+COMPUTE\\s+STATISTICS""".r
   private[plans] val RestoreRe: Regex =
     s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
+  private[plans] val SyncDeltaLogRe: Regex =
+    s"""(?is)SYNC\\s+DELTA\\s+LOG\\s+FOR\\s+$T""".r
+  private[plans] val CheckpointDeltaLogRe: Regex =
+    s"""(?is)CHECKPOINT\\s+DELTA\\s+LOG\\s+FOR\\s+$T""".r
   private[plans] val AddConstraintRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
   private[plans] val DropConstraintRe: Regex =
@@ -384,6 +394,28 @@ final case class GraftAnalyzeCommand(target: String, columns: Seq[String])
 /** `VACUUM` — removes crashed writers' leftover staging/backup directories
   * and stale locks next to the table.
   */
+/** `SYNC DELTA LOG FOR t` / `CHECKPOINT DELTA LOG FOR t` — the SQL
+  * surface of [[graft.table.DeltaLogExport]]: sync writes the next commit
+  * json describing the table's current snapshot (or no-ops at -1 when
+  * already in sync); the CHECKPOINT form additionally writes the
+  * checkpoint parquet + `_last_checkpoint` pointer external readers seed
+  * from.
+  */
+final case class GraftSyncDeltaLogCommand(target: String,
+    alsoCheckpoint: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("synced_version", LongType, nullable = false)(),
+    AttributeReference("checkpoint_version", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val synced = graft.table.DeltaLogExport.sync(spark, path)
+    val ck = if (alsoCheckpoint)
+      Some(graft.table.DeltaLogExport.checkpoint(spark, path)) else None
+    Seq(Row(path, synced, ck.orNull))
+  }
+}
+
 final case class GraftVacuumCommand(target: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),

@@ -212,6 +212,27 @@ class GraftSqlUtilitiesSpec extends SparkSpec {
     assert(t.read.count() == 3)
   }
 
+  test("SYNC/CHECKPOINT DELTA LOG export and no-op when in sync") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = tmpDir("sqlutil_dlx")
+    val t = new MedallionTable(spark, p)
+    t.overwrite((0 until 50).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    spark.sql("DROP TABLE IF EXISTS sqlutil_dlx_t")
+    spark.sql(s"CREATE TABLE sqlutil_dlx_t USING graft LOCATION '$p'")
+    val r0 = spark.sql("SYNC DELTA LOG FOR sqlutil_dlx_t").collect()(0)
+    assert(r0.getLong(1) == 0L)
+    // in sync → -1, nothing written
+    assert(spark.sql(s"SYNC DELTA LOG FOR '$p'").collect()(0).getLong(1) == -1L)
+    t.append((50 until 60).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    val r1 = spark.sql("CHECKPOINT DELTA LOG FOR sqlutil_dlx_t").collect()(0)
+    assert(r1.getLong(1) == 1L && r1.getLong(2) == 1L)
+    assert(new java.io.File(s"$p/_delta_log/_last_checkpoint").isFile)
+    // replay equals the table read
+    assert(graft.table.DeltaLogExport.liveFilesFromLog(spark, p).toSet ==
+      t.read.inputFiles.map(_.split('/').last).toSet)
+  }
+
   test("utility statements refuse non-graft tables") {
     spark.sql("DROP TABLE IF EXISTS sqlutil_plain")
     spark.sql("CREATE TABLE sqlutil_plain (id BIGINT) USING parquet")
