@@ -163,9 +163,19 @@ object DeltaLogExport {
     }
 
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
-    val out = fs.create(new Path(logDir, f"$version%020d.json"), true)
-    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-    version
+    // exclusive create = the same CAS discipline Delta uses for commits:
+    // two concurrent syncs race for version N, the loser re-reads the log
+    // (its diff may now be empty — the winner exported the same files)
+    // and retries against the new head instead of clobbering the winner.
+    try {
+      val out = fs.create(new Path(logDir, f"$version%020d.json"), false)
+      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+      version
+    } catch {
+      case _: java.io.IOException if fs.exists(
+          new Path(logDir, f"$version%020d.json")) =>
+        sync(spark, tablePath)
+    }
   }
 
   /** The files an external reader would scan: replay of the exported log
