@@ -134,6 +134,49 @@ object PipelineOpsQueries {
     "sim_ann_lsh" -> ((s, dir) =>
       Ann.topK(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)),
 
+    // Seeded-deterministic LSH twin: hyperplane signs come from the SAME
+    // integer recipe as the oracled `embed_srp_project` projection
+    // (bit-exact cross-engine), so signature bits, band keys, the
+    // candidate equi-join, and the exact-cosine ranking ALL reproduce in
+    // DuckDB — the whole LSH pipeline hash-matches end-to-end, completing
+    // the full-oracle set across all three ANN modalities (IVF, PQ, LSH).
+    // `sim_ann_lsh` keeps the Random(42)-planes variant with its
+    // planted-copy xcheck.
+    "sim_ann_srp_seeded" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      def comp(j: Int) =
+        s"AGGREGATE(TRANSFORM(embedding, (v, i) -> " +
+          s"CASE WHEN ((i * 73 + $j * 151 + i * $j * 11) % 97) % 2 = 0 " +
+          "THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+      // 4 bands × 4 planes: band b's key packs the sign bits of planes
+      // 4b .. 4b+3
+      val bandKeys = (0 until 4).map { b =>
+        val bits = (0 until 4).map(i =>
+          s"(CASE WHEN ${comp(4 * b + i)} >= 0 THEN ${1 << i} ELSE 0 END)")
+        s"NAMED_STRUCT('band_idx', $b, 'band_val', ${bits.mkString(" + ")})"
+      }
+      val banded = Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS vv",
+          s"EXPLODE(ARRAY(${bandKeys.mkString(", ")})) AS band")
+        .select($"vec_id", $"vv",
+          $"band.band_idx".as("band_idx"), $"band.band_val".as("band_val"))
+      val q = banded.filter($"vec_id" < 8).select($"vec_id".as("query_id"),
+        $"vv".as("qv"), $"band_idx", $"band_val")
+      val n = banded.select($"vec_id".as("neighbor_id"), $"vv".as("nv"),
+        $"band_idx", $"band_val")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+      n.join(q, Seq("band_idx", "band_val"))
+        .filter($"neighbor_id" =!= $"query_id")
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("cos", call_function("graft_cosine", $"qv", $"nv"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id", $"rank")
+    }),
+
     // IVF-bucketed approximate top-k (second scale path; rows-only).
     "sim_ann_ivf" -> ((s, dir) =>
       graft.similarity.Ivf.topK(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)),
@@ -738,6 +781,37 @@ object PipelineOpsQueries {
          |  JOIN assign a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
          |  JOIN embeddings q ON q.vec_id = p.query_id
          |  JOIN embeddings n ON n.vec_id = a.vec_id)
+         |WHERE rank <= 5""".stripMargin),
+    "sim_ann_srp_seeded" ->
+      ("""WITH sigs AS (
+         |  SELECT vec_id, j,
+         |    list_sum(list_transform(range(0, len(embedding)), i ->
+         |      CASE WHEN ((i * 73 + j * 151 + i * j * 11) % 97) % 2 = 0
+         |           THEN CAST(embedding[i + 1] AS DOUBLE)
+         |           ELSE -CAST(embedding[i + 1] AS DOUBLE) END)) AS p
+         |  FROM embeddings, range(16) t(j)),
+         |bits AS (
+         |  SELECT vec_id, CAST(j // 4 AS INTEGER) AS band_idx,
+         |         CASE WHEN p >= 0 THEN 1 << (j % 4) ELSE 0 END AS bit
+         |  FROM sigs),
+         |bands AS (
+         |  SELECT vec_id, band_idx, CAST(SUM(bit) AS INTEGER) AS band_val
+         |  FROM bits GROUP BY 1, 2),
+         |qb AS (SELECT vec_id AS query_id, band_idx, band_val
+         |       FROM bands WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, n.vec_id AS neighbor_id
+         |  FROM qb q JOIN bands n
+         |    ON n.band_idx = q.band_idx AND n.band_val = q.band_val
+         |  WHERE n.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY c.query_id
+         |           ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC,
+         |                    c.neighbor_id) AS INTEGER) AS rank
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
          |WHERE rank <= 5""".stripMargin),
     "sim_pq_topk_seeded" ->
       ("""WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub_id),
