@@ -115,6 +115,14 @@ final class StandingDedupIndex(
     * re-running ingest for the same batch — duplicate index rows are
     * harmless (the exact join is membership-only and candidates are
     * DISTINCT-ed), which is also what makes a foreachBatch replay safe.
+    * Replay behavior is deliberately ASYMMETRIC across the compaction
+    * watermark: a replayed ARCHIVED tag is a strict no-op (its partition
+    * is gone, so only the watermark knows it landed — and a re-append
+    * would break the "archive holds at most a bounded number of copies"
+    * property), while a replayed recent tag re-appends duplicates the
+    * semantics tolerate; a tag-presence probe instead would silently
+    * DROP band rows when recovering exactly the crash this paragraph
+    * describes (hash rows present, band rows not).
     */
   def ingest(batch: DataFrame, tag: Long = 0L): Unit = {
     // a tag at or below the compaction watermark is KNOWN-ingested even
