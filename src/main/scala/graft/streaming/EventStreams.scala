@@ -291,6 +291,28 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ANN index maintenance — [[graft.similarity.StandingAnnIndex
+    * .ingest]] lifted to Structured Streaming, the vector-side sibling of
+    * [[dedupStream]]: each micro-batch of (vec_id, embedding) is assigned
+    * to the FROZEN trained centroids (batch × broadcast — a narrow map)
+    * and appended to the cell-partitioned vector table tagged
+    * `batchId + 1` (tag 0 is the bootstrap build). At-least-once
+    * foreachBatch delivery yields an exactly-once index: a replayed batch
+    * hits the tag probe (or, after compaction, the watermark) and is
+    * skipped. Centroids never retrain in-stream — the retrain cadence is
+    * the batch-side [[graft.similarity.StandingAnnIndex.retrain]];
+    * executor state stays O(1) while the corpus lands on disk.
+    */
+  def annIngestStream(vectors: DataFrame, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        new graft.similarity.StandingAnnIndex(batch.sparkSession, indexPath)
+          .ingest(batch, tag = batchId + 1)
+      }
+      .start()
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * once the watermark passes its extent + gap (event-time timeout), so
     * late in-watermark events — including orphans older than the current

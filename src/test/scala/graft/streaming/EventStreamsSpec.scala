@@ -258,6 +258,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest maintains the standing index exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def vec(id: Long, axis: Int) =
+      (id, Seq.tabulate(16)(d => if (d == axis) 10.0f else 0.1f))
+    val idxPath = tmpDir("sann_idx")
+    val idx = new graft.similarity.StandingAnnIndex(spark, idxPath)
+    idx.train((0 until 40).map(i => vec(i, i % 4)).toDF("vec_id", "embedding"),
+      nCentroids = 4, iterations = 1)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.annIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), idxPath, tmpDir("sann_ckpt"))
+    try {
+      // streamed vectors live on axes the bootstrap (axes 0-3) never used,
+      // so the axis-7 probe's unique nearest neighbor is the streamed one
+      // (an identical vector assigns to the same argmax cell as the probe)
+      input.addData(vec(100L, 5), vec(101L, 6))
+      q.processAllAvailable()
+      input.addData(vec(200L, 7))
+      q.processAllAvailable()
+      val byTag = idx.vectorTable.read.groupBy("batch_tag").count().collect()
+        .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+      assert(byTag == Map(0L -> 40L, 1L -> 2L, 2L -> 1L), s"tags: $byTag")
+      // a replayed micro-batch (same tag) is skipped — exactly-once index
+      idx.ingest(Seq(vec(100L, 5), vec(101L, 6)).toDF("vec_id", "embedding"),
+        tag = 1L)
+      assert(idx.vectorTable.read.count() == 43)
+      // the streamed vectors are queryable through the standing index
+      val top = idx.query(Seq(vec(999L, 7)).toDF("vec_id", "embedding"),
+        k = 1, nProbe = 1).collect()
+      assert(top.length == 1 && top(0).getLong(1) == 200L,
+        s"nearest to a streamed axis-2 probe must be the streamed 200L: ${top.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming dedup checks each micro-batch against the index before ingesting it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
