@@ -280,6 +280,30 @@ object PipelineOpsQueries {
           "neighbor_id = query_id + 100000 AS pq_self")
     }),
 
+    // The PERSISTED IVFADC composition (sim_ivfpq_topk's standing-table
+    // form, with both training artifacts frozen): cell_id-partitioned
+    // integer code rows, per-probed-cell residual LUTs, tag-idempotent
+    // replays. Decision oracle = the sim_ivfpq_xcheck planted invariant:
+    // an exact copy shares its query's argmax cell, residual, and argmin
+    // codes, and the query's own cell is its top probe ⇒ the copy attains
+    // the minimum ADC distance and must rank top-1.
+    "sim_standing_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "sim_standing_ivfpq")
+      Q.deleteDir(s, p)
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val idx = new graft.similarity.StandingAnnIndex(s, p)
+      idx.trainIvfPq(emb.filter($"vec_id" < 200), nCells = 16, m = 8, kCent = 16)
+      idx.ingestIvfPq(emb.filter($"vec_id" >= 200 && $"vec_id" < 400), tag = 1L)
+      val dups = emb.filter($"vec_id" < 8)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      idx.ingestIvfPq(emb.filter($"vec_id" >= 400).unionByName(dups), tag = 2L)
+      idx.ingestIvfPq(emb.filter($"vec_id" >= 400).unionByName(dups), tag = 2L) // replay
+      idx.queryIvfPq(emb.filter($"vec_id" < 8), k = 1)
+        .selectExpr("query_id", "neighbor_id AS ivfpq_top1",
+          "neighbor_id = query_id + 100000 AS ivfpq_self")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup over
     // the FULL corpus, decision-oracled on planted ground truths (the
     // dedup_decision_xcheck recipe): an exact copy of each query vector
@@ -1028,6 +1052,10 @@ object PipelineOpsQueries {
     "sim_standing_pq" ->
       ("SELECT vec_id AS query_id, " +
        "CAST(vec_id + 100000 AS BIGINT) AS pq_top1, true AS pq_self " +
+       "FROM embeddings WHERE vec_id < 8"),
+    "sim_standing_ivfpq" ->
+      ("SELECT vec_id AS query_id, " +
+       "CAST(vec_id + 100000 AS BIGINT) AS ivfpq_top1, true AS ivfpq_self " +
        "FROM embeddings WHERE vec_id < 8"),
     "sim_semdedup" ->
       ("SELECT vec_id, true AS orig_kept, false AS dup_kept, " +

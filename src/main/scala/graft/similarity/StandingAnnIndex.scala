@@ -187,6 +187,118 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
       graft.table.TagArchive.setWatermark(spark, basePath, w, "codes")
   }
 
+  // ---- IVFADC side: the composition billion-vector production systems
+  // run — IVF cells bound the candidate set, PQ codes over CELL RESIDUALS
+  // bound the bytes per candidate — persisted with both training
+  // artifacts frozen. `sim_ivfpq_topk` demonstrates the math on the
+  // self-contained path; this is its standing-table form. NOTE: the
+  // IVFADC mode owns this index path's centroid AND codebook tables
+  // (codebooks here quantize residuals, not raw vectors) — do not mix
+  // with [[trainPq]] on the same basePath.
+
+  /** Append-only IVFADC rows (vec_id, sub_id, code, batch_tag)
+    * partitioned by `cell_id`: [[queryIvfPq]] statically prunes to the
+    * probed cells' directories AND moves only integer codes — the two
+    * 100 TB bounds (candidates, bytes) in one layout.
+    */
+  val adcTable = graft.table.MedallionTable(spark, s"$basePath/adc",
+    partitionColumns = Seq("cell_id"))
+
+  def trainIvfPq(bootstrap: DataFrame, nCells: Int = 16, m: Int = 8,
+      kCent: Int = 16, ivfIterations: Int = 2, pqIterations: Int = 1): Unit = {
+    val base = Ivf.prepared(bootstrap)
+    val d = Pq.dimsPerSub(bootstrap, m)
+    val cents = Ivf.refineCentroids(base, nCells, ivfIterations)
+    centroidTable.overwrite(cents)
+    val cells = Ivf.assignCells(base, cents)
+    val resid = cells.join(broadcast(cents), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    val subs = Pq.subRows(resid.select(col("vec_id"), col("v")), m, d)
+    val books = Pq.trainCodebooks(subs, kCent, pqIterations)
+    codebookTable.overwrite(books)
+    adcTable.overwrite(clusterForWrite(
+      Pq.assignCodes(subs, books)
+        .select(col("vec_id"), col("sub_id"), col("code"))
+        .join(resid.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+        .withColumn("batch_tag", lit(0L))))
+  }
+
+  /** Assign `batch` to the frozen centroids, encode the cell residuals
+    * against the frozen codebooks, append — O(batch), tag-idempotent
+    * like [[ingest]].
+    */
+  def ingestIvfPq(batch: DataFrame, tag: Long): Unit = {
+    require(tag != 0L, "tag 0 is reserved for the bootstrap build")
+    if (tag <= graft.table.TagArchive.watermark(spark, basePath, "adc")) return
+    if (adcTable.exists &&
+        !adcTable.read.filter(col("batch_tag") === tag).isEmpty) return
+    val cents = centroidTable.read
+    val books = codebookTable.read
+    val (m, d) = bookShape(books)
+    val base = Ivf.prepared(batch)
+    val resid = Ivf.assignCells(base, cents)
+      .join(broadcast(cents), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    adcTable.append(clusterForWrite(
+      Pq.assignCodes(Pq.subRows(resid.select(col("vec_id"), col("v")), m, d),
+          books)
+        .select(col("vec_id"), col("sub_id"), col("code"))
+        .join(resid.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+        .withColumn("batch_tag", lit(tag))))
+  }
+
+  /** IVFADC top-k against the persisted tables ([[IvfPq.topK]]
+    * semantics: per-probed-cell residual LUTs, micro-rounded integer ADC,
+    * self excluded). The corpus side is the cell_id-partitioned code
+    * table statically pruned to the probed cells — nProbe/nCells of the
+    * corpus in FILES, integer codes in bytes.
+    */
+  def queryIvfPq(queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val cents = centroidTable.read
+    val books = codebookTable.read
+    val (m, d) = bookShape(books)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", call_function("graft_cosine", col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cell_id"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qrv"))
+    val lut = probes
+      .select(col("query_id"), col("cell_id"),
+        expr(s"EXPLODE(TRANSFORM(SEQUENCE(0, ${m - 1}), " +
+          s"s -> NAMED_STRUCT('sub_id', s, 'qv', SLICE(qrv, s * $d + 1, $d))))").as("e"))
+      .select(col("query_id"), col("cell_id"),
+        col("e.sub_id").as("sub_id"), col("e.qv").as("qv"))
+      .join(broadcast(books), Seq("sub_id"))
+      .select(col("query_id"), col("cell_id"), col("sub_id"), col("code"),
+        round(Pq.l2sq(col("qv"), col("cv")) * 1e6).cast("long").as("dist_micro"))
+    // probed-cell set ≤ nCells values — parameter-bounded, same class as
+    // the centroid broadcast; the isin is STATIC partition pruning
+    val probedCells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.get(0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_micro").asc, col("neighbor_id"))
+    adcTable.read
+      .filter(col("cell_id").isin(probedCells.toIndexedSeq: _*))
+      .select(col("vec_id").as("neighbor_id"), col("cell_id"),
+        col("sub_id"), col("code"))
+      .join(broadcast(lut), Seq("cell_id", "sub_id", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dist_micro")).as("adist_micro"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** ADC top-k against the persisted code table ([[Pq.topK]] semantics:
     * micro-rounded integer distances, self excluded). The corpus side of
     * the join moves only (vec_id, sub_id, code) integer rows.

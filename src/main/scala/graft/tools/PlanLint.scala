@@ -47,6 +47,8 @@ object PlanLint {
       "same IVF corpus x broadcast(centroids) cell assignment as sim_ann_ivf, on the planted-dup corpus"),
     "sim_standing_index" -> (Set("BroadcastNestedLoopJoin"),
       "queries x broadcast(trained centroid table) probe — centroid count is a small constant; the candidate join is an equi-join on cell_id"),
+    "sim_standing_ivfpq" -> (Set("BroadcastNestedLoopJoin"),
+      "queries x broadcast(trained centroid table) probe, as sim_standing_index; ADC itself is an equi-join on (cell_id, sub_id, code) over the cell-pruned code table"),
     "sim_semdedup" -> (Set("BroadcastNestedLoopJoin"),
       "same IVF corpus x broadcast(centroids) cell assignment; the pair join itself is an equi-join on cell_id"),
     "sim_ivfpq_topk" -> (Set("BroadcastNestedLoopJoin"),

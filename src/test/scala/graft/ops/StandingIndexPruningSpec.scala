@@ -75,6 +75,30 @@ class StandingIndexPruningSpec extends SparkSpec {
     assert(q.collect().nonEmpty)
   }
 
+  test("IVFADC mode: planted copy is top-1, replay skipped, probe prunes cells") {
+    import spark.implicits._
+    val emb = clustered(240, 8, 16)
+    val idx = new StandingAnnIndex(spark, tmpDir("ann_ivfadc"))
+    idx.trainIvfPq(emb.filter($"vec_id" < 120), nCells = 8, m = 4, kCent = 12)
+    idx.ingestIvfPq(emb.filter($"vec_id" >= 120 && $"vec_id" < 200), tag = 1L)
+    val dups = emb.filter($"vec_id" < 4)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    idx.ingestIvfPq(emb.filter($"vec_id" >= 200).unionByName(dups), tag = 2L)
+    val n1 = idx.adcTable.read.count()
+    idx.ingestIvfPq(dups, tag = 2L) // replay
+    assert(idx.adcTable.read.count() == n1, "replayed tag must not re-append")
+    assert(idx.adcTable.read.inputFiles.forall(_.contains("cell_id=")),
+      "adc table must be hive-partitioned by cell_id")
+    // planted-copy invariant (the sim_ivfpq_xcheck recipe, persisted)
+    val top1 = idx.queryIvfPq(emb.filter($"vec_id" < 4), k = 1).collect()
+    assert(top1.length == 4 &&
+      top1.forall(r => r.getLong(1) == r.getLong(0) + 10000), top1.toSeq)
+    // static cell pruning: nProbe=1 opens fewer adc files than nProbe=8
+    val few = filesScanned(idx.queryIvfPq(emb.filter($"vec_id" === 0L), 3, nProbe = 1))
+    val all = filesScanned(idx.queryIvfPq(emb.filter($"vec_id" === 0L), 3, nProbe = 8))
+    assert(few < all, s"nProbe=1 read $few files, nProbe=8 read $all — no pruning")
+  }
+
   test("PQ ingest tag probe prunes to the replayed tag's directory") {
     import spark.implicits._
     val emb = clustered(240, 8, 16)
