@@ -224,6 +224,40 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
         .withColumn("batch_tag", lit(0L))))
   }
 
+  /** Periodic IVFADC re-index: unlike the raw mode's [[retrain]], the
+    * code table is NOT invertible (that is the memory win), so the
+    * caller supplies the current corpus `(vec_id, embedding)` — at scale
+    * the source lakehouse table the ingests came from. Centroids and
+    * residual codebooks re-fit, every code row rebuilds in one pass, and
+    * each vector keeps its previously-recorded batch_tag (vectors the
+    * index has not seen land as tag 0), so tag-idempotent replay keeps
+    * working against the rebuilt table.
+    */
+  def retrainIvfPq(corpus: DataFrame, nCells: Int = 16, m: Int = 8,
+      kCent: Int = 16, ivfIterations: Int = 2, pqIterations: Int = 1): Unit = {
+    // safe against reading-from-self like [[retrain]]: the overwrite
+    // stages beside the table and swaps after the job, so this scan
+    // reads the pre-swap files
+    val oldTags = adcTable.read.select(col("vec_id"), col("batch_tag")).distinct()
+    val base = Ivf.prepared(corpus)
+    val d = Pq.dimsPerSub(corpus, m)
+    val cents = Ivf.refineCentroids(base, nCells, ivfIterations)
+    centroidTable.overwrite(cents)
+    val cells = Ivf.assignCells(base, cents)
+    val resid = cells.join(broadcast(cents), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    val subs = Pq.subRows(resid.select(col("vec_id"), col("v")), m, d)
+    val books = Pq.trainCodebooks(subs, kCent, pqIterations)
+    codebookTable.overwrite(books)
+    adcTable.overwrite(clusterForWrite(
+      Pq.assignCodes(subs, books)
+        .select(col("vec_id"), col("sub_id"), col("code"))
+        .join(resid.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+        .join(oldTags, Seq("vec_id"), "left")
+        .withColumn("batch_tag", coalesce(col("batch_tag"), lit(0L)))))
+  }
+
   /** Assign `batch` to the frozen centroids, encode the cell residuals
     * against the frozen codebooks, append — O(batch), tag-idempotent
     * like [[ingest]].

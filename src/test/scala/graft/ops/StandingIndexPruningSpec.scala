@@ -97,6 +97,21 @@ class StandingIndexPruningSpec extends SparkSpec {
     val few = filesScanned(idx.queryIvfPq(emb.filter($"vec_id" === 0L), 3, nProbe = 1))
     val all = filesScanned(idx.queryIvfPq(emb.filter($"vec_id" === 0L), 3, nProbe = 8))
     assert(few < all, s"nProbe=1 read $few files, nProbe=8 read $all — no pruning")
+
+    // re-index from the current corpus: artifacts re-fit, codes rebuild,
+    // per-vector tags survive, the planted invariant still holds, and a
+    // replayed tag stays a no-op against the rebuilt table
+    val corpus = emb.unionByName(dups)
+    idx.retrainIvfPq(corpus, nCells = 8, m = 4, kCent = 12)
+    val tags = idx.adcTable.read.select("vec_id", "batch_tag").distinct()
+      .groupBy("batch_tag").count().collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    assert(tags == Map(0L -> 120L, 1L -> 80L, 2L -> 44L), s"tags after retrain: $tags")
+    val top1b = idx.queryIvfPq(emb.filter($"vec_id" < 4), k = 1).collect()
+    assert(top1b.forall(r => r.getLong(1) == r.getLong(0) + 10000), top1b.toSeq)
+    val n2 = idx.adcTable.read.count()
+    idx.ingestIvfPq(dups, tag = 2L)
+    assert(idx.adcTable.read.count() == n2, "replayed tag must stay a no-op after retrain")
   }
 
   test("PQ ingest tag probe prunes to the replayed tag's directory") {
