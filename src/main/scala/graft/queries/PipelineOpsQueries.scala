@@ -293,7 +293,13 @@ object PipelineOpsQueries {
       Q.deleteDir(s, p)
       val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       val idx = new graft.similarity.StandingAnnIndex(s, p)
-      idx.trainIvfPq(emb.filter($"vec_id" < 200), nCells = 16, m = 8, kCent = 16)
+      // ivfIterations = 1, pqIterations = 0 (cf. sim_ann_xcheck): the
+      // planted decision holds under ANY deterministic centroid/codebook
+      // sets — an identical vector co-cells, co-residuals, and co-codes
+      // with its query regardless of refinement; recall quality is the
+      // specs' concern
+      idx.trainIvfPq(emb.filter($"vec_id" < 200), nCells = 16, m = 8,
+        kCent = 16, ivfIterations = 1, pqIterations = 0)
       idx.ingestIvfPq(emb.filter($"vec_id" >= 200 && $"vec_id" < 400), tag = 1L)
       val dups = emb.filter($"vec_id" < 8)
         .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
