@@ -269,6 +269,13 @@ object EventStreams {
     * overwrites its own `ingest_batch_id` partition via dynamic
     * partition overwrite; the re-ingest appends duplicate index rows,
     * harmless by construction (membership joins + DISTINCT candidates).
+    *
+    * Compaction interplay: only compact the index through tags whose
+    * micro-batches the CHECKPOINT has committed. A compacted tag's rows
+    * live in the archive and can no longer be excluded, so a replay of
+    * an uncommitted-but-compacted batch fails fast in check() (by
+    * design — its exactly-once report would otherwise silently corrupt)
+    * rather than report every doc as its own duplicate.
     */
   def dedupStream(docs: DataFrame, indexPath: String, reportPath: String,
       bandKeys: DataFrame => DataFrame, checkpoint: String):
