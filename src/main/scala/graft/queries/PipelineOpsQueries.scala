@@ -94,6 +94,19 @@ object PipelineOpsQueries {
        |        FROM documents
        |        WHERE doc_id < $bound AND len(regexp_extract_all(text, '\\S+')) >= 3))""".stripMargin
 
+  /** Hybrid-retrieval fixtures shared verbatim between the Spark query and
+    * the DuckDB oracle (the text_bm25_topk discipline: same formula text
+    * both sides, contributions micro-rounded BEFORE any sum so scores are
+    * summation-order-independent and engine-comparable). Robertson BM25,
+    * k1=1.2, b=0.75, Lucene-style idf.
+    */
+  private val HybridTerms = Seq("spark", "merge", "window")
+  private def hybInList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+  private val HybridBm25Contrib =
+    "CAST(ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * " +
+      "(tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / " +
+      "(CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000) AS BIGINT)"
+
   val defs: Map[String, QueryFn] = Map(
     // Embedding-cosine near-dup pairs, exact (oracle-checked correctness
     // baseline for the LSH path). Ids only — no float in the output.
@@ -765,6 +778,73 @@ object PipelineOpsQueries {
         "CAST(get_json_object(props, '$.k') AS INTEGER) AS k")
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    // a sparse BM25 arm over the documents table and a dense cosine arm
+    // over the embeddings table (doc_id ≡ vec_id in the fixture corpus),
+    // fused as Σ_arms round(1e6 / (60 + rank)) — the standard RAG /
+    // retrieval-curation primitive that neither arm alone expresses.
+    // Scale shapes: the sparse arm is the text_bm25_topk plan (tokenizer
+    // runs once per doc, only query-term hits explode, df/totals reduce
+    // to ≤|terms|+1 broadcast rows) with top-20 via orderBy+limit =
+    // TakeOrderedAndProject — per-partition heaps, no global sort; the
+    // dense arm broadcasts the ONE query vector (BNLJ allowlisted: the
+    // broadcast side is a single row) and also TakeOrderedAndProject's
+    // its top-20; rank assignment windows over the 20 survivors only.
+    // The fusion join and final top-10 touch ≤ 40 rows. Every float is
+    // micro-rounded before fusion, so the output is integer-exact.
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("hyb_docs")
+      val sparse = s.sql(s"""
+        |WITH base AS (
+        |  SELECT doc_id, SIZE(toks) AS dl,
+        |         FILTER(TRANSFORM(toks, t -> LOWER(t)),
+        |                t -> t IN (${hybInList(HybridTerms)})) AS hits
+        |  FROM (SELECT doc_id, ${Q.TokensExpr} AS toks FROM hyb_docs)),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, EXPLODE(hits) AS term
+        |        FROM base WHERE SIZE(hits) > 0)
+        |  GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, $HybridBm25Contrib AS cm FROM (
+        |    SELECT tf.doc_id, tf.tf, tf.dl, dfx.df,
+        |           (SELECT n_docs FROM stats) AS n_docs,
+        |           (SELECT sum_dl FROM stats) AS sum_dl
+        |    FROM tf JOIN dfx ON tf.term = dfx.term)),
+        |top20 AS (
+        |  SELECT doc_id, SUM(cm) AS score FROM sc GROUP BY 1
+        |  ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id AS id,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+        |            AS INT) AS srank
+        |FROM top20""".stripMargin)
+      val base = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val qv = base.filter($"vec_id" === 0).select($"v".as("qv"))
+      val dtop = base.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", call_function("graft_cosine", $"qv", $"v"))
+        .orderBy($"cos".desc, $"vec_id").limit(20)
+      // single-partition window is fine: input is the 20-row top-k
+      val dense = dtop
+        .withColumn("drank",
+          row_number().over(Window.orderBy($"cos".desc, $"vec_id")).cast("int"))
+        .select($"vec_id".as("id"), $"drank")
+      def contrib(rank: org.apache.spark.sql.Column) =
+        coalesce(round(lit(1000000.0) / (rank + 60)).cast("long"), lit(0L))
+      sparse.join(dense, Seq("id"), "full_outer")
+        .select($"id".as("doc_id"),
+          (contrib($"srank") + contrib($"drank")).as("rrf_micro"),
+          $"srank".isNotNull.as("in_sparse"),
+          $"drank".isNotNull.as("in_dense"))
+        .orderBy($"rrf_micro".desc, $"doc_id").limit(10)
+    }),
+
     // Full medallion pipeline end-to-end (§2.8): raw CSV/JSON landing →
     // bronze (inferred scans, append) → silver (clean + merge) → gold
     // (pre-agg + batch-key join + merge), then the gold table read back.
@@ -1283,6 +1363,49 @@ object PipelineOpsQueries {
     "events_json_extract" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
        "FROM events"),
+    "sim_hybrid_rrf" ->
+      (s"""WITH base AS (
+         |  SELECT doc_id, len(toks) AS dl,
+         |         list_filter(list_transform(toks, t -> lower(t)),
+         |                     t -> t IN (${hybInList(HybridTerms)})) AS hits
+         |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+         |        FROM documents)),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM base),
+         |tf AS (
+         |  SELECT doc_id, dl, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(hits) AS term
+         |        FROM base WHERE len(hits) > 0)
+         |  GROUP BY 1, 2, 3),
+         |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, $HybridBm25Contrib AS cm
+         |  FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN stats),
+         |top20 AS (
+         |  SELECT doc_id, SUM(cm) AS score FROM sc GROUP BY 1
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |sp AS (
+         |  SELECT doc_id AS id,
+         |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |              AS INTEGER) AS srank
+         |  FROM top20),
+         |dtop AS (
+         |  SELECT n.vec_id AS id,
+         |         list_cosine_similarity(q.embedding, n.embedding) AS cos
+         |  FROM embeddings n, embeddings q
+         |  WHERE q.vec_id = 0 AND n.vec_id <> 0
+         |  ORDER BY cos DESC, n.vec_id LIMIT 20),
+         |dn AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id)
+         |                  AS INTEGER) AS drank
+         |  FROM dtop)
+         |SELECT COALESCE(sp.id, dn.id) AS doc_id,
+         |       COALESCE(CAST(ROUND(1000000.0 / (60 + srank)) AS BIGINT), 0)
+         |     + COALESCE(CAST(ROUND(1000000.0 / (60 + drank)) AS BIGINT), 0)
+         |         AS rrf_micro,
+         |       sp.id IS NOT NULL AS in_sparse,
+         |       dn.id IS NOT NULL AS in_dense
+         |FROM sp FULL OUTER JOIN dn ON sp.id = dn.id
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin),
     "pipeline_gold_e2e" ->
       ("""WITH o AS (
          |  SELECT *, CAST(o_orderkey % 4 AS INTEGER) AS data_block_id
