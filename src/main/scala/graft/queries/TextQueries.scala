@@ -1166,6 +1166,28 @@ object TextQueries {
         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)
     }),
 
+    // Standing BM25 inverted index (text.StandingBm25Index): the corpus
+    // is tokenized ONCE into a persisted postings table partitioned by
+    // (batch_tag, term_bucket) plus an O(tags) totals table, and the
+    // query probes only its terms' hash-bucket directories — retrieval
+    // becomes O(query), not O(corpus). The catalog entry builds the
+    // index from two batches, REPLAYS the second tag (counts are not
+    // duplicate-tolerant, so a replay that re-appended would double tf
+    // and df and break the hash), then queries the shared term set —
+    // and the oracle is the DIRECT BM25 formula over the documents
+    // table: standing path ≡ direct computation, hash-checked.
+    "text_standing_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "text_standing_bm25")
+      Q.deleteDir(s, p)
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val idx = new graft.text.StandingBm25Index(s, p)
+      idx.ingest(docs.filter($"doc_id" < 250), tag = 1L)
+      idx.ingest(docs.filter($"doc_id" >= 250), tag = 2L)
+      idx.ingest(docs.filter($"doc_id" >= 250), tag = 2L) // replay: strict no-op
+      idx.query(Bm25Terms, k = 10)
+    }),
+
     // DSIR (Xie et al. 2023, "Data Selection for Language Models via
     // Importance Resampling") re-expressed Spark-first: hashed-bigram
     // features (256 buckets = first md5 byte as 2 hex chars), target
@@ -1431,6 +1453,31 @@ object TextQueries {
   }
 
   private val DuckTokens = "regexp_extract_all(text, '\\S+')"
+
+  /** Direct BM25 oracle over the documents table — shared verbatim by
+    * `text_bm25_topk` (the self-contained plan) and `text_standing_bm25`
+    * (the persisted inverted-index path): the standing index must
+    * reproduce the direct computation hash-for-hash.
+    */
+  private lazy val Bm25DirectOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |         list_filter(list_transform(toks, t -> lower(t)),
+       |                     t -> t IN (${inList(Bm25Terms)})) AS hits
+       |  FROM (SELECT doc_id, $DuckTokens AS toks FROM documents)),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM base),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(hits) AS term
+       |        FROM base WHERE len(hits) > 0)
+       |  GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id, $Bm25ContribExpr AS cm
+       |  FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN stats)
+       |SELECT doc_id, CAST(SUM(cm) AS BIGINT) AS score_micro
+       |FROM sc GROUP BY 1
+       |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -2089,25 +2136,8 @@ object TextQueries {
          |    (SELECT SUM(pow_micro) FROM p)) AS BIGINT) AS weight_micro
          |FROM p""".stripMargin),
 
-    "text_bm25_topk" ->
-      (s"""WITH base AS (
-         |  SELECT doc_id, len(toks) AS dl,
-         |         list_filter(list_transform(toks, t -> lower(t)),
-         |                     t -> t IN (${inList(Bm25Terms)})) AS hits
-         |  FROM (SELECT doc_id, $DuckTokens AS toks FROM documents)),
-         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM base),
-         |tf AS (
-         |  SELECT doc_id, dl, term, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(hits) AS term
-         |        FROM base WHERE len(hits) > 0)
-         |  GROUP BY 1, 2, 3),
-         |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |sc AS (
-         |  SELECT tf.doc_id, $Bm25ContribExpr AS cm
-         |  FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN stats)
-         |SELECT doc_id, CAST(SUM(cm) AS BIGINT) AS score_micro
-         |FROM sc GROUP BY 1
-         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin),
+    "text_bm25_topk" -> Bm25DirectOracle,
+    "text_standing_bm25" -> Bm25DirectOracle,
 
     "sample_dsir_weights" ->
       (s"""WITH bi AS (
