@@ -107,6 +107,56 @@ object PipelineOpsQueries {
       "(tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / " +
       "(CAST(sum_dl AS DOUBLE) / n_docs))) * 1000000) AS BIGINT)"
 
+  /** Shared by `sim_hybrid_rrf` (self-contained arms) and
+    * `sim_hybrid_standing` (both arms served from persisted standing
+    * indexes): the standing paths must reproduce the direct computation
+    * hash-for-hash — the ANN arm probes ALL cells, making IVF ranking
+    * exhaustive-exact, and the BM25 arm's formula is ingest-invariant.
+    */
+  private lazy val HybridRrfOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |         list_filter(list_transform(toks, t -> lower(t)),
+       |                     t -> t IN (${hybInList(HybridTerms)})) AS hits
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+       |        FROM documents)),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM base),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(hits) AS term
+       |        FROM base WHERE len(hits) > 0)
+       |  GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id, $HybridBm25Contrib AS cm
+       |  FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN stats),
+       |top20 AS (
+       |  SELECT doc_id, SUM(cm) AS score FROM sc GROUP BY 1
+       |  ORDER BY score DESC, doc_id LIMIT 20),
+       |sp AS (
+       |  SELECT doc_id AS id,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+       |              AS INTEGER) AS srank
+       |  FROM top20),
+       |dtop AS (
+       |  SELECT n.vec_id AS id,
+       |         list_cosine_similarity(q.embedding, n.embedding) AS cos
+       |  FROM embeddings n, embeddings q
+       |  WHERE q.vec_id = 0 AND n.vec_id <> 0
+       |  ORDER BY cos DESC, n.vec_id LIMIT 20),
+       |dn AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id)
+       |                  AS INTEGER) AS drank
+       |  FROM dtop)
+       |SELECT COALESCE(sp.id, dn.id) AS doc_id,
+       |       COALESCE(CAST(ROUND(1000000.0 / (60 + srank)) AS BIGINT), 0)
+       |     + COALESCE(CAST(ROUND(1000000.0 / (60 + drank)) AS BIGINT), 0)
+       |         AS rrf_micro,
+       |       sp.id IS NOT NULL AS in_sparse,
+       |       dn.id IS NOT NULL AS in_dense
+       |FROM sp FULL OUTER JOIN dn ON sp.id = dn.id
+       |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     // Embedding-cosine near-dup pairs, exact (oracle-checked correctness
     // baseline for the LSH path). Ids only — no float in the output.
@@ -845,6 +895,50 @@ object PipelineOpsQueries {
         .orderBy($"rrf_micro".desc, $"doc_id").limit(10)
     }),
 
+    // The persisted retrieval stack end-to-end: the SAME hybrid-RRF
+    // semantics as sim_hybrid_rrf, but both arms answer from standing
+    // index tables — the sparse arm from a StandingBm25Index built in two
+    // ingests plus a replayed tag (exactly-once counts: a re-appended
+    // batch would double tf/df and break the hash), the dense arm from a
+    // StandingAnnIndex built train + two ingests, probed at nProbe =
+    // nCells so IVF ranking is exhaustive-EXACT and the direct-formula
+    // oracle still applies bit-for-bit. This is the query a production
+    // corpus actually runs: nothing is recomputed from the raw corpus at
+    // query time — postings, vectors, and totals all come from tables the
+    // ingests maintained. Fusion arithmetic identical to sim_hybrid_rrf.
+    "sim_hybrid_standing" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val p = Q.scratch(dir, "sim_hybrid_standing")
+      Q.deleteDir(s, p)
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val bm25 = new graft.text.StandingBm25Index(s, s"$p/bm25")
+      bm25.ingest(docs.filter($"doc_id" < 250), tag = 1L)
+      bm25.ingest(docs.filter($"doc_id" >= 250), tag = 2L)
+      bm25.ingest(docs.filter($"doc_id" >= 250), tag = 2L) // replay: no-op
+      // rank the ≤20 sparse survivors (bounded single-partition window)
+      val sparse = bm25.query(HybridTerms, k = 20)
+        .withColumn("srank", row_number()
+          .over(Window.orderBy($"score_micro".desc, $"doc_id")).cast("int"))
+        .select($"doc_id".as("id"), $"srank")
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val ann = new graft.similarity.StandingAnnIndex(s, s"$p/ann")
+      ann.train(emb.filter($"vec_id" < 200), nCentroids = 8, iterations = 1)
+      ann.ingest(emb.filter($"vec_id" >= 200 && $"vec_id" < 400), tag = 1L)
+      ann.ingest(emb.filter($"vec_id" >= 400), tag = 2L)
+      ann.ingest(emb.filter($"vec_id" >= 400), tag = 2L) // replay: no-op
+      val dense = ann.query(emb.filter($"vec_id" === 0), k = 20, nProbe = 8)
+        .select($"neighbor_id".as("id"), $"rank".cast("int").as("drank"))
+      def contrib(rank: org.apache.spark.sql.Column) =
+        coalesce(round(lit(1000000.0) / (rank + 60)).cast("long"), lit(0L))
+      sparse.join(dense, Seq("id"), "full_outer")
+        .select($"id".as("doc_id"),
+          (contrib($"srank") + contrib($"drank")).as("rrf_micro"),
+          $"srank".isNotNull.as("in_sparse"),
+          $"drank".isNotNull.as("in_dense"))
+        .orderBy($"rrf_micro".desc, $"doc_id").limit(10)
+    }),
+
     // Full medallion pipeline end-to-end (§2.8): raw CSV/JSON landing →
     // bronze (inferred scans, append) → silver (clean + merge) → gold
     // (pre-agg + batch-key join + merge), then the gold table read back.
@@ -1363,49 +1457,8 @@ object PipelineOpsQueries {
     "events_json_extract" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
        "FROM events"),
-    "sim_hybrid_rrf" ->
-      (s"""WITH base AS (
-         |  SELECT doc_id, len(toks) AS dl,
-         |         list_filter(list_transform(toks, t -> lower(t)),
-         |                     t -> t IN (${hybInList(HybridTerms)})) AS hits
-         |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
-         |        FROM documents)),
-         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM base),
-         |tf AS (
-         |  SELECT doc_id, dl, term, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(hits) AS term
-         |        FROM base WHERE len(hits) > 0)
-         |  GROUP BY 1, 2, 3),
-         |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |sc AS (
-         |  SELECT tf.doc_id, $HybridBm25Contrib AS cm
-         |  FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN stats),
-         |top20 AS (
-         |  SELECT doc_id, SUM(cm) AS score FROM sc GROUP BY 1
-         |  ORDER BY score DESC, doc_id LIMIT 20),
-         |sp AS (
-         |  SELECT doc_id AS id,
-         |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-         |              AS INTEGER) AS srank
-         |  FROM top20),
-         |dtop AS (
-         |  SELECT n.vec_id AS id,
-         |         list_cosine_similarity(q.embedding, n.embedding) AS cos
-         |  FROM embeddings n, embeddings q
-         |  WHERE q.vec_id = 0 AND n.vec_id <> 0
-         |  ORDER BY cos DESC, n.vec_id LIMIT 20),
-         |dn AS (
-         |  SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id)
-         |                  AS INTEGER) AS drank
-         |  FROM dtop)
-         |SELECT COALESCE(sp.id, dn.id) AS doc_id,
-         |       COALESCE(CAST(ROUND(1000000.0 / (60 + srank)) AS BIGINT), 0)
-         |     + COALESCE(CAST(ROUND(1000000.0 / (60 + drank)) AS BIGINT), 0)
-         |         AS rrf_micro,
-         |       sp.id IS NOT NULL AS in_sparse,
-         |       dn.id IS NOT NULL AS in_dense
-         |FROM sp FULL OUTER JOIN dn ON sp.id = dn.id
-         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin),
+    "sim_hybrid_rrf" -> HybridRrfOracle,
+    "sim_hybrid_standing" -> HybridRrfOracle,
     "pipeline_gold_e2e" ->
       ("""WITH o AS (
          |  SELECT *, CAST(o_orderkey % 4 AS INTEGER) AS data_block_id

@@ -41,6 +41,8 @@ object PlanLint {
       "corpus x broadcast(k query vectors): the bounded exact baseline; scale paths are sim_ann_lsh/ivf"),
     "sim_hybrid_rrf" -> (Set("BroadcastNestedLoopJoin", "Window over a single partition"),
       "dense arm is corpus x broadcast(ONE query vector); both rank windows run AFTER TakeOrderedAndProject over exactly 20 survivor rows, so the single partition holds <= 20 rows by construction"),
+    "sim_hybrid_standing" -> (Set("BroadcastNestedLoopJoin", "Window over a single partition"),
+      "dense arm probes queries x broadcast(trained centroid table) as sim_standing_index; the sparse rank window runs over StandingBm25Index.query's <= 20-row top-k output"),
     "sim_ann_ivf" -> (Set("BroadcastNestedLoopJoin"),
       "corpus x broadcast(centroids) cell assignment — centroid count is a small constant"),
     "sim_ann_ivf_seeded" -> (Set("BroadcastNestedLoopJoin"),
