@@ -1188,6 +1188,29 @@ object TextQueries {
       idx.query(Bm25Terms, k = 10)
     }),
 
+    // Compaction invisibility for the BM25 index (the dedup_index_compacted
+    // recipe, but counts-sensitive): build three tags, fold tags ≤ 2 into
+    // the archive partition via the atomic-overwrite fold, replay an
+    // ARCHIVED tag (must no-op via the watermark — its stats row is gone,
+    // so a probe-only ingest would re-append and double tf/df) and a
+    // recent tag (no-ops via the stats probe), then query. The oracle is
+    // the direct BM25 formula — any fold double-count or lost row breaks
+    // the hash.
+    "text_standing_bm25_compacted" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "text_standing_bm25_compacted")
+      Q.deleteDir(s, p)
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val idx = new graft.text.StandingBm25Index(s, p)
+      idx.ingest(docs.filter($"doc_id" < 150), tag = 1L)
+      idx.ingest(docs.filter($"doc_id" >= 150 && $"doc_id" < 300), tag = 2L)
+      idx.ingest(docs.filter($"doc_id" >= 300), tag = 3L)
+      idx.compactThrough(2L)
+      idx.ingest(docs.filter($"doc_id" < 150), tag = 1L) // archived replay: watermark no-op
+      idx.ingest(docs.filter($"doc_id" >= 300), tag = 3L) // recent replay: probe no-op
+      idx.query(Bm25Terms, k = 10)
+    }),
+
     // DSIR (Xie et al. 2023, "Data Selection for Language Models via
     // Importance Resampling") re-expressed Spark-first: hashed-bigram
     // features (256 buckets = first md5 byte as 2 hex chars), target
@@ -2138,6 +2161,7 @@ object TextQueries {
 
     "text_bm25_topk" -> Bm25DirectOracle,
     "text_standing_bm25" -> Bm25DirectOracle,
+    "text_standing_bm25_compacted" -> Bm25DirectOracle,
 
     "sample_dsir_weights" ->
       (s"""WITH bi AS (

@@ -69,6 +69,13 @@ final class StandingBm25Index(
     */
   def ingest(docs: DataFrame, tag: Long): Unit = {
     require(tag != 0L, "tag 0 is reserved")
+    require(tag != graft.table.TagArchive.ArchiveTag,
+      "the archive tag is reserved for compaction")
+    // at or below the compaction watermark = known-ingested even though
+    // the tag's stats row was folded into the archive row — replaying it
+    // must stay a no-op, not a double count
+    if (tag <= graft.table.TagArchive.watermark(spark, basePath, "bm25"))
+      return
     if (docStats.exists &&
         !docStats.read.filter(col("batch_tag") === tag).isEmpty) return
     // crash recovery: a prior attempt may have landed some or all of this
@@ -85,6 +92,39 @@ final class StandingBm25Index(
       toks.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
         .withColumn("batch_tag", lit(tag)))
+  }
+
+  /** Fold every `batch_tag ≤ w` partition into the archive partition, the
+    * [[graft.table.TagArchive]] cadence — but NOT via its append-then-
+    * delete fold: a crash between those steps leaves duplicate rows,
+    * harmless for the dedup/ANN indexes' membership semantics and
+    * CORRUPTING here (tf/df/totals are counts). Each table instead folds
+    * by ATOMIC staged-swap overwrite (postings remap their tag, stats
+    * rows ≤ w sum into one archive row — query results are invariant
+    * under both), and the watermark advances FIRST: any crash then leaves
+    * a replay-safe state (a watermarked tag skips ingest whether or not
+    * its partition has folded yet), and re-running compactThrough
+    * converges. Queries never filter on batch_tag, so compaction is
+    * invisible to them; the term_bucket partitioning — the layout the
+    * probe pruning needs — survives the fold.
+    */
+  def compactThrough(w: Long): Unit = {
+    val arch = graft.table.TagArchive.ArchiveTag
+    require(w != arch, "cannot archive the archive partition itself")
+    if (!docStats.exists ||
+        docStats.read.filter(col("batch_tag") <= w &&
+          col("batch_tag") =!= arch).isEmpty) return
+    if (w > graft.table.TagArchive.watermark(spark, basePath, "bm25"))
+      graft.table.TagArchive.setWatermark(spark, basePath, w, "bm25")
+    postings.overwrite(postings.read
+      .withColumn("batch_tag",
+        when(col("batch_tag") <= w, lit(arch)).otherwise(col("batch_tag")))
+      .repartition(col("batch_tag"), col("term_bucket")))
+    val cur = docStats.read
+    val folded = cur.filter(col("batch_tag") <= w)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .withColumn("batch_tag", lit(arch))
+    docStats.overwrite(cur.filter(col("batch_tag") > w).unionByName(folded))
   }
 
   /** BM25 top-k for `terms` over everything ingested so far: probes only

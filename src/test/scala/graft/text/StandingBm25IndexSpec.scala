@@ -60,6 +60,32 @@ class StandingBm25IndexSpec extends SparkSpec {
       "scores differ from a clean two-batch build after crash recovery")
   }
 
+  test("compaction: scores invariant, archived replay no-ops, re-run converges") {
+    val idx = new StandingBm25Index(spark, tmpDir("bm25_compact"))
+    idx.ingest(docs(b1: _*), tag = 1L)
+    idx.ingest(docs(b2: _*), tag = 2L)
+    idx.ingest(docs(5L -> "spark spark late batch"), tag = 3L)
+    val before = scores(idx)
+    idx.compactThrough(2L)
+    assert(scores(idx) == before, "compaction changed scores")
+    // folded layout: tags 1 and 2 now live in the archive partition
+    // partition-dir inference may read batch_tag back as int — normalize
+    val tags = idx.docStats.read.selectExpr("CAST(batch_tag AS BIGINT)")
+      .collect().map(_.getLong(0)).toSet
+    assert(tags == Set(graft.table.TagArchive.ArchiveTag, 3L),
+      s"expected archive + tag 3, got $tags")
+    // replay of an ARCHIVED tag must be a watermark no-op (its stats row
+    // is gone, so the probe alone would re-append and double counts)
+    idx.ingest(docs(b1: _*), tag = 1L)
+    assert(scores(idx) == before, "archived-tag replay changed scores")
+    // re-running the same compaction converges (crash-recovery path)
+    idx.compactThrough(2L)
+    assert(scores(idx) == before, "re-run compaction changed scores")
+    // term_bucket partitioning survives the fold (the probe pruning layout)
+    assert(idx.postings.read.inputFiles.forall(_.contains("term_bucket=")),
+      "postings lost the term_bucket partitioning in the fold")
+  }
+
   test("query scans only the probed term buckets' directories") {
     val idx = new StandingBm25Index(spark, tmpDir("bm25_prune"), nBuckets = 16)
     // many distinct terms so the 16 buckets all get files
