@@ -320,6 +320,27 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming BM25-index maintenance: each micro-batch of (doc_id, text)
+    * ingests into a standing [[graft.text.StandingBm25Index]] under
+    * tag = batchId + 1 (tag 0 is reserved). Exactly-once is STRICTER here
+    * than for the ANN/dedup ingests — postings carry counts, so a
+    * replayed micro-batch that re-appended would double tf/df — and is
+    * delivered by the index's own protocol: the stats-row probe skips a
+    * completed tag, and a tag that crashed mid-ingest partition-deletes
+    * its partial postings before rewriting. Compaction interplay matches
+    * dedupStream's contract: only compact through tags whose
+    * micro-batches the checkpoint has committed.
+    */
+  def bm25IngestStream(docs: DataFrame, indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        new graft.text.StandingBm25Index(batch.sparkSession, indexPath)
+          .ingest(batch, tag = batchId + 1)
+      }
+      .start()
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * once the watermark passes its extent + gap (event-time timeout), so
     * late in-watermark events — including orphans older than the current

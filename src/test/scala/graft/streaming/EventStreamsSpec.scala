@@ -294,6 +294,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BM25 ingest maintains the standing index exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = tmpDir("sbm25_idx")
+    val idx = new graft.text.StandingBm25Index(spark, idxPath)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.bm25IngestStream(
+      input.toDF().toDF("doc_id", "text"), idxPath, tmpDir("sbm25_ckpt"))
+    try {
+      input.addData(1L -> "spark merge window spark", 2L -> "merge quick fox")
+      q.processAllAvailable()
+      input.addData(3L -> "window spark lazy dog")
+      q.processAllAvailable()
+      def scores() = idx.query(Seq("spark", "merge", "window"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val streamed = scores()
+      assert(streamed.map(_._1).toSet == Set(1L, 2L, 3L))
+      // a replayed micro-batch (same tag) must not double tf/df —
+      // counts-sensitive exactly-once, not just membership idempotence
+      idx.ingest(Seq(1L -> "spark merge window spark",
+        2L -> "merge quick fox").toDF("doc_id", "text"), tag = 1L)
+      assert(scores() == streamed, "replayed micro-batch changed BM25 scores")
+      // the streamed index equals a batch-built index over the same docs
+      val batch = new graft.text.StandingBm25Index(spark, tmpDir("sbm25_batch"))
+      batch.ingest(Seq(1L -> "spark merge window spark", 2L -> "merge quick fox",
+        3L -> "window spark lazy dog").toDF("doc_id", "text"), tag = 1L)
+      assert(scores() == batch.query(Seq("spark", "merge", "window"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+        "streamed index diverges from a batch build over the same corpus")
+    } finally q.stop()
+  }
+
   test("streaming dedup checks each micro-batch against the index before ingesting it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
