@@ -885,14 +885,11 @@ object PipelineOpsQueries {
         .withColumn("drank",
           row_number().over(Window.orderBy($"cos".desc, $"vec_id")).cast("int"))
         .select($"vec_id".as("id"), $"drank")
-      def contrib(rank: org.apache.spark.sql.Column) =
-        coalesce(round(lit(1000000.0) / (rank + 60)).cast("long"), lit(0L))
-      sparse.join(dense, Seq("id"), "full_outer")
-        .select($"id".as("doc_id"),
-          (contrib($"srank") + contrib($"drank")).as("rrf_micro"),
-          $"srank".isNotNull.as("in_sparse"),
-          $"drank".isNotNull.as("in_dense"))
-        .orderBy($"rrf_micro".desc, $"doc_id").limit(10)
+      graft.operators.Rrf.fuse(
+          Seq(sparse.withColumnRenamed("srank", "rank"),
+            dense.withColumnRenamed("drank", "rank")), "id", "rank", k = 10)
+        .select($"id".as("doc_id"), $"rrf_micro",
+          $"in_0".as("in_sparse"), $"in_1".as("in_dense"))
     }),
 
     // The persisted retrieval stack end-to-end: the SAME hybrid-RRF
@@ -929,14 +926,11 @@ object PipelineOpsQueries {
       ann.ingest(emb.filter($"vec_id" >= 400), tag = 2L) // replay: no-op
       val dense = ann.query(emb.filter($"vec_id" === 0), k = 20, nProbe = 8)
         .select($"neighbor_id".as("id"), $"rank".cast("int").as("drank"))
-      def contrib(rank: org.apache.spark.sql.Column) =
-        coalesce(round(lit(1000000.0) / (rank + 60)).cast("long"), lit(0L))
-      sparse.join(dense, Seq("id"), "full_outer")
-        .select($"id".as("doc_id"),
-          (contrib($"srank") + contrib($"drank")).as("rrf_micro"),
-          $"srank".isNotNull.as("in_sparse"),
-          $"drank".isNotNull.as("in_dense"))
-        .orderBy($"rrf_micro".desc, $"doc_id").limit(10)
+      graft.operators.Rrf.fuse(
+          Seq(sparse.withColumnRenamed("srank", "rank"),
+            dense.withColumnRenamed("drank", "rank")), "id", "rank", k = 10)
+        .select($"id".as("doc_id"), $"rrf_micro",
+          $"in_0".as("in_sparse"), $"in_1".as("in_dense"))
     }),
 
     // Full medallion pipeline end-to-end (§2.8): raw CSV/JSON landing →
