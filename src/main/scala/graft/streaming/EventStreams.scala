@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
@@ -295,6 +295,60 @@ object EventStreams {
             .parquet(reportPath)
           idx.ingest(b, tag = batchId)
         } finally b.unpersist()
+      }
+      .start()
+
+  /** One micro-batch of the streaming curation funnel — package-private so
+    * the replay spec can re-invoke a batch the way a recovering
+    * foreachBatch sink would. Stages mirror the batch funnel
+    * (`pipeline_llm_curate`): stateless quality gate → standing-index
+    * dedup check (excluding this batch's own tag, so a replay reproduces
+    * the original decisions) → curated rows land by OVERWRITING the
+    * batch's own `ingest_batch_id` partition (dynamic partition
+    * overwrite: at-least-once delivery, exactly-once curated contents) →
+    * index ingest last (duplicate-tolerant by the dedup-index contract).
+    */
+  private[graft] def curateBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, curatedPath: String,
+      bandKeys: DataFrame => DataFrame, qualityPass: Column): Unit = {
+    val b = batch.persist()
+    try {
+      val quality = b.filter(qualityPass)
+      val idx = new graft.dedup.StandingDedupIndex(
+        b.sparkSession, indexPath, bandKeys)
+      val report = idx.check(quality, excludeTag = Some(batchId))
+      quality.join(
+          report.filter(!col("is_exact_dup"))
+            .select(col("doc_id"), col("n_candidates")),
+          Seq("doc_id"))
+        .withColumn("ingest_batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch_id")
+        .parquet(curatedPath)
+      idx.ingest(quality, tag = batchId)
+    } finally b.unpersist()
+  }
+
+  /** Streaming curation funnel — the batch `pipeline_llm_curate` stages
+    * lifted to Structured Streaming: per micro-batch, quality-gate the
+    * docs (stateless Column predicate), drop exact duplicates against
+    * the standing dedup index AS WRITTEN BY PRIOR BATCHES (near-dup
+    * candidates are flagged via `n_candidates`, not dropped — the
+    * streaming funnel cannot re-rank a cluster it has already emitted),
+    * and append survivors to a curated parquet table, exactly-once under
+    * replay: decisions replay via the tag-excluded re-check and the
+    * curated write replays via batch-id partition overwrite. Index
+    * maintenance is O(batch); no corpus rescan anywhere.
+    */
+  def curateStream(docs: DataFrame, indexPath: String, curatedPath: String,
+      bandKeys: DataFrame => DataFrame, qualityPass: Column,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, batchId, indexPath, curatedPath, bandKeys,
+          qualityPass)
       }
       .start()
 

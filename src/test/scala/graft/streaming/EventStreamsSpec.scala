@@ -326,6 +326,50 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation funnel: quality gate + dedup + exactly-once curated table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    val idxPath = tmpDir("scurate_idx")
+    val curated = tmpDir("scurate_out")
+    val ckpt = tmpDir("scurate_ckpt")
+    val oneBand = (d: org.apache.spark.sql.DataFrame) =>
+      d.where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), lit(0).as("band_idx"), md5(col("text")).as("band_key"))
+    val quality = size(split(col("text"), "\\s+")) >= 3 // toy gopher gate
+    val q = EventStreams.curateStream(
+      input.toDF().toDF("doc_id", "text"), idxPath, curated, oneBand,
+      quality, ckpt)
+    try {
+      input.addData(1L -> "alpha beta gamma", 2L -> "too short")
+      q.processAllAvailable()
+      // batch 2: a dup of a curated batch-1 doc, a fresh doc, a reject
+      input.addData(10L -> "alpha beta gamma", 11L -> "epsilon zeta eta",
+        12L -> "nope")
+      q.processAllAvailable()
+      def curatedIds() = spark.read.parquet(curated)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(curatedIds() == Set(1L, 11L),
+        s"curated must hold quality-passing non-dups, got ${curatedIds()}")
+      // replay micro-batch id 1 = the SECOND batch (ingested, crashed
+      // before checkpoint commit): decisions reproduce via the
+      // tag-excluded re-check, the curated partition overwrites itself —
+      // table contents unchanged
+      EventStreams.curateBatch(
+        Seq(10L -> "alpha beta gamma", 11L -> "epsilon zeta eta",
+          12L -> "nope").toDF("doc_id", "text"),
+        1L, idxPath, curated, oneBand, quality)
+      assert(curatedIds() == Set(1L, 11L),
+        "replayed batch must leave the curated table unchanged")
+      // rejected docs never reach the index: only 1, 10, 11 were ingested
+      val idx = new graft.dedup.StandingDedupIndex(spark, idxPath, oneBand)
+      assert(idx.hashTable.read.select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 10L, 11L),
+        "index must hold exactly the quality-passing docs")
+    } finally q.stop()
+  }
+
   test("streaming dedup checks each micro-batch against the index before ingesting it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
