@@ -157,6 +157,53 @@ object PipelineOpsQueries {
        |FROM sp FULL OUTER JOIN dn ON sp.id = dn.id
        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
 
+  /** DuckDB twin of `sim_mmr_rerank`: the greedy MMR selection unrolled
+    * as 10 chained CTE steps (p_i picks the argmax of rel − max-sim-to-
+    * selected over the not-yet-picked; s_i accumulates the picks).
+    * Everything is micro-rounded BEFORE comparisons, so both engines
+    * compare identical integers; embeddings are double-cast on both
+    * sides (the seeded-ANN-oracle discipline) so the rounding inputs
+    * bit-match.
+    */
+  private lazy val MmrOracle: String = {
+    val candAndSims =
+      """WITH cand AS MATERIALIZED (
+        |  SELECT id, rel, emb FROM (
+        |    SELECT n.vec_id AS id,
+        |           CAST(ROUND(1000000 * list_cosine_similarity(
+        |             CAST(q.embedding AS DOUBLE[]),
+        |             CAST(n.embedding AS DOUBLE[]))) AS BIGINT) AS rel,
+        |           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |             CAST(n.embedding AS DOUBLE[])) AS cos,
+        |           n.embedding AS emb
+        |    FROM embeddings n, embeddings q
+        |    WHERE q.vec_id = 0 AND n.vec_id <> 0)
+        |  ORDER BY cos DESC, id LIMIT 20),
+        |sims AS MATERIALIZED (
+        |  SELECT a.id AS ia, b.id AS ib,
+        |         CAST(ROUND(1000000 * list_cosine_similarity(
+        |           CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])))
+        |           AS BIGINT) AS sm
+        |  FROM cand a JOIN cand b ON a.id <> b.id),
+        |p1 AS MATERIALIZED (SELECT id, rel AS score FROM cand ORDER BY score DESC, id LIMIT 1),
+        |s1 AS MATERIALIZED (SELECT id FROM p1)""".stripMargin
+    val steps = (2 to 10).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT c.id, c.rel - (SELECT MAX(sm) FROM sims
+         |    WHERE ia = c.id AND ib IN (SELECT id FROM s${i - 1})) AS score
+         |  FROM cand c WHERE c.id NOT IN (SELECT id FROM s${i - 1})
+         |  ORDER BY score DESC, id LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT id FROM s${i - 1} UNION ALL SELECT id FROM p$i)""".stripMargin
+    }
+    val unions = (1 to 10)
+      .map(i => s"SELECT id, $i AS i, score FROM p$i").mkString(" UNION ALL ")
+    s"""$candAndSims,
+       |${steps.mkString(",\n")}
+       |SELECT id AS doc_id, CAST(i AS INTEGER) AS mmr_rank,
+       |       score AS mmr_score_micro
+       |FROM ($unions) ORDER BY mmr_rank""".stripMargin
+  }
+
   val defs: Map[String, QueryFn] = Map(
     // Embedding-cosine near-dup pairs, exact (oracle-checked correctness
     // baseline for the LSH path). Ids only — no float in the output.
@@ -892,6 +939,30 @@ object PipelineOpsQueries {
           $"in_0".as("in_sparse"), $"in_1".as("in_dense"))
     }),
 
+    // MMR diversification rerank (Carbonell & Goldstein 1998) over the
+    // dense top-20 candidates for query vector 0: relevance and pairwise
+    // similarity micro-rounded to integers (λ = 0.5, everything ×2 so
+    // score = rel_micro − max sim_micro stays integral), greedy pick of
+    // 10. The sequential greedy runs where rerankers always run — on the
+    // BOUNDED top-N list after distributed candidate generation; the
+    // pairwise sims come from the codegen'd graft_cosine. The oracle
+    // unrolls the 10 greedy steps as chained CTEs over the same integers
+    // — a full hash oracle for an iterative algorithm.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val base = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val qv = base.filter($"vec_id" === 0).select($"v".as("qv"))
+      val cand = base.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", call_function("graft_cosine", $"qv", $"v"))
+        .orderBy($"cos".desc, $"vec_id").limit(20)
+        .select($"vec_id".as("id"),
+          round($"cos" * 1e6).cast("long").as("rel_micro"), $"v")
+      graft.similarity.Mmr.rerank(cand, k = 10)
+    }),
+
     // The persisted retrieval stack end-to-end: the SAME hybrid-RRF
     // semantics as sim_hybrid_rrf, but both arms answer from standing
     // index tables — the sparse arm from a StandingBm25Index built in two
@@ -1453,6 +1524,7 @@ object PipelineOpsQueries {
        "FROM events"),
     "sim_hybrid_rrf" -> HybridRrfOracle,
     "sim_hybrid_standing" -> HybridRrfOracle,
+    "sim_mmr_rerank" -> MmrOracle,
     "pipeline_gold_e2e" ->
       ("""WITH o AS (
          |  SELECT *, CAST(o_orderkey % 4 AS INTEGER) AS data_block_id
