@@ -71,6 +71,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftSyncDeltaLogCommand(target.trim, alsoCheckpoint = false)
       case CheckpointDeltaLogRe(target) =>
         GraftSyncDeltaLogCommand(target.trim, alsoCheckpoint = true)
+      case SearchBm25Re(target, terms, k) =>
+        GraftBm25SearchCommand(target.trim,
+          terms.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty),
+          k.toInt)
       // Spark 4.1's own grammar handles constraint DDL for v2 tables —
       // claim the statement only when the target is actually ours.
       case AddConstraintRe(target, cname, cexpr) if isGraftTarget(spark, target) =>
@@ -198,6 +202,8 @@ object GraftSqlParser {
     s"""(?is)SYNC\\s+DELTA\\s+LOG\\s+FOR\\s+$T""".r
   private[plans] val CheckpointDeltaLogRe: Regex =
     s"""(?is)CHECKPOINT\\s+DELTA\\s+LOG\\s+FOR\\s+$T""".r
+  private[plans] val SearchBm25Re: Regex =
+    s"""(?is)SEARCH\\s+BM25\\s+INDEX\\s+$T\\s+FOR\\s*\\(([^)]+)\\)\\s+LIMIT\\s+(\\d+)""".r
   private[plans] val AddConstraintRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
   private[plans] val DropConstraintRe: Regex =
@@ -272,6 +278,27 @@ final case class GraftDescribeHistoryCommand(target: String)
     mt.history().map { case (v, op, millis) =>
       Row(v, op, new java.sql.Timestamp(millis))
     }
+  }
+}
+
+/** `SEARCH BM25 INDEX '<path>'|t FOR ('term', …) LIMIT k` — the standing
+  * BM25 inverted index ([[graft.text.StandingBm25Index]]) exposed to SQL
+  * users: returns the top-k (doc_id, score_micro) by the shared
+  * micro-rounded Robertson/Lucene formula, reading only the probed
+  * term-bucket directories plus the O(tags) stats rows. The k-row result
+  * is command-output-sized by construction. The ANN siblings stay
+  * API-side (a query VECTOR has no natural SQL literal form).
+  */
+final case class GraftBm25SearchCommand(target: String, terms: Seq[String],
+    k: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("doc_id", LongType, nullable = false)(),
+    AttributeReference("score_micro", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(terms.nonEmpty, "SEARCH BM25 INDEX needs at least one term")
+    val idx = new graft.text.StandingBm25Index(spark,
+      GraftSqlParser.resolvePath(spark, target))
+    idx.query(terms, k).collect().toSeq
   }
 }
 

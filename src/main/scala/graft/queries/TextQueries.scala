@@ -1211,6 +1211,25 @@ object TextQueries {
       idx.query(Bm25Terms, k = 10)
     }),
 
+    // The standing BM25 index through the SQL surface: same build as
+    // text_standing_bm25 (two ingests + a replayed tag), but the query
+    // is the parser-extension statement `SEARCH BM25 INDEX '<path>' FOR
+    // (…) LIMIT 10` — a SQL user needs no Scala API to search the
+    // index. Same direct-formula oracle: the statement must reproduce
+    // the from-scratch computation hash-for-hash.
+    "text_sql_bm25_search" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "text_sql_bm25_search")
+      Q.deleteDir(s, p)
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val idx = new graft.text.StandingBm25Index(s, p)
+      idx.ingest(docs.filter($"doc_id" < 250), tag = 1L)
+      idx.ingest(docs.filter($"doc_id" >= 250), tag = 2L)
+      idx.ingest(docs.filter($"doc_id" >= 250), tag = 2L) // replay: no-op
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s.sql(s"SEARCH BM25 INDEX '$p' FOR ($termList) LIMIT 10")
+    }),
+
     // DSIR (Xie et al. 2023, "Data Selection for Language Models via
     // Importance Resampling") re-expressed Spark-first: hashed-bigram
     // features (256 buckets = first md5 byte as 2 hex chars), target
@@ -2162,6 +2181,7 @@ object TextQueries {
     "text_bm25_topk" -> Bm25DirectOracle,
     "text_standing_bm25" -> Bm25DirectOracle,
     "text_standing_bm25_compacted" -> Bm25DirectOracle,
+    "text_sql_bm25_search" -> Bm25DirectOracle,
 
     "sample_dsir_weights" ->
       (s"""WITH bi AS (

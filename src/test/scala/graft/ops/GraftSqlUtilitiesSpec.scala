@@ -23,6 +23,25 @@ class GraftSqlUtilitiesSpec extends SparkSpec {
     assert(byPath.map(_.getLong(0)).toSeq == byName.map(_.getLong(0)).toSeq)
   }
 
+  test("SEARCH BM25 INDEX queries the standing index from pure SQL") {
+    import spark.implicits._
+    val p = tmpDir("sqlutil_bm25")
+    val idx = new graft.text.StandingBm25Index(spark, p)
+    idx.ingest(Seq(1L -> "spark merge window spark", 2L -> "merge quick fox",
+      3L -> "window spark lazy dog").toDF("doc_id", "text"), tag = 1L)
+    val viaSql = spark.sql(
+        s"SEARCH BM25 INDEX '$p' FOR ('spark', 'merge', 'window') LIMIT 10")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaApi = idx.query(Seq("spark", "merge", "window"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaApi && viaSql.nonEmpty,
+      s"SQL statement must equal the API query: $viaSql vs $viaApi")
+    // at least one term required
+    intercept[Exception] {
+      spark.sql(s"SEARCH BM25 INDEX '$p' FOR () LIMIT 5").collect()
+    }
+  }
+
   test("OPTIMIZE compacts the file count; ZORDER BY variant clusters") {
     import spark.implicits._
     val p = tmpDir("sqlutil_opt")
