@@ -1211,6 +1211,67 @@ object TextQueries {
       idx.query(Bm25Terms, k = 10)
     }),
 
+    // RM3-style pseudo-relevance feedback (Lavrenko & Croft 2001 lineage):
+    // run BM25 for the seed terms, take the top-10 feedback docs, mine
+    // the 5 most frequent non-seed non-stopword terms from them, and
+    // re-score the corpus with the EXPANDED term set — query expansion,
+    // the classic recall lever sparse retrieval adds on top of exact
+    // term match. Scale shapes: this variant explodes the full token
+    // stream once (tf over (doc, term) — the dynamic expansion set can't
+    // be a static pushdown filter like text_bm25_topk's), the same cost
+    // class as text_tfidf_topk; both scoring passes then join tf against
+    // ≤ 8-row term sets (broadcast), df/totals reduce to tiny aggregates,
+    // and each top-k is TakeOrderedAndProject. Contributions micro-round
+    // before every sum; expansion ties break (freq DESC, term ASC) —
+    // deterministic end-to-end, hash-oracled including the mined terms.
+    "text_bm25_rm3" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("rm3_docs")
+      s.sql(s"""
+        |WITH doclen AS (
+        |  SELECT doc_id, SIZE(TRANSFORM($TokensExpr, t -> LOWER(t))) AS dl
+        |  FROM rm3_docs),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM doclen),
+        |tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |    SELECT d.doc_id, l.dl, EXPLODE(TRANSFORM($TokensExpr,
+        |      t -> LOWER(t))) AS term
+        |    FROM rm3_docs d JOIN doclen l ON d.doc_id = l.doc_id)
+        |  GROUP BY 1, 2, 3),
+        |tf1 AS (SELECT * FROM tf WHERE term IN (${inList(Bm25Terms)})),
+        |df1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY 1),
+        |sc1 AS (
+        |  SELECT doc_id, $Bm25ContribExpr AS cm FROM (
+        |    SELECT tf1.doc_id, tf1.tf, tf1.dl, df1.df,
+        |           (SELECT n_docs FROM stats) AS n_docs,
+        |           (SELECT sum_dl FROM stats) AS sum_dl
+        |    FROM tf1 JOIN df1 ON tf1.term = df1.term)),
+        |fb AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, SUM(cm) AS score FROM sc1 GROUP BY 1
+        |    ORDER BY score DESC, doc_id LIMIT 10)),
+        |exp AS (
+        |  SELECT term FROM (
+        |    SELECT tf.term, SUM(tf.tf) AS freq
+        |    FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+        |    WHERE tf.term NOT IN (${inList(Bm25Terms)})
+        |      AND tf.term NOT IN (${inList(Stopwords)})
+        |    GROUP BY 1 ORDER BY freq DESC, term LIMIT 5)),
+        |allterms AS (
+        |  SELECT term FROM exp
+        |  UNION ALL SELECT * FROM VALUES ${Bm25Terms.map(t => s"('$t')").mkString(", ")}),
+        |tf3 AS (SELECT tf.* FROM tf JOIN allterms ON tf.term = allterms.term),
+        |df3 AS (SELECT term, COUNT(*) AS df FROM tf3 GROUP BY 1),
+        |sc3 AS (
+        |  SELECT doc_id, $Bm25ContribExpr AS cm FROM (
+        |    SELECT tf3.doc_id, tf3.tf, tf3.dl, df3.df,
+        |           (SELECT n_docs FROM stats) AS n_docs,
+        |           (SELECT sum_dl FROM stats) AS sum_dl
+        |    FROM tf3 JOIN df3 ON tf3.term = df3.term))
+        |SELECT doc_id, SUM(cm) AS score_micro
+        |FROM sc3 GROUP BY 1
+        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)
+    }),
+
     // The standing BM25 index through the SQL surface: same build as
     // text_standing_bm25 (two ingests + a replayed tag), but the query
     // is the parser-extension statement `SEARCH BM25 INDEX '<path>' FOR
@@ -2182,6 +2243,44 @@ object TextQueries {
     "text_standing_bm25" -> Bm25DirectOracle,
     "text_standing_bm25_compacted" -> Bm25DirectOracle,
     "text_sql_bm25_search" -> Bm25DirectOracle,
+    "text_bm25_rm3" ->
+      (s"""WITH doclen AS (
+         |  SELECT doc_id, len($DuckTokens) AS dl FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM doclen),
+         |tf AS (
+         |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+         |    SELECT d.doc_id, l.dl,
+         |           unnest(list_transform($DuckTokens, t -> lower(t))) AS term
+         |    FROM documents d JOIN doclen l ON d.doc_id = l.doc_id)
+         |  GROUP BY 1, 2, 3),
+         |tf1 AS (SELECT * FROM tf WHERE term IN (${inList(Bm25Terms)})),
+         |df1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY 1),
+         |sc1 AS (
+         |  SELECT tf1.doc_id, $Bm25ContribExpr AS cm
+         |  FROM tf1 JOIN df1 ON tf1.term = df1.term CROSS JOIN stats),
+         |fb AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, SUM(cm) AS score FROM sc1 GROUP BY 1
+         |    ORDER BY score DESC, doc_id LIMIT 10)),
+         |exp AS (
+         |  SELECT term FROM (
+         |    SELECT tf.term, SUM(tf.tf) AS freq
+         |    FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+         |    WHERE tf.term NOT IN (${inList(Bm25Terms)})
+         |      AND tf.term NOT IN (${inList(Stopwords)})
+         |    GROUP BY 1 ORDER BY freq DESC, term LIMIT 5)),
+         |allterms AS (
+         |  SELECT term FROM exp
+         |  UNION ALL
+         |  SELECT * FROM (VALUES ${Bm25Terms.map(t => s"('$t')").mkString(", ")})),
+         |tf3 AS (SELECT tf.* FROM tf JOIN allterms ON tf.term = allterms.term),
+         |df3 AS (SELECT term, COUNT(*) AS df FROM tf3 GROUP BY 1),
+         |sc3 AS (
+         |  SELECT tf3.doc_id, $Bm25ContribExpr AS cm
+         |  FROM tf3 JOIN df3 ON tf3.term = df3.term CROSS JOIN stats)
+         |SELECT doc_id, CAST(SUM(cm) AS BIGINT) AS score_micro
+         |FROM sc3 GROUP BY 1
+         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin),
 
     "sample_dsir_weights" ->
       (s"""WITH bi AS (
