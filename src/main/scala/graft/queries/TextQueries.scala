@@ -766,6 +766,32 @@ object TextQueries {
           "n_shared_grams IS NOT NULL AS contaminated")
     }),
 
+    // The decontamination check against a PERSISTED benchmark-gram index
+    // (text.DecontaminationIndex): same canary-planted corpus and the
+    // same report as text_decontaminate, but the benchmark side comes
+    // from a standing table built in two tagged ingests, compacted
+    // through tag 1, with BOTH replay classes exercised — the archived
+    // tag no-ops via the watermark, the recent tag re-appends duplicates
+    // the DISTINCT-counting membership semantics absorb. The oracle is
+    // the direct overlap recomputation: a fold, replay, or join bug
+    // breaks the hash.
+    "text_decont_standing" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "text_decont_standing")
+      Q.deleteDir(s, p)
+      val docs = Tables.documents(s, dir).selectExpr("doc_id",
+        "CASE WHEN doc_id % 9 = 0 OR doc_id % 97 = 0 " +
+          s"THEN CONCAT(text, ' $DecontCanary') ELSE text END AS text")
+      val bench = docs.filter($"doc_id" % 97 === 0)
+      val idx = new graft.text.DecontaminationIndex(s, p)
+      idx.ingest(bench.filter($"doc_id" < 250), tag = 1L)
+      idx.ingest(bench.filter($"doc_id" >= 250), tag = 2L)
+      idx.compactThrough(1L)
+      idx.ingest(bench.filter($"doc_id" < 250), tag = 1L) // archived: no-op
+      idx.ingest(bench.filter($"doc_id" >= 250), tag = 2L) // recent: tolerated
+      idx.check(docs)
+    }),
+
     // Stratified quota sampling: an exact, reproducible per-stratum quota
     // (20 docs per lang) ordered by content hash — the "balanced subset"
     // op. Window per stratum: partition count = |strata|, each tiny; the
@@ -1557,6 +1583,34 @@ object TextQueries {
 
   private val DuckTokens = "regexp_extract_all(text, '\\S+')"
 
+  /** Direct 8-gram decontamination oracle over the canary-augmented
+    * corpus — shared verbatim by `text_decontaminate` (self-contained
+    * benchmark side) and `text_decont_standing` (benchmark grams served
+    * from the persisted DecontaminationIndex, incl. compaction + replays):
+    * the standing path must reproduce the direct overlap hash-for-hash.
+    */
+  private lazy val DecontOracle: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 0 OR doc_id % 97 = 0
+       |         THEN text || ' $DecontCanary' ELSE text END AS text
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS gram
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+       |    FROM (SELECT doc_id, $DuckTokens AS toks FROM aug)
+       |    WHERE len(toks) >= 8)),
+       |hits AS (
+       |  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n
+       |  FROM g JOIN g b ON g.gram = b.gram
+       |   AND b.doc_id % 97 = 0 AND g.doc_id <> b.doc_id
+       |  GROUP BY g.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+       |       h.n IS NOT NULL AS contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin
+
   /** Direct BM25 oracle over the documents table — shared verbatim by
     * `text_bm25_topk` (the self-contained plan) and `text_standing_bm25`
     * (the persisted inverted-index path): the standing index must
@@ -1925,27 +1979,8 @@ object TextQueries {
          |SELECT id_a, id_b,
          |       CAST(bit_count(xor(code_a, code_b)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(code_a, code_b)) <= 3""".stripMargin,
-    "text_decontaminate" ->
-      (s"""WITH aug AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 9 = 0 OR doc_id % 97 = 0
-         |         THEN text || ' $DecontCanary' ELSE text END AS text
-         |  FROM documents),
-         |g AS (
-         |  SELECT DISTINCT doc_id,
-         |    md5(array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS gram
-         |  FROM (
-         |    SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
-         |    FROM (SELECT doc_id, $DuckTokens AS toks FROM aug)
-         |    WHERE len(toks) >= 8)),
-         |hits AS (
-         |  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n
-         |  FROM g JOIN g b ON g.gram = b.gram
-         |   AND b.doc_id % 97 = 0 AND g.doc_id <> b.doc_id
-         |  GROUP BY g.doc_id)
-         |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
-         |       h.n IS NOT NULL AS contaminated
-         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin),
+    "text_decontaminate" -> DecontOracle,
+    "text_decont_standing" -> DecontOracle,
     "sample_stratified_quota" ->
       ("""SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
          |  SELECT doc_id, lang,
