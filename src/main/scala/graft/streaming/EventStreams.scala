@@ -310,10 +310,23 @@ object EventStreams {
     */
   private[graft] def curateBatch(batch: DataFrame, batchId: Long,
       indexPath: String, curatedPath: String,
-      bandKeys: DataFrame => DataFrame, qualityPass: Column): Unit = {
+      bandKeys: DataFrame => DataFrame, qualityPass: Column,
+      decontIndexPath: Option[String] = None): Unit = {
     val b = batch.persist()
     try {
-      val quality = b.filter(qualityPass)
+      val gated = b.filter(qualityPass)
+      // optional benchmark-contamination gate: drop docs sharing grams
+      // with the standing eval-suite index (read-only — the funnel never
+      // ingests corpus docs into the DECONT index; eval suites land
+      // there out-of-band via DecontaminationIndex.ingest)
+      val quality = decontIndexPath match {
+        case Some(dp) =>
+          val dec = new graft.text.DecontaminationIndex(b.sparkSession, dp)
+          gated.join(
+            dec.check(gated).filter(!col("contaminated")).select("doc_id"),
+            Seq("doc_id"))
+        case None => gated
+      }
       val idx = new graft.dedup.StandingDedupIndex(
         b.sparkSession, indexPath, bandKeys)
       val report = idx.check(quality, excludeTag = Some(batchId))
@@ -338,17 +351,22 @@ object EventStreams {
     * streaming funnel cannot re-rank a cluster it has already emitted),
     * and append survivors to a curated parquet table, exactly-once under
     * replay: decisions replay via the tag-excluded re-check and the
-    * curated write replays via batch-id partition overwrite. Index
-    * maintenance is O(batch); no corpus rescan anywhere.
+    * curated write replays via batch-id partition overwrite. With
+    * `decontIndexPath` set, docs sharing n-grams with the standing
+    * benchmark index ([[graft.text.DecontaminationIndex]]) are dropped
+    * between the quality gate and the dedup check (read-only: eval
+    * suites ingest there out-of-band). Index maintenance is O(batch);
+    * no corpus rescan anywhere.
     */
   def curateStream(docs: DataFrame, indexPath: String, curatedPath: String,
       bandKeys: DataFrame => DataFrame, qualityPass: Column,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, decontIndexPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(batch, batchId, indexPath, curatedPath, bandKeys,
-          qualityPass)
+          qualityPass, decontIndexPath)
       }
       .start()
 

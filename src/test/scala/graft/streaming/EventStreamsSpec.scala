@@ -338,15 +338,21 @@ class EventStreamsSpec extends SparkSpec {
       d.where(length(trim(col("text"))) > 0)
         .select(col("doc_id"), lit(0).as("band_idx"), md5(col("text")).as("band_key"))
     val quality = size(split(col("text"), "\\s+")) >= 3 // toy gopher gate
+    // standing benchmark index: an 8-gram canary any contaminated doc shares
+    val decontPath = tmpDir("scurate_decont")
+    val canary = "one two three four five six seven eight"
+    new graft.text.DecontaminationIndex(spark, decontPath)
+      .ingest(Seq(500L -> s"eval item: $canary").toDF("doc_id", "text"), tag = 1L)
     val q = EventStreams.curateStream(
       input.toDF().toDF("doc_id", "text"), idxPath, curated, oneBand,
-      quality, ckpt)
+      quality, ckpt, decontIndexPath = Some(decontPath))
     try {
       input.addData(1L -> "alpha beta gamma", 2L -> "too short")
       q.processAllAvailable()
-      // batch 2: a dup of a curated batch-1 doc, a fresh doc, a reject
+      // batch 2: a dup of a curated batch-1 doc, a fresh doc, a reject,
+      // and a benchmark-contaminated doc
       input.addData(10L -> "alpha beta gamma", 11L -> "epsilon zeta eta",
-        12L -> "nope")
+        12L -> "nope", 13L -> s"leaked benchmark text $canary here")
       q.processAllAvailable()
       def curatedIds() = spark.read.parquet(curated)
         .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -358,8 +364,9 @@ class EventStreamsSpec extends SparkSpec {
       // table contents unchanged
       EventStreams.curateBatch(
         Seq(10L -> "alpha beta gamma", 11L -> "epsilon zeta eta",
-          12L -> "nope").toDF("doc_id", "text"),
-        1L, idxPath, curated, oneBand, quality)
+          12L -> "nope", 13L -> s"leaked benchmark text $canary here")
+          .toDF("doc_id", "text"),
+        1L, idxPath, curated, oneBand, quality, Some(decontPath))
       assert(curatedIds() == Set(1L, 11L),
         "replayed batch must leave the curated table unchanged")
       // rejected docs never reach the index: only 1, 10, 11 were ingested
