@@ -56,7 +56,55 @@ object GeoSimQueries {
     // ANN. Queries broadcast; norms precomputed per row (not per pair).
     "sim_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(
-        Tables.embeddings(s, dir), queryPred = col("vec_id") < 8, k = 5))
+        Tables.embeddings(s, dir), queryPred = col("vec_id") < 8, k = 5)),
+
+    // Retrieval evaluation metrics — the harness a curation/retrieval
+    // stack is tuned against: per query, reciprocal rank, DCG@5 and
+    // nDCG@5 with RELEVANCE = label match (the embeddings fixture's
+    // label column — non-degenerate ground truth, unlike planted
+    // copies). All metric terms micro-round BEFORE their sums
+    // (order-independent, engine-comparable); nDCG divides the two
+    // micro-integers at the end. Scale shapes: ranked lists come from
+    // the oracled brute-force kernel (scale swaps in the ANN paths —
+    // same output shape); label joins are equi-joins; IDCG explodes a
+    // ≤5-element sequence per query.
+    "eval_retrieval_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val top = Similarity.bruteForceTopK(emb, col("vec_id") < 8, k = 5)
+      val qlab = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"label".as("qlabel"))
+      val nlab = emb.select($"vec_id".as("neighbor_id"), $"label".as("nlabel"))
+      val judged = top.join(broadcast(qlab), Seq("query_id"))
+        .join(nlab, Seq("neighbor_id"))
+        .withColumn("is_rel", $"nlabel" === $"qlabel")
+      val perQ = judged.groupBy($"query_id").agg(
+        sum(when($"is_rel", 1L).otherwise(0L)).as("n_rel_retrieved"),
+        min(when($"is_rel", $"rank")).as("frr"),
+        sum(when($"is_rel",
+            round(lit(1000000.0) / log2($"rank" + 1)).cast("long"))
+          .otherwise(0L)).as("dcg_micro"))
+      val rcount = qlab
+        .join(emb.select($"vec_id", $"label".as("nlabel")),
+          $"nlabel" === $"qlabel" && $"vec_id" =!= $"query_id")
+        .groupBy($"query_id").agg(count(lit(1)).as("r"))
+      val idcg = rcount
+        .select($"query_id",
+          explode(sequence(lit(1), least($"r", lit(5)))).as("i"))
+        .groupBy($"query_id")
+        .agg(sum(round(lit(1000000.0) / log2($"i" + 1)).cast("long"))
+          .as("idcg_micro"))
+      perQ.join(idcg, Seq("query_id"), "left")
+        .select($"query_id",
+          $"n_rel_retrieved",
+          coalesce(round(lit(1000000.0) / $"frr").cast("long"), lit(0L))
+            .as("rr_micro"),
+          $"dcg_micro",
+          coalesce($"idcg_micro", lit(0L)).as("idcg_micro"),
+          when(coalesce($"idcg_micro", lit(0L)) > 0,
+              round(lit(1000000.0) * $"dcg_micro" / $"idcg_micro").cast("long"))
+            .otherwise(0L).as("ndcg_micro"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -83,6 +131,50 @@ object GeoSimQueries {
          |  FROM d) WHERE rn = 1
          |UNION ALL
          |SELECT station_id, county AS assigned_county FROM lab""".stripMargin),
+    "eval_retrieval_metrics" ->
+      ("""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 8),
+         |top5 AS (
+         |  SELECT * FROM (
+         |    SELECT q.query_id, q.qlabel, n.vec_id AS neighbor_id,
+         |           n.label AS nlabel,
+         |           CAST(row_number() OVER (
+         |             PARTITION BY q.query_id
+         |             ORDER BY list_cosine_similarity(q.qv, n.embedding) DESC,
+         |                      n.vec_id) AS INTEGER) AS rank
+         |    FROM embeddings n, q WHERE n.vec_id <> q.query_id)
+         |  WHERE rank <= 5),
+         |per_q AS (
+         |  SELECT query_id,
+         |         CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_rel_retrieved,
+         |         MIN(CASE WHEN nlabel = qlabel THEN rank END) AS frr,
+         |         CAST(SUM(CASE WHEN nlabel = qlabel
+         |           THEN CAST(ROUND(1000000 / log2(rank + 1)) AS BIGINT)
+         |           ELSE 0 END) AS BIGINT) AS dcg_micro
+         |  FROM top5 GROUP BY 1),
+         |rcount AS (
+         |  SELECT q.query_id, COUNT(*) AS r
+         |  FROM q JOIN embeddings e
+         |    ON e.label = q.qlabel AND e.vec_id <> q.query_id
+         |  GROUP BY 1),
+         |idcg AS (
+         |  SELECT query_id,
+         |         CAST(SUM(CAST(ROUND(1000000 / log2(i + 1)) AS BIGINT))
+         |              AS BIGINT) AS idcg_micro
+         |  FROM (SELECT query_id, unnest(range(1, least(r, 5) + 1)) AS i
+         |        FROM rcount)
+         |  GROUP BY 1)
+         |SELECT p.query_id, p.n_rel_retrieved,
+         |       COALESCE(CAST(ROUND(1000000.0 / frr) AS BIGINT), 0) AS rr_micro,
+         |       p.dcg_micro,
+         |       COALESCE(i.idcg_micro, 0) AS idcg_micro,
+         |       CASE WHEN COALESCE(i.idcg_micro, 0) > 0
+         |            THEN CAST(ROUND(1000000.0 * p.dcg_micro / i.idcg_micro)
+         |                      AS BIGINT)
+         |            ELSE 0 END AS ndcg_micro
+         |FROM per_q p LEFT JOIN idcg i ON p.query_id = i.query_id""".stripMargin),
     "sim_topk_bruteforce" ->
       ("""SELECT query_id, neighbor_id, rank FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -39,6 +39,8 @@ object PlanLint {
       "broadcast range join: BNLJ against an explicitly broadcast, bounded interval set"),
     "sim_topk_bruteforce" -> (Set("BroadcastNestedLoopJoin"),
       "corpus x broadcast(k query vectors): the bounded exact baseline; scale paths are sim_ann_lsh/ivf"),
+    "eval_retrieval_metrics" -> (Set("BroadcastNestedLoopJoin"),
+      "ranked lists from the bounded brute-force baseline (corpus x broadcast(8 query vectors)); ANN paths swap in at scale with the same output shape"),
     "sim_hybrid_rrf" -> (Set("BroadcastNestedLoopJoin", "Window over a single partition"),
       "dense arm is corpus x broadcast(ONE query vector); both rank windows run AFTER TakeOrderedAndProject over exactly 20 survivor rows, so the single partition holds <= 20 rows by construction"),
     "sim_hybrid_standing" -> (Set("BroadcastNestedLoopJoin", "Window over a single partition"),
