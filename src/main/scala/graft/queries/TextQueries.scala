@@ -792,6 +792,37 @@ object TextQueries {
       idx.check(docs)
     }),
 
+    // The BATCH twin of EventStreams.curateStream, end-to-end on the
+    // STANDING architecture: a decontamination index pre-loaded with the
+    // benchmark slice, then two daily landings curated through
+    // curateBatch (quality gate → decont gate → standing-dedup check →
+    // curated partition write → index ingest). The oracle recomputes the
+    // WHOLE composition: keep a doc iff it passes quality, shares no
+    // 8-gram with a benchmark doc (self excluded), and no EARLIER-batch
+    // surviving doc has identical text (check-then-ingest first-wins —
+    // within-batch dups both survive, a semantics difference from the
+    // global-min dedup the oracle must reproduce exactly).
+    "pipeline_curate_standing" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "pipeline_curate_standing")
+      Q.deleteDir(s, p)
+      val docs = Tables.documents(s, dir).selectExpr("doc_id",
+        "CASE WHEN doc_id % 9 = 0 OR doc_id % 97 = 0 " +
+          s"THEN CONCAT(text, ' $DecontCanary') ELSE text END AS text")
+      new graft.text.DecontaminationIndex(s, s"$p/decont")
+        .ingest(docs.filter($"doc_id" % 97 === 0), tag = 1L)
+      val quality = expr(s"SIZE($TokensExpr) >= 5")
+      val curated = s"$p/curated"
+      graft.streaming.EventStreams.curateBatch(
+        docs.filter($"doc_id" < 250), 0L, s"$p/dedup", curated,
+        md5LshBands, quality, Some(s"$p/decont"))
+      graft.streaming.EventStreams.curateBatch(
+        docs.filter($"doc_id" >= 250), 1L, s"$p/dedup", curated,
+        md5LshBands, quality, Some(s"$p/decont"))
+      s.read.parquet(curated)
+        .selectExpr("doc_id", "CAST(ingest_batch_id AS BIGINT) AS ingest_batch_id")
+    }),
+
     // Stratified quota sampling: an exact, reproducible per-stratum quota
     // (20 docs per lang) ordered by content hash — the "balanced subset"
     // op. Window per stratum: partition count = |strata|, each tiny; the
@@ -1981,6 +2012,34 @@ object TextQueries {
          |FROM cand WHERE bit_count(xor(code_a, code_b)) <= 3""".stripMargin,
     "text_decontaminate" -> DecontOracle,
     "text_decont_standing" -> DecontOracle,
+    "pipeline_curate_standing" ->
+      (s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0 OR doc_id % 97 = 0
+         |         THEN text || ' $DecontCanary' ELSE text END AS text
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS b
+         |  FROM aug WHERE len($DuckTokens) >= 5),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS gram
+         |  FROM (
+         |    SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+         |    FROM (SELECT doc_id, $DuckTokens AS toks FROM aug)
+         |    WHERE len(toks) >= 8)),
+         |cont AS (
+         |  SELECT DISTINCT g.doc_id
+         |  FROM g JOIN g bg ON g.gram = bg.gram
+         |   AND bg.doc_id % 97 = 0 AND g.doc_id <> bg.doc_id),
+         |surv AS (
+         |  SELECT q.doc_id, q.b, md5(q.text) AS h FROM q
+         |  WHERE q.doc_id NOT IN (SELECT doc_id FROM cont))
+         |SELECT s.doc_id, CAST(s.b AS BIGINT) AS ingest_batch_id
+         |FROM surv s
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM surv e WHERE e.h = s.h AND e.b < s.b)""".stripMargin),
     "sample_stratified_quota" ->
       ("""SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
          |  SELECT doc_id, lang,
