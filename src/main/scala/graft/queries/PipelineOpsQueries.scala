@@ -204,6 +204,37 @@ object PipelineOpsQueries {
        |FROM ($unions) ORDER BY mmr_rank""".stripMargin
   }
 
+  /** kNN-classifier prediction CTEs (query < 25, k = 5, majority vote
+    * with the n DESC / best_rank / label tie chain) ending in a `preds`
+    * CTE — shared by the `embed_knn_classifier` oracle and the
+    * `eval_classifier_metrics` confusion counts built on top of it.
+    */
+  private lazy val KnnPredsCtes: String =
+    """topk AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |           CAST(row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+      |               DESC, n.vec_id) AS INTEGER) AS rank
+      |    FROM embeddings q, embeddings n
+      |    WHERE q.vec_id < 25 AND n.vec_id <> q.vec_id)
+      |  WHERE rank <= 5),
+      |votes AS (
+      |  SELECT t.query_id, e.label AS nlabel, COUNT(*) AS n,
+      |         MIN(t.rank) AS best_rank
+      |  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT query_id, nlabel,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY n DESC, best_rank ASC, nlabel ASC) AS rn
+      |  FROM votes),
+      |preds AS (
+      |  SELECT e.vec_id AS query_id, e.label AS true_label,
+      |         b.nlabel AS pred_label
+      |  FROM embeddings e JOIN best b ON e.vec_id = b.query_id
+      |  WHERE e.vec_id < 25 AND b.rn = 1)""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     // Embedding-cosine near-dup pairs, exact (oracle-checked correctness
     // baseline for the LSH path). Ids only — no float in the output.
@@ -563,6 +594,28 @@ object PipelineOpsQueries {
       emb.filter($"vec_id" < 25)
         .select($"vec_id".as("query_id"), $"label".as("true_label"))
         .join(best, Seq("query_id"))
+    }),
+
+    // Classifier evaluation metrics — per-label confusion counts
+    // (support / tp / fp / fn, pure integers) over the kNN classifier's
+    // oracled decisions: the model-eval harness next to the retrieval
+    // one (eval_retrieval_metrics). Derived metrics (precision/recall/
+    // F1) are ratios of these integers — left to the consumer so the
+    // output stays division-free and engine-exact.
+    "eval_classifier_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val preds = defs("embed_knn_classifier")(s, dir)
+      val t = preds.groupBy($"true_label".as("label")).agg(
+        count(lit(1)).as("support"),
+        sum(when($"pred_label" === $"true_label", 1L).otherwise(0L)).as("tp"))
+      val p = preds.groupBy($"pred_label".as("label")).agg(
+        sum(when($"pred_label" =!= $"true_label", 1L).otherwise(0L)).as("fp"))
+      t.join(p, Seq("label"), "full_outer")
+        .select($"label",
+          coalesce($"support", lit(0L)).as("support"),
+          coalesce($"tp", lit(0L)).as("tp"),
+          coalesce($"fp", lit(0L)).as("fp"),
+          (coalesce($"support", lit(0L)) - coalesce($"tp", lit(0L))).as("fn"))
     }),
 
     // Embedding column statistics via the codegen'd graft_dot kernel
@@ -1314,29 +1367,23 @@ object PipelineOpsQueries {
        "CAST(vec_id + 100000 AS BIGINT) AS ivfpq_top1, true AS ivfpq_self " +
        "FROM embeddings WHERE vec_id < 8"),
     "embed_knn_classifier" ->
-      ("""WITH topk AS (
-         |  SELECT query_id, neighbor_id, rank FROM (
-         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |           CAST(row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY list_cosine_similarity(q.embedding, n.embedding)
-         |               DESC, n.vec_id) AS INTEGER) AS rank
-         |    FROM embeddings q, embeddings n
-         |    WHERE q.vec_id < 25 AND n.vec_id <> q.vec_id)
-         |  WHERE rank <= 5),
-         |votes AS (
-         |  SELECT t.query_id, e.label AS nlabel, COUNT(*) AS n,
-         |         MIN(t.rank) AS best_rank
-         |  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
-         |  GROUP BY 1, 2),
-         |best AS (
-         |  SELECT query_id, nlabel,
-         |         ROW_NUMBER() OVER (PARTITION BY query_id
-         |           ORDER BY n DESC, best_rank ASC, nlabel ASC) AS rn
-         |  FROM votes)
-         |SELECT e.vec_id AS query_id, e.label AS true_label,
-         |       b.nlabel AS pred_label
-         |FROM embeddings e JOIN best b ON e.vec_id = b.query_id
-         |WHERE e.vec_id < 25 AND b.rn = 1""".stripMargin),
+      s"WITH $KnnPredsCtes\nSELECT query_id, true_label, pred_label FROM preds",
+    "eval_classifier_metrics" ->
+      (s"""WITH $KnnPredsCtes,
+         |t AS (
+         |  SELECT true_label AS label, COUNT(*) AS support,
+         |         SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS tp
+         |  FROM preds GROUP BY 1),
+         |p AS (
+         |  SELECT pred_label AS label,
+         |         SUM(CASE WHEN pred_label <> true_label THEN 1 ELSE 0 END) AS fp
+         |  FROM preds GROUP BY 1)
+         |SELECT COALESCE(t.label, p.label) AS label,
+         |       CAST(COALESCE(support, 0) AS BIGINT) AS support,
+         |       CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+         |       CAST(COALESCE(fp, 0) AS BIGINT) AS fp,
+         |       CAST(COALESCE(support, 0) - COALESCE(tp, 0) AS BIGINT) AS fn
+         |FROM t FULL OUTER JOIN p ON t.label = p.label""".stripMargin),
     "embed_centroid_classifier" ->
       ("""WITH ex AS (
          |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -39,6 +39,8 @@ object PlanLint {
       "broadcast range join: BNLJ against an explicitly broadcast, bounded interval set"),
     "sim_topk_bruteforce" -> (Set("BroadcastNestedLoopJoin"),
       "corpus x broadcast(k query vectors): the bounded exact baseline; scale paths are sim_ann_lsh/ivf"),
+    "eval_classifier_metrics" -> (Set("BroadcastNestedLoopJoin"),
+      "confusion counts over embed_knn_classifier's decisions — inherits its corpus x broadcast(25 query vectors) brute-force kernel; ANN paths swap in at scale"),
     "eval_retrieval_metrics" -> (Set("BroadcastNestedLoopJoin"),
       "ranked lists from the bounded brute-force baseline (corpus x broadcast(8 query vectors)); ANN paths swap in at scale with the same output shape"),
     "sim_hybrid_rrf" -> (Set("BroadcastNestedLoopJoin", "Window over a single partition"),
