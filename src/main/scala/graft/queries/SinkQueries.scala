@@ -372,6 +372,63 @@ object SinkQueries {
       g.read
     }),
 
+    // K9 — incremental JOIN maintenance (graft.table.IncrementalJoin):
+    // the materialized orders⋈customer view is bootstrapped once, then
+    // BOTH sides change — the fact absorbs a merge (price bumps, inserts,
+    // a custkey move onto a dangling key) and a delete; the dim absorbs a
+    // segment update, key inserts that make previously-dangling fact rows
+    // joinable, and a key delete — and the view is repaired from the two
+    // CDC feeds alone: O(ΔF ⋈ D) + O(affected slice), never a full
+    // fact⋈dim recompute. The oracle rebuilds the post-change join from
+    // scratch, proving delta-maintenance ≡ recompute row-exactly.
+    "k9_incremental_join" -> ((s, dir) => {
+      import s.implicits._
+      import graft.table.IncrementalJoin
+      val fp = Q.scratch(dir, "k9_ij_fact")
+      val dp = Q.scratch(dir, "k9_ij_dim")
+      val vp = Q.scratch(dir, "k9_ij_view")
+      Seq(fp, dp, vp).foreach(Q.deleteDir(s, _))
+      val fact0 = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+        .filter($"o_orderkey" % 3 =!= 0)
+      val dim0 = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .filter($"c_custkey" % 5 =!= 4) // some fact rows start dangling
+      val t = MedallionTable(s, fp, retainVersions = 2)
+      val d = MedallionTable(s, dp, retainVersions = 2)
+      val mv = MedallionTable(s, vp)
+      t.overwrite(fact0); d.overwrite(dim0)
+      val on = Seq("o_custkey" -> "c_custkey")
+      mv.overwrite(IncrementalJoin.fullCompute(t.read, d.read, on))
+      // fact batch: price bumps + inserts, one key moved onto a dangling
+      // dim key (its view row must disappear), then a predicate delete
+      t.merge(Tables.orders(s, dir)
+          .select($"o_orderkey",
+            when($"o_orderkey" % 7 === 0, lit(-1L)).otherwise($"o_custkey")
+              .as("o_custkey"),
+            ($"o_totalprice" + 1).as("o_totalprice"), $"o_orderpriority")
+          .filter($"o_orderkey" % 2 === 0),
+        Seq("o_orderkey"), deleteNotMatchedBySource = false)
+      t.delete($"o_totalprice" > 200000)
+      IncrementalJoin.applyFactChanges(mv, t.changesSince(1, Seq("o_orderkey")),
+        d.read, Seq("o_orderkey"), on)
+      // dim batch: segment rewrite + inserts of the withheld keys (their
+      // fact rows must APPEAR in the view) + a key delete (theirs vanish)
+      val dimUpd = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .filter($"c_custkey" % 5 =!= 4 && $"c_custkey" % 3 === 0)
+        .withColumn("c_mktsegment", lit("UPDATED"))
+      val dimIns = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .filter($"c_custkey" % 5 === 4 && $"c_custkey" % 2 === 0)
+      d.merge(dimUpd.unionByName(dimIns), Seq("c_custkey"),
+        deleteNotMatchedBySource = false)
+      d.delete($"c_custkey" % 10 === 7)
+      IncrementalJoin.applyDimChanges(mv, t.read, d.read,
+        d.changesSince(1, Seq("c_custkey")), Seq("o_orderkey"), on)
+      mv.read
+    }),
+
     // K8 — Z-order + skipping end-to-end: OPTIMIZE ZORDER BY via SQL
     // (which now rebuilds the manifest it dropped), then range predicates
     // on BOTH cluster columns — answers oracled; the plan-level pruning
@@ -774,6 +831,40 @@ object SinkQueries {
          |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |       CAST(SUM(ROUND(price * 100)) AS BIGINT) AS price_cents
          |FROM final GROUP BY o_orderpriority""".stripMargin),
+    "k9_incremental_join" ->
+      ("""WITH fact0 AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 3 <> 0),
+         |dim0 AS (
+         |  SELECT c_custkey, c_name, c_mktsegment
+         |  FROM customer WHERE c_custkey % 5 <> 4),
+         |fsrc AS (
+         |  SELECT o_orderkey,
+         |         CASE WHEN o_orderkey % 7 = 0 THEN -1 ELSE o_custkey END
+         |           AS o_custkey,
+         |         o_totalprice + 1 AS o_totalprice, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 2 = 0),
+         |fmerged AS (
+         |  SELECT * FROM fsrc
+         |  UNION ALL
+         |  SELECT * FROM fact0
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM fsrc)),
+         |ffinal AS (SELECT * FROM fmerged WHERE NOT o_totalprice > 200000),
+         |dsrc AS (
+         |  SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+         |  FROM customer WHERE c_custkey % 5 <> 4 AND c_custkey % 3 = 0
+         |  UNION ALL
+         |  SELECT c_custkey, c_name, c_mktsegment
+         |  FROM customer WHERE c_custkey % 5 = 4 AND c_custkey % 2 = 0),
+         |dmerged AS (
+         |  SELECT * FROM dsrc
+         |  UNION ALL
+         |  SELECT * FROM dim0
+         |  WHERE c_custkey NOT IN (SELECT c_custkey FROM dsrc)),
+         |dfinal AS (SELECT * FROM dmerged WHERE NOT c_custkey % 10 = 7)
+         |SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, f.o_orderpriority,
+         |       d.c_custkey, d.c_name, d.c_mktsegment
+         |FROM ffinal f JOIN dfinal d ON f.o_custkey = d.c_custkey""".stripMargin),
     "k7_sql_merge_roundtrip" ->
       ("""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
          |s AS (SELECT o_orderkey AS sid, o_totalprice + 10 AS new_price

@@ -1,0 +1,130 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a materialized N:1 equi-join (fact ⋈ dim)
+  * from CDC change feeds — the join half of the gold-refresh story whose
+  * aggregate half is [[IncrementalAgg]].
+  *
+  * The reference's gold table IS such a join: a wide fact enriched with
+  * several dimension tables, rebuilt end-to-end every pipeline run
+  * (gold_table_creation.py:26-31 loads every input, :164 rewrites the
+  * result). That is O(fact ⋈ dims) per refresh; at 100 TB the fact-side
+  * shuffle dominates the pipeline. For an INNER equi-join keyed N:1
+  * (each fact row matches at most one dim row — the star-schema
+  * contract), the classic view-maintenance decomposition applies:
+  *
+  *   Δ(F ⋈ D) = ΔF ⋈ D'  ⊕  F'|affected ⋈ ΔD
+  *
+  * where ' marks post-change state and `affected` is the fact slice
+  * whose join key appears in ΔD. Both terms are MERGEs into the
+  * materialized table keyed by the FACT key (the output key of an N:1
+  * join), so a refresh costs O(ΔF ⋈ D) + O(affected slice) + the
+  * partition-pruned rewrite — never a full fact rescan.
+  *
+  * Scale shape per apply:
+  *  - fact-side batch: one equi-join of the CHANGE BATCH against the
+  *    dim (AQE broadcasts a small dim), then one [[MedallionTable]]
+  *    merge — O(batch) rows shuffled on the merge keys.
+  *  - dim-side batch: the affected key set is batch-bounded (a dim
+  *    change feed names the keys it touched), broadcast into a
+  *    left-semi filter of the fact — with the fact partitioned or
+  *    stats-manifested on the join key this scan prunes to the touched
+  *    slice's files — then the same merge.
+  *
+  * Dangling rows fall out of the algebra rather than needing cases: a
+  * fact row whose key has no dim match joins to nothing (inner join),
+  * so the merge DELETEs its materialized row if one existed; a dim
+  * INSERT that makes previously-dangling fact rows joinable INSERTs
+  * them. Exactness: the merge rewrites whole rows (no float
+  * accumulation at all), so the maintained view is bit-identical to a
+  * recompute — which is what `k9_incremental_join`'s oracle asserts by
+  * recomputing the post-change join from scratch.
+  *
+  * Key pairs are (factCol, dimCol) — star schemas name the two sides
+  * differently (o_custkey / c_custkey); both key columns survive into
+  * the view.
+  */
+object IncrementalJoin {
+
+  private def joinCond(left: DataFrame, right: DataFrame,
+      on: Seq[(String, String)]): Column =
+    on.map { case (f, dk) => left(f) === right(dk) }.reduce(_ && _)
+
+  /** Materialized view = inner equi-join, keyed by the fact key. Join
+    * strategy is left to Catalyst/AQE: a small dim broadcasts, a large
+    * one shuffle-joins (and at scale both sides pre-partitioned on the
+    * join keys co-locate).
+    */
+  def fullCompute(fact: DataFrame, dim: DataFrame,
+      on: Seq[(String, String)]): DataFrame =
+    fact.join(dim, joinCond(fact, dim, on))
+
+  /** Apply a FACT-side CDC batch (schema: fact columns + `_change_type`,
+    * the [[MedallionTable.changesSince]] feed) against the CURRENT dim
+    * state. Result state ≡ [[fullCompute]] over the post-change fact.
+    *
+    * Preimages are dropped (CDC is a same-key diff: an update's key is
+    * stable, a key change arrives as delete + insert), postimages and
+    * inserts upsert their joined row — or DELETE the materialized row
+    * when the new join key dangles — and deletes delete.
+    */
+  def applyFactChanges(mv: MedallionTable, factChanges: DataFrame,
+      dim: DataFrame, factKeys: Seq[String],
+      on: Seq[(String, String)]): Unit = {
+    val batch = factChanges
+      .filter(col("_change_type").isin("insert", "update_postimage", "delete"))
+      .withColumn("__del", col("_change_type") === "delete")
+      .drop("_change_type")
+    val d = dim.withColumn("__dim_hit", lit(true))
+    mergeAffected(mv, batch.join(d, joinCond(batch, d, on), "left"), factKeys)
+  }
+
+  /** Apply a DIM-side CDC batch. `fact` and `dim` are the CURRENT
+    * (post-change) states; `dimChanges` is the dim's CDC feed, used only
+    * for the key set it touched (pre + post images both contribute, so a
+    * dim key-move repairs both the rows it left and the rows it now
+    * serves). Result state ≡ [[fullCompute]] over the current states.
+    *
+    * The affected-key set is batch-bounded — broadcast by construction,
+    * the same class as [[IncrementalAgg]]'s group-key join — and the
+    * left-semi fact filter is what a join-key-partitioned or
+    * stats-manifested fact turns into a pruned scan.
+    */
+  def applyDimChanges(mv: MedallionTable, fact: DataFrame,
+      dim: DataFrame, dimChanges: DataFrame, factKeys: Seq[String],
+      on: Seq[(String, String)]): Unit = {
+    val affected = dimChanges.select(on.map(p => col(p._2)): _*).distinct()
+    val slice = fact.join(broadcast(affected),
+      joinCond(fact, affected, on), "left_semi")
+    val d = dim.withColumn("__dim_hit", lit(true))
+    mergeAffected(mv,
+      slice.withColumn("__del", lit(false))
+        .join(d, joinCond(slice, d, on), "left"),
+      factKeys)
+  }
+
+  /** Shared merge: `src` carries the view's columns plus `__del`
+    * (explicit fact delete) and `__dim_hit` (null = the row's join key
+    * currently dangles). Matched rows update — or delete when deleted /
+    * dangling; unmatched joinable rows insert; view rows outside the
+    * batch are untouched (no NOT-MATCHED-BY-SOURCE clause).
+    */
+  private def mergeAffected(mv: MedallionTable, src: DataFrame,
+      factKeys: Seq[String]): Unit = {
+    import MergeOps._
+    val viewCols = mv.read.columns.toSeq
+    val setAll: Map[String, (ColRef, ColRef) => Column] =
+      viewCols.map(c => c -> ((_: ColRef, s: ColRef) => s(c))).toMap
+    mv.mergeClauses(
+      source = src,
+      keys = factKeys.map(k => k -> k),
+      matched = Seq(
+        WhenMatchedDelete(Some((_, s) => s("__del") || s("__dim_hit").isNull)),
+        WhenMatchedUpdate(None, setAll)),
+      notMatched = Seq(WhenNotMatchedInsert(
+        Some((_, s) => !s("__del") && s("__dim_hit").isNotNull), setAll)),
+      notMatchedBySource = Nil)
+  }
+}
