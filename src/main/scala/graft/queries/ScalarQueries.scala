@@ -182,6 +182,78 @@ object ScalarQueries {
           "user_id")
         .groupBy($"cohort_week", $"week_offset")
         .agg(countDistinct($"user_id").as("n_users"))
+    }),
+
+    // Time-series gap-fill + forward-fill resample: each user's sparse
+    // event stream becomes a REGULAR hourly grid (sequence+explode over
+    // the user's own [first,last] hour — no global calendar), gaps carry
+    // n_events=0 and the last observed hourly total forward (the energy
+    // reference's silver stage aligns exactly such per-county hourly
+    // series before the gold join; this is the missing-row repair step a
+    // forecast join needs). Scale shape: one (user,hour) aggregate, one
+    // users-sized bounds aggregate, the grid join on (user,hour), and a
+    // PER-USER window — no single-partition stage anywhere; hourly cents
+    // are integer sums, so the forward-filled value is order-exact.
+    "events_gapfill_ffill" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val obs = Tables.events(s, dir)
+        .filter($"user_id" < 20 && $"event_type" === "view")
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round($"value" * 100).cast("long")).as("cents"))
+      val grid = obs.groupBy($"user_id")
+        .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+        .select($"user_id",
+          explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hour"))
+      val w = Window.partitionBy($"user_id").orderBy($"hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "hour"), "left")
+        .select($"user_id", $"hour",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          last($"cents", ignoreNulls = true).over(w).as("cents_ff"))
+    }),
+
+    // Linear-interpolation resample — the smooth sibling of
+    // events_gapfill_ffill: gap hours take the line between the
+    // surrounding observations (every gap is bracketed by construction —
+    // the grid spans [first,last] observed hour; the nc-NULL hold-last
+    // branch is defense for callers gridding past the last point). The
+    // bracketing observation per gap row comes from two per-user windows
+    // (last-non-null behind, first-non-null ahead); the interpolation
+    // itself is (next−prev)·Δt as ONE exact integer product, then a
+    // single double division — the identical two-FP-op expression on the
+    // oracle side, so the hash comparison is safe (same discipline as
+    // the haversine J7 oracle).
+    "events_interpolate" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val obs = Tables.events(s, dir)
+        .filter($"user_id" < 20 && $"event_type" === "view")
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+        .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      val grid = obs.groupBy($"user_id")
+        .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+        .select($"user_id",
+          explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hour"))
+      val past = Window.partitionBy($"user_id").orderBy($"hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val future = Window.partitionBy($"user_id").orderBy($"hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsHour = when($"cents".isNotNull, $"hour")
+      grid.join(obs, Seq("user_id", "hour"), "left")
+        .withColumn("pc", last($"cents", ignoreNulls = true).over(past))
+        .withColumn("ph", last(obsHour, ignoreNulls = true).over(past))
+        .withColumn("nc", first($"cents", ignoreNulls = true).over(future))
+        .withColumn("nh", first(obsHour, ignoreNulls = true).over(future))
+        .select($"user_id", $"hour",
+          when($"cents".isNotNull, $"cents".cast("double"))
+            .when($"nc".isNull, $"pc".cast("double"))
+            .otherwise($"pc" +
+              (($"nc" - $"pc") *
+                (unix_timestamp($"hour") - unix_timestamp($"ph"))) /
+                (unix_timestamp($"nh") - unix_timestamp($"ph")))
+            .as("cents_interp"))
     })
   )
 
@@ -295,6 +367,66 @@ object ScalarQueries {
          |         AS week_offset,
          |       CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_users
          |FROM wk JOIN cohort ON wk.user_id = cohort.user_id
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin),
+    "events_gapfill_ffill" ->
+      ("""WITH obs AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS hour,
+         |         COUNT(*) AS n_events,
+         |         CAST(SUM(ROUND(value * 100)) AS BIGINT) AS cents
+         |  FROM events WHERE user_id < 20 AND event_type = 'view'
+         |  GROUP BY 1, 2),
+         |bounds AS (
+         |  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+         |  FROM obs GROUP BY 1),
+         |grid AS (
+         |  SELECT user_id,
+         |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM bounds)
+         |SELECT g.user_id, g.hour,
+         |       CAST(COALESCE(o.n_events, 0) AS BIGINT) AS n_events,
+         |       last_value(o.cents IGNORE NULLS) OVER (
+         |         PARTITION BY g.user_id ORDER BY g.hour
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ff
+         |FROM grid g LEFT JOIN obs o
+         |  ON g.user_id = o.user_id AND g.hour = o.hour""".stripMargin),
+    "events_interpolate" ->
+      ("""WITH obs AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS hour,
+         |         CAST(SUM(ROUND(value * 100)) AS BIGINT) AS cents
+         |  FROM events WHERE user_id < 20 AND event_type = 'view'
+         |  GROUP BY 1, 2),
+         |bounds AS (
+         |  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+         |  FROM obs GROUP BY 1),
+         |grid AS (
+         |  SELECT user_id,
+         |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM bounds),
+         |j AS (
+         |  SELECT g.user_id, g.hour, o.cents,
+         |         last_value(o.cents IGNORE NULLS) OVER (
+         |           PARTITION BY g.user_id ORDER BY g.hour
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+         |         last_value(CASE WHEN o.cents IS NOT NULL THEN g.hour END
+         |             IGNORE NULLS) OVER (
+         |           PARTITION BY g.user_id ORDER BY g.hour
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         |         first_value(o.cents IGNORE NULLS) OVER (
+         |           PARTITION BY g.user_id ORDER BY g.hour
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+         |         first_value(CASE WHEN o.cents IS NOT NULL THEN g.hour END
+         |             IGNORE NULLS) OVER (
+         |           PARTITION BY g.user_id ORDER BY g.hour
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+         |  FROM grid g LEFT JOIN obs o
+         |    ON g.user_id = o.user_id AND g.hour = o.hour)
+         |SELECT user_id, hour,
+         |       CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+         |            WHEN nc IS NULL THEN CAST(pc AS DOUBLE)
+         |            ELSE pc + ((nc - pc) *
+         |                   date_diff('second', ph, hour)) /
+         |                   date_diff('second', ph, nh)
+         |       END AS cents_interp
+         |FROM j""".stripMargin)
   )
 }
