@@ -71,6 +71,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftSyncDeltaLogCommand(target.trim, alsoCheckpoint = false)
       case CheckpointDeltaLogRe(target) =>
         GraftSyncDeltaLogCommand(target.trim, alsoCheckpoint = true)
+      case CreateBloomIndexRe(target, cols) =>
+        GraftBloomIndexCommand(target.trim,
+          cols.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty),
+          drop = false)
+      case DropBloomIndexRe(target) =>
+        GraftBloomIndexCommand(target.trim, Nil, drop = true)
       case SearchBm25Re(target, terms, k) =>
         GraftBm25SearchCommand(target.trim,
           terms.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty),
@@ -204,6 +210,10 @@ object GraftSqlParser {
     s"""(?is)CHECKPOINT\\s+DELTA\\s+LOG\\s+FOR\\s+$T""".r
   private[plans] val SearchBm25Re: Regex =
     s"""(?is)SEARCH\\s+BM25\\s+INDEX\\s+$T\\s+FOR\\s*\\(([^)]+)\\)\\s+LIMIT\\s+(\\d+)""".r
+  private[plans] val CreateBloomIndexRe: Regex =
+    s"""(?is)CREATE\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?$T\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)""".r
+  private[plans] val DropBloomIndexRe: Regex =
+    s"""(?is)DROP\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?$T""".r
   private[plans] val AddConstraintRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
   private[plans] val DropConstraintRe: Regex =
@@ -415,6 +425,32 @@ final case class GraftAnalyzeCommand(target: String, columns: Seq[String])
     val rows = m.collect()(0).getLong(0)
     val files = spark.read.parquet(s"$path/_graft_meta/stats").count()
     Seq(Row(path, files, rows))
+  }
+}
+
+/** `CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (c1, c2)` /
+  * `DROP BLOOMFILTER INDEX ON TABLE t` — the Delta-parity SQL surface of
+  * [[graft.table.BloomIndex]]: per-file bloom filters arming point-lookup
+  * file skipping on the catalog scan (the pruning min/max stats cannot
+  * give on a non-clustered column). Reports one row per column built.
+  */
+final case class GraftBloomIndexCommand(target: String,
+    columns: Seq[String], drop: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    if (drop) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_graft_meta/bloom")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      Seq(Row(path, "*", 0L))
+    } else columns.map { c =>
+      graft.table.BloomIndex.build(spark, path, c)
+      val n = spark.read.parquet(s"$path/_graft_meta/bloom/$c").count()
+      Row(path, c, n)
+    }
   }
 }
 

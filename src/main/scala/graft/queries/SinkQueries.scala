@@ -160,6 +160,28 @@ object SinkQueries {
         |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin)
     }),
 
+    // K6 — bloom-index point-lookup skipping: the table is clustered by
+    // DATE (the natural log layout), so every file's o_orderkey [min,max]
+    // spans the whole key domain and the stats manifest prunes NOTHING
+    // for a key lookup — the per-file bloom index (CREATE BLOOMFILTER
+    // INDEX, Delta's own surface for exactly this) is what restores file
+    // skipping. Answers oracled against the base-table recompute;
+    // the plan-level file-subset proof lives in CatalogBloomSkippingSpec.
+    "k6_catalog_bloom_skip" -> ((s, dir) => {
+      val p = Q.scratch(dir, "k6_bloom_skip")
+      Q.deleteDir(s, p)
+      MedallionTable(s, p).overwrite(Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderdate")))
+      s.sql("DROP TABLE IF EXISTS graft_cat_bloom")
+      s.sql(s"CREATE TABLE graft_cat_bloom USING graft LOCATION '$p'")
+      s.sql("CREATE BLOOMFILTER INDEX ON TABLE graft_cat_bloom " +
+        "FOR COLUMNS (o_orderkey)")
+      s.sql("""
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM graft_cat_bloom
+        |WHERE o_orderkey IN (7, 388, 1234, 4000, 9999)""".stripMargin)
+    }),
+
     // K8 — ANALYZE TABLE through the SQL parser arms the same metadata
     // path (GraftAnalyzeCommand → TableStats.refresh); the follow-up
     // aggregate answers from the manifest, oracled against a raw-row
@@ -790,6 +812,9 @@ object SinkQueries {
     "k6_catalog_file_skipping" ->
       ("SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders " +
        "WHERE o_orderkey BETWEEN 1000 AND 3000"),
+    "k6_catalog_bloom_skip" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate " +
+       "FROM orders WHERE o_orderkey IN (7, 388, 1234, 4000, 9999)"),
     "k8_sql_analyze_stats" ->
       ("SELECT COUNT(*) AS n_cust, MIN(c_custkey) AS min_ck, " +
        "MAX(c_custkey) AS max_ck, MAX(c_acctbal) AS max_bal FROM customer"),

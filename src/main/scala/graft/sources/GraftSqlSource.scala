@@ -293,11 +293,35 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
     def computePruned(): Option[Seq[String]] =
       if (versionAsOf.nonEmpty) None
       else {
+        val sess = context.sparkSession
         val bounds = pushed.toSeq
           .flatMap(GraftFilterTranslator.pruneBounds(_, required))
-        if (bounds.isEmpty) None
-        else graft.table.TableStats.prunedFiles(
-          context.sparkSession, path, bounds, required)
+        val byStats =
+          if (bounds.isEmpty) None
+          else graft.table.TableStats.prunedFiles(sess, path, bounds, required)
+        // Point lookups additionally consult the per-file bloom index
+        // (graft.table.BloomIndex) — the pruning min/max can't give on a
+        // non-clustered high-cardinality column. Both prunings are
+        // supersets of the matching files, so their intersection is too.
+        val byBloom = GraftFilterTranslator.pointLookups(pushed.toSeq)
+          .flatMap { case (c, vs) =>
+            graft.table.BloomIndex.prunedFiles(sess, path, c, vs)
+          }
+          .reduceOption { (a, b) =>
+            val keep = b.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+              .toSet
+            a.filter(f =>
+              keep(new org.apache.hadoop.fs.Path(f).toUri.getPath))
+          }
+        (byStats, byBloom) match {
+          case (Some(s), Some(bl)) =>
+            val keep = bl
+              .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+            Some(s.filter(f =>
+              keep(new org.apache.hadoop.fs.Path(f).toUri.getPath)))
+          case (s @ Some(_), None) => s
+          case (None, bl) => bl
+        }
       }
     // evaluated once, lazily, when the plan is rendered — not at execute
     lazy val planTimePruned: Option[Seq[String]] =
@@ -401,5 +425,28 @@ private[sources] object GraftFilterTranslator {
       case And(l, r) => pruneBounds(l, schema) ++ pruneBounds(r, schema)
       case _ => Seq.empty
     }
+  }
+
+  /** Per-column point-lookup value sets implied by pushed conjuncts, for
+    * bloom-index file pruning ([[graft.table.BloomIndex.prunedFiles]]).
+    * Only shapes where EVERY matching row must hold one of the listed
+    * values qualify (equality, IN, AND thereof); OR/NOT/ranges
+    * contribute nothing — a bloom can only answer membership.
+    */
+  def pointLookups(conjuncts: Seq[Filter]): Seq[(String, Seq[Any])] = {
+    def walk(f: Filter): Seq[(String, Seq[Any])] = f match {
+      case EqualTo(a, v) if v != null       => Seq(a -> Seq(v))
+      case EqualNullSafe(a, v) if v != null => Seq(a -> Seq(v))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        Seq(a -> vs.toSeq)
+      case And(l, r) => walk(l) ++ walk(r)
+      case _ => Seq.empty
+    }
+    conjuncts.flatMap(walk)
+      .groupBy(_._1)
+      // multiple constraints on one column: any one of them prunes
+      // correctly; the smallest value set prunes hardest
+      .map { case (c, cs) => c -> cs.map(_._2).minBy(_.size) }
+      .toSeq
   }
 }

@@ -1,0 +1,136 @@
+package graft.table
+
+import java.io.ByteArrayInputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file bloom-filter index for POINT lookups — the skipping story
+  * min/max stats cannot tell. The stats manifest ([[TableStats]]) prunes
+  * range predicates on CLUSTERED columns; an equality lookup on a
+  * high-cardinality column that is NOT the clustering key (a user id in
+  * an event log clustered by time — every file's [min,max] spans the
+  * whole id domain) matches every file's envelope and prunes nothing.
+  * Delta solves this with per-file bloom filter indexes (the
+  * `CREATE BLOOMFILTER INDEX` surface); this is that index for
+  * [[MedallionTable]], wired into the same catalog scan pruning as the
+  * stats manifest ([[graft.sources.GraftSqlSource]]).
+  *
+  * Layout: `_graft_meta/bloom/<column>/` holds one row per data file
+  * (`file`, `bf` — Spark's `util.sketch.BloomFilter` serialization, the
+  * exact bytes `BloomFilterAggregate` emits, keyed by `xxhash64` of the
+  * column value). Build is ONE distributed pass grouped by
+  * `input_file_name()`; the index is files-sized, read driver-side like
+  * every other manifest (the same class as Delta's log-stored index
+  * metadata).
+  *
+  * Staleness contract, mirroring the stats manifest's:
+  *  - REWRITES (overwrite / merge / delete / optimize) swap
+  *    `_graft_meta` away wholesale — the index vanishes with them, never
+  *    stale.
+  *  - APPENDS leave it in place: [[prunedFiles]] keeps any live file the
+  *    index does not cover (conservative), so an un-reindexed append is
+  *    scanned, never missed. Re-run [[build]] to fold new files in.
+  *
+  * False positives cost only extra files opened; the pushed predicate
+  * still filters rows — results are exact at any FPP, which is what the
+  * `k6_catalog_bloom_skip` oracle asserts.
+  */
+object BloomIndex {
+
+  private def indexDir(tablePath: String, column: String) =
+    s"$tablePath/_graft_meta/bloom/$column"
+
+  /** One pass: per-file bloom over `column`, written as the index for
+    * `tablePath`. `expectedItemsPerFile` sizes each filter (bits scale
+    * with it; the default suits row-group-sized files at ~1% FPP).
+    */
+  def build(spark: SparkSession, tablePath: String, column: String,
+      expectedItemsPerFile: Long = 1000000L): Unit = {
+    val df = spark.read.parquet(tablePath)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftColumnBridge.expression(df(column)))),
+      expectedItemsPerFile).toAggregateExpression()
+    val rows = df
+      .groupBy(input_file_name().as("file"))
+      .agg(GraftColumnBridge.column(agg).as("bf"))
+    val dir = indexDir(tablePath, column)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    rows.coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def exists(spark: SparkSession, tablePath: String, column: String): Boolean = {
+    val p = new Path(indexDir(tablePath, column))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Live data files that might hold ANY of `values` in `column`, or
+    * None when the column has no index. Indexed files test against their
+    * bloom driver-side (the index is files-sized — the same
+    * metadata-bounded read as [[TableStats.prunedFiles]]); live files
+    * the index does not cover (post-build appends) are always kept.
+    */
+  def prunedFiles(spark: SparkSession, tablePath: String, column: String,
+      values: Seq[Any]): Option[Seq[String]] = {
+    if (!exists(spark, tablePath, column) || values.isEmpty) return None
+    val dt = spark.read.parquet(tablePath).schema
+      .find(_.name == column).map(_.dataType).getOrElse(return None)
+    // hash exactly as the build side did: value cast to the COLUMN type
+    // first (a Long probe against an Int column must hash the Int form),
+    // then xxhash64 with the default seed
+    val hashes = values.filter(_ != null).map { v =>
+      val lit = Literal.create(v)
+      val casted =
+        if (lit.dataType == dt) lit
+        else Literal.create(Cast(lit, dt, Some("UTC")).eval(null), dt)
+      new XxHash64(Seq(casted)).eval(null).asInstanceOf[Long]
+    }
+    if (hashes.isEmpty) return None
+    val indexed = spark.read.parquet(indexDir(tablePath, column))
+      .select("file", "bf").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+    val verdictByPath = indexed.map { case (f, bytes) =>
+      val bloom = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+      normalize(f) -> (f, hashes.exists(bloom.mightContainLong))
+    }.toMap
+    Some(liveDataFiles(spark, tablePath).flatMap { f =>
+      verdictByPath.get(normalize(f)) match {
+        case Some((indexedName, might)) => if (might) Some(indexedName) else None
+        case None => Some(f) // not covered by the index: keep
+      }
+    })
+  }
+
+  /** Scheme-insensitive identity for a data file ("file:///x" from
+    * `input_file_name` vs "file:/x" from Hadoop qualification).
+    */
+  private def normalize(f: String): String = new Path(f).toUri.getPath
+
+  /** Data-file listing, `_graft_meta`/hidden dirs excluded by relative
+    * path segment — the same walk [[MedallionTable]] uses for its commit
+    * accounting.
+    */
+  private def liveDataFiles(spark: SparkSession, tablePath: String): Seq[String] = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val rootUri = fs.makeQualified(p).toUri
+    val b = Seq.newBuilder[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
+      val segs = rel.split('/')
+      if (!segs.exists(s => s.startsWith("_") || s.startsWith(".")) &&
+          rel.endsWith(".parquet"))
+        b += f.toString
+    }
+    b.result()
+  }
+}
