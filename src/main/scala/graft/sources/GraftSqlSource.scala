@@ -249,7 +249,7 @@ private[sources] final class GraftScanBuilder(path: String, fullSchema: StructTy
   override def build(): Scan = aggPushed match {
     case Some((specs, outSchema)) =>
       new GraftManifestAggScan(path, specs, outSchema, fullSchema)
-    case None => new GraftV1Scan(path, required, pushed, versionAsOf)
+    case None => new GraftV1Scan(path, required, pushed, versionAsOf, fullSchema)
   }
 }
 
@@ -276,7 +276,8 @@ private[sources] final class GraftManifestAggScan(path: String,
 }
 
 private[sources] final class GraftV1Scan(path: String, required: StructType,
-    pushed: Array[Filter], versionAsOf: Option[Int] = None) extends V1Scan {
+    pushed: Array[Filter], versionAsOf: Option[Int] = None,
+    fullSchema: StructType = new StructType()) extends V1Scan {
   override def readSchema(): StructType = required
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -305,7 +306,8 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
         // supersets of the matching files, so their intersection is too.
         val byBloom = GraftFilterTranslator.pointLookups(pushed.toSeq)
           .flatMap { case (c, vs) =>
-            graft.table.BloomIndex.prunedFiles(sess, path, c, vs)
+            fullSchema.find(_.name == c).flatMap(f =>
+              graft.table.BloomIndex.prunedFiles(sess, path, c, vs, f.dataType))
           }
           .reduceOption { (a, b) =>
             val keep = b.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)

@@ -46,15 +46,23 @@ object BloomIndex {
     s"$tablePath/_graft_meta/bloom/$column"
 
   /** One pass: per-file bloom over `column`, written as the index for
-    * `tablePath`. `expectedItemsPerFile` sizes each filter (bits scale
-    * with it; the default suits row-group-sized files at ~1% FPP).
+    * `tablePath`. Filters are sized from the LARGEST file's row count
+    * (one count-only pre-pass — no data columns read) unless
+    * `expectedItemsPerFile` overrides: an oversized bloom costs probe
+    * time linearly (every query deserializes every file's filter), an
+    * undersized one only false positives.
     */
   def build(spark: SparkSession, tablePath: String, column: String,
-      expectedItemsPerFile: Long = 1000000L): Unit = {
+      expectedItemsPerFile: Long = 0L): Unit = {
     val df = spark.read.parquet(tablePath)
+    val items =
+      if (expectedItemsPerFile > 0L) expectedItemsPerFile
+      else math.max(1000L,
+        df.groupBy(input_file_name()).count()
+          .agg(max(col("count"))).head.getLong(0) * 5 / 4)
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(GraftColumnBridge.expression(df(column)))),
-      expectedItemsPerFile).toAggregateExpression()
+      items).toAggregateExpression()
     val rows = df
       .groupBy(input_file_name().as("file"))
       .agg(GraftColumnBridge.column(agg).as("bf"))
@@ -75,36 +83,62 @@ object BloomIndex {
     * bloom driver-side (the index is files-sized — the same
     * metadata-bounded read as [[TableStats.prunedFiles]]); live files
     * the index does not cover (post-build appends) are always kept.
+    * `dataType` is the COLUMN's table type — probes must hash the same
+    * representation the build inserted.
     */
   def prunedFiles(spark: SparkSession, tablePath: String, column: String,
-      values: Seq[Any]): Option[Seq[String]] = {
-    if (!exists(spark, tablePath, column) || values.isEmpty) return None
-    val dt = spark.read.parquet(tablePath).schema
-      .find(_.name == column).map(_.dataType).getOrElse(return None)
+      values: Seq[Any],
+      dataType: org.apache.spark.sql.types.DataType): Option[Seq[String]] = {
+    if (values.isEmpty) return None
+    val loaded = cachedIndex(spark, tablePath, column).getOrElse(return None)
     // hash exactly as the build side did: value cast to the COLUMN type
     // first (a Long probe against an Int column must hash the Int form),
     // then xxhash64 with the default seed
     val hashes = values.filter(_ != null).map { v =>
       val lit = Literal.create(v)
       val casted =
-        if (lit.dataType == dt) lit
-        else Literal.create(Cast(lit, dt, Some("UTC")).eval(null), dt)
+        if (lit.dataType == dataType) lit
+        else Literal.create(Cast(lit, dataType, Some("UTC")).eval(null), dataType)
       new XxHash64(Seq(casted)).eval(null).asInstanceOf[Long]
     }
     if (hashes.isEmpty) return None
-    val indexed = spark.read.parquet(indexDir(tablePath, column))
-      .select("file", "bf").collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
-    val verdictByPath = indexed.map { case (f, bytes) =>
-      val bloom = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-      normalize(f) -> (f, hashes.exists(bloom.mightContainLong))
-    }.toMap
     Some(liveDataFiles(spark, tablePath).flatMap { f =>
-      verdictByPath.get(normalize(f)) match {
-        case Some((indexedName, might)) => if (might) Some(indexedName) else None
+      loaded.get(normalize(f)) match {
+        case Some((indexedName, bloom)) =>
+          if (hashes.exists(bloom.mightContainLong)) Some(indexedName) else None
         case None => Some(f) // not covered by the index: keep
       }
     })
+  }
+
+  /** Deserialized index snapshot keyed by normalized file path, cached
+    * driver-side against the index file's mtime (the Delta-client
+    * pattern of caching log snapshots): repeated lookups pay the parquet
+    * read + bloom deserialization once, not per execution.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, Map[String, (String, BloomFilter)])]()
+
+  private def cachedIndex(spark: SparkSession, tablePath: String,
+      column: String): Option[Map[String, (String, BloomFilter)]] = {
+    val dir = indexDir(tablePath, column)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { cache.remove(dir); return None }
+    val mtime = fs.listStatus(p).map(_.getModificationTime).foldLeft(0L)(math.max)
+    Option(cache.get(dir)) match {
+      case Some((`mtime`, snap)) => Some(snap)
+      case _ =>
+        val snap = spark.read.parquet(dir).select("file", "bf").collect()
+          .map { r =>
+            val f = r.getString(0)
+            normalize(f) -> (f -> BloomFilter.readFrom(
+              new ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+          }.toMap
+        cache.put(dir, (mtime, snap))
+        Some(snap)
+    }
   }
 
   /** Scheme-insensitive identity for a data file ("file:///x" from
