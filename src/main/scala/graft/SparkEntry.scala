@@ -30,6 +30,7 @@ object SparkEntry {
       (ScalarQueries.defs, ScalarQueries.oracles),
       (WindowSetQueries.defs, WindowSetQueries.oracles),
       (AdvancedJoinQueries.defs, AdvancedJoinQueries.oracles),
+      (GraphQueries.defs, GraphQueries.oracles),
       (Flagship.defs, Flagship.oracles)
     )
 

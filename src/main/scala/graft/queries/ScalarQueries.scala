@@ -254,6 +254,32 @@ object ScalarQueries {
                 (unix_timestamp($"hour") - unix_timestamp($"ph"))) /
                 (unix_timestamp($"nh") - unix_timestamp($"ph")))
             .as("cents_interp"))
+    }),
+
+    // Robust per-series anomaly flags — median/MAD, the outlier rule
+    // that survives the outliers it hunts (a mean/stddev gate moves with
+    // every spike; the median doesn't). Flags hourly totals more than
+    // 3 MADs from the user's median. Exact `percentile` matches DuckDB's
+    // quantile_cont bit-for-bit on integer cents (the parity
+    // agg_percentile_exact established); all arithmetic downstream is
+    // single-op on exact values, so the > comparison can't diverge. At
+    // 100 TB swap percentile for approx_percentile per series — same
+    // plan shape, two user-level aggregates joined back on user_id.
+    "events_anomaly_mad" -> ((s, dir) => {
+      import s.implicits._
+      val obs = Tables.events(s, dir)
+        .filter($"event_type" === "view")
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+        .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      val med = obs.groupBy($"user_id")
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val dev = obs.join(med, Seq("user_id"))
+        .withColumn("adev", abs($"cents" - $"med"))
+      val mad = dev.groupBy($"user_id")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(mad, Seq("user_id"))
+        .filter($"adev" > lit(3) * $"mad")
+        .select($"user_id", $"hour", $"cents", $"med", $"mad")
     })
   )
 
@@ -427,6 +453,25 @@ object ScalarQueries {
          |                   date_diff('second', ph, hour)) /
          |                   date_diff('second', ph, nh)
          |       END AS cents_interp
-         |FROM j""".stripMargin)
+         |FROM j""".stripMargin),
+    "events_anomaly_mad" ->
+      ("""WITH obs AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS hour,
+         |         CAST(SUM(ROUND(value * 100)) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'view'
+         |  GROUP BY 1, 2),
+         |med AS (
+         |  SELECT user_id, quantile_cont(cents, 0.5) AS med
+         |  FROM obs GROUP BY 1),
+         |dev AS (
+         |  SELECT o.user_id, o.hour, o.cents, m.med,
+         |         ABS(o.cents - m.med) AS adev
+         |  FROM obs o JOIN med m ON o.user_id = m.user_id),
+         |mad AS (
+         |  SELECT user_id, quantile_cont(adev, 0.5) AS mad
+         |  FROM dev GROUP BY 1)
+         |SELECT d.user_id, d.hour, d.cents, d.med, m.mad
+         |FROM dev d JOIN mad m ON d.user_id = m.user_id
+         |WHERE d.adev > 3 * m.mad""".stripMargin)
   )
 }

@@ -410,9 +410,12 @@ object SinkQueries {
       val dp = Q.scratch(dir, "k9_ij_dim")
       val vp = Q.scratch(dir, "k9_ij_view")
       Seq(fp, dp, vp).foreach(Q.deleteDir(s, _))
+      // o_orderkey ≤ 60000 bounds the rewrite volume at bench sf (the
+      // protocol is what's under test; rewrite THROUGHPUT evidence lives
+      // in the probes) while covering the whole sf0.01 oracle corpus
       val fact0 = Tables.orders(s, dir)
         .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
-        .filter($"o_orderkey" % 3 =!= 0)
+        .filter($"o_orderkey" % 3 =!= 0 && $"o_orderkey" <= 60000)
       val dim0 = Tables.customer(s, dir)
         .select($"c_custkey", $"c_name", $"c_mktsegment")
         .filter($"c_custkey" % 5 =!= 4) // some fact rows start dangling
@@ -429,7 +432,7 @@ object SinkQueries {
             when($"o_orderkey" % 7 === 0, lit(-1L)).otherwise($"o_custkey")
               .as("o_custkey"),
             ($"o_totalprice" + 1).as("o_totalprice"), $"o_orderpriority")
-          .filter($"o_orderkey" % 2 === 0),
+          .filter($"o_orderkey" % 2 === 0 && $"o_orderkey" <= 60000),
         Seq("o_orderkey"), deleteNotMatchedBySource = false)
       t.delete($"o_totalprice" > 200000)
       IncrementalJoin.applyFactChanges(mv, t.changesSince(1, Seq("o_orderkey")),
@@ -859,7 +862,7 @@ object SinkQueries {
     "k9_incremental_join" ->
       ("""WITH fact0 AS (
          |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-         |  FROM orders WHERE o_orderkey % 3 <> 0),
+         |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey <= 60000),
          |dim0 AS (
          |  SELECT c_custkey, c_name, c_mktsegment
          |  FROM customer WHERE c_custkey % 5 <> 4),
@@ -868,7 +871,7 @@ object SinkQueries {
          |         CASE WHEN o_orderkey % 7 = 0 THEN -1 ELSE o_custkey END
          |           AS o_custkey,
          |         o_totalprice + 1 AS o_totalprice, o_orderpriority
-         |  FROM orders WHERE o_orderkey % 2 = 0),
+         |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey <= 60000),
          |fmerged AS (
          |  SELECT * FROM fsrc
          |  UNION ALL
