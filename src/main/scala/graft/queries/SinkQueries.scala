@@ -160,6 +160,25 @@ object SinkQueries {
         |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin)
     }),
 
+    // Deletion-vector DELETE (graft.table.DeletionVectors): the same
+    // final state as k_delete_where_roundtrip's rewrite path, reached by
+    // writing ONLY the deleted rows' positions — zero data files
+    // rewritten (DeletionVectorSpec asserts the file set + mtimes),
+    // which is the 100 TB GDPR-erasure story. A second vectored delete
+    // stacks on the first; the read applies both in one broadcast
+    // anti-join.
+    "k_delete_dv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_delete_dv")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      t.overwrite(Tables.orders(s, dir))
+      t.deleteVectored($"o_totalprice" > 150000 && $"o_orderstatus" === "O")
+      t.deleteVectored($"o_orderkey" % 10 === 3)
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+    }),
+
     // K6 — bloom-index point-lookup skipping: the table is clustered by
     // DATE (the natural log layout), so every file's o_orderkey [min,max]
     // spans the whole key domain and the stats manifest prunes NOTHING
@@ -818,6 +837,11 @@ object SinkQueries {
     "k6_catalog_bloom_skip" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate " +
        "FROM orders WHERE o_orderkey IN (7, 388, 1234, 4000, 9999)"),
+    "k_delete_dv_roundtrip" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+       "o_orderpriority FROM orders " +
+       "WHERE NOT (o_totalprice > 150000 AND o_orderstatus = 'O') " +
+       "AND NOT (o_orderkey % 10 = 3)"),
     "k8_sql_analyze_stats" ->
       ("SELECT COUNT(*) AS n_cust, MIN(c_custkey) AS min_ck, " +
        "MAX(c_custkey) AS max_ck, MAX(c_acctbal) AS max_bal FROM customer"),

@@ -346,10 +346,15 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
           case Some(files) =>
             // mergeSchema as in MedallionTable.read; a schema-evolved
             // column absent from every SURVIVING file is restored as a
-            // typed null so the projection below never goes unresolved
-            val sub = context.sparkSession.read
-              .option("mergeSchema", "true").option("basePath", path)
-              .parquet(files: _*)
+            // typed null so the projection below never goes unresolved.
+            // The deletion vector applies on the SUBSET scan too — its
+            // marks for unread files simply never match.
+            val sub = graft.table.DeletionVectors.applied(
+              context.sparkSession,
+              context.sparkSession.read
+                .option("mergeSchema", "true").option("basePath", path)
+                .parquet(files: _*),
+              s"$path/_graft_meta/dv")
             required.fields.foldLeft(sub) { (df, f) =>
               if (df.columns.contains(f.name)) df
               else df.withColumn(f.name,

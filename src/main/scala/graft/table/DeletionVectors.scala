@@ -1,0 +1,70 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors — soft deletes as a positional sidecar, Delta's
+  * modern DELETE mechanism reproduced for [[MedallionTable]].
+  *
+  * A predicate DELETE through the rewrite path costs O(table): every
+  * surviving row of every touched file is rewritten. At 100 TB a GDPR
+  * erasure of a few thousand rows cannot pay that. A deletion vector
+  * instead records the POSITIONS of deleted rows — `(file, pos)` rows
+  * under `_graft_meta/dv/` — and every read drops them with an
+  * anti-join against the (tiny, broadcast) position set:
+  * write cost O(matched rows), read overhead one broadcast anti-join,
+  * zero data files touched (which `DeletionVectorSpec` asserts by file
+  * listing + mtime). The next REWRITE of any kind (OPTIMIZE, merge,
+  * update, restore) reads through the DV-applied view and therefore
+  * materializes the deletions physically; the swap drops the sidecar
+  * with the rest of `_graft_meta` — DVs never outlive the files they
+  * annotate. Delta stores roaring bitmaps in the log; a parquet
+  * position list is the same contract in this layout's idiom.
+  *
+  * Files are keyed by BASENAME (globally unique — Spark part files
+  * embed a task UUID), not full path: archived snapshots relocate data
+  * files under `_graft_meta/versions/vN/`, and a path-keyed vector
+  * would silently resurrect its rows after relocation. Row positions
+  * come from `_metadata.row_index`, stable for immutable parquet.
+  */
+object DeletionVectors {
+
+  private[table] def dir(tablePath: String): String =
+    s"$tablePath/_graft_meta/dv"
+
+  /** Archived-snapshot sidecar location ([[MedallionTable.readVersion]]):
+    * underscore-prefixed so the snapshot's parquet listing ignores it.
+    */
+  private[table] def archivedDir(versionDir: Path): Path =
+    new Path(versionDir, "_graft_dv")
+
+  private[table] def exists(spark: SparkSession, dvPath: String): Boolean = {
+    val p = new Path(dvPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The file basename of `_metadata.file_path`. */
+  private[table] def baseName(filePath: Column): Column =
+    element_at(split(filePath, "/"), -1)
+
+  /** `raw` must be a DataFrame directly over a parquet file scan (so the
+    * `_metadata` struct resolves); returns it minus the positions listed
+    * at `dvPath`, or unchanged when no vector exists. Duplicate
+    * positions in the sidecar are harmless (anti-join semantics), which
+    * is what lets writers append marks without read-merge cycles.
+    */
+  def applied(spark: SparkSession, raw: DataFrame, dvPath: String): DataFrame = {
+    if (!exists(spark, dvPath)) return raw
+    val dv = spark.read.parquet(dvPath)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    raw
+      .withColumn("__graft_file", baseName(col("_metadata.file_path")))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .join(broadcast(dv),
+        col("__graft_file") === col("__dv_file") &&
+          col("__graft_pos") === col("__dv_pos"),
+        "left_anti")
+      .drop("__graft_file", "__graft_pos")
+  }
+}

@@ -99,7 +99,9 @@ final class MedallionTable(
     if (fs.exists(p) && !hasDataFiles(p) && fs.exists(schemaFile))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(readMetaText(schemaFile)))
-    else spark.read.option("mergeSchema", "true").parquet(path)
+    else DeletionVectors.applied(spark,
+      spark.read.option("mergeSchema", "true").parquet(path),
+      DeletionVectors.dir(path))
   }
 
   /** Persist the schema beside the data (see [[read]]'s empty fallback). */
@@ -844,6 +846,33 @@ final class MedallionTable(
     }
   }
 
+  /** DELETE as a deletion vector ([[DeletionVectors]]): records matching
+    * rows' positions in the `_graft_meta/dv` sidecar instead of
+    * rewriting files — O(matched) write cost, zero data files touched,
+    * result-identical to [[delete]] (TRUE deletes; FALSE and NULL
+    * survive). The positions are computed on the DV-APPLIED view, so
+    * re-marking already-deleted rows is impossible by construction (and
+    * duplicates would be inert anyway). Invalidate-then-mark ordering
+    * matches the other in-place mutations: a manifest must never
+    * describe rows a reader won't see.
+    */
+  def deleteVectored(cond: Column): Unit = withClaimedCommit("delete-dv") {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val dvPath = DeletionVectors.dir(path)
+    val withPos = spark.read.option("mergeSchema", "true").parquet(path)
+      .withColumn("__graft_dv_file",
+        DeletionVectors.baseName(org.apache.spark.sql.functions
+          .col("_metadata.file_path")))
+      .withColumn("__graft_dv_pos",
+        org.apache.spark.sql.functions.col("_metadata.row_index"))
+    val live = DeletionVectors.applied(spark, withPos, dvPath)
+    invalidateStats()
+    live.filter(coalesce(cond, lit(false)))
+      .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
+        org.apache.spark.sql.functions.col("__graft_dv_pos").as("pos"))
+      .write.mode(SaveMode.Append).parquet(dvPath)
+  }
+
   /** Delta-style `UPDATE SET ... WHERE`: every SET expression is
     * evaluated against the OLD row (simultaneous-assignment semantics —
     * `SET a = b, b = a` swaps), then the table is rewritten through the
@@ -883,10 +912,16 @@ final class MedallionTable(
     else fs.listStatus(versionsDir).map(_.getPath.getName)
       .collect { case n if n.startsWith("v") => n.drop(1).toInt }.sorted.toSeq
 
-  /** Read a retained snapshot (see `retainVersions`). */
-  def readVersion(n: Int): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(new Path(versionsDir, s"v$n").toString)
+  /** Read a retained snapshot (see `retainVersions`) — applying the
+    * snapshot's own deletion vector if it carried one (archived under
+    * `_graft_dv`; basename keying survives the relocation).
+    */
+  def readVersion(n: Int): DataFrame = {
+    val vdir = new Path(versionsDir, s"v$n")
+    DeletionVectors.applied(spark,
+      spark.read.option("mergeSchema", "true").parquet(vdir.toString),
+      DeletionVectors.archivedDir(vdir).toString)
+  }
 
   /** Rewrite the live table back to snapshot `n` (itself versioned). */
   def restoreVersion(n: Int): Unit = rewriteVia(readVersion(n), op = s"restore-v$n")
@@ -936,6 +971,12 @@ final class MedallionTable(
       fs.listStatus(backupVersions).foreach { st =>
         fs.rename(st.getPath, new Path(versionsDir, st.getPath.getName))
       }
+    // a deletion vector is part of the archived STATE (stripping it with
+    // the metadata would resurrect its rows in time travel) — move it to
+    // the snapshot-local sidecar readVersion applies
+    val backupDv = new Path(backup, "_graft_meta/dv")
+    if (fs.exists(backupDv))
+      fs.rename(backupDv, DeletionVectors.archivedDir(backup))
     fs.delete(new Path(backup, "_graft_meta"), true)
     val next = (listVersions() :+ 0).max + 1 // after carry-forward, so ids continue
     if (!fs.rename(backup, new Path(versionsDir, s"v$next")))

@@ -42,9 +42,13 @@ object TableStats {
   }
 
   /** Per-file stats rows for `df` over `cols` (each must be stats-worthy
-    * and present in `df`): one row per `input_file_name()`.
+    * and present in `df`): one row per `input_file_name()` — or per the
+    * caller-captured `fileKey` when `df` is no longer a bare scan
+    * (`input_file_name` is undefined after a join, the deletion-vector
+    * case below).
     */
-  private def perFileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def perFileStats(df: DataFrame, cols: Seq[String],
+      fileKey: Option[Column] = None): DataFrame = {
     val aggs = cols.flatMap { c =>
       val numericMin =
         if (isNumeric(df.schema(c).dataType)) min(col(c)).cast("double")
@@ -58,21 +62,31 @@ object TableStats {
         numericMin.as(s"min_num__$c"),
         numericMax.as(s"max_num__$c"))
     } :+ count(lit(1)).as("row_count")
-    df.groupBy(input_file_name().as("file"))
+    df.groupBy(fileKey.getOrElse(input_file_name()).as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
   /** One distributed pass: per file × column min/max (string + numeric). */
   def refresh(spark: SparkSession, tablePath: String,
       columns: Seq[String] = Nil): Unit = {
-    val df = spark.read.parquet(tablePath)
-    val cols = (if (columns.nonEmpty) columns else df.columns.toSeq)
-      .filter(c => statsWorthy(df.schema(c).dataType))
+    val raw = spark.read.parquet(tablePath)
+    val cols = (if (columns.nonEmpty) columns else raw.columns.toSeq)
+      .filter(c => statsWorthy(raw.schema(c).dataType))
+    // a deletion vector changes what readers SEE without touching files:
+    // stats (row counts above all — the metadata COUNT(*) path) must
+    // describe the DV-applied view, keyed by the file captured BEFORE
+    // the anti-join (input_file_name is undefined after it)
+    val dvPath = DeletionVectors.dir(tablePath)
+    val (df, fileKey) =
+      if (!DeletionVectors.exists(spark, dvPath)) (raw, None)
+      else (DeletionVectors.applied(spark,
+        raw.withColumn("__stats_file", col("_metadata.file_path")), dvPath),
+        Some(col("__stats_file")))
     // a leftover pending dir from a crashed incremental update is junk
     // once a full rebuild lands
     val pp = new org.apache.hadoop.fs.Path(pendingPath(tablePath))
     pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
-    perFileStats(df, cols)
+    perFileStats(df, cols, fileKey)
       .coalesce(1) // manifest is tiny: one row per data file
       .write.mode("overwrite").parquet(statsPath(tablePath))
   }
