@@ -354,7 +354,7 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
               context.sparkSession.read
                 .option("mergeSchema", "true").option("basePath", path)
                 .parquet(files: _*),
-              s"$path/_graft_meta/dv")
+              s"$path/_graft_meta/dv", path)
             required.fields.foldLeft(sub) { (df, f) =>
               if (df.columns.contains(f.name)) df
               else df.withColumn(f.name,

@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * annotate. Delta stores roaring bitmaps in the log; a parquet
   * position list is the same contract in this layout's idiom.
   *
+  * UPDATE deliberately stays on the rewrite path: an update-via-DV is
+  * an append of new row versions PLUS a position mark, and without an
+  * atomic multi-action commit a crash between the two jobs either
+  * loses rows (mark first) or duplicates them unrecoverably (append
+  * first). Delta shipped DV updates only once its log transaction
+  * could commit both actions atomically; this layout's commit marker
+  * covers single-action writes, so DELETE — a one-action mark — is the
+  * honest DV surface.
+  *
   * Files are keyed by BASENAME (globally unique — Spark part files
   * embed a task UUID), not full path: archived snapshots relocate data
   * files under `_graft_meta/versions/vN/`, and a path-keyed vector
@@ -53,18 +62,58 @@ object DeletionVectors {
     * at `dvPath`, or unchanged when no vector exists. Duplicate
     * positions in the sidecar are harmless (anti-join semantics), which
     * is what lets writers append marks without read-merge cycles.
+    *
+    * `rootPath` is the directory the annotated data files live under
+    * (the table root, or the snapshot directory for archived vectors):
+    * the sidecar's basenames resolve to full paths against its listing
+    * DRIVER-SIDE — files-sized, like every other manifest read — so the
+    * per-row anti-join key is the scan's own `file_path` + `row_index`,
+    * with no per-row string surgery (a basename split per row measurably
+    * dominated the read overhead in DvProbe).
     */
-  def applied(spark: SparkSession, raw: DataFrame, dvPath: String): DataFrame = {
+  def applied(spark: SparkSession, raw: DataFrame, dvPath: String,
+      rootPath: String): DataFrame = {
     if (!exists(spark, dvPath)) return raw
-    val dv = spark.read.parquet(dvPath)
-      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val byBase = listParquet(spark, rootPath)
+      .groupBy(f => f.substring(f.lastIndexOf('/') + 1)).view
+      .mapValues(_.head).toMap
+    val dvRows = spark.read.parquet(dvPath).collect()
+      .flatMap { r =>
+        byBase.get(r.getString(0)).map(full => (full, r.getLong(1)))
+      }.toSeq
+    if (dvRows.isEmpty) return raw
+    val dv = {
+      import spark.implicits._
+      dvRows.toDF("__dv_file", "__dv_pos")
+    }
     raw
-      .withColumn("__graft_file", baseName(col("_metadata.file_path")))
+      .withColumn("__graft_file", col("_metadata.file_path"))
       .withColumn("__graft_pos", col("_metadata.row_index"))
       .join(broadcast(dv),
         col("__graft_file") === col("__dv_file") &&
           col("__graft_pos") === col("__dv_pos"),
         "left_anti")
       .drop("__graft_file", "__graft_pos")
+  }
+
+  /** Recursive parquet listing under `root` in `_metadata.file_path`'s
+    * own rendering (qualified URI), hidden dirs excluded.
+    */
+  private def listParquet(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val rootUri = fs.makeQualified(p).toUri
+    val b = Seq.newBuilder[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
+      val segs = rel.split('/')
+      if (!segs.exists(s => s.startsWith("_") || s.startsWith(".")) &&
+          rel.endsWith(".parquet"))
+        b += f.toString
+    }
+    b.result()
   }
 }

@@ -101,7 +101,7 @@ final class MedallionTable(
         org.apache.spark.sql.types.StructType.fromDDL(readMetaText(schemaFile)))
     else DeletionVectors.applied(spark,
       spark.read.option("mergeSchema", "true").parquet(path),
-      DeletionVectors.dir(path))
+      DeletionVectors.dir(path), path)
   }
 
   /** Persist the schema beside the data (see [[read]]'s empty fallback). */
@@ -865,7 +865,7 @@ final class MedallionTable(
           .col("_metadata.file_path")))
       .withColumn("__graft_dv_pos",
         org.apache.spark.sql.functions.col("_metadata.row_index"))
-    val live = DeletionVectors.applied(spark, withPos, dvPath)
+    val live = DeletionVectors.applied(spark, withPos, dvPath, path)
     invalidateStats()
     live.filter(coalesce(cond, lit(false)))
       .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
@@ -920,7 +920,7 @@ final class MedallionTable(
     val vdir = new Path(versionsDir, s"v$n")
     DeletionVectors.applied(spark,
       spark.read.option("mergeSchema", "true").parquet(vdir.toString),
-      DeletionVectors.archivedDir(vdir).toString)
+      DeletionVectors.archivedDir(vdir).toString, vdir.toString)
   }
 
   /** Rewrite the live table back to snapshot `n` (itself versioned). */

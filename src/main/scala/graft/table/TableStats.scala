@@ -80,7 +80,8 @@ object TableStats {
     val (df, fileKey) =
       if (!DeletionVectors.exists(spark, dvPath)) (raw, None)
       else (DeletionVectors.applied(spark,
-        raw.withColumn("__stats_file", col("_metadata.file_path")), dvPath),
+        raw.withColumn("__stats_file", col("_metadata.file_path")), dvPath,
+        tablePath),
         Some(col("__stats_file")))
     // a leftover pending dir from a crashed incremental update is junk
     // once a full rebuild lands
