@@ -83,6 +83,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           k.toInt)
       // Spark 4.1's own grammar handles constraint DDL for v2 tables —
       // claim the statement only when the target is actually ours.
+      case RenameColumnRe(target, oldName, newName) if isGraftTarget(spark, target) =>
+        GraftRenameColumnCommand(target.trim, oldName.trim, newName.trim)
       case AddConstraintRe(target, cname, cexpr) if isGraftTarget(spark, target) =>
         GraftAddConstraintCommand(target.trim, cname.trim, cexpr.trim)
       case DropConstraintRe(target, cname) if isGraftTarget(spark, target) =>
@@ -214,6 +216,8 @@ object GraftSqlParser {
     s"""(?is)CREATE\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?$T\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)""".r
   private[plans] val DropBloomIndexRe: Regex =
     s"""(?is)DROP\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?$T""".r
+  private[plans] val RenameColumnRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)""".r
   private[plans] val AddConstraintRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
   private[plans] val DropConstraintRe: Regex =
@@ -425,6 +429,29 @@ final case class GraftAnalyzeCommand(target: String, columns: Seq[String])
     val rows = m.collect()(0).getLong(0)
     val files = spark.read.parquet(s"$path/_graft_meta/stats").count()
     Seq(Row(path, files, rows))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` — metadata-only rename via the
+  * column map ([[graft.table.ColumnMap]]): zero data files touched.
+  * Catalog-registered tables have their cached catalog schema refreshed
+  * by re-creating the entry (the catalog stores the CREATE-time schema).
+  */
+final case class GraftRenameColumnCommand(target: String,
+    oldName: String, newName: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("renamed", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    new MedallionTable(spark, path).renameColumn(oldName, newName)
+    // a named catalog table caches its CREATE-time schema — refresh it
+    if (!target.trim.startsWith("'"))
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $target")
+        spark.sql(s"CREATE TABLE $target USING graft LOCATION '$path'")
+      } catch { case scala.util.control.NonFatal(_) => () }
+    Seq(Row(path, s"$oldName -> $newName"))
   }
 }
 

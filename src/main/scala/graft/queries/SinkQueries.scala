@@ -160,6 +160,26 @@ object SinkQueries {
         |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin)
     }),
 
+    // Metadata-only RENAME COLUMN (graft.table.ColumnMap): rename, then
+    // keep WORKING with the table under the new name — an append and a
+    // filter both speak it — while the files on disk still carry the old
+    // one (ColumnMapSpec asserts zero file changes). The rewrite-free
+    // rename is the 100 TB schema-evolution story (Delta column mapping).
+    "k_rename_column_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_rename_col")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      t.overwrite(o.filter($"o_orderkey" % 2 === 0))
+      t.renameColumn("o_totalprice", "price_usd")
+      t.append(o.filter($"o_orderkey" % 2 === 1)
+        .withColumnRenamed("o_totalprice", "price_usd"))
+      t.read.filter($"price_usd" > 50000)
+        .select("o_orderkey", "o_orderstatus", "price_usd")
+    }),
+
     // Deletion-vector DELETE (graft.table.DeletionVectors): the same
     // final state as k_delete_where_roundtrip's rewrite path, reached by
     // writing ONLY the deleted rows' positions — zero data files
@@ -842,6 +862,9 @@ object SinkQueries {
        "o_orderpriority FROM orders " +
        "WHERE NOT (o_totalprice > 150000 AND o_orderstatus = 'O') " +
        "AND NOT (o_orderkey % 10 = 3)"),
+    "k_rename_column_roundtrip" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice AS price_usd " +
+       "FROM orders WHERE o_totalprice > 50000"),
     "k8_sql_analyze_stats" ->
       ("SELECT COUNT(*) AS n_cust, MIN(c_custkey) AS min_ck, " +
        "MAX(c_custkey) AS max_ck, MAX(c_acctbal) AS max_bal FROM customer"),

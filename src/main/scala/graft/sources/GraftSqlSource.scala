@@ -349,12 +349,14 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
             // typed null so the projection below never goes unresolved.
             // The deletion vector applies on the SUBSET scan too — its
             // marks for unread files simply never match.
-            val sub = graft.table.DeletionVectors.applied(
-              context.sparkSession,
-              context.sparkSession.read
-                .option("mergeSchema", "true").option("basePath", path)
-                .parquet(files: _*),
-              s"$path/_graft_meta/dv", path)
+            val sub = graft.table.ColumnMap.toLogical(
+              graft.table.DeletionVectors.applied(
+                context.sparkSession,
+                context.sparkSession.read
+                  .option("mergeSchema", "true").option("basePath", path)
+                  .parquet(files: _*),
+                s"$path/_graft_meta/dv", path),
+              graft.table.ColumnMap.load(context.sparkSession, path))
             required.fields.foldLeft(sub) { (df, f) =>
               if (df.columns.contains(f.name)) df
               else df.withColumn(f.name,

@@ -54,7 +54,10 @@ object BloomIndex {
     */
   def build(spark: SparkSession, tablePath: String, column: String,
       expectedItemsPerFile: Long = 0L): Unit = {
-    val df = spark.read.parquet(tablePath)
+    // logical view: `column` is the user-facing name (ColumnMap), and a
+    // rename drops the old index dir rather than remapping it
+    val df = ColumnMap.toLogical(spark.read.parquet(tablePath),
+      ColumnMap.load(spark, tablePath))
     val items =
       if (expectedItemsPerFile > 0L) expectedItemsPerFile
       else math.max(1000L,

@@ -93,6 +93,12 @@ object DeltaLogExport {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no table at $tablePath")
+    // an external log reader sees the files' PHYSICAL column names and
+    // has no access to the column map — exporting would publish a schema
+    // the data files contradict. Materialize (OPTIMIZE) first.
+    require(ColumnMap.load(spark, tablePath).isEmpty,
+      s"delta-log export refused: $tablePath has live column renames " +
+        "(ColumnMap); run OPTIMIZE to materialize them, then re-sync")
     val logDir = new Path(root, "_delta_log")
     val (lastVersion, exportedLive, exportedSchema) = replayLog(spark, fs, logDir)
 

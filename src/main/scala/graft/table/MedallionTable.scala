@@ -99,9 +99,11 @@ final class MedallionTable(
     if (fs.exists(p) && !hasDataFiles(p) && fs.exists(schemaFile))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(readMetaText(schemaFile)))
-    else DeletionVectors.applied(spark,
-      spark.read.option("mergeSchema", "true").parquet(path),
-      DeletionVectors.dir(path), path)
+    else ColumnMap.toLogical(
+      DeletionVectors.applied(spark,
+        spark.read.option("mergeSchema", "true").parquet(path),
+        DeletionVectors.dir(path), path),
+      ColumnMap.load(spark, path))
   }
 
   /** Persist the schema beside the data (see [[read]]'s empty fallback). */
@@ -487,7 +489,10 @@ final class MedallionTable(
     // Any failure leaves the manifest absent (conservative), never stale.
     val incremental = TableStats.beginIncrementalUpdate(spark, path)
     val before = if (incremental) dataFileSet() else Set.empty[String]
-    writer(enforced(df), SaveMode.Append).parquet(path)
+    // appended files must carry the PHYSICAL names the existing files do
+    // (mergeSchema would otherwise read a renamed column as two)
+    writer(ColumnMap.toPhysical(enforced(df), ColumnMap.load(spark, path)),
+      SaveMode.Append).parquet(path)
     if (incremental)
       try TableStats.completeIncrementalUpdate(spark, path,
         (dataFileSet() -- before).toSeq)
@@ -846,6 +851,44 @@ final class MedallionTable(
     }
   }
 
+  /** RENAME COLUMN as metadata ([[ColumnMap]]): no data file changes —
+    * the rename is visible to every read surface immediately and costs
+    * O(1). Refuses the cases whose stored artifacts still speak the old
+    * name: partition columns (physical directory layout), CHECK
+    * constraints (stored as expression text), and tables with a live
+    * Delta-log export (external readers can't see the map — OPTIMIZE
+    * first to materialize). Stale skipping artifacts are handled, not
+    * trusted: the stats manifest is invalidated (its columns are keyed
+    * by name) and any bloom index on the old name is dropped.
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    val schema = read.schema
+    require(schema.fieldNames.contains(oldName),
+      s"rename: column '$oldName' not in ${schema.fieldNames.mkString("[", ",", "]")}")
+    require(!schema.fieldNames.contains(newName),
+      s"rename: column '$newName' already exists")
+    require(!partitionColumns.contains(oldName),
+      s"rename: '$oldName' is a partition column — its directory layout " +
+        "is physical; rewrite the table to rename it")
+    val offending = checkConstraints.filter { case (_, expr) =>
+      s"\\b${java.util.regex.Pattern.quote(oldName)}\\b".r
+        .findFirstIn(expr).isDefined
+    }
+    require(offending.isEmpty,
+      s"rename: CHECK constraint(s) ${offending.keys.mkString(", ")} " +
+        s"reference '$oldName' — drop them first")
+    require(!fs.exists(new Path(path, "_delta_log")),
+      "rename: table has a Delta-log export; external readers cannot " +
+        "see the column map — OPTIMIZE to materialize, then re-sync")
+    withClaimedCommit("rename-column") {
+      ColumnMap.rename(spark, path, oldName, newName)
+      invalidateStats()
+      fs.delete(new Path(path, s"_graft_meta/bloom/$oldName"), true)
+      stashSchema(org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f)))
+    }
+  }
+
   /** DELETE as a deletion vector ([[DeletionVectors]]): records matching
     * rows' positions in the `_graft_meta/dv` sidecar instead of
     * rewriting files — O(matched) write cost, zero data files touched,
@@ -865,7 +908,9 @@ final class MedallionTable(
           .col("_metadata.file_path")))
       .withColumn("__graft_dv_pos",
         org.apache.spark.sql.functions.col("_metadata.row_index"))
-    val live = DeletionVectors.applied(spark, withPos, dvPath, path)
+    val live = ColumnMap.toLogical(
+      DeletionVectors.applied(spark, withPos, dvPath, path),
+      ColumnMap.load(spark, path))
     invalidateStats()
     live.filter(coalesce(cond, lit(false)))
       .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
@@ -918,9 +963,11 @@ final class MedallionTable(
     */
   def readVersion(n: Int): DataFrame = {
     val vdir = new Path(versionsDir, s"v$n")
-    DeletionVectors.applied(spark,
-      spark.read.option("mergeSchema", "true").parquet(vdir.toString),
-      DeletionVectors.archivedDir(vdir).toString, vdir.toString)
+    ColumnMap.toLogical(
+      DeletionVectors.applied(spark,
+        spark.read.option("mergeSchema", "true").parquet(vdir.toString),
+        DeletionVectors.archivedDir(vdir).toString, vdir.toString),
+      ColumnMap.loadFrom(spark, ColumnMap.archivedFile(vdir)))
   }
 
   /** Rewrite the live table back to snapshot `n` (itself versioned). */
@@ -977,6 +1024,9 @@ final class MedallionTable(
     val backupDv = new Path(backup, "_graft_meta/dv")
     if (fs.exists(backupDv))
       fs.rename(backupDv, DeletionVectors.archivedDir(backup))
+    val backupMap = new Path(backup, "_graft_meta/colmap.tsv")
+    if (fs.exists(backupMap))
+      fs.rename(backupMap, ColumnMap.archivedFile(backup))
     fs.delete(new Path(backup, "_graft_meta"), true)
     val next = (listVersions() :+ 0).max + 1 // after carry-forward, so ids continue
     if (!fs.rename(backup, new Path(versionsDir, s"v$next")))
@@ -1246,7 +1296,7 @@ final class MedallionTable(
     // append (no staged state to CAS; per-partition commit is the
     // documented weaker atomicity of this path).
     withClaimedCommit("merge-pruned") {
-      enforced(merged).write
+      ColumnMap.toPhysical(enforced(merged), ColumnMap.load(spark, path)).write
         .mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionColumns: _*)

@@ -69,7 +69,10 @@ object TableStats {
   /** One distributed pass: per file × column min/max (string + numeric). */
   def refresh(spark: SparkSession, tablePath: String,
       columns: Seq[String] = Nil): Unit = {
-    val raw = spark.read.parquet(tablePath)
+    // manifest columns are LOGICAL names (what pushed predicates use) —
+    // project renamed physical columns back before any stats run
+    val raw = ColumnMap.toLogical(spark.read.parquet(tablePath),
+      ColumnMap.load(spark, tablePath))
     val cols = (if (columns.nonEmpty) columns else raw.columns.toSeq)
       .filter(c => statsWorthy(raw.schema(c).dataType))
     // a deletion vector changes what readers SEE without touching files:
@@ -132,8 +135,10 @@ object TableStats {
         .fieldNames.collect { case f if f.startsWith("min_str__") =>
           f.stripPrefix("min_str__")
         }.toSeq
-      val df = spark.read.option("mergeSchema", "true")
-        .option("basePath", tablePath).parquet(newFiles: _*)
+      val df = ColumnMap.toLogical(
+        spark.read.option("mergeSchema", "true")
+          .option("basePath", tablePath).parquet(newFiles: _*),
+        ColumnMap.load(spark, tablePath))
       val (present, missing) = covered.partition(df.columns.contains)
       val stats = missing.foldLeft(perFileStats(df, present)) { (s, c) =>
         s.withColumn(s"min_str__$c", lit(null).cast("string"))
