@@ -83,6 +83,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           k.toInt)
       // Spark 4.1's own grammar handles constraint DDL for v2 tables —
       // claim the statement only when the target is actually ours.
+      case ShallowCloneRe(target, source) if isGraftTarget(spark, source) =>
+        GraftShallowCloneCommand(target.trim, source.trim)
       case RenameColumnRe(target, oldName, newName) if isGraftTarget(spark, target) =>
         GraftRenameColumnCommand(target.trim, oldName.trim, newName.trim)
       case AddConstraintRe(target, cname, cexpr) if isGraftTarget(spark, target) =>
@@ -216,6 +218,8 @@ object GraftSqlParser {
     s"""(?is)CREATE\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?$T\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)""".r
   private[plans] val DropBloomIndexRe: Regex =
     s"""(?is)DROP\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?$T""".r
+  private[plans] val ShallowCloneRe: Regex =
+    s"""(?is)CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""".r
   private[plans] val RenameColumnRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)""".r
   private[plans] val AddConstraintRe: Regex =
@@ -429,6 +433,32 @@ final case class GraftAnalyzeCommand(target: String, columns: Seq[String])
     val rows = m.collect()(0).getLong(0)
     val files = spark.read.parquet(s"$path/_graft_meta/stats").count()
     Seq(Row(path, files, rows))
+  }
+}
+
+/** `CREATE TABLE '<path>' SHALLOW CLONE s` — zero-copy clone
+  * ([[graft.table.ShallowClone]]): pointer manifest + read-state
+  * metadata copies, no data bytes. The target must be a quoted PATH
+  * (a brand-new table needs a location; registering it in the catalog
+  * is a separate CREATE TABLE … USING graft LOCATION).
+  */
+final case class GraftShallowCloneCommand(target: String, source: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("n_pointer_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(target.startsWith("'") || target.startsWith("`"),
+      "SHALLOW CLONE target must be a quoted path — a new table needs a " +
+        "location (register a name afterwards with CREATE TABLE … USING " +
+        "graft LOCATION)")
+    val tgt = GraftSqlParser.stripQuotes(target)
+    val src = GraftSqlParser.resolvePath(spark, source)
+    val t = new MedallionTable(spark, tgt)
+    t.cloneFrom(new MedallionTable(spark, src))
+    Seq(Row(tgt,
+      graft.table.ShallowClone.sources(spark,
+        graft.table.ShallowClone.file(tgt)).size.toLong))
   }
 }
 

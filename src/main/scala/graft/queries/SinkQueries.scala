@@ -160,6 +160,29 @@ object SinkQueries {
         |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin)
     }),
 
+    // Zero-copy SHALLOW CLONE (graft.table.ShallowClone): the clone
+    // pins the source's current files by pointer, inherits its deletion
+    // vector, diverges with a local append + its own vectored delete —
+    // and the SOURCE then takes an append the clone must NOT see. The
+    // oracle derives that exact divergence from the base table.
+    "k_shallow_clone_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val sp = Q.scratch(dir, "k_clone_src")
+      val cp = Q.scratch(dir, "k_clone_tgt")
+      Seq(sp, cp).foreach(Q.deleteDir(s, _))
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val src = MedallionTable(s, sp)
+      src.overwrite(o.filter($"o_orderkey" % 2 === 0))
+      src.deleteVectored($"o_totalprice" > 200000)
+      val c = MedallionTable(s, cp)
+      c.cloneFrom(src)
+      c.append(o.filter($"o_orderkey" % 2 === 1 && $"o_orderkey" % 3 === 0))
+      c.deleteVectored($"o_orderstatus" === "F" && $"o_orderkey" % 5 === 0)
+      src.append(o.filter($"o_orderkey" % 100 === 0)) // invisible to the clone
+      c.read
+    }),
+
     // Metadata-only RENAME COLUMN (graft.table.ColumnMap): rename, then
     // keep WORKING with the table under the new name — an append and a
     // filter both speak it — while the files on disk still carry the old
@@ -865,6 +888,15 @@ object SinkQueries {
     "k_rename_column_roundtrip" ->
       ("SELECT o_orderkey, o_orderstatus, o_totalprice AS price_usd " +
        "FROM orders WHERE o_totalprice > 50000"),
+    "k_shallow_clone_roundtrip" ->
+      ("""WITH cloned AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 2 = 0 AND NOT o_totalprice > 200000
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+         |SELECT * FROM cloned
+         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)""".stripMargin),
     "k8_sql_analyze_stats" ->
       ("SELECT COUNT(*) AS n_cust, MIN(c_custkey) AS min_ck, " +
        "MAX(c_custkey) AS max_ck, MAX(c_acctbal) AS max_bal FROM customer"),

@@ -293,6 +293,11 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
     // toString count below is best-effort display only.
     def computePruned(): Option[Seq[String]] =
       if (versionAsOf.nonEmpty) None
+      // a shallow clone's files live outside the table root: the pruned
+      // subset read (basePath-anchored) cannot express them — scan
+      // through MedallionTable.read until a rewrite materializes
+      else if (graft.table.ShallowClone.isClone(context.sparkSession, path))
+        None
       else {
         val sess = context.sparkSession
         val bounds = pushed.toSeq

@@ -74,7 +74,7 @@ object DeletionVectors {
   def applied(spark: SparkSession, raw: DataFrame, dvPath: String,
       rootPath: String): DataFrame = {
     if (!exists(spark, dvPath)) return raw
-    val byBase = listParquet(spark, rootPath)
+    val byBase = ShallowClone.scanFiles(spark, rootPath)
       .groupBy(f => f.substring(f.lastIndexOf('/') + 1)).view
       .mapValues(_.head).toMap
     val dvRows = spark.read.parquet(dvPath).collect()
@@ -96,24 +96,4 @@ object DeletionVectors {
       .drop("__graft_file", "__graft_pos")
   }
 
-  /** Recursive parquet listing under `root` in `_metadata.file_path`'s
-    * own rendering (qualified URI), hidden dirs excluded.
-    */
-  private def listParquet(spark: SparkSession, root: String): Seq[String] = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    val rootUri = fs.makeQualified(p).toUri
-    val b = Seq.newBuilder[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
-      val segs = rel.split('/')
-      if (!segs.exists(s => s.startsWith("_") || s.startsWith(".")) &&
-          rel.endsWith(".parquet"))
-        b += f.toString
-    }
-    b.result()
-  }
 }

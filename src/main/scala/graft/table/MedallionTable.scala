@@ -96,7 +96,14 @@ final class MedallionTable(
     val schemaFile = new Path(path, "_graft_meta/schema.ddl")
     // A table whose rows were all DELETEd has no data files to carry the
     // schema — fall back to the stashed DDL and stay readable (empty).
-    if (fs.exists(p) && !hasDataFiles(p) && fs.exists(schemaFile))
+    if (ShallowClone.isClone(spark, path))
+      ColumnMap.toLogical(
+        DeletionVectors.applied(spark,
+          spark.read.option("mergeSchema", "true")
+            .parquet(ShallowClone.scanFiles(spark, path): _*),
+          DeletionVectors.dir(path), path),
+        ColumnMap.load(spark, path))
+    else if (fs.exists(p) && !hasDataFiles(p) && fs.exists(schemaFile))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(readMetaText(schemaFile)))
     else ColumnMap.toLogical(
@@ -851,6 +858,39 @@ final class MedallionTable(
     }
   }
 
+  /** SHALLOW CLONE ([[ShallowClone]]): make THIS (empty) table a
+    * zero-copy clone of `source` — pointer manifest to the source's
+    * current data files plus copies of its read-state metadata (deletion
+    * vector, column map, CHECK registry, schema stash), all O(files)
+    * driver work and zero data bytes. Writes land locally; the first
+    * rewrite (OPTIMIZE being the canonical one) materializes and
+    * decouples from the source. Valid while the source is not REWRITTEN
+    * (appends to the source are invisible and harmless; a source swap
+    * relocates the pointed-at files — see the ShallowClone scaladoc).
+    * Unpartitioned tables only: pointer files outside the table root
+    * cannot reproduce a hive directory layout.
+    */
+  def cloneFrom(source: MedallionTable): Unit = {
+    require(!exists, s"clone target $path must not exist")
+    require(partitionColumns.isEmpty && source.partitionColumns.isEmpty,
+      "shallow clone supports unpartitioned tables only")
+    val files = source.dataFileSet().toSeq.sorted
+    require(files.nonEmpty, s"clone source ${source.path} has no data files")
+    withClaimedCommit("clone") {
+      ShallowClone.write(spark, path, files)
+      def copyMeta(name: String): Unit = {
+        val src = new Path(source.path, s"_graft_meta/$name")
+        val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (sfs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(sfs, src, fs,
+            new Path(path, s"_graft_meta/$name"), false, true,
+            spark.sparkContext.hadoopConfiguration)
+      }
+      Seq("dv", "colmap.tsv", "constraints.tsv").foreach(copyMeta)
+      stashSchema(source.read.schema)
+    }
+  }
+
   /** RENAME COLUMN as metadata ([[ColumnMap]]): no data file changes —
     * the rename is visible to every read surface immediately and costs
     * O(1). Refuses the cases whose stored artifacts still speak the old
@@ -902,7 +942,10 @@ final class MedallionTable(
   def deleteVectored(cond: Column): Unit = withClaimedCommit("delete-dv") {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val dvPath = DeletionVectors.dir(path)
-    val withPos = spark.read.option("mergeSchema", "true").parquet(path)
+    val withPos = (if (ShallowClone.isClone(spark, path))
+        spark.read.option("mergeSchema", "true")
+          .parquet(ShallowClone.scanFiles(spark, path): _*)
+      else spark.read.option("mergeSchema", "true").parquet(path))
       .withColumn("__graft_dv_file",
         DeletionVectors.baseName(org.apache.spark.sql.functions
           .col("_metadata.file_path")))
@@ -963,9 +1006,13 @@ final class MedallionTable(
     */
   def readVersion(n: Int): DataFrame = {
     val vdir = new Path(versionsDir, s"v$n")
+    val base =
+      if (ShallowClone.isClone(spark, vdir.toString))
+        spark.read.option("mergeSchema", "true")
+          .parquet(ShallowClone.scanFiles(spark, vdir.toString): _*)
+      else spark.read.option("mergeSchema", "true").parquet(vdir.toString)
     ColumnMap.toLogical(
-      DeletionVectors.applied(spark,
-        spark.read.option("mergeSchema", "true").parquet(vdir.toString),
+      DeletionVectors.applied(spark, base,
         DeletionVectors.archivedDir(vdir).toString, vdir.toString),
       ColumnMap.loadFrom(spark, ColumnMap.archivedFile(vdir)))
   }
@@ -1027,6 +1074,9 @@ final class MedallionTable(
     val backupMap = new Path(backup, "_graft_meta/colmap.tsv")
     if (fs.exists(backupMap))
       fs.rename(backupMap, ColumnMap.archivedFile(backup))
+    val backupClone = ShallowClone.file(backup.toString)
+    if (fs.exists(backupClone))
+      fs.rename(backupClone, ShallowClone.archivedFile(backup))
     fs.delete(new Path(backup, "_graft_meta"), true)
     val next = (listVersions() :+ 0).max + 1 // after carry-forward, so ids continue
     if (!fs.rename(backup, new Path(versionsDir, s"v$next")))

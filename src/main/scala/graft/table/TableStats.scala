@@ -70,8 +70,13 @@ object TableStats {
   def refresh(spark: SparkSession, tablePath: String,
       columns: Seq[String] = Nil): Unit = {
     // manifest columns are LOGICAL names (what pushed predicates use) —
-    // project renamed physical columns back before any stats run
-    val raw = ColumnMap.toLogical(spark.read.parquet(tablePath),
+    // project renamed physical columns back before any stats run; a
+    // shallow clone's manifest covers pointer files too
+    val raw = ColumnMap.toLogical(
+      if (ShallowClone.isClone(spark, tablePath))
+        spark.read.option("mergeSchema", "true")
+          .parquet(ShallowClone.scanFiles(spark, tablePath): _*)
+      else spark.read.parquet(tablePath),
       ColumnMap.load(spark, tablePath))
     val cols = (if (columns.nonEmpty) columns else raw.columns.toSeq)
       .filter(c => statsWorthy(raw.schema(c).dataType))
