@@ -51,6 +51,28 @@ object SinkQueries {
         "o_orderdate", "o_orderpriority")
     }),
 
+    // The IMPORT half of the K10 interop story: read the table THROUGH
+    // its Delta log (graft.table.DeltaLogExport.readViaLog — the
+    // external-reader protocol run inside Spark). The third append is
+    // deliberately NOT synced: a log reader must see exactly the
+    // committed state, not the directory listing — precisely how a real
+    // Delta client ignores crash litter and in-flight writes.
+    "k10_delta_log_read" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "delta_log_read")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 4 === 0))
+      graft.table.DeltaLogExport.sync(s, p)
+      t.append(o.filter($"o_orderkey" % 4 === 1))
+      graft.table.DeltaLogExport.sync(s, p)
+      t.append(o.filter($"o_orderkey" % 4 === 2)) // un-synced: invisible
+      graft.table.DeltaLogExport.readViaLog(s, p)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+    }),
+
     // The checkpoint half of the K10 interop story: two synced commits,
     // a checkpoint at version 1, then a post-checkpoint commit. The
     // ORACLE follows the external reader protocol — seed the live set
@@ -827,6 +849,10 @@ object SinkQueries {
     // removes across version files, then only those parquet files are
     // read. Compared against the Spark TABLE-LAYER read, so a path,
     // diff, or JSON bug in the export breaks the hash.
+    "k10_delta_log_read" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+       "o_orderdate, o_orderpriority FROM orders " +
+       "WHERE o_orderkey % 4 IN (0, 1)"),
     "k10_delta_export_replay" ->
       (s"""WITH acts AS (
          |  SELECT json FROM read_json_objects(

@@ -194,6 +194,22 @@ object DeltaLogExport {
     replayLog(spark, fs, new Path(root, "_delta_log"))._2.toSeq
   }
 
+  /** Read the table THROUGH its Delta log — the external-reader protocol
+    * run inside Spark: checkpoint-seeded replay → adds-minus-removes
+    * live set → scan exactly those files. This is what any Delta client
+    * does with a `_delta_log`, so it reads real exported-from-elsewhere
+    * Delta directories the same way it reads graft-exported ones, and —
+    * unlike the directory-listing read — it ignores files the log never
+    * committed (crash litter, un-synced writes), which
+    * `k10_delta_log_read` and DeltaLogExportSpec assert.
+    */
+  def readViaLog(spark: SparkSession, tablePath: String): org.apache.spark.sql.DataFrame = {
+    val files = liveFilesFromLog(spark, tablePath)
+    require(files.nonEmpty, s"no live files in $tablePath/_delta_log")
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$tablePath/$f"): _*)
+  }
+
   /** Write a Delta CHECKPOINT at the log's current version: one parquet
     * file holding the full replayed state (a protocol row, a metaData
     * row, one add row per live file — nullable struct columns, the Delta
