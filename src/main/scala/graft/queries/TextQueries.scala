@@ -328,6 +328,37 @@ object TextQueries {
             s"'$email', '<EMAIL>'), '$ip', '<IP>'), '$num', '<NUM>') AS red_text")
     }),
 
+    // k-anonymity audit — the re-identification risk report a governed
+    // corpus release runs next to PII redaction: every quasi-identifier
+    // combination backed by fewer than k individuals is a linkage
+    // attack surface. Quasi-identifiers here are nation × segment ×
+    // coarse balance bin (the classic demographic triple); groups with
+    // n < 5 are the rows a release must suppress or generalize. One
+    // hash aggregate — the same plan at 100 TB.
+    "privacy_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .groupBy($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 2000).cast("long").as("bal_bin"))
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" < 5)
+    }),
+
+    // l-diversity audit — k-anonymity's complement: a group can be
+    // large yet still leak if everyone in it shares the SENSITIVE value
+    // (here: the market segment within a nation × balance-bin cohort).
+    // Groups with fewer than 2 distinct sensitive values are
+    // homogeneous-attack surfaces even when n ≥ k.
+    "privacy_l_diversity" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .groupBy($"c_nationkey",
+          floor($"c_acctbal" / 2000).cast("long").as("bal_bin"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"c_mktsegment").as("l"))
+        .filter($"l" < 2)
+    }),
+
     // Oracle-able LSH banding over the MD5 MinHash signature: 2 bands of
     // 2 hashes, band key = MD5 of the concatenated band — the
     // signature→band→bucket-key step of the LSH join, proven cross-engine
@@ -1797,6 +1828,19 @@ object TextQueries {
          |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$num', '<NUM>', 'g') AS red_text
          |FROM r""".stripMargin
     },
+    "privacy_k_anonymity" ->
+      ("""SELECT c_nationkey, c_mktsegment,
+         |       CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bin,
+         |       COUNT(*) AS n
+         |FROM customer
+         |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5""".stripMargin),
+    "privacy_l_diversity" ->
+      ("""SELECT c_nationkey,
+         |       CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bin,
+         |       COUNT(*) AS n,
+         |       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+         |FROM customer
+         |GROUP BY 1, 2 HAVING COUNT(DISTINCT c_mktsegment) < 2""".stripMargin),
     "dedup_lsh_bands_md5" -> {
       val duckShingles =
         s"list_transform(range(1, len($DuckTokens) - 1), " +
