@@ -31,11 +31,17 @@ import org.apache.spark.sql.functions._
   * covers single-action writes, so DELETE — a one-action mark — is the
   * honest DV surface.
   *
-  * Files are keyed by BASENAME (globally unique — Spark part files
-  * embed a task UUID), not full path: archived snapshots relocate data
-  * files under `_graft_meta/versions/vN/`, and a path-keyed vector
-  * would silently resurrect its rows after relocation. Row positions
-  * come from `_metadata.row_index`, stable for immutable parquet.
+  * Files are keyed by their RELATIVE TAIL — the basename plus any
+  * trailing `part=value` partition segments — not the full path:
+  * archived snapshots relocate data files under
+  * `_graft_meta/versions/vN/` (and clones point at another root), so a
+  * path-keyed vector would silently resurrect its rows after
+  * relocation. Basename alone is NOT enough on a partitioned table: one
+  * dynamic-partition write job reuses its task UUID across partition
+  * directories, so sibling partitions hold same-named files — the
+  * partition segments are the discriminator (caught by
+  * IncrementalJoinSpec's pruned-repair test). Row positions come from
+  * `_metadata.row_index`, stable for immutable parquet.
   */
 object DeletionVectors {
 
@@ -53,9 +59,21 @@ object DeletionVectors {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** The file basename of `_metadata.file_path`. */
-  private[table] def baseName(filePath: Column): Column =
-    element_at(split(filePath, "/"), -1)
+  /** Relocation-stable file key: basename plus trailing `k=v` partition
+    * segments (see the class scaladoc). The regex anchors at the end and
+    * greedily takes `k=v/` segments before the basename; non-partition
+    * ancestors never contain '=' in this layout.
+    */
+  private val KeyRegex = "((?:[^/]*=[^/]*/)*[^/]+)$"
+
+  private[table] def fileKey(filePath: Column): Column =
+    regexp_extract(filePath, KeyRegex, 1)
+
+  private[table] def fileKeyOf(path: String): String = {
+    val segs = path.split('/')
+    val parts = segs.dropRight(1).reverse.takeWhile(_.contains("=")).reverse
+    (parts :+ segs.last).mkString("/")
+  }
 
   /** `raw` must be a DataFrame directly over a parquet file scan (so the
     * `_metadata` struct resolves); returns it minus the positions listed
@@ -74,12 +92,11 @@ object DeletionVectors {
   def applied(spark: SparkSession, raw: DataFrame, dvPath: String,
       rootPath: String): DataFrame = {
     if (!exists(spark, dvPath)) return raw
-    val byBase = ShallowClone.scanFiles(spark, rootPath)
-      .groupBy(f => f.substring(f.lastIndexOf('/') + 1)).view
-      .mapValues(_.head).toMap
+    val byKey = ShallowClone.scanFiles(spark, rootPath)
+      .groupBy(fileKeyOf).view.mapValues(_.head).toMap
     val dvRows = spark.read.parquet(dvPath).collect()
       .flatMap { r =>
-        byBase.get(r.getString(0)).map(full => (full, r.getLong(1)))
+        byKey.get(r.getString(0)).map(full => (full, r.getLong(1)))
       }.toSeq
     if (dvRows.isEmpty) return raw
     val dv = {

@@ -947,7 +947,7 @@ final class MedallionTable(
           .parquet(ShallowClone.scanFiles(spark, path): _*)
       else spark.read.option("mergeSchema", "true").parquet(path))
       .withColumn("__graft_dv_file",
-        DeletionVectors.baseName(org.apache.spark.sql.functions
+        DeletionVectors.fileKey(org.apache.spark.sql.functions
           .col("_metadata.file_path")))
       .withColumn("__graft_dv_pos",
         org.apache.spark.sql.functions.col("_metadata.row_index"))
@@ -960,6 +960,37 @@ final class MedallionTable(
         org.apache.spark.sql.functions.col("__graft_dv_pos").as("pos"))
       .write.mode(SaveMode.Append).parquet(dvPath)
   }
+
+  /** [[deleteVectored]] keyed by a FRAME of victim keys instead of a
+    * predicate: the mark job semi-joins the broadcast key set, so a
+    * cascade of thousands of keys stays one distributed job — no driver
+    * collect, no giant literal tree blowing codegen. Semantics ≡
+    * `deleteVectored(keys-tuple IN keySet)`.
+    */
+  def deleteVectoredKeys(keys: DataFrame, keyCols: Seq[String]): Unit =
+    withClaimedCommit("delete-dv") {
+      import org.apache.spark.sql.functions.broadcast
+      val dvPath = DeletionVectors.dir(path)
+      val withPos = (if (ShallowClone.isClone(spark, path))
+          spark.read.option("mergeSchema", "true")
+            .parquet(ShallowClone.scanFiles(spark, path): _*)
+        else spark.read.option("mergeSchema", "true").parquet(path))
+        .withColumn("__graft_dv_file",
+          DeletionVectors.fileKey(org.apache.spark.sql.functions
+            .col("_metadata.file_path")))
+        .withColumn("__graft_dv_pos",
+          org.apache.spark.sql.functions.col("_metadata.row_index"))
+      val live = ColumnMap.toLogical(
+        DeletionVectors.applied(spark, withPos, dvPath, path),
+        ColumnMap.load(spark, path))
+      invalidateStats()
+      live.join(broadcast(keys.select(keyCols.map(
+            org.apache.spark.sql.functions.col): _*).distinct()),
+          keyCols, "left_semi")
+        .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
+          org.apache.spark.sql.functions.col("__graft_dv_pos").as("pos"))
+        .write.mode(SaveMode.Append).parquet(dvPath)
+    }
 
   /** Delta-style `UPDATE SET ... WHERE`: every SET expression is
     * evaluated against the OLD row (simultaneous-assignment semantics —

@@ -24,8 +24,10 @@ class IncrementalJoinSpec extends SparkSpec {
     rows.toDF("dk", "name")
   }
 
+  // column-order-insensitive (hive partition columns read back LAST)
   private def asSet(df: DataFrame): Set[Seq[Any]] =
-    df.collect().map(_.toSeq).toSet
+    df.select(df.columns.sorted.toIndexedSeq.map(col): _*)
+      .collect().map(_.toSeq).toSet
 
   private def cdc(old: DataFrame, nw: DataFrame, key: String): DataFrame =
     MergeOps.merge3ClauseCDC(old, nw, Seq(key),
@@ -76,6 +78,43 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(asSet(mv.read) == asSet(IncrementalJoin.fullCompute(f1, d0, on)))
     IncrementalJoin.applyDimChanges(mv, f1, d1, cdc(d0, d1, "dk"), factKeys, on)
     assert(asSet(mv.read) == asSet(IncrementalJoin.fullCompute(f1, d1, on)))
+  }
+
+  test("partitioned view: pruned repair (merge + DV removals) ≡ recompute") {
+    import spark.implicits._
+    def factP(rows: (Long, Long, Long)*): DataFrame =
+      rows.toDF("id", "fk", "cents")
+        .withColumn("part", concat(lit("p"), $"id" % 3))
+    val d0 = dim((10, "x"), (20, "y"))
+    val f0 = factP((1, 10, 100), (2, 20, 200), (3, 10, 300), (4, 20, 400))
+    val mv = MedallionTable(spark, tmpDir("ij_pmv"),
+      partitionColumns = Seq("part"))
+    mv.overwrite(IncrementalJoin.fullCompute(f0, d0, on))
+    // update id=1; id=2 moves onto a dangling key (DV removal); id=4
+    // deleted (DV removal); id=5 inserts joinable
+    val f1 = factP((1, 10, 101), (2, 99, 200), (3, 10, 300), (5, 20, 500))
+    IncrementalJoin.applyFactChanges(mv, cdc(f0, f1, "id"), d0,
+      factKeys, on)
+    assert(asSet(mv.read) == asSet(IncrementalJoin.fullCompute(f1, d0, on)))
+    // dim side: dk=20 deleted (cascaded DV removal), dk=30 inserted
+    val d1 = dim((10, "x"), (30, "z"))
+    IncrementalJoin.applyDimChanges(mv, f1, d1, cdc(d0, d1, "dk"),
+      factKeys, on)
+    assert(asSet(mv.read) == asSet(IncrementalJoin.fullCompute(f1, d1, on)))
+  }
+
+  test("a partition-column move is detected and falls back, staying correct") {
+    import spark.implicits._
+    val d = dim((10, "x"), (20, "y"))
+    val f0 = Seq((1L, 10L, 100L, "pA"), (2L, 20L, 200L, "pA"))
+      .toDF("id", "fk", "cents", "part")
+    val f1 = Seq((1L, 10L, 101L, "pB"), (2L, 20L, 200L, "pA"))
+      .toDF("id", "fk", "cents", "part") // id=1 MOVES pA → pB
+    val mv = MedallionTable(spark, tmpDir("ij_pmove"),
+      partitionColumns = Seq("part"))
+    mv.overwrite(IncrementalJoin.fullCompute(f0, d, on))
+    IncrementalJoin.applyFactChanges(mv, cdc(f0, f1, "id"), d, factKeys, on)
+    assert(asSet(mv.read) == asSet(IncrementalJoin.fullCompute(f1, d, on)))
   }
 
   test("empty feeds are no-ops") {
