@@ -159,6 +159,38 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming MATERIALIZED JOIN view: each micro-batch upserts the fact
+    * table, then delta-maintains the persisted fact⋈dim view
+    * ([[graft.table.IncrementalJoin.catchUp]]) from the fact's CDC — the
+    * view never recomputes the join; per-batch cost is the fact merge
+    * plus the partition-pruned repair (O(batch)). Replay-safe and
+    * self-healing on the same ordinal-bookkeeping argument as
+    * [[goldStream]] (see catchUp's scaladoc for why the sibling-file
+    * stamp needs no atomicity). The dim is re-resolved per batch, so
+    * between-batch dim updates flow into NEW rows; retroactive dim
+    * repair of existing view rows is
+    * [[graft.table.IncrementalJoin.applyDimChanges]], run on the dim's
+    * own (rare) change cadence.
+    */
+  def joinStream(rows: DataFrame, factPath: String, dimPath: String,
+      viewPath: String, keys: Seq[String], on: Seq[(String, String)],
+      checkpoint: String, viewPartitionColumns: Seq[String] = Nil,
+      retainVersions: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.table.{IncrementalJoin, MedallionTable}
+        val s = batch.sparkSession
+        val fact = MedallionTable(s, factPath, retainVersions = retainVersions)
+        val mv = MedallionTable(s, viewPath,
+          partitionColumns = viewPartitionColumns)
+        if (!fact.exists) fact.overwrite(batch)
+        else fact.merge(batch, keys, deleteNotMatchedBySource = false)
+        IncrementalJoin.catchUp(fact, MedallionTable(s, dimPath).read, mv,
+          keys, on)
+      }
+      .start()
+
   /** Stream-static enrichment join: the static side is re-resolved per
     * micro-batch (picking up dim-table updates between batches) and, being
     * small, broadcast — the standard streaming fact⋈dim shape. Works

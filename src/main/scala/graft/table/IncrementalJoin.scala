@@ -43,14 +43,22 @@ import org.apache.spark.sql.functions._
   * recomputing the post-change join from scratch.
   *
   * Key pairs are (factCol, dimCol) — star schemas name the two sides
-  * differently (o_custkey / c_custkey); both key columns survive into
-  * the view.
+  * differently (o_custkey / c_custkey) and then both key columns survive
+  * into the view; a same-named pair keeps one copy (USING semantics).
   */
 object IncrementalJoin {
 
   private def joinCond(left: DataFrame, right: DataFrame,
       on: Seq[(String, String)]): Column =
     on.map { case (f, dk) => left(f) === right(dk) }.reduce(_ && _)
+
+  /** Same-named key pairs would duplicate a column in the joined view —
+    * keep the fact side, drop the dim copy (USING semantics).
+    */
+  private def dropDupKeys(joined: DataFrame, dim: DataFrame,
+      on: Seq[(String, String)]): DataFrame =
+    on.collect { case (f, dk) if f == dk => dim(dk) }
+      .foldLeft(joined)(_.drop(_))
 
   /** Materialized view = inner equi-join, keyed by the fact key. Join
     * strategy is left to Catalyst/AQE: a small dim broadcasts, a large
@@ -59,7 +67,7 @@ object IncrementalJoin {
     */
   def fullCompute(fact: DataFrame, dim: DataFrame,
       on: Seq[(String, String)]): DataFrame =
-    fact.join(dim, joinCond(fact, dim, on))
+    dropDupKeys(fact.join(dim, joinCond(fact, dim, on)), dim, on)
 
   /** Apply a FACT-side CDC batch (schema: fact columns + `_change_type`,
     * the [[MedallionTable.changesSince]] feed) against the CURRENT dim
@@ -91,8 +99,9 @@ object IncrementalJoin {
           .groupBy(factKeys.map(col): _*)
           .agg(countDistinct(struct(partCols.map(col): _*)).as("__n"))
           .filter(col("__n") > 1).isEmpty)
-    mergeAffected(mv, batch.join(d, joinCond(batch, d, on), "left"), factKeys,
-      allowPruned = prunedSafe)
+    mergeAffected(mv,
+      dropDupKeys(batch.join(d, joinCond(batch, d, on), "left"), d, on),
+      factKeys, allowPruned = prunedSafe)
   }
 
   /** Apply a DIM-side CDC batch. `fact` and `dim` are the CURRENT
@@ -113,10 +122,60 @@ object IncrementalJoin {
     val slice = fact.join(broadcast(affected),
       joinCond(fact, affected, on), "left_semi")
     val d = dim.withColumn("__dim_hit", lit(true))
+    val withFlags = slice.withColumn("__del", lit(false))
     mergeAffected(mv,
-      slice.withColumn("__del", lit(false))
-        .join(d, joinCond(slice, d, on), "left"),
+      dropDupKeys(withFlags.join(d, joinCond(withFlags, d, on), "left"), d, on),
       factKeys)
+  }
+
+  /** Batch "REFRESH MATERIALIZED VIEW" for the join — the sibling of
+    * [[IncrementalAgg.catchUp]]: bring the view up to the fact's current
+    * commit by repairing from `changesSinceOrdinal(reflected)`, whatever
+    * wrote the fact and however many times this re-runs. Bootstrap is a
+    * full compute.
+    *
+    * The reflected ordinal lives in a SIBLING file
+    * (`<view>__graft_mv_reflects`) — a join view is fact-sized, so the
+    * aggregate-gold trick of stamping the ordinal into the table and
+    * swapping it whole would cost a full rewrite per refresh. The
+    * stamp-after-repair ordering is safe WITHOUT atomicity because the
+    * repair is idempotent by construction (a state diff re-applied sets
+    * the same final rows; DV re-marks are inert), so a crash between
+    * repair and stamp only means the next refresh re-applies a prefix —
+    * at-least-once application of an idempotent repair is exactly-once
+    * effect. Dim-side changes are the caller's to route through
+    * [[applyDimChanges]] (dims change rarely and out-of-band).
+    *
+    * `fact` must be opened with `retainVersions` covering the refresh
+    * cadence, as for [[IncrementalAgg.catchUp]].
+    */
+  def catchUp(fact: MedallionTable, dim: DataFrame, mv: MedallionTable,
+      factKeys: Seq[String], on: Seq[(String, String)]): Unit = {
+    val spark = mv.spark
+    val p = new org.apache.hadoop.fs.Path(s"${mv.path}__graft_mv_reflects")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reflected: Option[Long] =
+      if (!fs.exists(p) || !mv.exists) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      }
+    val cur = fact.commitVersion
+    reflected match {
+      case Some(ord) if ord == cur => () // nothing new
+      case Some(ord) =>
+        applyFactChanges(mv, fact.changesSinceOrdinal(ord, factKeys),
+          dim, factKeys, on)
+      case None =>
+        mv.overwrite(fullCompute(fact.read, dim, on))
+    }
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(cur.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"mv ordinal stamp failed: $p")
   }
 
   /** Shared merge: `src` carries the view's columns plus `__del`

@@ -258,6 +258,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming materialized join view tracks fact upserts exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dimPath = tmpDir("sjoin_dim")
+    graft.table.MedallionTable(spark, dimPath).overwrite(
+      Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name"))
+    val factPath = tmpDir("sjoin_fact")
+    val viewPath = tmpDir("sjoin_view")
+    val q = EventStreams.joinStream(input.toDF(), factPath, dimPath, viewPath,
+      keys = Seq("event_id"), on = Seq("user_id" -> "user_id"),
+      checkpoint = tmpDir("sjoin_ckpt"))
+    try {
+      input.addData(ev(1, 60, 1, "c", 1.0), ev(2, 61, 9, "c", 2.0)) // 9 dangles
+      q.processAllAvailable()
+      input.addData(ev(2, 61, 2, "c", 20.0), ev(3, 62, 1, "v", 3.0))
+      q.processAllAvailable()
+      val mv = graft.table.MedallionTable(spark, viewPath).read
+        .select("event_id", "name", "value").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      // event 2's first image dangled (user 9) and never materialized;
+      // its update re-keyed it onto bob and it appeared with new values
+      assert(mv == Map(1L -> (("alice", 1.0)), 2L -> (("bob", 20.0)),
+        3L -> (("alice", 3.0))))
+    } finally q.stop()
+  }
+
   test("streaming ANN ingest maintains the standing index exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
