@@ -538,6 +538,53 @@ object SinkQueries {
       mv.read
     }),
 
+    // K9 — the PRUNED repair route through the oracle gate: same
+    // two-sided scenario as k9_incremental_join, but the view is
+    // hive-partitioned by order year (coarse on purpose: partition
+    // count is an operator dial, and at oracle scale per-partition job
+    // overhead dominates below ~year granularity), so fact upserts repair via
+    // dynamic-partition overwrite and removals (the dangling key move,
+    // the delete, the dim-key delete cascade) via deletion vectors —
+    // the route IncrementalJoinProbe measures flat at 20× (SCALING.md).
+    "k9_incremental_join_pruned" -> ((s, dir) => {
+      import s.implicits._
+      import graft.table.IncrementalJoin
+      val fp = Q.scratch(dir, "k9_ijp_fact")
+      val dp = Q.scratch(dir, "k9_ijp_dim")
+      val vp = Q.scratch(dir, "k9_ijp_view")
+      Seq(fp, dp, vp).foreach(Q.deleteDir(s, _))
+      val ordersM = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          date_format($"o_orderdate", "yyyy").as("o_year"))
+      val fact0 = ordersM.filter($"o_orderkey" % 3 =!= 0 && $"o_orderkey" <= 60000)
+      val dim0 = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .filter($"c_custkey" % 5 =!= 4)
+      val t = MedallionTable(s, fp, retainVersions = 2)
+      val d = MedallionTable(s, dp, retainVersions = 2)
+      val mv = MedallionTable(s, vp, partitionColumns = Seq("o_year"))
+      t.overwrite(fact0); d.overwrite(dim0)
+      val on = Seq("o_custkey" -> "c_custkey")
+      mv.overwrite(IncrementalJoin.fullCompute(t.read, d.read, on))
+      t.merge(ordersM
+          .select($"o_orderkey",
+            when($"o_orderkey" % 7 === 0, lit(-1L)).otherwise($"o_custkey")
+              .as("o_custkey"),
+            ($"o_totalprice" + 1).as("o_totalprice"), $"o_year")
+          .filter($"o_orderkey" % 2 === 0 && $"o_orderkey" <= 60000),
+        Seq("o_orderkey"), deleteNotMatchedBySource = false)
+      t.delete($"o_totalprice" > 200000)
+      // fact-side phase only: the dim-side algebra is oracled by the
+      // unpartitioned twin; THIS query's unique coverage is the pruned
+      // ROUTE (partition-overwrite upserts + DV removals from the
+      // dangling move and the delete), at half the scenario cost
+      IncrementalJoin.applyFactChanges(mv, t.changesSince(1, Seq("o_orderkey")),
+        d.read, Seq("o_orderkey"), on)
+      // hive partition inference reads the year directory values back as
+      // ints; the oracle's strftime yields strings — align the dtype
+      mv.read.withColumn("o_year", $"o_year".cast("string"))
+    }),
+
     // K8 — Z-order + skipping end-to-end: OPTIMIZE ZORDER BY via SQL
     // (which now rebuilds the manifest it dropped), then range predicates
     // on BOTH cluster columns — answers oracled; the plan-level pruning
@@ -998,6 +1045,30 @@ object SinkQueries {
          |SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, f.o_orderpriority,
          |       d.c_custkey, d.c_name, d.c_mktsegment
          |FROM ffinal f JOIN dfinal d ON f.o_custkey = d.c_custkey""".stripMargin),
+    "k9_incremental_join_pruned" ->
+      ("""WITH fact0 AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice,
+         |         strftime(o_orderdate, '%Y') AS o_year
+         |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey <= 60000),
+         |dim0 AS (
+         |  SELECT c_custkey, c_name, c_mktsegment
+         |  FROM customer WHERE c_custkey % 5 <> 4),
+         |fsrc AS (
+         |  SELECT o_orderkey,
+         |         CASE WHEN o_orderkey % 7 = 0 THEN -1 ELSE o_custkey END
+         |           AS o_custkey,
+         |         o_totalprice + 1 AS o_totalprice,
+         |         strftime(o_orderdate, '%Y') AS o_year
+         |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey <= 60000),
+         |fmerged AS (
+         |  SELECT * FROM fsrc
+         |  UNION ALL
+         |  SELECT * FROM fact0
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM fsrc)),
+         |ffinal AS (SELECT * FROM fmerged WHERE NOT o_totalprice > 200000)
+         |SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, f.o_year,
+         |       d.c_custkey, d.c_name, d.c_mktsegment
+         |FROM ffinal f JOIN dim0 d ON f.o_custkey = d.c_custkey""".stripMargin),
     "k7_sql_merge_roundtrip" ->
       ("""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
          |s AS (SELECT o_orderkey AS sid, o_totalprice + 10 AS new_price
