@@ -16,8 +16,12 @@ import graft.table.MedallionTable
   * (`injectParser` — the same mechanism as Delta's own `DeltaSqlParser`):
   *
   *   - `DESCRIBE HISTORY t | '<path>'`
-  *   - `OPTIMIZE t [ZORDER BY (c1, c2)]`
-  *   - `VACUUM t`
+  *   - `OPTIMIZE t [ZORDER BY (c1, c2)]` / `OPTIMIZE t WHERE <part pred>`
+  *   - `VACUUM t [DRY RUN]`
+  *   - `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON`
+  *     (idempotent incremental loading, [[graft.table.CopyInto]])
+  *   - `CONVERT TO GRAFT '<dir>' [PARTITIONED BY (c, …)]`
+  *     (in-place adoption, metadata-only)
   *   - `RESTORE [TABLE] t TO VERSION AS OF n`
   *   - `SYNC DELTA LOG FOR t` / `CHECKPOINT DELTA LOG FOR t`
   *     ([[graft.table.DeltaLogExport]] — storage-format interop)
@@ -52,12 +56,23 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       case OptimizeZOrderRe(target, cols) =>
         GraftOptimizeCommand(target.trim,
           cols.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty))
+      case OptimizeWhereRe(target, predicate) =>
+        GraftOptimizeWhereCommand(target.trim, predicate.trim)
       case OptimizeRe(target) =>
         GraftOptimizeCommand(target.trim, Nil)
       case DescribeDetailRe(target) =>
         GraftDescribeDetailCommand(target.trim)
+      case VacuumDryRunRe(target) =>
+        GraftVacuumDryRunCommand(target.trim)
       case VacuumRe(target) =>
         GraftVacuumCommand(target.trim)
+      case CopyIntoRe(target, source, format) =>
+        GraftCopyIntoCommand(target.trim, stripQuotes(source),
+          format.trim.toLowerCase)
+      case ConvertRe(target, parts) =>
+        GraftConvertCommand(target.trim,
+          Option(parts).toSeq.flatMap(_.split(",").map(stripQuotes)
+            .map(_.trim).filter(_.nonEmpty)))
       // ANALYZE is also Spark grammar — claim it only for graft targets
       // (quoted paths always; named tables when the catalog says so).
       case AnalyzeColsRe(target, cols) if isGraftTarget(spark, target) =>
@@ -199,7 +214,15 @@ object GraftSqlParser {
   private[plans] val OptimizeZOrderRe: Regex =
     s"""(?is)OPTIMIZE\\s+$T\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)""".r
   private[plans] val OptimizeRe: Regex = s"""(?is)OPTIMIZE\\s+$T""".r
+  private[plans] val OptimizeWhereRe: Regex =
+    s"""(?is)OPTIMIZE\\s+$T\\s+WHERE\\s+(.+)""".r
   private[plans] val VacuumRe: Regex = s"""(?is)VACUUM\\s+$T""".r
+  private[plans] val VacuumDryRunRe: Regex =
+    s"""(?is)VACUUM\\s+$T\\s+DRY\\s+RUN""".r
+  private[plans] val CopyIntoRe: Regex =
+    s"""(?is)COPY\\s+INTO\\s+$T\\s+FROM\\s+$T\\s+FILEFORMAT\\s*=\\s*(\\w+)""".r
+  private[plans] val ConvertRe: Regex =
+    s"""(?is)CONVERT\\s+TO\\s+GRAFT\\s+$T(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?""".r
   private[plans] val DescribeDetailRe: Regex =
     s"""(?is)DESCRIBE\\s+DETAIL\\s+$T""".r
   private[plans] val AnalyzeColsRe: Regex =
@@ -543,6 +566,136 @@ final case class GraftVacuumCommand(target: String) extends LeafRunnableCommand 
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     Seq(Row(path, new MedallionTable(spark, path).vacuum()))
+  }
+}
+
+/** Shared filesystem helpers for the utility commands. */
+private[plans] object GraftSqlUtil {
+
+  /** Live parquet file count under `path`, `_graft_meta` excluded. */
+  def nParquet(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") &&
+            !f.toString.contains("_graft_meta")) n += 1
+      }
+      n
+    }
+  }
+
+  /** Hive partition columns read off the directory layout (k=v path
+    * segments), outermost first — the same discovery DESCRIBE DETAIL
+    * reports.
+    */
+  def discoveredPartitionColumns(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    @scala.annotation.tailrec
+    def walk(p: org.apache.hadoop.fs.Path, acc: Seq[String]): Seq[String] = {
+      val sub =
+        if (fs.exists(p)) fs.listStatus(p).filter(st =>
+          st.isDirectory && st.getPath.getName.contains("="))
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
+      if (sub.isEmpty) acc
+      else walk(sub.head.getPath,
+        acc :+ sub.head.getPath.getName.takeWhile(_ != '='))
+    }
+    walk(root, Nil)
+  }
+}
+
+/** `VACUUM t DRY RUN` — what a real vacuum would do, touching nothing:
+  * one row per candidate, action ∈ {delete, restore}
+  * ([[MedallionTable.vacuumDryRun]]).
+  */
+final case class GraftVacuumDryRunCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    new MedallionTable(spark, path).vacuumDryRun()
+      .map { case (p, action) => Row(p, action) }
+  }
+}
+
+/** `OPTIMIZE t WHERE <partition predicate>` — partition-scoped compaction
+  * ([[MedallionTable.compactWhere]]): only the matching partition
+  * directories are rewritten; the predicate must reference partition
+  * columns only (refused otherwise — a row predicate under a partition
+  * overwrite would drop rows). Reports the file-count change the same way
+  * [[GraftOptimizeCommand]] does. Partition columns come off the
+  * directory layout, like DESCRIBE DETAIL's discovery.
+  */
+final case class GraftOptimizeWhereCommand(target: String, predicate: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val partCols = GraftSqlUtil.discoveredPartitionColumns(spark, path)
+    require(partCols.nonEmpty,
+      s"OPTIMIZE ... WHERE: $path is not hive-partitioned; use plain OPTIMIZE")
+    val before = GraftSqlUtil.nParquet(spark, path)
+    val mt = new MedallionTable(spark, path, partitionColumns = partCols)
+    mt.compactWhere(org.apache.spark.sql.functions.expr(predicate))
+    GraftSqlParser.refreshTarget(spark, target, path)
+    Seq(Row(path, before, GraftSqlUtil.nParquet(spark, path)))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON` — idempotent
+  * incremental file loading ([[graft.table.CopyInto]]): only files no
+  * previous COPY INTO loaded are appended; a re-run is a no-op. Returns
+  * Delta's shape: (num_inserted_files, num_inserted_rows).
+  */
+final case class GraftCopyIntoCommand(target: String, source: String,
+    format: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_inserted_files", IntegerType, nullable = false)(),
+    AttributeReference("num_inserted_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val partCols = GraftSqlUtil.discoveredPartitionColumns(spark, path)
+    val mt = new MedallionTable(spark, path, partitionColumns = partCols)
+    val opts = if (format == "csv")
+      Map("header" -> "true", "inferSchema" -> "true")
+    else Map.empty[String, String]
+    val r = graft.table.CopyInto.copyInto(mt, source, format, opts)
+    GraftSqlParser.refreshTarget(spark, target, path)
+    Seq(Row(r.filesLoaded, r.rowsLoaded))
+  }
+}
+
+/** `CONVERT TO GRAFT '<dir>' [PARTITIONED BY (c, …)]` — in-place adoption
+  * of an existing plain-parquet directory ([[MedallionTable.convertInPlace]]):
+  * metadata only, zero data bytes moved. The optional PARTITIONED BY must
+  * match the directory's hive layout (validated against discovery).
+  */
+final case class GraftConvertCommand(target: String, partitionCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("commit_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val discovered = GraftSqlUtil.discoveredPartitionColumns(spark, path)
+    require(partitionCols.isEmpty || partitionCols == discovered,
+      s"CONVERT TO GRAFT: declared partitioning (${partitionCols.mkString(",")}) " +
+        s"does not match the directory layout (${discovered.mkString(",")})")
+    val mt = new MedallionTable(spark, path,
+      partitionColumns = if (partitionCols.nonEmpty) partitionCols else discovered)
+    mt.convertInPlace()
+    Seq(Row(path, mt.commitVersion))
   }
 }
 

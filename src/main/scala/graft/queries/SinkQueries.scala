@@ -27,6 +27,65 @@ object SinkQueries {
         "o_orderdate", "o_orderpriority")
     }),
 
+    // K11 — COPY INTO (graft.table.CopyInto): idempotent incremental file
+    // loading. Two landings arrive in the source dir over four COPY INTO
+    // runs (API twice, SQL twice); each landing loads exactly once. A
+    // double load would double rows and hash-mismatch the oracle.
+    "k11_copy_into_idempotent" -> ((s, dir) => {
+      import s.implicits._
+      val src = Q.scratch(dir, "k11_ci_src")
+      val p = Q.scratch(dir, "k11_ci_tbl")
+      Q.deleteDir(s, src)
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits") // the copy log lives here
+      val o = Tables.orders(s, dir)
+      o.filter($"o_orderkey" % 3 === 0).coalesce(1).write.parquet(s"$src/land1")
+      val t = MedallionTable(s, p)
+      graft.table.CopyInto.copyInto(t, src) // loads land1
+      graft.table.CopyInto.copyInto(t, src) // no-op: land1 already loaded
+      o.filter($"o_orderkey" % 3 === 1).coalesce(1).write.parquet(s"$src/land2")
+      s.sql(s"COPY INTO '$p' FROM '$src' FILEFORMAT = PARQUET") // land2 only
+      s.sql(s"COPY INTO '$p' FROM '$src' FILEFORMAT = PARQUET") // no-op
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }),
+
+    // K11 — OPTIMIZE ... WHERE: partition-scoped compaction. Three
+    // appends leave three files in every partition; the SQL compacts ONE
+    // partition; content must be byte-identical to never having
+    // compacted (untouched partitions physically untouched —
+    // MaintenanceOpsSpec pins the fingerprints).
+    "k11_optimize_where_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k11_opt_where")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p, partitionColumns = Seq("blk"))
+      val o = Tables.orders(s, dir)
+        .withColumn("blk", ($"o_orderkey" % 4).cast("int"))
+      (0 until 3).foreach(i => t.append(o.filter($"o_orderkey" % 3 === i)))
+      s.sql(s"OPTIMIZE '$p' WHERE blk = 2")
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "blk")
+    }),
+
+    // K11 — CONVERT TO GRAFT: a PLAIN parquet directory (written without
+    // the table layer) is adopted in place, metadata-only, then written
+    // THROUGH the table layer — the 100 TB lake-adoption path.
+    "k11_convert_in_place" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k11_convert")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val o = Tables.orders(s, dir)
+      o.filter($"o_orderkey" % 2 === 0).write.parquet(p) // no table layer
+      s.sql(s"CONVERT TO GRAFT '$p'")
+      val t = MedallionTable(s, p)
+      t.append(o.filter($"o_orderkey" % 2 === 1))
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }),
+
     // K10 (round-10 verdict stretch #7) — Delta _delta_log interop
     // export: the table is written through the MedallionTable layer, the
     // log is synced per commit (v0 create + adds, v1 incremental adds),
@@ -1110,6 +1169,13 @@ object SinkQueries {
        "t(version, op)"),
     "k8_sql_optimize_roundtrip" ->
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 2 = 0",
+    "k11_copy_into_idempotent" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 3 IN (0, 1)",
+    "k11_optimize_where_roundtrip" ->
+      (s"SELECT $OrderCols, CAST(o_orderkey % 4 AS INTEGER) AS blk " +
+       "FROM orders"),
+    "k11_convert_in_place" ->
+      s"SELECT $OrderCols FROM orders",
     "k8_sql_history_tvf" ->
       ("SELECT * FROM (VALUES (CAST(3 AS BIGINT), 'merge'), " +
        "(CAST(2 AS BIGINT), 'append'), (CAST(1 AS BIGINT), 'create-overwrite')) " +

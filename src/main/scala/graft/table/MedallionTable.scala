@@ -157,7 +157,7 @@ final class MedallionTable(
     * recording the table's commit history. The sibling name matches
     * neither vacuum litter pattern, so maintenance never touches it.
     */
-  private def commitsDir = new Path(s"${path}__graft_commits")
+  private[table] def commitsDir = new Path(s"${path}__graft_commits")
 
   private def commitMarkers: Seq[Long] =
     if (!fs.exists(commitsDir)) Nil
@@ -488,7 +488,15 @@ final class MedallionTable(
     * against the pre-append snapshot then fails its own CAS instead of
     * silently swapping the appended rows away.
     */
-  def append(df: DataFrame): Unit = withClaimedCommit("append") {
+  def append(df: DataFrame): Unit = appendOp(df, "append")
+
+  /** [[append]] with a caller-supplied commit-marker operation string —
+    * the hook [[CopyInto]] uses to make the data commit and its loaded-file
+    * log entry mutually recoverable (the batch id rides in the op, so
+    * recovery can ask history "did this batch's data land?").
+    */
+  private[table] def appendOp(df: DataFrame, op: String): Unit =
+    withClaimedCommit(op) {
     // Incremental manifest maintenance (TableStats.beginIncrementalUpdate
     // scaladoc): when a manifest exists, park it as pending, write the
     // data, then stats JUST the new files and commit the manifest back by
@@ -807,42 +815,9 @@ final class MedallionTable(
       .flatMap(_.references.map(_.name)).toSet
     if (retainVersions == 0 && partitionColumns.nonEmpty && refs.nonEmpty &&
         refs.subsetOf(partitionColumns.toSet)) {
-      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      import org.apache.spark.sql.functions.{col, when, lit}
-      // Partition tuples from the DIRECTORY NAMES (the values Spark
-      // itself wrote — reconstructing them from typed values would have
-      // to replicate Spark's cast-to-string rendering exactly; listing
-      // sidesteps that whole class of bug and opens no data file).
-      def walk(base: Path, depth: Int): Seq[Path] =
-        if (depth == 0) Seq(base)
-        else fs.listStatus(base).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-          .flatMap(st => walk(st.getPath, depth - 1))
       withClaimedCommit("delete-partitions") {
-      val dirs = walk(new Path(path), partitionColumns.size)
-      if (dirs.nonEmpty) {
-        val spark2 = spark
-        import spark2.implicits._
-        val rootUri = fs.makeQualified(new Path(path)).toUri
-        val parsed = dirs.map { d =>
-          val rel = rootUri.relativize(fs.makeQualified(d).toUri).getPath
-          val values = rel.split('/').filter(_.nonEmpty).toSeq.map { seg =>
-            ExternalCatalogUtils.unescapePathName(seg.substring(seg.indexOf('=') + 1))
-          }
-          (d.toString, values)
-        }
-        // Cast the raw path strings back to the column types locally
-        // (|partitions| rows) and let the SAME predicate pick victims.
-        val typed = partitionColumns.zipWithIndex.foldLeft(
-          parsed.toDF("__graft_dir", "__graft_vals")) { case (df, (c, i)) =>
-          val raw = org.apache.spark.sql.functions.element_at(col("__graft_vals"), i + 1)
-          df.withColumn(c,
-            when(raw === ExternalCatalogUtils.DEFAULT_PARTITION_NAME, lit(null))
-              .otherwise(raw).cast(schema(c).dataType))
-        }
-        typed.filter(cond).select("__graft_dir").collect()
-          .foreach(r => fs.delete(new Path(r.getString(0)), true))
-      }
+      matchingPartitionDirs(cond, schema)
+        .foreach(d => fs.delete(new Path(d), true))
       invalidateStats()
       // Fast path bypasses rewriteVia (which stashes after its swap): a
       // delete that drops every partition must leave the table readable.
@@ -1266,6 +1241,138 @@ final class MedallionTable(
     * never delete it. Safe under the documented single-writer assumption
     * (no rewrite in flight during maintenance). Returns directories removed.
     */
+  /** Partition directories whose k=v tuple satisfies `cond`. Partition
+    * tuples come from the DIRECTORY NAMES (the values Spark itself
+    * wrote — reconstructing them from typed values would have to
+    * replicate Spark's cast-to-string rendering exactly; listing
+    * sidesteps that whole class of bug and opens no data file). The raw
+    * path strings are cast back to the column types locally
+    * (|partitions| rows — partition METADATA, not data) and the SAME
+    * predicate picks the matches. Shared by [[delete]]'s metadata-only
+    * fast path and [[compactWhere]].
+    */
+  private def matchingPartitionDirs(cond: Column,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.functions.{col, element_at, lit, when}
+    def walk(base: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(base)
+      else fs.listStatus(base).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => walk(st.getPath, depth - 1))
+    val dirs = walk(new Path(path), partitionColumns.size)
+    if (dirs.isEmpty) return Nil
+    val spark2 = spark
+    import spark2.implicits._
+    val rootUri = fs.makeQualified(new Path(path)).toUri
+    val parsed = dirs.map { d =>
+      val rel = rootUri.relativize(fs.makeQualified(d).toUri).getPath
+      val values = rel.split('/').filter(_.nonEmpty).toSeq.map { seg =>
+        ExternalCatalogUtils.unescapePathName(seg.substring(seg.indexOf('=') + 1))
+      }
+      (d.toString, values)
+    }
+    val typed = partitionColumns.zipWithIndex.foldLeft(
+      parsed.toDF("__graft_dir", "__graft_vals")) { case (df, (c, i)) =>
+      val raw = element_at(col("__graft_vals"), i + 1)
+      df.withColumn(c,
+        when(raw === ExternalCatalogUtils.DEFAULT_PARTITION_NAME, lit(null))
+          .otherwise(raw).cast(schema(c).dataType))
+    }
+    typed.filter(cond).select("__graft_dir").collect()
+      .map(_.getString(0)).toSeq
+  }
+
+  /** Delta's `OPTIMIZE t WHERE <partition predicate>` — compaction scoped
+    * to the matching partition directories via dynamic partition
+    * overwrite; every other partition's files stay untouched on disk
+    * (byte-identical, spec-asserted). The predicate must reference
+    * partition columns ONLY: a row-level predicate under a partition
+    * overwrite would silently drop a touched partition's non-matching
+    * rows — refused up front, never guessed. This is the maintenance
+    * primitive that matters at 100 TB: compact yesterday's hot partition
+    * without rewriting (or even scanning) the cold ones. Claim-first
+    * concurrency like [[mergePruned]] (per-partition commit is this
+    * path's documented weaker atomicity vs [[compact]]'s full-table
+    * swap). Compaction never changes CONTENT, so retained-version reads
+    * and CDC diffs are unaffected regardless of `retainVersions`.
+    *
+    * The trailing [[refreshStats]] keeps file skipping armed (the
+    * overwrite invalidated the manifest); that rebuild is the one
+    * O(table) step and can be deferred by passing
+    * `refreshManifest = false` when a later `ANALYZE TABLE` will run.
+    */
+  def compactWhere(cond: Column, nFiles: Int = 0,
+      refreshManifest: Boolean = true): Unit = {
+    require(partitionColumns.nonEmpty,
+      "OPTIMIZE ... WHERE needs a partitioned table; use compact() instead")
+    val df = read
+    val schema = df.schema
+    val refs = df.select(cond.as("__graft_cond"))
+      .queryExecution.analyzed.expressions
+      .flatMap(_.references.map(_.name)).toSet
+    require(refs.nonEmpty && refs.subsetOf(partitionColumns.toSet),
+      "OPTIMIZE ... WHERE predicate may reference partition columns only (" +
+        s"${partitionColumns.mkString(", ")}); got: ${refs.mkString(", ")}")
+    withClaimedCommit("optimize-where") {
+      // listing inside the claim: the matched set must reflect the
+      // claimed ordinal's directory state
+      val dirs = matchingPartitionDirs(cond, schema)
+      if (dirs.nonEmpty) {
+        val n = if (nFiles > 0) nFiles else dirs.size
+        // hash-distribute on the partition tuple with one slot per
+        // touched partition → ~one output file per partition, no global
+        // sort; the filter on partition columns prunes the scan to the
+        // matched directories (Catalyst partition pruning)
+        val shaped = read.filter(cond).repartition(n,
+          partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+        ColumnMap.toPhysical(shaped, ColumnMap.load(spark, path)).write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionColumns: _*)
+          .parquet(path)
+        invalidateStats()
+      }
+    }
+    if (refreshManifest) refreshStats()
+  }
+
+  /** `VACUUM ... DRY RUN`: what [[vacuum]] WOULD do, touching nothing —
+    * neither litter, nor the crashed-writer lock/intent files, nor the
+    * mid-swap restore. Rows are (path, action): `delete` for rewrite
+    * litter, `restore` for the backup a real vacuum would rename back
+    * over a mid-swap husk.
+    */
+  def vacuumDryRun(): Seq[(String, String)] = {
+    val dst = fs.makeQualified(new Path(path))
+    val parent = dst.getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    val name = dst.getName
+    val litter = fs.listStatus(parent).map(_.getPath).filter { p =>
+      val n = p.getName
+      n != name && (n.startsWith(s"${name}__graft_tmp_") ||
+        n.startsWith(s"${name}__graft_old_"))
+    }.toSeq
+    // same newest-backup pick as vacuum's restore (ordinal, then mtime)
+    def ordinal(p: Path): Long = {
+      val rest = p.getName.stripPrefix(s"${name}__graft_old_")
+      val digits = rest.takeWhile(_.isDigit)
+      if (digits.nonEmpty && rest.lift(digits.length).contains('_'))
+        digits.toLong
+      else -1L
+    }
+    val backups = litter.filter(_.getName.startsWith(s"${name}__graft_old_"))
+    val restore =
+      if (!exists && backups.nonEmpty)
+        Some((backups.maxBy(p =>
+          (ordinal(p), fs.getFileStatus(p).getModificationTime)).toString,
+          "restore"))
+      else None
+    (litter.map(p => (p.toString, "delete"))
+      .filterNot(r => restore.exists(_._1 == r._1)) ++ restore)
+      .sortBy(_._1)
+  }
+
   def vacuum(): Int = {
     val dst = fs.makeQualified(new Path(path))
     val parent = dst.getParent
@@ -1318,7 +1425,30 @@ final class MedallionTable(
     clearIntent()
     try fs.delete(writeLock, false)
     catch { case _: java.io.IOException => () }
+    // a crashed COPY INTO's serialization lock (see CopyInto.withCopyLock)
+    try fs.delete(new Path(commitsDir, "copy.lock"), false)
+    catch { case _: java.io.IOException => () }
     toDelete.length
+  }
+
+  /** Delta's `CONVERT TO DELTA` analog: adopt an existing plain-parquet
+    * directory as a graft table IN PLACE — metadata only, zero data bytes
+    * moved or rewritten (the 100 TB adoption story: a petabyte lake
+    * directory becomes a governed table in O(1) data work). Stamps commit
+    * v1 (`convert`) so history/CDC have a baseline ordinal, stashes the
+    * schema (an all-rows-deleted table stays readable), and optionally
+    * builds the stats manifest so file skipping and metadata aggregates
+    * are armed from the first query (`withStats = false` defers that one
+    * O(table) scan to a later `ANALYZE TABLE`). Refused on a directory
+    * that already has graft commit history — convert is a birth
+    * certificate, not a repair tool.
+    */
+  def convertInPlace(withStats: Boolean = true): Unit = {
+    require(exists, s"convert: no parquet data at $path")
+    require(commitVersion == 0L,
+      s"convert: $path already has graft commit history (v$commitVersion)")
+    withClaimedCommit("convert") { stashSchema(read.schema) }
+    if (withStats) refreshStats()
   }
 
   /** Build/refresh the file-level min/max manifest (see [[TableStats]]). */
