@@ -102,6 +102,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftShallowCloneCommand(target.trim, source.trim)
       case RenameColumnRe(target, oldName, newName) if isGraftTarget(spark, target) =>
         GraftRenameColumnCommand(target.trim, oldName.trim, newName.trim)
+      case AddColumnRe(target, name, typeDdl) if isGraftTarget(spark, target) =>
+        GraftAddColumnCommand(target.trim, name.trim, typeDdl.trim)
+      case DropColumnDdlRe(target, name) if isGraftTarget(spark, target) =>
+        GraftDropColumnCommand(target.trim, name.trim)
       case AddConstraintRe(target, cname, cexpr) if isGraftTarget(spark, target) =>
         GraftAddConstraintCommand(target.trim, cname.trim, cexpr.trim)
       case DropConstraintRe(target, cname) if isGraftTarget(spark, target) =>
@@ -245,6 +249,10 @@ object GraftSqlParser {
     s"""(?is)CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""".r
   private[plans] val RenameColumnRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)""".r
+  private[plans] val AddColumnRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+(.+)""".r
+  private[plans] val DropColumnDdlRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(\\w+)""".r
   private[plans] val AddConstraintRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
   private[plans] val DropConstraintRe: Regex =
@@ -270,6 +278,17 @@ object GraftSqlParser {
         spark.table(stripQuotes(target.trim)).queryExecution.analyzed).toOption
     GraftDml.invalidateCaches(spark, path, named)
   }
+
+  /** A named catalog table caches its CREATE-time schema — refresh the
+    * entry after a metadata-only schema change (rename/add/drop column).
+    */
+  private[plans] def recreateCatalogEntry(spark: SparkSession,
+      target: String, path: String): Unit =
+    if (!target.trim.startsWith("'"))
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $target")
+        spark.sql(s"CREATE TABLE $target USING graft LOCATION '$path'")
+      } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Whether a statement target is ours: a quoted path always is; an
     * identifier is when it resolves to a `USING graft` catalog table.
@@ -497,14 +516,48 @@ final case class GraftRenameColumnCommand(target: String,
     AttributeReference("renamed", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
-    new MedallionTable(spark, path).renameColumn(oldName, newName)
-    // a named catalog table caches its CREATE-time schema — refresh it
-    if (!target.trim.startsWith("'"))
-      try {
-        spark.sql(s"DROP TABLE IF EXISTS $target")
-        spark.sql(s"CREATE TABLE $target USING graft LOCATION '$path'")
-      } catch { case scala.util.control.NonFatal(_) => () }
+    new MedallionTable(spark, path,
+      partitionColumns = GraftSqlUtil.discoveredPartitionColumns(spark, path))
+      .renameColumn(oldName, newName)
+    GraftSqlParser.recreateCatalogEntry(spark, target, path)
     Seq(Row(path, s"$oldName -> $newName"))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMN name type` — metadata-only
+  * ([[graft.table.SchemaOverlay]]): reads surface a typed NULL until a
+  * write materializes the column.
+  */
+final case class GraftAddColumnCommand(target: String, name: String,
+    typeDdl: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("added", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    new MedallionTable(spark, path).addColumn(name, typeDdl)
+    GraftSqlParser.recreateCatalogEntry(spark, target, path)
+    Seq(Row(path, s"$name $typeDdl"))
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN name` — metadata-only tombstone
+  * ([[graft.table.SchemaOverlay]]): bytes stay until the next rewrite.
+  * The table is constructed with the DISCOVERED partition columns so the
+  * partition-column refusal holds on the SQL path too.
+  */
+final case class GraftDropColumnCommand(target: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("dropped", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    new MedallionTable(spark, path,
+      partitionColumns = GraftSqlUtil.discoveredPartitionColumns(spark, path))
+      .dropColumn(name)
+    GraftSqlParser.recreateCatalogEntry(spark, target, path)
+    Seq(Row(path, name))
   }
 }
 

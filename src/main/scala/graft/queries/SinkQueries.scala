@@ -86,6 +86,29 @@ object SinkQueries {
         "o_orderdate", "o_orderpriority")
     }),
 
+    // K12 — metadata-only schema evolution DDL (SchemaOverlay +
+    // ColumnMap): ADD COLUMN (typed-null overlay), DROP COLUMN
+    // (tombstone), RENAME COLUMN (map), then an append that materializes
+    // the added column — all without rewriting one pre-existing data
+    // byte (SchemaOverlaySpec pins the file stamps).
+    "k12_schema_evolution_ddl" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k12_ddl")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+      s.sql(s"ALTER TABLE '$p' ADD COLUMN channel STRING")
+      s.sql(s"ALTER TABLE '$p' DROP COLUMN o_orderstatus")
+      s.sql(s"ALTER TABLE '$p' RENAME COLUMN o_custkey TO cust")
+      t.append(o.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_custkey".as("cust"), $"o_totalprice",
+          lit("web").as("channel")))
+      t.read.select("o_orderkey", "cust", "o_totalprice", "channel")
+    }),
+
     // K10 (round-10 verdict stretch #7) — Delta _delta_log interop
     // export: the table is written through the MedallionTable layer, the
     // log is synced per commit (v0 create + adds, v1 incremental adds),
@@ -1176,6 +1199,12 @@ object SinkQueries {
        "FROM orders"),
     "k11_convert_in_place" ->
       s"SELECT $OrderCols FROM orders",
+    "k12_schema_evolution_ddl" ->
+      ("SELECT o_orderkey, o_custkey AS cust, o_totalprice, " +
+       "CAST(NULL AS VARCHAR) AS channel FROM orders WHERE o_orderkey % 2 = 0 " +
+       "UNION ALL " +
+       "SELECT o_orderkey, o_custkey AS cust, o_totalprice, 'web' AS channel " +
+       "FROM orders WHERE o_orderkey % 2 = 1"),
     "k8_sql_history_tvf" ->
       ("SELECT * FROM (VALUES (CAST(3 AS BIGINT), 'merge'), " +
        "(CAST(2 AS BIGINT), 'append'), (CAST(1 AS BIGINT), 'create-overwrite')) " +

@@ -97,20 +97,22 @@ final class MedallionTable(
     // A table whose rows were all DELETEd has no data files to carry the
     // schema — fall back to the stashed DDL and stay readable (empty).
     if (ShallowClone.isClone(spark, path))
-      ColumnMap.toLogical(
+      SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
         DeletionVectors.applied(spark,
           spark.read.option("mergeSchema", "true")
             .parquet(ShallowClone.scanFiles(spark, path): _*),
           DeletionVectors.dir(path), path),
-        ColumnMap.load(spark, path))
+        ColumnMap.load(spark, path)))
     else if (fs.exists(p) && !hasDataFiles(p) && fs.exists(schemaFile))
+      // the stashed DDL is maintained by addColumn/dropColumn, so no
+      // overlay pass is needed on this branch
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(readMetaText(schemaFile)))
-    else ColumnMap.toLogical(
+    else SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
       DeletionVectors.applied(spark,
         spark.read.option("mergeSchema", "true").parquet(path),
         DeletionVectors.dir(path), path),
-      ColumnMap.load(spark, path))
+      ColumnMap.load(spark, path)))
   }
 
   /** Persist the schema beside the data (see [[read]]'s empty fallback). */
@@ -896,11 +898,74 @@ final class MedallionTable(
       "rename: table has a Delta-log export; external readers cannot " +
         "see the column map — OPTIMIZE to materialize, then re-sync")
     withClaimedCommit("rename-column") {
-      ColumnMap.rename(spark, path, oldName, newName)
+      // an unmaterialized ADDed column renames inside the overlay (no
+      // physical column exists to map); everything else through the map
+      if (!SchemaOverlay.renameAdd(spark, path, oldName, newName))
+        ColumnMap.rename(spark, path, oldName, newName)
       invalidateStats()
       fs.delete(new Path(path, s"_graft_meta/bloom/$oldName"), true)
       stashSchema(org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f)))
+    }
+  }
+
+  /** Metadata-only `ALTER TABLE ADD COLUMN` ([[SchemaOverlay]]): records
+    * the (name, type) declaration; reads surface a typed NULL until some
+    * write materializes the column. Zero data work at any table size.
+    */
+  def addColumn(name: String, typeDdl: String): Unit = {
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl) // validates
+    val schema = read.schema
+    require(!schema.fieldNames.contains(name),
+      s"add column: '$name' already exists")
+    require(!SchemaOverlay.drops(spark, path).contains(name),
+      s"add column: '$name' is a dropped column's physical slot — its old " +
+        "bytes would resurrect under the new column; OPTIMIZE to shed them " +
+        "first")
+    require(!ColumnMap.load(spark, path).values.toSet.contains(name),
+      s"add column: '$name' is the physical slot of a renamed column — " +
+        "new files would collide with the old bytes; OPTIMIZE to " +
+        "materialize the rename first")
+    withClaimedCommit("add-column") {
+      SchemaOverlay.recordAdd(spark, path, name, typeDdl)
+      stashSchema(org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField(name, dt)))
+    }
+  }
+
+  /** Metadata-only `ALTER TABLE DROP COLUMN` ([[SchemaOverlay]]): the
+    * column's PHYSICAL name is tombstoned; reads exclude it, the bytes
+    * stay until the next full rewrite sheds them. Same boundaries as
+    * [[renameColumn]] (partition columns, CHECK references, live
+    * Delta-log export), each refused loudly.
+    */
+  def dropColumn(name: String): Unit = {
+    val schema = read.schema
+    require(schema.fieldNames.contains(name),
+      s"drop column: '$name' not in ${schema.fieldNames.mkString("[", ",", "]")}")
+    require(!partitionColumns.contains(name),
+      s"drop column: '$name' is a partition column — its directory layout " +
+        "is physical; rewrite the table to drop it")
+    val offending = checkConstraints.filter { case (_, expr) =>
+      s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
+        .findFirstIn(expr).isDefined
+    }
+    require(offending.isEmpty,
+      s"drop column: CHECK constraint(s) ${offending.keys.mkString(", ")} " +
+        s"reference '$name' — drop them first")
+    require(!fs.exists(new Path(path, "_delta_log")),
+      "drop column: table has a Delta-log export; external readers cannot " +
+        "see the overlay — OPTIMIZE to materialize, then re-sync")
+    withClaimedCommit("drop-column") {
+      // the rename chain ends here: the tombstone carries the PHYSICAL
+      // name the files use, and the map entry (if any) is retired
+      val physical = ColumnMap.load(spark, path).getOrElse(name, name)
+      if (physical != name) ColumnMap.rename(spark, path, name, physical)
+      SchemaOverlay.recordDrop(spark, path, physical)
+      invalidateStats()
+      fs.delete(new Path(path, s"_graft_meta/bloom/$name"), true)
+      stashSchema(org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == name)))
     }
   }
 
@@ -1017,10 +1082,13 @@ final class MedallionTable(
         spark.read.option("mergeSchema", "true")
           .parquet(ShallowClone.scanFiles(spark, vdir.toString): _*)
       else spark.read.option("mergeSchema", "true").parquet(vdir.toString)
-    ColumnMap.toLogical(
-      DeletionVectors.applied(spark, base,
-        DeletionVectors.archivedDir(vdir).toString, vdir.toString),
-      ColumnMap.loadFrom(spark, ColumnMap.archivedFile(vdir)))
+    SchemaOverlay.applyTo(
+      ColumnMap.toLogical(
+        DeletionVectors.applied(spark, base,
+          DeletionVectors.archivedDir(vdir).toString, vdir.toString),
+        ColumnMap.loadFrom(spark, ColumnMap.archivedFile(vdir))),
+      SchemaOverlay.addsFrom(spark, SchemaOverlay.archivedAddFile(vdir)),
+      SchemaOverlay.dropsFrom(spark, SchemaOverlay.archivedDropFile(vdir)))
   }
 
   /** Rewrite the live table back to snapshot `n` (itself versioned). */
@@ -1083,6 +1151,7 @@ final class MedallionTable(
     val backupClone = ShallowClone.file(backup.toString)
     if (fs.exists(backupClone))
       fs.rename(backupClone, ShallowClone.archivedFile(backup))
+    SchemaOverlay.archive(spark, backup) // add/drop overlay = archived schema
     fs.delete(new Path(backup, "_graft_meta"), true)
     val next = (listVersions() :+ 0).max + 1 // after carry-forward, so ids continue
     if (!fs.rename(backup, new Path(versionsDir, s"v$next")))
