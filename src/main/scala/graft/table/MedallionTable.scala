@@ -961,7 +961,12 @@ final class MedallionTable(
       // name the files use, and the map entry (if any) is retired
       val physical = ColumnMap.load(spark, path).getOrElse(name, name)
       if (physical != name) ColumnMap.rename(spark, path, name, physical)
-      SchemaOverlay.recordDrop(spark, path, physical)
+      // tombstone ⟺ some file physically carries the column (an ADD
+      // entry alone proves nothing: appends may have materialized it)
+      val materialized = hasDataFiles(new Path(path)) &&
+        spark.read.option("mergeSchema", "true").parquet(path)
+          .schema.fieldNames.contains(physical)
+      SchemaOverlay.recordDrop(spark, path, physical, materialized)
       invalidateStats()
       fs.delete(new Path(path, s"_graft_meta/bloom/$name"), true)
       stashSchema(org.apache.spark.sql.types.StructType(

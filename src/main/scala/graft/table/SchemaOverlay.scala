@@ -88,17 +88,24 @@ object SchemaOverlay {
     writeLines(spark, addFile(tablePath),
       readLines(spark, addFile(tablePath)) :+ s"$name\t$typeDdl")
 
-  /** Tombstone `physical`; if the name was itself an unmaterialized ADD,
-    * just retract the add (nothing to tombstone — no file carries it).
+  /** Tombstone `physical`. Any ADD entry for the name is retracted in
+    * either case; the tombstone itself is written only when some data
+    * file actually carries the column (`materialized`) — an ADD that was
+    * never written to needs no tombstone, and skipping it keeps the name
+    * immediately reusable. The CALLER decides materialization from the
+    * raw file schema: an ADD entry's presence proves nothing, since the
+    * entry stays (as an inert no-op) after appends materialize the
+    * column.
     */
   private[table] def recordDrop(spark: SparkSession, tablePath: String,
-      physical: String): Unit = {
+      physical: String, materialized: Boolean): Unit = {
     val af = addFile(tablePath)
     val addLines = readLines(spark, af)
     val (retracted, kept) = addLines.partition(_.takeWhile(_ != '\t') == physical)
     if (retracted.nonEmpty) writeLines(spark, af, kept)
-    else writeLines(spark, dropFile(tablePath),
-      readLines(spark, dropFile(tablePath)) :+ physical)
+    if (materialized)
+      writeLines(spark, dropFile(tablePath),
+        readLines(spark, dropFile(tablePath)) :+ physical)
   }
 
   /** A rename of a still-unmaterialized ADD is a rewrite of its overlay
