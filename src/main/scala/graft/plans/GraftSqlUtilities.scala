@@ -18,8 +18,10 @@ import graft.table.MedallionTable
   *   - `DESCRIBE HISTORY t | '<path>'`
   *   - `OPTIMIZE t [ZORDER BY (c1, c2)]` / `OPTIMIZE t WHERE <part pred>`
   *   - `VACUUM t [DRY RUN]`
-  *   - `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON`
-  *     (idempotent incremental loading, [[graft.table.CopyInto]])
+  *   - `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+  *     [PATTERN = '<glob>']` (idempotent incremental loading,
+  *     [[graft.table.CopyInto]])
+  *   - `RESTORE [TABLE] t TO TIMESTAMP AS OF '<instant>'`
   *   - `CONVERT TO GRAFT '<dir>' [PARTITIONED BY (c, …)]`
   *     (in-place adoption, metadata-only)
   *   - `RESTORE [TABLE] t TO VERSION AS OF n`
@@ -66,9 +68,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftVacuumDryRunCommand(target.trim)
       case VacuumRe(target) =>
         GraftVacuumCommand(target.trim)
-      case CopyIntoRe(target, source, format) =>
+      case CopyIntoRe(target, source, format, pattern) =>
         GraftCopyIntoCommand(target.trim, stripQuotes(source),
-          format.trim.toLowerCase)
+          format.trim.toLowerCase, Option(pattern))
       case ConvertRe(target, parts) =>
         GraftConvertCommand(target.trim,
           Option(parts).toSeq.flatMap(_.split(",").map(stripQuotes)
@@ -80,6 +82,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           cols.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty))
       case AnalyzeRe(target) if isGraftTarget(spark, target) =>
         GraftAnalyzeCommand(target.trim, Nil)
+      case RestoreTsRe(target, instant) =>
+        GraftRestoreTimestampCommand(target.trim, instant)
       case RestoreRe(target, version) =>
         GraftRestoreCommand(target.trim, version.toLong)
       case SyncDeltaLogRe(target) =>
@@ -224,7 +228,7 @@ object GraftSqlParser {
   private[plans] val VacuumDryRunRe: Regex =
     s"""(?is)VACUUM\\s+$T\\s+DRY\\s+RUN""".r
   private[plans] val CopyIntoRe: Regex =
-    s"""(?is)COPY\\s+INTO\\s+$T\\s+FROM\\s+$T\\s+FILEFORMAT\\s*=\\s*(\\w+)""".r
+    s"""(?is)COPY\\s+INTO\\s+$T\\s+FROM\\s+$T\\s+FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?""".r
   private[plans] val ConvertRe: Regex =
     s"""(?is)CONVERT\\s+TO\\s+GRAFT\\s+$T(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?""".r
   private[plans] val DescribeDetailRe: Regex =
@@ -235,6 +239,8 @@ object GraftSqlParser {
     s"""(?is)ANALYZE\\s+TABLE\\s+$T\\s+COMPUTE\\s+STATISTICS""".r
   private[plans] val RestoreRe: Regex =
     s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)""".r
+  private[plans] val RestoreTsRe: Regex =
+    s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'""".r
   private[plans] val SyncDeltaLogRe: Regex =
     s"""(?is)SYNC\\s+DELTA\\s+LOG\\s+FOR\\s+$T""".r
   private[plans] val CheckpointDeltaLogRe: Regex =
@@ -712,7 +718,8 @@ final case class GraftOptimizeWhereCommand(target: String, predicate: String)
   * Delta's shape: (num_inserted_files, num_inserted_rows).
   */
 final case class GraftCopyIntoCommand(target: String, source: String,
-    format: String) extends LeafRunnableCommand {
+    format: String, pattern: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("num_inserted_files", IntegerType, nullable = false)(),
     AttributeReference("num_inserted_rows", LongType, nullable = false)())
@@ -723,7 +730,7 @@ final case class GraftCopyIntoCommand(target: String, source: String,
     val opts = if (format == "csv")
       Map("header" -> "true", "inferSchema" -> "true")
     else Map.empty[String, String]
-    val r = graft.table.CopyInto.copyInto(mt, source, format, opts)
+    val r = graft.table.CopyInto.copyInto(mt, source, format, opts, pattern)
     GraftSqlParser.refreshTarget(spark, target, path)
     Seq(Row(r.filesLoaded, r.rowsLoaded))
   }
@@ -775,6 +782,34 @@ final case class GraftRestoreCommand(target: String, version: Long)
       GraftSqlParser.refreshTarget(spark, target, path)
     }
     Seq(Row(path, version))
+  }
+}
+
+/** `RESTORE … TO TIMESTAMP AS OF '<instant>'` — Delta's timestamp-based
+  * restore: resolves to the newest commit at or before the instant (the
+  * inline `TIMESTAMP AS OF` rule, session-zone parsed) and delegates to
+  * the ordinal restore.
+  */
+final case class GraftRestoreTimestampCommand(target: String, instant: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("restored_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val mt = new MedallionTable(spark, path)
+    val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+    val millis = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(instant), zone)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse TIMESTAMP AS OF instant: $instant")) / 1000L
+    val at = mt.history().filter(_._3 <= millis).map(_._1)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"no retained version of $target at or before " +
+        new java.sql.Timestamp(millis))
+    GraftRestoreCommand(target, at.max).run(spark)
   }
 }
 

@@ -109,6 +109,26 @@ object SinkQueries {
       t.read.select("o_orderkey", "cust", "o_totalprice", "channel")
     }),
 
+    // K13 — idempotent appends (Delta txnAppId/txnVersion parity): a
+    // retrying scheduler lands every batch TWICE; each (appId, version)
+    // applies exactly once. A duplicate application doubles the batch
+    // rows and hash-mismatches the oracle.
+    "k13_idempotent_append" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k13_txn")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits") // txn high-water files live here
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 4 === 0))
+      (1 to 2).foreach(_ =>
+        t.appendIdempotent(o.filter($"o_orderkey" % 4 === 1), "etl", 1L))
+      (1 to 2).foreach(_ =>
+        t.appendIdempotent(o.filter($"o_orderkey" % 4 === 2), "etl", 2L))
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    }),
+
     // K10 (round-10 verdict stretch #7) — Delta _delta_log interop
     // export: the table is written through the MedallionTable layer, the
     // log is synced per commit (v0 create + adds, v1 incremental adds),
@@ -1199,6 +1219,8 @@ object SinkQueries {
        "FROM orders"),
     "k11_convert_in_place" ->
       s"SELECT $OrderCols FROM orders",
+    "k13_idempotent_append" ->
+      s"SELECT $OrderCols FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)",
     "k12_schema_evolution_ddl" ->
       ("SELECT o_orderkey, o_custkey AS cust, o_totalprice, " +
        "CAST(NULL AS VARCHAR) AS channel FROM orders WHERE o_orderkey % 2 = 0 " +

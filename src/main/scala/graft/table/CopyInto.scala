@@ -81,18 +81,26 @@ object CopyInto {
       .select("source_file").collect().map(_.getString(0)).toSet
   }
 
-  /** Non-hidden data files under `sourceDir` (recursive), qualified. */
-  private def listSource(spark: SparkSession, sourceDir: String): Seq[String] = {
+  /** Non-hidden data files under `sourceDir` (recursive), qualified;
+    * `pattern` (Delta's `PATTERN` option, a glob over the source-relative
+    * path) narrows the landing — a subtree glob (dir slash double-star)
+    * or a `batch-` filename prefix glob.
+    */
+  private def listSource(spark: SparkSession, sourceDir: String,
+      pattern: Option[String]): Seq[String] = {
     val root = new Path(sourceDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"COPY INTO source does not exist: $sourceDir")
+    val matcher = pattern.map(p =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
     val rootUri = fs.makeQualified(root).toUri
     val b = Seq.newBuilder[String]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next().getPath
       val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
-      if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+      if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")) &&
+          matcher.forall(_.matches(java.nio.file.Paths.get(rel))))
         b += fs.makeQualified(f).toString
     }
     b.result().sorted
@@ -154,12 +162,13 @@ object CopyInto {
     */
   def copyInto(table: MedallionTable, sourceDir: String,
       format: String = "parquet",
-      options: Map[String, String] = Map.empty): Result =
+      options: Map[String, String] = Map.empty,
+      pattern: Option[String] = None): Result =
     withCopyLock(table) {
       val spark = table.spark
       recoverPending(table)
       val newFiles =
-        (listSource(spark, sourceDir).toSet --
+        (listSource(spark, sourceDir, pattern).toSet --
           loadedFiles(spark, table.path)).toSeq.sorted
       if (newFiles.isEmpty) Result(0, 0L)
       else {

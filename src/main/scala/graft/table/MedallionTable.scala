@@ -498,7 +498,10 @@ final class MedallionTable(
     * recovery can ask history "did this batch's data land?").
     */
   private[table] def appendOp(df: DataFrame, op: String): Unit =
-    withClaimedCommit(op) {
+    withClaimedCommit(op) { appendBody(df) }
+
+  /** The append write itself — runs INSIDE a claimed commit. */
+  private def appendBody(df: DataFrame): Unit = {
     // Incremental manifest maintenance (TableStats.beginIncrementalUpdate
     // scaladoc): when a manifest exists, park it as pending, write the
     // data, then stats JUST the new files and commit the manifest back by
@@ -972,6 +975,67 @@ final class MedallionTable(
       stashSchema(org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(_.name == name)))
     }
+  }
+
+  // ---- Idempotent writes (Delta txnAppId/txnVersion parity) ------------
+
+  private def txnFile(appId: String) = {
+    require(appId.nonEmpty && !appId.contains('/') && !appId.contains('\n'),
+      s"invalid txnAppId '$appId'")
+    new Path(commitsDir, s"txns/$appId")
+  }
+
+  /** Highest txn version recorded for `appId` (monotonic). */
+  def lastTxnVersion(appId: String): Option[Long] = {
+    val p = txnFile(appId)
+    if (!fs.exists(p)) None
+    else scala.util.Try(readMetaText(p).trim.toLong).toOption
+  }
+
+  private def txnWitnessed(appId: String, version: Long): Boolean =
+    lastTxnVersion(appId).exists(_ >= version) ||
+      // the commit marker is the primary witness: it lands atomically
+      // with the claim, so a crash AFTER the data write but BEFORE the
+      // version-file update still reads as applied (within marker
+      // retention — the same bounded recovery window as CopyInto)
+      history().exists(_._2 == s"append-txn:$appId:$version")
+
+  private case class TxnAlreadyApplied() extends RuntimeException
+
+  /** Exactly-once append under replays — Delta's `txnAppId`/`txnVersion`
+    * options as an explicit API. The caller names the writing application
+    * and a monotonically increasing batch version; a replay of an
+    * already-applied (appId, version) is a NO-OP (returns false) instead
+    * of a duplicate append. This is what makes foreachBatch sinks and
+    * scheduler retries safe: `appendIdempotent(df, queryId, batchId)` per
+    * micro-batch gives the sink exactly-once without bespoke bookkeeping
+    * (the standing indexes' tag probes and goldStream's commit ordinal
+    * are specialized forms of the same idea).
+    *
+    * Witness protocol: the (appId, version) pair rides in the commit
+    * marker op (atomic with the claim); a per-app version file beside
+    * the markers caches the high-water mark so the skip outlives marker
+    * retention. Both checks re-run under the writer lock, so concurrent
+    * replays serialize and exactly one applies.
+    */
+  def appendIdempotent(df: DataFrame, appId: String, version: Long): Boolean = {
+    if (txnWitnessed(appId, version)) return false
+    val op = s"append-txn:$appId:$version"
+    try {
+      withClaimedCommit(op) {
+        // Re-check under the writer lock — but the claim-first protocol
+        // has already minted OUR marker, so the history witness must see
+        // a marker beyond our own (a crashed predecessor's): count ≥ 2.
+        if (lastTxnVersion(appId).exists(_ >= version) ||
+            history().count(_._2 == op) >= 2) throw TxnAlreadyApplied()
+        appendBody(df)
+        MedallionTable.testFailpoint("post-txn-append")
+        writeMetaText(txnFile(appId),
+          math.max(version, lastTxnVersion(appId).getOrElse(Long.MinValue))
+            .toString)
+      }
+      true
+    } catch { case _: TxnAlreadyApplied => false }
   }
 
   /** DELETE as a deletion vector ([[DeletionVectors]]): records matching

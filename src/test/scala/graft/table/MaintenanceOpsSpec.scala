@@ -137,6 +137,41 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(t.read.count() == 11L && t.commitVersion == 2L)
   }
 
+  test("COPY INTO PATTERN narrows the landing by source-relative glob") {
+    import spark.implicits._
+    val src = tmpDir("ci_pat_src")
+    val tp = tmpDir("ci_pat_tbl")
+    (1L to 3L).toDF("id").coalesce(1).write.parquet(s"$src/a/land")
+    (4L to 5L).toDF("id").coalesce(1).write.parquet(s"$src/b/land")
+    val t = MedallionTable(spark, tp)
+    val r1 = CopyInto.copyInto(t, src, pattern = Some("a/**"))
+    assert(r1.rowsLoaded == 3L, "glob must load only the a/ landing")
+    // the un-matched landing is NOT in the log — a broader later run loads it
+    val r2 = spark.sql(
+      s"COPY INTO '$tp' FROM '$src' FILEFORMAT = PARQUET PATTERN = 'b/**'")
+      .collect()
+    assert(r2.head.getLong(1) == 2L)
+    assert(t.read.count() == 5L)
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves the newest commit at or before the instant") {
+    import spark.implicits._
+    val tp = tmpDir("restore_ts")
+    val t = MedallionTable(spark, tp, retainVersions = 2)
+    t.overwrite(Seq((1L, "v1")).toDF("id", "s"))
+    Thread.sleep(1100) // marker mtimes are the clock; force distinct seconds
+    val mid = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(1100)
+    t.merge(Seq((1L, "v2")).toDF("id", "s"), Seq("id"))
+    assert(t.read.head().getString(1) == "v2")
+    spark.sql(s"RESTORE TABLE '$tp' TO TIMESTAMP AS OF '$mid'").collect()
+    assert(t.read.head().getString(1) == "v1",
+      "restore must land on the state before the instant")
+    intercept[IllegalArgumentException] {
+      spark.sql(s"RESTORE TABLE '$tp' TO TIMESTAMP AS OF '1999-01-01'").collect()
+    }
+  }
+
   test("SQL surface: COPY INTO / OPTIMIZE WHERE / VACUUM DRY RUN / CONVERT on quoted paths") {
     import spark.implicits._
     // CONVERT on a hive-partitioned plain dir, discovery-validated
