@@ -1475,6 +1475,67 @@ final class MedallionTable(
     if (refreshManifest) refreshStats()
   }
 
+  /** Typed predicate selecting exactly the given partition directories —
+    * the inverse of [[matchingPartitionDirs]], built with the same
+    * directory-name casting discipline (so the round trip is exact for
+    * every stats-worthy partition type, nulls included).
+    */
+  private def dirsPredicate(dirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Column = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.functions.{col, lit}
+    val rootUri = fs.makeQualified(new Path(path)).toUri
+    dirs.map { d =>
+      val rel = rootUri.relativize(
+        fs.makeQualified(new Path(d)).toUri).getPath
+      val values = rel.split('/').filter(_.nonEmpty).toSeq.map { seg =>
+        ExternalCatalogUtils.unescapePathName(seg.substring(seg.indexOf('=') + 1))
+      }
+      partitionColumns.zip(values).map { case (c, raw) =>
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) col(c).isNull
+        else col(c) === lit(raw).cast(schema(c).dataType)
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** Delta auto-compaction analog: find the partitions (or the whole
+    * unpartitioned table) whose LIVE parquet file count exceeds
+    * `maxFiles` and compact just those — the small-files janitor a
+    * high-frequency append workload needs, built on [[compactWhere]] so
+    * below-threshold partitions are untouched on disk. The victim scan
+    * is a pure directory listing (no data file opened); returns the
+    * number of partitions compacted (1 for a whole-table compact).
+    * Run it after a burst of small appends, or on a maintenance cadence.
+    */
+  def autoCompact(maxFiles: Int = 8): Int = {
+    require(maxFiles >= 1, "autoCompact needs maxFiles >= 1")
+    def nParquetUnder(d: Path): Int = {
+      val it = fs.listFiles(d, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    if (!exists) 0
+    else if (partitionColumns.isEmpty) {
+      val live = dataFileSet().size
+      if (live > maxFiles) { compact(); 1 } else 0
+    } else {
+      val schema = read.schema
+      // every partition dir, via the always-true predicate
+      import org.apache.spark.sql.functions.lit
+      val victims = matchingPartitionDirs(lit(true), schema)
+        .filter(d => nParquetUnder(new Path(d)) > maxFiles)
+      if (victims.isEmpty) 0
+      else {
+        compactWhere(dirsPredicate(victims, schema))
+        victims.size
+      }
+    }
+  }
+
   /** `VACUUM ... DRY RUN`: what [[vacuum]] WOULD do, touching nothing —
     * neither litter, nor the crashed-writer lock/intent files, nor the
     * mid-swap restore. Rows are (path, action): `delete` for rewrite

@@ -137,6 +137,52 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(t.read.count() == 11L && t.commitVersion == 2L)
   }
 
+  test("autoCompact compacts only over-threshold partitions; below-threshold untouched; no-op when clean") {
+    import spark.implicits._
+    val tp = tmpDir("ac_part")
+    val t = MedallionTable(spark, tp, partitionColumns = Seq("p"))
+    (1 to 5).foreach { i =>
+      t.append(Seq((i.toLong, 0L), (i.toLong + 100, 1L)).toDF("id", "p").coalesce(1))
+    }
+    // skew partition 2 separately, below threshold
+    (1 to 2).foreach { i =>
+      t.append(Seq((i.toLong + 200, 2L)).toDF("id", "p").coalesce(1))
+    }
+    val before = t.read.orderBy("p", "id").collect().toSeq
+    val fp2Before = fileFingerprints(tp).filter(_._1.startsWith("p=2"))
+
+    assert(t.autoCompact(maxFiles = 4) == 2, "p=0 and p=1 are over threshold")
+    val fp = fileFingerprints(tp)
+    assert(fp.count(_._1.startsWith("p=0")) == 1)
+    assert(fp.count(_._1.startsWith("p=1")) == 1)
+    assert(fp.filter(_._1.startsWith("p=2")) == fp2Before,
+      "below-threshold partition must be untouched")
+    assert(t.read.orderBy("p", "id").collect().toSeq == before)
+    assert(t.autoCompact(maxFiles = 4) == 0, "clean table is a no-op")
+  }
+
+  test("autoCompact handles null partition values and unpartitioned tables") {
+    import spark.implicits._
+    val tp = tmpDir("ac_null")
+    val t = MedallionTable(spark, tp, partitionColumns = Seq("p"))
+    (1 to 5).foreach { i =>
+      t.append(Seq((i.toLong, null.asInstanceOf[java.lang.Long]),
+        (i.toLong + 50, java.lang.Long.valueOf(1L)))
+        .toDF("id", "p").coalesce(1))
+    }
+    val before = t.read.orderBy("id").collect().toSeq
+    assert(t.autoCompact(maxFiles = 4) == 2,
+      "the null-key dir and p=1 both compact")
+    assert(t.read.orderBy("id").collect().toSeq == before,
+      "null-key partition content preserved")
+
+    val flat = MedallionTable(spark, tmpDir("ac_flat"))
+    (1 to 6).foreach(i => flat.append(Seq((i.toLong, "x")).toDF("id", "s").coalesce(1)))
+    assert(flat.autoCompact(maxFiles = 4) == 1)
+    assert(flat.read.count() == 6)
+    assert(flat.autoCompact(maxFiles = 4) == 0)
+  }
+
   test("COPY INTO PATTERN narrows the landing by source-relative glob") {
     import spark.implicits._
     val src = tmpDir("ci_pat_src")
