@@ -402,6 +402,27 @@ object EventStreams {
       }
       .start()
 
+  /** The general exactly-once table sink for foreachBatch: every
+    * micro-batch appends through
+    * [[graft.table.MedallionTable.appendIdempotent]] with the batch id as
+    * the txn version, so an at-least-once replay (restart mid-epoch,
+    * speculative re-run) is a NO-OP instead of duplicate rows — the
+    * generic form of the bookkeeping [[goldStream]] (commit ordinals) and
+    * the index sinks (batch tags) each specialize. `appId` names the
+    * stream; two different streams appending to one table keep
+    * independent version spaces.
+    */
+  def idempotentAppendStream(src: DataFrame,
+      table: graft.table.MedallionTable, appId: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.appendIdempotent(batch, appId, batchId)
+        ()
+      }
+      .start()
+
   /** Streaming ANN index maintenance — [[graft.similarity.StandingAnnIndex
     * .ingest]] lifted to Structured Streaming, the vector-side sibling of
     * [[dedupStream]]: each micro-batch of (vec_id, embedding) is assigned

@@ -562,4 +562,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("window_start", "event_type", "n_events", "total_value"))
   }
+
+  test("idempotent append sink: micro-batches land once; a replayed batch id is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.table.MedallionTable(spark, tmpDir("idem_sink_tbl"))
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.idempotentAppendStream(
+      input.toDF().toDF("id", "s"), t, "evt", tmpDir("idem_sink_ckpt"))
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(t.read.count() == 3L)
+      // an at-least-once redelivery of the LAST epoch (what a restart
+      // mid-commit replays) must not double its rows
+      assert(!t.appendIdempotent(Seq((3L, "c")).toDF("id", "s"), "evt", 1L))
+      assert(t.read.count() == 3L)
+      assert(t.lastTxnVersion("evt").contains(1L))
+    } finally q.stop()
+  }
 }

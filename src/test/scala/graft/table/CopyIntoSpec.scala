@@ -98,6 +98,30 @@ class CopyIntoSpec extends SparkSpec {
     assert(t.read.count() == 6L)
   }
 
+  test("concurrent COPY INTO runs serialize on the copy lock; the landing loads exactly once") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val src = tmpDir("ci_conc_src")
+    val tp = tmpDir("ci_conc_tbl")
+    land(src, "b1", 1L to 6L)
+    val t = MedallionTable(spark, tp)
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val results = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[CopyInto.Result] {
+        def call(): CopyInto.Result = {
+          start.await()
+          CopyInto.copyInto(t, src)
+        }
+      })
+    }
+    start.countDown()
+    val rs = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(rs.map(_.rowsLoaded).sorted == Seq(0L, 6L),
+      s"exactly one run loads, the other no-ops: $rs")
+    assert(t.read.count() == 6L)
+  }
+
   test("CSV landing loads through the format/options passthrough") {
     import spark.implicits._
     val src = tmpDir("ci_csv_src")
