@@ -42,10 +42,12 @@ import org.apache.spark.sql.functions.lit
   *     (atomic dir rename). A crash before 3 loses only staged metadata;
   *     a crash between 3 and 4 is exactly what step 1 repairs.
   *
-  * Recovery window: step 1 trusts `history()`, whose depth is bounded by
-  * marker retention ([[MedallionTable.HistoryDepth]]) — ample, because
-  * the very next COPY INTO (which is what ever re-reads the pending dir)
-  * runs recovery first.
+  * Recovery window: step 1 trusts `history()` OR the durable per-batch
+  * witness file written right after the data commit — other writers
+  * (appends, streaming sinks) can prune the commit marker from history
+  * long before the next COPY INTO runs, and the witness outlives that
+  * pruning. The only history-dependent instant is the driver-local gap
+  * between the commit returning and the witness landing.
   */
 object CopyInto {
 
@@ -112,12 +114,11 @@ object CopyInto {
     fs.mkdirs(t.commitsDir)
     val lock = lockFile(t)
     val deadline = System.currentTimeMillis() + MedallionTable.WriterWaitMs
-    def tryCreate(): Boolean =
-      try {
-        val out = fs.create(lock, false)
-        out.write(s"${System.currentTimeMillis()}\tcopy-into".getBytes("UTF-8"))
-        out.close(); true
-      } catch { case _: java.io.IOException => false }
+    // the table's CAS primitive, not a plain create(overwrite=false):
+    // local-fs Hadoop create is check-then-create, and a racy double
+    // acquire here is a double LOAD
+    def tryCreate(): Boolean = t.atomicCreateExclusive(lock,
+      s"${System.currentTimeMillis()}\tcopy-into")
     while (!tryCreate()) {
       if (System.currentTimeMillis() > deadline)
         throw new java.util.ConcurrentModificationException(
@@ -136,6 +137,18 @@ object CopyInto {
   /** Step 1 of the protocol — also callable on its own (a maintenance
     * janitor). MUST run under the copy lock when called from a load.
     */
+  /** Durable per-batch commit witness: commit markers prune after
+    * [[MedallionTable.HistoryDepth]] commits FROM ANY WRITER (appends,
+    * streaming sinks), so a crashed-but-committed batch whose recovery
+    * only runs much later needs a witness that outlives the pruning.
+    * Written right after the data commit, deleted after the finalize it
+    * guards. The residual unwitnessed window is the driver-local
+    * instant between the commit returning and this file landing —
+    * covered by the history marker, which cannot have pruned yet.
+    */
+  private def witnessFile(t: MedallionTable, batch: String) =
+    new Path(t.commitsDir, s"copy_batches/$batch")
+
   private def recoverPending(t: MedallionTable): Unit = {
     val spark = t.spark
     val pend = pendingDir(t.path)
@@ -144,12 +157,15 @@ object CopyInto {
     val committedOps = t.history().map(_._2).toSet
     fs.listStatus(pend).foreach { st =>
       val batch = st.getPath.getName
-      if (committedOps.contains(s"copy-into:$batch")) {
+      if (committedOps.contains(s"copy-into:$batch") ||
+          fs.exists(witnessFile(t, batch))) {
         // data landed, finalize was lost — replay it
         fs.mkdirs(logDir(t.path))
         if (!fs.rename(st.getPath, new Path(logDir(t.path), batch)))
           throw new java.io.IOException(
             s"COPY INTO recovery: finalize rename failed for batch $batch")
+        try fs.delete(witnessFile(t, batch), false)
+        catch { case _: java.io.IOException => () }
       } else fs.delete(st.getPath, true) // data never committed: re-qualify
     }
   }
@@ -183,16 +199,23 @@ object CopyInto {
         val df = spark.read.format(format).options(options).load(newFiles: _*)
         val rows = df.count()
         table.appendOp(df, s"copy-into:$batch")
-        testFailpoint("post-copy-commit")
-        // FINALIZE
+        // durable witness BEFORE the failpoint/finalize: recovery must
+        // see the commit even after marker retention prunes its op
         val fs = pendingDir(table.path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new Path(table.commitsDir, "copy_batches"))
+        val w = fs.create(witnessFile(table, batch), true)
+        try w.write(batch.getBytes("UTF-8")) finally w.close()
+        testFailpoint("post-copy-commit")
+        // FINALIZE
         fs.mkdirs(logDir(table.path))
         if (!fs.rename(new Path(pendingDir(table.path), batch),
             new Path(logDir(table.path), batch)))
           throw new java.io.IOException(
             s"COPY INTO: finalize rename failed for batch $batch " +
               "(the data committed; the next run's recovery completes the log)")
+        try fs.delete(witnessFile(table, batch), false)
+        catch { case _: java.io.IOException => () }
         Result(newFiles.size, rows)
       }
     }

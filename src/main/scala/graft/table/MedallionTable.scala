@@ -196,7 +196,7 @@ final class MedallionTable(
     * succeeded (disk full), the file is deleted before reporting
     * failure — a leftover would claim an ordinal/lock nobody owns.
     */
-  private def atomicCreateExclusive(p: Path, body: String): Boolean =
+  private[table] def atomicCreateExclusive(p: Path, body: String): Boolean =
     if ("file" == fs.getUri.getScheme) {
       val local = new java.io.File(fs.makeQualified(p).toUri.getPath)
       try local.createNewFile() && {
@@ -887,6 +887,10 @@ final class MedallionTable(
       s"rename: column '$oldName' not in ${schema.fieldNames.mkString("[", ",", "]")}")
     require(!schema.fieldNames.contains(newName),
       s"rename: column '$newName' already exists")
+    require(!SchemaOverlay.drops(spark, path).contains(newName),
+      s"rename: '$newName' is a dropped column's physical slot — the read " +
+        "projection would collide with the tombstoned bytes; OPTIMIZE to " +
+        "shed them first")
     require(!partitionColumns.contains(oldName),
       s"rename: '$oldName' is a partition column — its directory layout " +
         "is physical; rewrite the table to rename it")
@@ -965,11 +969,19 @@ final class MedallionTable(
       val physical = ColumnMap.load(spark, path).getOrElse(name, name)
       if (physical != name) ColumnMap.rename(spark, path, name, physical)
       // tombstone ⟺ some file physically carries the column (an ADD
-      // entry alone proves nothing: appends may have materialized it)
-      val materialized = hasDataFiles(new Path(path)) &&
-        spark.read.option("mergeSchema", "true").parquet(path)
-          .schema.fieldNames.contains(physical)
-      SchemaOverlay.recordDrop(spark, path, physical, materialized)
+      // entry alone proves nothing: appends may have materialized it).
+      // Clone-aware: a shallow clone's columns live in the POINTED-AT
+      // files — judging from local files alone would skip the tombstone
+      // and leave the "dropped" column fully visible.
+      val rawSchema =
+        if (ShallowClone.isClone(spark, path))
+          spark.read.option("mergeSchema", "true")
+            .parquet(ShallowClone.scanFiles(spark, path): _*).schema
+        else if (hasDataFiles(new Path(path)))
+          spark.read.option("mergeSchema", "true").parquet(path).schema
+        else new org.apache.spark.sql.types.StructType()
+      SchemaOverlay.recordDrop(spark, path, physical,
+        rawSchema.fieldNames.contains(physical))
       invalidateStats()
       fs.delete(new Path(path, s"_graft_meta/bloom/$name"), true)
       stashSchema(org.apache.spark.sql.types.StructType(
@@ -992,14 +1004,6 @@ final class MedallionTable(
     else scala.util.Try(readMetaText(p).trim.toLong).toOption
   }
 
-  private def txnWitnessed(appId: String, version: Long): Boolean =
-    lastTxnVersion(appId).exists(_ >= version) ||
-      // the commit marker is the primary witness: it lands atomically
-      // with the claim, so a crash AFTER the data write but BEFORE the
-      // version-file update still reads as applied (within marker
-      // retention — the same bounded recovery window as CopyInto)
-      history().exists(_._2 == s"append-txn:$appId:$version")
-
   private case class TxnAlreadyApplied() extends RuntimeException
 
   /** Exactly-once append under replays — Delta's `txnAppId`/`txnVersion`
@@ -1019,20 +1023,36 @@ final class MedallionTable(
     * replays serialize and exactly one applies.
     */
   def appendIdempotent(df: DataFrame, appId: String, version: Long): Boolean = {
-    if (txnWitnessed(appId, version)) return false
+    // Lock-free fast path: ONLY the high-water file, which is written
+    // after a SUCCESSFUL apply. The commit marker is deliberately not
+    // consulted here — a concurrent writer's marker stands while its
+    // write is still in flight (and is released if that write FAILS), so
+    // trusting it outside the lock would let a speculative replay report
+    // no-op-success for a batch that never lands.
+    if (lastTxnVersion(appId).exists(_ >= version)) return false
     val op = s"append-txn:$appId:$version"
     try {
       withClaimedCommit(op) {
-        // Re-check under the writer lock — but the claim-first protocol
-        // has already minted OUR marker, so the history witness must see
-        // a marker beyond our own (a crashed predecessor's): count ≥ 2.
+        // Re-check under the writer lock, where the marker IS a safe
+        // witness: any same-op marker beyond our own (claim-first minted
+        // ours already — hence count ≥ 2) belongs to a predecessor that
+        // either completed (its data is in) or died post-claim, which
+        // the claim-first crash model counts as applied — the crash
+        // window between the data write and the high-water update.
         if (lastTxnVersion(appId).exists(_ >= version) ||
             history().count(_._2 == op) >= 2) throw TxnAlreadyApplied()
         appendBody(df)
         MedallionTable.testFailpoint("post-txn-append")
-        writeMetaText(txnFile(appId),
+        // best-effort: the data is applied, so a failed high-water write
+        // must NOT bubble out of the claimed block — withClaimedCommit's
+        // failure path would release the commit marker, destroying BOTH
+        // witnesses and turning the next retry into a duplicate append.
+        // The marker stays the witness until the file heals on a later
+        // success.
+        try writeMetaText(txnFile(appId),
           math.max(version, lastTxnVersion(appId).getOrElse(Long.MinValue))
             .toString)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       true
     } catch { case _: TxnAlreadyApplied => false }
@@ -1510,11 +1530,18 @@ final class MedallionTable(
   def autoCompact(maxFiles: Int = 8): Int = {
     require(maxFiles >= 1, "autoCompact needs maxFiles >= 1")
     def nParquetUnder(d: Path): Int = {
+      // live files only: a crashed job's _temporary staging (or any
+      // hidden segment) must not count toward the threshold — same
+      // discipline as dataFileSet/hasDataFiles
+      val dUri = fs.makeQualified(d).toUri
       val it = fs.listFiles(d, true)
       var n = 0
       while (it.hasNext) {
         val f = it.next().getPath
-        if (f.getName.endsWith(".parquet")) n += 1
+        val rel = dUri.relativize(fs.makeQualified(f).toUri).getPath
+        if (f.getName.endsWith(".parquet") &&
+            !rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+          n += 1
       }
       n
     }
@@ -1542,17 +1569,33 @@ final class MedallionTable(
     * litter, `restore` for the backup a real vacuum would rename back
     * over a mid-swap husk.
     */
-  def vacuumDryRun(): Seq[(String, String)] = {
+  /** Rewrite litter beside the table dir (tmp + backup siblings) —
+    * shared by [[vacuum]] and [[vacuumDryRun]] so the dry run can never
+    * desynchronize from what vacuum actually touches.
+    */
+  private def rewriteLitter(): Seq[Path] = {
     val dst = fs.makeQualified(new Path(path))
     val parent = dst.getParent
     if (parent == null || !fs.exists(parent)) return Nil
     val name = dst.getName
-    val litter = fs.listStatus(parent).map(_.getPath).filter { p =>
+    fs.listStatus(parent).map(_.getPath).filter { p =>
       val n = p.getName
       n != name && (n.startsWith(s"${name}__graft_tmp_") ||
         n.startsWith(s"${name}__graft_old_"))
     }.toSeq
-    // same newest-backup pick as vacuum's restore (ordinal, then mtime)
+  }
+
+  /** Newest-backup pick for the mid-swap restore. Two crashed rewrites
+    * can leave two backups; an arbitrary pick could resurrect a stale
+    * state and then delete the latest committed copy as litter. Prefer
+    * the monotonic ordinal embedded in the name at rename time; fall
+    * back to mtime for legacy hash-only names (mtime granularity can be
+    * 1 s). Ordinal-bearing names are `<millis>_<hash>`; legacy names are
+    * a bare hash. Requiring the separator keeps an all-digit legacy hex
+    * hash (e.g. "12345678") from being misread as an ordinal.
+    */
+  private def newestBackup(backups: Seq[Path]): Path = {
+    val name = fs.makeQualified(new Path(path)).getName
     def ordinal(p: Path): Long = {
       val rest = p.getName.stripPrefix(s"${name}__graft_old_")
       val digits = rest.takeWhile(_.isDigit)
@@ -1560,50 +1603,42 @@ final class MedallionTable(
         digits.toLong
       else -1L
     }
-    val backups = litter.filter(_.getName.startsWith(s"${name}__graft_old_"))
-    val restore =
-      if (!exists && backups.nonEmpty)
-        Some((backups.maxBy(p =>
-          (ordinal(p), fs.getFileStatus(p).getModificationTime)).toString,
-          "restore"))
-      else None
-    (litter.map(p => (p.toString, "delete"))
-      .filterNot(r => restore.exists(_._1 == r._1)) ++ restore)
-      .sortBy(_._1)
+    backups.maxBy(p => (ordinal(p), fs.getFileStatus(p).getModificationTime))
+  }
+
+  private def isBackup(p: Path): Boolean = {
+    val name = fs.makeQualified(new Path(path)).getName
+    p.getName.startsWith(s"${name}__graft_old_")
+  }
+
+  def vacuumDryRun(): Seq[(String, String)] = {
+    val litter = rewriteLitter()
+    if (litter.isEmpty) return Nil
+    val backups = litter.filter(isBackup)
+    if (exists)
+      litter.map(p => (p.toString, "delete")).sortBy(_._1)
+    else if (backups.nonEmpty) {
+      // a real vacuum would restore the newest backup, delete the rest
+      val restore = newestBackup(backups)
+      (litter.filterNot(_ == restore).map(p => (p.toString, "delete")) :+
+        ((restore.toString, "restore"))).sortBy(_._1)
+    } else
+      // tmp litter but no live data and no backup: vacuum REFUSES here
+      // (the litter might be the only copy) — the dry run must say so,
+      // not promise a delete that would throw
+      litter.map(p => (p.toString, "refuse")).sortBy(_._1)
   }
 
   def vacuum(): Int = {
     val dst = fs.makeQualified(new Path(path))
-    val parent = dst.getParent
-    if (parent == null || !fs.exists(parent)) return 0
-    val name = dst.getName
-    def litter() = fs.listStatus(parent).map(_.getPath).filter { p =>
-      val n = p.getName
-      n != name && (n.startsWith(s"${name}__graft_tmp_") ||
-        n.startsWith(s"${name}__graft_old_"))
-    }
+    if (rewriteLitter().isEmpty && !fs.exists(commitsDir)) return 0
+    def litter() = rewriteLitter()
     if (!exists) {
       // mid-swap crash: restore the backup (pre-rewrite committed state);
       // the interrupted rewrite re-runs idempotently later
-      val backups = litter().filter(_.getName.startsWith(s"${name}__graft_old_"))
+      val backups = litter().filter(isBackup)
       if (backups.nonEmpty) {
-        // Two crashed rewrites can leave two backups; restore the NEWEST —
-        // an arbitrary pick could resurrect a stale state and then delete
-        // the latest committed copy as litter. Prefer the monotonic
-        // ordinal embedded in the name at rename time; fall back to mtime
-        // for legacy hash-only names (mtime granularity can be 1 s).
-        // Ordinal-bearing names are `<millis>_<hash>`; legacy names are a
-        // bare hash. Requiring the separator keeps an all-digit legacy
-        // hex hash (e.g. "12345678") from being misread as an ordinal.
-        def ordinal(p: Path): Long = {
-          val rest = p.getName.stripPrefix(s"${name}__graft_old_")
-          val digits = rest.takeWhile(_.isDigit)
-          if (digits.nonEmpty && rest.lift(digits.length).contains('_'))
-            digits.toLong
-          else -1L
-        }
-        val newest = backups.maxBy(p =>
-          (ordinal(p), fs.getFileStatus(p).getModificationTime))
+        val newest = newestBackup(backups)
         fs.delete(dst, true) // drop a marker-only husk if present
         if (!fs.rename(newest, dst))
           throw new java.io.IOException(

@@ -98,6 +98,31 @@ class CopyIntoSpec extends SparkSpec {
     assert(t.read.count() == 6L)
   }
 
+  test("crash recovery survives marker pruning: the durable witness outlives HistoryDepth commits") {
+    import spark.implicits._
+    val src = tmpDir("ci_prune_src")
+    val tp = tmpDir("ci_prune_tbl")
+    land(src, "b1", 1L to 4L)
+    val t = MedallionTable(spark, tp)
+    CopyInto.testFailpoint = {
+      case "post-copy-commit" => throw new RuntimeException("injected crash")
+      case _ => ()
+    }
+    try intercept[RuntimeException] { CopyInto.copyInto(t, src) }
+    finally CopyInto.testFailpoint = _ => ()
+    // other writers advance (and prune) the marker history before the
+    // next COPY INTO ever runs — the copy-into op falls out of history
+    (1 to MedallionTable.HistoryDepth + 1).foreach { i =>
+      t.append(Seq((100L + i, "x")).toDF("id", "s"))
+    }
+    assert(!t.history().exists(_._2.startsWith("copy-into:")),
+      "precondition: the marker must have pruned for this test to bite")
+    val r = CopyInto.copyInto(t, src)
+    assert(r == CopyInto.Result(0, 0L),
+      "witness file must prevent the pruned batch from re-loading")
+    assert(t.read.filter($"id" <= 4L).count() == 4L, "no duplicates")
+  }
+
   test("concurrent COPY INTO runs serialize on the copy lock; the landing loads exactly once") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val src = tmpDir("ci_conc_src")

@@ -102,6 +102,20 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(t.vacuumDryRun().isEmpty)
   }
 
+  test("vacuumDryRun reports refuse (not delete) when tmp litter is the only data candidate") {
+    import spark.implicits._
+    val tp = tmpDir("vdr_refuse")
+    val f = fs(tp)
+    // crashed-first-write state: tmp dir only, no live table, no backup
+    f.mkdirs(new Path(s"${tp}__graft_tmp_dead"))
+    val t = MedallionTable(spark, tp)
+    val dry = t.vacuumDryRun()
+    assert(dry.map(_._2) == Seq("refuse"),
+      s"dry run must mirror vacuum's refusal, got $dry")
+    intercept[IllegalStateException] { t.vacuum() } // and vacuum DOES refuse
+    assert(f.exists(new Path(s"${tp}__graft_tmp_dead")))
+  }
+
   test("vacuumDryRun reports the newest backup as restore when the live dir is gone") {
     import spark.implicits._
     val tp = tmpDir("vdr_restore")

@@ -123,6 +123,33 @@ class SchemaOverlaySpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.dropColumn("nope") }
   }
 
+  test("rename onto a tombstoned physical slot is refused (would duplicate-drop the renamed column)") {
+    import spark.implicits._
+    val t = MedallionTable(spark, tmpDir("so_rename_tomb"))
+    t.overwrite(Seq((1L, 10, 20)).toDF("id", "x", "y"))
+    t.dropColumn("x")
+    intercept[IllegalArgumentException] { t.renameColumn("y", "x") }
+    t.compact() // rewrite sheds the tombstoned bytes
+    t.renameColumn("y", "x") // slot free again
+    assert(t.read.columns.toSeq == Seq("id", "x"))
+  }
+
+  test("dropColumn on a shallow clone tombstones columns carried only by pointed-at files") {
+    import spark.implicits._
+    val srcT = MedallionTable(spark, tmpDir("so_clone_src"))
+    srcT.overwrite(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "s", "x"))
+    val clone = MedallionTable(spark, tmpDir("so_clone_dst"))
+    clone.cloneFrom(srcT)
+    clone.dropColumn("x")
+    assert(clone.read.columns.toSeq == Seq("id", "s"),
+      "the dropped column lives only in SOURCE files; it must still hide")
+    assert(SchemaOverlay.drops(spark, clone.path) == Seq("x"),
+      "clone-aware materialization check must write the tombstone")
+    intercept[IllegalArgumentException] { clone.addColumn("x", "INT") }
+    assert(srcT.read.columns.toSeq == Seq("id", "s", "x"),
+      "the source table is untouched")
+  }
+
   test("time travel renders each snapshot with the schema it had") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("so_tt"), retainVersions = 3)
