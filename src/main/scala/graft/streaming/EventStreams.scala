@@ -345,20 +345,21 @@ object EventStreams {
       bandKeys: DataFrame => DataFrame, qualityPass: Column,
       decontIndexPath: Option[String] = None): Unit = {
     val b = batch.persist()
+    // The derived `quality` frame — gate + decont join — is what every
+    // downstream consumer re-evaluates (dedup check, curated write,
+    // index ingest); caching only the RAW batch left the decont join
+    // running three times per micro-batch (ProfileStanding: ~72 jobs on
+    // the two-batch scenario). Persist the derived frame instead.
+    val gated = b.filter(qualityPass)
+    val quality = (decontIndexPath match {
+      case Some(dp) =>
+        val dec = new graft.text.DecontaminationIndex(b.sparkSession, dp)
+        gated.join(
+          dec.check(gated).filter(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"))
+      case None => gated
+    }).persist()
     try {
-      val gated = b.filter(qualityPass)
-      // optional benchmark-contamination gate: drop docs sharing grams
-      // with the standing eval-suite index (read-only — the funnel never
-      // ingests corpus docs into the DECONT index; eval suites land
-      // there out-of-band via DecontaminationIndex.ingest)
-      val quality = decontIndexPath match {
-        case Some(dp) =>
-          val dec = new graft.text.DecontaminationIndex(b.sparkSession, dp)
-          gated.join(
-            dec.check(gated).filter(!col("contaminated")).select("doc_id"),
-            Seq("doc_id"))
-        case None => gated
-      }
       val idx = new graft.dedup.StandingDedupIndex(
         b.sparkSession, indexPath, bandKeys)
       val report = idx.check(quality, excludeTag = Some(batchId))
@@ -372,7 +373,7 @@ object EventStreams {
         .partitionBy("ingest_batch_id")
         .parquet(curatedPath)
       idx.ingest(quality, tag = batchId)
-    } finally b.unpersist()
+    } finally { quality.unpersist(); b.unpersist() }
   }
 
   /** Streaming curation funnel — the batch `pipeline_llm_curate` stages
