@@ -87,7 +87,7 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     if (vectorTable.exists &&
         !vectorTable.read.filter(col("batch_tag") === tag).isEmpty) return
     vectorTable.append(clusterForWrite(
-      Ivf.assignCells(Ivf.prepared(batch), centroidTable.read)
+      Ivf.assignCells(Ivf.prepared(batch), graft.table.SmallSnapshot.read(centroidTable))
         .withColumn("batch_tag", lit(tag))))
   }
 
@@ -165,7 +165,7 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
       return
     if (codeTable.exists &&
         !codeTable.read.filter(col("batch_tag") === tag).isEmpty) return
-    val books = codebookTable.read
+    val books = graft.table.SmallSnapshot.read(codebookTable)
     val (m, d) = bookShape(books)
     codeTable.append(
       Pq.assignCodes(Pq.subRows(Ivf.prepared(batch), m, d), books)
@@ -267,8 +267,8 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     if (tag <= graft.table.TagArchive.watermark(spark, basePath, "adc")) return
     if (adcTable.exists &&
         !adcTable.read.filter(col("batch_tag") === tag).isEmpty) return
-    val cents = centroidTable.read
-    val books = codebookTable.read
+    val cents = graft.table.SmallSnapshot.read(centroidTable)
+    val books = graft.table.SmallSnapshot.read(codebookTable)
     val (m, d) = bookShape(books)
     val base = Ivf.prepared(batch)
     val resid = Ivf.assignCells(base, cents)
@@ -291,8 +291,8 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     */
   def queryIvfPq(queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val cents = centroidTable.read
-    val books = codebookTable.read
+    val cents = graft.table.SmallSnapshot.read(centroidTable)
+    val books = graft.table.SmallSnapshot.read(codebookTable)
     val (m, d) = bookShape(books)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell_id"))
@@ -339,7 +339,7 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     */
   def queryPq(queries: DataFrame, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val books = codebookTable.read
+    val books = graft.table.SmallSnapshot.read(codebookTable)
     val (m, d) = bookShape(books)
     val lut = queries
       .select(col("vec_id").as("query_id"),
@@ -379,7 +379,7 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     */
   def query(queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val cents = centroidTable.read
+    val cents = graft.table.SmallSnapshot.read(centroidTable)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell_id"))
     val probes = queries

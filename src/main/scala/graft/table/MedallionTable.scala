@@ -109,10 +109,78 @@ final class MedallionTable(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(readMetaText(schemaFile)))
     else SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
-      DeletionVectors.applied(spark,
-        spark.read.option("mergeSchema", "true").parquet(path),
+      DeletionVectors.applied(spark, mergedParquet(),
         DeletionVectors.dir(path), path),
       ColumnMap.load(spark, path)))
+  }
+
+  /** The raw-files half of [[read]], with the merged schema memoized:
+    * `mergeSchema=true` resolves by reading EVERY footer in a Spark job
+    * at each `DataFrameReader.parquet` call (measured 80–530 ms per read
+    * on bench-scale tables), so repeated reads of an unchanged table —
+    * the standing-index protocols' dominant pattern — each pay a job for
+    * a schema that cannot have changed. Memo key = [[commitStamp]] (one
+    * flat listing of the commit-marker sibling dir — every table-layer
+    * mutation claims a marker BEFORE its data lands, so a new claim
+    * forces re-resolution). The data-lands-after-claim window (a
+    * concurrent reader resolving mid-write caches the pre-write schema
+    * under the claimed stamp) is closed same-JVM by the writer-side
+    * [[MedallionTable.invalidateSchema]] at write completion; the
+    * residual exposure is a cross-JVM reader racing a concurrent
+    * schema-EVOLVING append, which no supported workload does (schema
+    * DDL is single-writer by the same argument as the rewrite fence).
+    * A deliberately-recursive file census was measured first and
+    * rejected: walking many-file tables on every read cost more than the
+    * footer jobs it saved (TimeQuery A/B, sim_hybrid_standing ~8.0 →
+    * ~9.0 s).
+    */
+  private def mergedParquet(): DataFrame = {
+    val stamp = commitStamp()
+    val k = schemaCacheKey
+    Option(MedallionTable.schemaCache.get(k)) match {
+      case Some((`stamp`, s)) => spark.read.schema(s).parquet(path)
+      case _ =>
+        val df = spark.read.option("mergeSchema", "true").parquet(path)
+        MedallionTable.schemaCache.put(k, (stamp, df.schema))
+        df
+    }
+  }
+
+  private def schemaCacheKey: String =
+    System.identityHashCode(spark).toString + "|" + path
+
+  /** Order-independent hash of the commit-sibling directory's contents
+    * (marker/lock/intent names × mtimes) — changes on every claim, CAS,
+    * or rebuild-after-delete (fresh marker files carry fresh mtimes), at
+    * the cost of ONE flat small-directory listing.
+    */
+  private def commitStamp(): Long =
+    if (!fs.exists(commitsDir)) 0L
+    else fs.listStatus(commitsDir).foldLeft(0L)((h, st) =>
+      h + st.getPath.getName.hashCode.toLong * 1000003L +
+        st.getModificationTime)
+
+  /** Order-independent hash of every non-temporary file (relative path ×
+    * length) under the table root — data AND `_graft_meta`/DV sidecars,
+    * so any mutation that changes what [[read]] returns changes the
+    * census. One driver listing; the read it guards lists the same tree
+    * anyway. Shared as the invalidation key by [[SmallSnapshot]].
+    */
+  private[table] def metaCensusHash(): Long = {
+    val p = new Path(path)
+    if (!fs.exists(p)) 0L
+    else {
+      val rootUri = fs.makeQualified(p).toUri
+      var h = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+        if (!rel.split('/').exists(_.startsWith("_temporary")))
+          h += rel.hashCode.toLong * 1000003L + f.getLen
+      }
+      h
+    }
   }
 
   /** Persist the schema beside the data (see [[read]]'s empty fallback). */
@@ -368,6 +436,10 @@ final class MedallionTable(
           throw t
       }
     } finally {
+      // same-JVM close of the data-lands-after-claim schema-memo window
+      // (see [[mergedParquet]]): drop the memo once this write's files
+      // are final, whether it succeeded or released its claim
+      MedallionTable.schemaCache.remove(schemaCacheKey)
       try fs.delete(writeLock, false)
       catch { case _: java.io.IOException => () }
     }
@@ -790,6 +862,9 @@ final class MedallionTable(
           throw t
       }
     } finally {
+      // swap renames land AFTER the marker CAS — drop the schema memo so
+      // no reader keeps a pre-swap schema under the post-CAS stamp
+      MedallionTable.schemaCache.remove(schemaCacheKey)
       if (!written) fs.delete(tmp, true) // failed write leaves no litter
     }
   }
@@ -1774,6 +1849,12 @@ object MedallionTable {
     * table — bounds the sibling directory's size on long-lived tables.
     */
   val HistoryDepth = 8
+
+  /** session|path -> (file-census hash, resolved merged parquet schema).
+    * See [[MedallionTable.mergedParquet]]; one entry per table bounds it.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]()
 
   /** Bounded wait budget for writer coordination: how long a claim-first
     * writer waits on a standing rewrite intent OR on another writer's

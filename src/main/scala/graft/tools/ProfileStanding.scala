@@ -27,6 +27,11 @@ object ProfileStanding {
         starts(j.jobId) = (System.currentTimeMillis(),
           Option(j.properties.getProperty("spark.job.description"))
             .orElse(Option(j.properties.getProperty("callSite.short")))
+            .filter(_.nonEmpty)
+            .orElse(j.stageInfos.lastOption.map(si =>
+              si.name + " | " + si.details.linesIterator
+                .find(l => l.contains("graft.") && !l.contains("tools."))
+                .getOrElse("")))
             .getOrElse(""))
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, d) =>
