@@ -174,17 +174,36 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
   }
 
   /** Fold every `batch_tag ≤ w` partition of the PQ code table into the
-    * archive partition ([[graft.table.TagArchive]]) — the code table's
-    * only selective read is the ingest tag probe, so after a year of
-    * daily tags the compaction collapses ~365 directories to archive +
-    * recent without changing [[queryPq]] results (ADC scans all codes
-    * regardless of partition). Replay of a compacted tag is handled by
-    * the watermark check in [[ingestPq]].
+    * archive partition — the code table's only selective read is the
+    * ingest tag probe, so after a year of daily tags the compaction
+    * collapses ~365 directories to archive + recent without changing
+    * [[queryPq]] results (ADC scans all codes regardless of partition).
+    *
+    * NOT via [[graft.table.TagArchive.archiveThrough]]'s append-then-
+    * delete fold: a crash between those steps leaves duplicate rows —
+    * harmless for the dedup index's membership joins, CORRUPTING here
+    * because ADC SUMS a vector's per-subvector rows (a duplicated code
+    * row doubles its distance contribution and mis-ranks it), and
+    * re-running the append-first fold would bake the duplicates into the
+    * archive permanently. Same discipline as
+    * [[graft.text.StandingBm25Index.compactThrough]]: watermark FIRST
+    * (a watermarked tag skips [[ingestPq]] whether or not its partition
+    * has folded), then ONE atomic staged-swap overwrite that remaps the
+    * tags — any crash leaves either the old or the new complete state,
+    * and re-running converges.
     */
   def compactCodesThrough(w: Long, nFiles: Int = 4): Unit = {
-    graft.table.TagArchive.archiveThrough(codeTable, w, nFiles)
+    val arch = graft.table.TagArchive.ArchiveTag
+    require(w != arch, "cannot archive the archive partition itself")
+    if (!codeTable.exists || codeTable.read
+        .filter(col("batch_tag") <= w && col("batch_tag") =!= arch)
+        .isEmpty) return
     if (w > graft.table.TagArchive.watermark(spark, basePath, "codes"))
       graft.table.TagArchive.setWatermark(spark, basePath, w, "codes")
+    codeTable.overwrite(codeTable.read
+      .withColumn("batch_tag",
+        when(col("batch_tag") <= w, lit(arch)).otherwise(col("batch_tag")))
+      .repartition(nFiles, col("batch_tag")))
   }
 
   // ---- IVFADC side: the composition billion-vector production systems

@@ -149,25 +149,13 @@ object BloomIndex {
     */
   private def normalize(f: String): String = new Path(f).toUri.getPath
 
-  /** Data-file listing, `_graft_meta`/hidden dirs excluded by relative
-    * path segment — the same walk [[MedallionTable]] uses for its commit
-    * accounting.
+  /** Data-file listing shared with the read path ([[ShallowClone
+    * .scanFiles]]: clone pointers ∪ local parquet walk, hidden dirs
+    * excluded). The prune set and the scan set must be the SAME files —
+    * one traversal rule means a future hidden-file change cannot diverge
+    * them, and a clone's pointed-at files (never bloom-covered) are kept
+    * by the conservative prune above rather than silently missed.
     */
-  private def liveDataFiles(spark: SparkSession, tablePath: String): Seq[String] = {
-    val p = new Path(tablePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    val rootUri = fs.makeQualified(p).toUri
-    val b = Seq.newBuilder[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
-      val segs = rel.split('/')
-      if (!segs.exists(s => s.startsWith("_") || s.startsWith(".")) &&
-          rel.endsWith(".parquet"))
-        b += f.toString
-    }
-    b.result()
-  }
+  private def liveDataFiles(spark: SparkSession, tablePath: String): Seq[String] =
+    ShallowClone.scanFiles(spark, tablePath)
 }

@@ -99,6 +99,23 @@ object DeltaLogExport {
     require(ColumnMap.load(spark, tablePath).isEmpty,
       s"delta-log export refused: $tablePath has live column renames " +
         "(ColumnMap); run OPTIMIZE to materialize them, then re-sync")
+    // A clone's data lives in pointer files OUTSIDE the table root; a
+    // path-relative log would describe only the local writes and an
+    // external reader would miss most of the table. Same remedy: the
+    // first OPTIMIZE materializes and decouples.
+    require(!ShallowClone.isClone(spark, tablePath),
+      s"delta-log export refused: $tablePath is a shallow clone — its " +
+        "data files live outside the table root, which a path-relative " +
+        "Delta log cannot describe; OPTIMIZE to materialize, then re-sync")
+    // A deletion vector changes what readers see without touching files,
+    // so the file census below would be "already in sync" while every
+    // exported add still covers the soft-deleted rows — an external
+    // reader would serve them. Refused for the same reason renames are:
+    // external readers cannot see the sidecar.
+    require(!DeletionVectors.exists(spark, DeletionVectors.dir(tablePath)),
+      s"delta-log export refused: $tablePath has live deletion vectors; " +
+        "external readers cannot see the DV sidecar — OPTIMIZE to " +
+        "materialize the deletes, then re-sync")
     val logDir = new Path(root, "_delta_log")
     val (lastVersion, exportedLive, exportedSchema) = replayLog(spark, fs, logDir)
 
@@ -206,7 +223,10 @@ object DeltaLogExport {
   def readViaLog(spark: SparkSession, tablePath: String): org.apache.spark.sql.DataFrame = {
     val files = liveFilesFromLog(spark, tablePath)
     require(files.nonEmpty, s"no live files in $tablePath/_delta_log")
-    spark.read.option("mergeSchema", "true")
+    // basePath: an explicit file list skips partition-directory
+    // inference without it, silently dropping hive partition columns
+    // the exported schemaString declares
+    spark.read.option("mergeSchema", "true").option("basePath", tablePath)
       .parquet(files.map(f => s"$tablePath/$f"): _*)
   }
 

@@ -916,7 +916,8 @@ final class MedallionTable(
   /** SHALLOW CLONE ([[ShallowClone]]): make THIS (empty) table a
     * zero-copy clone of `source` — pointer manifest to the source's
     * current data files plus copies of its read-state metadata (deletion
-    * vector, column map, CHECK registry, schema stash), all O(files)
+    * vector, column map, schema overlay, CHECK registry, schema stash),
+    * all O(files)
     * driver work and zero data bytes. Writes land locally; the first
     * rewrite (OPTIMIZE being the canonical one) materializes and
     * decouples from the source. Valid while the source is not REWRITTEN
@@ -941,7 +942,11 @@ final class MedallionTable(
             new Path(path, s"_graft_meta/$name"), false, true,
             spark.sparkContext.hadoopConfiguration)
       }
-      Seq("dv", "colmap.tsv", "constraints.tsv").foreach(copyMeta)
+      // addcols/dropcols: the clone's reads apply the CLONE's overlay
+      // over the pointed-at files — without copies, a source's dropped
+      // column resurrects and an unmaterialized ADD vanishes
+      Seq("dv", "colmap.tsv", "constraints.tsv", "addcols.tsv",
+        "dropcols.tsv").foreach(copyMeta)
       stashSchema(source.read.schema)
     }
   }
@@ -1133,6 +1138,20 @@ final class MedallionTable(
     } catch { case _: TxnAlreadyApplied => false }
   }
 
+  /** A soft delete is invisible to Delta-log readers (the sidecar is not
+    * a Delta action and the file set does not change, so [[DeltaLogExport
+    * .sync]] would report "already in sync" while external readers keep
+    * serving the deleted rows — the GDPR-erasure failure mode). Mirrors
+    * the rename/drop refusals: use the rewriting [[delete]] instead, or
+    * OPTIMIZE first (the rewrite swaps the log away; re-sync restarts it
+    * against the post-delete snapshot).
+    */
+  private def requireNoDeltaLogForDv(): Unit =
+    require(!fs.exists(new Path(path, "_delta_log")),
+      "delete-dv: table has a Delta-log export; external readers cannot " +
+        "see the deletion-vector sidecar — use delete() (rewrite), or " +
+        "OPTIMIZE then re-sync the export")
+
   /** DELETE as a deletion vector ([[DeletionVectors]]): records matching
     * rows' positions in the `_graft_meta/dv` sidecar instead of
     * rewriting files — O(matched) write cost, zero data files touched,
@@ -1145,6 +1164,7 @@ final class MedallionTable(
     */
   def deleteVectored(cond: Column): Unit = withClaimedCommit("delete-dv") {
     import org.apache.spark.sql.functions.{coalesce, lit}
+    requireNoDeltaLogForDv()
     val dvPath = DeletionVectors.dir(path)
     val withPos = (if (ShallowClone.isClone(spark, path))
         spark.read.option("mergeSchema", "true")
@@ -1155,9 +1175,12 @@ final class MedallionTable(
           .col("_metadata.file_path")))
       .withColumn("__graft_dv_pos",
         org.apache.spark.sql.functions.col("_metadata.row_index"))
-    val live = ColumnMap.toLogical(
+    // overlay applied so the predicate resolves against the SAME logical
+    // schema delete() sees (unmaterialized ADDs evaluate as typed NULLs,
+    // tombstoned columns are invisible) — the result-identical contract
+    val live = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
       DeletionVectors.applied(spark, withPos, dvPath, path),
-      ColumnMap.load(spark, path))
+      ColumnMap.load(spark, path)))
     invalidateStats()
     live.filter(coalesce(cond, lit(false)))
       .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
@@ -1174,6 +1197,7 @@ final class MedallionTable(
   def deleteVectoredKeys(keys: DataFrame, keyCols: Seq[String]): Unit =
     withClaimedCommit("delete-dv") {
       import org.apache.spark.sql.functions.broadcast
+      requireNoDeltaLogForDv()
       val dvPath = DeletionVectors.dir(path)
       val withPos = (if (ShallowClone.isClone(spark, path))
           spark.read.option("mergeSchema", "true")
@@ -1184,9 +1208,9 @@ final class MedallionTable(
             .col("_metadata.file_path")))
         .withColumn("__graft_dv_pos",
           org.apache.spark.sql.functions.col("_metadata.row_index"))
-      val live = ColumnMap.toLogical(
+      val live = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
         DeletionVectors.applied(spark, withPos, dvPath, path),
-        ColumnMap.load(spark, path))
+        ColumnMap.load(spark, path)))
       invalidateStats()
       live.join(broadcast(keys.select(keyCols.map(
             org.apache.spark.sql.functions.col): _*).distinct()),
