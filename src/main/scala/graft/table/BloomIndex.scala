@@ -117,11 +117,13 @@ object BloomIndex {
   /** Deserialized index snapshot keyed by normalized file path, cached
     * driver-side against the index file's mtime (the Delta-client
     * pattern of caching log snapshots): repeated lookups pay the parquet
-    * read + bloom deserialization once, not per execution.
+    * read + bloom deserialization once, not per execution. LRU-bounded
+    * ([[BoundedLruCache]]) — bloom snapshots are the heaviest cached
+    * values in the table layer, so cold index dirs age out instead of
+    * accumulating for the JVM's lifetime.
     */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (Long, Map[String, (String, BloomFilter)])]()
+  private val cache = new BoundedLruCache[
+    (Long, Map[String, (String, BloomFilter)])](64)
 
   private def cachedIndex(spark: SparkSession, tablePath: String,
       column: String): Option[Map[String, (String, BloomFilter)]] = {
@@ -130,7 +132,7 @@ object BloomIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) { cache.remove(dir); return None }
     val mtime = fs.listStatus(p).map(_.getModificationTime).foldLeft(0L)(math.max)
-    Option(cache.get(dir)) match {
+    cache.get(dir) match {
       case Some((`mtime`, snap)) => Some(snap)
       case _ =>
         val snap = spark.read.parquet(dir).select("file", "bf").collect()

@@ -94,6 +94,31 @@ object DeletionVectors {
     if (!exists(spark, dvPath)) return raw
     val byKey = ShallowClone.scanFiles(spark, rootPath)
       .groupBy(fileKeyOf).view.mapValues(_.head).toMap
+    val p = new Path(dvPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Sidecar size is O(all rows ever vector-deleted): one huge
+    // deleteVectored (a predicate matching half a big table) must not
+    // turn every subsequent read into a driver collect/broadcast OOM.
+    // Above the cap, skip the collect entirely and anti-join the sidecar
+    // DISTRIBUTED (shuffle anti-join, spill-safe); only the files-sized
+    // key→path lookup is broadcast. Below it, the collected broadcast
+    // stays the fast path (DvProbe: per-row key surgery dominated).
+    if (fs.getContentSummary(p).getLength > MaxCollectedSidecarBytes) {
+      import spark.implicits._
+      val keys = byKey.toSeq.toDF("__dv_key", "__dv_file")
+      val dv = spark.read.parquet(dvPath)
+        .select(col("file").as("__dv_key0"), col("pos").as("__dv_pos"))
+        .join(broadcast(keys), col("__dv_key0") === col("__dv_key"))
+        .select(col("__dv_file"), col("__dv_pos"))
+      return raw
+        .withColumn("__graft_file", col("_metadata.file_path"))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+        .join(dv,
+          col("__graft_file") === col("__dv_file") &&
+            col("__graft_pos") === col("__dv_pos"),
+          "left_anti")
+        .drop("__graft_file", "__graft_pos")
+    }
     val dvRows = spark.read.parquet(dvPath).collect()
       .flatMap { r =>
         byKey.get(r.getString(0)).map(full => (full, r.getLong(1)))
@@ -112,5 +137,12 @@ object DeletionVectors {
         "left_anti")
       .drop("__graft_file", "__graft_pos")
   }
+
+  /** Collect/broadcast cap for the sidecar (compressed bytes on disk).
+    * 64 MB of (key, pos) parquet is ≫ any sane soft-delete set and ≪
+    * driver heap; `var` so DeletionVectorSpec can exercise the
+    * distributed path without writing gigabytes.
+    */
+  private[table] var MaxCollectedSidecarBytes: Long = 64L << 20
 
 }

@@ -190,16 +190,45 @@ object DeltaLogExport {
     // two concurrent syncs race for version N, the loser re-reads the log
     // (its diff may now be empty — the winner exported the same files)
     // and retries against the new head instead of clobbering the winner.
-    try {
-      val out = fs.create(new Path(logDir, f"$version%020d.json"), false)
-      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-      version
-    } catch {
-      case _: java.io.IOException if fs.exists(
-          new Path(logDir, f"$version%020d.json")) =>
-        sync(spark, tablePath)
-    }
+    if (createExclusive(fs, new Path(logDir, f"$version%020d.json"),
+        sb.toString.getBytes("UTF-8"))) version
+    else sync(spark, tablePath)
   }
+
+  /** Truly-exclusive commit-json create. Hadoop's local filesystem
+    * implements `create(overwrite = false)` as check-then-create — NOT
+    * atomic — so two concurrent syncs could both "win" version N and one
+    * would silently clobber the other's commit
+    * ([[MedallionTable.atomicCreateExclusive]] documents and solves the
+    * same hazard for commit markers). On `file://` route through
+    * `File.createNewFile` (atomic O_EXCL); on real stores trust the
+    * store's create-exclusive. Returns false ⟺ the version was lost to a
+    * racer (caller re-syncs against the new head); genuine write errors
+    * still throw.
+    */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      body: Array[Byte]): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      val local = new java.io.File(fs.makeQualified(p).toUri.getPath)
+      local.getParentFile.mkdirs()
+      local.createNewFile() && {
+        try {
+          val out = new java.io.FileOutputStream(local)
+          try { out.write(body); true } finally out.close()
+        } catch {
+          // won the slot but the body write failed: a half-written commit
+          // json must not stand — clear the slot and surface the error
+          case e: java.io.IOException => local.delete(); throw e
+        }
+      }
+    } else
+      try {
+        val out = fs.create(p, false)
+        try out.write(body) finally out.close()
+        true
+      } catch {
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
 
   /** The files an external reader would scan: replay of the exported log
     * (adds minus removes, version order) — the Scala half of the interop

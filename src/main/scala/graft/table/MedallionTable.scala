@@ -137,7 +137,7 @@ final class MedallionTable(
   private def mergedParquet(): DataFrame = {
     val stamp = commitStamp()
     val k = schemaCacheKey
-    Option(MedallionTable.schemaCache.get(k)) match {
+    MedallionTable.schemaCache.get(k) match {
       case Some((`stamp`, s)) => spark.read.schema(s).parquet(path)
       case _ =>
         val df = spark.read.option("mergeSchema", "true").parquet(path)
@@ -147,7 +147,7 @@ final class MedallionTable(
   }
 
   private def schemaCacheKey: String =
-    System.identityHashCode(spark).toString + "|" + path
+    SessionCaches.token(spark) + "|" + path
 
   /** Order-independent hash of the commit-sibling directory's contents
     * (marker/lock/intent names × mtimes) — changes on every claim, CAS,
@@ -971,6 +971,15 @@ final class MedallionTable(
       s"rename: '$newName' is a dropped column's physical slot — the read " +
         "projection would collide with the tombstoned bytes; OPTIMIZE to " +
         "shed them first")
+    // mirror of addColumn's guard: after rename x→z, the PHYSICAL slot x
+    // still lives in every data file. A later rename y→x passes the
+    // logical-schema checks, but the map {z→x, x→y} then renames through
+    // a colliding name on both the read (toLogical) and write
+    // (toPhysical) fold — duplicate columns on every read surface.
+    require(!ColumnMap.load(spark, path).values.toSet.contains(newName),
+      s"rename: '$newName' is the physical slot of a renamed column — " +
+        "reads would surface two columns with that name; OPTIMIZE to " +
+        "materialize the earlier rename first")
     require(!partitionColumns.contains(oldName),
       s"rename: '$oldName' is a partition column — its directory layout " +
         "is physical; rewrite the table to rename it")
@@ -1086,6 +1095,18 @@ final class MedallionTable(
 
   private case class TxnAlreadyApplied() extends RuntimeException
 
+  /** Durable per-(appId, version) applied witness ([[CopyInto]]'s
+    * `copy_batches` pattern): the commit marker is pruned after
+    * [[MedallionTable.HistoryDepth]] commits from ANY writer, so when the
+    * post-append high-water write fails (deliberately swallowed), a replay
+    * arriving after pruning would pass both checks and append a duplicate.
+    * This file outlives pruning; it is deleted again once the high-water
+    * file covers the version (so the directory holds only the rare
+    * failed-high-water survivors, not one file per batch).
+    */
+  private def txnWitness(appId: String, version: Long) =
+    new Path(commitsDir, s"txns_applied/$appId-$version")
+
   /** Exactly-once append under replays — Delta's `txnAppId`/`txnVersion`
     * options as an explicit API. The caller names the writing application
     * and a monotonically increasing batch version; a replay of an
@@ -1120,19 +1141,36 @@ final class MedallionTable(
         // the claim-first crash model counts as applied — the crash
         // window between the data write and the high-water update.
         if (lastTxnVersion(appId).exists(_ >= version) ||
+            fs.exists(txnWitness(appId, version)) ||
             history().count(_._2 == op) >= 2) throw TxnAlreadyApplied()
-        appendBody(df)
+        // Durable claim-first witness, written BEFORE the data: a crash
+        // from here on counts as applied — exactly the contract the
+        // marker-count check already encodes ("died post-claim" above) —
+        // but unlike the marker this file survives retention pruning. An
+        // IN-PROCESS append failure rolls it back below so the retry
+        // (whose marker was also released) correctly re-applies.
+        writeMetaText(txnWitness(appId, version), "")
+        try appendBody(df)
+        catch {
+          case t: Throwable =>
+            try fs.delete(txnWitness(appId, version), false)
+            catch { case _: java.io.IOException => () }
+            throw t
+        }
         MedallionTable.testFailpoint("post-txn-append")
         // best-effort: the data is applied, so a failed high-water write
         // must NOT bubble out of the claimed block — withClaimedCommit's
-        // failure path would release the commit marker, destroying BOTH
-        // witnesses and turning the next retry into a duplicate append.
-        // The marker stays the witness until the file heals on a later
-        // success.
-        try writeMetaText(txnFile(appId),
-          math.max(version, lastTxnVersion(appId).getOrElse(Long.MinValue))
-            .toString)
-        catch { case scala.util.control.NonFatal(_) => () }
+        // failure path would release the commit marker, destroying the
+        // marker witness and turning the next retry into a duplicate
+        // append. The durable witness above stands either way; on
+        // success the now-redundant witness is retired to keep the
+        // directory bounded by FAILED high-water writes only.
+        try {
+          writeMetaText(txnFile(appId),
+            math.max(version, lastTxnVersion(appId).getOrElse(Long.MinValue))
+              .toString)
+          fs.delete(txnWitness(appId, version), false)
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
       true
     } catch { case _: TxnAlreadyApplied => false }
@@ -1874,11 +1912,14 @@ object MedallionTable {
     */
   val HistoryDepth = 8
 
-  /** session|path -> (file-census hash, resolved merged parquet schema).
-    * See [[MedallionTable.mergedParquet]]; one entry per table bounds it.
+  /** session|path -> (commit stamp, resolved merged parquet schema).
+    * See [[MedallionTable.mergedParquet]]. Session-UUID keyed and
+    * LRU-bounded ([[SessionCaches]]): schemas are tiny, so the bound is
+    * generous, but session churn in a long-lived JVM no longer
+    * accumulates dead-session entries.
     */
-  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, org.apache.spark.sql.types.StructType)]()
+  private val schemaCache = new BoundedLruCache[
+    (Long, org.apache.spark.sql.types.StructType)](1024)
 
   /** Bounded wait budget for writer coordination: how long a claim-first
     * writer waits on a standing rewrite intent OR on another writer's

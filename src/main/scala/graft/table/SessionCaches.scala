@@ -1,0 +1,56 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared plumbing for the driver-side metadata caches
+  * ([[SmallSnapshot]], [[MedallionTable]]'s schema memo,
+  * [[BloomIndex]]'s snapshot cache).
+  *
+  * Two hazards the round-11 review called out in the previous
+  * `ConcurrentHashMap[identityHashCode(spark)|path, …]` shape:
+  * entries were never evicted when a SparkSession stopped (a long-lived
+  * JVM cycling sessions — the spec-suite pattern — accumulates collected
+  * row snapshots and deserialized bloom filters without bound), and
+  * `System.identityHashCode` can be REUSED after the old session is
+  * GC'd, so a new session could be served a stale entry it never built.
+  *
+  * Fix: (a) sessions are identified by a per-instance UUID handed out
+  * from a weak side table — unique for the JVM's lifetime, so hash reuse
+  * can never alias two sessions; (b) every cache is a size-bounded LRU —
+  * a stopped session's entries age out under pressure instead of
+  * accumulating, and the bound caps worst-case footprint regardless of
+  * session churn. (A session-stop listener was considered and rejected:
+  * sessions share one SparkContext, and SparkSession exposes no per-
+  * session stop hook to non-Spark code.)
+  */
+private[table] object SessionCaches {
+
+  private val tokens =
+    new java.util.WeakHashMap[SparkSession, String]()
+
+  /** Stable unique id for `spark` — never reused across sessions (unlike
+    * identityHashCode). The side table is weak-keyed and its values are
+    * plain strings, so it never pins a stopped session in memory.
+    */
+  def token(spark: SparkSession): String = tokens.synchronized {
+    var t = tokens.get(spark)
+    if (t == null) { t = java.util.UUID.randomUUID().toString; tokens.put(spark, t) }
+    t
+  }
+}
+
+/** Minimal thread-safe LRU (access-ordered, size-bounded). Values may be
+  * heavy (row snapshots, bloom filters); the bound is entry COUNT because
+  * every cached value here is already per-entry bounded by its producer
+  * (SmallSnapshot's maxRows, one schema, one index dir).
+  */
+private[table] final class BoundedLruCache[V](maxEntries: Int) {
+  private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+      size() > maxEntries
+  }
+  def get(k: String): Option[V] = m.synchronized(Option(m.get(k)))
+  def put(k: String, v: V): Unit = m.synchronized { m.put(k, v); () }
+  def remove(k: String): Unit = m.synchronized { m.remove(k); () }
+  def clear(): Unit = m.synchronized(m.clear())
+}

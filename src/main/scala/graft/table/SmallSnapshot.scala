@@ -21,23 +21,27 @@ import org.apache.spark.sql.DataFrame
   * write, even a mid-write partial state — changes the key and a stale
   * snapshot cannot be served. A table above `maxRows` is remembered as
   * oversize at that census and served the plain scan. Entries are
-  * additionally keyed on the owning SparkSession so a snapshot never
-  * leaks across session restarts (specs stop/start sessions); one entry
-  * per (session, path) bounds the footprint.
+  * additionally keyed on the owning SparkSession (by session UUID, see
+  * [[SessionCaches]]) so a snapshot never leaks across session restarts
+  * (specs stop/start sessions), and the cache is LRU-bounded so dead
+  * sessions' snapshots age out instead of accumulating.
   */
 object SmallSnapshot {
 
-  /** path+session -> (census hash, localized frame; null = oversize) */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+  /** path+session -> (census hash, localized frame; null = oversize).
+    * Session-UUID keyed and LRU-bounded ([[SessionCaches]]): stopped
+    * sessions' snapshots age out, and a recycled identity hash can never
+    * serve a stale frame to a new session.
+    */
+  private val cache = new BoundedLruCache[(Long, DataFrame)](256)
 
   private def key(t: MedallionTable): String =
-    System.identityHashCode(t.spark).toString + "|" + t.path
+    SessionCaches.token(t.spark) + "|" + t.path
 
   def read(table: MedallionTable, maxRows: Int = 65536): DataFrame = {
     val v = table.metaCensusHash()
     val k = key(table)
-    Option(cache.get(k)) match {
+    cache.get(k) match {
       case Some((`v`, df)) if df != null => df
       case Some((`v`, _)) => table.read
       case _ =>

