@@ -346,6 +346,31 @@ object SinkQueries {
         "o_totalprice", "o_orderpriority")
     }),
 
+    // Deletion-vector UPDATE (graft.table.DvUpdates): O(matched) instead
+    // of the O(table) rewrite — matched rows' positions are marked in
+    // the sidecar and their new versions land as a staged batch, both
+    // committed by ONE atomic rename (no duplicate/lost window;
+    // UpdateVectoredSpec drives the crash path). The second update
+    // composes over the first's amendments and the vectored delete
+    // composes over both — the chained soft state a 100 TB table
+    // accumulates between OPTIMIZE runs. Simultaneous-assignment
+    // semantics: the uplifted o_totalprice reads the OLD value.
+    "k_update_dv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_update_dv")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      t.overwrite(Tables.orders(s, dir))
+      t.updateVectored($"o_totalprice" > 200000 && $"o_orderstatus" === "O",
+        Map("o_orderpriority" -> lit("1-URGENT"),
+            "o_totalprice" -> ($"o_totalprice" * 1.1)))
+      t.updateVectored($"o_orderkey" % 100 === 7,
+        Map("o_orderstatus" -> lit("X")))
+      t.deleteVectored($"o_orderstatus" === "X" && $"o_totalprice" > 250000)
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+    }),
+
     // K6 — bloom-index point-lookup skipping: the table is clustered by
     // DATE (the natural log layout), so every file's o_orderkey [min,max]
     // spans the whole key domain and the stats manifest prunes NOTHING
@@ -1060,6 +1085,29 @@ object SinkQueries {
        "o_orderpriority FROM orders " +
        "WHERE NOT (o_totalprice > 150000 AND o_orderstatus = 'O') " +
        "AND NOT (o_orderkey % 10 = 3)"),
+    "k_update_dv_roundtrip" ->
+      ("""WITH u1 AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_totalprice > 200000 AND o_orderstatus = 'O'
+         |              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+         |              ELSE o_totalprice
+         |         END AS o_totalprice,
+         |         CASE WHEN o_totalprice > 200000 AND o_orderstatus = 'O'
+         |              THEN '1-URGENT' ELSE o_orderpriority
+         |         END AS o_orderpriority
+         |  FROM orders
+         |), u2 AS (
+         |  SELECT o_orderkey, o_custkey,
+         |         CASE WHEN o_orderkey % 100 = 7 THEN 'X'
+         |              ELSE o_orderstatus END AS o_orderstatus,
+         |         o_totalprice, o_orderpriority
+         |  FROM u1
+         |)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |       o_orderpriority
+         |FROM u2
+         |WHERE NOT (o_orderstatus = 'X' AND o_totalprice > 250000)
+         |""".stripMargin),
     "k_rename_column_roundtrip" ->
       ("SELECT o_orderkey, o_orderstatus, o_totalprice AS price_usd " +
        "FROM orders WHERE o_totalprice > 50000"),

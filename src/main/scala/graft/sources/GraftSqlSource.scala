@@ -298,6 +298,13 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
       // through MedallionTable.read until a rewrite materializes
       else if (graft.table.ShallowClone.isClone(context.sparkSession, path))
         None
+      // same boundary for committed DV-update batches: their files live
+      // under _graft_meta in their own partition anchor, which the
+      // basePath-anchored subset read cannot express — full logical scan
+      // until OPTIMIZE materializes, then pruning re-arms
+      else if (graft.table.DvUpdates.committedBatches(
+          context.sparkSession, path).nonEmpty)
+        None
       else {
         val sess = context.sparkSession
         val bounds = pushed.toSeq

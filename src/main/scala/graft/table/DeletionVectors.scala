@@ -22,14 +22,14 @@ import org.apache.spark.sql.functions._
   * annotate. Delta stores roaring bitmaps in the log; a parquet
   * position list is the same contract in this layout's idiom.
   *
-  * UPDATE deliberately stays on the rewrite path: an update-via-DV is
-  * an append of new row versions PLUS a position mark, and without an
-  * atomic multi-action commit a crash between the two jobs either
-  * loses rows (mark first) or duplicates them unrecoverably (append
-  * first). Delta shipped DV updates only once its log transaction
-  * could commit both actions atomically; this layout's commit marker
-  * covers single-action writes, so DELETE — a one-action mark — is the
-  * honest DV surface.
+  * UPDATE rides the same sidecar through [[DvUpdates]]: an update is a
+  * position mark over the old row versions plus a staged batch of new
+  * row versions, committed by ONE atomic directory rename (the marks
+  * landing inside this sidecar is simultaneously the visibility witness
+  * for the staged batch) — the multi-action atomicity Delta gets from
+  * its log transaction, rebuilt on the filesystem primitive this layout
+  * already trusts. See the [[DvUpdates]] scaladoc for the crash-window
+  * argument.
   *
   * Files are keyed by their RELATIVE TAIL — the basename plus any
   * trailing `part=value` partition segments — not the full path:
@@ -66,6 +66,14 @@ object DeletionVectors {
     */
   private val KeyRegex = "((?:[^/]*=[^/]*/)*[^/]+)$"
 
+  /** The sidecar read: recursive, because committed UPDATE marks live in
+    * `update_<batch>/` SUBDIRECTORIES of the sidecar ([[DvUpdates]] —
+    * the atomic commit rename lands a directory, not a file), while
+    * DELETE marks are flat appended files. Both carry (file, pos).
+    */
+  private[table] def sidecar(spark: SparkSession, dvPath: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dvPath)
+
   private[table] def fileKey(filePath: Column): Column =
     regexp_extract(filePath, KeyRegex, 1)
 
@@ -92,6 +100,10 @@ object DeletionVectors {
   def applied(spark: SparkSession, raw: DataFrame, dvPath: String,
       rootPath: String): DataFrame = {
     if (!exists(spark, dvPath)) return raw
+    // a sidecar dir with no parquet yet (mkdirs from an aborted
+    // update-dv commit) must not break every read with a schema
+    // inference error — no marks, nothing to apply
+    if (ShallowClone.listParquet(spark, dvPath).isEmpty) return raw
     val byKey = ShallowClone.scanFiles(spark, rootPath)
       .groupBy(fileKeyOf).view.mapValues(_.head).toMap
     val p = new Path(dvPath)
@@ -106,7 +118,7 @@ object DeletionVectors {
     if (fs.getContentSummary(p).getLength > MaxCollectedSidecarBytes) {
       import spark.implicits._
       val keys = byKey.toSeq.toDF("__dv_key", "__dv_file")
-      val dv = spark.read.parquet(dvPath)
+      val dv = sidecar(spark, dvPath)
         .select(col("file").as("__dv_key0"), col("pos").as("__dv_pos"))
         .join(broadcast(keys), col("__dv_key0") === col("__dv_key"))
         .select(col("__dv_file"), col("__dv_pos"))
@@ -119,7 +131,7 @@ object DeletionVectors {
           "left_anti")
         .drop("__graft_file", "__graft_pos")
     }
-    val dvRows = spark.read.parquet(dvPath).collect()
+    val dvRows = sidecar(spark, dvPath).collect()
       .flatMap { r =>
         byKey.get(r.getString(0)).map(full => (full, r.getLong(1)))
       }.toSeq

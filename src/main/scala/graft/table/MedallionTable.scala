@@ -103,16 +103,42 @@ final class MedallionTable(
             .parquet(ShallowClone.scanFiles(spark, path): _*),
           DeletionVectors.dir(path), path),
         ColumnMap.load(spark, path)))
-    else if (fs.exists(p) && !hasDataFiles(p) && fs.exists(schemaFile))
+    else if (fs.exists(p) && !hasDataFiles(p) && fs.exists(schemaFile) &&
+        DvUpdates.committedBatches(spark, path).isEmpty)
       // the stashed DDL is maintained by addColumn/dropColumn, so no
-      // overlay pass is needed on this branch
+      // overlay pass is needed on this branch (batch guard: a partition
+      // fast-DELETE can empty the BASE while committed update batches
+      // still hold live rows — those must keep reading)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(readMetaText(schemaFile)))
-    else SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
+    else {
+      // base may be absent with batches live (see the guard above):
+      // start the union from the batch scans alone in that case
+      val base =
+        if (fs.exists(p) && !hasDataFiles(p)) None
+        else Some(DeletionVectors.applied(spark, mergedParquet(),
+          DeletionVectors.dir(path), path))
+      SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
+        DvUpdates.foldBatchesOpt(spark, path, base)
+          // empty dir without stashed schema and no batches: surface the
+          // same inference error the plain scan always gave
+          .getOrElse(mergedParquet()),
+        ColumnMap.load(spark, path)))
+    }
+  }
+
+  /** [[read]] WITHOUT the committed update batches folded in — the scan
+    * [[compactWhere]] materializes from: the partition-scoped overwrite
+    * must not copy batch rows into the base while their files stay live
+    * (the delete-after-overwrite alternative has a crash window that
+    * double-counts). Assumes a non-clone table with data files (its only
+    * caller requires a partitioned table).
+    */
+  private def readBase(): DataFrame =
+    SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
       DeletionVectors.applied(spark, mergedParquet(),
         DeletionVectors.dir(path), path),
       ColumnMap.load(spark, path)))
-  }
 
   /** The raw-files half of [[read]], with the merged schema memoized:
     * `mergeSchema=true` resolves by reading EVERY footer in a Spark job
@@ -898,6 +924,15 @@ final class MedallionTable(
       withClaimedCommit("delete-partitions") {
       matchingPartitionDirs(cond, schema)
         .foreach(d => fs.delete(new Path(d), true))
+      // committed update batches hold the matched partitions' amended
+      // rows — kept, they would resurrect the "deleted" partition. Same
+      // idempotent-under-retry contract as the base-dir drops above (a
+      // crash between the two is healed by re-running the DELETE).
+      DvUpdates.committedBatches(spark, path).foreach { b =>
+        matchingPartitionDirs(cond, schema,
+            new Path(DvUpdates.batchDataDir(path, b)))
+          .foreach(d => fs.delete(new Path(d), true))
+      }
       invalidateStats()
       // Fast path bypasses rewriteVia (which stashes after its swap): a
       // delete that drops every partition must leave the table readable.
@@ -930,7 +965,12 @@ final class MedallionTable(
     require(!exists, s"clone target $path must not exist")
     require(partitionColumns.isEmpty && source.partitionColumns.isEmpty,
       "shallow clone supports unpartitioned tables only")
-    val files = source.dataFileSet().toSeq.sorted
+    // committed update batches are source data files too: the pointer
+    // manifest carries them and the copied dv sidecar carries their marks
+    // (both update_<b> dirs and flat delete marks ride the "dv" copy), so
+    // the clone reproduces the amended view without local batch state
+    val files = (source.dataFileSet() ++
+      DvUpdates.dataFiles(spark, source.path)).toSeq.sorted
     require(files.nonEmpty, s"clone source ${source.path} has no data files")
     withClaimedCommit("clone") {
       ShallowClone.write(spark, path, files)
@@ -1062,13 +1102,16 @@ final class MedallionTable(
       // Clone-aware: a shallow clone's columns live in the POINTED-AT
       // files — judging from local files alone would skip the tombstone
       // and leave the "dropped" column fully visible.
-      val rawSchema =
-        if (ShallowClone.isClone(spark, path))
-          spark.read.option("mergeSchema", "true")
-            .parquet(ShallowClone.scanFiles(spark, path): _*).schema
-        else if (hasDataFiles(new Path(path)))
-          spark.read.option("mergeSchema", "true").parquet(path).schema
+      val rawSchema = {
+        // scanFiles covers clones AND committed update batches (a column
+        // materialized only by an update batch is still physical);
+        // explicit-list reads lose hive partition columns, which is fine
+        // here — partition columns were refused above
+        val files = ShallowClone.scanFiles(spark, path)
+        if (files.nonEmpty)
+          spark.read.option("mergeSchema", "true").parquet(files: _*).schema
         else new org.apache.spark.sql.types.StructType()
+      }
       SchemaOverlay.recordDrop(spark, path, physical,
         rawSchema.fieldNames.contains(physical))
       invalidateStats()
@@ -1200,25 +1243,40 @@ final class MedallionTable(
     * matches the other in-place mutations: a manifest must never
     * describe rows a reader won't see.
     */
+  /** Physical live view carrying `(__graft_dv_file, __graft_dv_pos)` —
+    * the shared mark-computation base for [[deleteVectored]],
+    * [[deleteVectoredKeys]] and [[updateVectored]]: base scan ∪ committed
+    * update batches, position columns captured PER BRANCH (`_metadata`
+    * does not survive a union), DV applied per branch. Rows already
+    * amended by an earlier update batch are positioned by their batch
+    * file, so marks over them hide the amended version — chains compose.
+    */
+  private def dvLiveWithPos(): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def prep(df: DataFrame): DataFrame = df
+      .withColumn("__graft_dv_file",
+        DeletionVectors.fileKey(col("_metadata.file_path")))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    val dvPath = DeletionVectors.dir(path)
+    // clone manifests already point at the source's committed batch files
+    // (cloneFrom folds them in), so only the non-clone branch unions
+    val base = prep(if (ShallowClone.isClone(spark, path))
+        spark.read.option("mergeSchema", "true")
+          .parquet(ShallowClone.scanFiles(spark, path): _*)
+      else spark.read.option("mergeSchema", "true").parquet(path))
+    DvUpdates.foldBatches(spark, path,
+      DeletionVectors.applied(spark, base, dvPath, path), prep)
+  }
+
   def deleteVectored(cond: Column): Unit = withClaimedCommit("delete-dv") {
     import org.apache.spark.sql.functions.{coalesce, lit}
     requireNoDeltaLogForDv()
     val dvPath = DeletionVectors.dir(path)
-    val withPos = (if (ShallowClone.isClone(spark, path))
-        spark.read.option("mergeSchema", "true")
-          .parquet(ShallowClone.scanFiles(spark, path): _*)
-      else spark.read.option("mergeSchema", "true").parquet(path))
-      .withColumn("__graft_dv_file",
-        DeletionVectors.fileKey(org.apache.spark.sql.functions
-          .col("_metadata.file_path")))
-      .withColumn("__graft_dv_pos",
-        org.apache.spark.sql.functions.col("_metadata.row_index"))
     // overlay applied so the predicate resolves against the SAME logical
     // schema delete() sees (unmaterialized ADDs evaluate as typed NULLs,
     // tombstoned columns are invisible) — the result-identical contract
     val live = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
-      DeletionVectors.applied(spark, withPos, dvPath, path),
-      ColumnMap.load(spark, path)))
+      dvLiveWithPos(), ColumnMap.load(spark, path)))
     invalidateStats()
     live.filter(coalesce(cond, lit(false)))
       .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
@@ -1237,18 +1295,8 @@ final class MedallionTable(
       import org.apache.spark.sql.functions.broadcast
       requireNoDeltaLogForDv()
       val dvPath = DeletionVectors.dir(path)
-      val withPos = (if (ShallowClone.isClone(spark, path))
-          spark.read.option("mergeSchema", "true")
-            .parquet(ShallowClone.scanFiles(spark, path): _*)
-        else spark.read.option("mergeSchema", "true").parquet(path))
-        .withColumn("__graft_dv_file",
-          DeletionVectors.fileKey(org.apache.spark.sql.functions
-            .col("_metadata.file_path")))
-        .withColumn("__graft_dv_pos",
-          org.apache.spark.sql.functions.col("_metadata.row_index"))
       val live = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
-        DeletionVectors.applied(spark, withPos, dvPath, path),
-        ColumnMap.load(spark, path)))
+        dvLiveWithPos(), ColumnMap.load(spark, path)))
       invalidateStats()
       live.join(broadcast(keys.select(keyCols.map(
             org.apache.spark.sql.functions.col): _*).distinct()),
@@ -1256,6 +1304,73 @@ final class MedallionTable(
         .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
           org.apache.spark.sql.functions.col("__graft_dv_pos").as("pos"))
         .write.mode(SaveMode.Append).parquet(dvPath)
+    }
+
+  /** `UPDATE SET … WHERE` via the deletion-vector extension
+    * ([[DvUpdates]]): O(matched) instead of [[update]]'s O(table)
+    * rewrite. Semantics are identical to [[update]] — simultaneous
+    * assignment (every SET expression reads the OLD row), unknown SET
+    * columns refused, NULL/FALSE predicate rows untouched — but the
+    * table's data files are never rewritten: the matched rows' positions
+    * are marked in the DV sidecar and their new versions land as a
+    * staged batch, both made visible by ONE atomic directory rename (the
+    * crash-window argument lives in the [[DvUpdates]] scaladoc;
+    * `UpdateVectoredSpec` drives it with the commit failpoint). Updating
+    * a partition column is allowed — the new version simply lands in its
+    * new partition directory inside the batch. Same interop boundary as
+    * [[deleteVectored]]: refused while a Delta-log export is live
+    * (external readers cannot see the sidecar or the batch).
+    */
+  def updateVectored(cond: Column, set: Map[String, Column]): Unit =
+    withClaimedCommit("update-dv") {
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      requireNoDeltaLogForDv()
+      val logical = read
+      val byLower = logical.columns.map(c => c.toLowerCase -> c).toMap
+      val resolved = set.map { case (k, v) =>
+        byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
+          s"update-dv: column '$k' not in table schema " +
+            logical.columns.mkString("[", ",", "]"))) -> v
+      }
+      val batch = java.util.UUID.randomUUID().toString.take(12)
+      val live = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
+        dvLiveWithPos(), ColumnMap.load(spark, path)))
+      val matched = live.filter(coalesce(cond, lit(false)))
+      // ONE projection = simultaneous-assignment semantics, exactly as
+      // update(); the position columns drop out of the projection
+      val newRows = matched.select(logical.columns.toIndexedSeq.map(c =>
+        resolved.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      val batchDir = DvUpdates.batchDataDir(path, batch)
+      val marksStaging = DvUpdates.marksStagingDir(path, batch)
+      // stage 1: new row versions — table partition layout, CHECKs
+      // enforced, physical names (batch files must speak the same schema
+      // dialect as the base files so mergeSchema unions stay uniform)
+      val w = ColumnMap.toPhysical(enforced(newRows),
+        ColumnMap.load(spark, path)).write.mode(SaveMode.Overwrite)
+      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
+       else w).parquet(batchDir)
+      // stage 2: marks for the matched rows' OLD positions
+      matched.select(col("__graft_dv_file").as("file"),
+          col("__graft_dv_pos").as("pos"))
+        .write.mode(SaveMode.Overwrite).parquet(marksStaging.toString)
+      if (ShallowClone.listParquet(spark, batchDir).isEmpty) {
+        // nothing matched: leave no witness, clear the invisible litter
+        fs.delete(new Path(batchDir), true)
+        fs.delete(marksStaging, true)
+      } else {
+        require(ShallowClone.listParquet(spark, marksStaging.toString).nonEmpty,
+          s"update-dv: staged batch has data but no marks ($marksStaging) — " +
+            "aborting before the commit could duplicate rows")
+        invalidateStats()
+        fs.mkdirs(new Path(DeletionVectors.dir(path)))
+        MedallionTable.testFailpoint("pre-update-dv-commit")
+        // COMMIT POINT: one atomic rename flips both effects — the marks
+        // hide the old versions AND witness the staged batch into reads
+        if (!fs.rename(marksStaging, DvUpdates.marksDir(path, batch)))
+          throw new java.io.IOException(
+            s"update-dv commit rename failed: $marksStaging -> " +
+              DvUpdates.marksDir(path, batch))
+      }
     }
 
   /** Delta-style `UPDATE SET ... WHERE`: every SET expression is
@@ -1368,9 +1483,28 @@ final class MedallionTable(
     // a deletion vector is part of the archived STATE (stripping it with
     // the metadata would resurrect its rows in time travel) — move it to
     // the snapshot-local sidecar readVersion applies
+    val committedUpdateBatches = DvUpdates.committedBatches(spark, backup.toString)
     val backupDv = new Path(backup, "_graft_meta/dv")
     if (fs.exists(backupDv))
       fs.rename(backupDv, DeletionVectors.archivedDir(backup))
+    // committed update-batch files are archived state too — their marks
+    // just moved with the sidecar. Relocate them into the snapshot's own
+    // partition layout, where the RELATIVE-TAIL-keyed marks keep finding
+    // them (basenames are job-unique, so no collision with base files);
+    // uncommitted (orphan) batches die with _graft_meta below.
+    committedUpdateBatches.foreach { b =>
+      val bd = new Path(DvUpdates.batchDataDir(backup.toString, b))
+      ShallowClone.listParquet(spark, bd.toString).foreach { f =>
+        val fp = new Path(f)
+        val rel = fs.makeQualified(bd).toUri
+          .relativize(fs.makeQualified(fp).toUri).getPath
+        val dest = new Path(backup, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(fp, dest))
+          throw new java.io.IOException(
+            s"version archive failed: update batch file $fp -> $dest")
+      }
+    }
     val backupMap = new Path(backup, "_graft_meta/colmap.tsv")
     if (fs.exists(backupMap))
       fs.rename(backupMap, ColumnMap.archivedFile(backup))
@@ -1547,19 +1681,22 @@ final class MedallionTable(
     * fast path and [[compactWhere]].
     */
   private def matchingPartitionDirs(cond: Column,
-      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+      schema: org.apache.spark.sql.types.StructType,
+      root: Path = null): Seq[String] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.functions.{col, element_at, lit, when}
+    val rootDir = Option(root).getOrElse(new Path(path))
+    if (!fs.exists(rootDir)) return Nil
     def walk(base: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(base)
       else fs.listStatus(base).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .flatMap(st => walk(st.getPath, depth - 1))
-    val dirs = walk(new Path(path), partitionColumns.size)
+    val dirs = walk(rootDir, partitionColumns.size)
     if (dirs.isEmpty) return Nil
     val spark2 = spark
     import spark2.implicits._
-    val rootUri = fs.makeQualified(new Path(path)).toUri
+    val rootUri = fs.makeQualified(rootDir).toUri
     val parsed = dirs.map { d =>
       val rel = rootUri.relativize(fs.makeQualified(d).toUri).getPath
       val values = rel.split('/').filter(_.nonEmpty).toSeq.map { seg =>
@@ -1618,8 +1755,13 @@ final class MedallionTable(
         // hash-distribute on the partition tuple with one slot per
         // touched partition → ~one output file per partition, no global
         // sort; the filter on partition columns prunes the scan to the
-        // matched directories (Catalyst partition pruning)
-        val shaped = read.filter(cond).repartition(n,
+        // matched directories (Catalyst partition pruning).
+        // BASE-ONLY scan (DV applied, update batches excluded): the
+        // batches' amended rows stay live in their own directories —
+        // compacting them into the base here would need a
+        // delete-after-overwrite whose crash window double-counts; the
+        // batch files are cleared atomically by the next full rewrite.
+        val shaped = readBase().filter(cond).repartition(n,
           partitionColumns.map(org.apache.spark.sql.functions.col): _*)
         ColumnMap.toPhysical(shaped, ColumnMap.load(spark, path)).write
           .mode(SaveMode.Overwrite)
@@ -1749,7 +1891,7 @@ final class MedallionTable(
   }
 
   def vacuumDryRun(): Seq[(String, String)] = {
-    val litter = rewriteLitter()
+    val litter = rewriteLitter() ++ DvUpdates.orphans(spark, path)
     if (litter.isEmpty) return Nil
     val backups = litter.filter(isBackup)
     if (exists)
@@ -1787,7 +1929,10 @@ final class MedallionTable(
           s"vacuum: $path has no live data and no backup; refusing to " +
             s"delete ${litter().map(_.getName).mkString(", ")}")
     }
-    val toDelete = litter()
+    val toDelete = litter() ++
+      // a crashed updateVectored's invisible staging: batch dirs without
+      // a committed marks witness, and marks stagings that never renamed
+      DvUpdates.orphans(spark, path)
     toDelete.foreach(p => fs.delete(p, true))
     // Crashed-writer leftovers in the commits dir: a standing intent and
     // the writer lock (both deliberately unexpiring — they fail others
@@ -1878,6 +2023,18 @@ final class MedallionTable(
     // append (no staged state to CAS; per-partition commit is the
     // documented weaker atomicity of this path).
     withClaimedCommit("merge-pruned") {
+      // Touched partitions carrying live DV-update amendments would need
+      // a delete-after-overwrite here (the merged frame reads the
+      // amended rows, so their batch files must go once the overwrite
+      // lands) whose crash window double-counts — refused under the
+      // writer lock (no update can commit concurrently), with the atomic
+      // escape hatch named. Untouched partitions' amendments are fine.
+      DvUpdates.committedBatches(spark, path).foreach { b =>
+        require(matchingPartitionDirs(prunePred, prunedTarget.schema,
+            new Path(DvUpdates.batchDataDir(path, b))).isEmpty,
+          "mergePruned: touched partitions have live DV-update amendments " +
+            s"(batch $b) — OPTIMIZE (compact) to materialize them first")
+      }
       ColumnMap.toPhysical(enforced(merged), ColumnMap.load(spark, path)).write
         .mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")

@@ -58,7 +58,12 @@ object ShallowClone {
   private[table] def scanFiles(spark: SparkSession, root: String): Seq[String] =
     sources(spark, file(root)) ++
       sources(spark, archivedFile(new Path(root))) ++
-      listParquet(spark, root)
+      listParquet(spark, root) ++
+      // committed DV-update batches are data files too (under
+      // `_graft_meta`, so the plain listing skips them) — folding them in
+      // here carries them into stats manifests, bloom builds, and the DV
+      // sidecar's key→path resolution in one place
+      DvUpdates.dataFiles(spark, root)
 
   /** Recursive parquet listing under `root` in `_metadata.file_path`'s
     * own rendering (qualified URI), hidden dirs excluded.

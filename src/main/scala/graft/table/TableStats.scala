@@ -72,25 +72,36 @@ object TableStats {
     // manifest columns are LOGICAL names (what pushed predicates use) —
     // project renamed physical columns back before any stats run; a
     // shallow clone's manifest covers pointer files too
-    val raw = ColumnMap.toLogical(
+    val rawBase =
       if (ShallowClone.isClone(spark, tablePath))
+        // a shallow clone's manifest already points at the source's
+        // committed update-batch files — no extra branch needed
         spark.read.option("mergeSchema", "true")
           .parquet(ShallowClone.scanFiles(spark, tablePath): _*)
-      else spark.read.parquet(tablePath),
-      ColumnMap.load(spark, tablePath))
-    val cols = (if (columns.nonEmpty) columns else raw.columns.toSeq)
-      .filter(c => statsWorthy(raw.schema(c).dataType))
+      else spark.read.parquet(tablePath)
     // a deletion vector changes what readers SEE without touching files:
     // stats (row counts above all — the metadata COUNT(*) path) must
     // describe the DV-applied view, keyed by the file captured BEFORE
-    // the anti-join (input_file_name is undefined after it)
+    // the anti-join (input_file_name is undefined after it). Committed
+    // DV-update batches are folded per branch the same way the table
+    // read does, so the manifest covers their rows too.
     val dvPath = DeletionVectors.dir(tablePath)
+    val hasBatches = !ShallowClone.isClone(spark, tablePath) &&
+      DvUpdates.committedBatches(spark, tablePath).nonEmpty
     val (df, fileKey) =
-      if (!DeletionVectors.exists(spark, dvPath)) (raw, None)
-      else (DeletionVectors.applied(spark,
-        raw.withColumn("__stats_file", col("_metadata.file_path")), dvPath,
-        tablePath),
-        Some(col("__stats_file")))
+      if (!DeletionVectors.exists(spark, dvPath) && !hasBatches)
+        (ColumnMap.toLogical(rawBase, ColumnMap.load(spark, tablePath)), None)
+      else {
+        def prep(d: org.apache.spark.sql.DataFrame) =
+          d.withColumn("__stats_file", col("_metadata.file_path"))
+        val folded = DvUpdates.foldBatches(spark, tablePath,
+          DeletionVectors.applied(spark, prep(rawBase), dvPath, tablePath),
+          prep)
+        (ColumnMap.toLogical(folded, ColumnMap.load(spark, tablePath)),
+          Some(col("__stats_file")))
+      }
+    val cols = (if (columns.nonEmpty) columns else df.columns.toSeq)
+      .filter(c => c != "__stats_file" && statsWorthy(df.schema(c).dataType))
     // a leftover pending dir from a crashed incremental update is junk
     // once a full rebuild lands
     val pp = new org.apache.hadoop.fs.Path(pendingPath(tablePath))
@@ -264,6 +275,15 @@ object TableStats {
     */
   def readRange(spark: SparkSession, tablePath: String, column: String,
       lower: Any, upper: Any): DataFrame = {
+    val residual0 = col(column) >= lit(lower) && col(column) <= lit(upper)
+    // Soft table state (deletion vectors / DV-update batches) lives
+    // outside the raw file scan: a basePath-anchored subset read can
+    // express neither the hidden positions nor the batch rows. Route
+    // through the logical read until a rewrite materializes — the same
+    // treatment the catalog scan gives shallow clones.
+    if (DeletionVectors.exists(spark, DeletionVectors.dir(tablePath)) ||
+        DvUpdates.committedBatches(spark, tablePath).nonEmpty)
+      return new MedallionTable(spark, tablePath).read.filter(residual0)
     val full = spark.read.parquet(tablePath)
     val residual = col(column) >= lit(lower) && col(column) <= lit(upper)
     val hasStats = {

@@ -1,0 +1,171 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** DV-backed UPDATE ([[DvUpdates]]): O(matched) updates that touch zero
+  * base data files, semantics identical to the rewriting update(), one
+  * atomic commit rename (crash window driven with the failpoint), and
+  * composition with every read surface — catalog scans, stats manifest,
+  * partition-scoped maintenance, time travel, clones, further DV ops.
+  */
+class UpdateVectoredSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(retain: Int = 0,
+      parts: Seq[String] = Nil): (MedallionTable, String) = {
+    val p = tmpDir("udv")
+    val t = MedallionTable(spark, p, retainVersions = retain,
+      partitionColumns = parts)
+    t.overwrite((0L until 100L).map(i => (i, s"s$i", i % 4))
+      .toDF("id", "s", "grp").repartition(4, col("id")))
+    (t, p)
+  }
+
+  private def dataFiles(p: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(p))
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getPath.contains("_graft_meta"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  test("updateVectored matches update() semantics, rewrites nothing") {
+    val (t, p) = mk()
+    val before = dataFiles(p)
+    // simultaneous assignment: s reads the OLD id, id reads the OLD id
+    t.updateVectored($"id" % 10 === 3,
+      Map("id" -> ($"id" + 1000L), "s" -> concat(lit("u"), $"id".cast("string"))))
+    assert(dataFiles(p) == before, "base files untouched (same files, mtimes)")
+    val got = t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (0L until 100L).map { i =>
+      if (i % 10 == 3) (i + 1000L, s"u$i") else (i, s"s$i")
+    }.sortBy(_._1)
+    assert(got == want)
+    assert(t.read.count() == 100L, "row count preserved")
+    // NULL-predicate rows untouched (SQL UPDATE semantics)
+    t.updateVectored(when($"id" < 10, $"id" % 2 === 0), Map("s" -> lit("even")))
+    assert(t.read.filter($"s" === "even").count() ==
+      (0L until 10L).count(i => i % 10 != 3 && i % 2 == 0))
+    // unknown SET column refused loudly
+    intercept[IllegalArgumentException] {
+      t.updateVectored($"id" === 0L, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("chains: update over updated rows, then vectored delete") {
+    val (t, _) = mk()
+    t.updateVectored($"id" === 7L, Map("s" -> lit("v2")))
+    t.updateVectored($"s" === "v2", Map("s" -> lit("v3")))
+    assert(t.read.filter($"id" === 7L).select("s").head().getString(0) == "v3")
+    assert(t.read.count() == 100L)
+    t.deleteVectored($"s" === "v3")
+    assert(t.read.count() == 99L)
+    assert(t.read.filter($"id" === 7L).count() == 0L)
+  }
+
+  test("partitioned: rows move partitions; fast DELETE drops amendments") {
+    val (t, _) = mk(parts = Seq("grp"))
+    // move id 5 (grp 1) into grp 99 and rewrite its payload
+    t.updateVectored($"id" === 5L, Map("grp" -> lit(99L), "s" -> lit("moved")))
+    assert(t.read.filter($"grp" === 99L).select("id").as[Long].collect()
+      .toSeq == Seq(5L))
+    assert(t.read.count() == 100L)
+    // partition-pruned logical read sees the moved row only in grp 99
+    assert(t.read.filter($"grp" === 1L && $"id" === 5L).count() == 0L)
+    // amend a row in grp 2, then fast-DELETE grp 2: the amendment must
+    // not resurrect the partition
+    t.updateVectored($"id" === 6L, Map("s" -> lit("amended")))
+    t.delete($"grp" === 2L)
+    assert(t.read.filter($"grp" === 2L).count() == 0L)
+    assert(t.read.filter($"s" === "amended").count() == 0L)
+    assert(t.read.count() == 75L)
+  }
+
+  test("crash window: no partial state before the commit rename; vacuum heals") {
+    val (t, p) = mk()
+    val before = t.read.orderBy("id").collect().toSeq
+    MedallionTable.testFailpoint = {
+      case "pre-update-dv-commit" =>
+        MedallionTable.testFailpoint = _ => ()
+        throw new RuntimeException("crash before the atomic commit")
+      case _ => ()
+    }
+    try intercept[RuntimeException] {
+      t.updateVectored($"id" < 50, Map("s" -> lit("lost")))
+    } finally MedallionTable.testFailpoint = _ => ()
+    // staged batch + staged marks are invisible: reads are the OLD state
+    assert(t.read.orderBy("id").collect().toSeq == before)
+    assert(DvUpdates.committedBatches(spark, p).isEmpty)
+    // the litter is enumerated and cleared by vacuum
+    assert(t.vacuumDryRun().nonEmpty)
+    t.vacuum()
+    assert(DvUpdates.orphans(spark, p).isEmpty)
+    // retry applies cleanly
+    t.updateVectored($"id" < 50, Map("s" -> lit("won")))
+    assert(t.read.filter($"s" === "won").count() == 50L)
+  }
+
+  test("OPTIMIZE materializes amendments and drops the extension") {
+    val (t, p) = mk()
+    t.updateVectored($"id" >= 90, Map("s" -> lit("hot")))
+    t.compact(nFiles = 2)
+    assert(DvUpdates.committedBatches(spark, p).isEmpty)
+    assert(!DeletionVectors.exists(spark, DeletionVectors.dir(p)))
+    assert(t.read.filter($"s" === "hot").count() == 10L)
+    assert(t.read.count() == 100L)
+  }
+
+  test("OPTIMIZE…WHERE compacts base only; amendments stay live") {
+    val (t, p) = mk(parts = Seq("grp"))
+    t.updateVectored($"id" === 8L, Map("s" -> lit("amended")))
+    val expected = t.read.orderBy("id").collect().toSeq
+    t.compactWhere($"grp" === 0L)
+    assert(t.read.orderBy("id").collect().toSeq == expected,
+      "result-identical after scoped compaction")
+    assert(DvUpdates.committedBatches(spark, p).nonEmpty,
+      "the batch is untouched — full OPTIMIZE is the materialization path")
+    // mergePruned refuses when a touched partition carries amendments
+    val src = Seq((8L, "merged", 0L)).toDF("id", "s", "grp")
+    intercept[IllegalArgumentException] { t.mergePruned(src, Seq("grp", "id")) }
+    // untouched partitions merge fine
+    t.mergePruned(Seq((203L, "new", 3L)).toDF("id", "s", "grp"),
+      Seq("grp", "id"), deleteNotMatchedBySource = false)
+    assert(t.read.filter($"id" === 203L).count() == 1L)
+    assert(t.read.filter($"id" === 8L).select("s").head().getString(0) ==
+      "amended")
+  }
+
+  test("catalog scans, metadata counts, clones and time travel see amendments") {
+    val (t, p) = mk(retain = 2)
+    t.updateVectored($"id" === 42L, Map("s" -> lit("answer")))
+    // catalog (graft SQL source) read — pruning falls back to the
+    // logical scan while batches are live
+    spark.sql("DROP TABLE IF EXISTS udv_cat")
+    spark.sql(s"CREATE TABLE udv_cat USING graft LOCATION '$p'")
+    assert(spark.sql("SELECT s FROM udv_cat WHERE id = 42").head()
+      .getString(0) == "answer")
+    assert(spark.sql("SELECT COUNT(*) c FROM udv_cat").head()
+      .getLong(0) == 100L)
+    // stats manifest over the amended view: metadata COUNT matches
+    t.refreshStats()
+    val m = TableStats.aggregateFromManifest(spark, p,
+      Seq(TableStats.RowCount), t.read.schema)
+    assert(m.head().getLong(0) == 100L)
+    // clone of an amended table reproduces the amended view zero-copy
+    val c = MedallionTable(spark, tmpDir("udv_clone"))
+    c.cloneFrom(t)
+    assert(c.read.filter($"id" === 42L).select("s").head().getString(0) ==
+      "answer")
+    assert(c.read.count() == 100L)
+    // archive via rewrite: the snapshot keeps the amended state
+    t.overwrite(Seq((1L, "z", 0L)).toDF("id", "s", "grp"))
+    val v = t.listVersions().max
+    assert(t.readVersion(v).filter($"id" === 42L).select("s").head()
+      .getString(0) == "answer")
+    assert(t.readVersion(v).count() == 100L)
+  }
+}
