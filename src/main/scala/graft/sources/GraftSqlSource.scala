@@ -426,6 +426,12 @@ private[sources] object GraftFilterTranslator {
       schema.fieldNames.contains(a) && (schema(a).dataType match {
         case _: org.apache.spark.sql.types.NumericType => v.isInstanceOf[Number]
         case org.apache.spark.sql.types.StringType => v.isInstanceOf[String]
+        // time-range predicates prune via the manifest's canonical-epoch
+        // integer bounds (TableStats.toEpochCanonical handles either
+        // datetime-API vintage of the pushed value); NTZ excluded there
+        case dt @ (org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.DateType) =>
+          graft.table.TableStats.toEpochCanonical(dt, v).isDefined
         case _ => false
       })
     f match {

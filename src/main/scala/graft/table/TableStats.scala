@@ -47,6 +47,22 @@ object TableStats {
     * (`input_file_name` is undefined after a join, the deletion-vector
     * case below).
     */
+  /** Canonical-epoch expression for time columns — the rendering-free
+    * bounds [[prunedFiles]] compares time-range predicates against:
+    * epoch MICROS for instant timestamps, epoch DAYS for dates. Both are
+    * pure integers on both the manifest side and the predicate side
+    * (see [[toEpochCanonical]]), so no string rendering can ever
+    * mismatch. TIMESTAMP_NTZ is deliberately absent: its epoch value
+    * depends on the session time zone, and a manifest built under one
+    * zone must not prune a query run under another — NTZ stays on the
+    * lexicographic canonical-string path.
+    */
+  private def epochExpr(dt: DataType, c: Column): Option[Column] = dt match {
+    case TimestampType => Some(unix_micros(c))
+    case DateType => Some(unix_date(c).cast("long"))
+    case _ => None
+  }
+
   private def perFileStats(df: DataFrame, cols: Seq[String],
       fileKey: Option[Column] = None): DataFrame = {
     val aggs = cols.flatMap { c =>
@@ -60,11 +76,30 @@ object TableStats {
         min(col(c)).cast("string").as(s"min_str__$c"),
         max(col(c)).cast("string").as(s"max_str__$c"),
         numericMin.as(s"min_num__$c"),
-        numericMax.as(s"max_num__$c"))
+        numericMax.as(s"max_num__$c")) ++
+        epochExpr(df.schema(c).dataType, col(c)).toSeq.flatMap(e => Seq(
+          min(e).as(s"min_ts__$c"), max(e).as(s"max_ts__$c")))
     } :+ count(lit(1)).as("row_count")
     df.groupBy(fileKey.getOrElse(input_file_name()).as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The predicate-side half of the canonical-epoch contract: the pushed
+    * filter value (whatever vintage of Java time object Spark hands the
+    * V1 source) → the same integer [[epochExpr]] recorded. None = not a
+    * time value this contract covers (caller keeps the file,
+    * conservative).
+    */
+  private[graft] def toEpochCanonical(dt: DataType, v: Any): Option[Long] =
+    (dt, v) match {
+      case (TimestampType, t: java.sql.Timestamp) =>
+        val i = t.toInstant; Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case (TimestampType, i: java.time.Instant) =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+      case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+      case _ => None
+    }
 
   /** One distributed pass: per file × column min/max (string + numeric). */
   def refresh(spark: SparkSession, tablePath: String,
@@ -224,11 +259,15 @@ object TableStats {
     * with missing stats for a constrained column are kept (conservative).
     * `None` result = no manifest — caller must read everything.
     *
-    * Only numeric columns (double-cast bounds) and string columns
-    * (raw-value bounds) participate; timestamp/date constraints must not
-    * be passed here — their filter values' `toString` does not match the
-    * manifest's canonical cast-to-string form, and a lexicographic
-    * comparison of mismatched renderings can skip a matching file.
+    * Numeric columns compare double-cast bounds, string columns raw
+    * values, and TIMESTAMP/DATE columns the canonical-EPOCH integer
+    * bounds (`min_ts__`/`max_ts__`, epoch micros / days) — time-range
+    * scans being THE dominant access shape at 100 TB, their pruning must
+    * not depend on string renderings agreeing (the old footgun; the
+    * bounds are now integers end to end). A time constraint whose value
+    * isn't a recognized Java time object, or a manifest predating the
+    * epoch columns, keeps all files (conservative). TIMESTAMP_NTZ stays
+    * excluded ([[epochExpr]]: its epoch depends on the session zone).
     */
   def prunedFiles(spark: SparkSession, tablePath: String,
       bounds: Seq[(String, Option[Any], Option[Any])],
@@ -242,16 +281,27 @@ object TableStats {
     // instead of referencing absent min_*/max_* columns and failing.
     val statCols = stats.schema.fieldNames.toSet
     val keep = bounds.foldLeft(lit(true)) { case (acc, (c, loOpt, hiOpt)) =>
+      // Time columns compare on the canonical-epoch integer bounds
+      // ([[epochExpr]]/[[toEpochCanonical]]) — pure longs on both sides,
+      // no rendering to mismatch. Numeric/string columns as before.
+      val temporal = schema(c).dataType match {
+        case TimestampType | DateType => true
+        case _ => false
+      }
       val numeric = isNumeric(schema(c).dataType)
       val (loName, hiName) =
-        if (numeric) (s"min_num__$c", s"max_num__$c")
+        if (temporal) (s"min_ts__$c", s"max_ts__$c")
+        else if (numeric) (s"min_num__$c", s"max_num__$c")
         else (s"min_str__$c", s"max_str__$c")
+      def canon(v: Any): Option[Column] =
+        if (temporal) toEpochCanonical(schema(c).dataType, v).map(lit(_))
+        else if (numeric) Some(lit(v).cast("double"))
+        else Some(lit(v))
       if (!statCols.contains(loName) || !statCols.contains(hiName)) acc
       else {
         val (fileLo, fileHi) = (col(loName), col(hiName))
-        def b(v: Any): Column = if (numeric) lit(v).cast("double") else lit(v)
-        val missTooLow = hiOpt.map(v => fileLo > b(v)).getOrElse(lit(false))
-        val missTooHigh = loOpt.map(v => fileHi < b(v)).getOrElse(lit(false))
+        val missTooLow = hiOpt.flatMap(canon).map(fileLo > _).getOrElse(lit(false))
+        val missTooHigh = loOpt.flatMap(canon).map(fileHi < _).getOrElse(lit(false))
         acc && (fileLo.isNull || fileHi.isNull || !(missTooLow || missTooHigh))
       }
     }
