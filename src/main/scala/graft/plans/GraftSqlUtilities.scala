@@ -86,8 +86,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftRestoreTimestampCommand(target.trim, instant)
       case RestoreRe(target, version) =>
         GraftRestoreCommand(target.trim, version.toLong)
-      case SyncDeltaLogRe(target) =>
-        GraftSyncDeltaLogCommand(target.trim, alsoCheckpoint = false)
+      case SyncDeltaLogRe(target, materialized) =>
+        GraftSyncDeltaLogCommand(target.trim, alsoCheckpoint = false,
+          materialize = materialized != null)
       case CheckpointDeltaLogRe(target) =>
         GraftSyncDeltaLogCommand(target.trim, alsoCheckpoint = true)
       case CreateBloomIndexRe(target, cols) =>
@@ -242,7 +243,7 @@ object GraftSqlParser {
   private[plans] val RestoreTsRe: Regex =
     s"""(?is)RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'""".r
   private[plans] val SyncDeltaLogRe: Regex =
-    s"""(?is)SYNC\\s+DELTA\\s+LOG\\s+FOR\\s+$T""".r
+    s"""(?is)SYNC\\s+DELTA\\s+LOG\\s+FOR\\s+$T(\\s+MATERIALIZED)?""".r
   private[plans] val CheckpointDeltaLogRe: Regex =
     s"""(?is)CHECKPOINT\\s+DELTA\\s+LOG\\s+FOR\\s+$T""".r
   private[plans] val SearchBm25Re: Regex =
@@ -604,14 +605,19 @@ final case class GraftBloomIndexCommand(target: String,
   * from.
   */
 final case class GraftSyncDeltaLogCommand(target: String,
-    alsoCheckpoint: Boolean) extends LeafRunnableCommand {
+    alsoCheckpoint: Boolean,
+    /** `… MATERIALIZED`: OPTIMIZE away soft state (renames, clones, DVs,
+      * DV-update batches) before syncing — the SQL spelling of
+      * `DeltaLogExport.sync(materialize = true)`. Without it, soft state
+      * refuses with a message naming this escape hatch. */
+    materialize: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("synced_version", LongType, nullable = false)(),
     AttributeReference("checkpoint_version", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
-    val synced = graft.table.DeltaLogExport.sync(spark, path)
+    val synced = graft.table.DeltaLogExport.sync(spark, path, materialize)
     val ck = if (alsoCheckpoint)
       Some(graft.table.DeltaLogExport.checkpoint(spark, path)) else None
     Seq(Row(path, synced, ck.orNull))

@@ -175,6 +175,32 @@ object SinkQueries {
           "o_orderdate", "o_orderpriority")
     }),
 
+    // Materialize-on-export (round-11 verdict #5): the table has used
+    // EVERY soft feature an external Delta reader cannot interpret —
+    // metadata-only RENAME COLUMN, a deletion-vector delete AND a
+    // DV-backed update — and `SYNC DELTA LOG FOR t MATERIALIZED` bakes
+    // them into plain files with one OPTIMIZE before exporting a clean
+    // version-0 log. The QUERY reads back THROUGH that log
+    // (external-reader protocol in Spark); the ORACLE replays the same
+    // log in DuckDB — hash match ⟺ an external reader reproduces the
+    // renamed+deleted+updated table exactly.
+    "k10_delta_export_materialized" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "delta_mat")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      t.overwrite(Tables.orders(s, dir).filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderpriority"))
+      t.renameColumn("o_totalprice", "price_usd")
+      t.deleteVectored($"price_usd" > 250000)
+      t.updateVectored($"o_orderkey" % 9 === 0,
+        Map("o_orderpriority" -> lit("1-URGENT")))
+      s.sql(s"SYNC DELTA LOG FOR '$p' MATERIALIZED")
+      graft.table.DeltaLogExport.readViaLog(s, p)
+        .select("o_orderkey", "o_orderstatus", "price_usd", "o_orderpriority")
+    }),
+
     // The checkpoint half of the K10 interop story: two synced commits,
     // a checkpoint at version 1, then a post-checkpoint commit. The
     // ORACLE follows the external reader protocol — seed the live set
@@ -1040,6 +1066,22 @@ object SinkQueries {
          |SELECT $OrderCols
          |FROM read_parquet(
          |  '/tmp/graft_scratch/_root_testdata_sf0.01/delta_export/*.parquet',
+         |  filename=true) t
+         |WHERE regexp_extract(t.filename, '[^/]+$$') IN (SELECT p FROM live)"""
+        .stripMargin),
+    "k10_delta_export_materialized" ->
+      (s"""WITH acts AS (
+         |  SELECT json FROM read_json_objects(
+         |    '/tmp/graft_scratch/_root_testdata_sf0.01/delta_mat/_delta_log/*.json',
+         |    format='newline_delimited')),
+         |adds AS (SELECT json_extract_string(json, '$$.add.path') AS p
+         |         FROM acts WHERE json_extract_string(json, '$$.add.path') IS NOT NULL),
+         |rems AS (SELECT json_extract_string(json, '$$.remove.path') AS p
+         |         FROM acts WHERE json_extract_string(json, '$$.remove.path') IS NOT NULL),
+         |live AS (SELECT p FROM adds EXCEPT SELECT p FROM rems)
+         |SELECT o_orderkey, o_orderstatus, price_usd, o_orderpriority
+         |FROM read_parquet(
+         |  '/tmp/graft_scratch/_root_testdata_sf0.01/delta_mat/*.parquet',
          |  filename=true) t
          |WHERE regexp_extract(t.filename, '[^/]+$$') IN (SELECT p FROM live)"""
         .stripMargin),

@@ -89,6 +89,52 @@ object DeltaLogExport {
     * `protocol` + `metaData`). Returns the version written, or -1 when
     * the log already matches (idempotent no-op — nothing is written).
     */
+  /** [[sync]] with materialize-on-export: when the table carries soft
+    * state no external Delta reader can interpret — live column renames,
+    * a shallow-clone pointer manifest, deletion vectors or DV-update
+    * batches — `materialize = true` runs one OPTIMIZE first (the rewrite
+    * bakes every soft feature into plain files and the swap drops
+    * `_graft_meta`, restarting the log at a clean version-0 snapshot of
+    * the SAME logical content), then syncs. Correct, not zero-copy: the
+    * materialization is a full rewrite, which is exactly why the default
+    * `sync` refuses instead of doing this silently. A table with no soft
+    * state skips the rewrite entirely.
+    */
+  def sync(spark: SparkSession, tablePath: String,
+      materialize: Boolean): Long = {
+    if (materialize) {
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val soft = ColumnMap.load(spark, tablePath).nonEmpty ||
+        ShallowClone.isClone(spark, tablePath) ||
+        DeletionVectors.exists(spark, DeletionVectors.dir(tablePath))
+      if (soft)
+        new MedallionTable(spark, tablePath,
+          partitionColumns = detectPartitionColumns(fs, root)).compact()
+    }
+    sync(spark, tablePath)
+  }
+
+  /** Hive partition keys from the directory layout (first `k=v` chain) —
+    * the materializing OPTIMIZE must preserve the layout an exported log
+    * describes via `partitionValues`.
+    */
+  private def detectPartitionColumns(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    var d = root
+    var go = fs.exists(root)
+    while (go) {
+      val subs = fs.listStatus(d).filter(st => st.isDirectory && {
+        val n = st.getPath.getName
+        n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+      })
+      if (subs.isEmpty) go = false
+      else { b += subs.head.getPath.getName.split("=", 2)(0); d = subs.head.getPath }
+    }
+    b.result()
+  }
+
   def sync(spark: SparkSession, tablePath: String): Long = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -98,7 +144,9 @@ object DeltaLogExport {
     // the data files contradict. Materialize (OPTIMIZE) first.
     require(ColumnMap.load(spark, tablePath).isEmpty,
       s"delta-log export refused: $tablePath has live column renames " +
-        "(ColumnMap); run OPTIMIZE to materialize them, then re-sync")
+        "(ColumnMap); run OPTIMIZE to materialize them — or " +
+        "sync(materialize = true) / SYNC DELTA LOG FOR t MATERIALIZED " +
+        "to do both in one step")
     // A clone's data lives in pointer files OUTSIDE the table root; a
     // path-relative log would describe only the local writes and an
     // external reader would miss most of the table. Same remedy: the
@@ -106,16 +154,19 @@ object DeltaLogExport {
     require(!ShallowClone.isClone(spark, tablePath),
       s"delta-log export refused: $tablePath is a shallow clone — its " +
         "data files live outside the table root, which a path-relative " +
-        "Delta log cannot describe; OPTIMIZE to materialize, then re-sync")
-    // A deletion vector changes what readers see without touching files,
-    // so the file census below would be "already in sync" while every
-    // exported add still covers the soft-deleted rows — an external
-    // reader would serve them. Refused for the same reason renames are:
-    // external readers cannot see the sidecar.
+        "Delta log cannot describe; OPTIMIZE to materialize (or " +
+        "sync(materialize = true)), then re-sync")
+    // A deletion vector (delete marks or DV-update batches) changes what
+    // readers see without touching files, so the file census below would
+    // be "already in sync" while every exported add still covers the
+    // soft-deleted rows — an external reader would serve them. Refused
+    // for the same reason renames are: external readers cannot see the
+    // sidecar.
     require(!DeletionVectors.exists(spark, DeletionVectors.dir(tablePath)),
-      s"delta-log export refused: $tablePath has live deletion vectors; " +
-        "external readers cannot see the DV sidecar — OPTIMIZE to " +
-        "materialize the deletes, then re-sync")
+      s"delta-log export refused: $tablePath has live deletion vectors " +
+        "or DV-update batches; external readers cannot see the sidecar — " +
+        "OPTIMIZE to materialize (or sync(materialize = true)), then " +
+        "re-sync")
     val logDir = new Path(root, "_delta_log")
     val (lastVersion, exportedLive, exportedSchema) = replayLog(spark, fs, logDir)
 

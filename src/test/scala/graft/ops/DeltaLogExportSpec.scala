@@ -134,4 +134,41 @@ class DeltaLogExportSpec extends SparkSpec {
     val replayed = spark.read.parquet(fromLog.map(f => s"$p/$f").toSeq: _*)
     assert(replayed.count() == 10)
   }
+
+  test("soft state refuses with the materialize hatch; MATERIALIZED exports it") {
+    import org.apache.spark.sql.functions._
+    val p = tmpDir("dlx_mat")
+    val t = MedallionTable(spark, p)
+    t.overwrite((0 until 100).map(i => (i.toLong, s"r$i", i * 10.0))
+      .toDF("id", "s", "v"))
+    t.renameColumn("v", "value_usd")
+    t.deleteVectored($"id" >= 90)
+    t.updateVectored($"id" < 5, Map("s" -> lit("updated")))
+    // the default sync refuses each soft feature, naming the escape hatch
+    val e = intercept[IllegalArgumentException] { DeltaLogExport.sync(spark, p) }
+    assert(e.getMessage.contains("materialize = true"), e.getMessage)
+    // materialize-on-export: one OPTIMIZE, then a clean v0 log
+    assert(DeltaLogExport.sync(spark, p, materialize = true) == 0L)
+    val viaLog = DeltaLogExport.readViaLog(spark, p)
+    assert(viaLog.columns.contains("value_usd"), "rename materialized")
+    assert(viaLog.count() == 90L, "DV delete materialized")
+    assert(viaLog.filter(col("s") === "updated").count() == 5L,
+      "DV update materialized")
+    // an already-plain table skips the rewrite: materialize is a no-op
+    val files = viaLog.inputFiles.toSet
+    assert(DeltaLogExport.sync(spark, p, materialize = true) == -1L)
+    assert(DeltaLogExport.readViaLog(spark, p).inputFiles.toSet == files)
+    // SQL spelling on a partitioned table with soft state: layout survives
+    val pp = tmpDir("dlx_mat_part")
+    val tp = MedallionTable(spark, pp, partitionColumns = Seq("grp"))
+    tp.overwrite((0 until 60).map(i => (i.toLong, i % 3L)).toDF("id", "grp"))
+    tp.deleteVectored($"id" === 0L)
+    spark.sql(s"SYNC DELTA LOG FOR '$pp' MATERIALIZED")
+    val viaLogP = DeltaLogExport.readViaLog(spark, pp)
+    assert(viaLogP.count() == 59L)
+    assert(viaLogP.groupBy("grp").count().count() == 3L,
+      "partition column survives the materializing OPTIMIZE")
+    assert(new java.io.File(s"$pp/grp=1").isDirectory,
+      "hive layout preserved for the exported partitionValues")
+  }
 }
