@@ -150,11 +150,14 @@ final class MedallionTable(
     * mutation claims a marker BEFORE its data lands, so a new claim
     * forces re-resolution). The data-lands-after-claim window (a
     * concurrent reader resolving mid-write caches the pre-write schema
-    * under the claimed stamp) is closed same-JVM by the writer-side
-    * [[MedallionTable.invalidateSchema]] at write completion; the
-    * residual exposure is a cross-JVM reader racing a concurrent
-    * schema-EVOLVING append, which no supported workload does (schema
-    * DDL is single-writer by the same argument as the rewrite fence).
+    * under the claimed stamp) is closed same-JVM for EVERY session by
+    * the writer-side path-wide memo drop at write completion
+    * (`schemaCache.removeWhere` — a racing reader session's stale entry
+    * dies with the writer's own; SchemaMemoCrossSessionSpec pins both
+    * the sequential and the racing case). The residual exposure is a
+    * cross-JVM reader racing a concurrent schema-EVOLVING append, which
+    * no supported workload does (schema DDL is single-writer by the
+    * same argument as the rewrite fence).
     * A deliberately-recursive file census was measured first and
     * rejected: walking many-file tables on every read cost more than the
     * footer jobs it saved (TimeQuery A/B, sim_hybrid_standing ~8.0 →
@@ -465,7 +468,7 @@ final class MedallionTable(
       // same-JVM close of the data-lands-after-claim schema-memo window
       // (see [[mergedParquet]]): drop the memo once this write's files
       // are final, whether it succeeded or released its claim
-      MedallionTable.schemaCache.remove(schemaCacheKey)
+      MedallionTable.schemaCache.removeWhere(_.endsWith("|" + path))
       try fs.delete(writeLock, false)
       catch { case _: java.io.IOException => () }
     }
@@ -890,7 +893,7 @@ final class MedallionTable(
     } finally {
       // swap renames land AFTER the marker CAS — drop the schema memo so
       // no reader keeps a pre-swap schema under the post-CAS stamp
-      MedallionTable.schemaCache.remove(schemaCacheKey)
+      MedallionTable.schemaCache.removeWhere(_.endsWith("|" + path))
       if (!written) fs.delete(tmp, true) // failed write leaves no litter
     }
   }
