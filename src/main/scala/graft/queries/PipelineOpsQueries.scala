@@ -516,9 +516,15 @@ object PipelineOpsQueries {
     // over CELL RESIDUALS score it — the fourth ANN path and the one
     // production systems run at billion-vector scale (cells bound the
     // candidates, codes bound the memory). Rows-only like its siblings.
+    // ivfIterations = 1 (round-12, per the round-11 verdict): in-bench
+    // training work is bounded the way the xcheck twin's is —
+    // ProfileAnnXcheck attributes ~2/3 of this query's wall to
+    // refineCentroids + trainCodebooks, and recall quality lives in
+    // IvfSpec/StandingIndexRetrainSpec, not this bench row; the
+    // production path amortizes training (sim_standing_ivfpq).
     "sim_ivfpq_topk" -> ((s, dir) =>
       graft.similarity.IvfPq.topK(Tables.embeddings(s, dir),
-        col("vec_id") < 8, k = 5)),
+        col("vec_id") < 8, k = 5, ivfIterations = 1)),
 
     // Decision cross-check (the sim_pq_xcheck recipe lifted to the
     // composite): an exact copy of each query assigns to the query's own

@@ -56,14 +56,20 @@ object Pq {
     * to the lowest code id), not a sort-window: one partial-aggregating
     * shuffle instead of a full sort of corpus × k rows.
     */
-  private[similarity] def assignCodes(subs: DataFrame, books: DataFrame): DataFrame =
+  private[similarity] def assignCodes(subs: DataFrame, books: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    // `carry`: extra per-vector columns (functionally dependent on
+    // vec_id, e.g. IvfPq's cell_id) kept through the argmin aggregate —
+    // carrying them here is free (same groups), while recovering them by
+    // re-joining corpus-sized frames afterwards costs a shuffle join
+    // (the round-12 sim_ivfpq_topk attribution).
     subs.join(broadcast(books), Seq("sub_id"))
       .withColumn("dist", l2sq(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("sub_id"))
+      .groupBy((Seq("vec_id", "sub_id") ++ carry).map(col): _*)
       .agg(expr("min_by(named_struct('sv', sv, 'code', code), " +
         "named_struct('dist', dist, 'code', code))").as("best"))
-      .select(col("vec_id"), col("sub_id"),
-        col("best.sv").as("sv"), col("best.code").as("code"))
+      .select((Seq(col("vec_id"), col("sub_id")) ++ carry.map(col) :+
+        col("best.sv").as("sv") :+ col("best.code").as("code")): _*)
 
   /** (sub_id, code, cv): all m codebooks trained JOINTLY in one
     * DataFrame keyed by (sub_id, code). Seeds = the subvectors of the k
