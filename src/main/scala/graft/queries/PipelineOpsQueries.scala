@@ -343,6 +343,21 @@ object PipelineOpsQueries {
       graft.similarity.Pq.topK(Tables.embeddings(s, dir), col("vec_id") < 8,
         k = 5, m = 8, kCent = 16, iterations = 0)),
 
+    // Seeded IVFADC twin (round 12): iterations = 0 on BOTH quantizers —
+    // cells are the vec_id < 4 vectors, codebooks the residual
+    // subvectors of the 16 lowest ids — so the ENTIRE composite
+    // reproduces formula-for-formula in DuckDB: cosine cell assignment,
+    // per-cell residuals (exact double subtraction both sides), residual
+    // code argmin, the probe rule, per-(query, cell) residual LUTs, and
+    // the micro-rounded integer ADC ranking. This closes the last
+    // decision-only ANN gap: sim_ivfpq_topk's trained path stays
+    // rows-only with the planted-copy xcheck, while the pipeline itself
+    // is now FULL-hash-oracled end to end, like its IVF and PQ halves.
+    "sim_ivfpq_seeded" -> ((s, dir) =>
+      graft.similarity.IvfPq.topK(Tables.embeddings(s, dir),
+        col("vec_id") < 8, k = 5, nCells = 4, nProbe = 2, m = 8, kCent = 16,
+        ivfIterations = 0, pqIterations = 0)),
+
     // DECISION-level cross-check for BOTH ANN scale paths (the
     // dedup_decision_xcheck recipe lifted to vectors): plant an exact
     // duplicate of each query vector under a fresh id and demand each
@@ -1172,6 +1187,80 @@ object PipelineOpsQueries {
          |  SELECT l.query_id, c.vec_id AS neighbor_id,
          |         SUM(l.dist_micro) AS adist
          |  FROM codes c JOIN lut l ON l.sub_id = c.sub_id AND l.code = c.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+         |  FROM adc WHERE neighbor_id <> query_id)
+         |WHERE rank <= 5""".stripMargin),
+    "sim_ivfpq_seeded" ->
+      ("""WITH cents AS (
+         |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 4),
+         |assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+         |                      c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |resid AS (
+         |  SELECT e.vec_id, a.cell_id,
+         |         list_transform(range(1, len(e.embedding) + 1),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS rv
+         |  FROM embeddings e
+         |  JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN cents c ON c.cell_id = a.cell_id),
+         |subs AS (SELECT unnest(generate_series(0, 7)) AS sub_id),
+         |vsubs AS (
+         |  SELECT r.vec_id, r.cell_id, s.sub_id,
+         |         r.rv[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS sv
+         |  FROM resid r CROSS JOIN subs s),
+         |seeds AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+         |  FROM (SELECT DISTINCT vec_id FROM embeddings
+         |        WHERE vec_id IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |books AS (
+         |  SELECT v.sub_id, sd.code, v.sv AS cv
+         |  FROM seeds sd JOIN vsubs v ON v.vec_id = sd.vec_id),
+         |codes AS (
+         |  SELECT vec_id, cell_id, sub_id, code FROM (
+         |    SELECT v.vec_id, v.cell_id, v.sub_id, b.code,
+         |           row_number() OVER (PARTITION BY v.vec_id, v.sub_id ORDER BY
+         |             list_inner_product(v.sv, v.sv) + list_inner_product(b.cv, b.cv)
+         |               - 2 * list_inner_product(v.sv, b.cv), b.code) AS rn
+         |    FROM vsubs v JOIN books b ON b.sub_id = v.sub_id) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cell_id FROM (
+         |    SELECT q.vec_id AS query_id, c.cell_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_cosine_similarity(q.embedding, c.cv) DESC,
+         |                      c.cell_id) AS rn
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8)
+         |  WHERE rn <= 2),
+         |qresid AS (
+         |  SELECT p.query_id, p.cell_id,
+         |         list_transform(range(1, len(q.embedding) + 1),
+         |           i -> CAST(q.embedding[i] AS DOUBLE) - c.cv[i]) AS qrv
+         |  FROM probes p
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN cents c ON c.cell_id = p.cell_id),
+         |qsubs AS (
+         |  SELECT r.query_id, r.cell_id, s.sub_id,
+         |         r.qrv[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS qv
+         |  FROM qresid r CROSS JOIN subs s),
+         |lut AS (
+         |  SELECT qs.query_id, qs.cell_id, b.sub_id, b.code,
+         |         CAST(round((list_inner_product(qs.qv, qs.qv)
+         |             + list_inner_product(b.cv, b.cv)
+         |             - 2 * list_inner_product(qs.qv, b.cv)) * 1e6) AS BIGINT) AS dist_micro
+         |  FROM qsubs qs JOIN books b ON b.sub_id = qs.sub_id),
+         |adc AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.dist_micro) AS adist
+         |  FROM codes c
+         |  JOIN lut l ON l.cell_id = c.cell_id AND l.sub_id = c.sub_id
+         |            AND l.code = c.code
          |  GROUP BY 1, 2)
          |SELECT query_id, neighbor_id, rank FROM (
          |  SELECT query_id, neighbor_id,

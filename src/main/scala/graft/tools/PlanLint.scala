@@ -63,6 +63,9 @@ object PlanLint {
       "IVFADC composite: same corpus x broadcast(centroids) assignment as sim_ann_ivf; ADC itself is an equi-join on (cell_id, sub_id, code)"),
     "sim_ivfpq_xcheck" -> (Set("BroadcastNestedLoopJoin"),
       "same IVFADC assignment on the planted-dup corpus"),
+    "sim_ivfpq_seeded" -> (Set("BroadcastNestedLoopJoin"),
+      "same IVFADC corpus x broadcast(centroids) assignment with seed " +
+        "(iterations=0) quantizers for the end-to-end DuckDB oracle"),
     "embed_knn_classifier" -> (Set("BroadcastNestedLoopJoin"),
       "vote over the bounded sim_topk_bruteforce kernel (25 broadcast queries); the scale path swaps in Ivf/IvfPq topK — same output shape"),
     "sim_decontaminate_semantic" -> (Set("BroadcastNestedLoopJoin"),
