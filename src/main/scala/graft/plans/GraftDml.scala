@@ -240,13 +240,22 @@ private[plans] object GraftDml {
 }
 
 /** `UPDATE g SET … [WHERE …]` → [[MedallionTable.update]] (simultaneous
-  * assignment semantics, matching SQL).
+  * assignment semantics, matching SQL). With the session conf
+  * `spark.graft.dvWrites=true` the update routes through the
+  * deletion-vector path instead ([[MedallionTable.updateVectored]] —
+  * O(matched) marks + staged batch, zero data files rewritten), the way
+  * Delta routes DML once `enableDeletionVectors` is set; result-identical
+  * by the DvUpdates contract, and refused with the usual actionable
+  * message on a table with a live Delta-log export.
   */
 final case class GraftUpdateCommand(path: String, cond: Column,
     set: Map[String, Column], targetRelation: LogicalPlan)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    new MedallionTable(spark, path).update(cond, set)
+    val t = new MedallionTable(spark, path)
+    if (spark.conf.getOption("spark.graft.dvWrites").exists(_.toBoolean))
+      t.updateVectored(cond, set)
+    else t.update(cond, set)
     GraftDml.invalidateCaches(spark, path, Some(targetRelation))
     Seq.empty
   }

@@ -139,6 +139,39 @@ class UpdateVectoredSpec extends SparkSpec {
       "amended")
   }
 
+  test("SQL UPDATE routes through the DV path under spark.graft.dvWrites") {
+    val (t, p) = mk()
+    spark.sql("DROP TABLE IF EXISTS udv_sql")
+    spark.sql(s"CREATE TABLE udv_sql USING graft LOCATION '$p'")
+    val before = dataFiles(p)
+    spark.conf.set("spark.graft.dvWrites", "true")
+    try spark.sql("UPDATE udv_sql SET s = 'sql_updated' WHERE id < 7")
+    finally spark.conf.unset("spark.graft.dvWrites")
+    assert(dataFiles(p) == before, "DV-routed SQL UPDATE rewrites nothing")
+    assert(spark.sql("SELECT COUNT(*) c FROM udv_sql WHERE s = 'sql_updated'")
+      .head().getLong(0) == 7L)
+    assert(t.read.count() == 100L)
+    // without the conf, the same statement takes the rewrite path
+    spark.sql("UPDATE udv_sql SET s = 'rewritten' WHERE id = 50")
+    assert(dataFiles(p) != before, "default SQL UPDATE still rewrites")
+    assert(DvUpdates.committedBatches(spark, p).isEmpty,
+      "the rewrite materialized the earlier DV amendments")
+    assert(spark.sql("SELECT s FROM udv_sql WHERE id = 0").head()
+      .getString(0) == "sql_updated")
+  }
+
+  test("CDC across a vectored update reports the changed rows") {
+    val (t, _) = mk(retain = 2)
+    t.compact(nFiles = 2) // archive the pre-update state as a snapshot
+    val v = t.listVersions().max
+    t.updateVectored($"id" === 3L, Map("s" -> lit("after")))
+    val changes = t.changesSince(v, Seq("id")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet
+    assert(changes.exists(c => c._1 == 3L),
+      s"update to id=3 must appear in the CDC diff: $changes")
+    assert(!changes.exists(_._1 == 4L), "untouched rows must not appear")
+  }
+
   test("catalog scans, metadata counts, clones and time travel see amendments") {
     val (t, p) = mk(retain = 2)
     t.updateVectored($"id" === 42L, Map("s" -> lit("answer")))
