@@ -263,7 +263,13 @@ final case class GraftUpdateCommand(path: String, cond: Column,
 
 /** `MERGE INTO g USING s ON … WHEN …` → [[MedallionTable.mergeClauses]]:
   * one full-outer shuffle join on the extracted equi-keys, first-match
-  * clause semantics, Delta's multiple-source-rows-matched failure.
+  * clause semantics, Delta's multiple-source-rows-matched failure. With
+  * `spark.graft.dvWrites=true` AND no NOT MATCHED BY SOURCE clause, the
+  * merge routes through the deletion-vector path instead
+  * ([[MedallionTable.mergeVectored]] — O(matched+inserted) marks + one
+  * staged batch, zero data files rewritten), mirroring Delta's DV-enabled
+  * MERGE; a by-source clause acts on the O(table) unmatched-target row
+  * class, so those merges keep the rewrite plan even under the flag.
   */
 final case class GraftMergeCommand(
     path: String,
@@ -275,7 +281,11 @@ final case class GraftMergeCommand(
     targetRelation: LogicalPlan) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    new MedallionTable(spark, path).mergeClauses(
+    val t = new MedallionTable(spark, path)
+    val dv = spark.conf.getOption("spark.graft.dvWrites").exists(_.toBoolean)
+    if (dv && notMatchedBySource.isEmpty)
+      t.mergeVectored(B.ofRows(spark, source), keys, matched, notMatched)
+    else t.mergeClauses(
       B.ofRows(spark, source), keys, matched, notMatched, notMatchedBySource)
     GraftDml.invalidateCaches(spark, path, Some(targetRelation))
     Seq.empty

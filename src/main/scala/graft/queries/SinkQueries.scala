@@ -397,6 +397,46 @@ object SinkQueries {
         "o_totalprice", "o_orderpriority")
     }),
 
+    // Deletion-vector MERGE (graft.table.MergeOps.mergeVectoredPlan via
+    // MedallionTable.mergeVectored): the full MERGE clause surface —
+    // conditional DELETE, UPDATE, conditional INSERT — as O(matched+
+    // inserted) marks + ONE staged batch, zero base files rewritten,
+    // committed by one atomic rename. The 100 TB plan shape: one
+    // broadcast-hash pass over the table (never a table shuffle), the
+    // matched set persisted at O(matched) and reused for marks, new
+    // versions, and the insert anti-join. Source keys: every 50th order
+    // updates-or-deletes, every 500th is re-keyed +10M as a guaranteed
+    // non-matching insert.
+    "k_merge_dv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.table.MergeOps._
+      val p = Q.scratch(dir, "k_merge_dv")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o)
+      val src = o.filter($"o_orderkey" % 50 === 0)
+        .select($"o_orderkey".as("k"), $"o_custkey".as("ck"),
+          $"o_totalprice".as("tp"))
+        .unionByName(o.filter($"o_orderkey" % 500 === 0)
+          .select(($"o_orderkey" + 10000000L).as("k"), $"o_custkey".as("ck"),
+            $"o_totalprice".as("tp")))
+      t.mergeVectored(src, Seq("o_orderkey" -> "k"),
+        Seq(
+          WhenMatchedDelete(Some((tc, _) => tc("o_totalprice") > 200000)),
+          WhenMatchedUpdate(None, Map(
+            "o_orderpriority" -> ((_, _) => lit("1-URGENT")),
+            "o_orderstatus" -> ((_, _) => lit("M"))))),
+        Seq(WhenNotMatchedInsert(None, Map(
+          "o_orderkey" -> ((_, sc) => sc("k")),
+          "o_custkey" -> ((_, sc) => sc("ck")),
+          "o_orderstatus" -> ((_, _) => lit("I")),
+          "o_totalprice" -> ((_, sc) => sc("tp")),
+          "o_orderpriority" -> ((_, _) => lit("5-LOW"))))))
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+    }),
+
     // K6 — bloom-index point-lookup skipping: the table is clustered by
     // DATE (the natural log layout), so every file's o_orderkey [min,max]
     // spans the whole key domain and the stats manifest prunes NOTHING
@@ -1149,6 +1189,27 @@ object SinkQueries {
          |       o_orderpriority
          |FROM u2
          |WHERE NOT (o_orderstatus = 'X' AND o_totalprice > 250000)
+         |""".stripMargin),
+    "k_merge_dv_roundtrip" ->
+      ("""WITH src AS (
+         |  SELECT o_orderkey AS k, o_custkey AS ck, o_totalprice AS tp
+         |  FROM orders WHERE o_orderkey % 50 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+         |  FROM orders WHERE o_orderkey % 500 = 0
+         |)
+         |SELECT o.o_orderkey, o.o_custkey,
+         |       CASE WHEN s.k IS NOT NULL THEN 'M'
+         |            ELSE o.o_orderstatus END AS o_orderstatus,
+         |       o.o_totalprice,
+         |       CASE WHEN s.k IS NOT NULL THEN '1-URGENT'
+         |            ELSE o.o_orderpriority END AS o_orderpriority
+         |FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k
+         |WHERE NOT (s.k IS NOT NULL AND o.o_totalprice > 200000)
+         |UNION ALL
+         |SELECT s.k, s.ck, 'I', s.tp, '5-LOW'
+         |FROM src s LEFT JOIN orders o ON s.k = o.o_orderkey
+         |WHERE o.o_orderkey IS NULL
          |""".stripMargin),
     "k_rename_column_roundtrip" ->
       ("SELECT o_orderkey, o_orderstatus, o_totalprice AS price_usd " +

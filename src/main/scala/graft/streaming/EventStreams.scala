@@ -113,6 +113,46 @@ object EventStreams {
       }
       .start()
 
+  /** [[upsertStream]] through the deletion-vector MERGE
+    * ([[graft.table.MedallionTable.mergeVectored]]): per-batch write cost
+    * O(batch) — marks + one staged batch, committed by one atomic rename —
+    * instead of the rewrite merge's O(table). THE streaming shape at
+    * 100 TB: a continuous upsert stream cannot pay a full-table rewrite
+    * per micro-batch; it pays O(batch) per batch and lets OPTIMIZE
+    * materialize the accumulated amendments on a maintenance cadence
+    * (autoCompact bounds the creep).
+    *
+    * Replay safety is CONTENT-level idempotence: the upsert clauses set
+    * every source column, so a replayed batch re-marks the (already
+    * current) versions and rewrites identical values — reads never change.
+    * Each batch is deduplicated on the keys first: micro-batches routinely
+    * carry several versions of one key, and MERGE (Delta parity) refuses
+    * duplicate source keys; last-write-wins needs an ordering column the
+    * caller does not have here, so "any of the batch's versions, exactly
+    * one of them" is the contract (same as the rewrite sink's, which
+    * inherits it from dropDuplicates-before-merge reference pipelines).
+    */
+  def upsertStreamVectored(events: DataFrame, tablePath: String,
+      keys: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.dropDuplicates(keys)
+        val t = graft.table.MedallionTable(batch.sparkSession, tablePath)
+        if (!t.exists) t.overwrite(b)
+        else {
+          import graft.table.MergeOps._
+          val set: Map[String, (ColRef, ColRef) => Column] =
+            b.columns.toSeq.map(c =>
+              c -> ((_: ColRef, s: ColRef) => s(c))).toMap
+          t.mergeVectored(b, keys.map(k => k -> k),
+            Seq(WhenMatchedUpdate(None, set)),
+            Seq(WhenNotMatchedInsert(None, set)))
+        }
+      }
+      .start()
+
   /** Streaming medallion gold: each micro-batch upserts the fact table,
     * then delta-maintains a grouped gold aggregate
     * ([[graft.table.IncrementalAgg]]) from the fact table's CDC — the gold

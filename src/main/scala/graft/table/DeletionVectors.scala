@@ -157,4 +157,28 @@ object DeletionVectors {
     */
   private[table] var MaxCollectedSidecarBytes: Long = 64L << 20
 
+  /** The FLAT mark files directly under the sidecar dir — the
+    * [[graft.table.MedallionTable.deleteVectored]] appends. Committed
+    * UPDATE/MERGE marks live in `update_<batch>/` SUBDIRECTORIES and are
+    * excluded: their directory existence is the batch-visibility witness
+    * ([[DvUpdates]]), so they must never be rewritten or removed outside
+    * a materializing rewrite.
+    */
+  private[table] def flatMarkFiles(spark: SparkSession,
+      tablePath: String): Seq[Path] = {
+    val d = new Path(dir(tablePath))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.collect {
+      case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+        st.getPath
+    }
+  }
+
+  /** Staging area for [[graft.table.MedallionTable.compactDv]] — inside
+    * `_graft_meta`, invisible to reads; crash litter here is vacuumed.
+    */
+  private[table] def compactStagingDir(tablePath: String): Path =
+    new Path(s"$tablePath/_graft_meta/dv_compact_staging")
+
 }

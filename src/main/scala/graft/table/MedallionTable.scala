@@ -726,6 +726,100 @@ final class MedallionTable(
       op = "merge")
   }
 
+  /** Deletion-vector MERGE — the [[DvUpdates]] write path for
+    * `MERGE INTO`, the mechanism Delta ships as DV-enabled merge: instead
+    * of [[mergeClauses]]' full-table rewrite, the matched rows consumed by
+    * an UPDATE or DELETE clause are position-marked in the DV sidecar,
+    * their new versions (plus the NOT MATCHED inserts) land as ONE staged
+    * batch, and a single atomic directory rename commits both — write cost
+    * O(matched + inserted), zero base data files touched. Semantics are
+    * [[mergeClauses]]' exactly (first-applying-clause, target schema out,
+    * Delta's multiple-source-rows failure), which `MergeVectoredSpec`
+    * pins by running both paths on the same inputs.
+    *
+    * Cost shape at 100 TB — the reason this exists: ONE pass over the
+    * table (a broadcast-hash inner join against the small source — no
+    * table shuffle, target-only rows never leave the scan), persisted at
+    * O(matched) and reused for the marks, the new versions, and the
+    * insert anti-join. A daily upsert touching 0.1% of rows pays 0.1%,
+    * not a full rewrite.
+    *
+    * Contract edges, all loud:
+    *   - NOT MATCHED BY SOURCE clauses are refused — that row class is
+    *     every target row WITHOUT a match, which is O(table) marks on a
+    *     sync merge; [[mergeClauses]] (the rewrite) is the right tool.
+    *   - The source must be broadcast-sized and the matched set
+    *     memory/disk-cacheable (MEMORY_AND_DISK — spills, never recompute
+    *     storms). A merge touching most of the table belongs to the
+    *     rewrite path too.
+    *   - Refused while a Delta-log export is live (external readers
+    *     cannot see the sidecar or staged batches), like every DV write.
+    *   - No schema evolution: output schema ≡ target schema, as SQL MERGE.
+    */
+  def mergeVectored(
+      source: DataFrame,
+      keys: Seq[(String, String)],
+      matched: Seq[MergeOps.WhenClause],
+      notMatched: Seq[MergeOps.WhenNotMatchedInsert],
+      checkUniqueKeys: Boolean = true): Unit = withClaimedCommit("merge-dv") {
+    import org.apache.spark.sql.functions.col
+    requireNoDeltaLogForDv()
+    if (checkUniqueKeys)
+      MergeOps.requireUniqueKeys(source, keys.map(_._2))
+    val logical = read
+    val live = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
+      dvLiveWithPos(), ColumnMap.load(spark, path)))
+    val plan = MergeOps.mergeVectoredPlan(live, source, keys, matched,
+      notMatched, logical.columns.toSeq, logical.schema,
+      Seq("__graft_dv_file", "__graft_dv_pos"))
+    val j = plan.matchedPairs.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batch = java.util.UUID.randomUUID().toString.take(12)
+      val batchDir = DvUpdates.batchDataDir(path, batch)
+      val marksStaging = DvUpdates.marksStagingDir(path, batch)
+      val newRows = plan.newVersions(j).unionByName(plan.inserts(j))
+      // stage 1: new versions + inserts — table partition layout, CHECKs
+      // enforced, physical column names (same dialect as the base files)
+      val w = ColumnMap.toPhysical(enforced(newRows),
+        ColumnMap.load(spark, path)).write.mode(SaveMode.Overwrite)
+      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
+       else w).parquet(batchDir)
+      // stage 2: marks for the consumed matched rows' OLD positions
+      plan.marks(j).write.mode(SaveMode.Overwrite).parquet(marksStaging.toString)
+      // row-based emptiness: an empty frame's write can still leave a
+      // zero-row part file, which must not become a committed batch
+      val batchHasRows = ShallowClone.listParquet(spark, batchDir).nonEmpty &&
+        spark.read.parquet(batchDir).head(1).nonEmpty
+      val marksHaveRows =
+        ShallowClone.listParquet(spark, marksStaging.toString).nonEmpty &&
+          spark.read.parquet(marksStaging.toString).head(1).nonEmpty
+      if (!batchHasRows && !marksHaveRows) {
+        // no clause consumed anything: leave no witness, clear the litter
+        fs.delete(new Path(batchDir), true)
+        fs.delete(marksStaging, true)
+      } else {
+        // An insert-only merge commits zero marks; a delete-only merge
+        // commits an empty batch. The WITNESS is the marks DIRECTORY
+        // existing (DvUpdates.committedBatches), so materialize both dirs
+        // even when their side is empty — an empty marks dir hides
+        // nothing and an empty batch dir contributes no scan, but the
+        // commit rename still flips visibility atomically.
+        fs.mkdirs(new Path(batchDir))
+        if (!fs.exists(marksStaging)) fs.mkdirs(marksStaging)
+        invalidateStats()
+        fs.mkdirs(new Path(DeletionVectors.dir(path)))
+        MedallionTable.testFailpoint("pre-merge-dv-commit")
+        // COMMIT POINT: one atomic rename — marks hide the old versions
+        // AND witness the staged batch into reads (DvUpdates contract)
+        if (!fs.rename(marksStaging, DvUpdates.marksDir(path, batch)))
+          throw new java.io.IOException(
+            s"merge-dv commit rename failed: $marksStaging -> " +
+              DvUpdates.marksDir(path, batch))
+      }
+    } finally j.unpersist()
+  }
+
   /** Type-2 SCD merge (see [[MergeOps.scd2Merge]]): applies an attribute
     * snapshot effective at `effective`, closing changed current rows and
     * opening their new versions, through the same rewrite commit protocol
@@ -1309,6 +1403,47 @@ final class MedallionTable(
         .write.mode(SaveMode.Append).parquet(dvPath)
     }
 
+  /** Compact the DV sidecar's FLAT delete-mark files: N small appends
+    * (one per [[deleteVectored]] call) become ONE deduplicated file. Every
+    * read lists and scans the whole sidecar, and the collect fast path
+    * caps on its byte size — so between materializing rewrites, a
+    * delete-heavy table accumulates exactly the small-file creep this
+    * clears. Returns the number of mark files removed (0 = nothing to do).
+    *
+    * Crash-safe WITHOUT a commit window, by the sidecar's own semantics:
+    * marks are idempotent hides and duplicates are harmless (anti-join),
+    * so the combined file lands FIRST (rename from staging) and the old
+    * files are deleted after — any crash between leaves a harmless
+    * superset that the next compaction clears. Committed UPDATE/MERGE
+    * marks (`update_<batch>/` subdirectories) are untouched: their
+    * existence witnesses batch visibility ([[DvUpdates]]) and they are
+    * dropped only by the materializing rewrite.
+    */
+  def compactDv(): Int = withClaimedCommit("dv-compact") {
+    import org.apache.spark.sql.functions.col
+    val old = DeletionVectors.flatMarkFiles(spark, path)
+    if (old.size < 2) 0
+    else {
+      val staging = DeletionVectors.compactStagingDir(path)
+      fs.delete(staging, true)
+      spark.read.parquet(old.map(_.toString): _*)
+        .select(col("file"), col("pos")).distinct()
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val part = ShallowClone.listParquet(spark, staging.toString)
+      require(part.nonEmpty, s"dv-compact: staging produced no file ($staging)")
+      val combined = new Path(DeletionVectors.dir(path),
+        s"compacted_${java.util.UUID.randomUUID().toString.take(12)}.parquet")
+      if (!fs.rename(new Path(part.head), combined))
+        throw new java.io.IOException(
+          s"dv-compact: rename failed: ${part.head} -> $combined")
+      MedallionTable.testFailpoint("mid-dv-compact")
+      old.foreach(f => fs.delete(f, false))
+      fs.delete(staging, true)
+      old.size
+    }
+  }
+
   /** `UPDATE SET … WHERE` via the deletion-vector extension
     * ([[DvUpdates]]): O(matched) instead of [[update]]'s O(table)
     * rewrite. Semantics are identical to [[update]] — simultaneous
@@ -1828,20 +1963,29 @@ final class MedallionTable(
       n
     }
     if (!exists) 0
-    else if (partitionColumns.isEmpty) {
-      val live = dataFileSet().size
-      if (live > maxFiles) { compact(); 1 } else 0
-    } else {
-      val schema = read.schema
-      // every partition dir, via the always-true predicate
-      import org.apache.spark.sql.functions.lit
-      val victims = matchingPartitionDirs(lit(true), schema)
-        .filter(d => nParquetUnder(new Path(d)) > maxFiles)
-      if (victims.isEmpty) 0
-      else {
-        compactWhere(dirsPredicate(victims, schema))
-        victims.size
-      }
+    else {
+      // delete-heavy tables creep in the SIDECAR too: many small flat
+      // mark files, each listed and scanned by every read — same
+      // janitor, same threshold (update_<batch> witnesses excluded)
+      val dvCompacted =
+        if (DeletionVectors.flatMarkFiles(spark, path).size > maxFiles) {
+          compactDv(); 1
+        } else 0
+      dvCompacted + (if (partitionColumns.isEmpty) {
+        val live = dataFileSet().size
+        if (live > maxFiles) { compact(); 1 } else 0
+      } else {
+        val schema = read.schema
+        // every partition dir, via the always-true predicate
+        import org.apache.spark.sql.functions.lit
+        val victims = matchingPartitionDirs(lit(true), schema)
+          .filter(d => nParquetUnder(new Path(d)) > maxFiles)
+        if (victims.isEmpty) 0
+        else {
+          compactWhere(dirsPredicate(victims, schema))
+          victims.size
+        }
+      })
     }
   }
 
@@ -1893,8 +2037,19 @@ final class MedallionTable(
     p.getName.startsWith(s"${name}__graft_old_")
   }
 
+  /** Crash litter of an interrupted [[compactDv]] — the staging dir only:
+    * a compacted file that landed is REAL marks (kept), and not-yet-
+    * deleted old flat files are a harmless superset (the next compaction
+    * clears them).
+    */
+  private def dvCompactLitter(): Seq[Path] = {
+    val st = DeletionVectors.compactStagingDir(path)
+    if (fs.exists(st)) Seq(st) else Nil
+  }
+
   def vacuumDryRun(): Seq[(String, String)] = {
-    val litter = rewriteLitter() ++ DvUpdates.orphans(spark, path)
+    val litter = rewriteLitter() ++ DvUpdates.orphans(spark, path) ++
+      dvCompactLitter()
     if (litter.isEmpty) return Nil
     val backups = litter.filter(isBackup)
     if (exists)
@@ -1935,7 +2090,7 @@ final class MedallionTable(
     val toDelete = litter() ++
       // a crashed updateVectored's invisible staging: batch dirs without
       // a committed marks witness, and marks stagings that never renamed
-      DvUpdates.orphans(spark, path)
+      DvUpdates.orphans(spark, path) ++ dvCompactLitter()
     toDelete.foreach(p => fs.delete(p, true))
     // Crashed-writer leftovers in the commits dir: a standing intent and
     // the writer lock (both deliberately unexpiring — they fail others

@@ -417,39 +417,13 @@ object MergeOps {
     val srcPresent = col(SrcMark).isNotNull
     val tgtPresent = col(TgtMark).isNotNull
 
-    // First clause whose condition holds (NULL = does not hold, SQL
-    // three-valued semantics via when()); -1 = no clause applies.
-    def chosen(clauses: Seq[WhenClause]): Column =
-      clauses.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), els) =>
-        when(cl.condition.map(f => f(tc, sc)).getOrElse(lit(true)), lit(i))
-          .otherwise(els)
-      }
-    val mIdx = chosen(matched)
-    val iIdx = chosen(notMatched)
-    val nIdx = chosen(notMatchedBySource)
+    val mIdx = chosen(matched, tc, sc)
+    val iIdx = chosen(notMatched, tc, sc)
+    val nIdx = chosen(notMatchedBySource, tc, sc)
 
     def chainValues(clauses: Seq[WhenClause], idx: Column, c: String,
-        default: Column): Column = {
-      val dt = target.schema(c).dataType
-      clauses.zipWithIndex.foldRight(default) { case ((cl, i), els) =>
-        val v: Column = cl match {
-          case WhenMatchedUpdate(_, set) =>
-            set.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(default)
-          case WhenNotMatchedBySourceUpdate(_, set) =>
-            set.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(default)
-          case WhenNotMatchedInsert(_, values) =>
-            values.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(lit(null).cast(dt))
-          case _ => default // DELETE rows are filtered out; value unused
-        }
-        when(idx === i, v).otherwise(els)
-      }
-    }
-
-    def deleteChosen(clauses: Seq[WhenClause], idx: Column): Column =
-      clauses.zipWithIndex.collect {
-        case (_: WhenMatchedDelete, i)         => idx === i
-        case (_: WhenNotMatchedBySourceDelete, i) => idx === i
-      }.reduceOption(_ || _).getOrElse(lit(false))
+        default: Column): Column =
+      chainClauseValues(target.schema, clauses, idx, c, default, tc, sc)
 
     val keep =
       when(tgtPresent && srcPresent, !deleteChosen(matched, mIdx))
@@ -465,5 +439,151 @@ object MergeOps {
     }
 
     joined.filter(keep).select(resolved: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Shared clause-resolution pieces (mergeClauses + the vectored plan)
+  // ---------------------------------------------------------------------
+
+  /** First clause whose condition holds (NULL = does not hold, SQL
+    * three-valued semantics via when()); -1 = no clause applies.
+    */
+  private def chosen(clauses: Seq[WhenClause], tc: ColRef, sc: ColRef): Column =
+    clauses.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), els) =>
+      when(cl.condition.map(f => f(tc, sc)).getOrElse(lit(true)), lit(i))
+        .otherwise(els)
+    }
+
+  /** The value column `c` takes under the clause `idx` selected, `default`
+    * when no clause applies (or an applying UPDATE leaves `c` unassigned);
+    * every assignment cast to the target column's type.
+    */
+  private def chainClauseValues(targetSchema: org.apache.spark.sql.types.StructType,
+      clauses: Seq[WhenClause], idx: Column, c: String, default: Column,
+      tc: ColRef, sc: ColRef): Column = {
+    val dt = targetSchema(c).dataType
+    clauses.zipWithIndex.foldRight(default) { case ((cl, i), els) =>
+      val v: Column = cl match {
+        case WhenMatchedUpdate(_, set) =>
+          set.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(default)
+        case WhenNotMatchedBySourceUpdate(_, set) =>
+          set.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(default)
+        case WhenNotMatchedInsert(_, values) =>
+          values.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(lit(null).cast(dt))
+        case _ => default // DELETE rows are filtered out; value unused
+      }
+      when(idx === i, v).otherwise(els)
+    }
+  }
+
+  private def deleteChosen(clauses: Seq[WhenClause], idx: Column): Column =
+    clauses.zipWithIndex.collect {
+      case (_: WhenMatchedDelete, i)            => idx === i
+      case (_: WhenNotMatchedBySourceDelete, i) => idx === i
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  // ---------------------------------------------------------------------
+  // Deletion-vector merge plan (the DvUpdates write path for MERGE)
+  // ---------------------------------------------------------------------
+
+  /** The row-class frames of a deletion-vector MERGE
+    * ([[graft.table.MedallionTable.mergeVectored]]). `matchedPairs` is the
+    * SINGLE pass over the table — an inner broadcast-hash join of the
+    * positioned target scan against the (small) source — and every other
+    * frame is a function OF it so the caller can `persist()` the pass once
+    * and derive marks, new row versions, and inserts from the cached
+    * O(matched) result instead of re-scanning:
+    *
+    *   - `marks(j)`: (file, pos) of every matched row consumed by an
+    *     applying UPDATE or DELETE clause — the DV sidecar entries.
+    *   - `newVersions(j)`: the post-UPDATE row versions (target schema).
+    *   - `inserts(j)`: source rows that matched NO target row, resolved
+    *     through the NOT MATCHED insert clauses (target schema). Derived
+    *     via an anti-join against the cached matched keys — small × small,
+    *     never a second table scan.
+    *
+    * Matched rows whose clauses all decline keep their base-file version
+    * untouched (no mark, no new version) — exactly [[mergeClauses]]'
+    * default. NOT MATCHED BY SOURCE clauses are structurally absent: they
+    * act on target-only rows, which this plan never materializes (that row
+    * class is O(table) and belongs to the rewrite merge).
+    */
+  final case class VectoredMergePlan(
+      matchedPairs: DataFrame,
+      marks: DataFrame => DataFrame,
+      newVersions: DataFrame => DataFrame,
+      inserts: DataFrame => DataFrame)
+
+  /** Build the [[VectoredMergePlan]]. Pure — no actions, no persistence.
+    *
+    * @param targetWithPos the positioned live scan: the target's logical
+    *        columns plus `posCols` (the DV file/pos pair).
+    * @param keys equi-join pairs (targetCol, sourceCol), as [[mergeClauses]].
+    * @param posCols exactly (fileKeyCol, posCol), in that order.
+    */
+  def mergeVectoredPlan(
+      targetWithPos: DataFrame,
+      source: DataFrame,
+      keys: Seq[(String, String)],
+      matched: Seq[WhenClause],
+      notMatched: Seq[WhenNotMatchedInsert],
+      targetCols: Seq[String],
+      targetSchema: org.apache.spark.sql.types.StructType,
+      posCols: Seq[String]): VectoredMergePlan = {
+    require(keys.nonEmpty, "merge requires at least one equi-key pair")
+    require(posCols.length == 2, "posCols must be (fileKey, pos)")
+    matched.foreach {
+      case _: WhenMatchedUpdate | _: WhenMatchedDelete => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED clause: $other")
+    }
+
+    val t = targetWithPos.select(
+      (targetCols ++ posCols).map(c => col(c).as(TPrefix + c)): _*)
+    val s = source.select(
+      source.columns.toSeq.map(c => col(c).as(SPrefix + c)): _*)
+    val tc: ColRef = c => col(TPrefix + c)
+    val sc: ColRef = c => col(SPrefix + c)
+
+    // ONE table pass: stream the positioned scan, broadcast the source.
+    // Inner join — target-only rows never leave the scan, which is the
+    // whole point: their row class is "untouched" by construction.
+    val joined = t.join(broadcast(s),
+      keys.map { case (tk, sk) => tc(tk) === sc(sk) }.reduce(_ && _), "inner")
+
+    val mIdx = chosen(matched, tc, sc)
+
+    val marks = (j: DataFrame) => j.filter(mIdx =!= -1)
+      .select(tc(posCols.head).as("file"), tc(posCols(1)).as("pos"))
+
+    val newVersions = (j: DataFrame) =>
+      j.filter(mIdx =!= -1 && !deleteChosen(matched, mIdx))
+        .select(targetCols.map(c =>
+          chainClauseValues(targetSchema, matched, mIdx, c, tc(c), tc, sc)
+            .as(c)): _*)
+
+    val inserts = (j: DataFrame) => {
+      // Source rows with no match: anti-join the SMALL frames (source ×
+      // the cached matched source-keys); typed-null target columns let
+      // library-caller insert expressions that touch tc(...) resolve to
+      // NULL instead of erroring (SQL-originated inserts are analyzer-
+      // guaranteed source-only).
+      val matchedKeys = j.select(keys.map { case (_, sk) =>
+        sc(sk).as(s"__graft_mk_$sk") }: _*).distinct()
+      val unmatched = s.join(broadcast(matchedKeys),
+          keys.map { case (_, sk) => sc(sk) === col(s"__graft_mk_$sk") }
+            .reduce(_ && _),
+          "left_anti")
+      val withNullTarget = unmatched.select(
+        unmatched.columns.map(col) ++ targetCols.map(c =>
+          lit(null).cast(targetSchema(c).dataType).as(TPrefix + c)): _*)
+      val iIdx = chosen(notMatched, tc, sc)
+      withNullTarget.filter(iIdx =!= -1)
+        .select(targetCols.map(c =>
+          chainClauseValues(targetSchema, notMatched, iIdx, c,
+            lit(null).cast(targetSchema(c).dataType), tc, sc).as(c)): _*)
+    }
+
+    VectoredMergePlan(joined, marks, newVersions, inserts)
   }
 }

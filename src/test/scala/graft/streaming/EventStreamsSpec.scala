@@ -258,6 +258,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DV streaming upsert sink: O(batch) merges, zero base files rewritten") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val table = tmpDir("stream_udv")
+    val q = EventStreams.upsertStreamVectored(input.toDF(), table,
+      Seq("event_id"), tmpDir("stream_udv_ckpt"))
+    def baseFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(table))
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getPath.contains("_graft_meta"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    try {
+      input.addData(ev(1, 60, 1, "c", 1.0), ev(2, 61, 1, "c", 2.0))
+      q.processAllAvailable()
+      val before = baseFiles()
+      // batch 2: update event 2, insert event 3 — WITH an in-batch
+      // duplicate of the new key (the sink dedups before the merge)
+      input.addData(ev(2, 61, 1, "c", 20.0), ev(3, 62, 2, "v", 3.0),
+        ev(3, 62, 2, "v", 3.0))
+      q.processAllAvailable()
+      assert(baseFiles() == before,
+        "the DV sink amends via marks + staged batch, never a rewrite")
+      assert(graft.table.DvUpdates.committedBatches(spark, table).nonEmpty)
+      val rows = graft.table.MedallionTable(spark, table).read
+        .select("event_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0))
+    } finally q.stop()
+  }
+
   test("streaming materialized join view tracks fact upserts exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
