@@ -62,6 +62,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftOptimizeWhereCommand(target.trim, predicate.trim)
       case OptimizeRe(target) =>
         GraftOptimizeCommand(target.trim, Nil)
+      case ReorgPurgeRe(target) =>
+        GraftReorgPurgeCommand(target.trim)
       case DescribeDetailRe(target) =>
         GraftDescribeDetailCommand(target.trim)
       case VacuumDryRunRe(target) =>
@@ -234,6 +236,8 @@ object GraftSqlParser {
     s"""(?is)CONVERT\\s+TO\\s+GRAFT\\s+$T(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?""".r
   private[plans] val DescribeDetailRe: Regex =
     s"""(?is)DESCRIBE\\s+DETAIL\\s+$T""".r
+  private[plans] val ReorgPurgeRe: Regex =
+    s"""(?is)REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)""".r
   private[plans] val AnalyzeColsRe: Regex =
     s"""(?is)ANALYZE\\s+TABLE\\s+$T\\s+COMPUTE\\s+STATISTICS\\s+FOR\\s+COLUMNS\\s+(.+)""".r
   private[plans] val AnalyzeRe: Regex =
@@ -402,6 +406,32 @@ final case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
     if (zorderBy.nonEmpty) mt.compactZOrder(zorderBy) else mt.compact()
     GraftSqlParser.refreshTarget(spark, target, path)
     Seq(Row(path, before, nParquet(spark, path)))
+  }
+}
+
+/** `REORG TABLE t APPLY (PURGE)` — Delta's DV-materialization surface:
+  * rewrite the table's soft deletion-vector state (delete marks,
+  * UPDATE/MERGE amendment batches) into plain data files. Routed through
+  * the same OPTIMIZE rewrite (which reads the DV-applied view and drops
+  * `_graft_meta` soft state with the swap), with the guard Delta's REORG
+  * has: a table with NO live DV state is a NO-OP — `purged=false`, zero
+  * files touched — because paying a 100 TB rewrite to purge nothing is
+  * the scale bug this statement exists to avoid.
+  */
+final case class GraftReorgPurgeCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("purged", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val mt = new MedallionTable(spark, path)
+    if (!mt.hasDvState) Seq(Row(path, false))
+    else {
+      mt.compact()
+      GraftSqlParser.refreshTarget(spark, target, path)
+      Seq(Row(path, true))
+    }
   }
 }
 

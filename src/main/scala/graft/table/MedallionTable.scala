@@ -1403,6 +1403,15 @@ final class MedallionTable(
         .write.mode(SaveMode.Append).parquet(dvPath)
     }
 
+  /** Whether any deletion-vector soft state is live — delete marks in
+    * the sidecar or committed UPDATE/MERGE batches. The `REORG … APPLY
+    * (PURGE)` no-op guard: a clean table must not pay a rewrite.
+    */
+  def hasDvState: Boolean =
+    DvUpdates.committedBatches(spark, path).nonEmpty ||
+      (DeletionVectors.exists(spark, DeletionVectors.dir(path)) &&
+        ShallowClone.listParquet(spark, DeletionVectors.dir(path)).nonEmpty)
+
   /** Compact the DV sidecar's FLAT delete-mark files: N small appends
     * (one per [[deleteVectored]] call) become ONE deduplicated file. Every
     * read lists and scans the whole sidecar, and the collect fast path

@@ -79,6 +79,26 @@ class GraftSqlUtilitiesSpec extends SparkSpec {
     assert(r.getBoolean(8), "manifest present after refreshStats")
   }
 
+  test("REORG APPLY (PURGE) materializes DV state; no-op on a clean table") {
+    import spark.implicits._
+    val p = tmpDir("sqlutil_reorg")
+    val t = new MedallionTable(spark, p)
+    t.overwrite((1L to 20L).map(i => (i, s"s$i")).toDF("id", "s"))
+    // clean table: REORG must NOT rewrite (the 100 TB no-op guard)
+    val clean = spark.sql(s"REORG TABLE '$p' APPLY (PURGE)").collect()(0)
+    assert(!clean.getBoolean(1))
+    t.deleteVectored($"id" <= 3)
+    t.updateVectored($"id" === 10L, Map("s" ->
+      org.apache.spark.sql.functions.lit("amended")))
+    assert(t.hasDvState)
+    val purged = spark.sql(s"REORG TABLE '$p' APPLY (PURGE)").collect()(0)
+    assert(purged.getBoolean(1))
+    assert(!t.hasDvState, "marks and batches materialized into plain files")
+    assert(t.read.count() == 17L)
+    assert(t.read.filter($"id" === 10L).select("s").head().getString(0) ==
+      "amended")
+  }
+
   test("VACUUM reports zero on a clean table") {
     import spark.implicits._
     val p = tmpDir("sqlutil_vac")
