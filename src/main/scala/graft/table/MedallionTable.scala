@@ -767,8 +767,31 @@ final class MedallionTable(
     if (checkUniqueKeys)
       MergeOps.requireUniqueKeys(source, keys.map(_._2))
     val logical = read
-    val live = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
+    val liveAll = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
       dvLiveWithPos(), ColumnMap.load(spark, path)))
+    // Partition-pruned table pass: when a partition column is among the
+    // merge keys, only its source-side key values can match — derive an
+    // isin filter from the (broadcast-sized by contract) source, and
+    // Catalyst's partition pruning drops every other directory from the
+    // scan. A merge keyed on the partition column that touches 3 of 1000
+    // partitions scans 3. Null key values never equi-match, so dropping
+    // them from the filter set is exact; inserts are unaffected (the
+    // anti-join runs against the matched keys, which the pruning cannot
+    // shrink below the true matched set).
+    val partKeys = keys.filter { case (tk, _) => partitionColumns.contains(tk) }
+    MedallionTable.lastMergeDvPartitionFilter =
+      if (partKeys.isEmpty) None
+      else Some(partKeys.map { case (tk, sk) =>
+        val vals = source.select(col(sk)).distinct().collect()
+          .map(_.get(0)).filter(_ != null).toSeq
+        tk -> vals
+      }.toMap)
+    val live = MedallionTable.lastMergeDvPartitionFilter match {
+      case Some(f) => f.foldLeft(liveAll) { case (df, (tk, vals)) =>
+        df.filter(col(tk).isInCollection(vals))
+      }
+      case None => liveAll
+    }
     val plan = MergeOps.mergeVectoredPlan(live, source, keys, matched,
       notMatched, logical.columns.toSeq, logical.schema,
       Seq("__graft_dv_file", "__graft_dv_pos"))
@@ -2268,4 +2291,11 @@ object MedallionTable {
     * here; production never sets it.
     */
   private[graft] var testFailpoint: String => Unit = _ => ()
+
+  /** Last mergeVectored's derived partition-pruning sets (partition col →
+    * source key values), None when no merge key was a partition column —
+    * observability seam for specs asserting the pruned table pass.
+    */
+  private[graft] var lastMergeDvPartitionFilter:
+    Option[Map[String, Seq[Any]]] = None
 }

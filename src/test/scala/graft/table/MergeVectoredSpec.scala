@@ -147,6 +147,38 @@ class MergeVectoredSpec extends SparkSpec {
     assert(snap(t) == expected, "materialization is result-identical")
   }
 
+  test("partition-keyed merge prunes the table pass to touched partitions") {
+    val (t, _) = seed(parts = Seq("grp"))
+    // source keyed on (grp, id): touches partitions 0 and 1 only
+    val src = Seq((0L, 0L, "z0"), (1L, 5L, "z5"), (0L, 888L, "znew"))
+      .toDF("g", "i", "snew")
+    t.mergeVectored(src, Seq("grp" -> "g", "id" -> "i"),
+      Seq(WhenMatchedUpdate(None, Map("s" -> ((_, s) => s("snew"))))),
+      Seq(WhenNotMatchedInsert(None, Map(
+        "id" -> ((_, s) => s("i")), "s" -> ((_, s) => s("snew")),
+        "grp" -> ((_, s) => s("g")), "v" -> ((_, _) => lit(-1.0))))))
+    val f = MedallionTable.lastMergeDvPartitionFilter
+    assert(f.isDefined && f.get("grp").toSet == Set(0L, 1L),
+      s"derived partition filter: $f")
+    assert(t.read.filter($"id" === 0L).select("s").head().getString(0) == "z0")
+    assert(t.read.filter($"id" === 5L).select("s").head().getString(0) == "z5")
+    assert(t.read.filter($"id" === 888L).count() == 1L)
+    assert(t.read.count() == 101L)
+    // untouched partitions unaffected
+    assert(t.read.filter($"grp" === 2L && $"s".startsWith("z")).count() == 0L)
+    // the derived isin shape partition-prunes this hive layout — tie the
+    // seam to the actual Catalyst behavior
+    val plan = t.read.filter($"grp".isInCollection(Seq(0, 1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("grp"),
+      s"expected partition filters in:\n$plan")
+    // a merge with NO partition key derives no filter
+    t.mergeVectored(Seq((3L, "w")).toDF("i", "snew"), Seq("id" -> "i"),
+      Seq(WhenMatchedUpdate(None, Map("s" -> ((_, s) => s("snew"))))), Nil)
+    assert(MedallionTable.lastMergeDvPartitionFilter.isEmpty)
+    assert(t.read.filter($"id" === 3L).select("s").head().getString(0) == "w")
+  }
+
   test("SQL MERGE routes through the DV path under spark.graft.dvWrites") {
     val (t, p) = seed()
     spark.sql("DROP TABLE IF EXISTS mdv_sql")
