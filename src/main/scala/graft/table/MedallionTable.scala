@@ -786,11 +786,41 @@ final class MedallionTable(
           .map(_.get(0)).filter(_ != null).toSeq
         tk -> vals
       }.toMap)
-    val live = MedallionTable.lastMergeDvPartitionFilter match {
+    val livePart = MedallionTable.lastMergeDvPartitionFilter match {
       case Some(f) => f.foldLeft(liveAll) { case (df, (tk, vals)) =>
         df.filter(col(tk).isInCollection(vals))
       }
       case None => liveAll
+    }
+    // Key-range pushdown for the non-partition merge keys (Delta's merge
+    // file skipping from source stats, in predicate form): a matched row's
+    // key is necessarily within the source's [min, max], so the range
+    // conjunct is exact — and pushed to the parquet scan it arms row-group
+    // skipping plus the manifest's per-file pruning when the table is
+    // clustered on the key. One aggregation over the broadcast-sized
+    // source covers all keys; null-keyed target rows drop (they cannot
+    // equi-match). Unclustered tables pay one codegen'd compare per row.
+    val rangeKeys = keys.filterNot { case (tk, _) =>
+      partitionColumns.contains(tk) }
+    MedallionTable.lastMergeDvRangeFilter =
+      if (rangeKeys.isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.{max, min}
+        val aggs = rangeKeys.flatMap { case (_, sk) =>
+          Seq(min(col(sk)).as(s"__min_$sk"), max(col(sk)).as(s"__max_$sk")) }
+        val r = source.agg(aggs.head, aggs.tail: _*).head()
+        Some(rangeKeys.zipWithIndex.flatMap { case ((tk, _), i) =>
+          val (lo, hi) = (r.get(2 * i), r.get(2 * i + 1))
+          if (lo == null || hi == null) None else Some(tk -> ((lo, hi)))
+        }.toMap)
+      }
+    val live = MedallionTable.lastMergeDvRangeFilter match {
+      case Some(f) if f.nonEmpty => f.foldLeft(livePart) {
+        case (df, (tk, (lo, hi))) =>
+          df.filter(col(tk) >= org.apache.spark.sql.functions.lit(lo) &&
+            col(tk) <= org.apache.spark.sql.functions.lit(hi))
+      }
+      case _ => livePart
     }
     val plan = MergeOps.mergeVectoredPlan(live, source, keys, matched,
       notMatched, logical.columns.toSeq, logical.schema,
@@ -1476,6 +1506,83 @@ final class MedallionTable(
     }
   }
 
+  /** Compact the committed UPDATE/MERGE amendment batches: N batches —
+    * each one read-union branch plus one marks directory on every read —
+    * become ONE batch holding the current visible amended rows. Bounds
+    * the read-plan width an update-heavy table accumulates between full
+    * OPTIMIZE runs, the same way [[compactDv]] bounds the flat-mark file
+    * count. Returns the number of batches folded (0 = nothing to do).
+    *
+    * Crash-safe via the SAME single-rename primitive as the writes it
+    * compacts: the combined batch's marks directory carries (a) every old
+    * batch's marks — they must survive the old directories' deletion —
+    * plus (b) hide-all marks for every row of every old batch file. The
+    * commit rename therefore flips the table from "old batches visible"
+    * to "combined batch visible, old batch rows all hidden" in one
+    * atomic step; the old directories are then pure dead weight, deleted
+    * best-effort afterwards (a crash between leaves fully-hidden
+    * directories that waste scan IO until the next compaction or rewrite
+    * folds them away — never a correctness window). A crash BEFORE the
+    * rename leaves an unwitnessed staged batch, which [[vacuum]] already
+    * clears as a DvUpdates orphan.
+    *
+    * Refused on a column-mapped table (the batch files speak the physical
+    * dialect; OPTIMIZE materializes the map and the batches together).
+    */
+  def compactDvBatches(): Int = withClaimedCommit("dv-batch-compact") {
+    import org.apache.spark.sql.functions.col
+    require(ColumnMap.load(spark, path).isEmpty,
+      "dv-batch-compact: table has renamed columns (column map); run " +
+        "OPTIMIZE to materialize the map and the batches together")
+    val old = DvUpdates.committedBatches(spark, path)
+    if (old.size < 2) 0
+    else {
+      val newBatch = java.util.UUID.randomUUID().toString.take(12)
+      val newDataDir = DvUpdates.batchDataDir(path, newBatch)
+      val marksStaging = DvUpdates.marksStagingDir(path, newBatch)
+      // current VISIBLE amended rows: every batch branch, DV-applied
+      // (None ⟺ no old batch holds any file — delete-only batches)
+      DvUpdates.foldBatchesOpt(spark, path, None).foreach { combined =>
+        val w = combined.write.mode(SaveMode.Overwrite)
+        (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
+         else w).parquet(newDataDir)
+      }
+      // marks: old batches' marks (replicated — their dirs are deleted
+      // after commit) + hide-all for every old batch file's rows. Either
+      // side can be empty (insert-only merges commit no marks; delete-only
+      // merges commit no files) — the witness is the DIRECTORY.
+      val oldMarkFiles = old.flatMap(b => ShallowClone.listParquet(
+        spark, DvUpdates.marksDir(path, b).toString))
+      val oldMarks =
+        if (oldMarkFiles.isEmpty) None
+        else Some(spark.read.parquet(oldMarkFiles: _*)
+          .select(col("file"), col("pos")))
+      val hideAll = DvUpdates.committedScans(spark, path).map { case (_, scan) =>
+        scan.select(
+          DeletionVectors.fileKey(col("_metadata.file_path")).as("file"),
+          col("_metadata.row_index").as("pos"))
+      }.reduceOption(_ unionByName _)
+      (oldMarks.toSeq ++ hideAll.toSeq).reduceOption(_ unionByName _)
+        .foreach(_.distinct()
+          .write.mode(SaveMode.Overwrite).parquet(marksStaging.toString))
+      if (!fs.exists(marksStaging)) fs.mkdirs(marksStaging)
+      fs.mkdirs(new Path(newDataDir))
+      invalidateStats()
+      MedallionTable.testFailpoint("pre-dv-batch-compact-commit")
+      // COMMIT POINT — as updateVectored/mergeVectored
+      if (!fs.rename(marksStaging, DvUpdates.marksDir(path, newBatch)))
+        throw new java.io.IOException(
+          s"dv-batch-compact commit rename failed: $marksStaging")
+      MedallionTable.testFailpoint("post-dv-batch-compact-commit")
+      // dead weight: marks are replicated, rows are hidden — any order
+      old.foreach { b =>
+        fs.delete(DvUpdates.marksDir(path, b), true)
+        fs.delete(new Path(DvUpdates.batchDataDir(path, b)), true)
+      }
+      old.size
+    }
+  }
+
   /** `UPDATE SET … WHERE` via the deletion-vector extension
     * ([[DvUpdates]]): O(matched) instead of [[update]]'s O(table)
     * rewrite. Semantics are identical to [[update]] — simultaneous
@@ -1998,11 +2105,18 @@ final class MedallionTable(
     else {
       // delete-heavy tables creep in the SIDECAR too: many small flat
       // mark files, each listed and scanned by every read — same
-      // janitor, same threshold (update_<batch> witnesses excluded)
+      // janitor, same threshold (update_<batch> witnesses excluded).
+      // Update/merge-heavy tables creep in BATCH COUNT (one read-union
+      // branch each): fold those too, except on column-mapped tables
+      // (compactDvBatches' documented refusal — OPTIMIZE owns that case).
       val dvCompacted =
-        if (DeletionVectors.flatMarkFiles(spark, path).size > maxFiles) {
+        (if (DeletionVectors.flatMarkFiles(spark, path).size > maxFiles) {
           compactDv(); 1
-        } else 0
+        } else 0) +
+        (if (DvUpdates.committedBatches(spark, path).size > maxFiles &&
+            ColumnMap.load(spark, path).isEmpty) {
+          compactDvBatches(); 1
+        } else 0)
       dvCompacted + (if (partitionColumns.isEmpty) {
         val live = dataFileSet().size
         if (live > maxFiles) { compact(); 1 } else 0
@@ -2298,4 +2412,10 @@ object MedallionTable {
     */
   private[graft] var lastMergeDvPartitionFilter:
     Option[Map[String, Seq[Any]]] = None
+
+  /** Last mergeVectored's derived key-range pushdown (non-partition merge
+    * key → source [min, max]); None when every key was a partition column.
+    */
+  private[graft] var lastMergeDvRangeFilter:
+    Option[Map[String, (Any, Any)]] = None
 }

@@ -83,6 +83,70 @@ class DvCompactionSpec extends SparkSpec {
     assert(t.read.orderBy("id").collect().toSeq == before)
   }
 
+  test("compactDvBatches: N amendment batches -> 1, reads identical") {
+    val (t, p) = seed()
+    t.updateVectored($"id" === 1L, Map("s" -> lit("u1")))
+    t.updateVectored($"id" === 2L, Map("s" -> lit("u2")))
+    // chained: amend the amended row — the chain must survive compaction
+    t.updateVectored($"s" === "u1", Map("s" -> lit("u1b")))
+    import graft.table.MergeOps._
+    t.mergeVectored(Seq((3L, "m3"), (500L, "ins")).toDF("i", "snew"),
+      Seq("id" -> "i"),
+      Seq(WhenMatchedUpdate(None, Map("s" -> ((_, s) => s("snew"))))),
+      Seq(WhenNotMatchedInsert(None, Map(
+        "id" -> ((_, s) => s("i")), "s" -> ((_, s) => s("snew"))))))
+    val before = t.read.orderBy("id").collect().toSeq
+    val n0 = DvUpdates.committedBatches(spark, p).size
+    assert(n0 == 4)
+    assert(t.compactDvBatches() == 4)
+    assert(DvUpdates.committedBatches(spark, p).size == 1)
+    assert(t.read.orderBy("id").collect().toSeq == before)
+    assert(t.read.filter($"id" === 1L).select("s").head().getString(0) == "u1b")
+    assert(t.read.filter($"id" === 500L).count() == 1L)
+    // idempotent: one batch left -> no-op
+    assert(t.compactDvBatches() == 0)
+    // further amendments compose over the compacted batch
+    t.updateVectored($"id" === 500L, Map("s" -> lit("ins2")))
+    assert(t.read.filter($"id" === 500L).select("s").head().getString(0) ==
+      "ins2")
+  }
+
+  test("compactDvBatches crash windows: before commit invisible; after commit readable") {
+    val (t, p) = seed()
+    t.updateVectored($"id" === 1L, Map("s" -> lit("a")))
+    t.updateVectored($"id" === 2L, Map("s" -> lit("b")))
+    val before = t.read.orderBy("id").collect().toSeq
+    // crash BEFORE the rename: nothing committed, vacuum clears litter
+    MedallionTable.testFailpoint = {
+      case "pre-dv-batch-compact-commit" =>
+        MedallionTable.testFailpoint = _ => ()
+        throw new RuntimeException("crash pre-commit")
+      case _ => ()
+    }
+    try intercept[RuntimeException] { t.compactDvBatches() }
+    finally MedallionTable.testFailpoint = _ => ()
+    assert(t.read.orderBy("id").collect().toSeq == before)
+    assert(DvUpdates.committedBatches(spark, p).size == 2)
+    t.vacuum()
+    assert(DvUpdates.orphans(spark, p).isEmpty)
+    // crash AFTER the rename, before the old-dir deletes: the old
+    // batches' rows are all hidden by the combined marks — reads
+    // identical despite the leftover directories; a re-run folds them
+    MedallionTable.testFailpoint = {
+      case "post-dv-batch-compact-commit" =>
+        MedallionTable.testFailpoint = _ => ()
+        throw new RuntimeException("crash post-commit")
+      case _ => ()
+    }
+    try intercept[RuntimeException] { t.compactDvBatches() }
+    finally MedallionTable.testFailpoint = _ => ()
+    assert(t.read.orderBy("id").collect().toSeq == before,
+      "post-commit crash: combined visible, old rows hidden — no dups")
+    assert(t.compactDvBatches() == 3, "re-run folds the leftovers")
+    assert(DvUpdates.committedBatches(spark, p).size == 1)
+    assert(t.read.orderBy("id").collect().toSeq == before)
+  }
+
   test("autoCompact janitors the sidecar past the threshold") {
     val (t, p) = seed()
     (0 until 10).foreach(i => t.deleteVectored($"id" === i.toLong))
