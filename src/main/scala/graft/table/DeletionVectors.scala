@@ -100,14 +100,26 @@ object DeletionVectors {
   def applied(spark: SparkSession, raw: DataFrame, dvPath: String,
       rootPath: String): DataFrame = {
     if (!exists(spark, dvPath)) return raw
+    val p = new Path(dvPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // One recursive listing serves the emptiness check, the collect cap,
+    // and the memo fingerprint.
+    val listing = {
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += ((st.getPath.toString, st.getModificationTime, st.getLen))
+      }
+      b.result().sortBy(_._1)
+    }
     // a sidecar dir with no parquet yet (mkdirs from an aborted
     // update-dv commit) must not break every read with a schema
     // inference error — no marks, nothing to apply
-    if (ShallowClone.listParquet(spark, dvPath).isEmpty) return raw
+    if (listing.isEmpty) return raw
     val byKey = ShallowClone.scanFiles(spark, rootPath)
       .groupBy(fileKeyOf).view.mapValues(_.head).toMap
-    val p = new Path(dvPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Sidecar size is O(all rows ever vector-deleted): one huge
     // deleteVectored (a predicate matching half a big table) must not
     // turn every subsequent read into a driver collect/broadcast OOM.
@@ -115,7 +127,7 @@ object DeletionVectors {
     // DISTRIBUTED (shuffle anti-join, spill-safe); only the files-sized
     // key→path lookup is broadcast. Below it, the collected broadcast
     // stays the fast path (DvProbe: per-row key surgery dominated).
-    if (fs.getContentSummary(p).getLength > MaxCollectedSidecarBytes) {
+    if (listing.map(_._3).sum > MaxCollectedSidecarBytes) {
       import spark.implicits._
       val keys = byKey.toSeq.toDF("__dv_key", "__dv_file")
       val dv = sidecar(spark, dvPath)
@@ -131,10 +143,27 @@ object DeletionVectors {
           "left_anti")
         .drop("__graft_file", "__graft_pos")
     }
-    val dvRows = sidecar(spark, dvPath).collect()
-      .flatMap { r =>
-        byKey.get(r.getString(0)).map(full => (full, r.getLong(1)))
-      }.toSeq
+    // Memoize the COLLECTED sidecar per (session, dvPath), fingerprinted
+    // by the file listing (path+mtime+len): a multi-branch read — the
+    // base scan plus one branch per committed amendment batch — calls
+    // applied() B+1 times against the SAME sidecar, and without the memo
+    // each call re-reads every mark file, making the read cost QUADRATIC
+    // in batch count (DvBatchProbe measured 0.23 s → 25.4 s over 16
+    // batches). Writers append/rename mark files, which changes the
+    // fingerprint, so cross-session staleness is structurally impossible.
+    val memoKey = SessionCaches.token(spark) + "|" + dvPath
+    val fp = listing.mkString(";")
+    val marks: Seq[(String, Long)] = sidecarCache.get(memoKey) match {
+      case Some((`fp`, rows)) => rows
+      case _ =>
+        val rows = sidecar(spark, dvPath).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        sidecarCache.put(memoKey, (fp, rows))
+        rows
+    }
+    val dvRows = marks.flatMap { case (k, pos) =>
+      byKey.get(k).map(full => (full, pos))
+    }
     if (dvRows.isEmpty) return raw
     val dv = {
       import spark.implicits._
@@ -149,6 +178,13 @@ object DeletionVectors {
         "left_anti")
       .drop("__graft_file", "__graft_pos")
   }
+
+  /** (fingerprint, collected (fileKey, pos) rows) per session|dvPath —
+    * see the memo comment in [[applied]]. 64 entries bounds worst-case
+    * footprint at 64 × [[MaxCollectedSidecarBytes]]-capped mark sets.
+    */
+  private val sidecarCache =
+    new BoundedLruCache[(String, Seq[(String, Long)])](64)
 
   /** Collect/broadcast cap for the sidecar (compressed bytes on disk).
     * 64 MB of (key, pos) parquet is ≫ any sane soft-delete set and ≪

@@ -130,9 +130,38 @@ object DvUpdates {
       val bd = batchDataDir(tablePath, b)
       val files = ShallowClone.listParquet(spark, bd)
       if (files.isEmpty) None
-      else Some(bd -> spark.read.option("mergeSchema", "true")
-        .option("basePath", bd).parquet(files: _*))
+      // NO mergeSchema inside one batch: a batch is written by exactly
+      // one job (updateVectored/mergeVectored stage 1, or the batch
+      // compactor), so its files share one schema and the per-branch
+      // footer-MERGE job mergeSchema launches at plan construction is
+      // pure overhead — with B live batches every read paid B such jobs
+      // (the super-linear term DvBatchProbe measured). Schema evolution
+      // BETWEEN batches is the fold's unionByName(allowMissingColumns).
+      // The single-footer inference is ALSO memoized (the mergedParquet
+      // pattern): committed batch files are immutable, so the file list
+      // itself is the staleness key — partition-scoped cleanup deletes
+      // files, changing the list.
+      else {
+        val key = SessionCaches.token(spark) + "|" + bd
+        val fp = files.sorted.mkString(";")
+        val schema = schemaCache.get(key) match {
+          case Some((`fp`, s)) => s
+          case _ =>
+            val s = spark.read.option("basePath", bd).parquet(files: _*).schema
+            schemaCache.put(key, (fp, s))
+            s
+        }
+        Some(bd -> spark.read.schema(schema).option("basePath", bd)
+          .parquet(files: _*))
+      }
     }
+
+  /** (file-list fingerprint, schema) per session|batchDir — see
+    * [[committedScans]]. Schemas are tiny; 256 entries ≫ any sane live
+    * batch count.
+    */
+  private val schemaCache =
+    new BoundedLruCache[(String, org.apache.spark.sql.types.StructType)](256)
 
   /** Fold the committed batches onto `base`: each branch is prepared by
     * `prep` (position columns, stats keys — anything that needs the

@@ -1563,7 +1563,9 @@ final class MedallionTable(
           col("_metadata.row_index").as("pos"))
       }.reduceOption(_ unionByName _)
       (oldMarks.toSeq ++ hideAll.toSeq).reduceOption(_ unionByName _)
-        .foreach(_.distinct()
+        // one file: marks are collect-cap-bounded, and every read lists
+        // and scans the sidecar — 32 distinct() shards is pure creep
+        .foreach(_.distinct().coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(marksStaging.toString))
       if (!fs.exists(marksStaging)) fs.mkdirs(marksStaging)
       fs.mkdirs(new Path(newDataDir))
