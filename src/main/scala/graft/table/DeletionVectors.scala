@@ -99,6 +99,28 @@ object DeletionVectors {
     */
   def applied(spark: SparkSession, raw: DataFrame, dvPath: String,
       rootPath: String): DataFrame = {
+    val f = "__graft_dvap_file"
+    val x = "__graft_dvap_pos"
+    appliedToKeyed(spark,
+      raw.withColumn(f, col("_metadata.file_path"))
+        .withColumn(x, col("_metadata.row_index")),
+      dvPath, rootPath, f, x).drop(f, x)
+  }
+
+  /** [[applied]] over a frame that already CARRIES its (full file path,
+    * row index) in explicit columns `fileCol`/`posCol` — the shape a
+    * UNION of scan branches has (each branch pins `_metadata` to plain
+    * columns before the union, because the metadata struct does not
+    * survive one). This is what lets a multi-branch amended read pay ONE
+    * anti-join for the whole union instead of one per branch
+    * ([[graft.table.DvUpdates]] `amendedOnce`): B+1 separate anti-joins
+    * were the dominant plan-construction term DvBatchProbe measured.
+    * The helper columns are left in place; the caller drops them.
+    */
+  private[table] def appliedToKeyed(spark: SparkSession, keyed: DataFrame,
+      dvPath: String, rootPath: String,
+      fileCol: String, posCol: String): DataFrame = {
+    val raw = keyed
     if (!exists(spark, dvPath)) return raw
     val p = new Path(dvPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -135,13 +157,10 @@ object DeletionVectors {
         .join(broadcast(keys), col("__dv_key0") === col("__dv_key"))
         .select(col("__dv_file"), col("__dv_pos"))
       return raw
-        .withColumn("__graft_file", col("_metadata.file_path"))
-        .withColumn("__graft_pos", col("_metadata.row_index"))
         .join(dv,
-          col("__graft_file") === col("__dv_file") &&
-            col("__graft_pos") === col("__dv_pos"),
+          col(fileCol) === col("__dv_file") &&
+            col(posCol) === col("__dv_pos"),
           "left_anti")
-        .drop("__graft_file", "__graft_pos")
     }
     // Memoize the COLLECTED sidecar per (session, dvPath), fingerprinted
     // by the file listing (path+mtime+len): a multi-branch read — the
@@ -170,13 +189,10 @@ object DeletionVectors {
       dvRows.toDF("__dv_file", "__dv_pos")
     }
     raw
-      .withColumn("__graft_file", col("_metadata.file_path"))
-      .withColumn("__graft_pos", col("_metadata.row_index"))
       .join(broadcast(dv),
-        col("__graft_file") === col("__dv_file") &&
-          col("__graft_pos") === col("__dv_pos"),
+        col(fileCol) === col("__dv_file") &&
+          col(posCol) === col("__dv_pos"),
         "left_anti")
-      .drop("__graft_file", "__graft_pos")
   }
 
   /** (fingerprint, collected (fileKey, pos) rows) per session|dvPath —

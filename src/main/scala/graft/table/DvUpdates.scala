@@ -187,4 +187,35 @@ object DvUpdates {
         DeletionVectors.dir(tablePath), bd)
       Some(acc.fold(branch)(_.unionByName(branch, allowMissingColumns = true)))
     }
+
+  /** The ONE-JOIN amended read: base scan plus every committed batch,
+    * each branch pinning `_metadata` to plain (full path, row index)
+    * columns BEFORE the union (the metadata struct does not survive one),
+    * then a single DV anti-join over the whole union. Replaces the
+    * per-branch [[DeletionVectors.applied]] fold on the hot read path:
+    * B+1 separate anti-join sub-plans were the dominant plan-construction
+    * cost as batches accumulate (DvBatchProbe). The sidecar's key→path
+    * resolution uses the TABLE root's listing, which already folds the
+    * committed batch files in ([[ShallowClone.scanFiles]]), so marks over
+    * base rows and over batch rows resolve through one map.
+    *
+    * `extraPrep` runs per branch BEFORE the union, for callers that need
+    * their own `_metadata`-derived columns (the write path's position
+    * columns). None ⟺ no base AND no committed batch.
+    */
+  private[table] def amendedOnce(spark: SparkSession, tablePath: String,
+      baseRaw: Option[DataFrame],
+      extraPrep: DataFrame => DataFrame = identity): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val f = "__graft_dvu_file"
+    val x = "__graft_dvu_pos"
+    def keyed(df: DataFrame): DataFrame = extraPrep(df)
+      .withColumn(f, col("_metadata.file_path"))
+      .withColumn(x, col("_metadata.row_index"))
+    val branches = baseRaw.map(keyed).toSeq ++
+      committedScans(spark, tablePath).map { case (_, scan) => keyed(scan) }
+    branches.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map(u => DeletionVectors.appliedToKeyed(spark, u,
+        DeletionVectors.dir(tablePath), tablePath, f, x).drop(f, x))
+  }
 }

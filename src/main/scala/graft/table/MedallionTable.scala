@@ -113,13 +113,14 @@ final class MedallionTable(
         org.apache.spark.sql.types.StructType.fromDDL(readMetaText(schemaFile)))
     else {
       // base may be absent with batches live (see the guard above):
-      // start the union from the batch scans alone in that case
+      // start the union from the batch scans alone in that case.
+      // ONE DV anti-join over the whole base∪batches union (see
+      // DvUpdates.amendedOnce) — not one per branch.
       val base =
         if (fs.exists(p) && !hasDataFiles(p)) None
-        else Some(DeletionVectors.applied(spark, mergedParquet(),
-          DeletionVectors.dir(path), path))
+        else Some(mergedParquet())
       SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
-        DvUpdates.foldBatchesOpt(spark, path, base)
+        DvUpdates.amendedOnce(spark, path, base)
           // empty dir without stashed schema and no batches: surface the
           // same inference error the plain scan always gave
           .getOrElse(mergedParquet()),
@@ -1407,15 +1408,15 @@ final class MedallionTable(
       .withColumn("__graft_dv_file",
         DeletionVectors.fileKey(col("_metadata.file_path")))
       .withColumn("__graft_dv_pos", col("_metadata.row_index"))
-    val dvPath = DeletionVectors.dir(path)
     // clone manifests already point at the source's committed batch files
     // (cloneFrom folds them in), so only the non-clone branch unions
-    val base = prep(if (ShallowClone.isClone(spark, path))
+    val base = if (ShallowClone.isClone(spark, path))
         spark.read.option("mergeSchema", "true")
           .parquet(ShallowClone.scanFiles(spark, path): _*)
-      else spark.read.option("mergeSchema", "true").parquet(path))
-    DvUpdates.foldBatches(spark, path,
-      DeletionVectors.applied(spark, base, dvPath, path), prep)
+      else spark.read.option("mergeSchema", "true").parquet(path)
+    // one DV anti-join over base∪batches, position columns prepped per
+    // branch before the union (DvUpdates.amendedOnce)
+    DvUpdates.amendedOnce(spark, path, Some(base), prep).get
   }
 
   def deleteVectored(cond: Column): Unit = withClaimedCommit("delete-dv") {
@@ -1541,9 +1542,20 @@ final class MedallionTable(
       val newDataDir = DvUpdates.batchDataDir(path, newBatch)
       val marksStaging = DvUpdates.marksStagingDir(path, newBatch)
       // current VISIBLE amended rows: every batch branch, DV-applied
-      // (None ⟺ no old batch holds any file — delete-only batches)
+      // (None ⟺ no old batch holds any file — delete-only batches).
+      // Clustered to few files: the fold inherits one shard per task per
+      // branch (tiny files × many), and every read lists and plans the
+      // batch's files — amendment volume between OPTIMIZE runs is the
+      // bound, so one file per partition value (or a handful total) is
+      // the right shape.
       DvUpdates.foldBatchesOpt(spark, path, None).foreach { combined =>
-        val w = combined.write.mode(SaveMode.Overwrite)
+        val shaped =
+          if (partitionColumns.nonEmpty)
+            combined.repartition(partitionColumns.map(
+              org.apache.spark.sql.functions.col): _*)
+          else combined.coalesce(
+            math.max(1, spark.sessionState.conf.numShufflePartitions / 8))
+        val w = shaped.write.mode(SaveMode.Overwrite)
         (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
          else w).parquet(newDataDir)
       }
