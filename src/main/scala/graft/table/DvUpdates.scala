@@ -202,10 +202,20 @@ object DvUpdates {
     * `extraPrep` runs per branch BEFORE the union, for callers that need
     * their own `_metadata`-derived columns (the write path's position
     * columns). None ⟺ no base AND no committed batch.
+    *
+    * `batchesInBase`: a shallow clone's base scan is built from
+    * [[ShallowClone.scanFiles]], which ALREADY folds this table's own
+    * committed batch files in — unioning [[committedScans]] on top would
+    * read every amended row twice (and a subsequent update would then
+    * write duplicate new versions). Callers whose base carries the batch
+    * files set this true and the union is skipped; the single anti-join
+    * still hides the old versions (mark file-keys resolve through the
+    * same scanFiles listing).
     */
   private[table] def amendedOnce(spark: SparkSession, tablePath: String,
       baseRaw: Option[DataFrame],
-      extraPrep: DataFrame => DataFrame = identity): Option[DataFrame] = {
+      extraPrep: DataFrame => DataFrame = identity,
+      batchesInBase: Boolean = false): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     val f = "__graft_dvu_file"
     val x = "__graft_dvu_pos"
@@ -213,7 +223,8 @@ object DvUpdates {
       .withColumn(f, col("_metadata.file_path"))
       .withColumn(x, col("_metadata.row_index"))
     val branches = baseRaw.map(keyed).toSeq ++
-      committedScans(spark, tablePath).map { case (_, scan) => keyed(scan) }
+      (if (batchesInBase) Nil
+       else committedScans(spark, tablePath).map { case (_, scan) => keyed(scan) })
     branches.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .map(u => DeletionVectors.appliedToKeyed(spark, u,
         DeletionVectors.dir(tablePath), tablePath, f, x).drop(f, x))

@@ -1408,15 +1408,21 @@ final class MedallionTable(
       .withColumn("__graft_dv_file",
         DeletionVectors.fileKey(col("_metadata.file_path")))
       .withColumn("__graft_dv_pos", col("_metadata.row_index"))
-    // clone manifests already point at the source's committed batch files
-    // (cloneFrom folds them in), so only the non-clone branch unions
-    val base = if (ShallowClone.isClone(spark, path))
+    // A clone's scanFiles carries BOTH the source's committed batch files
+    // (cloneFrom folds them into the pointer manifest) AND this clone's
+    // OWN committed batches (DvUpdates.dataFiles) — so the batch union
+    // inside amendedOnce must be skipped (batchesInBase), or every
+    // amended row reads twice and the next update writes duplicate new
+    // versions (ShallowCloneSpec "two vectored updates" regression).
+    val isClone = ShallowClone.isClone(spark, path)
+    val base = if (isClone)
         spark.read.option("mergeSchema", "true")
           .parquet(ShallowClone.scanFiles(spark, path): _*)
       else spark.read.option("mergeSchema", "true").parquet(path)
     // one DV anti-join over base∪batches, position columns prepped per
     // branch before the union (DvUpdates.amendedOnce)
-    DvUpdates.amendedOnce(spark, path, Some(base), prep).get
+    DvUpdates.amendedOnce(spark, path, Some(base), prep,
+      batchesInBase = isClone).get
   }
 
   def deleteVectored(cond: Column): Unit = withClaimedCommit("delete-dv") {
@@ -1644,12 +1650,19 @@ final class MedallionTable(
       matched.select(col("__graft_dv_file").as("file"),
           col("__graft_dv_pos").as("pos"))
         .write.mode(SaveMode.Overwrite).parquet(marksStaging.toString)
-      if (ShallowClone.listParquet(spark, batchDir).isEmpty) {
+      // row-based emptiness (as mergeVectored): an empty frame's write
+      // can still leave a zero-row part file, and committing it would
+      // leave a permanent dead read-union branch per no-match update
+      val batchHasRows = ShallowClone.listParquet(spark, batchDir).nonEmpty &&
+        spark.read.parquet(batchDir).head(1).nonEmpty
+      if (!batchHasRows) {
         // nothing matched: leave no witness, clear the invisible litter
         fs.delete(new Path(batchDir), true)
         fs.delete(marksStaging, true)
       } else {
-        require(ShallowClone.listParquet(spark, marksStaging.toString).nonEmpty,
+        require(
+          ShallowClone.listParquet(spark, marksStaging.toString).nonEmpty &&
+            spark.read.parquet(marksStaging.toString).head(1).nonEmpty,
           s"update-dv: staged batch has data but no marks ($marksStaging) — " +
             "aborting before the commit could duplicate rows")
         invalidateStats()

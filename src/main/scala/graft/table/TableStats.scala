@@ -107,10 +107,13 @@ object TableStats {
     // manifest columns are LOGICAL names (what pushed predicates use) —
     // project renamed physical columns back before any stats run; a
     // shallow clone's manifest covers pointer files too
+    val isClone = ShallowClone.isClone(spark, tablePath)
     val rawBase =
-      if (ShallowClone.isClone(spark, tablePath))
-        // a shallow clone's manifest already points at the source's
-        // committed update-batch files — no extra branch needed
+      if (isClone)
+        // a shallow clone's scanFiles covers the source's pointed-at
+        // batch files AND the clone's OWN committed batches — so no
+        // batch fold may run below, or batch rows aggregate twice and
+        // the manifest row_count (the metadata COUNT(*) path) inflates
         spark.read.option("mergeSchema", "true")
           .parquet(ShallowClone.scanFiles(spark, tablePath): _*)
       else spark.read.parquet(tablePath)
@@ -121,7 +124,7 @@ object TableStats {
     // DV-update batches are folded per branch the same way the table
     // read does, so the manifest covers their rows too.
     val dvPath = DeletionVectors.dir(tablePath)
-    val hasBatches = !ShallowClone.isClone(spark, tablePath) &&
+    val hasBatches = !isClone &&
       DvUpdates.committedBatches(spark, tablePath).nonEmpty
     val (df, fileKey) =
       if (!DeletionVectors.exists(spark, dvPath) && !hasBatches)
@@ -129,9 +132,15 @@ object TableStats {
       else {
         def prep(d: org.apache.spark.sql.DataFrame) =
           d.withColumn("__stats_file", col("_metadata.file_path"))
-        val folded = DvUpdates.foldBatches(spark, tablePath,
-          DeletionVectors.applied(spark, prep(rawBase), dvPath, tablePath),
-          prep)
+        val baseApplied =
+          DeletionVectors.applied(spark, prep(rawBase), dvPath, tablePath)
+        // clone: batch files are in rawBase already (see above); their
+        // marks resolve through the same one anti-join, so folding
+        // committedScans here would be the read-side double-count's
+        // stats twin
+        val folded =
+          if (isClone) baseApplied
+          else DvUpdates.foldBatches(spark, tablePath, baseApplied, prep)
         (ColumnMap.toLogical(folded, ColumnMap.load(spark, tablePath)),
           Some(col("__stats_file")))
       }

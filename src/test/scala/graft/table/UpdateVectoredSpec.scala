@@ -201,4 +201,59 @@ class UpdateVectoredSpec extends SparkSpec {
       .getString(0) == "answer")
     assert(t.readVersion(v).count() == 100L)
   }
+
+  test("clone + two vectored updates: no duplicate amended rows") {
+    // Regression: a clone's base scan (ShallowClone.scanFiles) already
+    // folds the clone's OWN committed batch files in — dvLiveWithPos
+    // unioning committedScans on top read every amended row TWICE, so
+    // the second update wrote duplicate new versions (visible forever).
+    val (t, _) = mk()
+    val c = MedallionTable(spark, tmpDir("udv_clone2"))
+    c.cloneFrom(t)
+    c.updateVectored($"id" === 7L, Map("s" -> lit("v2")))
+    assert(c.read.count() == 100L, "one update: no duplicates")
+    assert(c.read.filter($"id" === 7L).count() == 1L)
+    c.updateVectored($"id" === 7L, Map("s" -> concat($"s", lit("!"))))
+    assert(c.read.count() == 100L, "second update: no duplicates")
+    val row7 = c.read.filter($"id" === 7L).collect()
+    assert(row7.length == 1, s"exactly one visible version: ${row7.toSeq}")
+    assert(row7.head.getString(1) == "v2!", "updates chain on the clone")
+    // merge-dv over the clone's amended view: still one row per key
+    c.mergeVectored(
+      Seq((7L, "m3", 9L)).toDF("id", "s", "grp"),
+      Seq("id" -> "id"),
+      Seq(MergeOps.WhenMatchedUpdate(None,
+        Map("s" -> ((_, s) => s("s"))))),
+      Nil)
+    assert(c.read.count() == 100L)
+    assert(c.read.filter($"id" === 7L).select("s").collect()
+      .map(_.getString(0)).toSeq == Seq("m3"))
+    // and a vectored delete over the twice-amended clone removes ONE row
+    c.deleteVectored($"id" === 7L)
+    assert(c.read.count() == 99L)
+    assert(t.read.count() == 100L, "source untouched throughout")
+    // stats twin of the same bug: the manifest must count batch rows once
+    c.refreshStats()
+    val cnt = TableStats.aggregateFromManifest(spark, c.path,
+      Seq(TableStats.RowCount), c.read.schema).head().getLong(0)
+    assert(cnt == 99L, s"clone manifest row_count must not double-fold: $cnt")
+  }
+
+  test("zero-match update leaves no committed batch behind") {
+    // Regression: an empty frame's write can still leave a zero-row part
+    // file; file-presence detection then committed a permanent dead
+    // read-union branch per no-match update. Detection is row-based now.
+    val (t, p) = mk()
+    t.updateVectored($"id" === 424242L, Map("s" -> lit("never")))
+    assert(DvUpdates.committedBatches(spark, p).isEmpty,
+      "no-match update must not commit a batch")
+    assert(new java.io.File(s"$p/_graft_meta/dv_updates").listFiles() == null ||
+      new java.io.File(s"$p/_graft_meta/dv_updates").listFiles().isEmpty,
+      "no staged litter either")
+    assert(t.read.count() == 100L)
+    // and the table still takes a real update afterwards
+    t.updateVectored($"id" === 1L, Map("s" -> lit("one")))
+    assert(DvUpdates.committedBatches(spark, p).size == 1)
+    assert(t.read.filter($"s" === "one").count() == 1L)
+  }
 }
