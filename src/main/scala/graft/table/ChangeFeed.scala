@@ -1,0 +1,570 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change data feed — Delta's `enableChangeDataFeed` / `table_changes`
+  * reproduced for [[MedallionTable]], with WRITER-CAPTURED per-commit
+  * change metadata instead of the O(table) snapshot diff
+  * [[MedallionTable.changesSinceOrdinal]] pays.
+  *
+  * Why a second CDC surface: `changesSinceOrdinal` full-outer-joins two
+  * complete table states — correct, but every refresh of a downstream
+  * consumer (incremental gold, materialized join) costs a table-sized
+  * shuffle and requires the old state to be a RETAINED SNAPSHOT. At
+  * 100 TB that is exactly the wrong shape: a feed consumer wants the
+  * cost of reading "what changed" to be O(changed rows), not O(table).
+  * Delta gets this by recording per-commit change information in its
+  * log (reference storage engine, `medallion_init.sh:4-18`; the
+  * reference's own incremental surface is Delta MERGE,
+  * `silver_table_creation.py:57-66`). This module rebuilds the contract
+  * on the graft commit protocol.
+  *
+  * == Capture (write side, O(Δ) metadata only) ==
+  *
+  * When the feed is enabled, every commit leaves a tiny MANIFEST under
+  * `<path>__graft_commits/cdf/c<ordinal>` — the commits sidecar survives
+  * rewrite swaps (the table dir's `_graft_meta` does not) and clones
+  * don't copy it (a clone starts its own history, so it starts its own
+  * feed). No change ROW is ever written twice:
+  *
+  *  - append / idempotent append / COPY INTO / create: the manifest
+  *    records the ADDED FILE keys ([[DeletionVectors.fileKeyOf]] tails).
+  *    The rows themselves stay where the append put them.
+  *  - `delete-dv`: the manifest records the MARK FILES this delete
+  *    appended to the DV sidecar. The deleted row images are
+  *    reconstructed at read time by position.
+  *  - `update-dv` / `merge-dv`: the manifest records the batch id, the
+  *    batch's data-file keys, and the marks directory. Postimages are
+  *    the batch files; preimages reconstruct by position. For merges it
+  *    also records the target key columns, which lets the read classify
+  *    insert vs update_postimage (and delete vs update_preimage)
+  *    exactly — a matched target row always has a preimage under the
+  *    same key.
+  *  - rewrites (merge/update/delete via the backup swap, overwrite,
+  *    restore): the manifest records only the op; the read derives
+  *    delete-all + insert-all from the archived pre/post snapshots when
+  *    `retainVersions` keeps them, Delta's remove+add rendering of a
+  *    rewrite. (Delta CDC renders copied-over rows too when the writer
+  *    captured them; a snapshot diff cannot tell a rewritten-identical
+  *    row from an untouched one, so this surface is the coarser but
+  *    still exactly-consistent delete+insert form.)
+  *  - maintenance (OPTIMIZE*, DV compaction) and metadata DDL
+  *    (ADD/DROP/RENAME COLUMN, convert): `dataChange = false` — no rows,
+  *    matching Delta.
+  *
+  * Manifests are written as the LAST action inside the claimed commit
+  * (temp + rename, so readers never see a partial one). A crash between
+  * the commit point and the manifest leaves a committed change without
+  * capture: the read REFUSES that ordinal (fail-stop, never silently
+  * wrong), unless the snapshot fallback covers it.
+  *
+  * == Read (O(changed rows) + O(touched files) scans) ==
+  *
+  * [[read]] unions one branch per commit class:
+  *  - insert branches scan exactly the recorded files;
+  *  - positional reconstruction gathers ALL commits' marks into ONE
+  *    frame and joins the needed base files ONCE (the
+  *    [[DvUpdates.amendedOnce]] lesson: per-branch joins cost ~1 s of
+  *    driver plan-construction each — see `graft.tools.DvBatchProbe`);
+  *  - merge classification is one window per merge commit over that
+  *    commit's own O(Δ) pre+post rows — no join;
+  *  - referenced files are resolved by file key across the live table,
+  *    committed update batches, and archived version snapshots (archive
+  *    relocation preserves the key — the [[DeletionVectors]] relative-
+  *    tail contract), each group read with its own `basePath` so hive
+  *    partition values survive, and each mapped through the column map
+  *    that covers it.
+  *
+  * Feed rows surface in the CURRENT logical schema (columns added since
+  * a change read as typed NULLs, dropped columns disappear — Delta CDF's
+  * latest-schema contract) plus `_change_type`, `_commit_version`,
+  * `_commit_timestamp`.
+  *
+  * == Refusals (all fail-stop with the escape hatch named) ==
+  *
+  *  - ranges before the enablement commit;
+  *  - a commit whose capture is missing (crash window) or whose marks /
+  *    batch / data files were compacted away (`compactDv`,
+  *    `compactDvBatches`, or a rewrite on an unversioned table) — DV
+  *    maintenance invalidates feed ranges that cross it, exactly as
+  *    Delta's VACUUM invalidates CDF ranges referencing vacuumed files;
+  *  - a rewrite commit on a table whose `retainVersions` no longer
+  *    reconstructs its pre/post states.
+  */
+object ChangeFeed {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CommitTimestampCol = "_commit_timestamp"
+
+  /** Ops that change no logical rows: safe to skip with no manifest. */
+  private val NoChangeOps: Set[String] = Set(
+    "convert", "add-column", "drop-column", "rename-column", "set-cdf",
+    "optimize", "optimize-where", "optimize-zorder", "reorg-purge",
+    "dv-compact", "dv-batch-compact", "analyze", "sync-delta-log",
+    "checkpoint-delta-log")
+
+  /** Ops whose change set is derived from pre/post snapshots. */
+  private def isRewriteClass(op: String): Boolean =
+    op == "merge" || op == "merge-pruned" || op == "scd2-merge" ||
+      op == "update" || op == "delete" || op == "delete-partitions" ||
+      op == "rewrite" || op.startsWith("restore-")
+
+  // ---- storage ----------------------------------------------------------
+
+  private def cdfRoot(tablePath: String): Path =
+    new Path(s"${tablePath}__graft_commits/cdf")
+
+  private def flagFile(tablePath: String): Path =
+    new Path(cdfRoot(tablePath), "enabled")
+
+  private[table] def manifestFile(tablePath: String, ordinal: Long): Path =
+    new Path(cdfRoot(tablePath), s"c$ordinal")
+
+  private def fsOf(spark: SparkSession, tablePath: String): FileSystem =
+    new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Temp + rename: a reader never observes a partial manifest. */
+  private def writeTextAtomic(fs: FileSystem, p: Path, text: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      // lost a race with an identical writer (retried op): keep theirs
+      fs.delete(tmp, false)
+    }
+  }
+
+  def isEnabled(spark: SparkSession, tablePath: String): Boolean =
+    fsOf(spark, tablePath).exists(flagFile(tablePath))
+
+  /** Commit ordinal of the enabling commit, when enabled. */
+  def enabledAt(spark: SparkSession, tablePath: String): Option[Long] = {
+    val fs = fsOf(spark, tablePath)
+    if (!fs.exists(flagFile(tablePath))) None
+    else readText(fs, flagFile(tablePath)).trim.toLongOption
+  }
+
+  private[table] def writeEnabled(spark: SparkSession, tablePath: String,
+      ordinal: Long): Unit = {
+    val fs = fsOf(spark, tablePath)
+    fs.mkdirs(cdfRoot(tablePath))
+    writeTextAtomic(fs, flagFile(tablePath), ordinal.toString)
+  }
+
+  // ---- manifests ---------------------------------------------------------
+
+  private[table] final case class Manifest(
+      op: String,
+      ts: Long,
+      typ: String, // files | marks | batch | auto | empty
+      batch: Option[String],
+      keys: Seq[String],
+      files: Seq[String], // data-file keys (fileKeyOf tails)
+      marks: Seq[String]) // dv-root-relative mark files / dirs
+
+  private def render(m: Manifest): String = {
+    val b = new StringBuilder
+    b ++= s"op\t${m.op}\n"
+    b ++= s"ts\t${m.ts}\n"
+    b ++= s"type\t${m.typ}\n"
+    m.batch.foreach(x => b ++= s"batch\t$x\n")
+    if (m.keys.nonEmpty) b ++= s"keys\t${m.keys.mkString(",")}\n"
+    m.files.foreach(f => b ++= s"f\t$f\n")
+    m.marks.foreach(x => b ++= s"m\t$x\n")
+    b.result()
+  }
+
+  private def parse(text: String): Manifest = {
+    var op = "unknown"; var ts = 0L; var typ = "auto"
+    var batch: Option[String] = None
+    var keys = Seq.empty[String]
+    val files = Seq.newBuilder[String]; val marks = Seq.newBuilder[String]
+    text.split('\n').foreach { line =>
+      val i = line.indexOf('\t')
+      if (i > 0) {
+        val (k, v) = (line.substring(0, i), line.substring(i + 1))
+        k match {
+          case "op" => op = v
+          case "ts" => ts = v.toLongOption.getOrElse(0L)
+          case "type" => typ = v
+          case "batch" => batch = Some(v)
+          case "keys" => keys = v.split(',').toSeq.filter(_.nonEmpty)
+          case "f" => files += v
+          case "m" => marks += v
+          case _ => ()
+        }
+      }
+    }
+    Manifest(op, ts, typ, batch, keys, files.result(), marks.result())
+  }
+
+  private[table] def loadManifest(spark: SparkSession, tablePath: String,
+      ordinal: Long): Option[Manifest] = {
+    val fs = fsOf(spark, tablePath)
+    val p = manifestFile(tablePath, ordinal)
+    if (!fs.exists(p)) None else Some(parse(readText(fs, p)))
+  }
+
+  private def captureManifest(spark: SparkSession, tablePath: String,
+      ordinal: Long, m: Manifest): Unit = {
+    val fs = fsOf(spark, tablePath)
+    fs.mkdirs(cdfRoot(tablePath))
+    writeTextAtomic(fs, manifestFile(tablePath, ordinal), render(m))
+  }
+
+  private def now(): Long = System.currentTimeMillis()
+
+  /** Append-class capture: the added data files ARE the inserted rows. */
+  private[table] def captureFiles(spark: SparkSession, tablePath: String,
+      ordinal: Long, op: String, addedFiles: Seq[String]): Unit =
+    captureManifest(spark, tablePath, ordinal, Manifest(op, now(), "files",
+      None, Nil, addedFiles.map(DeletionVectors.fileKeyOf).sorted, Nil))
+
+  /** `delete-dv` capture: the mark files this commit appended. */
+  private[table] def captureMarks(spark: SparkSession, tablePath: String,
+      ordinal: Long, op: String, markFiles: Seq[String]): Unit =
+    captureManifest(spark, tablePath, ordinal, Manifest(op, now(), "marks",
+      None, Nil, Nil, markFiles.sorted))
+
+  /** `update-dv` / `merge-dv` capture. `keys` nonEmpty ⟺ merge (enables
+    * insert/update classification); empty ⟺ plain update (all
+    * postimages are update_postimage).
+    */
+  private[table] def captureBatch(spark: SparkSession, tablePath: String,
+      ordinal: Long, op: String, batch: String, batchFiles: Seq[String],
+      keys: Seq[String]): Unit =
+    captureManifest(spark, tablePath, ordinal, Manifest(op, now(), "batch",
+      Some(batch), keys,
+      batchFiles.map(DeletionVectors.fileKeyOf).sorted,
+      Seq(s"update_$batch")))
+
+  /** A data-changing commit that matched nothing (no-op delete/update):
+    * recorded so the feed returns zero rows instead of refusing.
+    */
+  private[table] def captureEmpty(spark: SparkSession, tablePath: String,
+      ordinal: Long, op: String): Unit =
+    captureManifest(spark, tablePath, ordinal,
+      Manifest(op, now(), "empty", None, Nil, Nil, Nil))
+
+  /** Generic post-commit capture: records the OP (durable past marker
+    * retention) for commits whose change rows are derived (rewrites) or
+    * empty (maintenance/DDL). Skips if the op body already captured.
+    */
+  private[table] def captureAuto(spark: SparkSession, tablePath: String,
+      ordinal: Long, op: String): Unit = {
+    val fs = fsOf(spark, tablePath)
+    if (!fs.exists(manifestFile(tablePath, ordinal)))
+      captureManifest(spark, tablePath, ordinal,
+        Manifest(op, now(), "auto", None, Nil, Nil, Nil))
+  }
+
+  // ---- file resolution ----------------------------------------------------
+
+  /** A group of files readable in one scan: same `basePath` root (so
+    * hive partition values parse) and same column map.
+    */
+  private final case class RootGroup(basePath: String,
+      colMap: Map[String, String], files: Seq[String])
+
+  /** Index every resolvable data file by its relative-tail key: live
+    * table files (root = table path), committed update-batch files
+    * (root = the batch dir), and archived snapshot files (root = the
+    * snapshot dir, column map = the archived one). First hit wins
+    * (live before archived; archive MOVES files, so keys are unique in
+    * practice).
+    */
+  private def dataFileIndex(spark: SparkSession, t: MedallionTable)
+      : Map[String, (String, String, Map[String, String])] = {
+    val fs = fsOf(spark, t.path)
+    val liveMap = ColumnMap.load(spark, t.path)
+    val out = scala.collection.mutable.Map
+      .empty[String, (String, String, Map[String, String])]
+    def put(key: String, file: String, root: String,
+        m: Map[String, String]): Unit =
+      if (!out.contains(key)) out(key) = (file, root, m)
+    def listDataFiles(root: Path): Seq[String] = {
+      if (!fs.exists(root)) return Nil
+      val rootUri = fs.makeQualified(root).toUri
+      val b = Seq.newBuilder[String]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
+        val segs = rel.split('/')
+        if (f.getName.endsWith(".parquet") &&
+            !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+          b += f.toString
+      }
+      b.result()
+    }
+    // live base files
+    listDataFiles(new Path(t.path)).foreach(f =>
+      put(DeletionVectors.fileKeyOf(f), f, t.path, liveMap))
+    // live committed update batches (their own basePath roots)
+    DvUpdates.committedBatches(spark, t.path).foreach { b =>
+      val bd = DvUpdates.batchDataDir(t.path, b)
+      ShallowClone.listParquet(spark, bd).foreach(f =>
+        put(DeletionVectors.fileKeyOf(f), f, bd, liveMap))
+    }
+    // archived snapshots (batch files were relocated into the snapshot's
+    // own layout, so one recursive listing covers them)
+    t.listVersions().sorted.reverse.foreach { v =>
+      val vdir = new Path(t.path, s"_graft_meta/versions/v$v")
+      val vmap = ColumnMap.loadFrom(spark, ColumnMap.archivedFile(vdir))
+      listDataFiles(vdir).foreach(f =>
+        put(DeletionVectors.fileKeyOf(f), f, vdir.toString, vmap))
+    }
+    out.toMap
+  }
+
+  /** Resolve a dv-root-relative mark path (file or `update_<batch>` dir)
+    * against the live sidecar and archived snapshots' sidecars.
+    */
+  private def resolveMark(spark: SparkSession, t: MedallionTable,
+      rel: String): Option[String] = {
+    val fs = fsOf(spark, t.path)
+    val live = new Path(DeletionVectors.dir(t.path), rel)
+    if (fs.exists(live)) return Some(live.toString)
+    t.listVersions().sorted.reverse.foreach { v =>
+      val p = new Path(DeletionVectors.archivedDir(
+        new Path(t.path, s"_graft_meta/versions/v$v")), rel)
+      if (fs.exists(p)) return Some(p.toString)
+    }
+    None
+  }
+
+  private def refuse(msg: String): Nothing =
+    throw new IllegalStateException(s"change feed: $msg")
+
+  // ---- read ----------------------------------------------------------------
+
+  /** The row changes committed by ordinals `[startVersion, endVersion]`,
+    * in the table's current logical schema plus `_change_type`,
+    * `_commit_version`, `_commit_timestamp`. See the object scaladoc for
+    * cost shape and refusal surface.
+    */
+  def read(t: MedallionTable, startVersion: Long, endVersion: Long): DataFrame = {
+    val spark = t.spark
+    val en = enabledAt(spark, t.path).getOrElse(refuse(
+      s"not enabled on ${t.path} — run enableChangeDataFeed() first"))
+    val cur = t.commitVersion
+    require(startVersion <= endVersion,
+      s"change feed: empty range [$startVersion, $endVersion]")
+    if (startVersion <= en) refuse(
+      s"range [$startVersion, $endVersion] reaches at or before the " +
+        s"enablement commit ($en) of ${t.path}; changes are captured " +
+        s"only after enablement — earliest readable version is ${en + 1}")
+    if (endVersion > cur) refuse(
+      s"endVersion $endVersion is beyond the current commit $cur of ${t.path}")
+
+    val hist = t.history().map { case (v, op, ts) => v -> ((op, ts)) }.toMap
+    val liveSchema = t.read.schema
+    val liveCols = liveSchema.fields.map(_.name).toSeq
+
+    // lazily built: only commits that reconstruct by position need it
+    lazy val dataIndex = dataFileIndex(spark, t)
+
+    def tsOf(c: Long, m: Option[Manifest]): Long =
+      hist.get(c).map(_._2).orElse(m.map(_.ts)).getOrElse(0L)
+
+    /** Scan `keys`-resolved data files grouped by (root, map), with
+      * per-group basePath so partition values parse, mapped to logical
+      * names. Extra position/key columns included when `withPos`.
+      */
+    def scanResolved(keys: Seq[String], what: String, c: Long,
+        withPos: Boolean): Option[DataFrame] = {
+      if (keys.isEmpty) return None
+      val resolved = keys.map { k =>
+        dataIndex.getOrElse(k, refuse(
+          s"commit $c of ${t.path}: $what file '$k' is no longer " +
+            "resolvable (compacted or vacuumed, and not covered by a " +
+            "retained snapshot) — re-baseline the consumer with a full " +
+            "read, or raise retainVersions"))
+      }
+      val dfs = resolved.groupBy(r => (r._2, r._3)).toSeq
+        .sortBy(_._1._1).map { case ((root, cmap), grp) =>
+          val raw = spark.read.option("basePath", root)
+            .parquet(grp.map(_._1).distinct: _*)
+          val keyed =
+            if (withPos) raw
+              .withColumn("__cf_file",
+                DeletionVectors.fileKey(col("_metadata.file_path")))
+              .withColumn("__cf_pos", col("_metadata.row_index"))
+            else raw
+          ColumnMap.toLogical(keyed, cmap)
+        }
+      Some(dfs.reduce(_.unionByName(_, allowMissingColumns = true)))
+    }
+
+    // accumulated branches, each already carrying _change_type + commit cols
+    val branches = Seq.newBuilder[DataFrame]
+    // positional reconstruction requests, gathered for ONE join
+    // (commit, role, ts, marks source)
+    final case class MarkReq(c: Long, role: String, ts: Long,
+        paths: Seq[String])
+    val markReqs = Seq.newBuilder[MarkReq]
+    // merge commits needing key classification: c -> keys
+    val mergeKeys = scala.collection.mutable.Map.empty[Long, Seq[String]]
+
+    def stamp(df: DataFrame, c: Long, ts: Long, typ: Option[String]): DataFrame = {
+      val base = typ.map(x => df.withColumn(ChangeTypeCol, lit(x))).getOrElse(df)
+      base.withColumn(CommitVersionCol, lit(c))
+        .withColumn(CommitTimestampCol,
+          timestamp_millis(lit(ts)))
+    }
+
+    (startVersion to endVersion).foreach { c =>
+      val mOpt = loadManifest(spark, t.path, c)
+      val op = mOpt.map(_.op).orElse(hist.get(c).map(_._1)).getOrElse(refuse(
+        s"commit $c of ${t.path} has no capture manifest and its marker " +
+          "aged out of history retention — the operation is unknown, so " +
+          "its changes cannot be derived; re-baseline the consumer"))
+      val ts = tsOf(c, mOpt)
+      mOpt match {
+        case Some(m) if m.typ == "files" =>
+          scanResolved(m.files, "appended", c, withPos = false).foreach(df =>
+            branches += stamp(df, c, ts, Some("insert")))
+        case Some(m) if m.typ == "marks" =>
+          val paths = m.marks.map(rel => resolveMark(spark, t, rel)
+            .getOrElse(refuse(
+              s"commit $c of ${t.path}: delete marks '$rel' were " +
+                "compacted away (compactDv) and no retained snapshot " +
+                "carries them — re-baseline the consumer")))
+          if (paths.nonEmpty) markReqs += MarkReq(c, "delete", ts, paths)
+        case Some(m) if m.typ == "batch" =>
+          val isMerge = m.keys.nonEmpty
+          // postimages: the staged batch's data files
+          scanResolved(m.files, "batch", c, withPos = false).foreach { df =>
+            branches += stamp(df, c, ts,
+              Some(if (isMerge) "__merge_post" else "update_postimage"))
+          }
+          // preimages: the batch's marks directory
+          m.marks.foreach { rel =>
+            val p = resolveMark(spark, t, rel).getOrElse(refuse(
+              s"commit $c of ${t.path}: update marks '$rel' were " +
+                "compacted away (compactDvBatches) and no retained " +
+                "snapshot carries them — re-baseline the consumer"))
+            // an insert-only merge commits an EMPTY marks dir (the
+            // witness) — nothing to reconstruct
+            val files = ShallowClone.listParquet(spark, p)
+            if (files.nonEmpty) markReqs += MarkReq(c,
+              if (isMerge) "__merge_pre" else "update_preimage", ts, files)
+          }
+          if (isMerge) mergeKeys(c) = m.keys
+        case Some(m) if m.typ == "empty" => ()
+        case other =>
+          // auto manifest, or no manifest at all (crash window / enabled
+          // mid-history): classify by op
+          if (NoChangeOps.contains(op)) ()
+          else if (isRewriteClass(op)) {
+            val pre = t.stateAtOrdinal(c - 1).getOrElse(refuse(
+              s"commit $c of ${t.path} is a rewrite ($op) and the " +
+                s"pre-state (commit ${c - 1}) is not a retained snapshot " +
+                "— raise retainVersions or re-baseline the consumer"))
+            val post = t.stateAtOrdinal(c).getOrElse(refuse(
+              s"commit $c of ${t.path} is a rewrite ($op) and the " +
+                s"post-state is not reconstructible — re-baseline"))
+            branches += stamp(pre, c, ts, Some("delete"))
+            branches += stamp(post, c, ts, Some("insert"))
+          } else if (other.isEmpty) refuse(
+            s"commit $c of ${t.path} ($op) committed without capture — " +
+              "a writer crashed between its commit point and its feed " +
+              "manifest, or the op predates enablement; re-baseline")
+          else refuse(
+            s"commit $c of ${t.path}: unrecognized capture " +
+              s"'${other.get.typ}' for op $op")
+      }
+    }
+
+    // ---- ONE positional-reconstruction join for every marks request ----
+    val reqs = markReqs.result()
+    if (reqs.nonEmpty) {
+      val marks = reqs.map { r =>
+        spark.read.parquet(r.paths: _*)
+          .select(col("file").as("__cf_file"), col("pos").as("__cf_pos"))
+          .withColumn("__cf_c", lit(r.c))
+          .withColumn("__cf_role", lit(r.role))
+          .withColumn("__cf_ts", lit(r.ts))
+      }.reduce(_.unionByName(_))
+      // driver-side file-key gather: files-count-bounded, the same class
+      // as every manifest/sidecar listing on this table. Zero-row marks
+      // files are legal (an insert-only merge's committed witness).
+      val needed = marks.select("__cf_file").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      scanResolved(needed, "marked base", -1L, withPos = true).foreach { rows =>
+        val recon = rows.join(broadcast(marks),
+          Seq("__cf_file", "__cf_pos"), "inner")
+        branches += recon
+          .withColumn(ChangeTypeCol, col("__cf_role"))
+          .withColumn(CommitVersionCol, col("__cf_c"))
+          .withColumn(CommitTimestampCol, timestamp_millis(col("__cf_ts")))
+          .drop("__cf_file", "__cf_pos", "__cf_c", "__cf_role", "__cf_ts")
+      }
+    }
+
+    val all = branches.result()
+    val unioned =
+      if (all.isEmpty)
+        // empty range: zero rows in the right schema
+        stamp(t.read.limit(0), 0L, 0L, Some("insert"))
+      else all.reduce(_.unionByName(_, allowMissingColumns = true))
+
+    // merge classification: one window per merge commit over that
+    // commit's own O(Δ) pre+post rows — a preimage whose key-tuple has a
+    // postimage in the SAME commit is an update_preimage (else delete);
+    // a postimage with a preimage is an update_postimage (else insert).
+    val classified = if (mergeKeys.isEmpty) unioned else {
+      // classify per distinct key set; the window's commit-ordinal
+      // partition key keeps same-keyed merges from different commits apart
+      val keySets = mergeKeys.values.toSeq.distinct
+      keySets.foldLeft(unioned) { (df, ks) =>
+        val w = Window.partitionBy(
+          (CommitVersionCol +: ks).map(col): _*)
+        val inThisSet = col(ChangeTypeCol).isin("__merge_pre", "__merge_post") &&
+          col(CommitVersionCol).isin(
+            mergeKeys.filter(_._2 == ks).keys.toSeq: _*)
+        df.withColumn("__cf_has_pre", when(inThisSet,
+            max(when(col(ChangeTypeCol) === "__merge_pre", 1)
+              .otherwise(0)).over(w)))
+          .withColumn("__cf_has_post", when(inThisSet,
+            max(when(col(ChangeTypeCol) === "__merge_post", 1)
+              .otherwise(0)).over(w)))
+          .withColumn(ChangeTypeCol,
+            when(!inThisSet, col(ChangeTypeCol))
+              .when(col(ChangeTypeCol) === "__merge_pre",
+                when(col("__cf_has_post") === 1, lit("update_preimage"))
+                  .otherwise(lit("delete")))
+              .otherwise(
+                when(col("__cf_has_pre") === 1, lit("update_postimage"))
+                  .otherwise(lit("insert"))))
+          .drop("__cf_has_pre", "__cf_has_post")
+      }
+    }
+
+    // final projection: the CURRENT logical schema (latest-schema
+    // contract) — missing columns surface as typed NULLs, stale
+    // physical/dropped columns are not selected
+    val have = classified.columns.toSet
+    val outCols = liveCols.map { c =>
+      if (have.contains(c)) col(c)
+      else lit(null).cast(liveSchema(c).dataType).as(c)
+    } ++ Seq(col(ChangeTypeCol), col(CommitVersionCol), col(CommitTimestampCol))
+    classified.select(outCols: _*)
+  }
+}

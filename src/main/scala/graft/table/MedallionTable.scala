@@ -458,13 +458,23 @@ final class MedallionTable(
         }
       }
       MedallionTable.testFailpoint("mid-claim-first")
-      try write
-      catch {
-        case t: Throwable =>
-          try fs.delete(new Path(commitsDir, s"v$claimed.commit"), false)
-          catch { case _: java.io.IOException => () }
-          throw t
-      }
+      val out =
+        try write
+        catch {
+          case t: Throwable =>
+            try fs.delete(new Path(commitsDir, s"v$claimed.commit"), false)
+            catch { case _: java.io.IOException => () }
+            throw t
+        }
+      // change-feed op durability: record the op for commits whose body
+      // did not capture (maintenance/DDL read as dataChange=false, DV
+      // compaction invalidates, etc. — ChangeFeed classifies by op).
+      // Best-effort AFTER the write: a capture failure must not release
+      // the marker of a landed commit — the read side fail-stops instead.
+      if (ChangeFeed.isEnabled(spark, path))
+        try ChangeFeed.captureAuto(spark, path, claimed, op)
+        catch { case scala.util.control.NonFatal(_) => () }
+      out
     } finally {
       // same-JVM close of the data-lands-after-claim schema-memo window
       // (see [[mergedParquet]]): drop the memo once this write's files
@@ -600,26 +610,33 @@ final class MedallionTable(
     * recovery can ask history "did this batch's data land?").
     */
   private[table] def appendOp(df: DataFrame, op: String): Unit =
-    withClaimedCommit(op) { appendBody(df) }
+    withClaimedCommit(op) { appendBody(df, op) }
 
   /** The append write itself — runs INSIDE a claimed commit. */
-  private def appendBody(df: DataFrame): Unit = {
+  private def appendBody(df: DataFrame, op: String): Unit = {
     // Incremental manifest maintenance (TableStats.beginIncrementalUpdate
     // scaladoc): when a manifest exists, park it as pending, write the
     // data, then stats JUST the new files and commit the manifest back by
     // rename — append keeps file skipping armed at O(batch) stats cost.
     // Any failure leaves the manifest absent (conservative), never stale.
+    val cdfOn = ChangeFeed.isEnabled(spark, path)
     val incremental = TableStats.beginIncrementalUpdate(spark, path)
-    val before = if (incremental) dataFileSet() else Set.empty[String]
+    val before =
+      if (incremental || cdfOn) dataFileSet() else Set.empty[String]
     // appended files must carry the PHYSICAL names the existing files do
     // (mergeSchema would otherwise read a renamed column as two)
     writer(ColumnMap.toPhysical(enforced(df), ColumnMap.load(spark, path)),
       SaveMode.Append).parquet(path)
+    val added =
+      if (incremental || cdfOn) (dataFileSet() -- before).toSeq else Nil
     if (incremental)
-      try TableStats.completeIncrementalUpdate(spark, path,
-        (dataFileSet() -- before).toSeq)
+      try TableStats.completeIncrementalUpdate(spark, path, added)
       catch { case scala.util.control.NonFatal(_) => () } // pending = junk
     else invalidateStats()
+    // change-feed capture is metadata-only: the added FILES are the
+    // insert rows (ChangeFeed scaladoc) — commitVersion is stable inside
+    // the claimed block (writer lock held; a racing rewrite's CAS fails)
+    if (cdfOn) ChangeFeed.captureFiles(spark, path, commitVersion, op, added)
   }
 
   /** Live data files (qualified path strings), `_graft_meta` excluded by
@@ -664,6 +681,9 @@ final class MedallionTable(
         try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
         finally persistConstraints(cs)
         stashSchema(df.schema)
+        if (ChangeFeed.isEnabled(spark, path))
+          ChangeFeed.captureFiles(spark, path, commitVersion,
+            "create-overwrite", dataFileSet().toSeq)
       }
     }
 
@@ -676,6 +696,9 @@ final class MedallionTable(
       try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
       finally persistConstraints(cs)
       stashSchema(df.schema)
+      if (ChangeFeed.isEnabled(spark, path))
+        ChangeFeed.captureFiles(spark, path, commitVersion, "create",
+          dataFileSet().toSeq)
     }
   }
 
@@ -852,6 +875,8 @@ final class MedallionTable(
         // no clause consumed anything: leave no witness, clear the litter
         fs.delete(new Path(batchDir), true)
         fs.delete(marksStaging, true)
+        if (ChangeFeed.isEnabled(spark, path))
+          ChangeFeed.captureEmpty(spark, path, commitVersion, "merge-dv")
       } else {
         // An insert-only merge commits zero marks; a delete-only merge
         // commits an empty batch. The WITNESS is the marks DIRECTORY
@@ -870,6 +895,16 @@ final class MedallionTable(
           throw new java.io.IOException(
             s"merge-dv commit rename failed: $marksStaging -> " +
               DvUpdates.marksDir(path, batch))
+        // feed capture: the recorded target KEY columns let the read
+        // classify postimages (has a same-key preimage in this commit ⇒
+        // update_postimage, else insert) and preimages (has a postimage
+        // ⇒ update_preimage, else delete) — exact for key-stable merges;
+        // a key-changing update renders as delete+insert (same net
+        // change set, Delta's rendering for re-keyed rows)
+        if (ChangeFeed.isEnabled(spark, path))
+          ChangeFeed.captureBatch(spark, path, commitVersion, "merge-dv",
+            batch, ShallowClone.listParquet(spark, batchDir),
+            keys.map(_._1))
       }
     } finally j.unpersist()
   }
@@ -1038,6 +1073,12 @@ final class MedallionTable(
           catch { case _: java.io.IOException => () }
           throw t
       }
+      // change-feed: a rewrite's change set derives from snapshots at
+      // read time — record the OP durably (manifest outlives the marker
+      // retention). Best-effort: the commit already happened.
+      if (ChangeFeed.isEnabled(spark, path))
+        try ChangeFeed.captureAuto(spark, path, expectedVersion + 1, op)
+        catch { case scala.util.control.NonFatal(_) => () }
     } finally {
       // swap renames land AFTER the marker CAS — drop the schema memo so
       // no reader keeps a pre-swap schema under the post-CAS stamp
@@ -1344,7 +1385,7 @@ final class MedallionTable(
         // IN-PROCESS append failure rolls it back below so the retry
         // (whose marker was also released) correctly re-applies.
         writeMetaText(txnWitness(appId, version), "")
-        try appendBody(df)
+        try appendBody(df, op)
         catch {
           case t: Throwable =>
             try fs.delete(txnWitness(appId, version), false)
@@ -1429,6 +1470,8 @@ final class MedallionTable(
     import org.apache.spark.sql.functions.{coalesce, lit}
     requireNoDeltaLogForDv()
     val dvPath = DeletionVectors.dir(path)
+    val cdfOn = ChangeFeed.isEnabled(spark, path)
+    val marksBefore = if (cdfOn) dvMarkFiles(dvPath) else Set.empty[String]
     // overlay applied so the predicate resolves against the SAME logical
     // schema delete() sees (unmaterialized ADDs evaluate as typed NULLs,
     // tombstoned columns are invisible) — the result-identical contract
@@ -1439,6 +1482,22 @@ final class MedallionTable(
       .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
         org.apache.spark.sql.functions.col("__graft_dv_pos").as("pos"))
       .write.mode(SaveMode.Append).parquet(dvPath)
+    // feed capture = the mark FILES this commit appended; the deleted
+    // row images reconstruct by position at read (ChangeFeed scaladoc)
+    if (cdfOn) ChangeFeed.captureMarks(spark, path, commitVersion,
+      "delete-dv", (dvMarkFiles(dvPath) -- marksBefore).toSeq)
+  }
+
+  /** Top-level mark files of the DV sidecar (update_* batch-marks dirs
+    * excluded) — the delete-dv change-feed capture unit.
+    */
+  private def dvMarkFiles(dvPath: String): Set[String] = {
+    val d = new Path(dvPath)
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).collect {
+      case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+        st.getPath.getName
+    }.toSet
   }
 
   /** [[deleteVectored]] keyed by a FRAME of victim keys instead of a
@@ -1452,6 +1511,8 @@ final class MedallionTable(
       import org.apache.spark.sql.functions.broadcast
       requireNoDeltaLogForDv()
       val dvPath = DeletionVectors.dir(path)
+      val cdfOn = ChangeFeed.isEnabled(spark, path)
+      val marksBefore = if (cdfOn) dvMarkFiles(dvPath) else Set.empty[String]
       val live = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
         dvLiveWithPos(), ColumnMap.load(spark, path)))
       invalidateStats()
@@ -1461,6 +1522,8 @@ final class MedallionTable(
         .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
           org.apache.spark.sql.functions.col("__graft_dv_pos").as("pos"))
         .write.mode(SaveMode.Append).parquet(dvPath)
+      if (cdfOn) ChangeFeed.captureMarks(spark, path, commitVersion,
+        "delete-dv", (dvMarkFiles(dvPath) -- marksBefore).toSeq)
     }
 
   /** Whether any deletion-vector soft state is live — delete marks in
@@ -1659,6 +1722,8 @@ final class MedallionTable(
         // nothing matched: leave no witness, clear the invisible litter
         fs.delete(new Path(batchDir), true)
         fs.delete(marksStaging, true)
+        if (ChangeFeed.isEnabled(spark, path))
+          ChangeFeed.captureEmpty(spark, path, commitVersion, "update-dv")
       } else {
         require(
           ShallowClone.listParquet(spark, marksStaging.toString).nonEmpty &&
@@ -1674,6 +1739,12 @@ final class MedallionTable(
           throw new java.io.IOException(
             s"update-dv commit rename failed: $marksStaging -> " +
               DvUpdates.marksDir(path, batch))
+        // feed capture (post-commit; a crash in between fail-stops the
+        // read): postimages = the batch files, preimages reconstruct
+        // from the marks — keys empty ⟺ all postimages update_postimage
+        if (ChangeFeed.isEnabled(spark, path))
+          ChangeFeed.captureBatch(spark, path, commitVersion, "update-dv",
+            batch, ShallowClone.listParquet(spark, batchDir), Nil)
       }
     }
 
@@ -1765,6 +1836,33 @@ final class MedallionTable(
     MergeOps.merge3ClauseCDC(old, cur, keys,
       Some(MergeOps.anyColumnDiffers(old, cur, keys)))
   }
+
+  // ---- change data feed (writer-captured; see ChangeFeed) ---------------
+
+  /** Enable the writer-captured change data feed (Delta
+    * `enableChangeDataFeed` parity): from this commit on, every write
+    * leaves O(Δ) change METADATA that [[readChangeFeed]] turns into
+    * per-commit change rows without snapshot diffs. Itself a commit
+    * (`set-cdf`), like Delta's property-setting transaction.
+    */
+  def enableChangeDataFeed(): Unit =
+    if (!ChangeFeed.isEnabled(spark, path))
+      withClaimedCommit("set-cdf") {
+        ChangeFeed.writeEnabled(spark, path, commitVersion)
+      }
+
+  def changeDataFeedEnabled: Boolean = ChangeFeed.isEnabled(spark, path)
+
+  /** Delta `table_changes(t, startVersion, endVersion)`: the row changes
+    * committed by ordinals `[startVersion, endVersion]` (both inclusive,
+    * commit-ordinal space — the numbering [[history]] reports), in the
+    * current logical schema plus `_change_type` / `_commit_version` /
+    * `_commit_timestamp`. Cost is O(changed rows) + O(touched files) —
+    * never a table diff; refusal surface in the [[ChangeFeed]] scaladoc.
+    */
+  def readChangeFeed(startVersion: Long, endVersion: Long = -1L): DataFrame =
+    ChangeFeed.read(this,
+      startVersion, if (endVersion < 0) commitVersion else endVersion)
 
   /** Commit ordinals whose state can be read back (stamped snapshots plus
     * the live table).

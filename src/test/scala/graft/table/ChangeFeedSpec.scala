@@ -1,0 +1,225 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Writer-captured change data feed ([[ChangeFeed]]): per-commit change
+  * rows from O(Δ) capture metadata — append file lists, delete-dv mark
+  * lists, update/merge-dv batch manifests, rewrite snapshot fallback —
+  * plus the refusal boundaries (pre-enablement, crashed capture, DV
+  * compaction invalidation) and the latest-schema contract.
+  */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(n: Long) =
+    (0L until n).map(i => (i, s"s$i", (i % 4).toInt)).toDF("id", "s", "grp")
+
+  private def mk(retain: Int = 0): MedallionTable = {
+    val t = MedallionTable(spark, tmpDir("cdf"), retainVersions = retain)
+    t.overwrite(rows(20).repartition(2, col("id")))
+    t
+  }
+
+  private def feed(t: MedallionTable, from: Long, to: Long = -1L) =
+    t.readChangeFeed(from, to)
+      .select("id", "s", "grp", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getLong(4)))
+      .toSet
+
+  test("append capture: inserts from exactly the added files, no row copies") {
+    val t = mk()
+    t.enableChangeDataFeed() // commit 2
+    val en = t.commitVersion
+    t.append(rows(5).withColumn("id", $"id" + 100L)
+      .withColumn("s", concat(lit("a"), $"id"))) // commit 3
+    val got = feed(t, en + 1)
+    assert(got == (0L until 5L).map(i =>
+      (i + 100L, s"a${i + 100L}", i.toInt % 4, "insert", en + 1)).toSet)
+    // capture is metadata-only: no change rows stored anywhere
+    val cdfDir = new java.io.File(s"${t.path}__graft_commits/cdf")
+    assert(cdfDir.listFiles().forall(_.isFile), "manifests only, no row dirs")
+    assert(cdfDir.listFiles().map(_.length()).sum < 4096,
+      "capture stays tiny metadata")
+  }
+
+  test("delete-dv capture: deleted row images reconstruct by position") {
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    t.deleteVectored($"id" % 5 === 3)
+    val got = feed(t, en + 1)
+    assert(got == Seq(3L, 8L, 13L, 18L).map(i =>
+      (i, s"s$i", i.toInt % 4, "delete", en + 1)).toSet)
+    // a second delete attributes to its own commit
+    t.deleteVectored($"id" === 0L)
+    assert(feed(t, en + 2, en + 2) ==
+      Set((0L, "s0", 0, "delete", en + 2)))
+    // and the two-commit range unions both
+    assert(feed(t, en + 1, en + 1).size + feed(t, en + 2, en + 2).size ==
+      feed(t, en + 1, en + 2).size)
+  }
+
+  test("update-dv capture: pre/postimages; zero-match update feeds zero rows") {
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    t.updateVectored($"id" < 3, Map("s" -> concat(lit("u"), $"id")))
+    val got = feed(t, en + 1)
+    val want = (0L until 3L).flatMap(i => Seq(
+      (i, s"s$i", i.toInt % 4, "update_preimage", en + 1),
+      (i, s"u$i", i.toInt % 4, "update_postimage", en + 1))).toSet
+    assert(got == want)
+    t.updateVectored($"id" === 9999L, Map("s" -> lit("x")))
+    assert(feed(t, en + 2).isEmpty, "no-match update captures empty")
+    // chained: updating an updated row reconstructs the v2 preimage from
+    // the BATCH file of the first update
+    t.updateVectored($"id" === 1L, Map("s" -> lit("v3")))
+    assert(feed(t, en + 3) == Set(
+      (1L, "u1", 1, "update_preimage", en + 3),
+      (1L, "v3", 1, "update_postimage", en + 3)))
+  }
+
+  test("merge-dv capture: key classification — insert vs update vs delete") {
+    import MergeOps._
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    val src = Seq(
+      (1L, "m1"), // matched, price below: update
+      (2L, "m2"), // matched: update
+      (3L, "DEL"), // matched: delete clause
+      (100L, "new")).toDF("k", "v")
+    t.mergeVectored(src, Seq("id" -> "k"),
+      Seq(
+        WhenMatchedDelete(Some((_, sc) => sc("v") === "DEL")),
+        WhenMatchedUpdate(None, Map("s" -> ((_, sc) => sc("v"))))),
+      Seq(WhenNotMatchedInsert(None, Map(
+        "id" -> ((_, sc) => sc("k")),
+        "s" -> ((_, sc) => sc("v")),
+        "grp" -> ((_, _) => lit(9))))))
+    val got = feed(t, en + 1)
+    val want = Set(
+      (1L, "s1", 1, "update_preimage", en + 1),
+      (1L, "m1", 1, "update_postimage", en + 1),
+      (2L, "s2", 2, "update_preimage", en + 1),
+      (2L, "m2", 2, "update_postimage", en + 1),
+      (3L, "s3", 3, "delete", en + 1),
+      (100L, "new", 9, "insert", en + 1))
+    assert(got == want)
+  }
+
+  test("insert-only and delete-only merges classify without empty-dir failures") {
+    import MergeOps._
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    t.mergeVectored(Seq((200L, "n")).toDF("k", "v"), Seq("id" -> "k"),
+      Nil, Seq(WhenNotMatchedInsert(None, Map(
+        "id" -> ((_, sc) => sc("k")), "s" -> ((_, sc) => sc("v")),
+        "grp" -> ((_, _) => lit(0))))))
+    assert(feed(t, en + 1) == Set((200L, "n", 0, "insert", en + 1)))
+    t.mergeVectored(Seq((200L, "x")).toDF("k", "v"), Seq("id" -> "k"),
+      Seq(WhenMatchedDelete(None)), Nil)
+    assert(feed(t, en + 2) == Set((200L, "n", 0, "delete", en + 2)))
+  }
+
+  test("rewrite commits derive delete-all+insert-all from snapshots; " +
+      "maintenance and DDL feed no rows") {
+    val t = mk(retain = 4)
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    t.delete($"id" >= 18L) // rewrite path (row-level predicate)
+    val got = feed(t, en + 1)
+    assert(got.count(_._4 == "insert") == 18)
+    assert(got.count(_._4 == "delete") == 20)
+    assert(got.filter(_._4 == "delete").map(_._1) == (0L until 20L).toSet)
+    // maintenance: no rows (dataChange=false)
+    t.compact()
+    assert(feed(t, en + 2).isEmpty, "OPTIMIZE feeds no rows")
+    // metadata DDL: no rows
+    t.addColumn("note", "STRING")
+    assert(feed(t, en + 3).isEmpty, "ADD COLUMN feeds no rows")
+  }
+
+  test("latest-schema contract: pre-evolution changes read with typed NULLs") {
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    t.append(rows(2).withColumn("id", $"id" + 50L))
+    t.addColumn("note", "STRING")
+    t.append(rows(1).withColumn("id", $"id" + 60L)
+      .withColumn("note", lit("n")))
+    val f = t.readChangeFeed(en + 1)
+    assert(f.columns.toSeq ==
+      Seq("id", "s", "grp", "note", "_change_type", "_commit_version",
+        "_commit_timestamp"))
+    val byId = f.collect().map(r => r.getLong(0) -> r.getAs[String]("note")).toMap
+    assert(byId(50L) == null && byId(60L) == "n")
+  }
+
+  test("refusals: pre-enablement range, beyond-head range, compacted marks") {
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    val e1 = intercept[IllegalStateException](t.readChangeFeed(en))
+    assert(e1.getMessage.contains("enablement"))
+    intercept[IllegalStateException](t.readChangeFeed(en + 1, en + 99))
+    t.deleteVectored($"id" === 1L)
+    assert(feed(t, en + 1).nonEmpty)
+    // DV compaction rewrites the mark files: the range must now refuse
+    // (Delta-parity with VACUUM invalidating CDF), not misreport
+    t.deleteVectored($"id" === 2L)
+    t.compactDv()
+    val e2 = intercept[IllegalStateException](t.readChangeFeed(en + 1))
+    assert(e2.getMessage.contains("compacted"))
+    // un-captured rewrite on an unversioned table: refuse, name the knob
+    val t2 = mk()
+    t2.enableChangeDataFeed()
+    val en2 = t2.commitVersion
+    t2.delete($"id" === 0L)
+    val e3 = intercept[IllegalStateException](t2.readChangeFeed(en2 + 1))
+    assert(e3.getMessage.contains("retainVersions"))
+  }
+
+  test("crashed capture window fail-stops the read") {
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    t.append(rows(1).withColumn("id", $"id" + 70L))
+    // simulate the crash-between-commit-and-manifest window by removing
+    // the captured manifest for the append commit
+    val mf = new java.io.File(
+      ChangeFeed.manifestFile(t.path, en + 1).toUri.getPath)
+    assert(mf.exists()); assert(mf.delete())
+    val e = intercept[IllegalStateException](t.readChangeFeed(en + 1))
+    assert(e.getMessage.contains("without capture"))
+  }
+
+  test("idempotent appends and COPY-INTO-style retries capture once per " +
+      "applied batch; feed drives IncrementalAgg to the recomputed gold") {
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    assert(t.appendIdempotent(rows(3).withColumn("id", $"id" + 300L),
+      "app", 1L))
+    assert(!t.appendIdempotent(rows(3).withColumn("id", $"id" + 300L),
+      "app", 1L), "replay is a no-op")
+    t.updateVectored($"id" === 301L, Map("grp" -> lit(3)))
+    t.deleteVectored($"id" === 302L)
+    val changes = t.readChangeFeed(en + 1)
+      .drop("_commit_version", "_commit_timestamp")
+    // state at enablement = the create batch (nothing landed in between)
+    val gold0 = IncrementalAgg.fullCompute(rows(20),
+      Seq("grp"), Seq("sum_id" -> col("id")))
+    val maintained = IncrementalAgg.refresh(gold0, changes,
+      Seq("grp"), Seq("sum_id" -> col("id")))
+    val recomputed = IncrementalAgg.fullCompute(t.read,
+      Seq("grp"), Seq("sum_id" -> col("id")))
+    val a = maintained.orderBy("grp").collect().map(_.toSeq).toSeq
+    val b = recomputed.orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(a == b, "feed-maintained gold ≡ full recompute")
+  }
+}
