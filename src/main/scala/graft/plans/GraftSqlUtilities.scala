@@ -117,6 +117,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftAddConstraintCommand(target.trim, cname.trim, cexpr.trim)
       case DropConstraintRe(target, cname) if isGraftTarget(spark, target) =>
         GraftDropConstraintCommand(target.trim, cname.trim)
+      case EnableCdfRe(target) if isGraftTarget(spark, target) =>
+        GraftEnableCdfCommand(target.trim)
       case _ => resolveTimeTravel(delegate.parsePlan(sqlText))
     }
   }
@@ -268,6 +270,11 @@ object GraftSqlParser {
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
   private[plans] val DropConstraintRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)""".r
+  // Delta property-parity surface for the change feed: accept both the
+  // delta.* and graft.* property spellings, value true only
+  private[plans] val EnableCdfRe: Regex =
+    (s"""(?is)ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\(\\s*""" +
+      """'?(?:delta|graft)\.enableChangeDataFeed'?\s*=\s*'?true'?\s*\)""").r
 
   private[plans] def stripQuotes(s: String): String = {
     val t = s.trim
@@ -873,6 +880,19 @@ final case class GraftDropConstraintCommand(target: String, cname: String)
   }
 }
 
+/** `ALTER TABLE t SET TBLPROPERTIES (delta.enableChangeDataFeed = true)`
+  * — Delta's property spelling (graft.* accepted too) arming the
+  * writer-captured change feed ([[graft.table.ChangeFeed]]).
+  */
+final case class GraftEnableCdfCommand(target: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    new MedallionTable(spark, path).enableChangeDataFeed()
+    Seq.empty
+  }
+}
+
 /** Table-valued SQL functions for the read-side maintenance surfaces —
   * Delta's `table_changes(…)` analog plus history-as-a-table:
   *
@@ -923,6 +943,22 @@ object GraftTableFunctions {
         new MedallionTable(spark, path).history()
           .toDF("version", "operation", "ts_millis")
           .queryExecution.logical
+      }),
+    // Delta's table_changes over the WRITER-CAPTURED feed: O(changed
+    // rows), per-commit attribution, no key columns and no snapshot
+    // retention needed (graft.table.ChangeFeed) — the snapshot-diff
+    // graft_table_changes above remains for un-enabled tables
+    (new FunctionIdentifier("graft_change_feed"),
+      new ExpressionInfo(classOf[MedallionTable].getName, "graft_change_feed"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          "usage: graft_change_feed('<path>', startVersion[, endVersion])")
+        val spark = SparkSession.active
+        val mt = new MedallionTable(spark, litString(exprs.head, "path"))
+        val from = litLong(exprs(1), "startVersion")
+        val to = if (exprs.length == 3) litLong(exprs(2), "endVersion")
+          else mt.commitVersion
+        mt.readChangeFeed(from, to).queryExecution.logical
       })
   )
 }

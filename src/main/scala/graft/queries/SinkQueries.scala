@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.table.{MedallionTable, MergeOps}
+import graft.table.{IncrementalAgg, MedallionTable, MergeOps}
 
 /** SURVEY.md §2.2 sinks / table maintenance (K1-K5) exposed as
   * oracle-checked round-trip queries: write to a /tmp scratch table with the
@@ -14,6 +14,65 @@ object SinkQueries {
   import Q.QueryFn
 
   val defs: Map[String, QueryFn] = Map(
+    // K14 — writer-captured change data feed (graft.table.ChangeFeed):
+    // Delta's enableChangeDataFeed/table_changes with O(Δ) capture
+    // manifests instead of snapshot diffs. The query scripts create →
+    // enable → append → DV-delete → DV-update and reads the whole feed
+    // back; the oracle recomputes every commit's change rows (inserts
+    // from the appended slice, delete images from the pre-delete state,
+    // pre/post update images) with the per-commit attribution. A
+    // mis-captured file list, a positional reconstruction off by one
+    // row, or a wrong commit stamp all hash-mismatch. Commit ordinals
+    // are deterministic because the commits sidecar is wiped first.
+    "k14_cdf_feed" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k14_cdf")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits") // feed state + markers live here
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice", $"o_orderpriority")
+      t.overwrite(o) // c1
+      t.enableChangeDataFeed() // c2
+      t.append(o.filter($"o_orderkey" % 97 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 20000000L)) // c3: inserts
+      t.deleteVectored($"o_orderkey" % 10 === 3) // c4: delete images
+      t.updateVectored($"o_orderkey" % 100 === 7,
+        Map("o_orderpriority" -> lit("X-CDF"))) // c5: pre+post images
+      t.readChangeFeed(3L, 5L).drop("_commit_timestamp")
+    }),
+
+    // K14b — REFRESH MATERIALIZED VIEW through the feed: the gold
+    // aggregate is maintained by IncrementalAgg.catchUp with ZERO
+    // snapshot retention, so the refresh can only have come from the
+    // writer-captured feed (the snapshot-diff route would refuse). The
+    // oracle recomputes the aggregate from the final state from scratch
+    // — the O(Δ) maintenance must be bit-identical (integer cents).
+    "k14_cdf_mv_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k14_mv_fact")
+      val g = Q.scratch(dir, "k14_mv_gold")
+      Seq(p, p + "__graft_commits", g, g + "__graft_commits")
+        .foreach(Q.deleteDir(s, _))
+      val t = MedallionTable(s, p)
+      val gold = MedallionTable(s, g)
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice")
+      val groupCols = Seq("o_orderstatus")
+      val sums = Seq("cents" ->
+        round($"o_totalprice" * 100).cast("long"))
+      t.overwrite(o) // c1
+      t.enableChangeDataFeed() // c2
+      IncrementalAgg.catchUp(t, gold, Seq("o_orderkey"), groupCols, sums)
+      t.append(o.filter($"o_orderkey" % 89 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 30000000L)) // c3
+      t.updateVectored($"o_orderkey" % 50 === 11,
+        Map("o_orderstatus" -> lit("Z"))) // c4: rows MOVE groups
+      t.deleteVectored($"o_orderkey" % 10 === 9) // c5
+      IncrementalAgg.catchUp(t, gold, Seq("o_orderkey"), groupCols, sums)
+      gold.read.drop(IncrementalAgg.FactCommitCol)
+    }),
+
     // K1 — create + append with partitioning (bronze_table_creation.py:26)
     "k1_append_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -1083,6 +1142,57 @@ object SinkQueries {
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
   val oracles: Map[String, String] = Map(
+    "k14_cdf_feed" ->
+      ("""WITH appended AS (
+         |  SELECT o_orderkey + 20000000 AS o_orderkey, o_orderstatus,
+         |         o_totalprice, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 97 = 0
+         |), s1 AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         |  FROM orders
+         |  UNION ALL SELECT * FROM appended
+         |), deleted AS (
+         |  SELECT * FROM s1 WHERE o_orderkey % 10 = 3
+         |), live1 AS (
+         |  SELECT * FROM s1 WHERE o_orderkey % 10 <> 3
+         |), upd AS (
+         |  SELECT * FROM live1 WHERE o_orderkey % 100 = 7
+         |)
+         |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+         |       'insert' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+         |FROM appended
+         |UNION ALL
+         |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+         |       'delete', CAST(4 AS BIGINT) FROM deleted
+         |UNION ALL
+         |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+         |       'update_preimage', CAST(5 AS BIGINT) FROM upd
+         |UNION ALL
+         |SELECT o_orderkey, o_orderstatus, o_totalprice, 'X-CDF',
+         |       'update_postimage', CAST(5 AS BIGINT) FROM upd
+         |""".stripMargin),
+    "k14_cdf_mv_refresh" ->
+      ("""WITH appended AS (
+         |  SELECT o_orderkey + 30000000 AS o_orderkey, o_orderstatus,
+         |         o_totalprice
+         |  FROM orders WHERE o_orderkey % 89 = 0
+         |), s1 AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  UNION ALL SELECT * FROM appended
+         |), u AS (
+         |  SELECT o_orderkey,
+         |         CASE WHEN o_orderkey % 50 = 11 THEN 'Z'
+         |              ELSE o_orderstatus END AS o_orderstatus,
+         |         o_totalprice
+         |  FROM s1
+         |), final AS (
+         |  SELECT * FROM u WHERE o_orderkey % 10 <> 9
+         |)
+         |SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         |            AS BIGINT) AS cents
+         |FROM final GROUP BY o_orderstatus
+         |""".stripMargin),
     "k1_append_roundtrip" ->
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 4 IN (0, 1)",
     // External replay of the exported Delta log: live set = adds minus

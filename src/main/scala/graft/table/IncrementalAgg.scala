@@ -106,8 +106,15 @@ object IncrementalAgg {
     * of [[graft.streaming.EventStreams.goldStream]]'s per-batch step,
     * exposed for cron-cadence refresh jobs.
     *
-    * `fact` must be opened with `retainVersions` covering the refresh
-    * cadence (the state at `reflected` has to be reconstructible).
+    * Change-source preference: when the fact's writer-captured change
+    * data feed covers the gap ([[ChangeFeed]] — enabled, and every
+    * commit in `(reflected, current]` captured), the refresh reads it at
+    * O(changed rows); otherwise it falls back to
+    * `fact.changesSinceOrdinal(reflected)`, the O(fact) snapshot diff,
+    * which requires `retainVersions` to cover the refresh cadence. The
+    * feed's rewrite rendering (delete-all + insert-all) is exactly
+    * absorbed by the signed-delta algebra, so both sources maintain the
+    * same gold bit-for-bit.
     */
   def catchUp(fact: MedallionTable, gold: MedallionTable,
       keys: Seq[String], groupCols: Seq[String],
@@ -119,11 +126,31 @@ object IncrementalAgg {
       case None =>
         gold.overwrite(fullCompute(fact.read, groupCols, sums)
           .withColumn(FactCommitCol, lit(fact.commitVersion)))
+      case Some(ord) if ord == fact.commitVersion => () // already current
       case Some(ord) =>
-        val changes = fact.changesSinceOrdinal(ord, keys)
+        val changes = changesPreferFeed(fact, ord, keys)
         gold.overwrite(
           refresh(gold.read.drop(FactCommitCol), changes, groupCols, sums)
             .withColumn(FactCommitCol, lit(fact.commitVersion)))
     }
+  }
+
+  /** The change rows that turn `fact@ord` into the current state: the
+    * writer-captured feed when it covers `(ord, current]` (O(Δ)), else
+    * the snapshot diff (O(fact), needs retention). Exposed for every
+    * CDC consumer with a reflected-ordinal watermark
+    * ([[IncrementalJoin.catchUp]], [[graft.streaming.EventStreams]]).
+    */
+  def changesPreferFeed(fact: MedallionTable, ord: Long,
+      keys: Seq[String]): DataFrame = {
+    val viaFeed =
+      if (!ChangeFeed.isEnabled(fact.spark, fact.path)) None
+      else
+        try Some(fact.readChangeFeed(ord + 1, fact.commitVersion)
+          .drop(ChangeFeed.CommitVersionCol, ChangeFeed.CommitTimestampCol))
+        catch { // a refused range (uncaptured commit) falls back
+          case _: IllegalStateException => None
+        }
+    viaFeed.getOrElse(fact.changesSinceOrdinal(ord, keys))
   }
 }

@@ -146,8 +146,10 @@ object IncrementalJoin {
     * effect. Dim-side changes are the caller's to route through
     * [[applyDimChanges]] (dims change rarely and out-of-band).
     *
-    * `fact` must be opened with `retainVersions` covering the refresh
-    * cadence, as for [[IncrementalAgg.catchUp]].
+    * Change source: the fact's writer-captured change feed when it
+    * covers the gap (O(Δ) — [[ChangeFeed]]); otherwise the snapshot
+    * diff, for which `fact` must be opened with `retainVersions`
+    * covering the refresh cadence, as for [[IncrementalAgg.catchUp]].
     */
   def catchUp(fact: MedallionTable, dim: DataFrame, mv: MedallionTable,
       factKeys: Seq[String], on: Seq[(String, String)]): Unit = {
@@ -165,7 +167,10 @@ object IncrementalJoin {
     reflected match {
       case Some(ord) if ord == cur => () // nothing new
       case Some(ord) =>
-        applyFactChanges(mv, fact.changesSinceOrdinal(ord, factKeys),
+        // writer-captured feed when it covers the gap (O(Δ)), snapshot
+        // diff otherwise — IncrementalAgg.changesPreferFeed's contract
+        applyFactChanges(mv,
+          IncrementalAgg.changesPreferFeed(fact, ord, factKeys),
           dim, factKeys, on)
       case None =>
         mv.overwrite(fullCompute(fact.read, dim, on))
