@@ -73,6 +73,40 @@ object SinkQueries {
       gold.read.drop(IncrementalAgg.FactCommitCol)
     }),
 
+    // K14c — CDC replication through the feed (ChangeFeed.replicateTo,
+    // Delta's documented CDF→MERGE mirroring pattern): bootstrap copy,
+    // then ONE incremental window applying the NET effect of append +
+    // two overlapping DV-updates (last-wins per key) + a DV-delete that
+    // removes some updated keys — O(Δ) upsert marks + key-deletes on the
+    // mirror, zero mirror rescans (spec asserts the untouched files).
+    // The oracle recomputes the final source state from scratch; any
+    // mis-netting (stale update applied over a newer one, a resurrected
+    // delete) hash-mismatches.
+    "k14_cdf_mirror" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k14_mir_src")
+      val mp = Q.scratch(dir, "k14_mir_dst")
+      Seq(p, p + "__graft_commits", mp, mp + "__graft_commits")
+        .foreach(Q.deleteDir(s, _))
+      val t = MedallionTable(s, p)
+      val m = MedallionTable(s, mp)
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice", $"o_orderpriority")
+      t.overwrite(o) // c1
+      t.enableChangeDataFeed() // c2
+      graft.table.ChangeFeed.replicateTo(t, m, Seq("o_orderkey")) // bootstrap
+      t.append(o.filter($"o_orderkey" % 89 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 40000000L)) // c3
+      t.updateVectored($"o_orderkey" % 30 === 1,
+        Map("o_orderpriority" -> lit("M1"))) // c4
+      t.updateVectored($"o_orderkey" % 60 === 1,
+        Map("o_orderpriority" -> lit("M2"))) // c5: overlaps c4 — last wins
+      t.deleteVectored($"o_orderkey" % 50 === 1) // c6: kills updated keys too
+      graft.table.ChangeFeed.replicateTo(t, m, Seq("o_orderkey"))
+      m.read.select("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    }),
+
     // K1 — create + append with partitioning (bronze_table_creation.py:26)
     "k1_append_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -1170,6 +1204,29 @@ object SinkQueries {
          |UNION ALL
          |SELECT o_orderkey, o_orderstatus, o_totalprice, 'X-CDF',
          |       'update_postimage', CAST(5 AS BIGINT) FROM upd
+         |""".stripMargin),
+    "k14_cdf_mirror" ->
+      ("""WITH appended AS (
+         |  SELECT o_orderkey + 40000000 AS o_orderkey, o_orderstatus,
+         |         o_totalprice, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 89 = 0
+         |), s1 AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         |  FROM orders
+         |  UNION ALL SELECT * FROM appended
+         |), u1 AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         |         CASE WHEN o_orderkey % 30 = 1 THEN 'M1'
+         |              ELSE o_orderpriority END AS o_orderpriority
+         |  FROM s1
+         |), u2 AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         |         CASE WHEN o_orderkey % 60 = 1 THEN 'M2'
+         |              ELSE o_orderpriority END AS o_orderpriority
+         |  FROM u1
+         |)
+         |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         |FROM u2 WHERE o_orderkey % 50 <> 1
          |""".stripMargin),
     "k14_cdf_mv_refresh" ->
       ("""WITH appended AS (

@@ -153,6 +153,46 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CDC replication: each micro-batch DV-upserts the source
+    * table (as [[upsertStreamVectored]]), then brings a downstream
+    * MIRROR up to date through the source's writer-captured change feed
+    * ([[graft.table.ChangeFeed.replicateTo]]) — per-batch cost is
+    * O(batch) marks on the source plus O(changes) net-effect apply on
+    * the mirror, never a rescan of either table. The source must have
+    * `enableChangeDataFeed()` armed (the stream arms it on create).
+    *
+    * Exactly-once effect by the watermark argument in `replicateTo`'s
+    * scaladoc: a replayed batch re-upserts identical content and the
+    * mirror's watermark-keyed window re-applies the same terminal
+    * states. Self-healing like [[goldStream]]: out-of-band feed-captured
+    * writes to the source (DV deletes, merges, appends) flow into the
+    * mirror on the next batch — it mirrors the TABLE, not the stream.
+    */
+  def cdcMirrorStream(events: DataFrame, sourcePath: String,
+      mirrorPath: String, keys: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.dropDuplicates(keys)
+        val t = graft.table.MedallionTable(s, sourcePath)
+        if (!t.exists) t.overwrite(b)
+        else {
+          import graft.table.MergeOps._
+          val set: Map[String, (ColRef, ColRef) => Column] =
+            b.columns.toSeq.map(c =>
+              c -> ((_: ColRef, sc: ColRef) => sc(c))).toMap
+          t.mergeVectored(b, keys.map(k => k -> k),
+            Seq(WhenMatchedUpdate(None, set)),
+            Seq(WhenNotMatchedInsert(None, set)))
+        }
+        t.enableChangeDataFeed() // no-op when already armed
+        graft.table.ChangeFeed.replicateTo(t,
+          graft.table.MedallionTable(s, mirrorPath), keys)
+      }
+      .start()
+
   /** Streaming medallion gold: each micro-batch upserts the fact table,
     * then delta-maintains a grouped gold aggregate
     * ([[graft.table.IncrementalAgg]]) from the fact table's CDC — the gold

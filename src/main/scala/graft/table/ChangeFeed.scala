@@ -567,4 +567,76 @@ object ChangeFeed {
     } ++ Seq(col(ChangeTypeCol), col(CommitVersionCol), col(CommitTimestampCol))
     classified.select(outCols: _*)
   }
+
+  // ---- CDC replication -----------------------------------------------------
+
+  private def mirrorWatermarkFile(mirrorPath: String): Path =
+    new Path(s"${mirrorPath}__graft_commits/cdf_mirror_reflects")
+
+  /** CDC replication — the canonical feed consumer (Delta's documented
+    * CDF → MERGE mirroring pattern): bring `mirror` up to `source`'s
+    * current state by applying the NET effect of the changes since the
+    * last replication, keyed by `keys`.
+    *
+    * Net effect: per key, the change row from the HIGHEST commit wins
+    * (preimages excluded — they describe the past); within one commit an
+    * insert/postimage outranks a delete, which renders the rewrite
+    * fallback's delete-all+insert-all correctly (a surviving key has
+    * both; the insert is its terminal state). Terminal inserts/updates
+    * upsert through [[MedallionTable.mergeVectored]] (O(matched) marks,
+    * zero base-file rewrites), terminal deletes apply through
+    * [[MedallionTable.deleteVectoredKeys]] — the mirror pays O(Δ) data
+    * work per refresh, never a source or mirror rescan.
+    *
+    * Exactly-once effect without atomicity: the watermark (a sibling
+    * file in the mirror's commits dir) is advanced AFTER the apply, and
+    * a replayed window re-applies the SAME terminal states — the upsert
+    * sets equal values and the key-delete finds nothing — so a crash
+    * between apply and stamp converges on re-run (the
+    * [[IncrementalJoin.catchUp]] idempotent-repair argument).
+    *
+    * Bootstrap (no watermark): full copy of the source's current state.
+    * A refused feed range (uncaptured commit, compacted marks) surfaces
+    * as-is: re-baseline by deleting the mirror (next call re-copies).
+    */
+  def replicateTo(source: MedallionTable, mirror: MedallionTable,
+      keys: Seq[String]): Unit = {
+    val spark = source.spark
+    val fs = fsOf(spark, mirror.path)
+    val wmFile = mirrorWatermarkFile(mirror.path)
+    val wm: Option[Long] =
+      if (!fs.exists(wmFile) || !mirror.exists) None
+      else readText(fs, wmFile).trim.toLongOption
+    val cur = source.commitVersion
+    wm match {
+      case Some(at) if at == cur => () // already current
+      case Some(at) =>
+        val ch = read(source, at + 1, cur)
+          .filter(col(ChangeTypeCol) =!= "update_preimage")
+        // terminal state per key: highest commit; insert beats delete
+        // within one commit (the rewrite delete-all+insert-all rendering)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(CommitVersionCol).desc,
+            when(col(ChangeTypeCol) === "delete", 0).otherwise(1).desc)
+        val last = ch.withColumn("__cf_rn", row_number().over(w))
+          .filter(col("__cf_rn") === 1).drop("__cf_rn")
+          .drop(CommitVersionCol, CommitTimestampCol)
+        val ups = last.filter(col(ChangeTypeCol) =!= "delete")
+          .drop(ChangeTypeCol)
+        val dels = last.filter(col(ChangeTypeCol) === "delete")
+          .select(keys.map(col): _*)
+        val cols = mirror.read.columns.toSeq
+        mirror.mergeVectored(ups, keys.map(k => k -> k),
+          Seq(MergeOps.WhenMatchedUpdate(None,
+            cols.filterNot(keys.contains).map(c =>
+              c -> ((_: MergeOps.ColRef, sc: MergeOps.ColRef) => sc(c))).toMap)),
+          Seq(MergeOps.WhenNotMatchedInsert(None,
+            cols.map(c =>
+              c -> ((_: MergeOps.ColRef, sc: MergeOps.ColRef) => sc(c))).toMap)))
+        mirror.deleteVectoredKeys(dels, keys)
+      case None =>
+        mirror.overwrite(source.read)
+    }
+    writeTextAtomic(fs, wmFile, cur.toString)
+  }
 }

@@ -257,6 +257,66 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ja == jb, "feed-routed join catchUp ≡ full recompute")
   }
 
+  test("replicateTo: CDC mirror — bootstrap, net-effect apply, last-wins " +
+      "across commits, replay convergence, rewrite fallback") {
+    import MergeOps._
+    val t = mk(retain = 4)
+    t.enableChangeDataFeed()
+    val m = MedallionTable(spark, tmpDir("cdfmir"))
+    def mirrorEq(): Unit = {
+      val a = m.read.orderBy("id").collect().map(_.toSeq).toSeq
+      val b = t.read.orderBy("id").collect().map(_.toSeq).toSeq
+      assert(a == b, "mirror ≡ source state")
+    }
+    ChangeFeed.replicateTo(t, m, Seq("id")) // bootstrap copy
+    mirrorEq()
+    // churn: insert, update, update-then-delete, delete-then-reinsert
+    t.append(rows(3).withColumn("id", $"id" + 800L))
+    t.updateVectored($"id" === 800L, Map("s" -> lit("w1")))
+    t.updateVectored($"id" === 800L, Map("s" -> lit("w2"))) // last wins
+    t.updateVectored($"id" === 801L, Map("s" -> lit("gone")))
+    t.deleteVectored($"id" === 801L) // update then delete: net delete
+    t.deleteVectored($"id" === 802L)
+    t.mergeVectored(Seq((802L, "back")).toDF("k", "v"), Seq("id" -> "k"),
+      Nil, Seq(WhenNotMatchedInsert(None, Map(
+        "id" -> ((_, sc) => sc("k")), "s" -> ((_, sc) => sc("v")),
+        "grp" -> ((_, _) => lit(2)))))) // delete then re-insert: net upsert
+    val mirrorFilesBefore = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(m.path)).filter(f =>
+        f.getName.endsWith(".parquet") && !f.getPath.contains("_graft_meta"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    ChangeFeed.replicateTo(t, m, Seq("id"))
+    mirrorEq()
+    // the apply was O(Δ): zero mirror base files rewritten
+    val mirrorFilesAfter = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(m.path)).filter(f =>
+        f.getName.endsWith(".parquet") && !f.getPath.contains("_graft_meta"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    assert(mirrorFilesBefore.forall { case (f, ts) =>
+      mirrorFilesAfter.get(f).contains(ts) },
+      "mirror base files untouched by the CDC apply")
+    // crash-window replay: reset the watermark and re-apply — converges
+    val wmFile = new java.io.File(s"${m.path}__graft_commits/cdf_mirror_reflects")
+    val wmNow = scala.io.Source.fromFile(wmFile).mkString
+    val fw = new java.io.FileWriter(wmFile); fw.write("2"); fw.close()
+    ChangeFeed.replicateTo(t, m, Seq("id"))
+    mirrorEq()
+    assert(scala.io.Source.fromFile(wmFile).mkString == wmNow)
+    // rewrite on the source: snapshot-fallback rendering still mirrors
+    t.delete($"grp" === 1) // rewrite path
+    ChangeFeed.replicateTo(t, m, Seq("id"))
+    mirrorEq()
+    // no-op refresh is a no-op
+    ChangeFeed.replicateTo(t, m, Seq("id"))
+    mirrorEq()
+  }
+
   test("SQL surface: ALTER TABLE SET TBLPROPERTIES arms the feed; " +
       "graft_change_feed TVF reads it and composes in SELECT") {
     val t = MedallionTable(spark, tmpDir("cdfsql"))
