@@ -30,14 +30,19 @@ object SinkQueries {
       Q.deleteDir(s, p)
       Q.deleteDir(s, p + "__graft_commits") // feed state + markers live here
       val t = MedallionTable(s, p)
-      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderstatus",
-        $"o_totalprice", $"o_orderpriority")
+      // 25% key slice: the protocol under test is commit-count-shaped,
+      // not data-shaped - the slice keeps the bench row honest while
+      // every planted condition still matches inside it (moduli chosen
+      // compatible with k % 4 == 1)
+      val o = Tables.orders(s, dir).filter($"o_orderkey" % 4 === 1)
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice", $"o_orderpriority")
       t.overwrite(o) // c1
       t.enableChangeDataFeed() // c2
       t.append(o.filter($"o_orderkey" % 97 === 0)
         .withColumn("o_orderkey", $"o_orderkey" + 20000000L)) // c3: inserts
       t.deleteVectored($"o_orderkey" % 10 === 3) // c4: delete images
-      t.updateVectored($"o_orderkey" % 100 === 7,
+      t.updateVectored($"o_orderkey" % 100 === 9,
         Map("o_orderpriority" -> lit("X-CDF"))) // c5: pre+post images
       t.readChangeFeed(3L, 5L).drop("_commit_timestamp")
     }),
@@ -56,8 +61,8 @@ object SinkQueries {
         .foreach(Q.deleteDir(s, _))
       val t = MedallionTable(s, p)
       val gold = MedallionTable(s, g)
-      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderstatus",
-        $"o_totalprice")
+      val o = Tables.orders(s, dir).filter($"o_orderkey" % 4 === 1)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
       val groupCols = Seq("o_orderstatus")
       val sums = Seq("cents" ->
         round($"o_totalprice" * 100).cast("long"))
@@ -90,8 +95,9 @@ object SinkQueries {
         .foreach(Q.deleteDir(s, _))
       val t = MedallionTable(s, p)
       val m = MedallionTable(s, mp)
-      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderstatus",
-        $"o_totalprice", $"o_orderpriority")
+      val o = Tables.orders(s, dir).filter($"o_orderkey" % 4 === 1)
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice", $"o_orderpriority")
       t.overwrite(o) // c1
       t.enableChangeDataFeed() // c2
       graft.table.ChangeFeed.replicateTo(t, m, Seq("o_orderkey")) // bootstrap
@@ -1180,17 +1186,17 @@ object SinkQueries {
       ("""WITH appended AS (
          |  SELECT o_orderkey + 20000000 AS o_orderkey, o_orderstatus,
          |         o_totalprice, o_orderpriority
-         |  FROM orders WHERE o_orderkey % 97 = 0
+         |  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 4 = 1
          |), s1 AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
-         |  FROM orders
+         |  FROM orders WHERE o_orderkey % 4 = 1
          |  UNION ALL SELECT * FROM appended
          |), deleted AS (
          |  SELECT * FROM s1 WHERE o_orderkey % 10 = 3
          |), live1 AS (
          |  SELECT * FROM s1 WHERE o_orderkey % 10 <> 3
          |), upd AS (
-         |  SELECT * FROM live1 WHERE o_orderkey % 100 = 7
+         |  SELECT * FROM live1 WHERE o_orderkey % 100 = 9
          |)
          |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
          |       'insert' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
@@ -1209,10 +1215,10 @@ object SinkQueries {
       ("""WITH appended AS (
          |  SELECT o_orderkey + 40000000 AS o_orderkey, o_orderstatus,
          |         o_totalprice, o_orderpriority
-         |  FROM orders WHERE o_orderkey % 89 = 0
+         |  FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 4 = 1
          |), s1 AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
-         |  FROM orders
+         |  FROM orders WHERE o_orderkey % 4 = 1
          |  UNION ALL SELECT * FROM appended
          |), u1 AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -1232,9 +1238,10 @@ object SinkQueries {
       ("""WITH appended AS (
          |  SELECT o_orderkey + 30000000 AS o_orderkey, o_orderstatus,
          |         o_totalprice
-         |  FROM orders WHERE o_orderkey % 89 = 0
+         |  FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 4 = 1
          |), s1 AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 1
          |  UNION ALL SELECT * FROM appended
          |), u AS (
          |  SELECT o_orderkey,

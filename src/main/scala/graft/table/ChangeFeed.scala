@@ -618,22 +618,32 @@ object ChangeFeed {
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(col(CommitVersionCol).desc,
             when(col(ChangeTypeCol) === "delete", 0).otherwise(1).desc)
+        // Materialize the O(Δ) net-change set ONCE: the feed plan is
+        // construction-heavy (per-commit branches + positional joins),
+        // and the DV merge evaluates its source several times (unique-key
+        // check, key-range aggregate, matched pass) — without the cut,
+        // each evaluation re-runs the whole feed (measured 10.5 s → the
+        // checkpointed apply in graft.tools.CdfProbe).
         val last = ch.withColumn("__cf_rn", row_number().over(w))
           .filter(col("__cf_rn") === 1).drop("__cf_rn")
           .drop(CommitVersionCol, CommitTimestampCol)
+          .localCheckpoint()
         val ups = last.filter(col(ChangeTypeCol) =!= "delete")
           .drop(ChangeTypeCol)
         val dels = last.filter(col(ChangeTypeCol) === "delete")
           .select(keys.map(col): _*)
         val cols = mirror.read.columns.toSeq
-        mirror.mergeVectored(ups, keys.map(k => k -> k),
-          Seq(MergeOps.WhenMatchedUpdate(None,
-            cols.filterNot(keys.contains).map(c =>
-              c -> ((_: MergeOps.ColRef, sc: MergeOps.ColRef) => sc(c))).toMap)),
-          Seq(MergeOps.WhenNotMatchedInsert(None,
-            cols.map(c =>
-              c -> ((_: MergeOps.ColRef, sc: MergeOps.ColRef) => sc(c))).toMap)))
-        mirror.deleteVectoredKeys(dels, keys)
+        if (ups.head(1).nonEmpty)
+          mirror.mergeVectored(ups, keys.map(k => k -> k),
+            Seq(MergeOps.WhenMatchedUpdate(None,
+              cols.filterNot(keys.contains).map(c =>
+                c -> ((_: MergeOps.ColRef, sc: MergeOps.ColRef) => sc(c))).toMap)),
+            Seq(MergeOps.WhenNotMatchedInsert(None,
+              cols.map(c =>
+                c -> ((_: MergeOps.ColRef, sc: MergeOps.ColRef) => sc(c))).toMap)),
+            // `last` is unique per key by construction (row_number = 1)
+            checkUniqueKeys = false)
+        if (dels.head(1).nonEmpty) mirror.deleteVectoredKeys(dels, keys)
       case None =>
         mirror.overwrite(source.read)
     }
