@@ -119,6 +119,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftDropConstraintCommand(target.trim, cname.trim)
       case EnableCdfRe(target) if isGraftTarget(spark, target) =>
         GraftEnableCdfCommand(target.trim)
+      case SetGeneratedRe(target, name, exprSql) if isGraftTarget(spark, target) =>
+        GraftGeneratedColumnCommand(target.trim, name.trim, Some(exprSql.trim))
+      case DropGeneratedRe(target, name) if isGraftTarget(spark, target) =>
+        GraftGeneratedColumnCommand(target.trim, name.trim, None)
       case _ => resolveTimeTravel(delegate.parsePlan(sqlText))
     }
   }
@@ -270,6 +274,10 @@ object GraftSqlParser {
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
   private[plans] val DropConstraintRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)""".r
+  private[plans] val SetGeneratedRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+GENERATED\\s+COLUMN\\s+(\\w+)\\s+AS\\s*\\((.+)\\)""".r
+  private[plans] val DropGeneratedRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+GENERATED\\s+COLUMN\\s+(\\w+)""".r
   // Delta property-parity surface for the change feed: accept both the
   // delta.* and graft.* property spellings, value true only
   private[plans] val EnableCdfRe: Regex =
@@ -876,6 +884,23 @@ final case class GraftDropConstraintCommand(target: String, cname: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     new MedallionTable(spark, path).dropCheckConstraint(cname)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ADD GENERATED COLUMN c AS (expr)` / `… DROP GENERATED
+  * COLUMN c` — Delta GENERATED ALWAYS AS parity
+  * ([[graft.table.MedallionTable.setGeneratedColumn]]: compute-on-write
+  * when missing, null-safe-equality invariant when provided).
+  */
+final case class GraftGeneratedColumnCommand(target: String, name: String,
+    exprSql: Option[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new MedallionTable(spark, GraftSqlParser.resolvePath(spark, target))
+    exprSql match {
+      case Some(e) => t.setGeneratedColumn(name, e)
+      case None => t.dropGeneratedColumn(name)
+    }
     Seq.empty
   }
 }

@@ -113,6 +113,29 @@ object SinkQueries {
         "o_orderpriority")
     }),
 
+    // K15 — generated columns (MedallionTable.setGeneratedColumn, Delta
+    // GENERATED ALWAYS AS parity): the partition key o_year is DERIVED —
+    // neither write supplies it; the write path computes it in-pass and
+    // partitionBy lays the directories out, so the o_year filter below
+    // prunes partitions no writer ever had to supply (the reference's
+    // derived batch-key partitioning, bronze_table_creation.py:26). The
+    // oracle recomputes year(o_orderdate) from scratch: a wrong or stale
+    // generated value hash-mismatches.
+    "k15_generated_col" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k15_gen")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p, partitionColumns = Seq("o_year"))
+      t.setGeneratedColumn("o_year", "year(o_orderdate)")
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+      t.overwrite(o.filter($"o_orderkey" % 2 === 0))
+      t.append(o.filter($"o_orderkey" % 2 === 1))
+      t.read.filter($"o_year" >= 1995)
+        .select("o_orderkey", "o_orderdate", "o_year", "o_totalprice")
+    }),
+
     // K1 — create + append with partitioning (bronze_table_creation.py:26)
     "k1_append_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -1182,6 +1205,10 @@ object SinkQueries {
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
   val oracles: Map[String, String] = Map(
+    "k15_generated_col" ->
+      ("SELECT o_orderkey, o_orderdate, " +
+       "CAST(year(o_orderdate) AS INTEGER) AS o_year, o_totalprice " +
+       "FROM orders WHERE year(o_orderdate) >= 1995"),
     "k14_cdf_feed" ->
       ("""WITH appended AS (
          |  SELECT o_orderkey + 20000000 AS o_orderkey, o_orderstatus,

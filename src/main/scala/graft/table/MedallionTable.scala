@@ -548,6 +548,67 @@ final class MedallionTable(
   def dropCheckConstraint(name: String): Unit =
     persistConstraints(checkConstraints - name)
 
+  // ---- generated columns (Delta GENERATED ALWAYS AS parity) --------------
+
+  private def generatedFile = new Path(path, "_graft_meta/generated.tsv")
+
+  /** Registered generated columns: name → SQL expression. On every write
+    * path, a missing generated column is COMPUTED from its expression
+    * in-pass, and a provided one is VALIDATED to null-safe-equal it
+    * (riding the same [[graft.functions.CheckInvariant]] as CHECK
+    * constraints — no extra scan either way). The canonical use is a
+    * derived partition key: `o_year = year(o_orderdate)` with
+    * `partitionColumns = Seq("o_year")` gives hive partition pruning on
+    * a column no writer has to remember to supply — Delta's generated-
+    * column partitioning (the reference partitions every table on such a
+    * derived batch key, `bronze_table_creation.py:26`).
+    */
+  def generatedColumns: Map[String, String] =
+    if (!fs.exists(generatedFile)) Map.empty
+    else readMetaText(generatedFile).split('\n').filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      if (i < 0) throw new IllegalStateException(
+        s"generated-column registry corrupt at $generatedFile")
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+
+  private def persistGenerated(gs: Map[String, String],
+      base: Path = new Path(path)): Unit = {
+    val file = new Path(base, "_graft_meta/generated.tsv")
+    if (gs.isEmpty) { if (fs.exists(file)) fs.delete(file, false) }
+    else writeMetaText(file,
+      gs.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+  }
+
+  /** Declare `name` as GENERATED ALWAYS AS (`exprSql`). Delta defines
+    * generated columns at table creation; the equivalent here is
+    * declaring on an EMPTY (or not-yet-created) table. Declaring on a
+    * table with data is accepted only when the column already exists and
+    * every row satisfies `name <=> expr` (one validation scan) — a
+    * missing column would need a backfill rewrite, which the caller
+    * should do explicitly and then declare.
+    */
+  def setGeneratedColumn(name: String, exprSql: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n') && !exprSql.contains('\n'),
+      "generated column name/expression must be tab/newline-free")
+    import org.apache.spark.sql.functions.{col, expr, lit, not}
+    if (exists && !read.isEmpty) {
+      val d = read
+      require(d.columns.exists(_.equalsIgnoreCase(name)),
+        s"cannot declare generated column $name on a non-empty table " +
+          s"that lacks it — backfill first (e.g. updateVectored), " +
+          "then declare")
+      val bad = d.filter(not(col(name) <=> expr(exprSql))).limit(1).count()
+      require(bad == 0,
+        s"cannot declare generated column $name: existing rows violate " +
+          s"$name <=> ($exprSql)")
+    }
+    persistGenerated(generatedColumns + (name -> exprSql))
+  }
+
+  def dropGeneratedColumn(name: String): Unit =
+    persistGenerated(generatedColumns - name)
+
   /** Enforces the given constraints on incoming rows IN the write pass:
     * a [[graft.functions.CheckInvariant]] fused onto the first output
     * column throws inside the task on the first violating row, so no
@@ -567,7 +628,30 @@ final class MedallionTable(
     * joins, and the column can't be pruned because it IS written.
     */
   private def enforced(df: DataFrame,
-      cs: Map[String, String] = checkConstraints): DataFrame = {
+      cs0: Map[String, String] = checkConstraints,
+      gens: Map[String, String] = generatedColumns): DataFrame = {
+    // Generated columns first (constraints may reference them): a column
+    // the incoming frame lacks is COMPUTED in-pass; a provided one turns
+    // into a null-safe-equality invariant riding the same guard as the
+    // CHECKs — either way, no extra scan.
+    import org.apache.spark.sql.functions.expr
+    val present0 = df.columns.map(_.toLowerCase).toSet
+    val (toCompute, toValidate) =
+      gens.partition { case (n, _) => !present0.contains(n.toLowerCase) }
+    val withGen = toCompute.foldLeft(df) { case (d, (n, e)) =>
+      d.withColumn(n, expr(e))
+    }
+    val cs = cs0 ++ toValidate.map { case (n, e) =>
+      s"__generated_$n" -> s"`${n.replace("`", "``")}` <=> ($e)"
+    }
+    enforceChecks(withGen, cs)
+  }
+
+  /** The CHECK-invariant guard itself — see [[enforced]] for the write-
+    * path composition (generated columns are folded in there).
+    */
+  private def enforceChecks(df: DataFrame,
+      cs: Map[String, String]): DataFrame = {
     if (cs.isEmpty) df
     else {
       import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
@@ -674,12 +758,14 @@ final class MedallionTable(
     if (exists) rewriteVia(df)
     else {
       val cs = checkConstraints
+      val gs = generatedColumns
       withClaimedCommit("create-overwrite") {
-        // SaveMode.Overwrite deletes the dir (registry included) BEFORE the
-        // job runs — restore the pre-create registry even when the write
-        // fails, or a rejected/failed first batch silently disarms the gate.
-        try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
-        finally persistConstraints(cs)
+        // SaveMode.Overwrite deletes the dir (registries included) BEFORE
+        // the job runs — restore the pre-create registries even when the
+        // write fails, or a rejected/failed first batch silently disarms
+        // the gate (and forgets the generated columns).
+        try writer(enforced(df, cs, gs), SaveMode.Overwrite).parquet(path)
+        finally { persistConstraints(cs); persistGenerated(gs) }
         stashSchema(df.schema)
         if (ChangeFeed.isEnabled(spark, path))
           ChangeFeed.captureFiles(spark, path, commitVersion,
@@ -692,9 +778,10 @@ final class MedallionTable(
     if (exists)
       throw new IllegalStateException(s"table already exists at $path")
     val cs = checkConstraints
+    val gs = generatedColumns
     withClaimedCommit("create") {
-      try writer(enforced(df, cs), SaveMode.Overwrite).parquet(path)
-      finally persistConstraints(cs)
+      try writer(enforced(df, cs, gs), SaveMode.Overwrite).parquet(path)
+      finally { persistConstraints(cs); persistGenerated(gs) }
       stashSchema(df.schema)
       if (ChangeFeed.isEnabled(spark, path))
         ChangeFeed.captureFiles(spark, path, commitVersion, "create",
@@ -964,11 +1051,12 @@ final class MedallionTable(
       writerTweak: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
         org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = identity,
       op: String = "rewrite"): Unit = {
-    // Enforce CHECK constraints on every rewrite product (merge results,
-    // updates, restores) and carry the constraint registry across the
-    // swap, which replaces the _graft_meta directory. One registry read
-    // serves both.
+    // Enforce CHECK constraints (and generated-column invariants) on
+    // every rewrite product (merge results, updates, restores) and carry
+    // both registries across the swap, which replaces the _graft_meta
+    // directory. One registry read serves both.
     val constraints = checkConstraints
+    val gens = generatedColumns
     // Snapshot fence: ordinal BEFORE the lock check, retry until the
     // lock is free — see the scaladoc. Fail-stop on a persistently-held
     // lock (crashed writer): vacuum() clears it.
@@ -985,7 +1073,7 @@ final class MedallionTable(
         Thread.sleep(25)
       }
     }
-    val newData = enforced(newData0, constraints)
+    val newData = enforced(newData0, constraints, gens)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"${path}__graft_tmp_$suffix")
     val dst = new Path(path)
@@ -1015,6 +1103,7 @@ final class MedallionTable(
       // parquet dir carries no schema of its own.
       stashSchema(newData.schema, tmp)
       persistConstraints(constraints, tmp)
+      persistGenerated(gens, tmp)
       MedallionTable.testFailpoint("pre-commit")
       if (!tryClaimCommit(expectedVersion, op))
         throw new java.util.ConcurrentModificationException(
@@ -1177,8 +1266,8 @@ final class MedallionTable(
       // addcols/dropcols: the clone's reads apply the CLONE's overlay
       // over the pointed-at files — without copies, a source's dropped
       // column resurrects and an unmaterialized ADD vanishes
-      Seq("dv", "colmap.tsv", "constraints.tsv", "addcols.tsv",
-        "dropcols.tsv").foreach(copyMeta)
+      Seq("dv", "colmap.tsv", "constraints.tsv", "generated.tsv",
+        "addcols.tsv", "dropcols.tsv").foreach(copyMeta)
       stashSchema(source.read.schema)
     }
   }
