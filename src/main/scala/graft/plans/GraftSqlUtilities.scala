@@ -467,6 +467,8 @@ final case class GraftDescribeDetailCommand(target: String)
     AttributeReference("commit_version", LongType, nullable = false)(),
     AttributeReference("num_retained_snapshots", LongType, nullable = false)(),
     AttributeReference("check_constraints", StringType, nullable = false)(),
+    AttributeReference("generated_columns", StringType, nullable = false)(),
+    AttributeReference("change_data_feed", BooleanType, nullable = false)(),
     AttributeReference("stats_fresh", BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
@@ -503,6 +505,8 @@ final case class GraftDescribeDetailCommand(target: String)
       partCols(root, Nil).mkString(","), mt.commitVersion,
       snapshots.size.toLong,
       mt.checkConstraints.keys.toSeq.sorted.mkString(","),
+      mt.generatedColumns.keys.toSeq.sorted.mkString(","),
+      mt.changeDataFeedEnabled,
       graft.table.TableStats.hasManifest(spark, path)))
   }
 }

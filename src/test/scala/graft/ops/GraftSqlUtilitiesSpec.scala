@@ -65,7 +65,7 @@ class GraftSqlUtilitiesSpec extends SparkSpec {
       retainVersions = 2)
     t.overwrite((1L to 20L).map(i => (i, (i % 2).toInt)).toDF("id", "blk"))
     t.addCheckConstraint("pos_id", "id > 0")
-    t.merge(Seq((1L, 0), (21L, 1)).toDF("id", "blk"), Seq("id"))
+    t.merge(Seq((1L, 1), (21L, 1)).toDF("id", "blk"), Seq("id"))
     t.refreshStats()
     spark.sql("DROP TABLE IF EXISTS sqlutil_detail_t")
     spark.sql(s"CREATE TABLE sqlutil_detail_t USING graft LOCATION '$p'")
@@ -76,7 +76,14 @@ class GraftSqlUtilitiesSpec extends SparkSpec {
     assert(r.getLong(5) == 2L, "overwrite + merge = commit ordinal 2")
     assert(r.getLong(6) == 1L, "one retained pre-merge snapshot")
     assert(r.getString(7) == "pos_id")
-    assert(r.getBoolean(8), "manifest present after refreshStats")
+    assert(r.getString(8) == "", "no generated columns declared")
+    assert(!r.getBoolean(9), "change feed not armed")
+    assert(r.getBoolean(10), "manifest present after refreshStats")
+    // the new table-feature fields report their armed states
+    t.enableChangeDataFeed()
+    t.setGeneratedColumn("blk", "CAST(id % 2 AS INT)")
+    val r2 = spark.sql("DESCRIBE DETAIL sqlutil_detail_t").collect()(0)
+    assert(r2.getString(8) == "blk" && r2.getBoolean(9))
   }
 
   test("REORG APPLY (PURGE) materializes DV state; no-op on a clean table") {
