@@ -313,14 +313,24 @@ object ChangeFeed {
       }
       b.result()
     }
-    // live base files
-    listDataFiles(new Path(t.path)).foreach(f =>
-      put(DeletionVectors.fileKeyOf(f), f, t.path, liveMap))
-    // live committed update batches (their own basePath roots)
-    DvUpdates.committedBatches(spark, t.path).foreach { b =>
-      val bd = DvUpdates.batchDataDir(t.path, b)
-      ShallowClone.listParquet(spark, bd).foreach(f =>
-        put(DeletionVectors.fileKeyOf(f), f, bd, liveMap))
+    if (ShallowClone.isClone(spark, t.path))
+      // a clone's live files are POINTERS into the source's directory
+      // (plus local appends and its own committed batches — scanFiles
+      // folds all three). Clones are unpartitioned by contract, so each
+      // file's parent works as its basePath.
+      ShallowClone.scanFiles(spark, t.path).foreach(f =>
+        put(DeletionVectors.fileKeyOf(f), f,
+          new Path(f).getParent.toString, liveMap))
+    else {
+      // live base files
+      listDataFiles(new Path(t.path)).foreach(f =>
+        put(DeletionVectors.fileKeyOf(f), f, t.path, liveMap))
+      // live committed update batches (their own basePath roots)
+      DvUpdates.committedBatches(spark, t.path).foreach { b =>
+        val bd = DvUpdates.batchDataDir(t.path, b)
+        ShallowClone.listParquet(spark, bd).foreach(f =>
+          put(DeletionVectors.fileKeyOf(f), f, bd, liveMap))
+      }
     }
     // archived snapshots (batch files were relocated into the snapshot's
     // own layout, so one recursive listing covers them)
@@ -633,6 +643,16 @@ object ChangeFeed {
         val dels = last.filter(col(ChangeTypeCol) === "delete")
           .select(keys.map(col): _*)
         val cols = mirror.read.columns.toSeq
+        // source schema evolved past the mirror: the DV merge would
+        // silently drop the new columns from every replicated row —
+        // fail-stop with the escape hatch instead of silent divergence
+        val newCols = ups.columns.filterNot(c =>
+          cols.exists(_.equalsIgnoreCase(c)))
+        if (newCols.nonEmpty) refuse(
+          s"source ${source.path} grew columns ${newCols.mkString(", ")} " +
+            s"the mirror ${mirror.path} lacks — evolve the mirror first " +
+            "(append with the new schema / ADD COLUMN) or re-baseline " +
+            "by deleting it")
         if (ups.head(1).nonEmpty)
           mirror.mergeVectored(ups, keys.map(k => k -> k),
             Seq(MergeOps.WhenMatchedUpdate(None,

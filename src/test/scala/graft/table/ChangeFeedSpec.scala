@@ -317,6 +317,67 @@ class ChangeFeedSpec extends SparkSpec {
     mirrorEq()
   }
 
+  test("partitioned table: capture and positional reconstruction keep " +
+      "hive partition values through every op class") {
+    val t = MedallionTable(spark, tmpDir("cdfpart"),
+      partitionColumns = Seq("grp"))
+    t.overwrite(rows(20))
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    t.append(rows(4).withColumn("id", $"id" + 40L))
+    t.deleteVectored($"id" === 41L)
+    t.updateVectored($"id" === 42L, Map("s" -> lit("pu")))
+    val got = feed(t, en + 1, en + 3)
+    assert(got == Set(
+      (40L, "s0", 0, "insert", en + 1),
+      (41L, "s1", 1, "insert", en + 1),
+      (42L, "s2", 2, "insert", en + 1),
+      (43L, "s3", 3, "insert", en + 1),
+      (41L, "s1", 1, "delete", en + 2),
+      (42L, "s2", 2, "update_preimage", en + 3),
+      (42L, "pu", 2, "update_postimage", en + 3)),
+      s"partition column grp must survive reconstruction: $got")
+  }
+
+  test("composition: RENAME COLUMN surfaces past changes under the new " +
+      "name; DROP COLUMN removes it; a clone starts its own feed") {
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    t.append(rows(2).withColumn("id", $"id" + 90L))
+    t.renameColumn("s", "s2")
+    val f = t.readChangeFeed(en + 1)
+    assert(f.columns.contains("s2") && !f.columns.contains("s"))
+    assert(f.filter($"id" === 90L).select("s2").head().getString(0) == "s0",
+      "pre-rename captured rows read under the CURRENT logical name")
+    t.dropColumn("s2")
+    assert(!t.readChangeFeed(en + 1).columns.exists(_.startsWith("s")),
+      "dropped column disappears from the feed")
+    // clone: commits sidecar is per-table — the clone is NOT feed-armed
+    // and its own history starts fresh
+    val c = MedallionTable(spark, tmpDir("cdfclone"))
+    c.cloneFrom(t)
+    assert(!c.changeDataFeedEnabled)
+    c.enableChangeDataFeed()
+    val cen = c.commitVersion
+    c.deleteVectored($"id" === 0L)
+    assert(c.readChangeFeed(cen + 1).count() == 1)
+  }
+
+  test("replicateTo fail-stops when the source schema evolved past the " +
+      "mirror (never silent divergence)") {
+    val t = mk()
+    t.enableChangeDataFeed()
+    val m = MedallionTable(spark, tmpDir("cdfmir2"))
+    ChangeFeed.replicateTo(t, m, Seq("id"))
+    t.append(rows(1).withColumn("id", $"id" + 70L)
+      .withColumn("extra", lit("x")))
+    val e = intercept[IllegalStateException](
+      ChangeFeed.replicateTo(t, m, Seq("id")))
+    assert(e.getMessage.contains("extra") &&
+      e.getMessage.contains("evolve the mirror"))
+  }
+
   test("SQL surface: ALTER TABLE SET TBLPROPERTIES arms the feed; " +
       "graft_change_feed TVF reads it and composes in SELECT") {
     val t = MedallionTable(spark, tmpDir("cdfsql"))
