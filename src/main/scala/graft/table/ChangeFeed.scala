@@ -497,8 +497,9 @@ object ChangeFeed {
               "a writer crashed between its commit point and its feed " +
               "manifest, or the op predates enablement; re-baseline")
           else refuse(
-            s"commit $c of ${t.path}: unrecognized capture " +
-              s"'${other.get.typ}' for op $op")
+            s"commit $c of ${t.path}: capture for op $op is incomplete " +
+              s"(recorded '${other.get.typ}') — the writer failed between " +
+              "its commit point and its capture; re-baseline the consumer")
       }
     }
 

@@ -720,7 +720,9 @@ final class MedallionTable(
     // change-feed capture is metadata-only: the added FILES are the
     // insert rows (ChangeFeed scaladoc) — commitVersion is stable inside
     // the claimed block (writer lock held; a racing rewrite's CAS fails)
-    if (cdfOn) ChangeFeed.captureFiles(spark, path, commitVersion, op, added)
+    if (cdfOn)
+      try ChangeFeed.captureFiles(spark, path, commitVersion, op, added)
+      catch { case scala.util.control.NonFatal(_) => () } // read fail-stops
   }
 
   /** Live data files (qualified path strings), `_graft_meta` excluded by
@@ -989,9 +991,10 @@ final class MedallionTable(
         // a key-changing update renders as delete+insert (same net
         // change set, Delta's rendering for re-keyed rows)
         if (ChangeFeed.isEnabled(spark, path))
-          ChangeFeed.captureBatch(spark, path, commitVersion, "merge-dv",
+          try ChangeFeed.captureBatch(spark, path, commitVersion, "merge-dv",
             batch, ShallowClone.listParquet(spark, batchDir),
             keys.map(_._1))
+          catch { case scala.util.control.NonFatal(_) => () } // post-commit
       }
     } finally j.unpersist()
   }
@@ -1572,9 +1575,13 @@ final class MedallionTable(
         org.apache.spark.sql.functions.col("__graft_dv_pos").as("pos"))
       .write.mode(SaveMode.Append).parquet(dvPath)
     // feed capture = the mark FILES this commit appended; the deleted
-    // row images reconstruct by position at read (ChangeFeed scaladoc)
-    if (cdfOn) ChangeFeed.captureMarks(spark, path, commitVersion,
-      "delete-dv", (dvMarkFiles(dvPath) -- marksBefore).toSeq)
+    // row images reconstruct by position at read (ChangeFeed scaladoc).
+    // Non-fatal: the delete's data effect has landed — a capture failure
+    // must not release the marker (the feed read fail-stops instead).
+    if (cdfOn)
+      try ChangeFeed.captureMarks(spark, path, commitVersion,
+        "delete-dv", (dvMarkFiles(dvPath) -- marksBefore).toSeq)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Top-level mark files of the DV sidecar (update_* batch-marks dirs
@@ -1611,8 +1618,10 @@ final class MedallionTable(
         .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
           org.apache.spark.sql.functions.col("__graft_dv_pos").as("pos"))
         .write.mode(SaveMode.Append).parquet(dvPath)
-      if (cdfOn) ChangeFeed.captureMarks(spark, path, commitVersion,
-        "delete-dv", (dvMarkFiles(dvPath) -- marksBefore).toSeq)
+      if (cdfOn)
+        try ChangeFeed.captureMarks(spark, path, commitVersion,
+          "delete-dv", (dvMarkFiles(dvPath) -- marksBefore).toSeq)
+        catch { case scala.util.control.NonFatal(_) => () } // read fail-stops
     }
 
   /** Whether any deletion-vector soft state is live — delete marks in
@@ -1832,8 +1841,9 @@ final class MedallionTable(
         // read): postimages = the batch files, preimages reconstruct
         // from the marks — keys empty ⟺ all postimages update_postimage
         if (ChangeFeed.isEnabled(spark, path))
-          ChangeFeed.captureBatch(spark, path, commitVersion, "update-dv",
+          try ChangeFeed.captureBatch(spark, path, commitVersion, "update-dv",
             batch, ShallowClone.listParquet(spark, batchDir), Nil)
+          catch { case scala.util.control.NonFatal(_) => () } // post-commit
       }
     }
 
