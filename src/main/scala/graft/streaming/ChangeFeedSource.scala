@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+
+import graft.table.{ChangeFeed, MedallionTable}
+
+/** Structured-Streaming source over a table's writer-captured change
+  * feed — Delta's `readStream.option("readChangeFeed", true)` analog:
+  *
+  *   spark.readStream.format("graft-cdf").option("path", p).load()
+  *
+  * Offsets ARE commit ordinals, which is what makes the stream
+  * exactly-once by construction: `getOffset` reports the table's current
+  * commit, each micro-batch is `ChangeFeed.read(start+1, end]`, and a
+  * replayed (start, end] window re-reads the SAME immutable capture
+  * manifests — checkpoint recovery needs no source-side state at all.
+  * The first batch starts at the feed's enablement commit (Delta's
+  * `startingVersion` = enablement default).
+  *
+  * Per-batch cost is the feed read's: O(changed rows + touched files),
+  * never a table scan (SCALING.md round 13). A range the feed refuses
+  * (compacted marks, crashed capture, unversioned rewrite) fails the
+  * stream fail-stop instead of misreporting — re-baseline the consumer
+  * and restart from a fresh checkpoint.
+  *
+  * The schema is pinned at stream start (table columns + `_change_type`,
+  * `_commit_version`, `_commit_timestamp`); batches project-and-cast to
+  * it, so a mid-stream schema evolution surfaces new columns only after
+  * a restart (the v1 Source contract — same as every file source).
+  */
+final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String)
+    extends Source {
+
+  private val spark = sqlContext.sparkSession
+  private def table = MedallionTable(spark, tablePath)
+
+  private def enabledAtOrRefuse: Long =
+    ChangeFeed.enabledAt(spark, tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"graft-cdf source: change data feed is not enabled on $tablePath " +
+          "— run enableChangeDataFeed() first"))
+
+  override val schema: StructType =
+    ChangeFeedSource.feedSchema(spark, tablePath)
+
+  override def getOffset: Option[Offset] = {
+    val en = enabledAtOrRefuse
+    // completion-witnessed head (ChangeFeed.capturedThrough): a
+    // claim-first writer's marker is visible before its capture lands,
+    // and polling the raw marker head would refuse on the in-flight
+    // commit's missing manifest
+    val cur = ChangeFeed.capturedThrough(table)
+    if (cur <= en) None else Some(LongOffset(cur))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    // restart passes SerializedOffset(json); LongOffset.json is the same
+    // long rendering, so .json.toLong handles both uniformly
+    val s = start.map(_.json.toLong).getOrElse(enabledAtOrRefuse)
+    val e = end.json.toLong
+    val batch =
+      if (s >= e)
+        GraftColumnBridge.streamingDataFrame(spark,
+          spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+          schema)
+      else {
+        val ch = ChangeFeed.read(table, s + 1, e)
+        // pin to the stream-start schema: columns added since read as
+        // typed NULLs until restart, exactly the declared contract
+        val projected = ch.select(schema.fields.toIndexedSeq.map { f =>
+          if (ch.columns.exists(_.equalsIgnoreCase(f.name)))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+        GraftColumnBridge.streamingDataFrame(spark,
+          projected.queryExecution.toRdd, schema)
+      }
+    batch
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ChangeFeedSource[$tablePath]"
+}
+
+object ChangeFeedSource {
+  private[streaming] def feedSchema(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): StructType = {
+    val base = MedallionTable(spark, tablePath).read.schema
+    new StructType(base.fields ++ Array(
+      org.apache.spark.sql.types.StructField(
+        ChangeFeed.ChangeTypeCol, StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        ChangeFeed.CommitVersionCol, LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        ChangeFeed.CommitTimestampCol, TimestampType, nullable = true)))
+  }
+}
+
+/** `format("graft-cdf")` registration (META-INF services). */
+final class ChangeFeedSourceProvider
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdf"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-cdf source requires .option(\"path\", <table dir>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft-cdf", schema.getOrElse(
+      ChangeFeedSource.feedSchema(sqlContext.sparkSession,
+        pathOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sqlContext, pathOf(parameters))
+}

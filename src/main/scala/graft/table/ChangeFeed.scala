@@ -362,6 +362,27 @@ object ChangeFeed {
   private def refuse(msg: String): Nothing =
     throw new IllegalStateException(s"change feed: $msg")
 
+  /** Highest commit ordinal whose capture manifest exists — the
+    * COMPLETION witness concurrent feed readers must use instead of
+    * `commitVersion`: a claim-first writer's marker is visible from the
+    * moment it claims, BEFORE its data and capture land, so a poll racing
+    * an in-flight write would read the claimed ordinal and refuse on the
+    * not-yet-written manifest. The walk-back is at most one commit deep
+    * under the writer-lock serialization (a crashed writer's permanent
+    * gap parks readers at the pre-crash ordinal until vacuum/re-baseline
+    * — fail-safe, never wrong data).
+    */
+  def capturedThrough(t: MedallionTable): Long = {
+    val spark = t.spark
+    enabledAt(spark, t.path) match {
+      case None => t.commitVersion
+      case Some(en) =>
+        var cur = t.commitVersion
+        while (cur > en && loadManifest(spark, t.path, cur).isEmpty) cur -= 1
+        cur
+    }
+  }
+
   // ---- read ----------------------------------------------------------------
 
   /** The row changes committed by ordinals `[startVersion, endVersion]`,
@@ -618,7 +639,10 @@ object ChangeFeed {
     val wm: Option[Long] =
       if (!fs.exists(wmFile) || !mirror.exists) None
       else readText(fs, wmFile).trim.toLongOption
-    val cur = source.commitVersion
+    // completion-witnessed head, not the raw marker head: a replication
+    // racing an in-flight writer must not refuse on (or stamp past) a
+    // commit whose capture hasn't landed yet
+    val cur = capturedThrough(source)
     wm match {
       case Some(at) if at == cur => () // already current
       case Some(at) =>

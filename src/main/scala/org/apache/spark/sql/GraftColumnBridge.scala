@@ -20,6 +20,17 @@ object GraftColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** DataFrame over an InternalRow RDD with the STREAMING tag set — the
+    * v1 `Source.getBatch` contract (MicroBatchExecution asserts returned
+    * frames are isStreaming). `internalCreateDataFrame` is
+    * `private[sql]`, same justification as the converters above.
+    */
+  def streamingDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** Re-executes every cached entry containing a sub-plan `sameResult` to
     * `plan` — the invalidation SQL DML owes CACHE TABLE users (the cache
     * manager is reachable only through the classic session's shared
