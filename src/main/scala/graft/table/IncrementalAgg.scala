@@ -126,31 +126,42 @@ object IncrementalAgg {
       case None =>
         gold.overwrite(fullCompute(fact.read, groupCols, sums)
           .withColumn(FactCommitCol, lit(fact.commitVersion)))
-      case Some(ord) if ord == fact.commitVersion => () // already current
       case Some(ord) =>
-        val changes = changesPreferFeed(fact, ord, keys)
-        gold.overwrite(
-          refresh(gold.read.drop(FactCommitCol), changes, groupCols, sums)
-            .withColumn(FactCommitCol, lit(fact.commitVersion)))
+        val (changes, head) = changesAndHead(fact, ord, keys)
+        if (head != ord)
+          gold.overwrite(
+            refresh(gold.read.drop(FactCommitCol), changes, groupCols, sums)
+              .withColumn(FactCommitCol, lit(head)))
     }
   }
 
-  /** The change rows that turn `fact@ord` into the current state: the
-    * writer-captured feed when it covers `(ord, current]` (O(Δ)), else
-    * the snapshot diff (O(fact), needs retention). Exposed for every
-    * CDC consumer with a reflected-ordinal watermark
-    * ([[IncrementalJoin.catchUp]], [[graft.streaming.EventStreams]]).
+  /** The change rows that turn `fact@ord` into the state at the returned
+    * HEAD ordinal, paired with that head — the writer-captured feed when
+    * it covers the gap (O(Δ)), else the snapshot diff (O(fact), needs
+    * retention). The head is what the consumer must STAMP as reflected:
+    * on the feed path it is [[ChangeFeed.capturedThrough]], NOT the raw
+    * marker head — a claim-first writer's marker is visible before its
+    * data and capture land, and stamping past it would silently skip
+    * that commit's rows on the next refresh. `head == ord` ⟺ nothing new
+    * (the returned frame is unspecified; skip the refresh). Shared by
+    * [[IncrementalJoin.catchUp]] and the streaming refresh loops.
     */
-  def changesPreferFeed(fact: MedallionTable, ord: Long,
-      keys: Seq[String]): DataFrame = {
+  def changesAndHead(fact: MedallionTable, ord: Long,
+      keys: Seq[String]): (DataFrame, Long) = {
     val viaFeed =
       if (!ChangeFeed.isEnabled(fact.spark, fact.path)) None
-      else
-        try Some(fact.readChangeFeed(ord + 1, fact.commitVersion)
-          .drop(ChangeFeed.CommitVersionCol, ChangeFeed.CommitTimestampCol))
-        catch { // a refused range (uncaptured commit) falls back
-          case _: IllegalStateException => None
-        }
-    viaFeed.getOrElse(fact.changesSinceOrdinal(ord, keys))
+      else {
+        val head = ChangeFeed.capturedThrough(fact)
+        if (head == ord) Some((fact.read.limit(0), ord))
+        else
+          try Some((fact.readChangeFeed(ord + 1, head)
+            .drop(ChangeFeed.CommitVersionCol, ChangeFeed.CommitTimestampCol),
+            head))
+          catch { // a refused range (uncaptured commit) falls back
+            case _: IllegalStateException => None
+          }
+      }
+    viaFeed.getOrElse(
+      (fact.changesSinceOrdinal(ord, keys), fact.commitVersion))
   }
 }

@@ -163,15 +163,16 @@ object IncrementalJoin {
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
         finally in.close()
       }
-    val cur = fact.commitVersion
+    // stamp target resolved per change source (IncrementalAgg
+    // .changesAndHead: the feed path's head is the completion-witnessed
+    // capturedThrough, never the raw marker head)
+    var cur = fact.commitVersion
     reflected match {
       case Some(ord) if ord == cur => () // nothing new
       case Some(ord) =>
-        // writer-captured feed when it covers the gap (O(Δ)), snapshot
-        // diff otherwise — IncrementalAgg.changesPreferFeed's contract
-        applyFactChanges(mv,
-          IncrementalAgg.changesPreferFeed(fact, ord, factKeys),
-          dim, factKeys, on)
+        val (changes, head) = IncrementalAgg.changesAndHead(fact, ord, factKeys)
+        cur = head
+        if (head != ord) applyFactChanges(mv, changes, dim, factKeys, on)
       case None =>
         mv.overwrite(fullCompute(fact.read, dim, on))
     }
