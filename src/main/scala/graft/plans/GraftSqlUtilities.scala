@@ -976,14 +976,20 @@ object GraftTableFunctions {
     // Delta's table_changes over the WRITER-CAPTURED feed: O(changed
     // rows), per-commit attribution, no key columns and no snapshot
     // retention needed (graft.table.ChangeFeed) — the snapshot-diff
-    // graft_table_changes above remains for un-enabled tables
+    // graft_table_changes above remains for un-enabled tables. The first
+    // argument is a location OR a `USING graft` catalog table name
+    // (Delta's table_changes takes either spelling).
     (new FunctionIdentifier("graft_change_feed"),
       new ExpressionInfo(classOf[MedallionTable].getName, "graft_change_feed"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2 || exprs.length == 3,
-          "usage: graft_change_feed('<path>', startVersion[, endVersion])")
+          "usage: graft_change_feed('<path or table>', startVersion[, endVersion])")
         val spark = SparkSession.active
-        val mt = new MedallionTable(spark, litString(exprs.head, "path"))
+        val target = litString(exprs.head, "path or table")
+        val path =
+          if (target.contains("/")) target
+          else GraftSqlParser.resolvePath(spark, target)
+        val mt = new MedallionTable(spark, path)
         val from = litLong(exprs(1), "startVersion")
         val to = if (exprs.length == 3) litLong(exprs(2), "endVersion")
           else mt.commitVersion

@@ -562,6 +562,18 @@ object ChangeFeed {
     // postimage in the SAME commit is an update_preimage (else delete);
     // a postimage with a preimage is an update_postimage (else insert).
     val classified = if (mergeKeys.isEmpty) unioned else {
+      // classification needs the recorded (merge-time LOGICAL) key
+      // columns to still exist — a later RENAME COLUMN of a merge key
+      // would otherwise die in analysis with an unhelpful message
+      val unionedCols = unioned.columns.map(_.toLowerCase).toSet
+      mergeKeys.foreach { case (c, ks) =>
+        val gone = ks.filterNot(k => unionedCols.contains(k.toLowerCase))
+        if (gone.nonEmpty) refuse(
+          s"commit $c of ${t.path}: merge key column(s) " +
+            s"${gone.mkString(", ")} were renamed or dropped since the " +
+            "merge was captured — its changes can no longer be " +
+            "classified; re-baseline the consumer")
+      }
       // classify per distinct key set; the window's commit-ordinal
       // partition key keeps same-keyed merges from different commits apart
       val keySets = mergeKeys.values.toSeq.distinct

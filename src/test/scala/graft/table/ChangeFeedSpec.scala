@@ -398,5 +398,26 @@ class ChangeFeedSpec extends SparkSpec {
       s"SELECT count(*) FROM graft_change_feed('${t.path}', ${en + 1}, " +
         s"${en + 1})").head().getLong(0)
     assert(only1 == 2L)
+    // catalog-table spelling (Delta's table_changes takes either)
+    spark.sql("DROP TABLE IF EXISTS cdf_tvf_t")
+    spark.sql(s"CREATE TABLE cdf_tvf_t USING graft LOCATION '${t.path}'")
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_change_feed('cdf_tvf_t', ${en + 1}, " +
+        s"${en + 1})").head().getLong(0) == 2L)
+  }
+
+  test("a renamed merge key refuses classification cleanly") {
+    import MergeOps._
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    t.mergeVectored(Seq((1L, "m")).toDF("k", "v"), Seq("id" -> "k"),
+      Seq(WhenMatchedUpdate(None, Map("s" -> ((_, sc) => sc("v"))))), Nil)
+    assert(feed(t, en + 1, en + 1).nonEmpty)
+    t.renameColumn("id", "id2")
+    val e = intercept[IllegalStateException](
+      t.readChangeFeed(en + 1, en + 1).collect())
+    assert(e.getMessage.contains("merge key") &&
+      e.getMessage.contains("re-baseline"))
   }
 }
