@@ -343,14 +343,49 @@ object ChangeFeed {
     out.toMap
   }
 
+  /** DV compaction coalesces the flat delete-mark files; the originals
+    * are per-commit feed evidence, so [[archiveMarkFiles]] parks them
+    * here (tiny position lists, commits-sidecar lifetime — exactly the
+    * manifests') instead of deleting, and delete feed ranges survive
+    * `compactDv`. Batch (`update_*`) marks get no such treatment:
+    * `compactDvBatches` deletes the batch DATA files too, so those
+    * ranges refuse either way.
+    */
+  private def marksArchiveDir(tablePath: String): Path =
+    new Path(cdfRoot(tablePath), "marks_archive")
+
+  /** Move superseded flat mark files into the archive ([[compactDv]]'s
+    * feed hook). A failed rename falls back to delete — the feed range
+    * then refuses exactly as it would have without the archive.
+    */
+  private[table] def archiveMarkFiles(spark: SparkSession, tablePath: String,
+      files: Seq[Path]): Unit = {
+    val fs = fsOf(spark, tablePath)
+    val dir = marksArchiveDir(tablePath)
+    fs.mkdirs(dir)
+    files.foreach { f =>
+      val ok =
+        try fs.rename(f, new Path(dir, f.getName))
+        catch { case _: java.io.IOException => false }
+      if (!ok)
+        try fs.delete(f, false)
+        catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Resolve a dv-root-relative mark path (file or `update_<batch>` dir)
-    * against the live sidecar and archived snapshots' sidecars.
+    * against the live sidecar, the compaction archive (flat files), and
+    * archived snapshots' sidecars.
     */
   private def resolveMark(spark: SparkSession, t: MedallionTable,
       rel: String): Option[String] = {
     val fs = fsOf(spark, t.path)
     val live = new Path(DeletionVectors.dir(t.path), rel)
     if (fs.exists(live)) return Some(live.toString)
+    if (!rel.contains("/")) {
+      val archived = new Path(marksArchiveDir(t.path), rel)
+      if (fs.exists(archived)) return Some(archived.toString)
+    }
     t.listVersions().sorted.reverse.foreach { v =>
       val p = new Path(DeletionVectors.archivedDir(
         new Path(t.path, s"_graft_meta/versions/v$v")), rel)

@@ -1668,7 +1668,11 @@ final class MedallionTable(
         throw new java.io.IOException(
           s"dv-compact: rename failed: ${part.head} -> $combined")
       MedallionTable.testFailpoint("mid-dv-compact")
-      old.foreach(f => fs.delete(f, false))
+      // the originals are per-commit change-feed evidence: archive them
+      // (tiny position lists) so delete feed ranges survive compaction
+      if (ChangeFeed.isEnabled(spark, path))
+        ChangeFeed.archiveMarkFiles(spark, path, old)
+      else old.foreach(f => fs.delete(f, false))
       fs.delete(staging, true)
       old.size
     }

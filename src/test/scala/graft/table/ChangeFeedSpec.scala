@@ -169,11 +169,20 @@ class ChangeFeedSpec extends SparkSpec {
     intercept[IllegalStateException](t.readChangeFeed(en + 1, en + 99))
     t.deleteVectored($"id" === 1L)
     assert(feed(t, en + 1).nonEmpty)
-    // DV compaction rewrites the mark files: the range must now refuse
-    // (Delta-parity with VACUUM invalidating CDF), not misreport
+    // delete-mark compaction ARCHIVES the originals (per-commit feed
+    // evidence): the range still reads, attribution intact
     t.deleteVectored($"id" === 2L)
     t.compactDv()
-    val e2 = intercept[IllegalStateException](t.readChangeFeed(en + 1))
+    assert(feed(t, en + 1, en + 2) == Set(
+      (1L, "s1", 1, "delete", en + 1),
+      (2L, "s2", 2, "delete", en + 2)),
+      "delete feed ranges survive compactDv via the marks archive")
+    // batch compaction deletes the batch DATA files too — update ranges
+    // refuse (Delta-parity with VACUUM invalidating CDF), not misreport
+    t.updateVectored($"id" === 3L, Map("s" -> lit("u")))
+    t.updateVectored($"id" === 4L, Map("s" -> lit("v")))
+    t.compactDvBatches()
+    val e2 = intercept[IllegalStateException](t.readChangeFeed(en + 3))
     assert(e2.getMessage.contains("compacted"))
     // un-captured rewrite on an unversioned table: refuse, name the knob
     val t2 = mk()
