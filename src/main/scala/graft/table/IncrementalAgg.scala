@@ -152,13 +152,21 @@ object IncrementalAgg {
       if (!ChangeFeed.isEnabled(fact.spark, fact.path)) None
       else {
         val head = ChangeFeed.capturedThrough(fact)
-        if (head == ord) Some((fact.read.limit(0), ord))
+        // head < ord happens when a previous refresh stamped via the
+        // snapshot-diff fallback at the raw marker head while a crashed
+        // writer's capture never landed: the captured-through witness
+        // then trails the stamped ordinal. Nothing new from the FEED's
+        // point of view — report "no change" at the stamped ordinal
+        // (the consumer keeps its watermark; the gap's rows were already
+        // absorbed by the fallback refresh that stamped it).
+        if (head <= ord) Some((fact.read.limit(0), ord))
         else
           try Some((fact.readChangeFeed(ord + 1, head)
             .drop(ChangeFeed.CommitVersionCol, ChangeFeed.CommitTimestampCol),
             head))
           catch { // a refused range (uncaptured commit) falls back
             case _: IllegalStateException => None
+            case _: IllegalArgumentException => None
           }
       }
     viaFeed.getOrElse(

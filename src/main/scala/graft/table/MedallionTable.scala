@@ -591,6 +591,34 @@ final class MedallionTable(
   def setGeneratedColumn(name: String, exprSql: String): Unit = {
     require(!name.exists(c => c == '\t' || c == '\n') && !exprSql.contains('\n'),
       "generated column name/expression must be tab/newline-free")
+    // Delta's rule: a generation expression may not reference another
+    // generated column (or itself). Without this, [[enforced]]'s fold
+    // over the registry Map would resolve chained generations
+    // nondeterministically by hash iteration order.
+    val referenced = spark.sessionState.sqlParser.parseExpression(exprSql)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.map(_.toLowerCase).toSet
+    val genNames = generatedColumns.keys.map(_.toLowerCase).toSet + name.toLowerCase
+    val chained = referenced.intersect(genNames)
+    require(chained.isEmpty,
+      s"cannot declare generated column $name: its expression references " +
+        s"generated column(s) ${chained.toSeq.sorted.mkString(", ")} — " +
+        "generation expressions may reference only non-generated columns " +
+        "(inline the referenced expression instead)")
+    // the converse chain: an EXISTING generation expression referencing
+    // the column being declared would become a chain the moment this
+    // declaration lands
+    generatedColumns.foreach { case (n, e) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.map(_.toLowerCase).toSet
+      require(!refs.contains(name.toLowerCase),
+        s"cannot declare generated column $name: existing generated " +
+          s"column $n references it — drop $n first or inline")
+    }
     import org.apache.spark.sql.functions.{col, expr, lit, not}
     if (exists && !read.isEmpty) {
       val d = read
@@ -769,9 +797,14 @@ final class MedallionTable(
         try writer(enforced(df, cs, gs), SaveMode.Overwrite).parquet(path)
         finally { persistConstraints(cs); persistGenerated(gs) }
         stashSchema(df.schema)
+        // same NonFatal guard as appendBody: a capture IO failure must
+        // not unwind withClaimedCommit (which would delete the claimed
+        // marker AFTER the data and registries landed, leaving a
+        // populated table at commit 0) — the feed read fail-stops instead
         if (ChangeFeed.isEnabled(spark, path))
-          ChangeFeed.captureFiles(spark, path, commitVersion,
+          try ChangeFeed.captureFiles(spark, path, commitVersion,
             "create-overwrite", dataFileSet().toSeq)
+          catch { case scala.util.control.NonFatal(_) => () }
       }
     }
 
@@ -785,9 +818,12 @@ final class MedallionTable(
       try writer(enforced(df, cs, gs), SaveMode.Overwrite).parquet(path)
       finally { persistConstraints(cs); persistGenerated(gs) }
       stashSchema(df.schema)
+      // NonFatal-guarded for the same reason as appendBody / overwrite:
+      // the commit landed; a capture failure degrades to a feed refusal
       if (ChangeFeed.isEnabled(spark, path))
-        ChangeFeed.captureFiles(spark, path, commitVersion, "create",
+        try ChangeFeed.captureFiles(spark, path, commitVersion, "create",
           dataFileSet().toSeq)
+        catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -965,7 +1001,8 @@ final class MedallionTable(
         fs.delete(new Path(batchDir), true)
         fs.delete(marksStaging, true)
         if (ChangeFeed.isEnabled(spark, path))
-          ChangeFeed.captureEmpty(spark, path, commitVersion, "merge-dv")
+          try ChangeFeed.captureEmpty(spark, path, commitVersion, "merge-dv")
+          catch { case scala.util.control.NonFatal(_) => () }
       } else {
         // An insert-only merge commits zero marks; a delete-only merge
         // commits an empty batch. The WITNESS is the marks DIRECTORY
@@ -1825,7 +1862,8 @@ final class MedallionTable(
         fs.delete(new Path(batchDir), true)
         fs.delete(marksStaging, true)
         if (ChangeFeed.isEnabled(spark, path))
-          ChangeFeed.captureEmpty(spark, path, commitVersion, "update-dv")
+          try ChangeFeed.captureEmpty(spark, path, commitVersion, "update-dv")
+          catch { case scala.util.control.NonFatal(_) => () }
       } else {
         require(
           ShallowClone.listParquet(spark, marksStaging.toString).nonEmpty &&
@@ -1955,6 +1993,16 @@ final class MedallionTable(
       }
 
   def changeDataFeedEnabled: Boolean = ChangeFeed.isEnabled(spark, path)
+
+  /** Explicit feed retention: expire all but the newest `keepCommits`
+    * captured commits' manifests ([[ChangeFeed.expireBefore]] — reads
+    * into the expired range refuse with the re-baseline hatch named;
+    * reads past the watermark are untouched). The maintenance ops run
+    * the age-horizon flavor automatically (`spark.graft.cdfRetentionMs`
+    * on [[vacuum]]/[[autoCompact]]).
+    */
+  def expireChangeFeed(keepCommits: Int): Long =
+    ChangeFeed.expire(this, keepCommits)
 
   /** Delta `table_changes(t, startVersion, endVersion)`: the row changes
     * committed by ordinals `[startVersion, endVersion]` (both inclusive,
@@ -2345,6 +2393,7 @@ final class MedallionTable(
             ColumnMap.load(spark, path).isEmpty) {
           compactDvBatches(); 1
         } else 0)
+      expireFeedByConf()
       dvCompacted + (if (partitionColumns.isEmpty) {
         val live = dataFileSet().size
         if (live > maxFiles) { compact(); 1 } else 0
@@ -2476,8 +2525,25 @@ final class MedallionTable(
     // a crashed COPY INTO's serialization lock (see CopyInto.withCopyLock)
     try fs.delete(new Path(commitsDir, "copy.lock"), false)
     catch { case _: java.io.IOException => () }
+    expireFeedByConf()
     toDelete.length
   }
+
+  /** Feed-manifest retention hook: expire change-feed capture manifests
+    * older than `spark.graft.cdfRetentionMs` (default 30 days — Delta's
+    * log-retention shape), bounding the feed sidecar without a dedicated
+    * cron. Riding [[vacuum]] and [[autoCompact]] — the existing janitors.
+    * Negative retention disables. NonFatal-guarded: retention must never
+    * fail the maintenance op it rides on.
+    */
+  private def expireFeedByConf(): Unit =
+    if (ChangeFeed.isEnabled(spark, path)) {
+      val ms = spark.conf.getOption("spark.graft.cdfRetentionMs")
+        .flatMap(_.toLongOption).getOrElse(30L * 24 * 3600 * 1000)
+      if (ms >= 0)
+        try ChangeFeed.expireOlderThan(this, ms)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Delta's `CONVERT TO DELTA` analog: adopt an existing plain-parquet
     * directory as a graft table IN PLACE — metadata only, zero data bytes

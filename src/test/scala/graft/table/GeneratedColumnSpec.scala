@@ -107,4 +107,28 @@ class GeneratedColumnSpec extends SparkSpec {
     assert(scanned > 0 && scanned < total,
       s"pruned scan ($scanned files) must read fewer than the full table ($total)")
   }
+
+  test("generation expressions may not reference generated columns — " +
+      "declare-time refusal in both directions (Delta's rule)") {
+    val t = MedallionTable(spark, tmpDir("genchain"))
+    t.setGeneratedColumn("yr", "year(d)")
+    // forward chain: new expression references an existing generated col
+    val e = intercept[IllegalArgumentException](
+      t.setGeneratedColumn("yr2", "yr + 1"))
+    assert(e.getMessage.contains("yr") &&
+      e.getMessage.contains("non-generated"))
+    // self-reference
+    intercept[IllegalArgumentException](
+      t.setGeneratedColumn("z", "z + 1"))
+    // converse chain: an EXISTING generation references the name being
+    // declared (pre-fix this resolved or failed by Map hash order)
+    val t2 = MedallionTable(spark, tmpDir("genchain2"))
+    t2.setGeneratedColumn("b", "a + 1") // a is a plain column here
+    val e2 = intercept[IllegalArgumentException](
+      t2.setGeneratedColumn("a", "id * 2"))
+    assert(e2.getMessage.contains("b"))
+    // unrelated second declaration still fine
+    t.setGeneratedColumn("mo", "month(d)")
+    assert(t.generatedColumns.keySet == Set("yr", "mo"))
+  }
 }
