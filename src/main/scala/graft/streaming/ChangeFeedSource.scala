@@ -23,7 +23,11 @@ import graft.table.{ChangeFeed, MedallionTable}
   * `startingVersion` = enablement default).
   *
   * Per-batch cost is the feed read's: O(changed rows + touched files),
-  * never a table scan (SCALING.md round 13). A range the feed refuses
+  * never a table scan (SCALING.md round 13). Each trigger admits at most
+  * `maxCommitsPerTrigger` commits (default 50 — Delta's
+  * `maxFilesPerTrigger` analog), so a stream restarted after a long
+  * outage drains the backlog in bounded batches instead of one batch
+  * whose plan construction is linear in the gap. A range the feed refuses
   * (compacted marks, crashed capture, unversioned rewrite) fails the
   * stream fail-stop instead of misreporting — re-baseline the consumer
   * and restart from a fresh checkpoint.
@@ -33,11 +37,70 @@ import graft.table.{ChangeFeed, MedallionTable}
   * it, so a mid-stream schema evolution surfaces new columns only after
   * a restart (the v1 Source contract — same as every file source).
   */
-final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String)
+final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String,
+    metadataPath: String, options: Map[String, String])
     extends Source {
 
   private val spark = sqlContext.sparkSession
   private def table = MedallionTable(spark, tablePath)
+
+  /** Per-trigger admission bound (Delta's `maxFilesPerTrigger` analog,
+    * in COMMITS — the unit the feed's read cost is linear in): a stream
+    * restarted after N missed commits drains them in ⌈N/bound⌉ batches
+    * instead of ONE batch whose driver-side plan construction is linear
+    * in N (measured 6.8 s at 50 commits, SCALING.md round 13; the knee
+    * is why 50 is the default).
+    */
+  private val maxCommitsPerTrigger: Long = {
+    val v = options.get(ChangeFeedSource.MaxCommitsKey)
+      .map(s => s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-cdf: ${ChangeFeedSource.MaxCommitsKey} must be a positive " +
+          s"long, got '$s'")))
+      .getOrElse(ChangeFeedSource.DefaultMaxCommits)
+    require(v > 0, s"graft-cdf: ${ChangeFeedSource.MaxCommitsKey} must be " +
+      s"positive, got $v")
+    v
+  }
+
+  /** Highest offset this source ever REPORTED, persisted in the stream's
+    * own metadata dir (temp + rename) BEFORE getOffset returns it. The v1
+    * Source API gives getOffset no "current position" input, so a rate
+    * limit needs its own floor: on a restart where every batch committed,
+    * getOffset is the first call — clamping from the ENABLEMENT commit
+    * there would report an offset BELOW the checkpointed one, and Spark
+    * would log it as a new (smaller) end and re-deliver already-committed
+    * commits in the next batch. Persisting before returning makes the
+    * floor ≥ every offset Spark's WAL can contain, so the clamp only ever
+    * moves forward. Lifetime = the checkpoint's (a fresh checkpoint is a
+    * fresh metadataPath, so a re-baselined stream starts clean).
+    */
+  private val floorFile = new org.apache.hadoop.fs.Path(
+    metadataPath, "graft-cdf-reported")
+  private val floorFs = floorFile
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private var floor: Long = {
+    if (!floorFs.exists(floorFile)) Long.MinValue
+    else {
+      val in = floorFs.open(floorFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .trim.toLongOption.getOrElse(Long.MinValue)
+      finally in.close()
+    }
+  }
+
+  private def persistFloor(v: Long): Unit = {
+    floorFs.mkdirs(floorFile.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(
+      floorFile.getParent, s".${floorFile.getName}.tmp")
+    val out = floorFs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (!floorFs.rename(tmp, floorFile)) {
+      floorFs.delete(floorFile, false)
+      if (!floorFs.rename(tmp, floorFile))
+        throw new java.io.IOException(
+          s"graft-cdf: cannot persist rate-limit floor $floorFile")
+    }
+  }
 
   private def enabledAtOrRefuse: Long =
     ChangeFeed.enabledAt(spark, tablePath).getOrElse(
@@ -55,7 +118,14 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String)
     // and polling the raw marker head would refuse on the in-flight
     // commit's missing manifest
     val cur = ChangeFeed.capturedThrough(table)
-    if (cur <= en) None else Some(LongOffset(cur))
+    // admission bound, clamped from the floor (never backwards)
+    val base = math.max(floor, en)
+    val next = math.max(math.min(cur, base + maxCommitsPerTrigger), floor)
+    if (next <= en) None
+    else {
+      if (next > floor) { persistFloor(next); floor = next }
+      Some(LongOffset(next))
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -63,6 +133,9 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String)
     // long rendering, so .json.toLong handles both uniformly
     val s = start.map(_.json.toLong).getOrElse(enabledAtOrRefuse)
     val e = end.json.toLong
+    // belt-and-braces: a recovered batch's end is as good a floor as a
+    // reported offset (covers a lost/unreadable floor file)
+    if (e > floor) { floor = e; persistFloor(e) }
     val batch =
       if (s >= e)
         GraftColumnBridge.streamingDataFrame(spark,
@@ -90,6 +163,9 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String)
 }
 
 object ChangeFeedSource {
+  val MaxCommitsKey = "maxCommitsPerTrigger"
+  val DefaultMaxCommits = 50L
+
   private[streaming] def feedSchema(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String): StructType = {
@@ -124,5 +200,6 @@ final class ChangeFeedSourceProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new ChangeFeedSource(sqlContext, pathOf(parameters))
+    new ChangeFeedSource(sqlContext, pathOf(parameters), metadataPath,
+      parameters)
 }

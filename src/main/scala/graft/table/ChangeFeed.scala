@@ -139,15 +139,29 @@ object ChangeFeed {
     } finally in.close()
   }
 
-  /** Temp + rename: a reader never observes a partial manifest. */
+  /** Temp + rename: a reader never observes a partial file. Hadoop's
+    * `FileSystem.rename` REFUSES an existing destination (unlike POSIX
+    * rename), so a re-write replaces via delete + rename — before this
+    * fix the second write of a WATERMARK (mirror `cdf_mirror_reflects`,
+    * retention `expired_through`) silently kept the old value, which made
+    * every `replicateTo` after the first re-read the feed from its
+    * bootstrap ordinal instead of O(Δ since last). A crash between the
+    * delete and the rename leaves the file ABSENT: manifests/flags
+    * fail-stop on absence and watermarks degrade conservatively (mirror
+    * re-applies an idempotent window; an expired-manifest read refuses),
+    * never a partial or stale-but-trusted value. A failed SECOND rename
+    * is a true concurrent writer: keep theirs (retried ops write
+    * identical bytes; watermark writers are maintenance-serialized).
+    */
   private def writeTextAtomic(fs: FileSystem, p: Path, text: String): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, p)) {
-      // lost a race with an identical writer (retried op): keep theirs
-      fs.delete(tmp, false)
-    }
+    // delete-then-rename (not rename-over): Hadoop refuses the latter,
+    // and a raw-layer retry desynchronizes ChecksumFileSystem's crc
+    // sidecar from the data file
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
   }
 
   def isEnabled(spark: SparkSession, tablePath: String): Boolean =
@@ -272,6 +286,107 @@ object ChangeFeed {
     if (!fs.exists(manifestFile(tablePath, ordinal)))
       captureManifest(spark, tablePath, ordinal,
         Manifest(op, now(), "auto", None, Nil, Nil, Nil))
+  }
+
+  // ---- retention (janitor) -------------------------------------------------
+
+  private def expiredFile(tablePath: String): Path =
+    new Path(cdfRoot(tablePath), "expired_through")
+
+  /** Highest commit ordinal expired by feed retention — reads at or
+    * below it refuse with the re-baseline hatch named. `Long.MinValue`
+    * when nothing has expired.
+    */
+  def expiredThrough(spark: SparkSession, tablePath: String): Long = {
+    val fs = fsOf(spark, tablePath)
+    val p = expiredFile(tablePath)
+    if (!fs.exists(p)) Long.MinValue
+    else readText(fs, p).trim.toLongOption.getOrElse(Long.MinValue)
+  }
+
+  /** Feed-manifest retention janitor: capture manifests accumulate one
+    * per commit forever (tiny, but at a realistic commit rate the
+    * per-read listing and the sidecar itself grow unboundedly — Delta
+    * expires CDF with log retention). Expires every manifest at or below
+    * `ordinal`, plus the archived delete-marks no surviving manifest
+    * references.
+    *
+    * Atomic with the refusal watermark: `expired_through` is written
+    * FIRST (temp + rename), so a reader concurrent with the deletes — or
+    * resuming after a janitor crash mid-delete — refuses the expired
+    * range with the hatch named instead of tripping over a half-present
+    * manifest set. Leftover manifests ≤ the watermark are harmless
+    * litter the next expiry re-deletes.
+    *
+    * The captured HEAD manifest always survives (`ordinal` is clamped to
+    * `capturedThrough - 1`): [[capturedThrough]]'s walk-back and the
+    * mirror/MV watermark checks stay O(1) on an idle table.
+    *
+    * @return the expired-through ordinal now in force.
+    */
+  def expireBefore(t: MedallionTable, ordinal: Long): Long = {
+    val spark = t.spark
+    val fs = fsOf(spark, t.path)
+    val already = expiredThrough(spark, t.path)
+    if (enabledAt(spark, t.path).isEmpty) return already
+    val head = capturedThrough(t)
+    val e = math.min(ordinal, head - 1)
+    if (e <= already) return already
+    writeTextAtomic(fs, expiredFile(t.path), e.toString)
+    // delete expired manifests (by listing — ordinals below enablement
+    // or from a prior epoch don't exist as files)
+    val root = cdfRoot(t.path)
+    val survivors = Seq.newBuilder[Path]
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("c")) n.drop(1).toLongOption.foreach { ord =>
+        if (ord <= e) fs.delete(st.getPath, false)
+        else survivors += st.getPath
+      }
+    }
+    // prune the marks archive: keep only flat mark files some surviving
+    // manifest still references (expired delete ranges refuse anyway)
+    val arch = marksArchiveDir(t.path)
+    if (fs.exists(arch)) {
+      val referenced = survivors.result().flatMap { p =>
+        parse(readText(fs, p)).marks.filterNot(_.contains("/"))
+      }.toSet
+      fs.listStatus(arch).foreach { st =>
+        if (!referenced.contains(st.getPath.getName))
+          fs.delete(st.getPath, false)
+      }
+    }
+    e
+  }
+
+  /** Expire all but the newest `keepCommits` captured commits. */
+  def expire(t: MedallionTable, keepCommits: Int): Long = {
+    require(keepCommits >= 1, "feed retention must keep >= 1 commit")
+    expireBefore(t, capturedThrough(t) - keepCommits)
+  }
+
+  /** Age-horizon expiry (Delta's log-retention shape): expire manifests
+    * whose capture timestamp is older than `maxAgeMs`. The maintenance
+    * hooks ([[MedallionTable.vacuum]] / autoCompact) call this with
+    * `spark.graft.cdfRetentionMs` (default 30 days), so feed metadata is
+    * bounded without a dedicated cron.
+    */
+  def expireOlderThan(t: MedallionTable, maxAgeMs: Long): Long = {
+    val spark = t.spark
+    val fs = fsOf(spark, t.path)
+    val already = expiredThrough(spark, t.path)
+    if (enabledAt(spark, t.path).isEmpty) return already
+    val cutoff = now() - maxAgeMs
+    val root = cdfRoot(t.path)
+    var newest = Long.MinValue
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("c")) n.drop(1).toLongOption.foreach { ord =>
+        if (ord > newest && parse(readText(fs, st.getPath)).ts < cutoff)
+          newest = ord
+      }
+    }
+    if (newest == Long.MinValue) already else expireBefore(t, newest)
   }
 
   // ---- file resolution ----------------------------------------------------
@@ -438,6 +553,12 @@ object ChangeFeed {
         s"only after enablement — earliest readable version is ${en + 1}")
     if (endVersion > cur) refuse(
       s"endVersion $endVersion is beyond the current commit $cur of ${t.path}")
+    val exp = expiredThrough(spark, t.path)
+    if (startVersion <= exp) refuse(
+      s"range [$startVersion, $endVersion] reaches into commits expired " +
+        s"by feed retention (expired through $exp) on ${t.path} — " +
+        s"earliest readable version is ${exp + 1}; re-baseline the " +
+        "consumer with a full read, or widen the retention horizon")
 
     val hist = t.history().map { case (v, op, ts) => v -> ((op, ts)) }.toMap
     val liveSchema = t.read.schema
@@ -725,6 +846,16 @@ object ChangeFeed {
             s"the mirror ${mirror.path} lacks — evolve the mirror first " +
             "(append with the new schema / ADD COLUMN) or re-baseline " +
             "by deleting it")
+        // inverse drift: the mirror has columns the source lacks — the
+        // merge's insert map would reference nonexistent source columns
+        // and die in analysis with a raw cannot-resolve; refuse with the
+        // same escape hatch instead
+        val goneCols = cols.filterNot(c =>
+          ups.columns.exists(_.equalsIgnoreCase(c)))
+        if (goneCols.nonEmpty) refuse(
+          s"mirror ${mirror.path} has columns ${goneCols.mkString(", ")} " +
+            s"the source ${source.path} no longer provides — drop them " +
+            "from the mirror, or re-baseline by deleting it")
         if (ups.head(1).nonEmpty)
           mirror.mergeVectored(ups, keys.map(k => k -> k),
             Seq(MergeOps.WhenMatchedUpdate(None,

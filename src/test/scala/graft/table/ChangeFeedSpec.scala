@@ -310,13 +310,25 @@ class ChangeFeedSpec extends SparkSpec {
     assert(mirrorFilesBefore.forall { case (f, ts) =>
       mirrorFilesAfter.get(f).contains(ts) },
       "mirror base files untouched by the CDC apply")
-    // crash-window replay: reset the watermark and re-apply — converges
-    val wmFile = new java.io.File(s"${m.path}__graft_commits/cdf_mirror_reflects")
-    val wmNow = scala.io.Source.fromFile(wmFile).mkString
-    val fw = new java.io.FileWriter(wmFile); fw.write("2"); fw.close()
+    // crash-window replay: reset the watermark and re-apply — converges.
+    // Reset through Hadoop FS (not java.io) so the checksum sidecar stays
+    // consistent with the data file.
+    val wmPath = new org.apache.hadoop.fs.Path(
+      s"${m.path}__graft_commits/cdf_mirror_reflects")
+    val hfs = wmPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def wmRead(): String = {
+      val in = hfs.open(wmPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val wmNow = wmRead()
+    assert(wmNow.toLong == ChangeFeed.capturedThrough(t),
+      "watermark must have advanced to the captured head before replay")
+    val o = hfs.create(wmPath, true)
+    try o.write("2".getBytes("UTF-8")) finally o.close()
     ChangeFeed.replicateTo(t, m, Seq("id"))
     mirrorEq()
-    assert(scala.io.Source.fromFile(wmFile).mkString == wmNow)
+    assert(wmRead() == wmNow)
     // rewrite on the source: snapshot-fallback rendering still mirrors
     t.delete($"grp" === 1) // rewrite path
     ChangeFeed.replicateTo(t, m, Seq("id"))
@@ -324,6 +336,15 @@ class ChangeFeedSpec extends SparkSpec {
     // no-op refresh is a no-op
     ChangeFeed.replicateTo(t, m, Seq("id"))
     mirrorEq()
+    // the watermark ADVANCES across refreshes (Hadoop rename refuses an
+    // existing destination; pre-fix the second write silently kept the
+    // bootstrap ordinal and every refresh re-read the feed from it)
+    val wm = scala.io.Source.fromFile(
+      s"${m.path}__graft_commits/cdf_mirror_reflects")
+    val stamped = try wm.mkString.trim.toLong finally wm.close()
+    assert(stamped == ChangeFeed.capturedThrough(t),
+      "mirror watermark must track the source's captured head, not the " +
+        "bootstrap ordinal")
   }
 
   test("partitioned table: capture and positional reconstruction keep " +
@@ -413,6 +434,103 @@ class ChangeFeedSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) FROM graft_change_feed('cdf_tvf_t', ${en + 1}, " +
         s"${en + 1})").head().getLong(0) == 2L)
+  }
+
+  test("feed retention janitor: expired ranges refuse with the hatch " +
+      "named, post-watermark reads are untouched, archive pruned, " +
+      "vacuum/autoCompact wire the age horizon") {
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    t.append(rows(2).withColumn("id", $"id" + 100L)) // en+1
+    t.deleteVectored($"id" === 100L) // en+2 — flat marks
+    t.compactDv() // en+3 — marks move to the feed archive
+    t.append(rows(2).withColumn("id", $"id" + 200L)) // en+4
+    t.deleteVectored($"id" === 201L) // en+5
+    // pre-expiry: the archived delete range still reads (round-13 archive)
+    assert(feed(t, en + 2, en + 2).nonEmpty)
+    val keepRange = feed(t, en + 4)
+    assert(t.expireChangeFeed(keepCommits = 2) == en + 3)
+    // expired ranges refuse, hatch named
+    val e = intercept[IllegalStateException](
+      t.readChangeFeed(en + 1, en + 5).collect())
+    assert(e.getMessage.contains("retention") &&
+      e.getMessage.contains("re-baseline"))
+    intercept[IllegalStateException](
+      t.readChangeFeed(en + 3, en + 3).collect())
+    // post-watermark reads bit-identical
+    assert(feed(t, en + 4) == keepRange)
+    // manifests physically expired; unreferenced archived marks pruned
+    val cdfDir = new java.io.File(s"${t.path}__graft_commits/cdf")
+    val names = cdfDir.listFiles().map(_.getName).toSet
+    assert(!names.contains(s"c${en + 1}") && !names.contains(s"c${en + 2}"))
+    assert(names.contains(s"c${en + 4}") && names.contains(s"c${en + 5}"))
+    val arch = new java.io.File(cdfDir, "marks_archive")
+    assert(!arch.exists() || arch.listFiles().isEmpty,
+      "archived marks referenced only by expired manifests must be pruned")
+    // idempotent + monotone: re-expiring at a lower horizon is a no-op
+    assert(t.expireChangeFeed(keepCommits = 4) == en + 3)
+    // maintenance wiring: age horizon 0 expires everything but the head
+    spark.conf.set("spark.graft.cdfRetentionMs", "0")
+    try {
+      t.vacuum()
+      assert(ChangeFeed.expiredThrough(spark, t.path) == en + 4)
+      assert(feed(t, en + 5).nonEmpty, "the captured head always survives")
+    } finally spark.conf.unset("spark.graft.cdfRetentionMs")
+    // default 30-day horizon: fresh manifests never expire under vacuum
+    val t2 = mk()
+    t2.enableChangeDataFeed()
+    val en2 = t2.commitVersion
+    t2.append(rows(1).withColumn("id", $"id" + 300L))
+    t2.vacuum()
+    assert(ChangeFeed.expiredThrough(spark, t2.path) == Long.MinValue &&
+      feed(t2, en2 + 1).nonEmpty)
+  }
+
+  test("replicateTo fail-stops on INVERSE drift: the mirror has columns " +
+      "the source no longer provides") {
+    val t = mk()
+    t.enableChangeDataFeed()
+    val m = MedallionTable(spark, tmpDir("cdfmir3"))
+    ChangeFeed.replicateTo(t, m, Seq("id")) // bootstrap copies grp
+    t.dropColumn("grp")
+    t.append(rows(1).drop("grp").withColumn("id", $"id" + 80L))
+    // pre-fix this died in Catalyst analysis with a raw cannot-resolve
+    // from the merge's insert map; now it refuses with the hatch named
+    val e = intercept[IllegalStateException](
+      ChangeFeed.replicateTo(t, m, Seq("id")))
+    assert(e.getMessage.contains("grp") &&
+      e.getMessage.contains("re-baseline"))
+  }
+
+  test("catchUp survives a stale-ahead watermark: a fallback-stamped " +
+      "ordinal past the captured head degrades to nothing-new") {
+    val t = MedallionTable(spark, tmpDir("cdfstale"))
+    t.overwrite(rows(8).repartition(2, col("id")))
+    t.enableChangeDataFeed()
+    val gold = MedallionTable(spark, tmpDir("cdfstaleg"))
+    def sums = Seq("sum_id" -> col("id"))
+    // a writer crashes between its commit point and its capture…
+    t.append(rows(2).withColumn("id", $"id" + 700L))
+    val f = new java.io.File(
+      s"${t.path}__graft_commits/cdf/c${t.commitVersion}")
+    assert(f.delete(), "simulated crash window: capture removed")
+    // …then the consumer bootstraps: fullCompute of the CURRENT state,
+    // stamped at the RAW marker head — which is PAST the captured-through
+    // witness (the crashed commit has no manifest)
+    IncrementalAgg.catchUp(t, gold, Seq("id"), Seq("grp"), sums)
+    val stamped = gold.read
+      .select(IncrementalAgg.FactCommitCol).head().getLong(0)
+    assert(ChangeFeed.capturedThrough(t) < stamped,
+      "setup must leave the watermark ahead of the captured head")
+    // pre-fix: readChangeFeed(ord+1, head) with head < ord+1 threw
+    // IllegalArgumentException past the IllegalStateException-only catch
+    IncrementalAgg.catchUp(t, gold, Seq("id"), Seq("grp"), sums)
+    val a = gold.read.drop(IncrementalAgg.FactCommitCol)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    val b = IncrementalAgg.fullCompute(t.read, Seq("grp"), sums)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(a == b, "stale-ahead watermark must not lose or double rows")
   }
 
   test("a renamed merge key refuses classification cleanly") {
