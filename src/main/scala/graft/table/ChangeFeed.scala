@@ -1,7 +1,7 @@
 package graft.table
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -730,31 +730,46 @@ object ChangeFeed {
             "merge was captured — its changes can no longer be " +
             "classified; re-baseline the consumer")
       }
-      // classify per distinct key set; the window's commit-ordinal
-      // partition key keeps same-keyed merges from different commits apart
-      val keySets = mergeKeys.values.toSeq.distinct
-      keySets.foldLeft(unioned) { (df, ks) =>
-        val w = Window.partitionBy(
-          (CommitVersionCol +: ks).map(col): _*)
-        val inThisSet = col(ChangeTypeCol).isin("__merge_pre", "__merge_post") &&
-          col(CommitVersionCol).isin(
-            mergeKeys.filter(_._2 == ks).keys.toSeq: _*)
-        df.withColumn("__cf_has_pre", when(inThisSet,
-            max(when(col(ChangeTypeCol) === "__merge_pre", 1)
-              .otherwise(0)).over(w)))
-          .withColumn("__cf_has_post", when(inThisSet,
-            max(when(col(ChangeTypeCol) === "__merge_post", 1)
-              .otherwise(0)).over(w)))
-          .withColumn(ChangeTypeCol,
-            when(!inThisSet, col(ChangeTypeCol))
-              .when(col(ChangeTypeCol) === "__merge_pre",
-                when(col("__cf_has_post") === 1, lit("update_preimage"))
-                  .otherwise(lit("delete")))
-              .otherwise(
-                when(col("__cf_has_pre") === 1, lit("update_postimage"))
-                  .otherwise(lit("insert"))))
-          .drop("__cf_has_pre", "__cf_has_post")
-      }
+      // ONE window pass over the merge rows ONLY, every key set at once
+      // (the former shape folded one whole-feed window per distinct key
+      // set: a range with many heterogeneous-key merges multiplied
+      // full-feed shuffles). The merge-row split prunes at the plan
+      // level: `_change_type` is a per-branch literal, so the filter
+      // constant-folds each union branch to keep-or-empty. Each merge
+      // commit records exactly one key set, so a per-commit CANONICAL
+      // KEY STRING (per-component md5 — fixed width, so no delimiter
+      // ambiguity; nulls to a sentinel, preserving the window's
+      // null-safe grouping) lets one (commit, key) window classify all
+      // commits together, keeping execution passes constant in the
+      // number of merges.
+      val isMergeRow = col(ChangeTypeCol).isin("__merge_pre", "__merge_post")
+      val rest = unioned.filter(!isMergeRow)
+      def keyStr(ks: Seq[String]): Column =
+        concat(ks.flatMap(k => Seq(
+          when(col(k).isNull, lit("n")).otherwise(lit("v")),
+          md5(coalesce(col(k).cast("string"), lit(""))))): _*)
+      val keyExpr = mergeKeys.toSeq.sortBy(_._1)
+        .foldLeft(lit(null).cast("string")) { case (acc, (c, ks)) =>
+          when(col(CommitVersionCol) === c, keyStr(ks)).otherwise(acc)
+        }
+      val w = Window.partitionBy(col(CommitVersionCol), col("__cf_key"))
+      val cm = unioned.filter(isMergeRow)
+        .withColumn("__cf_key", keyExpr)
+        .withColumn("__cf_has_pre",
+          max(when(col(ChangeTypeCol) === "__merge_pre", 1)
+            .otherwise(0)).over(w))
+        .withColumn("__cf_has_post",
+          max(when(col(ChangeTypeCol) === "__merge_post", 1)
+            .otherwise(0)).over(w))
+        .withColumn(ChangeTypeCol,
+          when(col(ChangeTypeCol) === "__merge_pre",
+            when(col("__cf_has_post") === 1, lit("update_preimage"))
+              .otherwise(lit("delete")))
+            .otherwise(
+              when(col("__cf_has_pre") === 1, lit("update_postimage"))
+                .otherwise(lit("insert"))))
+        .drop("__cf_key", "__cf_has_pre", "__cf_has_post")
+      rest.unionByName(cm, allowMissingColumns = true)
     }
 
     // final projection: the CURRENT logical schema (latest-schema

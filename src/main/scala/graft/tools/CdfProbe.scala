@@ -43,6 +43,47 @@ object CdfProbe {
     time("feed execute count")(ch.count())
     time("replicate incremental")(ChangeFeed.replicateTo(t, m, Seq("o_orderkey")))
     time("mirror read count")(m.read.count())
+
+    // Heterogeneous-key merge classification (round-14 scoping): N merges
+    // with N DISTINCT key sets in one feed range. The former shape folded
+    // one whole-feed window pass per key set (O(N) full-feed shuffles);
+    // the scoped shape is one merge-row-only pass regardless of N — the
+    // 2-merge vs 10-merge execute times should be ~flat.
+    import graft.table.MergeOps._
+    val keySets = Seq(
+      Seq("o_orderkey"),
+      Seq("o_orderkey", "o_orderstatus"),
+      Seq("o_orderkey", "o_orderpriority"),
+      Seq("o_orderkey", "o_totalprice"),
+      Seq("o_orderkey", "o_orderstatus", "o_orderpriority"),
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+      Seq("o_orderkey", "o_orderpriority", "o_totalprice"),
+      Seq("o_orderstatus", "o_orderkey"),
+      Seq("o_orderpriority", "o_orderkey"),
+      Seq("o_totalprice", "o_orderkey"))
+    def heteroMerges(n: Int): (Long, Long) = {
+      val from = ChangeFeed.capturedThrough(t) + 1
+      keySets.take(n).foreach { ks =>
+        val src = t.read.filter($"o_orderkey" % 97 === 1)
+          .select(ks.map(col) :+
+            (($"o_totalprice" + 1.0).as("__np")): _*)
+        t.mergeVectored(src, ks.map(k => k -> k),
+          Seq(WhenMatchedUpdate(None,
+            Map("o_totalprice" -> ((_, sc) => sc("__np"))))), Nil,
+          checkUniqueKeys = false)
+      }
+      val to = ChangeFeed.capturedThrough(t)
+      val t0 = System.nanoTime()
+      val ch = t.readChangeFeed(from, to)
+      val t1 = System.nanoTime()
+      val cnt = ch.count()
+      val t2 = System.nanoTime()
+      println(f"[probe] hetero-merge n=$n%-2d construct ${(t1-t0)/1e9}%.2f s " +
+        f"execute ${(t2-t1)/1e9}%.2f s rows $cnt")
+      ((t1 - t0) / 1000000L, (t2 - t1) / 1000000L)
+    }
+    heteroMerges(2)
+    heteroMerges(10)
     spark.stop()
   }
 }

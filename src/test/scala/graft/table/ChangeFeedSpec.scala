@@ -533,6 +533,37 @@ class ChangeFeedSpec extends SparkSpec {
     assert(a == b, "stale-ahead watermark must not lose or double rows")
   }
 
+  test("heterogeneous-key merges in ONE range classify independently " +
+      "(scoped single-pass classification)") {
+    import MergeOps._
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    // merge A keyed by id: updates 1, inserts 500
+    t.mergeVectored(Seq((1L, "a1"), (500L, "a2")).toDF("k", "v"),
+      Seq("id" -> "k"),
+      Seq(WhenMatchedUpdate(None, Map("s" -> ((_, sc) => sc("v"))))),
+      Seq(WhenNotMatchedInsert(None, Map(
+        "id" -> ((_, sc) => sc("k")), "s" -> ((_, sc) => sc("v")),
+        "grp" -> ((_, _) => lit(9))))))
+    // merge B keyed by (id, grp): updates 2 (grp 2), inserts (600, 9)
+    t.mergeVectored(Seq((2L, 2, "b1"), (600L, 9, "b2")).toDF("k", "g", "v"),
+      Seq("id" -> "k", "grp" -> "g"),
+      Seq(WhenMatchedUpdate(None, Map("s" -> ((_, sc) => sc("v"))))),
+      Seq(WhenNotMatchedInsert(None, Map(
+        "id" -> ((_, sc) => sc("k")), "s" -> ((_, sc) => sc("v")),
+        "grp" -> ((_, sc) => sc("g"))))))
+    val got = feed(t, en + 1)
+    assert(got == Set(
+      (1L, "s1", 1, "update_preimage", en + 1),
+      (1L, "a1", 1, "update_postimage", en + 1),
+      (500L, "a2", 9, "insert", en + 1),
+      (2L, "s2", 2, "update_preimage", en + 2),
+      (2L, "b1", 2, "update_postimage", en + 2),
+      (600L, "b2", 9, "insert", en + 2)),
+      s"per-commit key sets must classify within their own slice: $got")
+  }
+
   test("a renamed merge key refuses classification cleanly") {
     import MergeOps._
     val t = mk()
