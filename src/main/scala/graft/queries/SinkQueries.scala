@@ -136,6 +136,46 @@ object SinkQueries {
         .select("o_orderkey", "o_orderdate", "o_year", "o_totalprice")
     }),
 
+    // K15 — GENERATED ALWAYS AS IDENTITY (Delta identity-column parity,
+    // the generated-column sibling): create + append + DV merge, each id
+    // engine-assigned under the allocation lock. The per-row assignment
+    // ORDER is partition-nondeterministic (any dense permutation is
+    // legal, as in Delta), so the oracled surface is the exact invariant
+    // set — count = distinct = max, min = start — recomputed by the
+    // oracle from the same input slices. Per-row behavior (matched rows
+    // keep ids, ALWAYS refusals, concurrency) is pinned by
+    // IdentityColumnSpec.
+    "k15_identity_col" -> ((s, dir) => {
+      import s.implicits._
+      import graft.table.MergeOps._
+      val p = Q.scratch(dir, "k15_idcol")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p)
+      t.setIdentityColumn("row_seq")
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice")
+      t.overwrite(o.filter($"o_orderkey" % 3 === 0))
+      t.append(o.filter($"o_orderkey" % 3 === 1))
+      // DV merge: %30==0 keys match (update keeps ids), re-keyed rows
+      // insert (ids assigned)
+      val src = o.filter($"o_orderkey" % 30 === 0)
+        .select($"o_orderkey".as("k"), ($"o_totalprice" + 1).as("tp"))
+        .unionByName(o.filter($"o_orderkey" % 30 === 2)
+          .select(($"o_orderkey" + 50000000L).as("k"),
+            $"o_totalprice".as("tp")))
+      t.mergeVectored(src, Seq("o_orderkey" -> "k"),
+        Seq(WhenMatchedUpdate(None,
+          Map("o_totalprice" -> ((_, sc) => sc("tp"))))),
+        Seq(WhenNotMatchedInsert(None, Map(
+          "o_orderkey" -> ((_, sc) => sc("k")),
+          "o_totalprice" -> ((_, sc) => sc("tp"))))))
+      t.read.agg(
+        count(lit(1)).as("n"),
+        countDistinct($"row_seq").as("n_ids"),
+        min($"row_seq").as("min_id"),
+        max($"row_seq").as("max_id"))
+    }),
+
     // K1 — create + append with partitioning (bronze_table_creation.py:26)
     "k1_append_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -557,6 +597,42 @@ object SinkQueries {
           "o_orderpriority" -> ((_, _) => lit("5-LOW"))))))
       t.read.select("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderpriority")
+    }),
+
+    // K4 — schema evolution meets the DV merge: evolving assignments on
+    // the clause paths REFUSE fail-stop (MergeOps.refuseEvolvedAssignments;
+    // silently dropping diverged from the evolving 3-clause rewrite), and
+    // this query exercises the named hatch — ADD COLUMN first, then the
+    // same DV merge lands with old rows reading the new column as typed
+    // NULL (Delta autoMerge's net effect in two explicit steps). The
+    // refusal itself is pinned by MergeVectoredSpec.
+    "k4_merge_dv_evolution" -> ((s, dir) => {
+      import s.implicits._
+      import graft.table.MergeOps._
+      val p = Q.scratch(dir, "k4_dv_evo")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.select($"o_orderkey", $"o_orderstatus", $"o_totalprice"))
+      t.addColumn("o_channel", "string")
+      val src = o.filter($"o_orderkey" % 40 === 0)
+        .select($"o_orderkey".as("k"), lit("web").as("ch"),
+          ($"o_totalprice" + 5).as("tp"))
+        .unionByName(o.filter($"o_orderkey" % 400 === 0)
+          .select(($"o_orderkey" + 20000000L).as("k"), lit("new").as("ch"),
+            $"o_totalprice".as("tp")))
+      t.mergeVectored(src, Seq("o_orderkey" -> "k"),
+        Seq(WhenMatchedUpdate(None, Map(
+          "o_channel" -> ((_, sc) => sc("ch")),
+          "o_totalprice" -> ((_, sc) => sc("tp"))))),
+        Seq(WhenNotMatchedInsert(None, Map(
+          "o_orderkey" -> ((_, sc) => sc("k")),
+          "o_orderstatus" -> ((_, _) => lit("N")),
+          "o_totalprice" -> ((_, sc) => sc("tp")),
+          "o_channel" -> ((_, sc) => sc("ch"))))))
+      t.read.select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_channel")
     }),
 
     // K6 — bloom-index point-lookup skipping: the table is clustered by
@@ -1209,6 +1285,15 @@ object SinkQueries {
       ("SELECT o_orderkey, o_orderdate, " +
        "CAST(year(o_orderdate) AS INTEGER) AS o_year, o_totalprice " +
        "FROM orders WHERE year(o_orderdate) >= 1995"),
+    "k15_identity_col" ->
+      ("""WITH sz AS (SELECT
+         |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
+         |  + (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1)
+         |  + (SELECT count(*) FROM orders WHERE o_orderkey % 30 = 2) AS n)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(n AS BIGINT) AS n_ids,
+         |  CAST(1 AS BIGINT) AS min_id, CAST(n AS BIGINT) AS max_id
+         |FROM sz
+         |""".stripMargin),
     "k14_cdf_feed" ->
       ("""WITH appended AS (
          |  SELECT o_orderkey + 20000000 AS o_orderkey, o_orderstatus,
@@ -1549,6 +1634,25 @@ object SinkQueries {
        "o_totalprice + 1 AS o_totalprice, o_orderdate, " +
        "CASE WHEN o_orderkey % 3 <> 0 THEN o_orderpriority END AS o_orderpriority " +
        "FROM orders WHERE o_orderkey % 2 = 0"),
+    "k4_merge_dv_evolution" ->
+      ("""WITH tgt AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |), src AS (
+         |  SELECT o_orderkey AS k, 'web' AS ch, o_totalprice + 5 AS tp
+         |  FROM orders WHERE o_orderkey % 40 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 20000000 AS k, 'new' AS ch, o_totalprice AS tp
+         |  FROM orders WHERE o_orderkey % 400 = 0
+         |)
+         |SELECT
+         |  COALESCE(t.o_orderkey, s.k) AS o_orderkey,
+         |  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderstatus
+         |       ELSE 'N' END AS o_orderstatus,
+         |  CAST(ROUND((CASE WHEN s.k IS NOT NULL THEN s.tp
+         |       ELSE t.o_totalprice END) * 100) AS BIGINT) AS cents,
+         |  CASE WHEN s.k IS NOT NULL THEN s.ch END AS o_channel
+         |FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.k
+         |""".stripMargin),
     "k4_merge_upsert" ->
       (s"SELECT $OrderCols FROM orders WHERE o_orderkey % 2 = 0 " +
        "UNION ALL " +

@@ -637,6 +637,215 @@ final class MedallionTable(
   def dropGeneratedColumn(name: String): Unit =
     persistGenerated(generatedColumns - name)
 
+  // ---- identity columns (Delta GENERATED ALWAYS AS IDENTITY parity) ------
+
+  private def identityFile = new Path(path, "_graft_meta/identity.tsv")
+  private def identityHwFile = new Path(commitsDir, "identity_hw")
+  private[table] def identityLockFile = new Path(commitsDir, "identity.lock")
+
+  /** Registered identity columns: name → (start, step). On the
+    * append/create paths a registered column must be ABSENT from the
+    * incoming frame (GENERATED ALWAYS — a provided value refuses) and is
+    * assigned `highWater + step, …` densely; merge-inserted rows arrive
+    * with a NULL identity (the insert clause may not assign it) and are
+    * filled the same way. Values are BIGINT, monotonic per column,
+    * collision-free across concurrent writers (allocation is serialized
+    * by a create-exclusive lock in the commits sidecar), and may have
+    * GAPS after a crashed write — the high-water advances before the
+    * rows land, Delta identity's exact contract.
+    */
+  def identityColumns: Map[String, (Long, Long)] =
+    if (!fs.exists(identityFile)) Map.empty
+    else readMetaText(identityFile).split('\n').filter(_.nonEmpty).map { line =>
+      val p = line.split('\t')
+      if (p.length != 3) throw new IllegalStateException(
+        s"identity registry corrupt at $identityFile")
+      p(0) -> ((p(1).toLong, p(2).toLong))
+    }.toMap
+
+  private def persistIdentityCols(m: Map[String, (Long, Long)],
+      base: Path = new Path(path)): Unit = {
+    val file = new Path(base, "_graft_meta/identity.tsv")
+    if (m.isEmpty) { if (fs.exists(file)) fs.delete(file, false) }
+    else writeMetaText(file,
+      m.map { case (n, (st, sp)) => s"$n\t$st\t$sp" }.mkString("\n"))
+  }
+
+  /** Declare `name` GENERATED ALWAYS AS IDENTITY (START WITH `start`
+    * STEP `step`). On a table with data the column must already exist as
+    * BIGINT — the high-water then syncs to its current extreme (Delta's
+    * `ALTER TABLE … SYNC IDENTITY`); on an empty or not-yet-created
+    * table the column is born at first write.
+    */
+  def setIdentityColumn(name: String, start: Long = 1L,
+      step: Long = 1L): Unit = {
+    require(step != 0L, "identity step must be nonzero")
+    require(!name.exists(c => c == '\t' || c == '\n'),
+      "identity column name must be tab/newline-free")
+    require(!generatedColumns.keys.exists(_.equalsIgnoreCase(name)),
+      s"$name is already a generated column")
+    if (exists && !read.isEmpty) {
+      val schema = read.schema
+      val actual = schema.fieldNames.find(_.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot declare identity column $name on a non-empty table " +
+            "that lacks it — backfill first, then declare"))
+      require(schema(actual).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"identity columns are BIGINT; $actual is ${schema(actual).dataType}")
+    }
+    persistIdentityCols(identityColumns + (name -> ((start, step))))
+    if (exists && !read.isEmpty) syncIdentityHw(name)
+  }
+
+  def dropIdentityColumn(name: String): Unit =
+    persistIdentityCols(identityColumns - name)
+
+  private def readIdentityHw(): Map[String, Long] =
+    if (!fs.exists(identityHwFile)) Map.empty
+    else readMetaText(identityHwFile).split('\n').filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t')
+      l.substring(0, i) -> l.substring(i + 1).trim.toLong
+    }.toMap
+
+  /** Serialize identity allocation: appends hold the writer lock but
+    * rewrites do not, so allocation gets its own create-exclusive lock
+    * (milliseconds hold; [[vacuum]] clears a crashed holder's leftover,
+    * same contract as the writer lock).
+    */
+  private def withIdentityLock[T](f: => T): T = {
+    fs.mkdirs(commitsDir)
+    val deadline = System.currentTimeMillis() + MedallionTable.WriterWaitMs
+    while (!atomicCreateExclusive(identityLockFile,
+        System.currentTimeMillis().toString)) {
+      if (System.currentTimeMillis() > deadline)
+        throw new java.util.ConcurrentModificationException(
+          s"identity allocation lock on $path held after " +
+            s"${MedallionTable.WriterWaitMs} ms; if that writer crashed, " +
+            "vacuum() clears it")
+      Thread.sleep(20)
+    }
+    try f finally {
+      try fs.delete(identityLockFile, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Last id the table's data could carry — bootstrap for a table whose
+    * high-water file is absent (clone, declare-on-existing before sync,
+    * lost sidecar): one column-pruned scan of the current extreme, paid
+    * once (the next allocation persists the file).
+    */
+  private def bootstrapIdentityLast(name: String, start: Long,
+      step: Long): Long = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    if (!exists || !read.columns.exists(_.equalsIgnoreCase(name)))
+      start - step
+    else {
+      val r = read.agg(
+        (if (step > 0) smax(col(name)) else smin(col(name)))
+          .cast("long")).head()
+      if (r.isNullAt(0)) start - step else r.getLong(0)
+    }
+  }
+
+  private def syncIdentityHw(name: String): Unit = withIdentityLock {
+    val (start, step) = identityColumns(name)
+    val last = bootstrapIdentityLast(name, start, step)
+    val hw = readIdentityHw()
+    writeMetaText(identityHwFile,
+      (hw + (name -> last)).map { case (k, v) => s"$k\t$v" }.mkString("\n"))
+  }
+
+  /** Allocate `n` consecutive ids for `name`, returning the FIRST. The
+    * high-water lands BEFORE the rows do: a failed write leaks a gap,
+    * never a collision.
+    */
+  private def allocateIdentity(name: String, n: Long): Long =
+    withIdentityLock {
+      val (start, step) = identityColumns(name)
+      val hw = readIdentityHw()
+      val last = hw.getOrElse(name, bootstrapIdentityLast(name, start, step))
+      writeMetaText(identityHwFile,
+        (hw + (name -> (last + n * step)))
+          .map { case (k, v) => s"$k\t$v" }.mkString("\n"))
+      last + step
+    }
+
+  /** Append/create-path identity enforcement: provided → refuse
+    * (GENERATED ALWAYS), absent → assign densely. The batch is
+    * localCheckpointed so the count and the indexed pass share ONE
+    * materialization (and the assignment cannot shift under a
+    * recomputed nondeterministic source).
+    */
+  private def applyIdentityAppend(df: DataFrame): DataFrame = {
+    val ids = identityColumns
+    if (ids.isEmpty) return df
+    val present = df.columns.map(_.toLowerCase).toSet
+    val provided = ids.keys.filter(k => present.contains(k.toLowerCase))
+    if (provided.nonEmpty) throw new IllegalStateException(
+      s"column(s) ${provided.mkString(", ")} of $path are GENERATED " +
+        "ALWAYS AS IDENTITY — the engine assigns them; drop them from " +
+        "the batch, or dropIdentityColumn() to hand-manage")
+    assignIdentities(df, ids.keys.toSeq.sorted.map(n => n -> ids(n)))
+  }
+
+  private def assignIdentities(df: DataFrame,
+      names: Seq[(String, (Long, Long))]): DataFrame = {
+    if (names.isEmpty) return df
+    val cached = df.localCheckpoint()
+    val n = cached.count()
+    if (n == 0L)
+      return names.foldLeft(cached) { case (d, (nm, _)) =>
+        d.withColumn(nm,
+          org.apache.spark.sql.functions.lit(null).cast("long"))
+      }
+    val firsts = names.map { case (nm, (_, step)) =>
+      (allocateIdentity(nm, n), step)
+    }
+    val schema2 = names.foldLeft(cached.schema)((s, f) =>
+      s.add(f._1, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = cached.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq ++
+        firsts.map { case (first, step) => first + i * step })
+    }
+    spark.createDataFrame(rdd, schema2)
+  }
+
+  /** Merge/rewrite-path identity fill: inserted rows arrive with a NULL
+    * identity (the insert clause may not assign it — ALWAYS); base rows
+    * are never NULL by the append-path induction, so NULL ⟺ insert.
+    */
+  private def fillIdentityNulls(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ids = identityColumns
+    val names = ids.keys.toSeq.sorted
+      .filter(n => df.columns.exists(_.equalsIgnoreCase(n)))
+    if (names.isEmpty) return df
+    names.foldLeft(df) { (d, nm) =>
+      val cached = d.localCheckpoint()
+      val nulls = cached.filter(col(nm).isNull)
+      if (nulls.head(1).isEmpty) cached
+      else {
+        val assigned = assignIdentities(nulls.drop(nm), Seq(nm -> ids(nm)))
+        cached.filter(col(nm).isNotNull)
+          .unionByName(assigned.select(cached.columns.map(col): _*))
+      }
+    }
+  }
+
+  /** Refuse clause/SET assignments to identity columns (ALWAYS). */
+  private def refuseIdentitySet(assigned: Iterable[String],
+      what: String): Unit = {
+    val ids = identityColumns
+    if (ids.isEmpty) return
+    val hit = assigned.filter(a => ids.keys.exists(_.equalsIgnoreCase(a)))
+    if (hit.nonEmpty) throw new IllegalStateException(
+      s"$what assigns identity column(s) ${hit.mkString(", ")} of $path " +
+        "— GENERATED ALWAYS AS IDENTITY columns are engine-assigned; " +
+        "drop the assignment, or dropIdentityColumn() to hand-manage")
+  }
+
   /** Enforces the given constraints on incoming rows IN the write pass:
     * a [[graft.functions.CheckInvariant]] fused onto the first output
     * column throws inside the task on the first violating row, so no
@@ -737,7 +946,8 @@ final class MedallionTable(
       if (incremental || cdfOn) dataFileSet() else Set.empty[String]
     // appended files must carry the PHYSICAL names the existing files do
     // (mergeSchema would otherwise read a renamed column as two)
-    writer(ColumnMap.toPhysical(enforced(df), ColumnMap.load(spark, path)),
+    writer(ColumnMap.toPhysical(enforced(applyIdentityAppend(df)),
+      ColumnMap.load(spark, path)),
       SaveMode.Append).parquet(path)
     val added =
       if (incremental || cdfOn) (dataFileSet() -- before).toSeq else Nil
@@ -789,13 +999,17 @@ final class MedallionTable(
     else {
       val cs = checkConstraints
       val gs = generatedColumns
+      val ics = identityColumns
       withClaimedCommit("create-overwrite") {
         // SaveMode.Overwrite deletes the dir (registries included) BEFORE
         // the job runs — restore the pre-create registries even when the
         // write fails, or a rejected/failed first batch silently disarms
-        // the gate (and forgets the generated columns).
-        try writer(enforced(df, cs, gs), SaveMode.Overwrite).parquet(path)
-        finally { persistConstraints(cs); persistGenerated(gs) }
+        // the gate (and forgets the generated columns). Identity
+        // assignment runs during argument evaluation, before the delete.
+        try writer(enforced(applyIdentityAppend(df), cs, gs),
+          SaveMode.Overwrite).parquet(path)
+        finally { persistConstraints(cs); persistGenerated(gs)
+          persistIdentityCols(ics) }
         stashSchema(df.schema)
         // same NonFatal guard as appendBody: a capture IO failure must
         // not unwind withClaimedCommit (which would delete the claimed
@@ -814,9 +1028,12 @@ final class MedallionTable(
       throw new IllegalStateException(s"table already exists at $path")
     val cs = checkConstraints
     val gs = generatedColumns
+    val ics = identityColumns
     withClaimedCommit("create") {
-      try writer(enforced(df, cs, gs), SaveMode.Overwrite).parquet(path)
-      finally { persistConstraints(cs); persistGenerated(gs) }
+      try writer(enforced(applyIdentityAppend(df), cs, gs),
+        SaveMode.Overwrite).parquet(path)
+      finally { persistConstraints(cs); persistGenerated(gs)
+        persistIdentityCols(ics) }
       stashSchema(df.schema)
       // NonFatal-guarded for the same reason as appendBody / overwrite:
       // the commit landed; a capture failure degrades to a feed refusal
@@ -869,6 +1086,10 @@ final class MedallionTable(
       checkUniqueKeys: Boolean = true): Unit = {
     if (checkUniqueKeys)
       MergeOps.requireUniqueKeys(source, keys.map(_._2))
+    MergeOps.refuseEvolvedAssignments(read.columns.toSeq,
+      matched ++ notMatched ++ notMatchedBySource, path)
+    refuseIdentitySet(MergeOps.assignedColumns(
+      matched ++ notMatched ++ notMatchedBySource), "MERGE clause")
     rewriteVia(
       MergeOps.mergeClauses(read, source, keys, matched, notMatched,
         notMatchedBySource),
@@ -903,7 +1124,12 @@ final class MedallionTable(
     *     rewrite path too.
     *   - Refused while a Delta-log export is live (external readers
     *     cannot see the sidecar or staged batches), like every DV write.
-    *   - No schema evolution: output schema ≡ target schema, as SQL MERGE.
+    *   - No schema evolution: output schema ≡ target schema, as SQL
+    *     MERGE. An assignment targeting a column the table lacks REFUSES
+    *     fail-stop (round-14; previously it was silently dropped) with
+    *     the hatches named: ADD COLUMN first — after which the same DV
+    *     merge lands and old rows read the column as typed NULL — or the
+    *     evolving 3-clause rewrite ([[merge]]).
     */
   def mergeVectored(
       source: DataFrame,
@@ -916,6 +1142,10 @@ final class MedallionTable(
     if (checkUniqueKeys)
       MergeOps.requireUniqueKeys(source, keys.map(_._2))
     val logical = read
+    MergeOps.refuseEvolvedAssignments(logical.columns.toSeq,
+      matched ++ notMatched, path)
+    refuseIdentitySet(MergeOps.assignedColumns(matched ++ notMatched),
+      "MERGE clause")
     val liveAll = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
       dvLiveWithPos(), ColumnMap.load(spark, path)))
     // Partition-pruned table pass: when a partition column is among the
@@ -980,7 +1210,10 @@ final class MedallionTable(
       val batch = java.util.UUID.randomUUID().toString.take(12)
       val batchDir = DvUpdates.batchDataDir(path, batch)
       val marksStaging = DvUpdates.marksStagingDir(path, batch)
-      val newRows = plan.newVersions(j).unionByName(plan.inserts(j))
+      // merge-inserted rows carry a NULL identity — fill (no-op when
+      // none registered; updates keep their base row's id)
+      val newRows = fillIdentityNulls(
+        plan.newVersions(j).unionByName(plan.inserts(j)))
       // stage 1: new versions + inserts — table partition layout, CHECKs
       // enforced, physical column names (same dialect as the base files)
       val w = ColumnMap.toPhysical(enforced(newRows),
@@ -1097,6 +1330,7 @@ final class MedallionTable(
     // directory. One registry read serves both.
     val constraints = checkConstraints
     val gens = generatedColumns
+    val idCols = identityColumns
     // Snapshot fence: ordinal BEFORE the lock check, retry until the
     // lock is free — see the scaladoc. Fail-stop on a persistently-held
     // lock (crashed writer): vacuum() clears it.
@@ -1113,7 +1347,9 @@ final class MedallionTable(
         Thread.sleep(25)
       }
     }
-    val newData = enforced(newData0, constraints, gens)
+    // merge-inserted rows carry a NULL identity (the clause may not
+    // assign it) — fill before enforcement; untouched when none registered
+    val newData = enforced(fillIdentityNulls(newData0), constraints, gens)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"${path}__graft_tmp_$suffix")
     val dst = new Path(path)
@@ -1144,6 +1380,7 @@ final class MedallionTable(
       stashSchema(newData.schema, tmp)
       persistConstraints(constraints, tmp)
       persistGenerated(gens, tmp)
+      persistIdentityCols(idCols, tmp)
       MedallionTable.testFailpoint("pre-commit")
       if (!tryClaimCommit(expectedVersion, op))
         throw new java.util.ConcurrentModificationException(
@@ -1824,6 +2061,7 @@ final class MedallionTable(
     withClaimedCommit("update-dv") {
       import org.apache.spark.sql.functions.{coalesce, col, lit}
       requireNoDeltaLogForDv()
+      refuseIdentitySet(set.keys, "UPDATE")
       val logical = read
       val byLower = logical.columns.map(c => c.toLowerCase -> c).toMap
       val resolved = set.map { case (k, v) =>
@@ -1896,6 +2134,7 @@ final class MedallionTable(
     */
   def update(cond: Column, set: Map[String, Column]): Unit = {
     import org.apache.spark.sql.functions.{col, when}
+    refuseIdentitySet(set.keys, "UPDATE")
     val df = read
     // Resolve SET keys case-insensitively (Spark's default resolution),
     // and FAIL on an unknown key — a typo'd column must not become a
@@ -2524,6 +2763,9 @@ final class MedallionTable(
     catch { case _: java.io.IOException => () }
     // a crashed COPY INTO's serialization lock (see CopyInto.withCopyLock)
     try fs.delete(new Path(commitsDir, "copy.lock"), false)
+    catch { case _: java.io.IOException => () }
+    // a crashed writer's identity-allocation lock (see withIdentityLock)
+    try fs.delete(identityLockFile, false)
     catch { case _: java.io.IOException => () }
     expireFeedByConf()
     toDelete.length

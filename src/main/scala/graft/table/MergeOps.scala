@@ -361,6 +361,42 @@ object MergeOps {
   final case class WhenNotMatchedBySourceDelete(
       condition: Option[(ColRef, ColRef) => Column]) extends WhenClause
 
+  /** Columns the clause assignments target that `targetCols` lacks —
+    * nonEmpty ⟺ the merge would EVOLVE the schema. The clause paths
+    * ([[mergeClauses]], [[graft.table.MedallionTable.mergeVectored]])
+    * refuse these fail-stop: their output projection is the target
+    * schema, so an unknown assignment would be silently dropped —
+    * diverging from [[merge3Clause]], which evolves to the union schema.
+    * (Delta without autoMerge rejects unknown assignment columns in
+    * analysis; with it, it evolves. The graft hatches: ADD COLUMN first,
+    * or use the evolving [[merge3Clause]] rewrite.)
+    */
+  /** Every column name the clauses assign (update SETs + insert values). */
+  def assignedColumns(clauses: Seq[WhenClause]): Seq[String] =
+    clauses.flatMap {
+      case WhenMatchedUpdate(_, set) => set.keys
+      case WhenNotMatchedInsert(_, values) => values.keys
+      case WhenNotMatchedBySourceUpdate(_, set) => set.keys
+      case _ => Nil
+    }.distinct
+
+  def evolvedAssignments(targetCols: Seq[String],
+      clauses: Seq[WhenClause]): Seq[String] = {
+    val have = targetCols.map(_.toLowerCase).toSet
+    assignedColumns(clauses).filterNot(c => have.contains(c.toLowerCase))
+  }
+
+  private[table] def refuseEvolvedAssignments(targetCols: Seq[String],
+      clauses: Seq[WhenClause], path: String): Unit = {
+    val gone = evolvedAssignments(targetCols, clauses)
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"merge into $path assigns column(s) ${gone.mkString(", ")} the " +
+        "target does not have — schema-evolving merges are not supported " +
+        "on the clause paths (the output projection is the target " +
+        "schema); ALTER TABLE ... ADD COLUMN first, or use the evolving " +
+        "3-clause rewrite (MedallionTable.merge)")
+  }
+
   /** General SQL-MERGE semantics over the same single full-outer shuffle
     * join as [[merge3Clause]]: per row class (matched / source-only /
     * target-only) the FIRST clause whose condition holds applies — UPDATE

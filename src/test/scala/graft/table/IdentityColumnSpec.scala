@@ -1,0 +1,101 @@
+package graft.table
+
+import graft.SparkSpec
+import graft.table.MergeOps._
+import org.apache.spark.sql.functions._
+
+/** Identity columns ([[MedallionTable.setIdentityColumn]], Delta
+  * GENERATED ALWAYS AS IDENTITY parity): dense monotone assignment
+  * across create/append, ALWAYS refusals (provided values, UPDATE SETs,
+  * merge-clause assignments), merge-insert NULL fill on both merge
+  * paths, registry/high-water survival across rewrites, declare-on-
+  * existing sync, and collision-freedom under concurrent writers.
+  */
+class IdentityColumnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(t: MedallionTable): Seq[Long] =
+    t.read.select("doc_id").as[Long].collect().toSeq.sorted
+
+  test("dense monotone across create/append; ALWAYS refusals; merge " +
+      "inserts fill on the DV and rewrite paths; rewrites keep state") {
+    val t = MedallionTable(spark, tmpDir("idcol"))
+    t.setIdentityColumn("doc_id", start = 10L, step = 2L)
+    t.overwrite(Seq("a", "b", "c").toDF("s"))
+    assert(ids(t) == Seq(10L, 12L, 14L))
+    t.append(Seq("d", "e").toDF("s"))
+    assert(ids(t) == Seq(10L, 12L, 14L, 16L, 18L))
+    // GENERATED ALWAYS: a provided value refuses, batch does not land
+    val e = intercept[IllegalStateException](
+      t.append(Seq(("f", 99L)).toDF("s", "doc_id")))
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    assert(t.read.count() == 5)
+    // UPDATE may not SET it (either path)
+    intercept[IllegalStateException](
+      t.updateVectored($"s" === "a", Map("doc_id" -> lit(1L))))
+    intercept[IllegalStateException](
+      t.update($"s" === "a", Map("doc_id" -> lit(1L))))
+    // a merge clause may not assign it
+    intercept[IllegalStateException](
+      t.mergeVectored(Seq(("a", 5L)).toDF("k", "nid"), Seq("s" -> "k"),
+        Seq(WhenMatchedUpdate(None,
+          Map("doc_id" -> ((_, sc) => sc("nid"))))), Nil))
+    // DV merge: matched keeps its id, insert gets the next ids
+    t.mergeVectored(Seq("a", "x").toDF("k"), Seq("s" -> "k"),
+      Seq(WhenMatchedUpdate(None, Map("s" -> ((_, _) => lit("a2"))))),
+      Seq(WhenNotMatchedInsert(None, Map("s" -> ((_, sc) => sc("k"))))))
+    assert(ids(t) == Seq(10L, 12L, 14L, 16L, 18L, 20L))
+    assert(t.read.filter($"s" === "a2").select("doc_id").as[Long]
+      .head() == 10L, "matched row keeps its identity")
+    // rewrite-path merge insert fills too (rewriteVia fillIdentityNulls)
+    t.mergeClauses(Seq("y").toDF("k"), Seq("s" -> "k"), Nil,
+      Seq(WhenNotMatchedInsert(None, Map("s" -> ((_, sc) => sc("k"))))), Nil)
+    assert(ids(t) == Seq(10L, 12L, 14L, 16L, 18L, 20L, 22L))
+    // rewrites carry registry + high-water (compact swaps _graft_meta)
+    t.compact()
+    t.append(Seq("z").toDF("s"))
+    assert(ids(t) == Seq(10L, 12L, 14L, 16L, 18L, 20L, 22L, 24L))
+  }
+
+  test("declare on existing BIGINT column syncs the high-water; " +
+      "non-BIGINT and missing-column declares refuse") {
+    val t = MedallionTable(spark, tmpDir("idsync"))
+    t.overwrite(Seq((100L, "a"), (7L, "b")).toDF("doc_id", "s"))
+    t.setIdentityColumn("doc_id")
+    t.append(Seq("c", "d").toDF("s"))
+    assert(ids(t) == Seq(7L, 100L, 101L, 102L),
+      "sync must continue past the existing max")
+    val t2 = MedallionTable(spark, tmpDir("idsync2"))
+    t2.overwrite(Seq((1, "a")).toDF("i", "s"))
+    intercept[IllegalArgumentException](t2.setIdentityColumn("i"))
+    intercept[IllegalArgumentException](t2.setIdentityColumn("nope"))
+  }
+
+  test("concurrent appends allocate collision-free, dense ranges") {
+    val t = MedallionTable(spark, tmpDir("idconc"))
+    t.setIdentityColumn("doc_id")
+    t.overwrite(Seq("seed").toDF("s"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val tasks = (0 until 4).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try {
+              val mine = MedallionTable(spark, t.path)
+              (0 until 3).foreach { b =>
+                mine.append((0 until 10).map(i => s"w${w}b${b}r$i").toDF("s"))
+              }
+            } catch { case x: Throwable => errs.add(x) }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(errs.isEmpty, s"concurrent appends must not fail: ${errs.peek()}")
+    val all = ids(t)
+    assert(all.size == 121 && all.distinct.size == 121,
+      "every concurrently-assigned id is unique")
+    assert(all == (1L to 121L),
+      "no crashes ⇒ no gaps: the union of allocated ranges is dense")
+  }
+}

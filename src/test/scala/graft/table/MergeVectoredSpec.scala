@@ -213,4 +213,34 @@ class MergeVectoredSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) c FROM mdv_sql WHERE id = 0").head()
       .getLong(0) == 0L)
   }
+
+  test("schema-evolving assignments refuse fail-stop on BOTH clause " +
+      "paths; the ADD COLUMN hatch then lands the same DV merge") {
+    val (t, _) = seed()
+    val src = Seq((1L, "web"), (500L, "api")).toDF("k", "ch")
+    def evoMerge(): Unit = t.mergeVectored(src, Seq("id" -> "k"),
+      Seq(WhenMatchedUpdate(None,
+        Map("channel" -> ((_, sc) => sc("ch"))))),
+      Seq(WhenNotMatchedInsert(None, Map(
+        "id" -> ((_, sc) => sc("k")),
+        "channel" -> ((_, sc) => sc("ch"))))))
+    // pre-fix both paths silently DROPPED the unknown assignment —
+    // diverging from the evolving 3-clause rewrite
+    val e = intercept[IllegalStateException](evoMerge())
+    assert(e.getMessage.contains("channel") &&
+      e.getMessage.contains("ADD COLUMN"))
+    val e2 = intercept[IllegalStateException](
+      t.mergeClauses(src, Seq("id" -> "k"),
+        Seq(WhenMatchedUpdate(None,
+          Map("channel" -> ((_, sc) => sc("ch"))))), Nil, Nil))
+    assert(e2.getMessage.contains("channel"))
+    // the hatch: widen first, then the SAME DV merge lands — matched row
+    // updated, new key inserted, untouched rows read typed NULL
+    t.addColumn("channel", "string")
+    evoMerge()
+    val got = t.read.filter($"id".isin(1L, 2L, 500L))
+      .select("id", "channel").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("web"), 2L -> None, 500L -> Some("api")))
+  }
 }
