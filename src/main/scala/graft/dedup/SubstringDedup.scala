@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring dedup — the suffix-array family of training-data
+  * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better") re-expressed Spark-first: find every MAXIMAL token
+  * span whose content is covered by K-grams that occur elsewhere in the
+  * corpus (another document, or another position of the same one). The
+  * fixed-gram decontamination surface (`text_decontaminate`) flags
+  * membership; this surfaces the repeated SPANS themselves with their
+  * extents — arbitrary-length repeats, not fixed windows.
+  *
+  * Shape: token K-grams keyed by a 128-bit md5 digest → global
+  * duplicate-gram set (one hash-partitioned groupBy whose shuffle rows
+  * are 16-byte digests, never document text, never pairs) → flagged
+  * positions → gaps-and-islands merge per document (windows [p, p+K-1]
+  * overlapping or abutting fuse; a window partitioned BY DOCUMENT, so no
+  * single-partition sort) → span extents + content digest by one
+  * array-slice join back to the tokenized docs.
+  *
+  * 100 TB cost: O(corpus tokens) gram rows is the family's inherent
+  * floor (a suffix array is O(corpus) too); everything after the
+  * duplicate filter is O(duplicated positions). No stage materializes
+  * document pairs, and the only wide rows (the final slice join) carry
+  * one token array per DOCUMENT with a span, joined by doc id.
+  */
+object SubstringDedup {
+
+  /** Maximal repeated spans: (doc_id, span_start, span_ntokens,
+    * span_md5), token positions 1-based. `k` is the minimum repeat
+    * granularity — spans shorter than `k` tokens are invisible, exactly
+    * the suffix-array threshold parameter (Lee et al. use 50 BPE
+    * tokens; the default 8 whitespace tokens suits the test corpus).
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8): DataFrame = {
+    require(k >= 2, s"substring dedup needs k >= 2, got $k")
+    import docs.sparkSession.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("ts"))
+    val grams = toks
+      .filter(size($"ts") >= k)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(1, size(ts) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(ts, i, $k))))"))
+        .as(Seq("p0", "g")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"g")
+    // the global duplicate-gram set: count > 1 over (doc, pos) sites.
+    // Count-over-window instead of groupBy+semi-join: one shuffle on the
+    // digest and the gram stage runs ONCE (the join shape recomputed it
+    // on both sides — measured 6.8 s → 4.4 s at sf0.1). Groups are
+    // per-gram (tiny), so the window never degenerates to one partition.
+    val perGram = Window.partitionBy($"g")
+    val flagged = grams
+      .withColumn("n", count(lit(1)).over(perGram))
+      .filter($"n" > 1)
+      .select($"doc_id", $"pos")
+    // gaps-and-islands: coverage windows [pos, pos+k-1] fuse while each
+    // start is within k of the previous (overlap or abut)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = flagged
+      .withColumn("brk",
+        when($"pos" - lag($"pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("island", sum($"brk").over(w))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") - min($"pos") + k).as("span_ntokens"))
+      .drop("island")
+    spans.join(toks, "doc_id")
+      .select($"doc_id", $"span_start", $"span_ntokens",
+        md5(concat_ws(" ", expr(
+          "slice(ts, cast(span_start as int), cast(span_ntokens as int))")))
+          .as("span_md5"))
+  }
+}

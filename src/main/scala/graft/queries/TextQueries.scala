@@ -148,6 +148,14 @@ object TextQueries {
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
+    // Exact SUBSTRING dedup (Lee et al. 2022's suffix-array family —
+    // graft.dedup.SubstringDedup): maximal token spans covered by
+    // duplicated 8-grams, with extents and a content digest. FULL
+    // oracle: DuckDB recomputes grams → duplicate set → gaps-and-islands
+    // → span digests on the same tokenization.
+    "dedup_substring_spans" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.repeatedSpans(Tables.documents(s, dir))),
+
     // Exact dedup on content hash (the scalable form: group on a 128-bit
     // digest, not the full text — at 100 TB the shuffle carries 16 bytes
     // per row instead of the document).
@@ -1702,6 +1710,37 @@ object TextQueries {
     "dedup_exact" ->
       ("SELECT text, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies " +
        "FROM documents GROUP BY text"),
+    "dedup_substring_spans" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |), grams AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         md5(array_to_string(ts[i:i+7], ' ')) AS g
+         |  FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)
+         |  WHERE len(ts) >= 8
+         |), dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+         |flagged AS (
+         |  SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+         |), gap AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM flagged
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM gap
+         |), spans AS (
+         |  SELECT doc_id, island, MIN(pos) AS span_start,
+         |         MAX(pos) - MIN(pos) + 8 AS span_ntokens
+         |  FROM isl GROUP BY doc_id, island
+         |)
+         |SELECT s.doc_id, s.span_start, s.span_ntokens,
+         |  md5(array_to_string(
+         |    t.ts[s.span_start : s.span_start + s.span_ntokens - 1], ' '))
+         |    AS span_md5
+         |FROM spans s JOIN toks t USING (doc_id)
+         |""".stripMargin),
     "dedup_exact_hash" ->
       ("SELECT MD5(text) AS text_hash, MIN(doc_id) AS keep_id, " +
        "CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY MD5(text)"),
