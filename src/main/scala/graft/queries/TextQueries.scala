@@ -1546,7 +1546,7 @@ object TextQueries {
     * decontamination hit path is deterministically exercised (and shared
     * verbatim with the oracle SQL).
     */
-  private val DecontCanary = "leak marker alpha beta gamma delta epsilon zeta"
+  private[graft] val DecontCanary = "leak marker alpha beta gamma delta epsilon zeta"
 
   /** Distinct (doc_id, gram-MD5) index of k-token grams via the native
     * one-pass [[graft.functions.TokenGramHashes]] kernel (tokenize, slide,
@@ -1586,7 +1586,7 @@ object TextQueries {
           "THEN donor_text ELSE text END AS text")
   }
 
-  private def md5LshBands(docs: DataFrame): DataFrame = {
+  private[graft] def md5LshBands(docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     docs
       .where(s"SIZE($TokensExpr) >= 3")

@@ -443,15 +443,18 @@ object EventStreams {
       val idx = new graft.dedup.StandingDedupIndex(
         b.sparkSession, indexPath, bandKeys)
       val report = idx.check(quality, excludeTag = Some(batchId))
+      // static per-batch partition path, not dynamic partition overwrite:
+      // a micro-batch writes exactly ONE partition (its own batch id), so
+      // the dynamic mode's staging-and-swap machinery buys nothing and
+      // costs a commit round per write (ProfileCurate phase table,
+      // SCALING.md round 14); overwriting the batch's own directory is
+      // the same exactly-once replay contract
       quality.join(
           report.filter(!col("is_exact_dup"))
             .select(col("doc_id"), col("n_candidates")),
           Seq("doc_id"))
-        .withColumn("ingest_batch_id", lit(batchId))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch_id")
-        .parquet(curatedPath)
+        .parquet(s"$curatedPath/ingest_batch_id=$batchId")
       idx.ingest(quality, tag = batchId)
     } finally { quality.unpersist(); b.unpersist() }
   }
