@@ -75,4 +75,57 @@ object SubstringDedup {
           "slice(ts, cast(span_start as int), cast(span_ntokens as int))")))
           .as("span_md5"))
   }
+
+  /** The dedup ACTION of the family (Lee et al. remove all but one copy
+    * of each repeated substring): excise every token covered by a
+    * duplicated K-gram instance that is NOT the gram's globally-first
+    * site (minimal (doc_id, pos) — deterministic, so the kept copy is
+    * stable across runs and engines). Returns one row per document:
+    * (doc_id, n_kept, kept_md5) — the cleaned token count and a digest
+    * of the cleaned text (an exact duplicate of an earlier doc cleans to
+    * the empty string). Cost shape: the [[repeatedSpans]] stages plus a
+    * min-site struct over the same gram window — still one digest-keyed
+    * shuffle, O(duplicated positions) afterwards.
+    */
+  def removeLaterOccurrences(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8): DataFrame = {
+    require(k >= 2, s"substring dedup needs k >= 2, got $k")
+    import docs.sparkSession.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("ts"))
+    val grams = toks
+      .filter(size($"ts") >= k)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(1, size(ts) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(ts, i, $k))))"))
+        .as(Seq("p0", "g")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"g")
+    // later occurrences: instances that are not their gram's minimal
+    // (doc_id, pos) site — a unique gram's only instance IS the minimum,
+    // so non-duplicates drop out without a separate count
+    val perGram = Window.partitionBy($"g")
+    val later = grams
+      .withColumn("mn", min(struct($"doc_id", $"pos")).over(perGram))
+      .filter(struct($"doc_id", $"pos") =!= $"mn")
+      .select($"doc_id", $"pos")
+    val perDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = later
+      .withColumn("brk",
+        when($"pos" - lag($"pos", 1).over(perDoc) > k, 1).otherwise(0))
+      .withColumn("island", sum($"brk").over(perDoc))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") - min($"pos") + k).as("span_ntokens"))
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"span_start", $"span_ntokens")).as("rm"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .select($"doc_id", expr(
+        "filter(transform(ts, (t, i) -> struct(t AS t, CAST(i + 1 AS BIGINT) AS p)), " +
+          "x -> rm IS NULL OR NOT exists(rm, " +
+          "r -> x.p >= r.span_start AND x.p < r.span_start + r.span_ntokens))")
+        .as("kept"))
+      .select($"doc_id",
+        size($"kept").cast("long").as("n_kept"),
+        md5(concat_ws(" ", expr("transform(kept, x -> x.t)"))).as("kept_md5"))
+  }
 }

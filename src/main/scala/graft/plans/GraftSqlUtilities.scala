@@ -123,6 +123,13 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftGeneratedColumnCommand(target.trim, name.trim, Some(exprSql.trim))
       case DropGeneratedRe(target, name) if isGraftTarget(spark, target) =>
         GraftGeneratedColumnCommand(target.trim, name.trim, None)
+      case SetIdentityRe(target, name, start, step)
+          if isGraftTarget(spark, target) =>
+        GraftIdentityColumnCommand(target.trim, name.trim, add = true,
+          Option(start).map(_.toLong).getOrElse(1L),
+          Option(step).map(_.toLong).getOrElse(1L))
+      case DropIdentityRe(target, name) if isGraftTarget(spark, target) =>
+        GraftIdentityColumnCommand(target.trim, name.trim, add = false, 1L, 1L)
       case _ => resolveTimeTravel(delegate.parsePlan(sqlText))
     }
   }
@@ -278,6 +285,11 @@ object GraftSqlParser {
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+GENERATED\\s+COLUMN\\s+(\\w+)\\s+AS\\s*\\((.+)\\)""".r
   private[plans] val DropGeneratedRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+GENERATED\\s+COLUMN\\s+(\\w+)""".r
+  private[plans] val SetIdentityRe: Regex =
+    (s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+IDENTITY\\s+COLUMN\\s+(\\w+)""" +
+      """(?:\s+START\s+WITH\s+(-?\d+))?(?:\s+STEP\s+BY\s+(-?\d+))?\s*""").r
+  private[plans] val DropIdentityRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+IDENTITY\\s+COLUMN\\s+(\\w+)""".r
   // Delta property-parity surface for the change feed: accept both the
   // delta.* and graft.* property spellings, value true only
   private[plans] val EnableCdfRe: Regex =
@@ -905,6 +917,21 @@ final case class GraftGeneratedColumnCommand(target: String, name: String,
       case Some(e) => t.setGeneratedColumn(name, e)
       case None => t.dropGeneratedColumn(name)
     }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ADD IDENTITY COLUMN c [START WITH n] [STEP BY m]` /
+  * `… DROP IDENTITY COLUMN c` — Delta GENERATED ALWAYS AS IDENTITY
+  * parity ([[graft.table.MedallionTable.setIdentityColumn]]: BIGINT
+  * engine-assigned, dense and collision-free under concurrent writers).
+  */
+final case class GraftIdentityColumnCommand(target: String, name: String,
+    add: Boolean, start: Long, step: Long) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new MedallionTable(spark, GraftSqlParser.resolvePath(spark, target))
+    if (add) t.setIdentityColumn(name, start, step)
+    else t.dropIdentityColumn(name)
     Seq.empty
   }
 }

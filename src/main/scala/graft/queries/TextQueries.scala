@@ -156,6 +156,15 @@ object TextQueries {
     "dedup_substring_spans" -> ((s, dir) =>
       graft.dedup.SubstringDedup.repeatedSpans(Tables.documents(s, dir))),
 
+    // The dedup ACTION of the same family: excise every token covered by
+    // a duplicated 8-gram instance that is not the gram's globally-first
+    // (doc_id, pos) site — Lee et al.'s remove-all-but-one-copy, with a
+    // deterministic kept copy. FULL oracle recomputes the removal and the
+    // cleaned-text digests in SQL.
+    "dedup_substring_removed" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.removeLaterOccurrences(
+        Tables.documents(s, dir))),
+
     // Exact dedup on content hash (the scalable form: group on a 128-bit
     // digest, not the full text — at 100 TB the shuffle carries 16 bytes
     // per row instead of the document).
@@ -1740,6 +1749,55 @@ object TextQueries {
          |    t.ts[s.span_start : s.span_start + s.span_ntokens - 1], ' '))
          |    AS span_md5
          |FROM spans s JOIN toks t USING (doc_id)
+         |""".stripMargin),
+    "dedup_substring_removed" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |), grams AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         md5(array_to_string(ts[i:i+7], ' ')) AS g
+         |  FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)
+         |  WHERE len(ts) >= 8
+         |), later AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         |    FROM grams)
+         |  WHERE rn > 1
+         |), gap AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM later
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM gap
+         |), spans AS (
+         |  SELECT doc_id, island, MIN(pos) AS span_start,
+         |         MAX(pos) - MIN(pos) + 8 AS span_ntokens
+         |  FROM isl GROUP BY doc_id, island
+         |), tokpos AS (
+         |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos, ts[t.i] AS tok
+         |  FROM toks, UNNEST(generate_series(1, len(ts))) AS t(i)
+         |), removedpos AS (
+         |  SELECT DISTINCT s.doc_id, rp.p AS pos
+         |  FROM spans s,
+         |    UNNEST(generate_series(s.span_start,
+         |      s.span_start + s.span_ntokens - 1)) AS rp(p)
+         |), kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok
+         |  FROM tokpos tp LEFT JOIN removedpos r
+         |    ON tp.doc_id = r.doc_id AND tp.pos = r.pos
+         |  WHERE r.pos IS NULL
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, COALESCE(a.n_kept, 0) AS n_kept,
+         |       COALESCE(a.kept_md5, md5('')) AS kept_md5
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
          |""".stripMargin),
     "dedup_exact_hash" ->
       ("SELECT MD5(text) AS text_hash, MIN(doc_id) AS keep_id, " +

@@ -45,6 +45,25 @@ class SubstringDedupSpec extends SparkSpec {
     assert(!byDoc.contains(4L))
   }
 
+  test("removeLaterOccurrences keeps the globally-first copy intact, " +
+      "excises later ones, and cleans an exact duplicate to empty") {
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    val uniq = (0 until 15).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared), // first site: kept verbatim
+      (2L, s"$uniq $shared"), // later copy: shared block excised
+      (3L, shared) // exact duplicate of doc 1: cleans to empty
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.removeLaterOccurrences(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val md5Of: String => String = s => java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(1L) == ((20L, md5Of(shared))), "first copy untouched")
+    assert(got(2L) == ((15L, md5Of(uniq))), "later copy excised exactly")
+    assert(got(3L) == ((0L, md5Of(""))), "exact duplicate cleans to empty")
+  }
+
   test("abutting duplicated windows fuse into one maximal span") {
     // doc 5 copies a 30-token block from doc 6 split across the gram
     // width: every start in the block is duplicated, so the coverage

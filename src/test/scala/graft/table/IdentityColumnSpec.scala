@@ -71,6 +71,21 @@ class IdentityColumnSpec extends SparkSpec {
     intercept[IllegalArgumentException](t2.setIdentityColumn("nope"))
   }
 
+  test("SQL DDL round-trips: ADD IDENTITY COLUMN ... START WITH/STEP BY, " +
+      "DROP IDENTITY COLUMN") {
+    val t = MedallionTable(spark, tmpDir("idddl"))
+    spark.sql(s"ALTER TABLE '${t.path}' ADD IDENTITY COLUMN doc_id " +
+      "START WITH 100 STEP BY 5")
+    assert(t.identityColumns == Map("doc_id" -> ((100L, 5L))))
+    t.overwrite(Seq("a", "b").toDF("s"))
+    assert(ids(t) == Seq(100L, 105L))
+    spark.sql(s"ALTER TABLE '${t.path}' DROP IDENTITY COLUMN doc_id")
+    assert(t.identityColumns.isEmpty)
+    // hand-managed after the drop: a provided value is accepted again
+    t.append(Seq(("c", 999L)).toDF("s", "doc_id"))
+    assert(ids(t) == Seq(100L, 105L, 999L))
+  }
+
   test("concurrent appends allocate collision-free, dense ranges") {
     val t = MedallionTable(spark, tmpDir("idconc"))
     t.setIdentityColumn("doc_id")
