@@ -102,17 +102,37 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String,
     }
   }
 
+  /** Delta's `startingVersion`: deliver changes from this commit ordinal
+    * onward (default = enablement + 1). Clamped to the enablement commit
+    * — asking for earlier history than the feed captured refuses at read
+    * time anyway, so the clamp only skips the always-empty prefix.
+    */
+  private val startingVersion: Option[Long] =
+    options.get(ChangeFeedSource.StartingVersionKey).map(s =>
+      s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-cdf: ${ChangeFeedSource.StartingVersionKey} must be a " +
+          s"long, got '$s'")))
+
   private def enabledAtOrRefuse: Long =
     ChangeFeed.enabledAt(spark, tablePath).getOrElse(
       throw new IllegalStateException(
         s"graft-cdf source: change data feed is not enabled on $tablePath " +
           "— run enableChangeDataFeed() first"))
 
+  /** First offset a fresh stream starts AFTER: commits ≤ this are never
+    * delivered. `startingVersion` n means "first delivered commit is n",
+    * i.e. the stream's zero offset is n - 1.
+    */
+  private def streamEpoch: Long = {
+    val en = enabledAtOrRefuse
+    math.max(en, startingVersion.map(_ - 1L).getOrElse(en))
+  }
+
   override val schema: StructType =
     ChangeFeedSource.feedSchema(spark, tablePath)
 
   override def getOffset: Option[Offset] = {
-    val en = enabledAtOrRefuse
+    val en = streamEpoch
     // completion-witnessed head (ChangeFeed.capturedThrough): a
     // claim-first writer's marker is visible before its capture lands,
     // and polling the raw marker head would refuse on the in-flight
@@ -131,7 +151,7 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // restart passes SerializedOffset(json); LongOffset.json is the same
     // long rendering, so .json.toLong handles both uniformly
-    val s = start.map(_.json.toLong).getOrElse(enabledAtOrRefuse)
+    val s = start.map(_.json.toLong).getOrElse(streamEpoch)
     val e = end.json.toLong
     // belt-and-braces: a recovered batch's end is as good a floor as a
     // reported offset (covers a lost/unreadable floor file)
@@ -164,6 +184,7 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String,
 
 object ChangeFeedSource {
   val MaxCommitsKey = "maxCommitsPerTrigger"
+  val StartingVersionKey = "startingVersion"
   val DefaultMaxCommits = 50L
 
   private[streaming] def feedSchema(

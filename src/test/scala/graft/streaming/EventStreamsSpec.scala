@@ -130,6 +130,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("graft-cdf startingVersion skips earlier commits (Delta parity)") {
+    import spark.implicits._
+    import graft.table.MedallionTable
+    val p = tmpDir("cdfsv")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((0L, "z")).toDF("id", "s"))
+    t.enableChangeDataFeed()
+    t.append(Seq((1L, "skipped")).toDF("id", "s"))
+    t.append(Seq((2L, "skipped")).toDF("id", "s"))
+    val from = t.commitVersion + 1
+    t.append(Seq((3L, "kept")).toDF("id", "s"))
+    t.append(Seq((4L, "kept")).toDF("id", "s"))
+    val out = tmpDir("cdfsv_out")
+    val q = spark.readStream.format("graft-cdf").option("path", p)
+      .option("startingVersion", from.toString).load()
+      .drop("_commit_timestamp")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("cdfsv_ck")).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSeq
+      .sorted == Seq(3L, 4L),
+      "only commits >= startingVersion are delivered")
+  }
+
   test("graft-cdf maxCommitsPerTrigger bounds catch-up: 100+ commits " +
       "landed while down drain across >=3 batches, exactly-once") {
     import spark.implicits._
