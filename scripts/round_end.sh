@@ -15,6 +15,7 @@ cd "$(dirname "$0")/.."
 # tee the run log: ScalaTest's "Tests: succeeded N" line is THE test
 # counter (round-13 verdict #7) — README, SURVEY §8, and the round-end
 # commit message all quote it via update_readme_status.py
+mkdir -p target
 sbt -batch test | tee target/test_run.log
 
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \

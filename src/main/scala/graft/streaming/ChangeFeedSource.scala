@@ -89,17 +89,19 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String,
   }
 
   private def persistFloor(v: Long): Unit = {
+    // delete-then-rename, the same discipline as ChangeFeed's watermark
+    // writer: Hadoop rename refuses an existing destination, so a
+    // rename-over "fast path" would be dead code on every write after
+    // the first
     floorFs.mkdirs(floorFile.getParent)
     val tmp = new org.apache.hadoop.fs.Path(
       floorFile.getParent, s".${floorFile.getName}.tmp")
     val out = floorFs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (!floorFs.rename(tmp, floorFile)) {
-      floorFs.delete(floorFile, false)
-      if (!floorFs.rename(tmp, floorFile))
-        throw new java.io.IOException(
-          s"graft-cdf: cannot persist rate-limit floor $floorFile")
-    }
+    if (floorFs.exists(floorFile)) floorFs.delete(floorFile, false)
+    if (!floorFs.rename(tmp, floorFile))
+      throw new java.io.IOException(
+        s"graft-cdf: cannot persist rate-limit floor $floorFile")
   }
 
   /** Delta's `startingVersion`: deliver changes from this commit ordinal
@@ -138,9 +140,15 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String,
     // and polling the raw marker head would refuse on the in-flight
     // commit's missing manifest
     val cur = ChangeFeed.capturedThrough(table)
-    // admission bound, clamped from the floor (never backwards)
+    // admission bound, clamped from the floor (never backwards);
+    // saturating add — a huge maxCommitsPerTrigger (used to disable the
+    // limit) must not wrap negative and stall the stream
     val base = math.max(floor, en)
-    val next = math.max(math.min(cur, base + maxCommitsPerTrigger), floor)
+    val lim =
+      if (Long.MaxValue - math.max(base, 0L) < maxCommitsPerTrigger)
+        Long.MaxValue
+      else base + maxCommitsPerTrigger
+    val next = math.max(math.min(cur, lim), floor)
     if (next <= en) None
     else {
       if (next > floor) { persistFloor(next); floor = next }

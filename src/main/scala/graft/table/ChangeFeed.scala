@@ -378,15 +378,26 @@ object ChangeFeed {
     if (enabledAt(spark, t.path).isEmpty) return already
     val cutoff = now() - maxAgeMs
     val root = cdfRoot(t.path)
-    var newest = Long.MinValue
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+    if (!fs.exists(root)) return already
+    val ordinals = fs.listStatus(root).flatMap { st =>
       val n = st.getPath.getName
-      if (n.startsWith("c")) n.drop(1).toLongOption.foreach { ord =>
-        if (ord > newest && parse(readText(fs, st.getPath)).ts < cutoff)
-          newest = ord
-      }
+      if (n.startsWith("c")) n.drop(1).toLongOption else None
+    }.sorted
+    if (ordinals.isEmpty) return already
+    // capture timestamps are monotone in the ordinal, so ONE read of the
+    // oldest manifest answers the common is-anything-expirable question
+    // (this rides every vacuum/autoCompact — it must be cheap when the
+    // answer is no); only then walk forward for the newest stale ordinal,
+    // stopping at the first fresh one
+    if (parse(readText(fs, manifestFile(t.path, ordinals.head))).ts >= cutoff)
+      return already
+    var newest = ordinals.head
+    var i = 1
+    while (i < ordinals.length &&
+        parse(readText(fs, manifestFile(t.path, ordinals(i)))).ts < cutoff) {
+      newest = ordinals(i); i += 1
     }
-    if (newest == Long.MinValue) already else expireBefore(t, newest)
+    expireBefore(t, newest)
   }
 
   // ---- file resolution ----------------------------------------------------

@@ -693,13 +693,33 @@ final class MedallionTable(
       require(schema(actual).dataType ==
         org.apache.spark.sql.types.LongType,
         s"identity columns are BIGINT; $actual is ${schema(actual).dataType}")
+      // NULLs would break the NULL⟺merge-insert induction: the next
+      // data-preserving rewrite (compact/delete) would silently assign
+      // them fresh ids through fillIdentityNulls
+      val nNull = read.filter(
+        org.apache.spark.sql.functions.col(actual).isNull).limit(1).count()
+      require(nNull == 0L,
+        s"cannot declare identity column $actual: existing rows carry " +
+          "NULLs — backfill them first")
     }
     persistIdentityCols(identityColumns + (name -> ((start, step))))
     if (exists && !read.isEmpty) syncIdentityHw(name)
   }
 
-  def dropIdentityColumn(name: String): Unit =
+  def dropIdentityColumn(name: String): Unit = {
     persistIdentityCols(identityColumns - name)
+    // drop the high-water entry too: a later re-declare must honor its
+    // own START WITH (or re-sync from data), not continue from a stale
+    // counter that may describe a table that no longer exists
+    withIdentityLock {
+      val hw = readIdentityHw() - name
+      if (fs.exists(identityHwFile)) {
+        if (hw.isEmpty) fs.delete(identityHwFile, false)
+        else writeMetaText(identityHwFile,
+          hw.map { case (k, v) => s"$k\t$v" }.mkString("\n"))
+      }
+    }
+  }
 
   private def readIdentityHw(): Map[String, Long] =
     if (!fs.exists(identityHwFile)) Map.empty
@@ -995,7 +1015,12 @@ final class MedallionTable(
     * (the constraint registry) with it.
     */
   def overwrite(df: DataFrame): Unit =
-    if (exists) rewriteVia(df)
+    // overwrite of an EXISTING table is a user batch too: identity
+    // ALWAYS semantics apply exactly as on the create path (provided →
+    // refuse, missing → assign) — without this, a second overwrite
+    // accepted caller ids without advancing the high-water (review
+    // finding, round 14)
+    if (exists) rewriteVia(applyIdentityAppend(df))
     else {
       val cs = checkConstraints
       val gs = generatedColumns
@@ -1058,6 +1083,12 @@ final class MedallionTable(
       deleteNotMatchedBySource: Boolean = true,
       checkUniqueKeys: Boolean = false): Unit = {
     if (checkUniqueKeys) MergeOps.requireUniqueKeys(source, keys)
+    // 3-clause merge assigns EVERY source column: a source carrying an
+    // identity column would write caller ids on inserts without
+    // advancing the high-water — ALWAYS refuses it (hand-manage via
+    // dropIdentityColumn, as on the other paths)
+    refuseIdentitySet(source.columns.filter(c =>
+      identityColumns.keys.exists(_.equalsIgnoreCase(c))), "merge source")
     rewriteVia(
       MergeOps.merge3Clause(read, source, keys, updateCondition, deleteNotMatchedBySource),
       op = "merge")
@@ -1280,6 +1311,10 @@ final class MedallionTable(
       keys: Seq[String],
       effective: Column,
       changeCondition: Option[(MergeOps.ColRef, MergeOps.ColRef) => Column] = None): Unit = {
+    // same ALWAYS refusal as merge(): an SCD2 snapshot carrying an
+    // identity column would open new versions with caller-supplied ids
+    refuseIdentitySet(source.columns.filter(c =>
+      identityColumns.keys.exists(_.equalsIgnoreCase(c))), "SCD2 source")
     // A duplicate-keyed snapshot would fan out the SCD2 full-outer join and
     // break the one-current-row-per-key invariant (MergeOps.scd2Merge's
     // documented contract) — enforce it here, where an action is fine.

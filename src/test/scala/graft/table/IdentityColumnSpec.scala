@@ -71,6 +71,41 @@ class IdentityColumnSpec extends SparkSpec {
     intercept[IllegalArgumentException](t2.setIdentityColumn("nope"))
   }
 
+  test("rewrite-path ALWAYS holes closed: overwrite of an existing table " +
+      "assigns/refuses like create; 3-clause merge and SCD2 refuse " +
+      "identity-carrying sources; re-declare after drop honors START WITH") {
+    val t = MedallionTable(spark, tmpDir("idrw"))
+    t.setIdentityColumn("doc_id")
+    t.overwrite(Seq("a", "b").toDF("s"))
+    // overwrite of the EXISTING table: missing → assigned (monotonic
+    // past the first epoch), provided → refused
+    t.overwrite(Seq("c", "d", "e").toDF("s"))
+    assert(ids(t) == Seq(3L, 4L, 5L),
+      "second overwrite allocates past the first epoch's high-water")
+    intercept[IllegalStateException](
+      t.overwrite(Seq(("f", 500L)).toDF("s", "doc_id")))
+    // 3-clause merge assigns every source column: identity-carrying
+    // sources refuse instead of writing caller ids
+    val e = intercept[IllegalStateException](
+      t.merge(Seq((99L, "x")).toDF("doc_id", "s"), Seq("doc_id")))
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // drop clears the high-water: a re-declare honors START WITH
+    t.dropIdentityColumn("doc_id")
+    val t2 = MedallionTable(spark, tmpDir("idrw2"))
+    t2.setIdentityColumn("seq")
+    t2.overwrite(Seq("a").toDF("s")) // hw = 1
+    t2.dropIdentityColumn("seq")
+    t2.overwrite(Seq(("b", 7L)).toDF("s", "seq")) // hand-managed now
+    t2.setIdentityColumn("seq", start = 100L) // re-declare syncs to max=7
+    t2.append(Seq("c").toDF("s"))
+    assert(t2.read.select("seq").as[Long].collect().toSeq.sorted ==
+      Seq(7L, 8L), "re-declare on data syncs from the data, not stale hw")
+    // declare on a column with NULLs refuses (the NULL⟺insert induction)
+    val t3 = MedallionTable(spark, tmpDir("idrw3"))
+    t3.overwrite(Seq((Some(1L), "a"), (None, "b")).toDF("nid", "s"))
+    intercept[IllegalArgumentException](t3.setIdentityColumn("nid"))
+  }
+
   test("SQL DDL round-trips: ADD IDENTITY COLUMN ... START WITH/STEP BY, " +
       "DROP IDENTITY COLUMN") {
     val t = MedallionTable(spark, tmpDir("idddl"))
