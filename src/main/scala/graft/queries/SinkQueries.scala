@@ -154,13 +154,13 @@ object SinkQueries {
       val t = MedallionTable(s, p)
       t.setIdentityColumn("row_seq")
       val o = Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice")
-      t.overwrite(o.filter($"o_orderkey" % 3 === 0))
-      t.append(o.filter($"o_orderkey" % 3 === 1))
-      // DV merge: %30==0 keys match (update keeps ids), re-keyed rows
+      t.overwrite(o.filter($"o_orderkey" % 9 === 0))
+      t.append(o.filter($"o_orderkey" % 9 === 1))
+      // DV merge: %45==0 keys match (update keeps ids), re-keyed rows
       // insert (ids assigned)
-      val src = o.filter($"o_orderkey" % 30 === 0)
+      val src = o.filter($"o_orderkey" % 45 === 0)
         .select($"o_orderkey".as("k"), ($"o_totalprice" + 1).as("tp"))
-        .unionByName(o.filter($"o_orderkey" % 30 === 2)
+        .unionByName(o.filter($"o_orderkey" % 45 === 2)
           .select(($"o_orderkey" + 50000000L).as("k"),
             $"o_totalprice".as("tp")))
       t.mergeVectored(src, Seq("o_orderkey" -> "k"),
@@ -1287,9 +1287,9 @@ object SinkQueries {
        "FROM orders WHERE year(o_orderdate) >= 1995"),
     "k15_identity_col" ->
       ("""WITH sz AS (SELECT
-         |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
-         |  + (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1)
-         |  + (SELECT count(*) FROM orders WHERE o_orderkey % 30 = 2) AS n)
+         |  (SELECT count(*) FROM orders WHERE o_orderkey % 9 = 0)
+         |  + (SELECT count(*) FROM orders WHERE o_orderkey % 9 = 1)
+         |  + (SELECT count(*) FROM orders WHERE o_orderkey % 45 = 2) AS n)
          |SELECT CAST(n AS BIGINT) AS n, CAST(n AS BIGINT) AS n_ids,
          |  CAST(1 AS BIGINT) AS min_id, CAST(n AS BIGINT) AS max_id
          |FROM sz

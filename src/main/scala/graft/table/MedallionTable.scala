@@ -811,9 +811,12 @@ final class MedallionTable(
   }
 
   private def assignIdentities(df: DataFrame,
-      names: Seq[(String, (Long, Long))]): DataFrame = {
+      names: Seq[(String, (Long, Long))],
+      alreadyMaterialized: Boolean = false): DataFrame = {
     if (names.isEmpty) return df
-    val cached = df.localCheckpoint()
+    // fillIdentityNulls hands in a projection of an already-checkpointed
+    // frame: deterministic and cheap to re-traverse, no second cut needed
+    val cached = if (alreadyMaterialized) df else df.localCheckpoint()
     val n = cached.count()
     if (n == 0L)
       return names.foldLeft(cached) { case (d, (nm, _)) =>
@@ -847,7 +850,8 @@ final class MedallionTable(
       val nulls = cached.filter(col(nm).isNull)
       if (nulls.head(1).isEmpty) cached
       else {
-        val assigned = assignIdentities(nulls.drop(nm), Seq(nm -> ids(nm)))
+        val assigned = assignIdentities(nulls.drop(nm), Seq(nm -> ids(nm)),
+          alreadyMaterialized = true)
         cached.filter(col(nm).isNotNull)
           .unionByName(assigned.select(cached.columns.map(col): _*))
       }
