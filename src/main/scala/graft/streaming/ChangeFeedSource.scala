@@ -109,11 +109,34 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String,
     * — asking for earlier history than the feed captured refuses at read
     * time anyway, so the clamp only skips the always-empty prefix.
     */
-  private val startingVersion: Option[Long] =
-    options.get(ChangeFeedSource.StartingVersionKey).map(s =>
+  private val startingVersion: Option[Long] = {
+    val byVersion = options.get(ChangeFeedSource.StartingVersionKey).map(s =>
       s.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft-cdf: ${ChangeFeedSource.StartingVersionKey} must be a " +
           s"long, got '$s'")))
+    // Delta's startingTimestamp: first delivered commit is the first one
+    // AT or AFTER the instant (epoch millis, or any java.sql.Timestamp
+    // literal). Resolved once at stream start through the marker history.
+    val byTs = options.get(ChangeFeedSource.StartingTimestampKey).map { s =>
+      val ms = s.toLongOption.getOrElse(
+        try java.sql.Timestamp.valueOf(s).getTime
+        catch {
+          case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"graft-cdf: ${ChangeFeedSource.StartingTimestampKey} must " +
+                s"be epoch millis or 'yyyy-mm-dd hh:mm:ss[.f]', got '$s'")
+        })
+      val hist = table.history()
+      // history rows are (ordinal, op, tsMillis), newest first
+      hist.filter(_._3 >= ms).map(_._1).minOption.getOrElse(
+        // nothing at/after the instant yet: start after the current head
+        table.commitVersion + 1)
+    }
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "graft-cdf: startingVersion and startingTimestamp are mutually " +
+        "exclusive")
+    byVersion.orElse(byTs)
+  }
 
   private def enabledAtOrRefuse: Long =
     ChangeFeed.enabledAt(spark, tablePath).getOrElse(
@@ -193,6 +216,7 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String,
 object ChangeFeedSource {
   val MaxCommitsKey = "maxCommitsPerTrigger"
   val StartingVersionKey = "startingVersion"
+  val StartingTimestampKey = "startingTimestamp"
   val DefaultMaxCommits = 50L
 
   private[streaming] def feedSchema(

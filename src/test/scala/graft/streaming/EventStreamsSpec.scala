@@ -154,6 +154,39 @@ class EventStreamsSpec extends SparkSpec {
       "only commits >= startingVersion are delivered")
   }
 
+  test("graft-cdf startingTimestamp resolves to the first commit at or " +
+      "after the instant") {
+    import spark.implicits._
+    import graft.table.MedallionTable
+    val p = tmpDir("cdfst")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((0L, "z")).toDF("id", "s"))
+    t.enableChangeDataFeed()
+    t.append(Seq((1L, "old")).toDF("id", "s"))
+    Thread.sleep(20)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    t.append(Seq((2L, "new")).toDF("id", "s"))
+    val out = tmpDir("cdfst_out")
+    val q = spark.readStream.format("graft-cdf").option("path", p)
+      .option("startingTimestamp", cut.toString).load()
+      .drop("_commit_timestamp")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("cdfst_ck")).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSeq ==
+      Seq(2L), "only commits at/after the instant are delivered")
+    // mutually exclusive with startingVersion
+    intercept[Exception] {
+      val q2 = spark.readStream.format("graft-cdf").option("path", p)
+        .option("startingTimestamp", cut.toString)
+        .option("startingVersion", "1").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("cdfst_ck2")).start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+  }
+
   test("graft-cdf maxCommitsPerTrigger bounds catch-up: 100+ commits " +
       "landed while down drain across >=3 batches, exactly-once") {
     import spark.implicits._
