@@ -154,6 +154,55 @@ class EventStreamsSpec extends SparkSpec {
       "only commits >= startingVersion are delivered")
   }
 
+  test("retention composes with the stream: an expired backlog refuses " +
+      "the restart with the hatch; fresh checkpoint + startingVersion " +
+      "re-baselines onto the surviving window") {
+    import spark.implicits._
+    import graft.table.{ChangeFeed, MedallionTable}
+    val p = tmpDir("cdfexp")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((0L, "z")).toDF("id", "s"))
+    t.enableChangeDataFeed()
+    val out = tmpDir("cdfexp_out")
+    val ck = tmpDir("cdfexp_ck")
+    def startQ(ckDir: String, outDir: String = out,
+        opts: Map[String, String] = Map.empty) = {
+      val r = spark.readStream.format("graft-cdf").option("path", p)
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load().drop("_commit_timestamp")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir).start()
+    }
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    val q = startQ(ck)
+    try q.processAllAvailable() finally q.stop()
+    // the stream goes down; 20 commits land; retention expires most
+    (0 until 20).foreach(i =>
+      t.append(Seq((100L + i, "b")).toDF("id", "s")))
+    val expired = t.expireChangeFeed(keepCommits = 5)
+    // restart from the old checkpoint: its next range reaches into the
+    // expired commits — fail-stop with the hatch, never silent loss
+    val q2 = startQ(ck)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(e.getMessage.contains("retention") ||
+      Option(e.getCause).exists(_.getMessage.contains("retention")),
+      s"expired-backlog restart must name the retention hatch: $e")
+    // re-baseline: fresh checkpoint + fresh sink dir (a parquet sink's
+    // _spark_metadata is per-query — reusing the dir would skip batches)
+    // + startingVersion at the watermark edge drains exactly the
+    // surviving window
+    val out2 = tmpDir("cdfexp_out2")
+    val q3 = startQ(tmpDir("cdfexp_ck2"), out2,
+      Map("startingVersion" -> (expired + 1).toString))
+    try q3.processAllAvailable() finally q3.stop()
+    val gotIds = spark.read.parquet(out2).select("id").as[Long]
+      .collect().toSeq.sorted
+    assert(gotIds == Seq(115L, 116L, 117L, 118L, 119L),
+      s"exactly the surviving 5 commits' rows, once each: $gotIds")
+  }
+
   test("graft-cdf startingTimestamp resolves to the first commit at or " +
       "after the instant") {
     import spark.implicits._
