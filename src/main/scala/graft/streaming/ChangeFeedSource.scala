@@ -74,34 +74,53 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String,
     * moves forward. Lifetime = the checkpoint's (a fresh checkpoint is a
     * fresh metadataPath, so a re-baselined stream starts clean).
     */
-  private val floorFile = new org.apache.hadoop.fs.Path(
-    metadataPath, "graft-cdf-reported")
-  private val floorFs = floorFile
+  /** Two ALTERNATING slot files, reads take the max: Hadoop rename
+    * refuses an existing destination, so a single-file replace must
+    * delete-then-rename — leaving a crash window where the floor is
+    * ABSENT. A restart inside that window (with a fully-committed WAL)
+    * would clamp from the enablement commit, report an offset BELOW the
+    * checkpointed one, and re-deliver committed commits (round-14
+    * advice). With two slots the delete-then-rename only ever touches
+    * the slot holding the OLDER value, so one intact floor always
+    * survives a crash — and the surviving (previous) value is ≥ every
+    * offset the WAL can hold, because getOffset persists BEFORE
+    * returning: a value lost mid-persist was never reported to Spark.
+    */
+  private val floorSlots = Array(
+    new org.apache.hadoop.fs.Path(metadataPath, "graft-cdf-reported"),
+    new org.apache.hadoop.fs.Path(metadataPath, "graft-cdf-reported.1"))
+  private val floorFs = floorSlots(0)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private var floor: Long = {
-    if (!floorFs.exists(floorFile)) Long.MinValue
+
+  private def readSlot(p: org.apache.hadoop.fs.Path): Long =
+    if (!floorFs.exists(p)) Long.MinValue
     else {
-      val in = floorFs.open(floorFile)
+      val in = floorFs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         .trim.toLongOption.getOrElse(Long.MinValue)
       finally in.close()
     }
-  }
+
+  private var floor: Long = floorSlots.map(readSlot).max
 
   private def persistFloor(v: Long): Unit = {
-    // delete-then-rename, the same discipline as ChangeFeed's watermark
-    // writer: Hadoop rename refuses an existing destination, so a
-    // rename-over "fast path" would be dead code on every write after
-    // the first
-    floorFs.mkdirs(floorFile.getParent)
+    floorFs.mkdirs(floorSlots(0).getParent)
+    // overwrite the slot with the SMALLER value (or the empty one): the
+    // other slot keeps the previous floor intact through the replace
+    val target =
+      if (readSlot(floorSlots(0)) <= readSlot(floorSlots(1))) floorSlots(0)
+      else floorSlots(1)
     val tmp = new org.apache.hadoop.fs.Path(
-      floorFile.getParent, s".${floorFile.getName}.tmp")
+      target.getParent, s".${target.getName}.tmp")
     val out = floorFs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (floorFs.exists(floorFile)) floorFs.delete(floorFile, false)
-    if (!floorFs.rename(tmp, floorFile))
+    // delete-then-rename (not rename-over): Hadoop refuses the latter,
+    // and a raw-layer retry desynchronizes ChecksumFileSystem's crc
+    // sidecar from the data file
+    if (floorFs.exists(target)) floorFs.delete(target, false)
+    if (!floorFs.rename(tmp, target))
       throw new java.io.IOException(
-        s"graft-cdf: cannot persist rate-limit floor $floorFile")
+        s"graft-cdf: cannot persist rate-limit floor $target")
   }
 
   /** Delta's `startingVersion`: deliver changes from this commit ordinal
@@ -116,7 +135,13 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String,
           s"long, got '$s'")))
     // Delta's startingTimestamp: first delivered commit is the first one
     // AT or AFTER the instant (epoch millis, or any java.sql.Timestamp
-    // literal). Resolved once at stream start through the marker history.
+    // literal). Resolved once at stream start against the CAPTURE
+    // MANIFESTS (binary search over their monotone timestamps) — NOT the
+    // commit-marker history, which retains only HistoryDepth markers and
+    // would silently clamp a deeper instant to the oldest surviving
+    // marker, losing older captured commits the feed can still read
+    // (round-14 advice, high). An instant predating the oldest surviving
+    // manifest after retention expiry fails the stream fail-stop.
     val byTs = options.get(ChangeFeedSource.StartingTimestampKey).map { s =>
       val ms = s.toLongOption.getOrElse(
         try java.sql.Timestamp.valueOf(s).getTime
@@ -126,9 +151,7 @@ final class ChangeFeedSource(sqlContext: SQLContext, tablePath: String,
               s"graft-cdf: ${ChangeFeedSource.StartingTimestampKey} must " +
                 s"be epoch millis or 'yyyy-mm-dd hh:mm:ss[.f]', got '$s'")
         })
-      val hist = table.history()
-      // history rows are (ordinal, op, tsMillis), newest first
-      hist.filter(_._3 >= ms).map(_._1).minOption.getOrElse(
+      ChangeFeed.firstCapturedAtOrAfter(table, ms).getOrElse(
         // nothing at/after the instant yet: start after the current head
         table.commitVersion + 1)
     }

@@ -544,6 +544,60 @@ object ChangeFeed {
     }
   }
 
+  /** First captured commit whose manifest timestamp is at or after `ms`
+    * (Delta's `startingTimestamp` resolution) — `None` when every captured
+    * commit predates the instant (the caller starts after the current
+    * head). Resolution runs against the CAPTURE MANIFESTS, not the commit
+    * markers: markers age out after [[MedallionTable.HistoryDepth]]
+    * commits, so a marker-based walk on a table with more retained
+    * captures than markers would silently clamp to the oldest surviving
+    * marker and never deliver the older captured commits (round-14
+    * advice, high). Manifest timestamps are monotone in the ordinal (the
+    * same premise [[expireOlderThan]]'s early-exit rests on), so the walk
+    * is a BINARY SEARCH — O(log commits) manifest reads, once per stream
+    * start.
+    *
+    * Fail-stop: when the instant predates the oldest SURVIVING manifest
+    * and feed retention has expired older ones, the true first-at-or-after
+    * commit may be gone — refuse with the hatch named instead of silently
+    * starting late. With nothing expired, the oldest surviving manifest IS
+    * the feed's first captured commit, so starting there is exact.
+    */
+  def firstCapturedAtOrAfter(t: MedallionTable, ms: Long): Option[Long] = {
+    val spark = t.spark
+    val fs = fsOf(spark, t.path)
+    enabledAt(spark, t.path).getOrElse(refuse(
+      s"not enabled on ${t.path} — run enableChangeDataFeed() first"))
+    val root = cdfRoot(t.path)
+    val ords: Array[Long] =
+      if (!fs.exists(root)) Array.empty
+      else fs.listStatus(root).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("c")) n.drop(1).toLongOption else None
+      }.sorted
+    if (ords.isEmpty) return None
+    def tsAt(i: Int): Long =
+      parse(readText(fs, manifestFile(t.path, ords(i)))).ts
+    if (tsAt(ords.length - 1) < ms) return None // everything predates ms
+    if (tsAt(0) >= ms) {
+      // instant at or before the oldest surviving capture: exact only if
+      // no older capture was expired away
+      if (expiredThrough(spark, t.path) > Long.MinValue) refuse(
+        s"startingTimestamp $ms predates the oldest surviving capture " +
+          s"manifest of ${t.path} (feed retention expired older commits) " +
+          "— the true first commit at or after the instant may be gone; " +
+          "use startingVersion, or re-baseline the consumer")
+      return Some(ords(0))
+    }
+    // invariant: ts(lo) < ms <= ts(hi)
+    var lo = 0; var hi = ords.length - 1
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      if (tsAt(mid) >= ms) hi = mid else lo = mid
+    }
+    Some(ords(hi))
+  }
+
   // ---- read ----------------------------------------------------------------
 
   /** The row changes committed by ordinals `[startVersion, endVersion]`,

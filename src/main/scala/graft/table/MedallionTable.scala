@@ -591,6 +591,11 @@ final class MedallionTable(
   def setGeneratedColumn(name: String, exprSql: String): Unit = {
     require(!name.exists(c => c == '\t' || c == '\n') && !exprSql.contains('\n'),
       "generated column name/expression must be tab/newline-free")
+    // converse of setIdentityColumn's guard: one column cannot be both
+    // engine-assigned (IDENTITY) and expression-generated
+    require(!identityColumns.keys.exists(_.equalsIgnoreCase(name)),
+      s"$name is GENERATED ALWAYS AS IDENTITY — dropIdentityColumn() " +
+        "first to declare it as an expression-generated column")
     // Delta's rule: a generation expression may not reference another
     // generated column (or itself). Without this, [[enforced]]'s fold
     // over the registry Map would resolve chained generations
@@ -845,15 +850,27 @@ final class MedallionTable(
     val names = ids.keys.toSeq.sorted
       .filter(n => df.columns.exists(_.equalsIgnoreCase(n)))
     if (names.isEmpty) return df
-    names.foldLeft(df) { (d, nm) =>
-      val cached = d.localCheckpoint()
-      val nulls = cached.filter(col(nm).isNull)
-      if (nulls.head(1).isEmpty) cached
+    // Cheap existence probe on the UN-checkpointed frame first: the hot
+    // rewrite paths (delete/update/compact/overwrite) carry no NULL
+    // identities, so the common case pays one short-circuiting head(1)
+    // scan instead of a full localCheckpoint materialization of the
+    // rewrite product (round-14 advice). Only a frame that actually
+    // needs a fill is checkpointed — ONCE, for all identity columns
+    // (the per-column derivations below are filters/unions over that
+    // single materialization, so they re-traverse deterministically).
+    val anyNull = df
+      .filter(names.map(col(_).isNull).reduce(_ || _))
+      .head(1).nonEmpty
+    if (!anyNull) return df
+    val cached = df.localCheckpoint()
+    names.foldLeft(cached) { (d, nm) =>
+      val nulls = d.filter(col(nm).isNull)
+      if (nulls.head(1).isEmpty) d
       else {
         val assigned = assignIdentities(nulls.drop(nm), Seq(nm -> ids(nm)),
           alreadyMaterialized = true)
-        cached.filter(col(nm).isNotNull)
-          .unionByName(assigned.select(cached.columns.map(col): _*))
+        d.filter(col(nm).isNotNull)
+          .unionByName(assigned.select(d.columns.map(col): _*))
       }
     }
   }
@@ -1620,6 +1637,18 @@ final class MedallionTable(
     require(!partitionColumns.contains(oldName),
       s"rename: '$oldName' is a partition column — its directory layout " +
         "is physical; rewrite the table to rename it")
+    // identity registry is keyed by NAME (identity.tsv + the high-water
+    // entry): renaming a registered column would leave the registry
+    // pointing at the old name, and the next append's applyIdentityAppend
+    // would silently re-create it — mirror the CHECK-constraint refusal
+    require(!identityColumns.keys.exists(_.equalsIgnoreCase(oldName)),
+      s"rename: '$oldName' is GENERATED ALWAYS AS IDENTITY — the registry " +
+        "is keyed by name; dropIdentityColumn() first, rename, then " +
+        "re-declare (setIdentityColumn syncs the high-water from data)")
+    require(!identityColumns.keys.exists(_.equalsIgnoreCase(newName)),
+      s"rename: '$newName' is a registered identity column's name — the " +
+        "renamed data would collide with the engine-assigned slot; " +
+        "dropIdentityColumn() first")
     val offending = checkConstraints.filter { case (_, expr) =>
       s"\\b${java.util.regex.Pattern.quote(oldName)}\\b".r
         .findFirstIn(expr).isDefined
@@ -1679,6 +1708,13 @@ final class MedallionTable(
     require(!partitionColumns.contains(name),
       s"drop column: '$name' is a partition column — its directory layout " +
         "is physical; rewrite the table to drop it")
+    // same registry-keyed-by-name hazard as rename: a dropped identity
+    // column's registry entry would survive and the next append would
+    // silently resurrect the (tombstoned) physical slot with fresh ids
+    require(!identityColumns.keys.exists(_.equalsIgnoreCase(name)),
+      s"drop column: '$name' is GENERATED ALWAYS AS IDENTITY — " +
+        "dropIdentityColumn() first (it also retires the high-water " +
+        "entry), then drop the column")
     val offending = checkConstraints.filter { case (_, expr) =>
       s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
         .findFirstIn(expr).isDefined

@@ -236,6 +236,122 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("graft-cdf startingTimestamp resolves past marker retention: an " +
+      "instant deeper than HistoryDepth commits still delivers from the " +
+      "right captured commit") {
+    import spark.implicits._
+    import graft.table.MedallionTable
+    val p = tmpDir("cdfstdeep")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((0L, "z")).toDF("id", "s"))
+    t.enableChangeDataFeed()
+    t.append(Seq((1L, "old")).toDF("id", "s"))
+    Thread.sleep(20)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    // 12 commits at/after the instant — more than HistoryDepth (8), so
+    // only the newest 8 markers survive; the manifests all do. A
+    // marker-history resolution would silently clamp to the oldest
+    // surviving marker and lose the first ~4 commits (round-14 advice).
+    val n = 12
+    (0 until n).foreach(i =>
+      t.append(Seq((100L + i, s"n$i")).toDF("id", "s")))
+    val out = tmpDir("cdfstdeep_out")
+    val q = spark.readStream.format("graft-cdf").option("path", p)
+      .option("startingTimestamp", cut.toString).load()
+      .drop("_commit_timestamp")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("cdfstdeep_ck")).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSeq
+      .sorted == (0 until n).map(100L + _).sorted,
+      "every captured commit at/after the instant delivers, even past " +
+        "marker retention")
+  }
+
+  test("graft-cdf startingTimestamp predating expired captures refuses " +
+      "fail-stop instead of silently starting late") {
+    import spark.implicits._
+    import graft.table.MedallionTable
+    val p = tmpDir("cdfstexp")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((0L, "z")).toDF("id", "s"))
+    t.enableChangeDataFeed()
+    Thread.sleep(20)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    (0 until 10).foreach(i =>
+      t.append(Seq((100L + i, "b")).toDF("id", "s")))
+    t.expireChangeFeed(keepCommits = 3)
+    // the instant predates the oldest SURVIVING manifest and older
+    // captures were expired: the true first-at-or-after commit may be
+    // gone — must refuse, not clamp
+    val q = spark.readStream.format("graft-cdf").option("path", p)
+      .option("startingTimestamp", cut.toString).load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", tmpDir("cdfstexp_ck")).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("startingVersion") || msg.contains("re-baseline"),
+      s"refusal must name the hatch: $e")
+  }
+
+  test("graft-cdf rate-limit floor survives a crash window: one intact " +
+      "slot always holds the previous reported offset") {
+    import spark.implicits._
+    import graft.table.MedallionTable
+    val p = tmpDir("cdffloor")
+    val ck = tmpDir("cdffloor_ck")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((0L, "z")).toDF("id", "s"))
+    t.enableChangeDataFeed()
+    // 6 commits drained at maxCommitsPerTrigger=2 → >=3 batches, so the
+    // floor is persisted several times and BOTH slots are populated; the
+    // clamp binds on restart (en + 2 is far below the WAL's offset), so
+    // a lost floor would report below the checkpoint and re-deliver
+    (1 to 6).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    val out = tmpDir("cdffloor_out")
+    def startQ() =
+      spark.readStream.format("graft-cdf").option("path", p)
+        .option("maxCommitsPerTrigger", "2").load()
+        .drop("_commit_timestamp")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).start()
+    val q = startQ()
+    try q.processAllAvailable() finally q.stop()
+    def got() = spark.read.parquet(out).select("id").as[Long]
+      .collect().toSeq.sorted
+    assert(got() == (1L to 6L).toSeq)
+    // simulate the delete-then-rename crash window on the NEWER slot:
+    // with two alternating slots, the other still holds a floor ≥ the
+    // WAL's committed offset, so a restart re-delivers nothing
+    val fs = new org.apache.hadoop.fs.Path(ck)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sources = new org.apache.hadoop.fs.Path(ck, "sources/0")
+    val slot0 = new org.apache.hadoop.fs.Path(sources, "graft-cdf-reported")
+    val slot1 = new org.apache.hadoop.fs.Path(sources, "graft-cdf-reported.1")
+    assert(fs.exists(slot0) || fs.exists(slot1), "a floor slot must exist")
+    def slotVal(sp: org.apache.hadoop.fs.Path): Long =
+      if (!fs.exists(sp)) Long.MinValue
+      else {
+        val in = fs.open(sp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    assert(fs.exists(slot0) && fs.exists(slot1),
+      "repeated persists must populate BOTH alternating slots")
+    val newer = if (slotVal(slot0) >= slotVal(slot1)) slot0 else slot1
+    fs.delete(newer, false) // the crash window: newest write vanished
+    t.append(Seq((7L, "c")).toDF("id", "s"))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got() == (1L to 7L).toSeq,
+      s"restart inside the floor crash window must not re-deliver: ${got()}")
+  }
+
   test("graft-cdf maxCommitsPerTrigger bounds catch-up: 100+ commits " +
       "landed while down drain across >=3 batches, exactly-once") {
     import spark.implicits._

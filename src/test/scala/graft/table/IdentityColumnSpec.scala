@@ -121,6 +121,34 @@ class IdentityColumnSpec extends SparkSpec {
     assert(ids(t) == Seq(100L, 105L, 999L))
   }
 
+  test("DDL guards: rename/drop of a registered identity column refuse " +
+      "with the hatch named; setGeneratedColumn refuses an identity name") {
+    val t = MedallionTable(spark, tmpDir("idguards"))
+    t.setIdentityColumn("doc_id")
+    t.overwrite(Seq("a", "b").toDF("s"))
+    // rename would orphan the name-keyed registry: the next append would
+    // re-create 'doc_id' alongside the renamed data
+    val r = intercept[IllegalArgumentException](
+      t.renameColumn("doc_id", "row_key"))
+    assert(r.getMessage.contains("dropIdentityColumn"))
+    // renaming ONTO a registered identity name refuses (the schema
+    // already carries it; the identity guard is defense-in-depth behind)
+    intercept[IllegalArgumentException](t.renameColumn("s", "doc_id"))
+    // drop would leave the registry resurrecting the column on append
+    val d = intercept[IllegalArgumentException](t.dropColumn("doc_id"))
+    assert(d.getMessage.contains("dropIdentityColumn"))
+    // one column cannot be both IDENTITY and expression-generated
+    val g = intercept[IllegalArgumentException](
+      t.setGeneratedColumn("doc_id", "length(s)"))
+    assert(g.getMessage.contains("IDENTITY"))
+    // the hatch works: retire the registry entry, then rename freely
+    t.dropIdentityColumn("doc_id")
+    t.renameColumn("doc_id", "row_key")
+    t.append(Seq("c").toDF("s"))
+    assert(t.read.columns.sorted.toSeq == Seq("row_key", "s"),
+      "no resurrected identity column after the hatch")
+  }
+
   test("concurrent appends allocate collision-free, dense ranges") {
     val t = MedallionTable(spark, tmpDir("idconc"))
     t.setIdentityColumn("doc_id")
