@@ -33,8 +33,12 @@ import graft.table.{MedallionTable, MergeOps}
   *     ON would force an all-pairs join — the shape that dies at scale);
   *   - no subqueries inside conditions (Delta refuses these too);
   *   - no nested-field assignments;
-  *   - `WITH SCHEMA EVOLUTION` is not supported;
   *   - snapshot tables (`OPTIONS (versionAsOf N)`) are read-only.
+  *
+  * `MERGE … WITH SCHEMA EVOLUTION` (and `spark.graft.autoMergeSchema`)
+  * are supported: Spark's ResolveMergeIntoSchemaEvolution alters the
+  * catalog schema from the source before this rule runs, and the flag
+  * threads through to the table layer to widen the physical table.
   *
   * Activation: sessions built with `spark.sql.extensions =
   * graft.plans.GraftExtensions` (e.g. [[graft.GraftSession]]). Analyzer
@@ -67,8 +71,16 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable).map { case (rel, path) =>
-        if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-          "MERGE … WITH SCHEMA EVOLUTION is not supported for graft tables")
+        // WITH SCHEMA EVOLUTION (and the autoMerge capability) are
+        // resolved BEFORE this rule by Spark's own
+        // ResolveMergeIntoSchemaEvolution: it computes the schema changes
+        // from the source, alters the CATALOG table, and re-resolves the
+        // target — so the assignments below already reference the evolved
+        // columns. The flag still threads through to the table layer,
+        // which widens the PHYSICAL table (rewrite: in-pass; DV path: a
+        // SchemaOverlay ADD inside the merge commit).
+        val evolve = m.withSchemaEvolution ||
+          spark.conf.getOption(GraftDml.AutoMergeKey).exists(_.toBoolean)
         val tOut = rel.outputSet
         val sOut = m.sourceTable.outputSet
         requireNoSubquery(m.mergeCondition, "MERGE ON condition")
@@ -111,7 +123,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
         }
         GraftMergeCommand(path, m.sourceTable, keys, matched, notMatched,
-          bySource, rel)
+          bySource, rel, evolve)
       }.getOrElse(m)
 
     case p => p
@@ -218,6 +230,14 @@ final case class GraftDeleteCommand(path: String, cond: Column,
 }
 
 private[plans] object GraftDml {
+  /** Session flag turning on merge schema evolution without the SQL
+    * clause — Delta's `spark.databricks.delta.schema.autoMerge.enabled`
+    * analog. Read by [[GraftDmlRule]] for the table-layer widening AND by
+    * the catalog table's capabilities (AUTOMATIC_SCHEMA_EVOLUTION), which
+    * arms Spark's own analyzer-side catalog evolution.
+    */
+  val AutoMergeKey = "spark.graft.autoMergeSchema"
+
   /** Cached plans over the table (CACHE TABLE / df.cache) must not keep
     * serving pre-DML rows — the same invalidation Spark's own v2 DML and
     * Delta perform after a write (review finding, round 10).
@@ -278,15 +298,18 @@ final case class GraftMergeCommand(
     matched: Seq[MergeOps.WhenClause],
     notMatched: Seq[MergeOps.WhenNotMatchedInsert],
     notMatchedBySource: Seq[MergeOps.WhenClause],
-    targetRelation: LogicalPlan) extends LeafRunnableCommand {
+    targetRelation: LogicalPlan,
+    evolveSchema: Boolean = false) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val t = new MedallionTable(spark, path)
     val dv = spark.conf.getOption("spark.graft.dvWrites").exists(_.toBoolean)
     if (dv && notMatchedBySource.isEmpty)
-      t.mergeVectored(B.ofRows(spark, source), keys, matched, notMatched)
+      t.mergeVectored(B.ofRows(spark, source), keys, matched, notMatched,
+        evolveSchema = evolveSchema)
     else t.mergeClauses(
-      B.ofRows(spark, source), keys, matched, notMatched, notMatchedBySource)
+      B.ofRows(spark, source), keys, matched, notMatched, notMatchedBySource,
+      evolveSchema = evolveSchema)
     GraftDml.invalidateCaches(spark, path, Some(targetRelation))
     Seq.empty
   }

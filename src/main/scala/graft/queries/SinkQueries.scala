@@ -635,6 +635,46 @@ object SinkQueries {
         $"o_channel")
     }),
 
+    // K4 — MERGE … WITH SCHEMA EVOLUTION (round-14 verdict #1): ONE SQL
+    // statement adds the source-only column AND upserts — Spark's
+    // analyzer evolves the catalog (armed by the table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability), and the table layer widens
+    // the physical table in the same merge (typed-NULL old rows — the K4
+    // mergeSchema contract the reference exercises on every save,
+    // bronze_table_creation.py:26 et al.). Flag-off refusal stays pinned
+    // by MergeVectoredSpec; the DV-path twin by GraftDmlSpec.
+    "k4_merge_auto_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k4_auto_evo")
+      Q.deleteDir(s, p)
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.select($"o_orderkey", $"o_orderstatus", $"o_totalprice"))
+      s.sql("DROP TABLE IF EXISTS graft_cat_evo")
+      s.sql(s"CREATE TABLE graft_cat_evo USING graft LOCATION '$p'")
+      // evolution takes the new column FROM THE SOURCE SCHEMA: the
+      // evolved name must be a source column (Spark derives the catalog
+      // change from it; Delta's contract too)
+      o.filter($"o_orderkey" % 40 === 0)
+        .select($"o_orderkey".as("k"), lit("web").as("o_channel"),
+          ($"o_totalprice" + 5).as("tp"))
+        .unionByName(o.filter($"o_orderkey" % 400 === 0)
+          .select(($"o_orderkey" + 30000000L).as("k"),
+            lit("new").as("o_channel"), $"o_totalprice".as("tp")))
+        .createOrReplaceTempView("k4evo_src")
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft_cat_evo t
+          |USING k4evo_src s ON t.o_orderkey = s.k
+          |WHEN MATCHED THEN
+          |  UPDATE SET o_totalprice = s.tp, o_channel = s.o_channel
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus,
+          |  o_totalprice, o_channel) VALUES (s.k, 'N', s.tp, s.o_channel)
+          |""".stripMargin)
+      t.read.select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_channel")
+    }),
+
     // K6 — bloom-index point-lookup skipping: the table is clustered by
     // DATE (the natural log layout), so every file's o_orderkey [min,max]
     // spans the whole key domain and the stats manifest prunes NOTHING
@@ -1642,6 +1682,25 @@ object SinkQueries {
          |  FROM orders WHERE o_orderkey % 40 = 0
          |  UNION ALL
          |  SELECT o_orderkey + 20000000 AS k, 'new' AS ch, o_totalprice AS tp
+         |  FROM orders WHERE o_orderkey % 400 = 0
+         |)
+         |SELECT
+         |  COALESCE(t.o_orderkey, s.k) AS o_orderkey,
+         |  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderstatus
+         |       ELSE 'N' END AS o_orderstatus,
+         |  CAST(ROUND((CASE WHEN s.k IS NOT NULL THEN s.tp
+         |       ELSE t.o_totalprice END) * 100) AS BIGINT) AS cents,
+         |  CASE WHEN s.k IS NOT NULL THEN s.ch END AS o_channel
+         |FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.k
+         |""".stripMargin),
+    "k4_merge_auto_evolution" ->
+      ("""WITH tgt AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |), src AS (
+         |  SELECT o_orderkey AS k, 'web' AS ch, o_totalprice + 5 AS tp
+         |  FROM orders WHERE o_orderkey % 40 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 30000000 AS k, 'new' AS ch, o_totalprice AS tp
          |  FROM orders WHERE o_orderkey % 400 = 0
          |)
          |SELECT

@@ -129,9 +129,14 @@ private[sources] final class GraftSqlTable(path: String, tableSchema: StructType
       .identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     // V1_BATCH_WRITE (not BATCH_WRITE): routes the planner to the
-    // AppendDataExecV1 path that honors V1Write.toInsertableRelation
+    // AppendDataExecV1 path that honors V1Write.toInsertableRelation.
+    // AUTOMATIC_SCHEMA_EVOLUTION declares that the table layer CAN evolve
+    // under MERGE — Spark's analyzer only acts on it when the statement
+    // carries `WITH SCHEMA EVOLUTION` (MergeIntoTable.schemaEvolutionEnabled
+    // is the conjunction of the clause and this capability), so plain
+    // merges keep their exact refusal semantics.
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, tableSchema, versionAsOf)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -374,7 +379,18 @@ private[sources] final class GraftV1Scan(path: String, required: StructType,
               else df.withColumn(f.name,
                 org.apache.spark.sql.functions.lit(null).cast(f.dataType))
             }
-          case None => versionAsOf.map(mt.readVersion).getOrElse(mt.read)
+          case None =>
+            val b0 = versionAsOf.map(mt.readVersion).getOrElse(mt.read)
+            // catalog schema may run AHEAD of the physical table (merge
+            // schema evolution alters the catalog at analysis; a crash
+            // before the merge executes leaves the column catalog-only) —
+            // surface such columns as typed NULLs, the ADD COLUMN
+            // contract, instead of an unresolved projection below
+            required.fields.foldLeft(b0) { (df, f) =>
+              if (df.columns.contains(f.name)) df
+              else df.withColumn(f.name,
+                org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+            }
         }
         val projected = base.select(required.fieldNames.map(col).toIndexedSeq: _*)
         pushed.flatMap(GraftFilterTranslator.translate)

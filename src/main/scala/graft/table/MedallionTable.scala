@@ -1129,22 +1129,51 @@ final class MedallionTable(
     *        duplicate source row and silently duplicate it in the
     *        rewritten table (review finding, round 10).
     */
+  /** Session flag making every library-path merge schema-evolving —
+    * Delta's `schema.autoMerge.enabled` analog. (SQL merges evolve via
+    * the `WITH SCHEMA EVOLUTION` clause, which Spark's analyzer gates.)
+    */
+  private def autoMergeSchemaConf: Boolean =
+    spark.conf.getOption("spark.graft.autoMergeSchema").exists(_.toBoolean)
+
+  /** @param evolveSchema `MERGE … WITH SCHEMA EVOLUTION` / the
+    *        `spark.graft.autoMergeSchema` session flag: assignments to
+    *        columns the target lacks WIDEN the table — each new column is
+    *        typed from the like-named SOURCE column, old rows read it as
+    *        typed NULL (Delta autoMerge's contract). Off (default), such
+    *        assignments refuse fail-stop with the hatches named.
+    */
   def mergeClauses(
       source: DataFrame,
       keys: Seq[(String, String)],
       matched: Seq[MergeOps.WhenClause],
       notMatched: Seq[MergeOps.WhenNotMatchedInsert],
       notMatchedBySource: Seq[MergeOps.WhenClause],
-      checkUniqueKeys: Boolean = true): Unit = {
+      checkUniqueKeys: Boolean = true,
+      evolveSchema: Boolean = false): Unit = {
     if (checkUniqueKeys)
       MergeOps.requireUniqueKeys(source, keys.map(_._2))
-    MergeOps.refuseEvolvedAssignments(read.columns.toSeq,
-      matched ++ notMatched ++ notMatchedBySource, path)
-    refuseIdentitySet(MergeOps.assignedColumns(
-      matched ++ notMatched ++ notMatchedBySource), "MERGE clause")
+    val clauses = matched ++ notMatched ++ notMatchedBySource
+    val evolved =
+      if (evolveSchema || autoMergeSchemaConf)
+        MergeOps.resolveEvolvedFromSource(read.columns.toSeq, clauses,
+          source, path)
+      else {
+        MergeOps.refuseEvolvedAssignments(read.columns.toSeq, clauses, path)
+        Nil
+      }
+    refuseIdentitySet(MergeOps.assignedColumns(clauses), "MERGE clause")
     rewriteVia(
-      MergeOps.mergeClauses(read, source, keys, matched, notMatched,
-        notMatchedBySource),
+      {
+        // target widened with source-typed NULL columns INSIDE the
+        // by-name rewrite product (the fence contract): the rewrite then
+        // materializes the evolved schema physically in one pass
+        val target = evolved.foldLeft(read) { case (d, (n, dt)) =>
+          d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(dt))
+        }
+        MergeOps.mergeClauses(target, source, keys, matched, notMatched,
+          notMatchedBySource)
+      },
       op = "merge")
   }
 
@@ -1188,16 +1217,26 @@ final class MedallionTable(
       keys: Seq[(String, String)],
       matched: Seq[MergeOps.WhenClause],
       notMatched: Seq[MergeOps.WhenNotMatchedInsert],
-      checkUniqueKeys: Boolean = true): Unit = withClaimedCommit("merge-dv") {
+      checkUniqueKeys: Boolean = true,
+      evolveSchema: Boolean = false): Unit = withClaimedCommit("merge-dv") {
     import org.apache.spark.sql.functions.col
     requireNoDeltaLogForDv()
     if (checkUniqueKeys)
       MergeOps.requireUniqueKeys(source, keys.map(_._2))
-    val logical = read
-    MergeOps.refuseEvolvedAssignments(logical.columns.toSeq,
-      matched ++ notMatched, path)
     refuseIdentitySet(MergeOps.assignedColumns(matched ++ notMatched),
       "MERGE clause")
+    if (evolveSchema || autoMergeSchemaConf)
+      // Schema evolution on the DV path is METADATA-ONLY, recorded inside
+      // this merge's own claimed commit: each new column lands as a
+      // SchemaOverlay ADD (typed from the source), so base files read it
+      // as typed NULL while the staged batch materializes real values —
+      // zero base-file rewrites, the same cost shape as the merge itself.
+      MergeOps.resolveEvolvedFromSource(read.columns.toSeq,
+        matched ++ notMatched, source, path)
+        .foreach { case (n, dt) => recordAddColumn(n, dt.sql) }
+    val logical = read // post-evolution: includes any just-added columns
+    MergeOps.refuseEvolvedAssignments(logical.columns.toSeq,
+      matched ++ notMatched, path)
     val liveAll = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
       dvLiveWithPos(), ColumnMap.load(spark, path)))
     // Partition-pruned table pass: when a partition column is among the
@@ -1675,7 +1714,14 @@ final class MedallionTable(
     * the (name, type) declaration; reads surface a typed NULL until some
     * write materializes the column. Zero data work at any table size.
     */
-  def addColumn(name: String, typeDdl: String): Unit = {
+  def addColumn(name: String, typeDdl: String): Unit =
+    withClaimedCommit("add-column") { recordAddColumn(name, typeDdl) }
+
+  /** [[addColumn]]'s body without the claimed commit — for callers already
+    * inside one (schema-evolving MERGE records its new columns as part of
+    * its OWN commit, the transactional shape Delta's autoMerge has).
+    */
+  private def recordAddColumn(name: String, typeDdl: String): Unit = {
     val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl) // validates
     val schema = read.schema
     require(!schema.fieldNames.contains(name),
@@ -1688,11 +1734,9 @@ final class MedallionTable(
       s"add column: '$name' is the physical slot of a renamed column — " +
         "new files would collide with the old bytes; OPTIMIZE to " +
         "materialize the rename first")
-    withClaimedCommit("add-column") {
-      SchemaOverlay.recordAdd(spark, path, name, typeDdl)
-      stashSchema(org.apache.spark.sql.types.StructType(
-        schema.fields :+ org.apache.spark.sql.types.StructField(name, dt)))
-    }
+    SchemaOverlay.recordAdd(spark, path, name, typeDdl)
+    stashSchema(org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(name, dt)))
   }
 
   /** Metadata-only `ALTER TABLE DROP COLUMN` ([[SchemaOverlay]]): the

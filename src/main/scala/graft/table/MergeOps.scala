@@ -386,6 +386,29 @@ object MergeOps {
     assignedColumns(clauses).filterNot(c => have.contains(c.toLowerCase))
   }
 
+  /** Evolved assignment names typed from the SOURCE schema — the Delta
+    * autoMerge contract (`WITH SCHEMA EVOLUTION` / the autoMerge session
+    * flag): evolution adds exactly the columns the source carries, with
+    * the source's type; old rows read them as typed NULL. An evolved
+    * assignment whose name has NO source column cannot be typed and
+    * refuses with the ADD COLUMN hatch (Delta refuses these too — its
+    * evolution is derived from the source schema, not from assignment
+    * names).
+    */
+  private[table] def resolveEvolvedFromSource(targetCols: Seq[String],
+      clauses: Seq[WhenClause], source: DataFrame, path: String)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    evolvedAssignments(targetCols, clauses).map { c =>
+      source.schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+        case Some(f) => c -> f.dataType
+        case None => throw new IllegalStateException(
+          s"merge into $path assigns new column $c, but the source " +
+            "carries no column of that name to take its type from — " +
+            "schema evolution adds only source-typed columns; ALTER " +
+            s"TABLE ... ADD COLUMN $c first")
+      }
+    }
+
   private[table] def refuseEvolvedAssignments(targetCols: Seq[String],
       clauses: Seq[WhenClause], path: String): Unit = {
     val gone = evolvedAssignments(targetCols, clauses)
