@@ -63,8 +63,11 @@ import org.apache.spark.sql.functions._
   *
   * == Read (O(changed rows) + O(touched files) scans) ==
   *
-  * [[read]] unions one branch per commit class:
-  *  - insert branches scan exactly the recorded files;
+  * [[read]] unions one branch per commit CLASS (not per commit):
+  *  - append-class inserts are ONE scan over every in-range commit's
+  *    recorded files, attributed to their commits by a broadcast
+  *    file-key join (a file is added by exactly one commit) — an
+  *    N-append range costs one plan branch, not N;
   *  - positional reconstruction gathers ALL commits' marks into ONE
   *    frame and joins the needed base files ONCE (the
   *    [[DvUpdates.amendedOnce]] lesson: per-branch joins cost ~1 s of
@@ -639,12 +642,12 @@ object ChangeFeed {
       * per-group basePath so partition values parse, mapped to logical
       * names. Extra position/key columns included when `withPos`.
       */
-    def scanResolved(keys: Seq[String], what: String, c: Long,
+    def scanResolved(keys: Seq[String], what: String, cOf: String => Long,
         withPos: Boolean): Option[DataFrame] = {
       if (keys.isEmpty) return None
       val resolved = keys.map { k =>
         dataIndex.getOrElse(k, refuse(
-          s"commit $c of ${t.path}: $what file '$k' is no longer " +
+          s"commit ${cOf(k)} of ${t.path}: $what file '$k' is no longer " +
             "resolvable (compacted or vacuumed, and not covered by a " +
             "retained snapshot) — re-baseline the consumer with a full " +
             "read, or raise retainVersions"))
@@ -666,6 +669,14 @@ object ChangeFeed {
 
     // accumulated branches, each already carrying _change_type + commit cols
     val branches = Seq.newBuilder[DataFrame]
+    // append-class (typ=files) insert requests, gathered for ONE scan:
+    // file key -> (commit, ts). Formerly one scanResolved per commit —
+    // O(commits) driver-side plan branches; an append-heavy range (the
+    // common shape: RetentionProbe's 120-commit window) now costs one
+    // scan over the union of recorded files plus a broadcast join against
+    // this tiny key map (a file is added by exactly ONE commit, so the
+    // inner equi-join attributes each row exactly once).
+    val fileReqs = Seq.newBuilder[(String, Long, Long)]
     // positional reconstruction requests, gathered for ONE join
     // (commit, role, ts, marks source)
     final case class MarkReq(c: Long, role: String, ts: Long,
@@ -690,8 +701,7 @@ object ChangeFeed {
       val ts = tsOf(c, mOpt)
       mOpt match {
         case Some(m) if m.typ == "files" =>
-          scanResolved(m.files, "appended", c, withPos = false).foreach(df =>
-            branches += stamp(df, c, ts, Some("insert")))
+          m.files.foreach(k => fileReqs += ((k, c, ts)))
         case Some(m) if m.typ == "marks" =>
           val paths = m.marks.map(rel => resolveMark(spark, t, rel)
             .getOrElse(refuse(
@@ -702,7 +712,7 @@ object ChangeFeed {
         case Some(m) if m.typ == "batch" =>
           val isMerge = m.keys.nonEmpty
           // postimages: the staged batch's data files
-          scanResolved(m.files, "batch", c, withPos = false).foreach { df =>
+          scanResolved(m.files, "batch", _ => c, withPos = false).foreach { df =>
             branches += stamp(df, c, ts,
               Some(if (isMerge) "__merge_post" else "update_postimage"))
           }
@@ -745,6 +755,32 @@ object ChangeFeed {
       }
     }
 
+    // ---- ONE scan + broadcast key join for every append-class commit ----
+    // _change_type stays a per-branch LITERAL ("insert"), so the merge
+    // classification's plan-level pruning below still constant-folds this
+    // branch out of the merge-row split; only the commit/ts columns come
+    // from the join. Merge/update postimages keep their own branches —
+    // their _change_type literal is what lets the classifier prune.
+    val fReqs = fileReqs.result()
+    if (fReqs.nonEmpty) {
+      val fileReqCommit: String => Long =
+        fReqs.map(r => r._1 -> r._2).toMap.getOrElse(_, -1L)
+      val meta = spark.createDataFrame(fReqs).toDF(
+        "__fm_key", "__fm_c", "__fm_ts")
+      scanResolved(fReqs.map(_._1), "appended",
+        fileReqCommit, withPos = true)
+        .foreach { rows =>
+          val attributed = rows
+            .join(broadcast(meta), col("__cf_file") === col("__fm_key"),
+              "inner")
+          branches += attributed
+            .withColumn(ChangeTypeCol, lit("insert"))
+            .withColumn(CommitVersionCol, col("__fm_c"))
+            .withColumn(CommitTimestampCol, timestamp_millis(col("__fm_ts")))
+            .drop("__cf_file", "__cf_pos", "__fm_key", "__fm_c", "__fm_ts")
+        }
+    }
+
     // ---- ONE positional-reconstruction join for every marks request ----
     val reqs = markReqs.result()
     if (reqs.nonEmpty) {
@@ -760,7 +796,7 @@ object ChangeFeed {
       // files are legal (an insert-only merge's committed witness).
       val needed = marks.select("__cf_file").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
-      scanResolved(needed, "marked base", -1L, withPos = true).foreach { rows =>
+      scanResolved(needed, "marked base", _ => -1L, withPos = true).foreach { rows =>
         val recon = rows.join(broadcast(marks),
           Seq("__cf_file", "__cf_pos"), "inner")
         branches += recon
