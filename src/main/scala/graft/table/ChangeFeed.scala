@@ -158,13 +158,35 @@ object ChangeFeed {
     */
   private def writeTextAtomic(fs: FileSystem, p: Path, text: String): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val staged = new Path(p.getParent, s"${p.getName}.new")
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
-    // delete-then-rename (not rename-over): Hadoop refuses the latter,
-    // and a raw-layer retry desynchronizes ChecksumFileSystem's crc
-    // sidecar from the data file
+    // TWO-PHASE replace (round-15): the new value lands COMPLETE at a
+    // durable staging name (its own rename, so it is never partial)
+    // before the destination is touched. A crash between the delete and
+    // the final rename used to leave the file ABSENT — for a watermark
+    // that meant losing the retention/mirror floor; now readers fall
+    // back to `<name>.new` ([[readTextStaged]]) and see the value the
+    // crashed writer had fully staged.
+    if (fs.exists(staged)) fs.delete(staged, false)
+    if (!fs.rename(tmp, staged)) { fs.delete(tmp, false); return }
     if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    MedallionTable.testFailpoint("cdf-watermark-post-delete")
+    // a failed final rename is a true concurrent writer (they landed the
+    // destination between our delete and rename): keep THEIRS and clear
+    // our staging so no stale fallback survives (retried ops write
+    // identical bytes; watermark writers are maintenance-serialized)
+    if (!fs.rename(staged, p)) fs.delete(staged, false)
+  }
+
+  /** Watermark read with the two-phase fallback: the destination when
+    * present, else the fully-staged `<name>.new` a writer crashed before
+    * renaming (see [[writeTextAtomic]]). None = neither exists.
+    */
+  private def readTextStaged(fs: FileSystem, p: Path): Option[String] = {
+    if (fs.exists(p)) return Some(readText(fs, p))
+    val staged = new Path(p.getParent, s"${p.getName}.new")
+    if (fs.exists(staged)) Some(readText(fs, staged)) else None
   }
 
   def isEnabled(spark: SparkSession, tablePath: String): Boolean =
@@ -302,9 +324,8 @@ object ChangeFeed {
     */
   def expiredThrough(spark: SparkSession, tablePath: String): Long = {
     val fs = fsOf(spark, tablePath)
-    val p = expiredFile(tablePath)
-    if (!fs.exists(p)) Long.MinValue
-    else readText(fs, p).trim.toLongOption.getOrElse(Long.MinValue)
+    readTextStaged(fs, expiredFile(tablePath))
+      .flatMap(_.trim.toLongOption).getOrElse(Long.MinValue)
   }
 
   /** Feed-manifest retention janitor: capture manifests accumulate one
@@ -654,7 +675,12 @@ object ChangeFeed {
       }
       val dfs = resolved.groupBy(r => (r._2, r._3)).toSeq
         .sortBy(_._1._1).map { case ((root, cmap), grp) =>
-          val raw = spark.read.option("basePath", root)
+          // mergeSchema: one consolidated scan may span files written on
+          // both sides of a schema evolution (the per-op-class fold) —
+          // without it the scan schema is first-file order luck and an
+          // evolved column can vanish from older rows' branch entirely
+          val raw = spark.read.option("mergeSchema", "true")
+            .option("basePath", root)
             .parquet(grp.map(_._1).distinct: _*)
           val keyed =
             if (withPos) raw
@@ -921,8 +947,8 @@ object ChangeFeed {
     val fs = fsOf(spark, mirror.path)
     val wmFile = mirrorWatermarkFile(mirror.path)
     val wm: Option[Long] =
-      if (!fs.exists(wmFile) || !mirror.exists) None
-      else readText(fs, wmFile).trim.toLongOption
+      if (!mirror.exists) None
+      else readTextStaged(fs, wmFile).flatMap(_.trim.toLongOption)
     // completion-witnessed head, not the raw marker head: a replication
     // racing an in-flight writer must not refuse on (or stamp past) a
     // commit whose capture hasn't landed yet

@@ -564,6 +564,60 @@ class ChangeFeedSpec extends SparkSpec {
       s"per-commit key sets must classify within their own slice: $got")
   }
 
+  test("watermark two-phase write: a crash between delete and rename " +
+      "keeps the NEW expired_through visible (staged fallback), hatch " +
+      "still named; mirror watermark survives the same window") {
+    import spark.implicits._
+    val p = tmpDir("cfwm2p")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((0L, "z")).toDF("id", "s"))
+    t.enableChangeDataFeed()
+    (1 to 8).foreach(i => t.append(Seq((i.toLong, "a")).toDF("id", "s")))
+    val e1 = t.expireChangeFeed(keepCommits = 6) // first write: no delete
+    // SECOND write: delete-then-rename — crash in the window
+    MedallionTable.testFailpoint = {
+      case "cdf-watermark-post-delete" =>
+        MedallionTable.testFailpoint = _ => ()
+        throw new RuntimeException("boom: watermark crash window")
+      case _ => ()
+    }
+    val boom = intercept[RuntimeException](t.expireChangeFeed(keepCommits = 2))
+    assert(boom.getMessage.contains("boom"))
+    val after = ChangeFeed.expiredThrough(spark, p)
+    assert(after > e1,
+      s"staged fallback must surface the NEW watermark, got $after vs $e1")
+    // the refusal still names the retention hatch off the staged value
+    val head = ChangeFeed.capturedThrough(t)
+    val r = intercept[IllegalStateException](
+      t.readChangeFeed(after, head).collect())
+    assert(r.getMessage.contains("retention"), s"hatch named: $r")
+    // a later clean write heals the staging (rename lands)
+    val e3 = t.expireChangeFeed(keepCommits = 1)
+    assert(ChangeFeed.expiredThrough(spark, p) == e3 && e3 >= after)
+
+    // mirror watermark: same crash window must not reset replication to
+    // its bootstrap ordinal (the round-14 re-read bug, now crash-proof)
+    val mp = tmpDir("cfwm2p_mir")
+    val m = MedallionTable(spark, mp)
+    ChangeFeed.replicateTo(t, m, Seq("id")) // bootstrap + first stamp
+    t.append(Seq((100L, "n")).toDF("id", "s"))
+    MedallionTable.testFailpoint = {
+      case "cdf-watermark-post-delete" =>
+        MedallionTable.testFailpoint = _ => ()
+        throw new RuntimeException("boom: mirror watermark crash")
+      case _ => ()
+    }
+    try intercept[RuntimeException](ChangeFeed.replicateTo(t, m, Seq("id")))
+    finally MedallionTable.testFailpoint = _ => ()
+    // the apply itself completed before the stamp: mirror holds the row
+    assert(m.read.filter($"id" === 100L).count() == 1)
+    // and the staged watermark means the next refresh reads only the
+    // unseen window (nothing new here) instead of re-applying from
+    // bootstrap — it must be a cheap no-op that converges
+    ChangeFeed.replicateTo(t, m, Seq("id"))
+    assert(m.read.count() == t.read.count(), "mirror ≡ source after heal")
+  }
+
   test("a renamed merge key refuses classification cleanly") {
     import MergeOps._
     val t = mk()
