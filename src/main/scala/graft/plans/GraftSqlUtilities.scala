@@ -117,6 +117,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftAddConstraintCommand(target.trim, cname.trim, cexpr.trim)
       case DropConstraintRe(target, cname) if isGraftTarget(spark, target) =>
         GraftDropConstraintCommand(target.trim, cname.trim)
+      case SetNotNullRe(target, cname) if isGraftTarget(spark, target) =>
+        GraftNotNullCommand(target.trim, cname.trim, set = true)
+      case DropNotNullRe(target, cname) if isGraftTarget(spark, target) =>
+        GraftNotNullCommand(target.trim, cname.trim, set = false)
       case EnableCdfRe(target) if isGraftTarget(spark, target) =>
         GraftEnableCdfCommand(target.trim)
       case SetGeneratedRe(target, name, exprSql) if isGraftTarget(spark, target) =>
@@ -281,6 +285,10 @@ object GraftSqlParser {
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
   private[plans] val DropConstraintRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)""".r
+  private[plans] val SetNotNullRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+NOT\\s+NULL""".r
+  private[plans] val DropNotNullRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+NOT\\s+NULL""".r
   private[plans] val SetGeneratedRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+GENERATED\\s+COLUMN\\s+(\\w+)\\s+AS\\s*\\((.+)\\)""".r
   private[plans] val DropGeneratedRe: Regex =
@@ -900,6 +908,21 @@ final case class GraftDropConstraintCommand(target: String, cname: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     new MedallionTable(spark, path).dropCheckConstraint(cname)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET NOT NULL` / `… DROP NOT NULL` —
+  * Delta parity ([[graft.table.MedallionTable.setNotNull]]): SET
+  * validates existing rows first, then every write pass gates the
+  * column (including DV update/merge staged batches and batches that
+  * omit the column); DROP re-opens it.
+  */
+final case class GraftNotNullCommand(target: String, cname: String,
+    set: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new MedallionTable(spark, GraftSqlParser.resolvePath(spark, target))
+    if (set) t.setNotNull(cname) else t.dropNotNull(cname)
     Seq.empty
   }
 }

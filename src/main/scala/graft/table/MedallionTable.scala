@@ -548,6 +548,66 @@ final class MedallionTable(
   def dropCheckConstraint(name: String): Unit =
     persistConstraints(checkConstraints - name)
 
+  // ---- NOT NULL constraints (ALTER COLUMN … SET/DROP NOT NULL) ----------
+
+  private def notNullFile = new Path(path, "_graft_meta/notnull.tsv")
+
+  /** Columns under a NOT NULL constraint (Delta's `ALTER COLUMN … SET
+    * NOT NULL`). Enforced on every write pass through the same
+    * [[graft.functions.CheckInvariant]] as CHECK constraints — including
+    * a batch that OMITS the column entirely (it would read back as NULL,
+    * so it violates; Delta's nullable=false contract).
+    */
+  def notNullColumns: Set[String] =
+    if (!fs.exists(notNullFile)) Set.empty
+    else readMetaText(notNullFile).split('\n').filter(_.nonEmpty).toSet
+
+  private def persistNotNull(ns: Set[String],
+      base: Path = new Path(path)): Unit = {
+    val file = new Path(base, "_graft_meta/notnull.tsv")
+    if (ns.isEmpty) { if (fs.exists(file)) fs.delete(file, false) }
+    else writeMetaText(file, ns.toSeq.sorted.mkString("\n"))
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN name SET NOT NULL`: validates the
+    * EXISTING rows first (one short-circuiting scan, like
+    * [[addCheckConstraint]]), then arms the write-pass gate on every
+    * path — append/create, rewrite merges/updates, and the DV
+    * update/merge staged batches.
+    */
+  def setNotNull(name: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n'),
+      "column name must be tab/newline-free")
+    if (exists) {
+      val schema = read.schema
+      require(schema.fieldNames.contains(name),
+        s"SET NOT NULL: column '$name' not in " +
+          schema.fieldNames.mkString("[", ",", "]"))
+      val bad = read.filter(
+        org.apache.spark.sql.functions.col(
+          "`" + name.replace("`", "``") + "`").isNull).limit(1).count()
+      require(bad == 0,
+        s"cannot SET NOT NULL on $name: existing rows carry NULLs — " +
+          "backfill them first (e.g. UPDATE … SET with a default)")
+    }
+    persistNotNull(notNullColumns + name)
+  }
+
+  /** `ALTER COLUMN name DROP NOT NULL` — re-opens the column. */
+  def dropNotNull(name: String): Unit =
+    persistNotNull(notNullColumns - name)
+
+  /** Synthetic write-pass invariants for the registered NOT NULL columns
+    * — fed into [[enforced]] alongside the CHECKs (never persisted into
+    * constraints.tsv). `IS NOT NULL` is FALSE exactly on a NULL, so SQL
+    * CHECK semantics enforce it; a column the batch lacks is widened to
+    * NULL by enforceChecks and violates, as it must.
+    */
+  private def notNullInvariants(ns: Set[String] = notNullColumns)
+      : Map[String, String] =
+    ns.map(c =>
+      s"__notnull_$c" -> s"`${c.replace("`", "``")}` IS NOT NULL").toMap
+
   // ---- generated columns (Delta GENERATED ALWAYS AS parity) --------------
 
   private def generatedFile = new Path(path, "_graft_meta/generated.tsv")
@@ -906,7 +966,7 @@ final class MedallionTable(
     * joins, and the column can't be pruned because it IS written.
     */
   private def enforced(df: DataFrame,
-      cs0: Map[String, String] = checkConstraints,
+      cs0: Map[String, String] = checkConstraints ++ notNullInvariants(),
       gens: Map[String, String] = generatedColumns): DataFrame = {
     // Generated columns first (constraints may reference them): a column
     // the incoming frame lacks is COMPUTED in-pass; a provided one turns
@@ -1046,16 +1106,18 @@ final class MedallionTable(
       val cs = checkConstraints
       val gs = generatedColumns
       val ics = identityColumns
+      val nns = notNullColumns
       withClaimedCommit("create-overwrite") {
         // SaveMode.Overwrite deletes the dir (registries included) BEFORE
         // the job runs — restore the pre-create registries even when the
         // write fails, or a rejected/failed first batch silently disarms
         // the gate (and forgets the generated columns). Identity
         // assignment runs during argument evaluation, before the delete.
-        try writer(enforced(applyIdentityAppend(df), cs, gs),
+        try writer(enforced(applyIdentityAppend(df),
+            cs ++ notNullInvariants(nns), gs),
           SaveMode.Overwrite).parquet(path)
         finally { persistConstraints(cs); persistGenerated(gs)
-          persistIdentityCols(ics) }
+          persistIdentityCols(ics); persistNotNull(nns) }
         stashSchema(df.schema)
         // same NonFatal guard as appendBody: a capture IO failure must
         // not unwind withClaimedCommit (which would delete the claimed
@@ -1075,11 +1137,13 @@ final class MedallionTable(
     val cs = checkConstraints
     val gs = generatedColumns
     val ics = identityColumns
+    val nns = notNullColumns
     withClaimedCommit("create") {
-      try writer(enforced(applyIdentityAppend(df), cs, gs),
+      try writer(enforced(applyIdentityAppend(df),
+          cs ++ notNullInvariants(nns), gs),
         SaveMode.Overwrite).parquet(path)
       finally { persistConstraints(cs); persistGenerated(gs)
-        persistIdentityCols(ics) }
+        persistIdentityCols(ics); persistNotNull(nns) }
       stashSchema(df.schema)
       // NonFatal-guarded for the same reason as appendBody / overwrite:
       // the commit landed; a capture failure degrades to a feed refusal
@@ -1426,6 +1490,7 @@ final class MedallionTable(
     val constraints = checkConstraints
     val gens = generatedColumns
     val idCols = identityColumns
+    val notNulls = notNullColumns
     // Snapshot fence: ordinal BEFORE the lock check, retry until the
     // lock is free — see the scaladoc. Fail-stop on a persistently-held
     // lock (crashed writer): vacuum() clears it.
@@ -1444,7 +1509,8 @@ final class MedallionTable(
     }
     // merge-inserted rows carry a NULL identity (the clause may not
     // assign it) — fill before enforcement; untouched when none registered
-    val newData = enforced(fillIdentityNulls(newData0), constraints, gens)
+    val newData = enforced(fillIdentityNulls(newData0),
+      constraints ++ notNullInvariants(notNulls), gens)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"${path}__graft_tmp_$suffix")
     val dst = new Path(path)
@@ -1476,6 +1542,7 @@ final class MedallionTable(
       persistConstraints(constraints, tmp)
       persistGenerated(gens, tmp)
       persistIdentityCols(idCols, tmp)
+      persistNotNull(notNulls, tmp)
       MedallionTable.testFailpoint("pre-commit")
       if (!tryClaimCommit(expectedVersion, op))
         throw new java.util.ConcurrentModificationException(
@@ -1639,7 +1706,7 @@ final class MedallionTable(
       // over the pointed-at files — without copies, a source's dropped
       // column resurrects and an unmaterialized ADD vanishes
       Seq("dv", "colmap.tsv", "constraints.tsv", "generated.tsv",
-        "addcols.tsv", "dropcols.tsv").foreach(copyMeta)
+        "notnull.tsv", "addcols.tsv", "dropcols.tsv").foreach(copyMeta)
       stashSchema(source.read.schema)
     }
   }
