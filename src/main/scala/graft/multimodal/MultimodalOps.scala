@@ -192,6 +192,34 @@ object MultimodalOps {
     }
   }
 
+  /** Uniform volume change on a PCM-16 WAV payload: every sample halves
+    * in place (EXACT for [[assetsFromDocuments]]' synth, whose samples
+    * are 256-aligned — no rounding noise), header untouched. This is the
+    * gain-shift re-encode class [[decodeAudioFPrint]] is invariant under
+    * by design (adjacent-window energy COMPARISON, not magnitude); the
+    * dedup queries plant copies through it so a fingerprint that secretly
+    * depended on absolute energy would break the oracle.
+    */
+  def wavHalfGain(content: Array[Byte]): Array[Byte] = {
+    val out = content.clone()
+    var i = 44 // RIFF/fmt/data header
+    while (i + 1 < out.length) {
+      val s = ((((out(i + 1) & 0xff) << 8) | (out(i) & 0xff)).toShort / 2).toShort
+      out(i) = (s & 0xff).toByte
+      out(i + 1) = ((s >> 8) & 0xff).toByte
+      i += 2
+    }
+    out
+  }
+
+  /** Re-container a GMJB video: the same frames, repacked in reverse
+    * order — the container-level edit [[decodeVideoFPrint]]'s per-bit
+    * majority vote ignores by design. Undecodable payloads pass through
+    * (the decode path drops them, never fails).
+    */
+  def mjbRecontainReversed(content: Array[Byte]): Array[Byte] =
+    Mjb.frames(content).map(f => Mjb.encode(f.reverse)).getOrElse(content)
+
   /** Decoded PCM-16 stats (sampleRate, nSamples, sampleSum, sampleSqSum);
     * None when the payload does not parse as a supported audio container —
     * the ONE audio decode loop shared by feature extraction and the

@@ -28,28 +28,34 @@ object PipelineOpsQueries {
   }
 
   /** Shared perceptual-dedup pipeline for the media modalities: plant a
-    * payload-identical copy of each small-id asset under id+99999 (≡ 0
-    * mod 3, so the asset KIND of the original is preserved), fingerprint
-    * through `decode` (a 64-bit hash from DECODED pixels/samples), band
-    * 4×16 bits, pair candidates by band equi-join (never asset×asset),
-    * Hamming ≤ 2, and emit the planted-truth rows: every copy must pair
-    * its original at Hamming 0 — a decode, hashing, banding, or pairing
-    * bug breaks the hash-match. The band self-join re-expands the bounded
-    * decode subtree once per side (the sim_semdedup caveat) — acceptable:
-    * the planted population is fixed and the full-corpus path is the same
-    * band index at any scale.
+    * TRANSFORMED copy of each small-id asset under id+99999 (≡ 0 mod 3,
+    * so the asset KIND of the original is preserved) — `mutate` applies
+    * the modality's invariance-class edit to the copy's PAYLOAD
+    * (gain-shifted audio, re-containered video; identity for stills) —
+    * fingerprint through `decode` (a 64-bit hash from DECODED
+    * pixels/samples), band 4×16 bits, pair candidates by band equi-join
+    * (never asset×asset), Hamming ≤ 2, and emit the planted-truth rows:
+    * every mutated copy must STILL pair its original at Hamming 0 — a
+    * decode, hashing, banding, pairing, or invariance bug breaks the
+    * hash-match. The band self-join re-expands the bounded decode subtree
+    * once per side (the sim_semdedup caveat) — acceptable: the planted
+    * population is fixed and the full-corpus path is the same band index
+    * at any scale.
     */
   private def perceptualPairs(s: SparkSession, dir: String, kindMod: Int,
       decode: org.apache.spark.sql.Dataset[MultimodalOps.Asset] =>
-        org.apache.spark.sql.DataFrame) = {
+        org.apache.spark.sql.DataFrame,
+      mutate: Array[Byte] => Array[Byte] = identity) = {
     import s.implicits._
     val base = Tables.documents(s, dir)
       .where("LENGTH(text) >= 1 AND LENGTH(text) = OCTET_LENGTH(text)")
       .select($"doc_id", $"text")
-    val planted = base.filter($"doc_id" % 3 === kindMod && $"doc_id" < 60)
-      .select(($"doc_id" + 99999).as("doc_id"), $"text")
-    val hashes = decode(
-        MultimodalOps.assetsFromDocuments(base.unionByName(planted)))
+    val assets0 = MultimodalOps.assetsFromDocuments(base)
+    val planted = assets0
+      .filter(a => a.asset_id % 3 == kindMod && a.asset_id < 60)
+      .map(a => a.copy(asset_id = a.asset_id + 99999,
+        content = mutate(a.content)))
+    val hashes = decode(assets0.union(planted))
       .toDF("asset_id", "fp")
     val bands = hashes.select($"asset_id", $"fp",
       posexplode(array((0 until 4).map(k =>
@@ -897,17 +903,24 @@ object PipelineOpsQueries {
     // fingerprint via adjacent-window energy comparisons
     // (decodeAudioFPrint — invariant under uniform volume change, the
     // acoustic analog of the brightness-shift class), then the identical
-    // banded-Hamming pairing as dedup_image_phash. Same planted ground
-    // truth: a sample-identical copy must pair its original at Hamming 0.
+    // banded-Hamming pairing as dedup_image_phash. The planted copies are
+    // GAIN-SHIFTED (every sample halved — a real re-encode, not a byte
+    // copy): the oracle's Hamming-0 pairing proves the invariance class,
+    // not just hash determinism (round-14 verdict #5).
     "dedup_audio_fprint" -> ((s, dir) =>
-      perceptualPairs(s, dir, kindMod = 1, MultimodalOps.decodeAudioFPrint)),
+      perceptualPairs(s, dir, kindMod = 1, MultimodalOps.decodeAudioFPrint,
+        MultimodalOps.wavHalfGain)),
 
     // And the VIDEO modality: per-frame dHash + order-free majority vote
     // per bit (decodeVideoFPrint — invariant under frame reorder and
-    // per-frame brightness shift), same banding, same planted truth. All
-    // three media kinds now run the one perceptual-dedup pipeline.
+    // per-frame brightness shift), same banding. The planted copies are
+    // RE-CONTAINERED (same frames repacked in reverse — a container-level
+    // edit, not a byte copy), so the oracle's Hamming-0 pairing proves
+    // the reorder-invariance class end-to-end (round-14 verdict #6). All
+    // three media kinds run the one perceptual-dedup pipeline.
     "dedup_video_fprint" -> ((s, dir) =>
-      perceptualPairs(s, dir, kindMod = 2, MultimodalOps.decodeVideoFPrint)),
+      perceptualPairs(s, dir, kindMod = 2, MultimodalOps.decodeVideoFPrint,
+        MultimodalOps.mjbRecontainReversed)),
 
     // Streaming transform exercised on the batch events table (the same
     // windowedCounts plan runs under readStream with a watermark — see

@@ -407,6 +407,14 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0L) == out(1L), "fingerprint must be invariant under uniform volume change")
     assert(java.lang.Long.bitCount(out(0L) ^ out(2L)) > 2,
       "a structural edit must move the fingerprint beyond the near-dup threshold")
+    // the payload-level gain-shift helper the dedup query plants through
+    val orig = asset(0L, wave)
+    val halved = orig.copy(asset_id = 10L,
+      content = MultimodalOps.wavHalfGain(orig.content))
+    val out2 = MultimodalOps.decodeAudioFPrint(Seq(orig, halved).toDS())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2(0L) == out2(10L),
+      "wavHalfGain (a real re-encode) must preserve the fingerprint")
   }
 
   test("video fingerprint: frame-reorder invariant, frame splice flips bits") {
@@ -431,6 +439,15 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0L) == out(1L), "majority vote must be frame-order invariant")
     assert(java.lang.Long.bitCount(out(0L) ^ out(2L)) > 2,
       "a frame splice must move the fingerprint beyond the near-dup threshold")
+    // the payload-level re-container helper the dedup query plants through
+    val orig = asset(0L, f)
+    val repacked = orig.copy(asset_id = 10L,
+      content = MultimodalOps.mjbRecontainReversed(orig.content))
+    val out2 = MultimodalOps.decodeVideoFPrint(Seq(orig, repacked).toDS())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2(0L) == out2(10L),
+      "mjbRecontainReversed (same frames, new container) must preserve " +
+        "the fingerprint")
   }
 
   test("extractFeatures decodes audio to the real mean/RMS of the samples") {
