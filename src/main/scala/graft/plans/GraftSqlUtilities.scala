@@ -123,6 +123,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftNotNullCommand(target.trim, cname.trim, set = false)
       case EnableCdfRe(target) if isGraftTarget(spark, target) =>
         GraftEnableCdfCommand(target.trim)
+      case EnableRowTrackingRe(target) if isGraftTarget(spark, target) =>
+        GraftEnableRowTrackingCommand(target.trim)
       case SetGeneratedRe(target, name, exprSql) if isGraftTarget(spark, target) =>
         GraftGeneratedColumnCommand(target.trim, name.trim, Some(exprSql.trim))
       case DropGeneratedRe(target, name) if isGraftTarget(spark, target) =>
@@ -303,6 +305,9 @@ object GraftSqlParser {
   private[plans] val EnableCdfRe: Regex =
     (s"""(?is)ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\(\\s*""" +
       """'?(?:delta|graft)\.enableChangeDataFeed'?\s*=\s*'?true'?\s*\)""").r
+  private[plans] val EnableRowTrackingRe: Regex =
+    (s"""(?is)ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\(\\s*""" +
+      """'?(?:delta|graft)\.enableRowTracking'?\s*=\s*'?true'?\s*\)""").r
 
   private[plans] def stripQuotes(s: String): String = {
     val t = s.trim
@@ -968,6 +973,20 @@ final case class GraftEnableCdfCommand(target: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     new MedallionTable(spark, path).enableChangeDataFeed()
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES ('delta.enableRowTracking' = 'true')`
+  * — Delta row-ID parity ([[graft.table.MedallionTable.enableRowTracking]]:
+  * stable `_row_id` via the identity machinery; backfill rewrite on a
+  * table with data).
+  */
+final case class GraftEnableRowTrackingCommand(target: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    new MedallionTable(spark, path).enableRowTracking()
     Seq.empty
   }
 }

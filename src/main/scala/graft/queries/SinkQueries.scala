@@ -176,6 +176,55 @@ object SinkQueries {
         max($"row_seq").as("max_id"))
     }),
 
+    // K16 — row tracking (Delta row IDs, round-14 verdict #7): enable on
+    // a table WITH data (backfill rewrite assigns 1..n0), then churn
+    // through update-dv → OPTIMIZE → merge-dv; ids must be STABLE — the
+    // pre-churn (key, _row_id) binding is re-joined after the churn and
+    // any drifted id shows up in n_id_changed (oracle expects 0). Density
+    // invariants (count/distinct/min/max, originals ≤ n0, inserts > n0)
+    // are DuckDB-recomputable from the op predicates alone.
+    "k16_row_tracking" -> ((s, dir) => {
+      import s.implicits._
+      import graft.table.MergeOps._
+      val p = Q.scratch(dir, "k16_rowtrack")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice")
+      t.overwrite(o.filter($"o_orderkey" % 7 === 0)) // tracking not yet on
+      t.enableRowTracking()                          // backfill: ids 1..n0
+      val before = t.read.select($"o_orderkey", $"_row_id".as("rid0"))
+        .localCheckpoint()
+      val n0 = before.count()
+      // churn: DV update keeps ids; OPTIMIZE carries them; DV merge keeps
+      // matched ids and assigns fresh ones to inserts
+      t.updateVectored($"o_orderkey" % 21 === 0,
+        Map("o_totalprice" -> ($"o_totalprice" * 2)))
+      t.compact()
+      val src = o.filter($"o_orderkey" % 35 === 0)
+        .select($"o_orderkey".as("k"), ($"o_totalprice" + 1).as("tp"))
+        .unionByName(o.filter($"o_orderkey" % 35 === 3)
+          .select(($"o_orderkey" + 60000000L).as("k"),
+            $"o_totalprice".as("tp")))
+      t.mergeVectored(src, Seq("o_orderkey" -> "k"),
+        Seq(WhenMatchedUpdate(None,
+          Map("o_totalprice" -> ((_, sc) => sc("tp"))))),
+        Seq(WhenNotMatchedInsert(None, Map(
+          "o_orderkey" -> ((_, sc) => sc("k")),
+          "o_totalprice" -> ((_, sc) => sc("tp"))))))
+      val after = t.read
+      after.agg(
+        count(lit(1)).as("n"),
+        countDistinct($"_row_id").as("n_ids"),
+        min($"_row_id").as("min_id"),
+        max($"_row_id").as("max_id"),
+        sum(when($"_row_id" <= n0, 1L).otherwise(0L)).as("n_originals"),
+        sum(when($"_row_id" > n0, 1L).otherwise(0L)).as("n_inserted"))
+        .crossJoin(before.join(after, "o_orderkey")
+          .agg(sum(when($"rid0" =!= $"_row_id", 1L).otherwise(0L))
+            .as("n_id_changed")))
+    }),
+
     // K1 — create + append with partitioning (bronze_table_creation.py:26)
     "k1_append_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -1332,6 +1381,19 @@ object SinkQueries {
          |  + (SELECT count(*) FROM orders WHERE o_orderkey % 45 = 2) AS n)
          |SELECT CAST(n AS BIGINT) AS n, CAST(n AS BIGINT) AS n_ids,
          |  CAST(1 AS BIGINT) AS min_id, CAST(n AS BIGINT) AS max_id
+         |FROM sz
+         |""".stripMargin),
+    "k16_row_tracking" ->
+      ("""WITH sz AS (SELECT
+         |    (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS n0,
+         |    (SELECT count(*) FROM orders WHERE o_orderkey % 35 = 3) AS ins)
+         |SELECT CAST(n0 + ins AS BIGINT) AS n,
+         |  CAST(n0 + ins AS BIGINT) AS n_ids,
+         |  CAST(1 AS BIGINT) AS min_id,
+         |  CAST(n0 + ins AS BIGINT) AS max_id,
+         |  CAST(n0 AS BIGINT) AS n_originals,
+         |  CAST(ins AS BIGINT) AS n_inserted,
+         |  CAST(0 AS BIGINT) AS n_id_changed
          |FROM sz
          |""".stripMargin),
     "k14_cdf_feed" ->

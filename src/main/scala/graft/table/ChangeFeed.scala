@@ -114,7 +114,8 @@ object ChangeFeed {
   private def isRewriteClass(op: String): Boolean =
     op == "merge" || op == "merge-pruned" || op == "scd2-merge" ||
       op == "update" || op == "delete" || op == "delete-partitions" ||
-      op == "rewrite" || op.startsWith("restore-")
+      op == "rewrite" || op == "enable-row-tracking" ||
+      op.startsWith("restore-")
 
   // ---- storage ----------------------------------------------------------
 

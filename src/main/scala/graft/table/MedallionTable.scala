@@ -771,6 +771,41 @@ final class MedallionTable(
     if (exists && !read.isEmpty) syncIdentityHw(name)
   }
 
+  /** Row tracking — Delta's row IDs: a stable BIGINT `_row_id` assigned
+    * at first write and PRESERVED across every data-preserving operation
+    * (DV updates/merges keep the base row's id, rewrites and OPTIMIZE
+    * carry ids through, merge inserts get fresh ones) — rewrites move
+    * bytes, never identities. Implementation IS the identity machinery:
+    * `_row_id` registers as GENERATED ALWAYS AS IDENTITY, so allocation
+    * is high-water-before-rows (crash ⇒ gap, never collision), writers
+    * may not supply or SET it, and the NULL⟺inserted induction fills
+    * merge inserts. On a table with data, enablement BACKFILLS in one
+    * rewrite (ids 1..n); on an empty/unborn table ids start at first
+    * write. A failed backfill rolls the registration back — the registry
+    * never points at rows without ids.
+    */
+  def enableRowTracking(): Unit = {
+    val col = MedallionTable.RowIdCol
+    require(!identityColumns.keys.exists(_.equalsIgnoreCase(col)),
+      s"row tracking is already enabled on $path")
+    if (!exists || read.isEmpty) setIdentityColumn(col)
+    else {
+      require(!read.columns.exists(_.equalsIgnoreCase(col)),
+        s"cannot enable row tracking: $path already has a $col column " +
+          "not managed by the engine — rename or drop it first")
+      persistIdentityCols(identityColumns + (col -> ((1L, 1L))))
+      try
+        rewriteVia(read.withColumn(col,
+          org.apache.spark.sql.functions.lit(null).cast("long")),
+          op = "enable-row-tracking")
+      catch { case t: Throwable => dropIdentityColumn(col); throw t }
+    }
+  }
+
+  /** Whether [[enableRowTracking]] is in force. */
+  def rowTrackingEnabled: Boolean =
+    identityColumns.keys.exists(_.equalsIgnoreCase(MedallionTable.RowIdCol))
+
   def dropIdentityColumn(name: String): Unit = {
     persistIdentityCols(identityColumns - name)
     // drop the high-water entry too: a later re-declare must honor its
@@ -3094,6 +3129,9 @@ object MedallionTable {
     * table — bounds the sibling directory's size on long-lived tables.
     */
   val HistoryDepth = 8
+
+  /** The row-tracking column ([[MedallionTable.enableRowTracking]]). */
+  val RowIdCol = "_row_id"
 
   /** session|path -> (commit stamp, resolved merged parquet schema).
     * See [[MedallionTable.mergedParquet]]. Session-UUID keyed and
