@@ -213,6 +213,12 @@ object SinkQueries {
           "o_orderkey" -> ((_, sc) => sc("k")),
           "o_totalprice" -> ((_, sc) => sc("tp"))))))
       val after = t.read
+      // one-row scalar, resolved eagerly (a crossJoin of two single-row
+      // aggs would plan as a nested-loop cross and trip PlanLint for no
+      // distributed win)
+      val idChanged = before.join(after, "o_orderkey")
+        .agg(sum(when($"rid0" =!= $"_row_id", 1L).otherwise(0L)))
+        .head().getLong(0)
       after.agg(
         count(lit(1)).as("n"),
         countDistinct($"_row_id").as("n_ids"),
@@ -220,9 +226,7 @@ object SinkQueries {
         max($"_row_id").as("max_id"),
         sum(when($"_row_id" <= n0, 1L).otherwise(0L)).as("n_originals"),
         sum(when($"_row_id" > n0, 1L).otherwise(0L)).as("n_inserted"))
-        .crossJoin(before.join(after, "o_orderkey")
-          .agg(sum(when($"rid0" =!= $"_row_id", 1L).otherwise(0L))
-            .as("n_id_changed")))
+        .withColumn("n_id_changed", lit(idChanged))
     }),
 
     // K1 — create + append with partitioning (bronze_table_creation.py:26)
