@@ -5,10 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Persistent standing dedup index — the table-maintenance half of the
   * incremental-dedup story (`dedup_incremental` proves the join shape;
-  * this owns the state): two append-only [[graft.table.MedallionTable]]s,
-  * a content-hash set `(doc_id, h)` and an LSH band index
-  * `(doc_id, band_idx, band_key)`, each row 16-64 bytes regardless of
-  * document size.
+  * this owns the state): ONE append-only [[graft.table.MedallionTable]]
+  * holding both row kinds — content-hash rows `(doc_id, h)` for exact-dup
+  * membership and LSH band rows `(doc_id, band_idx, band_key)` for
+  * near-dup candidates — distinguished by which columns are null. Each
+  * row is 16-64 bytes regardless of document size, and parquet column
+  * pruning keeps the two check() scans reading only their own columns,
+  * so the unified layout costs no extra bytes over the former two-table
+  * one.
+  *
+  * One table ⇒ ONE commit per ingest (round-15, verdict #8): the former
+  * hash_set + band_index pair paid two commit-protocol rounds (~0.45 s
+  * each at the measured floor, ProfileCurate) per daily batch, and a
+  * crash between them could split a batch's hash rows from its band
+  * rows. The pair now lands atomically in a single append.
   *
   * The daily-batch protocol a 100 TB corpus runs:
   * {{{
@@ -16,7 +26,7 @@ import org.apache.spark.sql.functions._
   *                      // WRITTEN by prior batches — never the corpus
   *   idx.ingest(batch)  // then append today's keys (index maintenance)
   * }}}
-  * `check` reads ONLY the index tables: the equi-joins move index rows,
+  * `check` reads ONLY the index table: the equi-joins move index rows,
   * never documents, and the batch side is the small one (broadcastable
   * per batch, bucketed at full scale). `ingest` is an ordinary
   * distributed append — commit-marked like every MedallionTable write,
@@ -25,7 +35,9 @@ import org.apache.spark.sql.functions._
   *
   * Band construction is caller-supplied (`bandKeys`): the oracle-checked
   * queries pass the MD5 2-band builder, scale users pass the xxhash64
-  * `graft_xx_minhash_bands` one — the index machinery is hash-agnostic.
+  * `graft_xx_minhash_bands` one — the index machinery is hash-agnostic
+  * (band keys are stored through an injective string cast, so long- and
+  * string-keyed builders share the layout).
   *
   * Reference: the reference's medallion pipeline re-merges full tables
   * per run (`silver_table_creation.py:43-66`); an append-only key index
@@ -36,22 +48,26 @@ final class StandingDedupIndex(
     basePath: String,
     bandKeys: DataFrame => DataFrame) {
 
-  /** Content-hash set (doc_id, h) — exact-dup membership. Partitioned by
-    * `batch_tag` (h is too high-cardinality to partition on): the
-    * excludeTag replay filter and any per-batch compaction prune to
-    * directories instead of scanning every prior batch's keys.
+  /** The unified key index (hash rows: `h` set, band columns null; band
+    * rows: the converse). Partitioned by `batch_tag` (keys are too
+    * high-cardinality to partition on): the excludeTag replay filter and
+    * tag compaction prune to directories instead of scanning every prior
+    * batch's keys.
     */
-  val hashTable = graft.table.MedallionTable(spark, s"$basePath/hash_set",
-    partitionColumns = Seq("batch_tag"))
-
-  /** Band index (doc_id, band_idx, band_key) — near-dup candidates.
-    * Partitioned by `batch_tag`, same rationale as [[hashTable]].
-    */
-  val bandTable = graft.table.MedallionTable(spark, s"$basePath/band_index",
+  val indexTable = graft.table.MedallionTable(spark, s"$basePath/key_index",
     partitionColumns = Seq("batch_tag"))
 
   private def hashesOf(batch: DataFrame): DataFrame =
     batch.select(col("doc_id"), md5(col("text")).as("h"))
+
+  /** Caller-built band rows normalized to the stored layout: band_idx as
+    * INT, band_key through an injective STRING cast (check() casts its
+    * batch side identically, so join equality is exact for any builder).
+    */
+  private def bandsOf(batch: DataFrame): DataFrame =
+    bandKeys(batch).select(col("doc_id"),
+      col("band_idx").cast("int").as("band_idx"),
+      col("band_key").cast("string").as("band_key"))
 
   /** Dedup `batch` (doc_id, text) against the standing index as written
     * by prior ingests: exact dups via the content-hash equi-join,
@@ -80,19 +96,20 @@ final class StandingDedupIndex(
         df.filter(!(col("batch_tag") <=> lit(t)))
       case _ => df
     }
-    val corpusHashes =
-      if (hashTable.exists) minusTag(hashTable.read).select(col("h"))
-      else hashesOf(batch).select(col("h")).limit(0)
-    val corpusBands =
-      if (bandTable.exists)
-        minusTag(bandTable.read).select(col("band_idx"), col("band_key"),
-          col("doc_id").as("corpus_id"))
-      else bandKeys(batch).select(col("band_idx"), col("band_key"),
-        col("doc_id").as("corpus_id")).limit(0)
+    val idx = if (indexTable.exists) Some(minusTag(indexTable.read)) else None
+    val corpusHashes = idx
+      .map(_.filter(col("h").isNotNull).select(col("h")))
+      .getOrElse(hashesOf(batch).select(col("h")).limit(0))
+    val corpusBands = idx
+      .map(_.filter(col("band_idx").isNotNull)
+        .select(col("band_idx"), col("band_key"),
+          col("doc_id").as("corpus_id")))
+      .getOrElse(bandsOf(batch).select(col("band_idx"), col("band_key"),
+        col("doc_id").as("corpus_id")).limit(0))
     val exact = hashesOf(batch)
       .join(corpusHashes.distinct(), Seq("h"))
       .select("doc_id").distinct().withColumn("is_exact_dup", lit(true))
-    val cands = bandKeys(batch)
+    val cands = bandsOf(batch)
       .join(corpusBands, Seq("band_idx", "band_key"))
       .select("doc_id", "corpus_id").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
@@ -104,52 +121,47 @@ final class StandingDedupIndex(
         "CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates")
   }
 
-  /** Append `batch`'s hash and band rows to the index tables, tagged with
-    * `tag` (a batch/epoch id — [[check]]'s excludeTag and replay recovery
-    * key on it). Every doc contributes a hash row; only docs the band
-    * builder accepts (≥ 3 tokens for the shingle-based builders)
-    * contribute band rows.
-    *
-    * The two appends are not atomic as a pair: a crash between them
-    * leaves the batch's hash rows without its band rows. Recovery is
-    * re-running ingest for the same batch — duplicate index rows are
-    * harmless (the exact join is membership-only and candidates are
-    * DISTINCT-ed), which is also what makes a foreachBatch replay safe.
-    * Replay behavior is deliberately ASYMMETRIC across the compaction
-    * watermark: a replayed ARCHIVED tag is a strict no-op (its partition
-    * is gone, so only the watermark knows it landed — and a re-append
-    * would break the "archive holds at most a bounded number of copies"
-    * property), while a replayed recent tag re-appends duplicates the
-    * semantics tolerate; a tag-presence probe instead would silently
-    * DROP band rows when recovering exactly the crash this paragraph
-    * describes (hash rows present, band rows not).
+  /** Append `batch`'s hash and band rows to the index, tagged with `tag`
+    * (a batch/epoch id — [[check]]'s excludeTag and replay recovery key
+    * on it), as ONE commit: every doc contributes a hash row; only docs
+    * the band builder accepts (≥ 3 tokens for the shingle-based
+    * builders) contribute band rows; the pair cannot split across a
+    * crash. A replayed recent tag re-appends duplicate rows the
+    * semantics tolerate (the exact join is membership-only and
+    * candidates are DISTINCT-ed) — what makes a foreachBatch replay
+    * safe. A replayed ARCHIVED tag is a strict no-op (its partition is
+    * gone, so only the watermark knows it landed — and a re-append would
+    * break the "archive holds at most a bounded number of copies"
+    * property).
     */
   def ingest(batch: DataFrame, tag: Long = 0L): Unit = {
     // a tag at or below the compaction watermark is KNOWN-ingested even
     // though its partition has been folded into the archive — replaying
     // it must stay a no-op, not a double count
     if (tag <= graft.table.TagArchive.watermark(spark, basePath)) return
-    hashTable.append(hashesOf(batch).withColumn("batch_tag", lit(tag)))
-    bandTable.append(bandKeys(batch)
-      .select(col("doc_id"), col("band_idx"), col("band_key"))
-      .withColumn("batch_tag", lit(tag)))
+    val hashes = hashesOf(batch)
+      .withColumn("band_idx", lit(null).cast("int"))
+      .withColumn("band_key", lit(null).cast("string"))
+    val bands = bandsOf(batch)
+      .withColumn("h", lit(null).cast("string"))
+      .select("doc_id", "h", "band_idx", "band_key")
+    indexTable.append(
+      hashes.unionByName(bands).withColumn("batch_tag", lit(tag)))
   }
 
-  /** Fold every `batch_tag ≤ w` partition of BOTH index tables into the
-    * single archive partition ([[graft.table.TagArchive]]): at daily
-    * cadence the per-tag directories that make replay probes O(1) become
-    * a listing burden after a year; compaction keeps the index
-    * content-identical (check() results are unchanged — the joins don't
-    * care which partition a key row lives in) while collapsing the
-    * layout to archive + recent tags. Replay of a COMPACTED tag is
-    * handled by the watermark in [[ingest]]; `excludeTag` replay-checks
-    * are only valid above the watermark (enforced in [[check]]) — the
-    * recovery window replay actually needs, since a crashed batch is the
-    * newest one.
+  /** Fold every `batch_tag ≤ w` partition of the index into the single
+    * archive partition ([[graft.table.TagArchive]]): at daily cadence the
+    * per-tag directories that make replay probes O(1) become a listing
+    * burden after a year; compaction keeps the index content-identical
+    * (check() results are unchanged — the joins don't care which
+    * partition a key row lives in) while collapsing the layout to
+    * archive + recent tags. Replay of a COMPACTED tag is handled by the
+    * watermark in [[ingest]]; `excludeTag` replay-checks are only valid
+    * above the watermark (enforced in [[check]]) — the recovery window
+    * replay actually needs, since a crashed batch is the newest one.
     */
   def compactThrough(w: Long, nFiles: Int = 4): Unit = {
-    graft.table.TagArchive.archiveThrough(hashTable, w, nFiles)
-    graft.table.TagArchive.archiveThrough(bandTable, w, nFiles)
+    graft.table.TagArchive.archiveThrough(indexTable, w, nFiles)
     val prev = graft.table.TagArchive.watermark(spark, basePath)
     if (w > prev) graft.table.TagArchive.setWatermark(spark, basePath, w)
   }

@@ -37,9 +37,8 @@ object CompactionProbe {
     val probe = (0 until 50).map(i =>
       ((10000 + i).toLong, s"doc 1 $i body")).toDF("doc_id", "text")
 
-    def files() = idx.hashTable.read.inputFiles.length +
-      idx.bandTable.read.inputFiles.length
-    def dirs() = (idx.hashTable.read.inputFiles ++ idx.bandTable.read.inputFiles)
+    def files() = idx.indexTable.read.inputFiles.length
+    def dirs() = idx.indexTable.read.inputFiles
       .map(_.split('/').dropRight(1).mkString("/")).distinct.length
     def checkMs(): Long = {
       idx.check(probe).collect() // warm

@@ -28,10 +28,10 @@ class StandingIndexCompactionSpec extends SparkSpec {
     val probe = docs(10 until 11, "w").unionByName(docs(900 until 901, "x"))
     val before = idx.check(probe).collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
 
-    val dirsBefore = idx.hashTable.read.inputFiles.map(_.split('/').dropRight(1).last).distinct
+    val dirsBefore = idx.indexTable.read.inputFiles.map(_.split('/').dropRight(1).last).distinct
     assert(dirsBefore.length == 5)
     idx.compactThrough(3)
-    val dirs = idx.hashTable.read.inputFiles.map(_.split('/').dropRight(1).last).distinct.sorted
+    val dirs = idx.indexTable.read.inputFiles.map(_.split('/').dropRight(1).last).distinct.sorted
     assert(dirs.toSet == Set("batch_tag=-1", "batch_tag=4", "batch_tag=5"), dirs.mkString(","))
 
     // content-identical check after compaction
@@ -39,12 +39,13 @@ class StandingIndexCompactionSpec extends SparkSpec {
     assert(after == before)
 
     // a replayed ARCHIVED tag is still a no-op (watermark, not partition probe)
-    val n = idx.hashTable.read.count()
+    val n = idx.indexTable.read.count()
     idx.ingest(docs(20 until 23, "w"), tag = 2L)
-    assert(idx.hashTable.read.count() == n, "archived-tag replay must not re-append")
-    // a NEW tag still ingests
+    assert(idx.indexTable.read.count() == n, "archived-tag replay must not re-append")
+    // a NEW tag still ingests (2 docs = 2 hash rows + 2 band rows in the
+    // unified layout)
     idx.ingest(docs(60 until 62, "w"), tag = 6L)
-    assert(idx.hashTable.read.count() == n + 2)
+    assert(idx.indexTable.read.count() == n + 4)
 
     // excludeTag replay is only valid above the watermark
     intercept[IllegalArgumentException] { idx.check(probe, excludeTag = Some(2L)).collect() }
@@ -53,7 +54,7 @@ class StandingIndexCompactionSpec extends SparkSpec {
     // compaction is idempotent-convergent: re-running through the same
     // watermark leaves the same live layout
     idx.compactThrough(3)
-    val dirs2 = idx.hashTable.read.inputFiles.map(_.split('/').dropRight(1).last).distinct.sorted
+    val dirs2 = idx.indexTable.read.inputFiles.map(_.split('/').dropRight(1).last).distinct.sorted
     assert(dirs2.toSet == Set("batch_tag=-1", "batch_tag=4", "batch_tag=5", "batch_tag=6"))
   }
 

@@ -140,8 +140,8 @@ class StandingIndexPruningSpec extends SparkSpec {
     val idx = new StandingDedupIndex(spark, tmpDir("sdi_prune"), oneBand)
     idx.ingest(Seq(1L -> "alpha beta", 2L -> "gamma delta").toDF("doc_id", "text"), tag = 1L)
     idx.ingest(Seq(3L -> "epsilon", 4L -> "zeta eta").toDF("doc_id", "text"), tag = 2L)
-    assert(idx.hashTable.read.inputFiles.forall(_.contains("batch_tag=")) &&
-      idx.bandTable.read.inputFiles.forall(_.contains("batch_tag=")),
+    assert(idx.indexTable.read.inputFiles.forall(_.contains("batch_tag=")) &&
+      idx.indexTable.read.inputFiles.forall(_.contains("batch_tag=")),
       "dedup index tables must be hive-partitioned by batch_tag")
     // a crash-replay of batch 2 re-checks with its own rows excluded:
     // the filter is a partition filter, so tag 2's directories are not
@@ -151,8 +151,8 @@ class StandingIndexPruningSpec extends SparkSpec {
     val rows = rpt.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(rows == Map(3L -> false, 4L -> false),
       "replayed batch must see the pre-ingest index (no self-dups)")
-    val hashProbe = idx.hashTable.read.filter(!(col("batch_tag") <=> lit(2L)))
-    val allHash = idx.hashTable.read.inputFiles.length
+    val hashProbe = idx.indexTable.read.filter(!(col("batch_tag") <=> lit(2L)))
+    val allHash = idx.indexTable.read.inputFiles.length
     assert(filesScanned(hashProbe.select(col("h"))) < allHash,
       "excludeTag filter must prune tag 2's hash files")
   }

@@ -50,11 +50,11 @@ class TagArchivePropertySpec extends SparkSpec {
             // model comparison below proves check() can't tell.
             val (tag, batch) = batches.toSeq(rnd.nextInt(batches.size))
             val wm = graft.table.TagArchive.watermark(
-              spark, idx.hashTable.path.split('/').dropRight(1).mkString("/"))
-            val before = idx.hashTable.read.count()
+              spark, idx.indexTable.path.split('/').dropRight(1).mkString("/"))
+            val before = idx.indexTable.read.count()
             idx.ingest(batch.toDF("doc_id", "text"), tag = tag)
             if (tag <= wm)
-              assert(idx.hashTable.read.count() == before,
+              assert(idx.indexTable.read.count() == before,
                 s"seed=$seed: archived-tag $tag replay grew the index")
           case _ => ()
         }

@@ -784,7 +784,9 @@ class EventStreamsSpec extends SparkSpec {
         "replayed batch must leave the curated table unchanged")
       // rejected docs never reach the index: only 1, 10, 11 were ingested
       val idx = new graft.dedup.StandingDedupIndex(spark, idxPath, oneBand)
-      assert(idx.hashTable.read.select("doc_id").collect()
+      assert(idx.indexTable.read
+        .filter(org.apache.spark.sql.functions.col("h").isNotNull)
+        .select("doc_id").collect()
         .map(_.getLong(0)).toSet == Set(1L, 10L, 11L),
         "index must hold exactly the quality-passing docs")
     } finally q.stop()
@@ -820,7 +822,9 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows(11L) == ((false, 0L)), "fresh doc must pass clean")
       // the index accumulated both batches
       val idx = new graft.dedup.StandingDedupIndex(spark, idxPath, oneBand)
-      assert(idx.hashTable.read.count() == 4)
+      assert(idx.indexTable.read
+        .filter(org.apache.spark.sql.functions.col("h").isNotNull)
+        .count() == 4)
       // simulate a replay of micro-batch 1 (ingested, then crashed before
       // the checkpoint commit): tag-excluded re-check + partition
       // overwrite must leave the report byte-identical in content
