@@ -117,6 +117,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftAddConstraintCommand(target.trim, cname.trim, cexpr.trim)
       case DropConstraintRe(target, cname) if isGraftTarget(spark, target) =>
         GraftDropConstraintCommand(target.trim, cname.trim)
+      case AlterTypeRe(target, cname, typeDdl) if isGraftTarget(spark, target) =>
+        GraftAlterColumnTypeCommand(target.trim, cname.trim, typeDdl.trim)
+      case SetDefaultRe(target, cname, dexpr) if isGraftTarget(spark, target) =>
+        GraftColumnDefaultCommand(target.trim, cname.trim, Some(dexpr.trim))
+      case DropDefaultRe(target, cname) if isGraftTarget(spark, target) =>
+        GraftColumnDefaultCommand(target.trim, cname.trim, None)
       case SetNotNullRe(target, cname) if isGraftTarget(spark, target) =>
         GraftNotNullCommand(target.trim, cname.trim, set = true)
       case DropNotNullRe(target, cname) if isGraftTarget(spark, target) =>
@@ -287,6 +293,12 @@ object GraftSqlParser {
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)""".r
   private[plans] val DropConstraintRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)""".r
+  private[plans] val AlterTypeRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+(.+)""".r
+  private[plans] val SetDefaultRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+DEFAULT\\s+(.+)""".r
+  private[plans] val DropDefaultRe: Regex =
+    s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+DEFAULT""".r
   private[plans] val SetNotNullRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+NOT\\s+NULL""".r
   private[plans] val DropNotNullRe: Regex =
@@ -913,6 +925,40 @@ final case class GraftDropConstraintCommand(target: String, cname: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     new MedallionTable(spark, path).dropCheckConstraint(cname)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — Delta's type-widening
+  * table feature ([[graft.table.MedallionTable.alterColumnType]]):
+  * metadata-only, no data file touched; existing narrow pages decode
+  * through the parquet readers' widening promotion, new writes land
+  * wide, and the first full rewrite materializes the overlay away.
+  */
+final case class GraftAlterColumnTypeCommand(target: String, cname: String,
+    typeDdl: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new MedallionTable(spark, GraftSqlParser.resolvePath(spark, target))
+    t.alterColumnType(cname, typeDdl)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>` / `… DROP DEFAULT`
+  * — Delta's allowColumnDefaults parity
+  * ([[graft.table.MedallionTable.setColumnDefault]]): constant-foldable
+  * expression validated at declare time; insert-class batches that OMIT
+  * the column get it filled in-pass, provided columns are untouched,
+  * existing rows never change.
+  */
+final case class GraftColumnDefaultCommand(target: String, cname: String,
+    dexpr: Option[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new MedallionTable(spark, GraftSqlParser.resolvePath(spark, target))
+    dexpr match {
+      case Some(e) => t.setColumnDefault(cname, e)
+      case None => t.dropColumnDefault(cname)
+    }
     Seq.empty
   }
 }

@@ -229,6 +229,58 @@ object SinkQueries {
         .withColumn("n_id_changed", lit(idChanged))
     }),
 
+    // K18 — type widening (graft.table.WideCols, Delta's ALTER COLUMN …
+    // TYPE feature): the scripted table starts NARROW (int key, float
+    // price), widens both columns metadata-only, appends keys past
+    // Int.MaxValue, then runs a DV update whose condition spans narrow
+    // and wide files — the final per-row dump only matches the oracle if
+    // the narrow pages decode exactly under the wide reader schema and
+    // the update saw one coherent wide view. Full-row hash compare; no
+    // aggregation hides a drifted value. (float->double is exact by
+    // IEEE widening, and *2 is exponent arithmetic, so DuckDB
+    // reproduces every bit.)
+    "k18_type_widening" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k18_widen")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey".cast("int").as("k"),
+          $"o_totalprice".cast("float").as("p")))
+      t.alterColumnType("k", "BIGINT")
+      t.alterColumnType("p", "DOUBLE")
+      t.append(o.filter($"o_orderkey" % 5 === 1)
+        .select(($"o_orderkey" + 10000000000L).as("k"),
+          $"o_totalprice".cast("float").cast("double").as("p")))
+      t.updateVectored($"k" % 10 === 0, Map("p" -> ($"p" * 2)))
+      t.read.select($"k", $"p")
+    }),
+
+    // K19 — column defaults (Delta allowColumnDefaults): omitted-column
+    // batches fill from the registered default, provided batches pass
+    // through, DROP DEFAULT re-opens to NULL — the full-row dump pins
+    // per-slice behavior (which batch omitted the column is recomputed
+    // by the oracle from the same slice predicates).
+    "k19_column_defaults" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k19_defaults")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      t.overwrite(o.filter($"o_orderkey" % 7 === 0)
+        .select($"o_orderkey", $"o_orderstatus"))
+      t.setColumnDefault("o_orderstatus", "'UNKNOWN'")
+      t.append(o.filter($"o_orderkey" % 7 === 1).select($"o_orderkey"))
+      t.append(o.filter($"o_orderkey" % 7 === 2)
+        .select($"o_orderkey", $"o_orderstatus"))
+      t.dropColumnDefault("o_orderstatus")
+      t.append(o.filter($"o_orderkey" % 7 === 3).select($"o_orderkey"))
+      t.read
+    }),
+
     // K1 — create + append with partitioning (bronze_table_creation.py:26)
     "k1_append_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -1386,6 +1438,30 @@ object SinkQueries {
          |SELECT CAST(n AS BIGINT) AS n, CAST(n AS BIGINT) AS n_ids,
          |  CAST(1 AS BIGINT) AS min_id, CAST(n AS BIGINT) AS max_id
          |FROM sz
+         |""".stripMargin),
+    "k19_column_defaults" ->
+      ("""SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 7 = 0
+         |UNION ALL
+         |SELECT o_orderkey, 'UNKNOWN' FROM orders WHERE o_orderkey % 7 = 1
+         |UNION ALL
+         |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 7 = 2
+         |UNION ALL
+         |SELECT o_orderkey, NULL FROM orders WHERE o_orderkey % 7 = 3
+         |""".stripMargin),
+    "k18_type_widening" ->
+      ("""WITH narrow AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         |         CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS p
+         |  FROM orders WHERE o_orderkey % 5 = 0
+         |), wide AS (
+         |  SELECT o_orderkey + 10000000000 AS k,
+         |         CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS p
+         |  FROM orders WHERE o_orderkey % 5 = 1
+         |), unioned AS (
+         |  SELECT k, p FROM narrow UNION ALL SELECT k, p FROM wide
+         |)
+         |SELECT k, CASE WHEN k % 10 = 0 THEN p * 2 ELSE p END AS p
+         |FROM unioned
          |""".stripMargin),
     "k16_row_tracking" ->
       ("""WITH sz AS (SELECT

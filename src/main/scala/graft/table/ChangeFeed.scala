@@ -106,6 +106,7 @@ object ChangeFeed {
   /** Ops that change no logical rows: safe to skip with no manifest. */
   private val NoChangeOps: Set[String] = Set(
     "convert", "add-column", "drop-column", "rename-column", "set-cdf",
+    "widen-column",
     "optimize", "optimize-where", "optimize-zorder", "reorg-purge",
     "dv-compact", "dv-batch-compact", "analyze", "sync-delta-log",
     "checkpoint-delta-log")
@@ -679,8 +680,11 @@ object ChangeFeed {
           // mergeSchema: one consolidated scan may span files written on
           // both sides of a schema evolution (the per-op-class fold) —
           // without it the scan schema is first-file order luck and an
-          // evolved column can vanish from older rows' branch entirely
-          val raw = spark.read.option("mergeSchema", "true")
+          // evolved column can vanish from older rows' branch entirely.
+          // Under a live/archived type-widening overlay the same span
+          // crosses narrow/wide footers (which REFUSE to merge), so the
+          // root's recorded reader schema takes over (WideCols scaladoc).
+          val raw = WideCols.readerAnyLayout(spark, root)
             .option("basePath", root)
             .parquet(grp.map(_._1).distinct: _*)
           val keyed =

@@ -147,6 +147,13 @@ object DeltaLogExport {
         "(ColumnMap); run OPTIMIZE to materialize them — or " +
         "sync(materialize = true) / SYNC DELTA LOG FOR t MATERIALIZED " +
         "to do both in one step")
+    // same class of blindness for type widening: an external Delta
+    // reader would resolve the mixed narrow/wide footers itself (and
+    // refuse, or worse) — the overlay schema is graft-local metadata
+    require(WideCols.load(spark, tablePath).isEmpty,
+      s"delta-log export refused: $tablePath has live type widenings " +
+        "(WideCols); run OPTIMIZE to materialize them — or " +
+        "sync(materialize = true) / SYNC DELTA LOG FOR t MATERIALIZED")
     // A clone's data lives in pointer files OUTSIDE the table root; a
     // path-relative log would describe only the local writes and an
     // external reader would miss most of the table. Same remedy: the

@@ -99,7 +99,9 @@ final class MedallionTable(
     if (ShallowClone.isClone(spark, path))
       SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
         DeletionVectors.applied(spark,
-          spark.read.option("mergeSchema", "true")
+          // WideCols.reader: a cloned-from-widened-source table copies the
+          // overlay, and the pointed-at files mix narrow/wide footers
+          WideCols.reader(spark, path)
             .parquet(ShallowClone.scanFiles(spark, path): _*),
           DeletionVectors.dir(path), path),
         ColumnMap.load(spark, path)))
@@ -170,7 +172,11 @@ final class MedallionTable(
     MedallionTable.schemaCache.get(k) match {
       case Some((`stamp`, s)) => spark.read.schema(s).parquet(path)
       case _ =>
-        val df = spark.read.option("mergeSchema", "true").parquet(path)
+        // while a type-widening overlay is live, the authoritative reader
+        // schema comes from `_graft_meta/physschema.ddl` — mixed
+        // narrow/wide footers REFUSE to merge, and the explicit schema
+        // also skips the footer job outright (WideCols scaladoc)
+        val df = WideCols.reader(spark, path).parquet(path)
         MedallionTable.schemaCache.put(k, (stamp, df.schema))
         df
     }
@@ -608,6 +614,98 @@ final class MedallionTable(
     ns.map(c =>
       s"__notnull_$c" -> s"`${c.replace("`", "``")}` IS NOT NULL").toMap
 
+  // ---- column defaults (Delta allowColumnDefaults parity) ----------------
+
+  private def defaultsFile = new Path(path, "_graft_meta/defaults.tsv")
+
+  /** Registered column defaults: name → (column type DDL at declare
+    * time, SQL expression). A batch that OMITS the column gets the
+    * default evaluated at write time; a provided column — including
+    * explicit NULLs — is never touched, and existing rows never change
+    * (Delta's `ALTER COLUMN … SET DEFAULT` contract: future inserts
+    * only). Scope matches the insert-class writes (append/COPY INTO/
+    * create/overwrite); merge inserts derive their columns from clause
+    * assignments, where an omitted column is an explicit typed-NULL
+    * choice — documented, spec-pinned, not defaulted.
+    */
+  def columnDefaults: Map[String, (String, String)] =
+    if (!fs.exists(defaultsFile)) Map.empty
+    else readMetaText(defaultsFile).split('\n').filter(_.contains('\t'))
+      .map { l =>
+        val parts = l.split('\t')
+        parts(0) -> (parts(1), parts(2))
+      }.toMap
+
+  private def persistDefaults(ds: Map[String, (String, String)],
+      base: Path = new Path(path)): Unit = {
+    val file = new Path(base, "_graft_meta/defaults.tsv")
+    if (ds.isEmpty) { if (fs.exists(file)) fs.delete(file, false) }
+    else writeMetaText(file, ds.toSeq.sortBy(_._1)
+      .map { case (n, (t, e)) => s"$n\t$t\t$e" }.mkString("\n"))
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN name SET DEFAULT <expr>`: the
+    * expression must be constant-foldable (no column references —
+    * Delta's same rule) and castable to the column's type; both are
+    * validated HERE, once, so the write path never discovers a broken
+    * default mid-batch. Non-deterministic expressions (e.g.
+    * `current_timestamp()`) are legal and evaluate per batch, as in
+    * Delta.
+    */
+  def setColumnDefault(name: String, exprSql: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n') &&
+        !exprSql.exists(c => c == '\t' || c == '\n'),
+      "column name and default expression must be tab/newline-free")
+    require(exists, s"SET DEFAULT: no table at $path yet — defaults " +
+      "attach to an existing column (create the table first)")
+    val schema = read.schema
+    require(schema.fieldNames.contains(name),
+      s"SET DEFAULT: column '$name' not in " +
+        schema.fieldNames.mkString("[", ",", "]"))
+    require(!identityColumns.keys.exists(_.equalsIgnoreCase(name)),
+      s"SET DEFAULT: '$name' is GENERATED ALWAYS AS IDENTITY — " +
+        "engine-assigned; a default cannot apply")
+    require(!generatedColumns.keys.exists(_.equalsIgnoreCase(name)),
+      s"SET DEFAULT: '$name' is a generated column — computed from its " +
+        "expression; a default cannot apply")
+    val refs = spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }
+    require(refs.isEmpty,
+      s"SET DEFAULT: expression references column(s) ${refs.mkString(", ")}" +
+        " — defaults must be constant-foldable (literals and " +
+        "deterministic-free functions only), Delta's rule")
+    val dt = schema(name).dataType
+    // evaluability + castability probe: one local row, fails loudly now
+    spark.range(1).select(
+      org.apache.spark.sql.functions.expr(exprSql).cast(dt)).head()
+    persistDefaults(columnDefaults + (name -> (dt.sql, exprSql)))
+  }
+
+  /** `ALTER COLUMN name DROP DEFAULT` — omitted columns read back as
+    * NULL again (rows already written with the default keep it).
+    */
+  def dropColumnDefault(name: String): Unit =
+    persistDefaults(columnDefaults - name)
+
+  /** Insert-class write-pass fill: a registered default column the batch
+    * OMITS is computed in-pass (cast to the column type recorded at
+    * declare time — widening later only upcasts further). Provided
+    * columns, explicit NULLs included, pass through untouched.
+    */
+  private def applyDefaults(df: DataFrame,
+      ds: Map[String, (String, String)] = columnDefaults): DataFrame =
+    if (ds.isEmpty) df
+    else {
+      val present = df.columns.map(_.toLowerCase).toSet
+      ds.foldLeft(df) { case (d, (n, (tddl, e))) =>
+        if (present.contains(n.toLowerCase)) d
+        else d.withColumn(n, org.apache.spark.sql.functions.expr(e)
+          .cast(org.apache.spark.sql.types.DataType.fromDDL(tddl)))
+      }
+    }
+
   // ---- generated columns (Delta GENERATED ALWAYS AS parity) --------------
 
   private def generatedFile = new Path(path, "_graft_meta/generated.tsv")
@@ -656,6 +754,12 @@ final class MedallionTable(
     require(!identityColumns.keys.exists(_.equalsIgnoreCase(name)),
       s"$name is GENERATED ALWAYS AS IDENTITY — dropIdentityColumn() " +
         "first to declare it as an expression-generated column")
+    // converse of setColumnDefault's guard: a default would fill an
+    // omitted generated column BEFORE the generation invariant runs and
+    // every such batch would then refuse on the mismatch
+    require(!columnDefaults.keys.exists(_.equalsIgnoreCase(name)),
+      s"$name has a column DEFAULT — dropColumnDefault() first " +
+        "(a generated column is computed, not defaulted)")
     // Delta's rule: a generation expression may not reference another
     // generated column (or itself). Without this, [[enforced]]'s fold
     // over the registry Map would resolve chained generations
@@ -1081,10 +1185,17 @@ final class MedallionTable(
     val before =
       if (incremental || cdfOn) dataFileSet() else Set.empty[String]
     // appended files must carry the PHYSICAL names the existing files do
-    // (mergeSchema would otherwise read a renamed column as two)
-    writer(ColumnMap.toPhysical(enforced(applyIdentityAppend(df)),
-      ColumnMap.load(spark, path)),
-      SaveMode.Append).parquet(path)
+    // (mergeSchema would otherwise read a renamed column as two) — and,
+    // under a live type-widening overlay, the WIDE types (canonicalize:
+    // new files never reintroduce a narrow spelling). extendReaderSchema
+    // runs BEFORE the data lands (WideCols scaladoc: a crash between the
+    // two degrades the evolving append to a metadata-only ADD COLUMN).
+    val physBatch = WideCols.canonicalize(
+      ColumnMap.toPhysical(enforced(applyIdentityAppend(applyDefaults(df))),
+        ColumnMap.load(spark, path)),
+      WideCols.load(spark, path))
+    WideCols.extendReaderSchema(spark, path, physBatch.schema)
+    writer(physBatch, SaveMode.Append).parquet(path)
     val added =
       if (incremental || cdfOn) (dataFileSet() -- before).toSeq else Nil
     if (incremental)
@@ -1136,23 +1247,25 @@ final class MedallionTable(
     // refuse, missing → assign) — without this, a second overwrite
     // accepted caller ids without advancing the high-water (review
     // finding, round 14)
-    if (exists) rewriteVia(applyIdentityAppend(df))
+    if (exists) rewriteVia(applyIdentityAppend(applyDefaults(df)))
     else {
       val cs = checkConstraints
       val gs = generatedColumns
       val ics = identityColumns
       val nns = notNullColumns
+      val dfts = columnDefaults
       withClaimedCommit("create-overwrite") {
         // SaveMode.Overwrite deletes the dir (registries included) BEFORE
         // the job runs — restore the pre-create registries even when the
         // write fails, or a rejected/failed first batch silently disarms
         // the gate (and forgets the generated columns). Identity
         // assignment runs during argument evaluation, before the delete.
-        try writer(enforced(applyIdentityAppend(df),
+        try writer(enforced(applyIdentityAppend(applyDefaults(df, dfts)),
             cs ++ notNullInvariants(nns), gs),
           SaveMode.Overwrite).parquet(path)
         finally { persistConstraints(cs); persistGenerated(gs)
-          persistIdentityCols(ics); persistNotNull(nns) }
+          persistIdentityCols(ics); persistNotNull(nns)
+          persistDefaults(dfts) }
         stashSchema(df.schema)
         // same NonFatal guard as appendBody: a capture IO failure must
         // not unwind withClaimedCommit (which would delete the claimed
@@ -1173,12 +1286,14 @@ final class MedallionTable(
     val gs = generatedColumns
     val ics = identityColumns
     val nns = notNullColumns
+    val dfts = columnDefaults
     withClaimedCommit("create") {
-      try writer(enforced(applyIdentityAppend(df),
+      try writer(enforced(applyIdentityAppend(applyDefaults(df, dfts)),
           cs ++ notNullInvariants(nns), gs),
         SaveMode.Overwrite).parquet(path)
       finally { persistConstraints(cs); persistGenerated(gs)
-        persistIdentityCols(ics); persistNotNull(nns) }
+        persistIdentityCols(ics); persistNotNull(nns)
+        persistDefaults(dfts) }
       stashSchema(df.schema)
       // NonFatal-guarded for the same reason as appendBody / overwrite:
       // the commit landed; a capture failure degrades to a feed refusal
@@ -1406,8 +1521,9 @@ final class MedallionTable(
         plan.newVersions(j).unionByName(plan.inserts(j)))
       // stage 1: new versions + inserts — table partition layout, CHECKs
       // enforced, physical column names (same dialect as the base files)
-      val w = ColumnMap.toPhysical(enforced(newRows),
-        ColumnMap.load(spark, path)).write.mode(SaveMode.Overwrite)
+      val w = WideCols.canonicalize(ColumnMap.toPhysical(enforced(newRows),
+        ColumnMap.load(spark, path)), WideCols.load(spark, path))
+        .write.mode(SaveMode.Overwrite)
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
        else w).parquet(batchDir)
       // stage 2: marks for the consumed matched rows' OLD positions
@@ -1526,6 +1642,7 @@ final class MedallionTable(
     val gens = generatedColumns
     val idCols = identityColumns
     val notNulls = notNullColumns
+    val defaults = columnDefaults
     // Snapshot fence: ordinal BEFORE the lock check, retry until the
     // lock is free — see the scaladoc. Fail-stop on a persistently-held
     // lock (crashed writer): vacuum() clears it.
@@ -1578,6 +1695,7 @@ final class MedallionTable(
       persistGenerated(gens, tmp)
       persistIdentityCols(idCols, tmp)
       persistNotNull(notNulls, tmp)
+      persistDefaults(defaults, tmp)
       MedallionTable.testFailpoint("pre-commit")
       if (!tryClaimCommit(expectedVersion, op))
         throw new java.util.ConcurrentModificationException(
@@ -1739,9 +1857,12 @@ final class MedallionTable(
       }
       // addcols/dropcols: the clone's reads apply the CLONE's overlay
       // over the pointed-at files — without copies, a source's dropped
-      // column resurrects and an unmaterialized ADD vanishes
+      // column resurrects and an unmaterialized ADD vanishes; widecols/
+      // physschema: a widened source's files mix narrow/wide footers the
+      // clone could not otherwise resolve
       Seq("dv", "colmap.tsv", "constraints.tsv", "generated.tsv",
-        "notnull.tsv", "addcols.tsv", "dropcols.tsv").foreach(copyMeta)
+        "notnull.tsv", "addcols.tsv", "dropcols.tsv", "widecols.tsv",
+        "physschema.ddl").foreach(copyMeta)
       stashSchema(source.read.schema)
     }
   }
@@ -1807,6 +1928,11 @@ final class MedallionTable(
         ColumnMap.rename(spark, path, oldName, newName)
       invalidateStats()
       fs.delete(new Path(path, s"_graft_meta/bloom/$oldName"), true)
+      // the defaults registry is keyed by LOGICAL name — retarget it, or
+      // the next omitted-column append resurrects the OLD name
+      val dmap = columnDefaults
+      dmap.get(oldName).foreach(v =>
+        persistDefaults(dmap - oldName + (newName -> v)))
       stashSchema(org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f)))
     }
@@ -1888,15 +2014,108 @@ final class MedallionTable(
         // here — partition columns were refused above
         val files = ShallowClone.scanFiles(spark, path)
         if (files.nonEmpty)
-          spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+          // WideCols.reader: post-widen footers refuse to merge; the
+          // overlay schema is exactly the materialization census anyway
+          // (seeded from footers, extended by every materializing append)
+          WideCols.reader(spark, path).parquet(files: _*).schema
         else new org.apache.spark.sql.types.StructType()
       }
       SchemaOverlay.recordDrop(spark, path, physical,
         rawSchema.fieldNames.contains(physical))
       invalidateStats()
       fs.delete(new Path(path, s"_graft_meta/bloom/$name"), true)
+      persistDefaults(columnDefaults - name) // a default keyed to the name dies with it
       stashSchema(org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(_.name == name)))
+    }
+  }
+
+  /** Metadata-only `ALTER TABLE … ALTER COLUMN name TYPE <wider>` —
+    * Delta's type-widening table feature ([[WideCols]]): no data file is
+    * touched at any table size; existing narrow pages decode through the
+    * parquet readers' widening promotion under the recorded wide reader
+    * schema, and new writes land wide. Only Delta's widening matrix is
+    * accepted ([[WideCols.supported]]); anything else — including the
+    * lossy `long -> double` — refuses with the rewrite hatch named.
+    *
+    * Boundaries (each refused loudly): partition columns (directory
+    * values are physical), identity columns (the allocator is
+    * LongType-fixed), generated columns and their expression sources
+    * (stored expression text would silently change result types),
+    * shallow clones (the files belong to the source — OPTIMIZE to
+    * materialize first), live Delta-log exports (external readers can't
+    * see the overlay), and columns declared by a not-yet-materialized
+    * ADD COLUMN (re-declare instead: drop the add, re-add wide). A bloom
+    * index on the column is dropped, not trusted — its hashes are keyed
+    * to the narrow type's byte width ([[BloomIndex]] probes hash the
+    * column's TABLE type, so a stale index would prune wrongly) — and
+    * the min/max stats manifest is invalidated the same as every other
+    * in-place schema mutation.
+    */
+  def alterColumnType(name: String, typeDdl: String): Unit = {
+    val target = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    val schema = read.schema
+    require(schema.fieldNames.contains(name),
+      s"ALTER COLUMN TYPE: column '$name' not in " +
+        schema.fieldNames.mkString("[", ",", "]"))
+    val from = schema(name).dataType
+    require(WideCols.supported(from, target),
+      s"ALTER COLUMN TYPE: ${from.sql} -> ${target.sql} on '$name' is " +
+        s"not a supported widening (${WideCols.describeSupported}); " +
+        "rewrite the table (read + cast + overwrite) for any other change")
+    require(!partitionColumns.contains(name),
+      s"ALTER COLUMN TYPE: '$name' is a partition column — its directory " +
+        "values are physical; rewrite the table to retype it")
+    require(!identityColumns.keys.exists(_.equalsIgnoreCase(name)),
+      s"ALTER COLUMN TYPE: '$name' is GENERATED ALWAYS AS IDENTITY — the " +
+        "allocator is BIGINT-fixed; dropIdentityColumn() to hand-manage")
+    val genHit = generatedColumns.filter { case (g, e) =>
+      g.equalsIgnoreCase(name) ||
+        s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
+          .findFirstIn(e).isDefined
+    }
+    require(genHit.isEmpty,
+      s"ALTER COLUMN TYPE: '$name' is a generated column or a source of " +
+        s"one (${genHit.keys.mkString(", ")}) — the stored expression's " +
+        "result type would silently drift; dropGeneratedColumn() first")
+    require(!ShallowClone.isClone(spark, path),
+      "ALTER COLUMN TYPE: table is a shallow clone — the data files " +
+        "belong to the source; OPTIMIZE (compact) to materialize first")
+    require(!fs.exists(new Path(path, "_delta_log")),
+      "ALTER COLUMN TYPE: table has a Delta-log export; external readers " +
+        "cannot see the widening overlay — OPTIMIZE to materialize, " +
+        "then re-sync")
+    withClaimedCommit("widen-column") {
+      val physical = ColumnMap.load(spark, path).getOrElse(name, name)
+      // current reader schema in PHYSICAL names: the live overlay schema
+      // when present (re-widen chains), else the LAST footer merge this
+      // table will ever run (explicit schemas take over from here)
+      val current = WideCols.readerSchema(spark, path).getOrElse(
+        spark.read.option("mergeSchema", "true").parquet(path).schema)
+      require(current.fieldNames.contains(physical),
+        s"ALTER COLUMN TYPE: '$name' is declared by a not-yet-" +
+          "materialized ADD COLUMN — dropColumn() the declaration and " +
+          "re-add it with the wider type (both are metadata-only)")
+      val resolved = org.apache.spark.sql.types.StructType(
+        current.fields.map(f =>
+          if (f.name == physical) f.copy(dataType = target) else f))
+      WideCols.record(spark, path, physical, target, resolved)
+      invalidateStats()
+      fs.delete(new Path(path, s"_graft_meta/bloom/$name"), true)
+      stashSchema(org.apache.spark.sql.types.StructType(schema.fields.map(
+        f => if (f.name == name) f.copy(dataType = target) else f)))
+    }
+  }
+
+  /** Live widened columns (LOGICAL name → wide type); empty when no
+    * type-widening overlay is live.
+    */
+  def widenedColumns: Map[String, org.apache.spark.sql.types.DataType] = {
+    val phys = WideCols.load(spark, path)
+    if (phys.isEmpty) phys
+    else {
+      val toLogical = ColumnMap.load(spark, path).map(_.swap)
+      phys.map { case (p, t) => toLogical.getOrElse(p, p) -> t }
     }
   }
 
@@ -2044,9 +2263,9 @@ final class MedallionTable(
     // versions (ShallowCloneSpec "two vectored updates" regression).
     val isClone = ShallowClone.isClone(spark, path)
     val base = if (isClone)
-        spark.read.option("mergeSchema", "true")
+        WideCols.reader(spark, path)
           .parquet(ShallowClone.scanFiles(spark, path): _*)
-      else spark.read.option("mergeSchema", "true").parquet(path)
+      else WideCols.reader(spark, path).parquet(path)
     // one DV anti-join over base∪batches, position columns prepped per
     // branch before the union (DvUpdates.amendedOnce)
     DvUpdates.amendedOnce(spark, path, Some(base), prep,
@@ -2303,8 +2522,9 @@ final class MedallionTable(
       // stage 1: new row versions — table partition layout, CHECKs
       // enforced, physical names (batch files must speak the same schema
       // dialect as the base files so mergeSchema unions stay uniform)
-      val w = ColumnMap.toPhysical(enforced(newRows),
-        ColumnMap.load(spark, path)).write.mode(SaveMode.Overwrite)
+      val w = WideCols.canonicalize(ColumnMap.toPhysical(enforced(newRows),
+        ColumnMap.load(spark, path)), WideCols.load(spark, path))
+        .write.mode(SaveMode.Overwrite)
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
        else w).parquet(batchDir)
       // stage 2: marks for the matched rows' OLD positions
@@ -2394,11 +2614,16 @@ final class MedallionTable(
     */
   def readVersion(n: Int): DataFrame = {
     val vdir = new Path(versionsDir, s"v$n")
+    // a snapshot taken while a type-widening overlay was live carries its
+    // archived reader schema (mixed narrow/wide footers refuse to merge)
+    val vreader = WideCols
+      .readerSchemaFrom(spark, WideCols.archivedSchemaFile(vdir))
+      .map(spark.read.schema)
+      .getOrElse(spark.read.option("mergeSchema", "true"))
     val base =
       if (ShallowClone.isClone(spark, vdir.toString))
-        spark.read.option("mergeSchema", "true")
-          .parquet(ShallowClone.scanFiles(spark, vdir.toString): _*)
-      else spark.read.option("mergeSchema", "true").parquet(vdir.toString)
+        vreader.parquet(ShallowClone.scanFiles(spark, vdir.toString): _*)
+      else vreader.parquet(vdir.toString)
     SchemaOverlay.applyTo(
       ColumnMap.toLogical(
         DeletionVectors.applied(spark, base,
@@ -2525,6 +2750,7 @@ final class MedallionTable(
     if (fs.exists(backupClone))
       fs.rename(backupClone, ShallowClone.archivedFile(backup))
     SchemaOverlay.archive(spark, backup) // add/drop overlay = archived schema
+    WideCols.archive(spark, backup) // widened types = archived reader schema
     fs.delete(new Path(backup, "_graft_meta"), true)
     val next = (listVersions() :+ 0).max + 1 // after carry-forward, so ids continue
     if (!fs.rename(backup, new Path(versionsDir, s"v$next")))
@@ -3096,7 +3322,15 @@ final class MedallionTable(
           "mergePruned: touched partitions have live DV-update amendments " +
             s"(batch $b) — OPTIMIZE (compact) to materialize them first")
       }
-      ColumnMap.toPhysical(enforced(merged), ColumnMap.load(spark, path)).write
+      // canonicalize: this claim-first path writes into the LIVE dir, so
+      // a widened column must land wide (the merged frame usually is —
+      // it reads through the overlay — but source-provided inserts can
+      // still carry the narrow spelling)
+      val prunedBatch = WideCols.canonicalize(
+        ColumnMap.toPhysical(enforced(merged), ColumnMap.load(spark, path)),
+        WideCols.load(spark, path))
+      WideCols.extendReaderSchema(spark, path, prunedBatch.schema)
+      prunedBatch.write
         .mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionColumns: _*)

@@ -114,9 +114,15 @@ object TableStats {
         // batch files AND the clone's OWN committed batches — so no
         // batch fold may run below, or batch rows aggregate twice and
         // the manifest row_count (the metadata COUNT(*) path) inflates
-        spark.read.option("mergeSchema", "true")
+        WideCols.reader(spark, tablePath)
           .parquet(ShallowClone.scanFiles(spark, tablePath): _*)
-      else spark.read.parquet(tablePath)
+      else WideCols.readerSchema(spark, tablePath) match {
+        // mixed narrow/wide footers: the single-footer schema pick (and
+        // mergeSchema alike) break under a live widening overlay — the
+        // recorded wide schema is authoritative
+        case Some(s) => spark.read.schema(s).parquet(tablePath)
+        case None => spark.read.parquet(tablePath)
+      }
     // a deletion vector changes what readers SEE without touching files:
     // stats (row counts above all — the metadata COUNT(*) path) must
     // describe the DV-applied view, keyed by the file captured BEFORE
@@ -343,7 +349,21 @@ object TableStats {
     if (DeletionVectors.exists(spark, DeletionVectors.dir(tablePath)) ||
         DvUpdates.committedBatches(spark, tablePath).nonEmpty)
       return new MedallionTable(spark, tablePath).read.filter(residual0)
-    val full = spark.read.parquet(tablePath)
+    // raw scans carry PHYSICAL names and (under a live widening overlay)
+    // mixed narrow/wide footers: project to logical names and the wide
+    // reader schema, or a renamed/widened column's range read breaks —
+    // the manifest itself is already keyed by logical names
+    val cmap = ColumnMap.load(spark, tablePath)
+    val wide = WideCols.readerSchema(spark, tablePath)
+    def scan(paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val r = wide.map(spark.read.schema).getOrElse(spark.read)
+      // basePath keeps hive partition columns recoverable from file paths
+      ColumnMap.toLogical(
+        if (paths.isEmpty) r.parquet(tablePath)
+        else r.option("basePath", tablePath).parquet(paths: _*),
+        cmap)
+    }
+    val full = scan(Nil)
     val residual = col(column) >= lit(lower) && col(column) <= lit(upper)
     val hasStats = {
       val p = new org.apache.hadoop.fs.Path(statsPath(tablePath))
@@ -357,9 +377,7 @@ object TableStats {
     val files = candidateFiles(spark, tablePath, column, lo, hi, numeric)
     val pruned =
       if (files.isEmpty) full.filter(lit(false))
-      // basePath keeps hive partition columns recoverable from file paths
-      // (an explicit schema would silently null them out)
-      else spark.read.option("basePath", tablePath).parquet(files: _*)
+      else scan(files)
     pruned.filter(residual)
   }
 }
