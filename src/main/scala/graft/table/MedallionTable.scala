@@ -623,10 +623,10 @@ final class MedallionTable(
     * default evaluated at write time; a provided column — including
     * explicit NULLs — is never touched, and existing rows never change
     * (Delta's `ALTER COLUMN … SET DEFAULT` contract: future inserts
-    * only). Scope matches the insert-class writes (append/COPY INTO/
-    * create/overwrite); merge inserts derive their columns from clause
-    * assignments, where an omitted column is an explicit typed-NULL
-    * choice — documented, spec-pinned, not defaulted.
+    * only). Scope: the insert-class writes (append/COPY INTO/create/
+    * overwrite) fill omitted columns, and MERGE INSERT clauses fill
+    * columns no clause assigns ([[insertDefaultColumns]]) — Delta's
+    * allowColumnDefaults surface, complete.
     */
   def columnDefaults: Map[String, (String, String)] =
     if (!fs.exists(defaultsFile)) Map.empty
@@ -688,6 +688,17 @@ final class MedallionTable(
     */
   def dropColumnDefault(name: String): Unit =
     persistDefaults(columnDefaults - name)
+
+  /** The registry as MERGE insert-clause fills ([[MergeOps.mergeClauses]]
+    * / [[MergeOps.mergeVectoredPlan]] `insertDefaults`): a column no
+    * INSERT clause assigns takes its default, exactly Delta's
+    * allowColumnDefaults MERGE behavior.
+    */
+  private def insertDefaultColumns(): Map[String, org.apache.spark.sql.Column] =
+    columnDefaults.map { case (n, (tddl, e)) =>
+      n -> org.apache.spark.sql.functions.expr(e)
+        .cast(org.apache.spark.sql.types.DataType.fromDDL(tddl))
+    }
 
   /** Insert-class write-pass fill: a registered default column the batch
     * OMITS is computed in-pass (cast to the column type recorded at
@@ -1386,7 +1397,7 @@ final class MedallionTable(
           d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(dt))
         }
         MergeOps.mergeClauses(target, source, keys, matched, notMatched,
-          notMatchedBySource)
+          notMatchedBySource, insertDefaultColumns())
       },
       op = "merge")
   }
@@ -1508,7 +1519,7 @@ final class MedallionTable(
     }
     val plan = MergeOps.mergeVectoredPlan(live, source, keys, matched,
       notMatched, logical.columns.toSeq, logical.schema,
-      Seq("__graft_dv_file", "__graft_dv_pos"))
+      Seq("__graft_dv_file", "__graft_dv_pos"), insertDefaultColumns())
     val j = plan.matchedPairs.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

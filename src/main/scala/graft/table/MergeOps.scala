@@ -449,7 +449,8 @@ object MergeOps {
       keys: Seq[(String, String)],
       matched: Seq[WhenClause],
       notMatched: Seq[WhenNotMatchedInsert],
-      notMatchedBySource: Seq[WhenClause]): DataFrame = {
+      notMatchedBySource: Seq[WhenClause],
+      insertDefaults: Map[String, Column] = Map.empty): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one equi-key pair")
     matched.foreach {
       case _: WhenMatchedUpdate | _: WhenMatchedDelete => ()
@@ -482,7 +483,8 @@ object MergeOps {
 
     def chainValues(clauses: Seq[WhenClause], idx: Column, c: String,
         default: Column): Column =
-      chainClauseValues(target.schema, clauses, idx, c, default, tc, sc)
+      chainClauseValues(target.schema, clauses, idx, c, default, tc, sc,
+        insertDefaults)
 
     val keep =
       when(tgtPresent && srcPresent, !deleteChosen(matched, mIdx))
@@ -519,8 +521,14 @@ object MergeOps {
     */
   private def chainClauseValues(targetSchema: org.apache.spark.sql.types.StructType,
       clauses: Seq[WhenClause], idx: Column, c: String, default: Column,
-      tc: ColRef, sc: ColRef): Column = {
+      tc: ColRef, sc: ColRef,
+      insertDefaults: Map[String, Column] = Map.empty): Column = {
     val dt = targetSchema(c).dataType
+    // a column the INSERT clause leaves unassigned takes its registered
+    // column DEFAULT when one exists (Delta allowColumnDefaults in MERGE),
+    // typed-NULL otherwise — update clauses never default (existing rows)
+    def insertFill: Column =
+      insertDefaults.get(c).map(_.cast(dt)).getOrElse(lit(null).cast(dt))
     clauses.zipWithIndex.foldRight(default) { case ((cl, i), els) =>
       val v: Column = cl match {
         case WhenMatchedUpdate(_, set) =>
@@ -528,7 +536,7 @@ object MergeOps {
         case WhenNotMatchedBySourceUpdate(_, set) =>
           set.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(default)
         case WhenNotMatchedInsert(_, values) =>
-          values.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(lit(null).cast(dt))
+          values.get(c).map(f => f(tc, sc).cast(dt)).getOrElse(insertFill)
         case _ => default // DELETE rows are filtered out; value unused
       }
       when(idx === i, v).otherwise(els)
@@ -588,7 +596,8 @@ object MergeOps {
       notMatched: Seq[WhenNotMatchedInsert],
       targetCols: Seq[String],
       targetSchema: org.apache.spark.sql.types.StructType,
-      posCols: Seq[String]): VectoredMergePlan = {
+      posCols: Seq[String],
+      insertDefaults: Map[String, Column] = Map.empty): VectoredMergePlan = {
     require(keys.nonEmpty, "merge requires at least one equi-key pair")
     require(posCols.length == 2, "posCols must be (fileKey, pos)")
     matched.foreach {
@@ -640,7 +649,8 @@ object MergeOps {
       withNullTarget.filter(iIdx =!= -1)
         .select(targetCols.map(c =>
           chainClauseValues(targetSchema, notMatched, iIdx, c,
-            lit(null).cast(targetSchema(c).dataType), tc, sc).as(c)): _*)
+            lit(null).cast(targetSchema(c).dataType), tc, sc,
+            insertDefaults).as(c)): _*)
     }
 
     VectoredMergePlan(joined, marks, newVersions, inserts)

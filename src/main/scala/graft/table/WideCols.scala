@@ -134,10 +134,17 @@ object WideCols {
     */
   private[table] def record(spark: SparkSession, tablePath: String,
       physName: String, wide: DataType, resolved: StructType): Unit = {
+    // ORDER MATTERS for the crash window between the two writes. Reader
+    // schema FIRST: alone it is benign — reads flip to the wide type
+    // (narrow files decode under it) while appends, seeing no widecols
+    // entry yet, keep landing narrow-but-decodable files. The reverse
+    // order would let a canonicalizing append land a WIDE file while
+    // resolution still footer-merges — mixed footers, reads broken until
+    // a rewrite. (A repeated ALTER heals the half-state either way.)
+    writeText(spark, schemaFile(tablePath), resolved.toDDL)
     val entries = load(spark, tablePath) + (physName -> wide)
     writeText(spark, wideFile(tablePath), entries.toSeq.sortBy(_._1)
       .map { case (n, t) => s"$n\t${t.sql}" }.mkString("\n"))
-    writeText(spark, schemaFile(tablePath), resolved.toDDL)
   }
 
   /** Append-time reader-schema maintenance: columns the batch introduces

@@ -95,8 +95,8 @@ class ColumnDefaultsSpec extends SparkSpec {
     assert(t.columnDefaults.isEmpty)
   }
 
-  test("non-deterministic default evaluates per batch; insert-class " +
-      "scope only (merge inserts are NOT defaulted — documented)") {
+  test("non-deterministic default evaluates per batch; MERGE INSERT " +
+      "clauses fill unassigned columns (both merge paths)") {
     import MergeOps._
     val t = MedallionTable(spark, tmpDir("cd5"))
     t.overwrite(Seq((1L, "2000-01-01 00:00:00")).toDF("id", "ts"))
@@ -104,11 +104,26 @@ class ColumnDefaultsSpec extends SparkSpec {
     t.append(Seq(2L).toDF("id"))
     val got = t.read.filter($"id" === 2L).select("ts").head.getString(0)
     assert(got.startsWith("20") && got != "2000-01-01 00:00:00")
-    // merge insert omitting the column lands a NULL, not the default —
-    // clause assignments are explicit choices (scaladoc contract)
+    // DV merge: insert clause omits ts -> default fills it (Delta's
+    // allowColumnDefaults MERGE behavior); matched rows never defaulted
     t.mergeVectored(Seq(3L).toDF("mk"), Seq("id" -> "mk"),
       Nil, Seq(WhenNotMatchedInsert(None, Map("id" -> ((_, s) => s("mk"))))))
-    assert(t.read.filter($"id" === 3L).select("ts").head.isNullAt(0))
+    assert(t.read.filter($"id" === 3L).select("ts").head.getString(0)
+      .startsWith("20"))
+    // rewrite merge path: same contract
+    val t2 = MedallionTable(spark, tmpDir("cd5b"))
+    t2.overwrite(Seq((1L, "v", "keep")).toDF("id", "s", "other"))
+    t2.setColumnDefault("s", "'dflt'")
+    t2.mergeClauses(Seq((1L, "upd"), (9L, "ins")).toDF("mk", "mo"),
+      Seq("id" -> "mk"),
+      Seq(WhenMatchedUpdate(None, Map("other" -> ((_, sc) => sc("mo"))))),
+      Seq(WhenNotMatchedInsert(None, Map(
+        "id" -> ((_, sc) => sc("mk")), "other" -> ((_, sc) => sc("mo"))))),
+      Nil)
+    // matched row keeps its provided s; inserted row gets the default
+    assert(t2.read.filter($"id" === 1L).select("s").head.getString(0) == "v")
+    assert(t2.read.filter($"id" === 9L).select("s").head.getString(0)
+      == "dflt")
   }
 
   test("SQL DDL: SET DEFAULT / DROP DEFAULT round-trip") {
