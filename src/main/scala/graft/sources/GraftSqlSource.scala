@@ -52,8 +52,24 @@ import graft.table.MedallionTable
   * routes those through a catalog's `StagedTable`/row-level-op plugins,
   * out of scope for a plain `TableProvider`).
   */
-final class GraftSqlSource extends TableProvider with DataSourceRegister {
+final class GraftSqlSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — the Structured Streaming sink
+    * (Delta's streaming-sink parity). Registered HERE because the class
+    * already owns the `graft` short name (a second DataSourceRegister
+    * under it would make every lookup ambiguous); the implementation —
+    * exactly-once micro-batch appends via the table layer's
+    * txnAppId/txnVersion machinery — lives in
+    * [[graft.streaming.GraftStreamSink]].
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    graft.streaming.GraftStreamSink.create(parameters, partitionColumns,
+      outputMode)
 
   // CREATE TABLE stores the inferred schema in the catalog and hands it
   // back on later reads — accept it rather than re-inferring per query.

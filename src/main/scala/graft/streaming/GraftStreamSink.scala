@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.StreamSinkProvider
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.table.MedallionTable
+
+/** Structured Streaming SINK into a [[MedallionTable]] — the write-side
+  * twin of [[ChangeFeedSourceProvider]], Delta's
+  * `df.writeStream.format("delta")` parity:
+  *
+  * {{{
+  *   events.writeStream.format("graft")
+  *     .option("path", tableDir)
+  *     .option("checkpointLocation", ckpt)
+  *     .start()
+  * }}}
+  *
+  * The provider hook lives on [[graft.sources.GraftSqlSource]] (the one
+  * `graft` [[DataSourceRegister]] — a second registration under the same
+  * short name would make every `format("graft")` lookup ambiguous);
+  * [[GraftStreamSink.create]] here is the implementation it delegates to.
+  *
+  * Exactly-once is the TABLE layer's existing transactional-write
+  * machinery, not sink-local state: every micro-batch lands through
+  * [[MedallionTable.appendIdempotent]] keyed by (appId, batchId) — the
+  * same Delta txnAppId/txnVersion contract the idempotent-foreachBatch
+  * pattern uses (`EventStreams` scaladoc), now engine-side so users
+  * don't hand-roll it. On restart-replay of a committed epoch the
+  * version check skips the batch; a crash BEFORE the table commit
+  * replays and lands it once. appId defaults to the query's
+  * `checkpointLocation` (stable across restarts by construction —
+  * Spark's own replay identity); `txnAppId` overrides it when two
+  * queries share a checkpoint dir layout.
+  *
+  * Append output mode only: a streaming aggregation in update/complete
+  * mode emits REVISIONS of earlier rows, which an append-only table
+  * write would silently duplicate — refused loudly; route revision
+  * streams through foreachBatch + merge (the documented pattern).
+  *
+  * The micro-batch frame is re-anchored as a plain batch DataFrame over
+  * the epoch's executed rows (`queryExecution.toRdd` + the private-API
+  * bridge — ForeachBatchSink's own pattern) before the table write:
+  * `addBatch` hands a streaming-TAGGED frame whose DataFrame writes
+  * refuse outright, and the table layer runs its usual multi-action
+  * protocol (constraint gate, identity fill, canonicalization) against
+  * the anchored copy. Partitioning comes from the `partitionBy` on the
+  * stream writer, like every sink.
+  */
+object GraftStreamSink {
+
+  /** [[StreamSinkProvider.createSink]] body (see class scaladoc for why
+    * the registration itself lives on GraftSqlSource).
+    */
+  def create(parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    require(outputMode == OutputMode.Append(),
+      s"graft streaming sink supports Append output mode only (got " +
+        s"$outputMode) — update/complete revise earlier rows, which an " +
+        "append-only table write would duplicate; use foreachBatch + " +
+        "merge for revision streams")
+    val path = params.getOrElse("path", throw new IllegalArgumentException(
+      "graft streaming sink requires option(\"path\", <table dir>)"))
+    val rawId = params.get("txnappid")
+      .orElse(params.get("checkpointlocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft streaming sink needs a stable replay identity: set " +
+          "checkpointLocation (the default appId) or option(\"txnAppId\")"))
+    // the txn registry keys a FILE by appId (no slashes/newlines) — hash
+    // the raw identity to a fixed-width name; deterministic, so restarts
+    // land on the same txn record
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(rawId.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new GraftStreamSink(path, partitionColumns, s"sink-$digest")
+  }
+}
+
+private[graft] final class GraftStreamSink(path: String,
+    partitionColumns: Seq[String], appId: String) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    // ForeachBatchSink's re-anchor: the incoming frame is streaming-
+    // tagged (actions refuse); rebuild it batch-shaped over the epoch's
+    // executed rows. `copy()` because unsafe rows are buffer-reused.
+    val rdd = data.queryExecution.toRdd.map(_.copy())
+    val batch = org.apache.spark.sql.GraftColumnBridge
+      .batchDataFrame(spark, rdd, data.schema)
+    val t = MedallionTable(spark, path, partitionColumns)
+    // false = this epoch already committed (restart replay): skipped,
+    // exactly-once by the table's recorded txn version
+    t.appendIdempotent(batch, appId, batchId)
+  }
+
+  override def toString: String = s"GraftStreamSink[$path]"
+}

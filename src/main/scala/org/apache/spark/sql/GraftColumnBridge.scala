@@ -31,6 +31,18 @@ object GraftColumnBridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** Batch (isStreaming = false) DataFrame over an InternalRow RDD — the
+    * v1 `Sink.addBatch` re-anchor, ForeachBatchSink's own pattern: the
+    * incoming micro-batch frame is streaming-tagged, so DataFrame
+    * actions/writes on it refuse with "must be executed with
+    * writeStream.start()".
+    */
+  def batchDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Re-executes every cached entry containing a sub-plan `sameResult` to
     * `plan` — the invalidation SQL DML owes CACHE TABLE users (the cache
     * manager is reachable only through the classic session's shared
