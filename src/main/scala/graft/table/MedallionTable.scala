@@ -326,12 +326,44 @@ final class MedallionTable(
 
   private def tryClaimCommit(expected: Long, op: String): Boolean = {
     fs.mkdirs(commitsDir)
+    // In-commit timestamp (Delta ICT parity): the commit instant rides in
+    // the marker BODY, monotone by construction — max(wall clock, previous
+    // commit's instant + 1). File mtimes are NOT monotone (clock skew
+    // across writers, fs copies/restores reset them), and TIMESTAMP AS OF
+    // resolves against these instants; one tiny marker read per claim.
+    val prevTs = markerInstant(new Path(commitsDir, s"v$expected.commit"))
+      .getOrElse(0L)
+    val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val created = atomicCreateExclusive(
-      new Path(commitsDir, s"v${expected + 1}.commit"), op)
+      new Path(commitsDir, s"v${expected + 1}.commit"), s"$op\t$ts")
     if (created)
       commitMarkers.dropRight(MedallionTable.HistoryDepth).foreach(v =>
         fs.delete(new Path(commitsDir, s"v$v.commit"), false))
     created
+  }
+
+  /** Parse a marker body's `op \t instant` tail; None when the marker is
+    * absent or predates in-commit timestamps (mtime is the fallback then).
+    */
+  private def markerInstant(p: Path): Option[Long] =
+    try {
+      if (!fs.exists(p)) None
+      else splitMarkerBody(readMetaText(p))._2
+    } catch { case _: java.io.IOException => None }
+
+  /** (op, Some(instant)) for ICT-era markers, (body, None) for legacy
+    * ones — split at the LAST tab, only when an all-digit instant
+    * follows, so op strings themselves never mis-parse.
+    */
+  private def splitMarkerBody(body: String): (String, Option[Long]) = {
+    val i = body.lastIndexOf('\t')
+    if (i < 0) (body, None)
+    else {
+      val tail = body.substring(i + 1)
+      if (tail.nonEmpty && tail.forall(_.isDigit))
+        (body.substring(0, i), Some(tail.toLong))
+      else (body, None)
+    }
   }
 
   // ---- rewrite-intent lease (phase 2 of the rewrite commit) -------------
@@ -504,9 +536,11 @@ final class MedallionTable(
       // read-only call.
       val p = new Path(commitsDir, s"v$v.commit")
       try {
-        val t = readMetaText(p)
-        Some((v, if (t.isEmpty) "unknown" else t,
-          fs.getFileStatus(p).getModificationTime))
+        val (op, instant) = splitMarkerBody(readMetaText(p))
+        // in-commit timestamp when recorded (monotone — tryClaimCommit);
+        // marker mtime only for legacy pre-ICT markers
+        Some((v, if (op.isEmpty) "unknown" else op,
+          instant.getOrElse(fs.getFileStatus(p).getModificationTime)))
       } catch { case _: java.io.IOException => None }
     }
 
@@ -2070,7 +2104,18 @@ final class MedallionTable(
       s"ALTER COLUMN TYPE: column '$name' not in " +
         schema.fieldNames.mkString("[", ",", "]"))
     val from = schema(name).dataType
-    require(WideCols.supported(from, target),
+    // heal case: a crash between record()'s two writes leaves the reader
+    // schema wide with no widecols entry (WideCols.record scaladoc) — the
+    // logical type then ALREADY reads as `target`, so the user's retried
+    // ALTER arrives as a same-type declaration; accept it and complete
+    // the overlay instead of refusing it as a no-op
+    val physical0 = ColumnMap.load(spark, path).getOrElse(name, name)
+    val healing = from == target &&
+      WideCols.readerSchema(spark, path).exists(s =>
+        s.fieldNames.contains(physical0) &&
+          s(physical0).dataType == target) &&
+      !WideCols.load(spark, path).contains(physical0)
+    require(healing || WideCols.supported(from, target),
       s"ALTER COLUMN TYPE: ${from.sql} -> ${target.sql} on '$name' is " +
         s"not a supported widening (${WideCols.describeSupported}); " +
         "rewrite the table (read + cast + overwrite) for any other change")

@@ -227,6 +227,62 @@ class TypeWideningSpec extends SparkSpec {
     intercept[Exception](t.append(Seq((2L, null: String)).toDF("x", "s")))
   }
 
+  test("crash between the two widen metadata writes is benign: reader " +
+      "schema alone flips the type, appends stay decodable, re-ALTER " +
+      "heals; a crashed evolving append degrades to a metadata-only ADD") {
+    val p = tmpDir("tw14")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1, "a")).toDF("x", "s"))
+    // simulate the record() crash window: physschema.ddl written (wide),
+    // widecols.tsv not yet (WideCols.record writes in exactly this order)
+    val pre = spark.read.parquet(p).schema
+    val wide = org.apache.spark.sql.types.StructType(pre.fields.map(f =>
+      if (f.name == "x") f.copy(dataType = LongType) else f))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      p, "_graft_meta/physschema.ddl"), true)
+    out.write(wide.toDDL.getBytes("UTF-8")); out.close()
+    // a real crash happens inside a CLAIMED commit, so the schema-memo
+    // stamp has changed — mimic that (the memo keys on the commits-dir
+    // census, which any claim perturbs)
+    def bustStamp(tag: String): Unit = {
+      val cd = new org.apache.hadoop.fs.Path(p + "__graft_commits")
+      fs.mkdirs(cd)
+      fs.create(new org.apache.hadoop.fs.Path(cd, tag), true).close()
+    }
+    bustStamp("crash1")
+    // reads flip to wide (explicit schema decodes the narrow page)...
+    assert(t.read.schema("x").dataType == LongType)
+    assert(t.read.select(sum($"x")).head.getLong(0) == 1L)
+    // ...appends land NARROW (no widecols entry -> canonicalize no-ops)
+    // but stay decodable under the wide reader schema
+    t.append(Seq((2, "b")).toDF("x", "s"))
+    assert(t.read.select(sum($"x")).head.getLong(0) == 3L)
+    // re-running the ALTER heals the half-state into the full overlay
+    t.alterColumnType("x", "BIGINT")
+    assert(t.widenedColumns == Map("x" -> LongType))
+    t.append(Seq((30000000000L, "c")).toDF("x", "s"))
+    assert(t.read.select(max($"x")).head.getLong(0) == 30000000000L)
+    // the OTHER window: extendReaderSchema runs before an evolving
+    // append's data lands — a crash there reads as a typed-NULL column
+    // (exactly the metadata-only ADD COLUMN contract)
+    val withPhantom = org.apache.spark.sql.types.StructType(
+      WideCols.readerSchema(spark, p).get.fields :+
+        org.apache.spark.sql.types.StructField("phantom",
+          org.apache.spark.sql.types.DoubleType))
+    val out2 = fs.create(new org.apache.hadoop.fs.Path(
+      p, "_graft_meta/physschema.ddl"), true)
+    out2.write(withPhantom.toDDL.getBytes("UTF-8")); out2.close()
+    bustStamp("crash2")
+    assert(t.read.schema("phantom").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(t.read.filter($"phantom".isNotNull).count() == 0)
+    // the retried evolving append then materializes it
+    t.append(Seq((4L, "d", 1.5)).toDF("x", "s", "phantom"))
+    assert(t.read.filter($"phantom".isNotNull).count() == 1)
+  }
+
   test("delta-log export and widening exclude each other, both ways") {
     val t = MedallionTable(spark, tmpDir("tw12"))
     t.overwrite(Seq((1, "a")).toDF("x", "s"))
