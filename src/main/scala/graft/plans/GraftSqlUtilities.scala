@@ -505,6 +505,11 @@ final case class GraftDescribeDetailCommand(target: String)
     AttributeReference("num_retained_snapshots", LongType, nullable = false)(),
     AttributeReference("check_constraints", StringType, nullable = false)(),
     AttributeReference("generated_columns", StringType, nullable = false)(),
+    AttributeReference("not_null_columns", StringType, nullable = false)(),
+    AttributeReference("identity_columns", StringType, nullable = false)(),
+    AttributeReference("row_tracking", BooleanType, nullable = false)(),
+    AttributeReference("column_defaults", StringType, nullable = false)(),
+    AttributeReference("widened_columns", StringType, nullable = false)(),
     AttributeReference("change_data_feed", BooleanType, nullable = false)(),
     AttributeReference("stats_fresh", BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -543,6 +548,13 @@ final case class GraftDescribeDetailCommand(target: String)
       snapshots.size.toLong,
       mt.checkConstraints.keys.toSeq.sorted.mkString(","),
       mt.generatedColumns.keys.toSeq.sorted.mkString(","),
+      mt.notNullColumns.toSeq.sorted.mkString(","),
+      mt.identityColumns.keys.toSeq.sorted.mkString(","),
+      mt.rowTrackingEnabled,
+      mt.columnDefaults.toSeq.sortBy(_._1)
+        .map { case (n, (_, e)) => s"$n=$e" }.mkString(","),
+      mt.widenedColumns.toSeq.sortBy(_._1)
+        .map { case (n, t) => s"$n:${t.sql}" }.mkString(","),
       mt.changeDataFeedEnabled,
       graft.table.TableStats.hasManifest(spark, path)))
   }

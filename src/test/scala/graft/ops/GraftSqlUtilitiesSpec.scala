@@ -77,13 +77,24 @@ class GraftSqlUtilitiesSpec extends SparkSpec {
     assert(r.getLong(6) == 1L, "one retained pre-merge snapshot")
     assert(r.getString(7) == "pos_id")
     assert(r.getString(8) == "", "no generated columns declared")
-    assert(!r.getBoolean(9), "change feed not armed")
-    assert(r.getBoolean(10), "manifest present after refreshStats")
-    // the new table-feature fields report their armed states
+    assert(r.getAs[Boolean]("change_data_feed") == false)
+    assert(r.getAs[Boolean]("stats_fresh"), "manifest after refreshStats")
+    // registry fields start empty
+    assert(r.getAs[String]("not_null_columns") == "")
+    assert(r.getAs[String]("identity_columns") == "")
+    assert(!r.getAs[Boolean]("row_tracking"))
+    assert(r.getAs[String]("column_defaults") == "")
+    assert(r.getAs[String]("widened_columns") == "")
+    // the table-feature fields report their armed states
     t.enableChangeDataFeed()
     t.setGeneratedColumn("blk", "CAST(id % 2 AS INT)")
+    t.setNotNull("id")
+    t.setColumnDefault("id", "0")
     val r2 = spark.sql("DESCRIBE DETAIL sqlutil_detail_t").collect()(0)
-    assert(r2.getString(8) == "blk" && r2.getBoolean(9))
+    assert(r2.getString(8) == "blk" &&
+      r2.getAs[Boolean]("change_data_feed"))
+    assert(r2.getAs[String]("not_null_columns") == "id")
+    assert(r2.getAs[String]("column_defaults") == "id=0")
   }
 
   test("REORG APPLY (PURGE) materializes DV state; no-op on a clean table") {
