@@ -283,6 +283,48 @@ class TypeWideningSpec extends SparkSpec {
     assert(t.read.filter($"phantom".isNotNull).count() == 1)
   }
 
+  test("widen races concurrent appends safely: the claim-first writer " +
+      "lock serializes the footer merge against in-flight data jobs, so " +
+      "no batch lands invisibly narrow and no evolved column is lost") {
+    val p = tmpDir("tw15")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1, "a")).toDF("x", "s"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appenders = (0 until 3).map { i =>
+      new Thread(() => {
+        val mine = MedallionTable(spark, p)
+        (0 until 4).foreach { j =>
+          try {
+            // batches alternate: plain, and schema-EVOLVING (extra col)
+            if (j % 2 == 0)
+              mine.append(Seq((100 * i + j, s"t$i-$j")).toDF("x", "s"))
+            else
+              mine.append(Seq((100 * i + j, s"t$i-$j", i * 10 + j))
+                .toDF("x", "s", s"extra_$i"))
+          } catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    appenders.foreach(_.start())
+    Thread.sleep(30)
+    t.alterColumnType("x", "BIGINT")
+    appenders.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent failures: ${errs.size} " +
+      errs.toArray.take(2).mkString("; "))
+    val got = t.read
+    assert(got.schema("x").dataType == LongType)
+    assert(got.count() == 13)
+    // every evolving batch's column survived the widen's schema snapshot
+    for (i <- 0 until 3) {
+      assert(got.columns.contains(s"extra_$i"), s"lost column extra_$i")
+      assert(got.filter(col(s"extra_$i").isNotNull).count() == 2,
+        s"lost rows for extra_$i")
+    }
+    // all x values intact across narrow/wide files
+    assert(got.select(sum($"x")).head.getLong(0) ==
+      1L + (0 until 3).flatMap(i => (0 until 4).map(100 * i + _)).sum)
+  }
+
   test("delta-log export and widening exclude each other, both ways") {
     val t = MedallionTable(spark, tmpDir("tw12"))
     t.overwrite(Seq((1, "a")).toDF("x", "s"))
