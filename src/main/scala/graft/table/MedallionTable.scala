@@ -1235,10 +1235,11 @@ final class MedallionTable(
     // new files never reintroduce a narrow spelling). extendReaderSchema
     // runs BEFORE the data lands (WideCols scaladoc: a crash between the
     // two degrades the evolving append to a metadata-only ADD COLUMN).
-    val physBatch = WideCols.canonicalize(
+    val cmap = ColumnMap.load(spark, path)
+    val physBatch = upcastBatch(WideCols.canonicalize(
       ColumnMap.toPhysical(enforced(applyIdentityAppend(applyDefaults(df))),
-        ColumnMap.load(spark, path)),
-      WideCols.load(spark, path))
+        cmap),
+      WideCols.load(spark, path)), cmap)
     WideCols.extendReaderSchema(spark, path, physBatch.schema)
     writer(physBatch, SaveMode.Append).parquet(path)
     val added =
@@ -1253,6 +1254,52 @@ final class MedallionTable(
     if (cdfOn)
       try ChangeFeed.captureFiles(spark, path, commitVersion, op, added)
       catch { case scala.util.control.NonFatal(_) => () } // read fail-stops
+  }
+
+  /** Write-time type enforcement for appends (Delta's store-assignment
+    * contract): a batch column NARROWER than the table's declared type is
+    * upcast in-pass (lossless — e.g. an int frame appended after the
+    * column widened, or after a rewrite materialized the widening; left
+    * as-is it would land a third footer spelling `mergeSchema` refuses
+    * to merge). A batch column WIDER than the table refuses loudly with
+    * the ALTER COLUMN TYPE hatch — silently landing it would break every
+    * future read the same way. Types come from the stashed schema DDL
+    * (logical names → mapped physical; absent on append-only-created
+    * tables, where this is a no-op — the legacy contract). Non-widening
+    * type differences pass through untouched (struct evolution etc. keep
+    * their existing `mergeSchema` semantics).
+    */
+  private def upcastBatch(physBatch: DataFrame,
+      cmap: Map[String, String]): DataFrame = {
+    val sf = new Path(path, "_graft_meta/schema.ddl")
+    if (!fs.exists(sf)) return physBatch
+    val stash = org.apache.spark.sql.types.StructType
+      .fromDDL(readMetaText(sf))
+    val physTypes = stash.fields
+      .map(f => cmap.getOrElse(f.name, f.name).toLowerCase -> f.dataType)
+      .toMap
+    // partition columns are OUT of scope either way: their values are
+    // directory names, not footer pages — no narrow/wide footer conflict
+    // exists for them, and the standing-index tables legitimately append
+    // wider-typed partition keys today
+    val partLower = partitionColumns.map(_.toLowerCase).toSet
+    physBatch.schema.fields.foldLeft(physBatch) { (d, f) =>
+      (if (partLower.contains(f.name.toLowerCase)) None
+       else physTypes.get(f.name.toLowerCase)) match {
+        case Some(tt) if tt != f.dataType &&
+            WideCols.supported(f.dataType, tt) =>
+          d.withColumn(f.name, org.apache.spark.sql.functions
+            .col("`" + f.name.replace("`", "``") + "`").cast(tt))
+        case Some(tt) if tt != f.dataType &&
+            WideCols.supported(tt, f.dataType) =>
+          throw new IllegalArgumentException(
+            s"append: batch column '${f.name}' is ${f.dataType.sql} but " +
+              s"the table declares ${tt.sql} — a wider batch would land " +
+              "files no table scan can resolve; ALTER COLUMN TYPE " +
+              s"${f.dataType.sql} first (metadata-only), then append")
+        case _ => d
+      }
+    }
   }
 
   /** Live data files (qualified path strings), `_graft_meta` excluded by
