@@ -68,8 +68,8 @@ final class GraftSqlSource extends TableProvider with DataSourceRegister
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink =
-    graft.streaming.GraftStreamSink.create(parameters, partitionColumns,
-      outputMode)
+    graft.streaming.GraftStreamSink.create(sqlContext, parameters,
+      partitionColumns, outputMode)
 
   // CREATE TABLE stores the inferred schema in the catalog and hands it
   // back on later reads — accept it rather than re-inferring per query.

@@ -53,8 +53,24 @@ object GraftStreamSink {
 
   /** [[StreamSinkProvider.createSink]] body (see class scaladoc for why
     * the registration itself lives on GraftSqlSource).
+    *
+    * Replay-identity resolution, in priority order:
+    *  1. `txnAppId` — the explicit override, hashed as given.
+    *  2. `checkpointLocation` option — QUALIFIED to an absolute URI
+    *     before hashing: `ckpt`, `./ckpt` and `file:/…/ckpt` across
+    *     restarts are the SAME checkpoint and must replay under the same
+    *     appId, so the hash keys the resolved location, never the option
+    *     spelling of the day.
+    *  3. Neither option (checkpoint supplied via
+    *     `spark.sql.streaming.checkpointLocation` conf, which Spark
+    *     never surfaces in the sink options) — fall back to the
+    *     STREAMING QUERY ID at addBatch time (Delta sink's key):
+    *     `StreamingQuery.id` is minted once and persisted in the
+    *     checkpoint metadata, so it is stable across restarts by
+    *     construction and needs no path spelling at all.
     */
-  def create(parameters: Map[String, String],
+  def create(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
     require(outputMode == OutputMode.Append(),
@@ -64,25 +80,45 @@ object GraftStreamSink {
         "merge for revision streams")
     val path = params.getOrElse("path", throw new IllegalArgumentException(
       "graft streaming sink requires option(\"path\", <table dir>)"))
-    val rawId = params.get("txnappid")
-      .orElse(params.get("checkpointlocation"))
-      .getOrElse(throw new IllegalArgumentException(
-        "graft streaming sink needs a stable replay identity: set " +
-          "checkpointLocation (the default appId) or option(\"txnAppId\")"))
     // the txn registry keys a FILE by appId (no slashes/newlines) — hash
     // the raw identity to a fixed-width name; deterministic, so restarts
     // land on the same txn record
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(rawId.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    new GraftStreamSink(path, partitionColumns, s"sink-$digest")
+    def hashed(raw: String): String = "sink-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val appId: Option[String] = params.get("txnappid").map(hashed)
+      .orElse(params.get("checkpointlocation").map { raw =>
+        val p = new org.apache.hadoop.fs.Path(raw)
+        val fs = p.getFileSystem(
+          sqlContext.sparkSession.sessionState.newHadoopConf())
+        val u = fs.makeQualified(p).toUri
+        // scheme/authority/path rebuilt by hand: a null vs empty
+        // authority ("file:/x" vs "file:///x") round-trips differently
+        // through URI.toString yet names the same location
+        hashed(s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}" +
+          u.getPath)
+      })
+    new GraftStreamSink(path, partitionColumns, appId)
   }
 }
 
 private[graft] final class GraftStreamSink(path: String,
-    partitionColumns: Seq[String], appId: String) extends Sink {
+    partitionColumns: Seq[String], appIdOpt: Option[String]) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
+    // Query-id fallback (create scaladoc case 3): StreamExecution sets
+    // the query id as a local property on the micro-batch thread before
+    // every epoch — read it here, where it is guaranteed in scope.
+    val appId = appIdOpt.getOrElse {
+      val qid = spark.sparkContext.getLocalProperty(
+        org.apache.spark.sql.execution.streaming.runtime
+          .StreamExecution.QUERY_ID_KEY)
+      require(qid != null, "graft streaming sink could not resolve a " +
+        "replay identity: no txnAppId/checkpointLocation option and no " +
+        "streaming query id on this thread — set option(\"txnAppId\")")
+      s"sink-query-$qid"
+    }
     // ForeachBatchSink's re-anchor: the incoming frame is streaming-
     // tagged (actions refuse); rebuild it batch-shaped over the epoch's
     // executed rows. `copy()` because unsafe rows are buffer-reused.

@@ -106,7 +106,7 @@ object ChangeFeed {
   /** Ops that change no logical rows: safe to skip with no manifest. */
   private val NoChangeOps: Set[String] = Set(
     "convert", "add-column", "drop-column", "rename-column", "set-cdf",
-    "widen-column",
+    "widen-column", "set-default", "drop-default",
     "optimize", "optimize-where", "optimize-zorder", "reorg-purge",
     "dv-compact", "dv-batch-compact", "analyze", "sync-delta-log",
     "checkpoint-delta-log")

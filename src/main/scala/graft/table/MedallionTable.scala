@@ -331,8 +331,16 @@ final class MedallionTable(
     // commit's instant + 1). File mtimes are NOT monotone (clock skew
     // across writers, fs copies/restores reset them), and TIMESTAMP AS OF
     // resolves against these instants; one tiny marker read per claim.
-    val prevTs = markerInstant(new Path(commitsDir, s"v$expected.commit"))
-      .getOrElse(0L)
+    // Legacy boundary: a pre-ICT predecessor marker has no body instant,
+    // but history() renders ITS timestamp from the file mtime — seeding 0
+    // here would let a restored/skewed mtime (the exact hazard ICT
+    // targets) sit ABOVE the first in-commit instant, going non-monotone
+    // at the upgrade boundary. Fence above the mtime instead.
+    val prevMarker = new Path(commitsDir, s"v$expected.commit")
+    val prevTs = markerInstant(prevMarker).getOrElse(
+      try { if (fs.exists(prevMarker))
+        fs.getFileStatus(prevMarker).getModificationTime else 0L }
+      catch { case _: java.io.IOException => 0L })
     val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val created = atomicCreateExclusive(
       new Path(commitsDir, s"v${expected + 1}.commit"), s"$op\t$ts")
@@ -714,14 +722,28 @@ final class MedallionTable(
     // evaluability + castability probe: one local row, fails loudly now
     spark.range(1).select(
       org.apache.spark.sql.functions.expr(exprSql).cast(dt)).head()
-    persistDefaults(columnDefaults + (name -> (dt.sql, exprSql)))
+    // Claimed commit (alterColumnType's pattern): a bare registry write
+    // races concurrent rewrites — rewriteVia snapshots columnDefaults
+    // up front and re-persists that snapshot into its swap, so a default
+    // set in between would be silently discarded. Under the claim, the
+    // rewrite either sees the new registry at its snapshot or aborts at
+    // its CAS/re-check; the registry re-read inside the block picks up
+    // any default DDL that committed while this one waited on the lock.
+    withClaimedCommit("set-default") {
+      persistDefaults(columnDefaults + (name -> (dt.sql, exprSql)))
+    }
   }
 
   /** `ALTER COLUMN name DROP DEFAULT` — omitted columns read back as
     * NULL again (rows already written with the default keep it).
+    * Claimed commit for the same rewrite-serialization reason as
+    * [[setColumnDefault]]; a drop of an unregistered default is a pure
+    * no-op (no commit claimed).
     */
   def dropColumnDefault(name: String): Unit =
-    persistDefaults(columnDefaults - name)
+    if (columnDefaults.contains(name)) withClaimedCommit("drop-default") {
+      persistDefaults(columnDefaults - name)
+    }
 
   /** The registry as MERGE insert-clause fills ([[MergeOps.mergeClauses]]
     * / [[MergeOps.mergeVectoredPlan]] `insertDefaults`): a column no
@@ -2192,9 +2214,22 @@ final class MedallionTable(
       val physical = ColumnMap.load(spark, path).getOrElse(name, name)
       // current reader schema in PHYSICAL names: the live overlay schema
       // when present (re-widen chains), else the LAST footer merge this
-      // table will ever run (explicit schemas take over from here)
+      // table will ever run (explicit schemas take over from here).
+      // Legally-emptied table (all rows deleted; only schema.ddl keeps it
+      // existing): there are no footers to merge, so Spark's inference
+      // would throw unable-to-infer inside the claimed commit — seed from
+      // the stashed DDL instead (authoritative on the empty branch, see
+      // [[read]]), mapped to physical names so the overlay records the
+      // on-disk spelling.
+      val cmapSeed = ColumnMap.load(spark, path)
+      val ddlFile = new Path(path, "_graft_meta/schema.ddl")
       val current = WideCols.readerSchema(spark, path).getOrElse(
-        spark.read.option("mergeSchema", "true").parquet(path).schema)
+        if (!hasDataFiles(new Path(path)) && fs.exists(ddlFile))
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructType
+              .fromDDL(readMetaText(ddlFile)).fields
+              .map(f => f.copy(name = cmapSeed.getOrElse(f.name, f.name))))
+        else spark.read.option("mergeSchema", "true").parquet(path).schema)
       require(current.fieldNames.contains(physical),
         s"ALTER COLUMN TYPE: '$name' is declared by a not-yet-" +
           "materialized ADD COLUMN — dropColumn() the declaration and " +

@@ -25,7 +25,8 @@ class GraftStreamSinkSpec extends SparkSpec {
     val ckpt = ckptDir("gsink1_ck")
     val input = MemoryStream[(Long, String)]
     val q = input.toDF().toDF("id", "s").writeStream.format("graft")
-      .option("path", p).option("checkpointLocation", ckpt).start()
+      .option("path", p).option("checkpointLocation", ckpt)
+      .option("txnAppId", "gsink1-app").start()
     try {
       input.addData((1L, "a"), (2L, "b"))
       q.processAllAvailable()
@@ -34,13 +35,13 @@ class GraftStreamSinkSpec extends SparkSpec {
       val t = MedallionTable(spark, p)
       assert(t.read.count() == 3)
     } finally q.stop()
-    // restart on the SAME checkpoint: committed epochs are skipped by
-    // the recorded txn version, new data lands once
+    // restart on the same explicit replay identity: committed epochs are
+    // skipped by the recorded txn version, new data lands once
     val input2 = MemoryStream[(Long, String)]
     input2.addData((1L, "a"), (2L, "b"), (3L, "c")) // replayed world
     val q2 = input2.toDF().toDF("id", "s").writeStream.format("graft")
       .option("path", p).option("checkpointLocation", ckptDir("gsink1_ck2"))
-      .option("txnAppId", ckpt) // same replay identity, new checkpoint dir
+      .option("txnAppId", "gsink1-app") // same identity, new checkpoint dir
       .start()
     try {
       q2.processAllAvailable()
@@ -111,5 +112,78 @@ class GraftStreamSinkSpec extends SparkSpec {
       // hive layout: the partition dir exists
       assert(new java.io.File(s"$p/g=1").exists())
     } finally q.stop()
+  }
+
+  /** Simulate a crash AFTER the table commit but BEFORE Spark's own
+    * commit-log entry: delete the newest commit-log file, so a restart
+    * replays that epoch into the sink and the table-layer txn dedup is
+    * what must catch it.
+    */
+  private def dropLatestCommitLogEntry(ckpt: String): Unit = {
+    val commits = new java.io.File(s"$ckpt/commits")
+    val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    // the checksum sidecar must go too: a leftover .N.crc fails the
+    // replay's rename, which Spark misreads as a concurrent query
+    new java.io.File(commits, s".${latest.getName}.crc").delete()
+    latest.delete()
+  }
+
+  test("appId keys the RESOLVED checkpoint location: a crash-replay " +
+      "restarted under a file: URI spelling of the same dir lands once") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = tmpDir("gsink6")
+    val ckpt = ckptDir("gsink6_ck")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "s").writeStream.format("graft")
+      .option("path", p).option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(MedallionTable(spark, p).read.count() == 2)
+    } finally q.stop()
+    dropLatestCommitLogEntry(ckpt)
+    // restart the SAME checkpoint under a different spelling — a raw
+    // string hash would mint a new appId and double-apply the replay
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData((1L, "a"), (2L, "b"))
+    val q2 = input2.toDF().toDF("id", "s").writeStream.format("graft")
+      .option("path", p).option("checkpointLocation", s"file:$ckpt").start()
+    try {
+      q2.processAllAvailable()
+      assert(MedallionTable(spark, p).read.count() == 2,
+        "crash-replayed epoch duplicated under a respelled checkpoint")
+    } finally q2.stop()
+  }
+
+  test("conf-only checkpoint (no sink option) falls back to the " +
+      "streaming query id; crash-replayed epoch still lands once") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = tmpDir("gsink7")
+    val root = ckptDir("gsink7_ck")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", root)
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("id", "s").writeStream.format("graft")
+        .option("path", p).queryName("gsink7q").start()
+      try {
+        input.addData((1L, "a"), (2L, "b"))
+        q.processAllAvailable()
+        assert(MedallionTable(spark, p).read.count() == 2)
+      } finally q.stop()
+      dropLatestCommitLogEntry(s"$root/gsink7q")
+      // the query id is persisted in the checkpoint metadata — the
+      // restart reuses it, so the replayed epoch dedups with no
+      // checkpoint path in scope at all
+      val input2 = MemoryStream[(Long, String)]
+      input2.addData((1L, "a"), (2L, "b"))
+      val q2 = input2.toDF().toDF("id", "s").writeStream.format("graft")
+        .option("path", p).queryName("gsink7q").start()
+      try {
+        q2.processAllAvailable()
+        assert(MedallionTable(spark, p).read.count() == 2,
+          "crash-replayed epoch duplicated under the query-id appId")
+      } finally q2.stop()
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
   }
 }

@@ -149,4 +149,41 @@ class ColumnDefaultsSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
     assert(t.read.filter($"s" === "b").select("n").head.getLong(0) == 7L)
   }
+
+  test("defaults DDL runs under the commit protocol: set/drop claim " +
+      "commits; dropping an unregistered default claims none") {
+    val t = MedallionTable(spark, tmpDir("cd8"))
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    val v0 = t.commitVersion
+    t.setColumnDefault("s", "'D'")
+    assert(t.commitVersion == v0 + 1 && t.history().head._2 == "set-default")
+    t.dropColumnDefault("s")
+    assert(t.commitVersion == v0 + 2 && t.history().head._2 == "drop-default")
+    t.dropColumnDefault("never-set")
+    assert(t.commitVersion == v0 + 2) // pure no-op, no commit burned
+  }
+
+  test("a SET DEFAULT landing while a rewrite is staged aborts the " +
+      "rewrite instead of being silently discarded by its snapshot") {
+    val p = tmpDir("cd9")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // rewriteVia snapshots columnDefaults up front and re-persists that
+    // snapshot into its swap; pre-fix, a bare registry write in this
+    // window was lost. Now the DDL claims a commit, so the rewrite's
+    // CAS sees the advanced ordinal and aborts — registry intact.
+    MedallionTable.testFailpoint = {
+      case "pre-commit" =>
+        MedallionTable.testFailpoint = _ => ()
+        MedallionTable(spark, p).setColumnDefault("s", "'RACED'")
+      case _ => ()
+    }
+    try intercept[java.util.ConcurrentModificationException](t.compact())
+    finally MedallionTable.testFailpoint = _ => ()
+    assert(t.history().head._2 == "set-default")
+    t.compact() // retry sees (and re-persists) the new registry
+    t.append(Seq(3L).toDF("id"))
+    assert(t.read.filter($"id" === 3L).select("s").head.getString(0)
+      == "RACED")
+  }
 }

@@ -40,4 +40,28 @@ class InCommitTimestampSpec extends SparkSpec {
     assert(h.map(_._2).toSet == Set("create-overwrite", "append"))
     assert(h.forall(_._3 > 0L))
   }
+
+  test("upgrade boundary: the first in-commit instant fences ABOVE a " +
+      "legacy predecessor's mtime, even a skewed/restored future one") {
+    val p = tmpDir("ict3")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq(1).toDF("x"))
+    // demote v1 to a legacy marker (op only) with a FUTURE mtime — the
+    // restored-backup / skewed-clock scenario ICT exists for; history()
+    // renders legacy timestamps from the mtime, so the next in-commit
+    // instant must fence above it or the boundary goes non-monotone
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(p + "__graft_commits", "v1.commit")
+    fs.delete(m, false)
+    val out = fs.create(m, true)
+    out.write("create-overwrite".getBytes("UTF-8")); out.close()
+    val future = System.currentTimeMillis() + 3600L * 1000L
+    fs.setTimes(m, future, -1)
+    t.append(Seq(2).toDF("x"))
+    val ts = t.history().map(_._3) // newest first
+    assert(ts.length == 2)
+    assert(ts.head > ts(1),
+      s"ICT instant ${ts.head} did not fence above legacy mtime ${ts(1)}")
+  }
 }

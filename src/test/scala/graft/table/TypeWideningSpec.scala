@@ -339,4 +339,19 @@ class TypeWideningSpec extends SparkSpec {
       DeltaLogExport.sync(spark, t2.path))
     assert(e2.getMessage.contains("type widenings"))
   }
+
+  test("widening a legally-emptied table seeds from the stashed DDL " +
+      "(no footers exist for the merge fallback to read)") {
+    val t = MedallionTable(spark, tmpDir("tw14"))
+    t.overwrite(Seq((1, 10)).toDF("k", "v"))
+    t.delete(lit(true)) // row-level rewrite legally empties; DDL stashed
+    assert(t.read.count() == 0)
+    t.alterColumnType("v", "BIGINT") // pre-fix: unable-to-infer inside the claim
+    assert(t.read.schema("v").dataType == LongType)
+    t.append(Seq((2, 5L)).toDF("k", "v"))
+    assert(t.read.as[(Int, Long)].collect().toSet == Set((2, 5L)))
+    // narrow pre-widen spelling still upcasts on append
+    t.append(Seq((3, 6)).toDF("k", "v"))
+    assert(t.read.select(sum($"v")).head.getLong(0) == 11L)
+  }
 }
