@@ -203,7 +203,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
               s"cannot evaluate TIMESTAMP AS OF expression: $other")
           }
         }
-        val at = mt.history().filter(_._3 <= millis).map(_._1)
+        // fullHistory: the journal keeps instants addressable past the
+        // live HistoryDepth window, so TIMESTAMP AS OF spans the whole
+        // retained-snapshot range, not the last 8 commits
+        val at = mt.fullHistory().filter(_._3 <= millis).map(_._1)
         if (at.isEmpty) throw new IllegalArgumentException(
           s"no retained version of ${ident.unquotedString} at or before " +
             new java.sql.Timestamp(millis))
@@ -398,7 +401,7 @@ final case class GraftDescribeHistoryCommand(target: String)
     AttributeReference("timestamp", TimestampType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val mt = new MedallionTable(spark, GraftSqlParser.resolvePath(spark, target))
-    mt.history().map { case (v, op, millis) =>
+    mt.fullHistory().map { case (v, op, millis) =>
       Row(v, op, new java.sql.Timestamp(millis))
     }
   }
@@ -909,7 +912,7 @@ final case class GraftRestoreTimestampCommand(target: String, instant: String)
         org.apache.spark.unsafe.types.UTF8String.fromString(instant), zone)
       .getOrElse(throw new IllegalArgumentException(
         s"cannot parse TIMESTAMP AS OF instant: $instant")) / 1000L
-    val at = mt.history().filter(_._3 <= millis).map(_._1)
+    val at = mt.fullHistory().filter(_._3 <= millis).map(_._1)
     if (at.isEmpty) throw new IllegalArgumentException(
       s"no retained version of $target at or before " +
         new java.sql.Timestamp(millis))
@@ -1096,7 +1099,7 @@ object GraftTableFunctions {
         val spark = SparkSession.active
         val path = litString(exprs.head, "path")
         import spark.implicits._
-        new MedallionTable(spark, path).history()
+        new MedallionTable(spark, path).fullHistory()
           .toDF("version", "operation", "ts_millis")
           .queryExecution.logical
       }),

@@ -1241,7 +1241,10 @@ object SinkQueries {
     }),
 
     // K8 — history through the SQL TVF (the k_history scenario read back
-    // with `graft_table_history` instead of the API).
+    // with `graft_table_history` instead of the API), extended PAST the
+    // live HistoryDepth window: 13 commits total, so v1..v5 live only in
+    // the durable journal — the TVF must render every commit ever made
+    // (Delta DESCRIBE HISTORY parity), not just the newest 8 markers.
     "k8_sql_history_tvf" -> ((s, dir) => {
       import s.implicits._
       val p = Q.scratch(dir, "k8_sql_hist")
@@ -1251,6 +1254,7 @@ object SinkQueries {
       t.overwrite(Seq((1L, "a")).toDF("id", "v"))
       t.append(Seq((2L, "b")).toDF("id", "v"))
       t.merge(Seq((1L, "A"), (2L, "b")).toDF("id", "v"), Seq("id"))
+      (0 until 10).foreach(i => t.append(Seq((10L + i, "x")).toDF("id", "v")))
       s.sql(s"SELECT version, operation FROM graft_table_history('$p')")
     }),
 
@@ -1885,9 +1889,10 @@ object SinkQueries {
        "SELECT o_orderkey, o_custkey AS cust, o_totalprice, 'web' AS channel " +
        "FROM orders WHERE o_orderkey % 2 = 1"),
     "k8_sql_history_tvf" ->
-      ("SELECT * FROM (VALUES (CAST(3 AS BIGINT), 'merge'), " +
-       "(CAST(2 AS BIGINT), 'append'), (CAST(1 AS BIGINT), 'create-overwrite')) " +
-       "t(version, operation)"),
+      ("SELECT CAST(range AS BIGINT) AS version, " +
+       "CASE WHEN range = 1 THEN 'create-overwrite' " +
+       "WHEN range = 3 THEN 'merge' ELSE 'append' END AS operation " +
+       "FROM range(1, 14)"),
     "k8_sql_version_as_of" ->
       s"SELECT $OrderCols FROM orders WHERE o_orderkey % 3 <> 0",
     "k_delete_where_roundtrip" ->

@@ -345,9 +345,106 @@ final class MedallionTable(
     val created = atomicCreateExclusive(
       new Path(commitsDir, s"v${expected + 1}.commit"), s"$op\t$ts")
     if (created)
-      commitMarkers.dropRight(MedallionTable.HistoryDepth).foreach(v =>
-        fs.delete(new Path(commitsDir, s"v$v.commit"), false))
+      commitMarkers.dropRight(MedallionTable.HistoryDepth).foreach { v =>
+        // Durable history: a marker leaving the live window is RENAMED
+        // into the journal dir, not deleted — DESCRIBE HISTORY and
+        // TIMESTAMP AS OF resolve over [[fullHistory]], which folds the
+        // journal back in, so the retained-snapshot window stays fully
+        // addressable past HistoryDepth (Delta keeps 30 days of log for
+        // the same reason). Rename is per-ordinal and idempotent under
+        // concurrent pruners: a failed rename with the destination
+        // present means another writer journaled it — drop the live
+        // marker; absent destination leaves the marker for the next
+        // prune to retry (never lost, never double-counted —
+        // [[fullHistory]] dedups by ordinal anyway).
+        val src = new Path(commitsDir, s"v$v.commit")
+        val dst = new Path(journalDir, s"v$v.commit")
+        try {
+          fs.mkdirs(journalDir)
+          if (!fs.rename(src, dst) && fs.exists(dst))
+            fs.delete(src, false)
+        } catch { case _: java.io.IOException => () }
+      }
     created
+  }
+
+  // ---- durable commit journal (history past HistoryDepth) ---------------
+
+  /** Journaled markers: pruned commit markers land here (file-per-ordinal,
+    * then compacted into `journal.tsv` rows `ordinal \t instant \t op`).
+    */
+  private def journalDir = new Path(commitsDir, "journal")
+
+  private def journalTsv = new Path(commitsDir, "journal.tsv")
+
+  /** Parse `journal.tsv` rows; tolerate a missing/corrupt line (the row
+    * also survives as its per-ordinal file until compaction deletes it,
+    * and compaction deletes only what it durably wrote).
+    */
+  private def journalTsvRows(): Seq[(Long, String, Long)] =
+    if (!fs.exists(journalTsv)) Nil
+    else try readMetaText(journalTsv).split('\n').toSeq.flatMap { line =>
+      line.split('\t') match {
+        case Array(v, ts, op) =>
+          for (vl <- v.toLongOption; tl <- ts.toLongOption)
+            yield (vl, op, tl)
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => Nil }
+
+  /** Un-compacted journal files, parsed exactly like live markers. */
+  private def journalFileRows(): Seq[(Long, String, Long)] =
+    if (!fs.exists(journalDir)) Nil
+    else fs.listStatus(journalDir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!(n.startsWith("v") && n.endsWith(".commit"))) None
+      else n.stripPrefix("v").stripSuffix(".commit").toLongOption.flatMap {
+        v =>
+          try {
+            val (op, instant) = splitMarkerBody(readMetaText(st.getPath))
+            Some((v, if (op.isEmpty) "unknown" else op,
+              // rename preserves mtime, so legacy (pre-ICT) journaled
+              // markers keep their original commit-time rendering
+              instant.getOrElse(st.getModificationTime)))
+          } catch { case _: java.io.IOException => None }
+      }
+    }
+
+  /** Fold `journalDir` files into `journal.tsv` (one row per ordinal) and
+    * delete the absorbed files. MUST be called with the [[writeLock]]
+    * held — the tsv rewrite is read-modify-write, so two concurrent
+    * compactors would lose rows. Crash between the tsv rename and the
+    * file deletes leaves rows in both places; [[fullHistory]] dedups by
+    * ordinal, and the next compaction clears the files.
+    */
+  private def compactJournal(): Unit = {
+    val files = if (!fs.exists(journalDir)) Nil
+      else fs.listStatus(journalDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("v") &&
+          p.getName.endsWith(".commit"))
+    if (files.size <= MedallionTable.JournalCompactThreshold) return
+    val merged = (journalTsvRows() ++ journalFileRows())
+      .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+    writeMetaText(journalTsv, merged.map { case (v, op, ts) =>
+      s"$v\t$ts\t$op" }.mkString("\n"))
+    files.foreach(p =>
+      try fs.delete(p, false) catch { case _: java.io.IOException => () })
+  }
+
+  /** [[history]] extended past [[MedallionTable.HistoryDepth]] with the
+    * durable journal: every commit this table ever made, newest first
+    * (journal rows beyond the live window; live markers win on overlap).
+    * One small-file read plus one small-dir listing on top of
+    * [[history]] — use for DESCRIBE HISTORY / time-travel resolution,
+    * not in per-commit hot paths (which only need the live window).
+    */
+  def fullHistory(): Seq[(Long, String, Long)] = {
+    val live = history()
+    val seen = live.map(_._1).toSet
+    val journaled = (journalFileRows() ++ journalTsvRows())
+      .filter(r => !seen.contains(r._1))
+      .groupBy(_._1).map(_._2.head).toSeq
+    (live ++ journaled).sortBy(-_._1)
   }
 
   /** Parse a marker body's `op \t instant` tail; None when the marker is
@@ -520,6 +617,11 @@ final class MedallionTable(
       if (ChangeFeed.isEnabled(spark, path))
         try ChangeFeed.captureAuto(spark, path, claimed, op)
         catch { case scala.util.control.NonFatal(_) => () }
+      // journal upkeep under the lock we already hold (compactJournal's
+      // contract); best-effort — the commit happened, and uncompacted
+      // journal files stay fully readable
+      try compactJournal()
+      catch { case scala.util.control.NonFatal(_) => () }
       out
     } finally {
       // same-JVM close of the data-lands-after-claim schema-memo window
@@ -3501,6 +3603,15 @@ object MedallionTable {
     * table — bounds the sibling directory's size on long-lived tables.
     */
   val HistoryDepth = 8
+
+  /** Journal-dir file count beyond which [[MedallionTable.compactJournal]]
+    * folds per-ordinal journal files into one `journal.tsv` — bounds the
+    * sibling directory at HistoryDepth live markers + this many journal
+    * files + one tsv, while keeping the common case (few pruned commits)
+    * free of read-modify-write cycles. private[graft] var so specs can
+    * force compaction with few commits.
+    */
+  private[graft] var JournalCompactThreshold = 64
 
   /** The row-tracking column ([[MedallionTable.enableRowTracking]]). */
   val RowIdCol = "_row_id"
