@@ -98,15 +98,37 @@ object GraftStreamSink {
         hashed(s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}" +
           u.getPath)
       })
-    new GraftStreamSink(path, partitionColumns, appId)
+    val mergeSchema = params.get("mergeschema").exists(_.toBoolean)
+    new GraftStreamSink(path, partitionColumns, appId, mergeSchema)
   }
 }
 
 private[graft] final class GraftStreamSink(path: String,
-    partitionColumns: Seq[String], appIdOpt: Option[String]) extends Sink {
+    partitionColumns: Seq[String], appIdOpt: Option[String],
+    mergeSchema: Boolean) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
+    // Delta sink parity: an epoch whose frame carries columns the table
+    // does not have refuses unless mergeSchema=true opted into sink-side
+    // evolution — a silently-evolving sink would let one misrouted
+    // upstream field permanently widen a production table. With the
+    // option set, the append path's schema union + stash maintenance +
+    // upcastBatch enforcement do the evolving (same machinery as batch
+    // appends). Missing columns always pass: they read back as typed
+    // NULLs through the footer union, exactly like batch appends.
+    if (!mergeSchema) {
+      val t0 = MedallionTable(spark, path, partitionColumns)
+      if (t0.exists) {
+        val have = t0.read.schema.fieldNames.map(_.toLowerCase).toSet
+        val extra = data.schema.fieldNames
+          .filterNot(n => have.contains(n.toLowerCase))
+        require(extra.isEmpty, "graft streaming sink: micro-batch adds " +
+          s"column(s) ${extra.mkString(", ")} the table at $path does " +
+          "not have; set option(\"mergeSchema\", \"true\") to evolve " +
+          "the sink table")
+      }
+    }
     // Query-id fallback (create scaladoc case 3): StreamExecution sets
     // the query id as a local property on the micro-batch thread before
     // every epoch — read it here, where it is guaranteed in scope.

@@ -1365,6 +1365,24 @@ final class MedallionTable(
         cmap),
       WideCols.load(spark, path)), cmap)
     WideCols.extendReaderSchema(spark, path, physBatch.schema)
+    // schema-evolving append: keep the stashed DDL (the authority for
+    // the emptied-table read fallback and for upcastBatch's declared
+    // types) in step with the union the footers now carry — otherwise a
+    // column added by append evolution stays invisible to both until
+    // the next rewrite re-stashes. Logical names; BEFORE the data write
+    // (the crash window then reads as a metadata-only declaration,
+    // matching extendReaderSchema's contract above).
+    val sfStash = new Path(path, "_graft_meta/schema.ddl")
+    if (fs.exists(sfStash)) {
+      val stash = org.apache.spark.sql.types.StructType
+        .fromDDL(readMetaText(sfStash))
+      val have = stash.fieldNames.map(_.toLowerCase).toSet
+      val fresh = df.schema.fields.filterNot(f =>
+        have.contains(f.name.toLowerCase))
+      if (fresh.nonEmpty)
+        stashSchema(org.apache.spark.sql.types.StructType(
+          stash.fields ++ fresh))
+    }
     writer(physBatch, SaveMode.Append).parquet(path)
     val added =
       if (incremental || cdfOn) (dataFileSet() -- before).toSeq else Nil

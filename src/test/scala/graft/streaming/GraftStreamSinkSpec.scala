@@ -186,4 +186,71 @@ class GraftStreamSinkSpec extends SparkSpec {
       } finally q2.stop()
     } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
   }
+
+  test("sink schema evolution: a redeployed stream adding a column " +
+      "refuses by default, evolves under mergeSchema=true, and a " +
+      "reverting stream lands typed NULLs") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = tmpDir("gsink8")
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = in1.toDF().toDF("id", "s").writeStream.format("graft")
+      .option("path", p).option("checkpointLocation", ckptDir("g8a"))
+      .start()
+    try { in1.addData((1L, "a")); q1.processAllAvailable() }
+    finally q1.stop()
+    // evolving redeploy WITHOUT the option refuses, nothing lands
+    val in2 = MemoryStream[(Long, String, Int)]
+    val qBad = in2.toDF().toDF("id", "s", "extra").writeStream
+      .format("graft").option("path", p)
+      .option("checkpointLocation", ckptDir("g8b")).start()
+    try {
+      in2.addData((2L, "b", 7))
+      val e = intercept[Exception](qBad.processAllAvailable())
+      assert(e.getMessage.contains("mergeSchema"))
+    } finally qBad.stop()
+    assert(MedallionTable(spark, p).read.count() == 1)
+    // with mergeSchema=true the same epoch evolves the table
+    val in3 = MemoryStream[(Long, String, Int)]
+    val q3 = in3.toDF().toDF("id", "s", "extra").writeStream
+      .format("graft").option("path", p)
+      .option("checkpointLocation", ckptDir("g8c"))
+      .option("mergeSchema", "true").start()
+    try { in3.addData((2L, "b", 7)); q3.processAllAvailable() }
+    finally q3.stop()
+    val t = MedallionTable(spark, p)
+    assert(t.read.columns.toSet == Set("id", "s", "extra"))
+    assert(t.read.schema("extra").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // pre-evolution row reads the new column as a typed NULL
+    assert(t.read.filter($"id" === 1L).select("extra").head.isNullAt(0))
+    // reverting redeploy (no extra column) needs no option — missing
+    // columns always pass — and its rows read extra as typed NULL
+    val in4 = MemoryStream[(Long, String)]
+    val q4 = in4.toDF().toDF("id", "s").writeStream.format("graft")
+      .option("path", p).option("checkpointLocation", ckptDir("g8d"))
+      .start()
+    try { in4.addData((3L, "c")); q4.processAllAvailable() }
+    finally q4.stop()
+    assert(t.read.count() == 3)
+    assert(t.read.filter($"id" === 3L).select("extra").head.isNullAt(0))
+    assert(t.read.filter($"id" === 2L).select("extra").head.getInt(0) == 7)
+  }
+
+  test("NOT NULL gate refuses a sink epoch that OMITS the constrained " +
+      "column entirely") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = tmpDir("gsink9")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((0L, "seed")).toDF("id", "s"))
+    t.setNotNull("s")
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("id").writeStream.format("graft")
+      .option("path", p).option("checkpointLocation", ckptDir("g9_ck"))
+      .start()
+    try {
+      input.addData(1L)
+      intercept[Exception](q.processAllAvailable())
+      assert(t.read.count() == 1) // nothing landed
+    } finally q.stop()
+  }
 }
