@@ -74,21 +74,44 @@ final class MedallionTable(
       (hasDataFiles(p) || fs.exists(new Path(p, "_graft_meta/schema.ddl")))
   }
 
-  private def hasDataFiles(p: Path): Boolean = {
-    // Hiddenness is judged only on path segments BELOW the table root —
-    // substring-matching the absolute path would mark every table under an
-    // underscore/dot-prefixed ancestor dir as nonexistent, routing
-    // createOrMerge to an overwrite (data loss).
-    val rootUri = fs.makeQualified(p).toUri
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
-      val hidden = rel.split('/')
-        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (!hidden && f.getLen > 0) return true
+  /** Recursive file walk that PRUNES skipped subtrees up front instead
+    * of statting every entry and filtering afterwards — `fs.listFiles
+    * (recursive)` walks job-committer staging (`_temporary`,
+    * `.spark-staging-*`) whose entries vanish at commit, turning a
+    * concurrent writer into FileNotFound crashes inside the listing
+    * (and wasting stats on trees the caller ignores anyway). A subtree
+    * vanishing mid-walk reads as empty — the committer removed it, so
+    * its files were never data. Callers judge hiddenness on segments
+    * BELOW the root only (an underscore-prefixed ANCESTOR dir must not
+    * hide the whole table — see [[hasDataFiles]]'s data-loss note).
+    */
+  private def walkFiles(root: Path, skipDir: String => Boolean)(
+      f: org.apache.hadoop.fs.FileStatus => Boolean): Unit = {
+    def rec(d: Path): Boolean = {
+      val entries =
+        try fs.listStatus(d)
+        catch { case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+      entries.forall { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) skipDir(n) || rec(st.getPath)
+        else f(st)
+      }
     }
-    false
+    rec(root)
+    ()
+  }
+
+  private def hiddenName(n: String): Boolean =
+    n.startsWith("_") || n.startsWith(".")
+
+  private def hasDataFiles(p: Path): Boolean = {
+    var found = false
+    walkFiles(p, hiddenName) { st =>
+      if (!hiddenName(st.getPath.getName) && st.getLen > 0) found = true
+      !found // short-circuit the walk once a data file is seen
+    }
+    found
   }
 
   def read: DataFrame = {
@@ -190,11 +213,17 @@ final class MedallionTable(
     * or rebuild-after-delete (fresh marker files carry fresh mtimes), at
     * the cost of ONE flat small-directory listing.
     */
-  private def commitStamp(): Long =
+  private[table] def commitStamp(): Long =
     if (!fs.exists(commitsDir)) 0L
-    else fs.listStatus(commitsDir).foldLeft(0L)((h, st) =>
-      h + st.getPath.getName.hashCode.toLong * 1000003L +
-        st.getModificationTime)
+    else fs.listStatus(commitsDir).foldLeft(0L) { (h, st) =>
+      val n = st.getPath.getName
+      // the stats lock and refresh stagings are manifest PLUMBING, not
+      // table mutations: including them would (a) churn the schema memo
+      // for nothing and (b) make commitManifestSwap's stamp re-check
+      // see its OWN staging dir as a foreign commit and always abort
+      if (n == "stats.lock" || n.startsWith("stats_staging_")) h
+      else h + n.hashCode.toLong * 1000003L + st.getModificationTime
+    }
 
   /** Order-independent hash of every non-temporary file (relative path ×
     * length) under the table root — data AND `_graft_meta`/DV sidecars,
@@ -208,12 +237,13 @@ final class MedallionTable(
     else {
       val rootUri = fs.makeQualified(p).toUri
       var h = 0L
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next()
+      // job-committer staging pruned up front (walkFiles scaladoc);
+      // `_graft_meta` and DV sidecars stay IN the census by design
+      walkFiles(p, n => n.startsWith("_temporary") ||
+          n.startsWith(".spark-staging")) { f =>
         val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
-        if (!rel.split('/').exists(_.startsWith("_temporary")))
-          h += rel.hashCode.toLong * 1000003L + f.getLen
+        h += rel.hashCode.toLong * 1000003L + f.getLen
+        true
       }
       h
     }
@@ -232,9 +262,61 @@ final class MedallionTable(
   /** In-place mutations invalidate the min/max manifest — a stale manifest
     * would make [[readRange]] silently drop rows in files it doesn't list
     * (rewrites don't need this: the swap drops `_graft_meta` wholesale).
+    * Under the stats lock so it serializes with a concurrent refresh's
+    * commit swap ([[commitManifestSwap]]): whichever lands second wins,
+    * and the loser's outcome is manifest-absent — conservative, never
+    * stale-present.
     */
-  private def invalidateStats(): Unit =
+  private def invalidateStats(): Unit = withStatsLock {
     fs.delete(new Path(path, "_graft_meta/stats"), true)
+  }
+
+  private def statsLockFile = new Path(commitsDir, "stats.lock")
+
+  /** Microsecond-scale mutex around manifest delete/swap operations
+    * ([[withIdentityLock]]'s contract: bounded wait, [[vacuum]] clears a
+    * crashed holder's leftover).
+    */
+  private def withStatsLock[T](f: => T): T = {
+    fs.mkdirs(commitsDir)
+    val deadline = System.currentTimeMillis() + MedallionTable.WriterWaitMs
+    while (!atomicCreateExclusive(statsLockFile,
+        System.currentTimeMillis().toString)) {
+      if (System.currentTimeMillis() > deadline)
+        throw new java.util.ConcurrentModificationException(
+          s"stats manifest lock on $path held after " +
+            s"${MedallionTable.WriterWaitMs} ms; if that writer crashed, " +
+            "vacuum() clears it")
+      Thread.sleep(10)
+    }
+    try f finally {
+      try fs.delete(statsLockFile, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Commit a freshly-built stats manifest ([[TableStats.refresh]]): under
+    * the stats lock, re-check that NO commit was claimed since the build
+    * began — a writer that claimed in between may have changed files the
+    * manifest does not describe, and a stale-present manifest silently
+    * drops rows under file skipping. On a stamp mismatch the staging is
+    * discarded and no manifest lands (conservative; the caller's next
+    * refresh rebuilds). Writers that claim AFTER this swap run their own
+    * [[invalidateStats]], which serializes behind the same lock — so
+    * every interleaving ends manifest-absent or manifest-fresh.
+    */
+  private[table] def commitManifestSwap(stamp0: Long,
+      staging: String): Boolean = withStatsLock {
+    val sp = new Path(path, "_graft_meta/stats")
+    if (commitStamp() != stamp0) { fs.delete(new Path(staging), true); false }
+    else {
+      fs.delete(sp, true)
+      if (!fs.rename(new Path(staging), sp))
+        throw new java.io.IOException(
+          s"stats manifest commit failed: $staging -> $sp")
+      true
+    }
+  }
 
   // ---- small metadata text files ----------------------------------------
 
@@ -522,7 +604,152 @@ final class MedallionTable(
     */
   private def writeLock = new Path(commitsDir, "write.lock")
 
-  private def writeLockHeld(): Boolean = fs.exists(writeLock)
+  /** Footprint-SCOPED writer locks (`write_<token>.lock` beside the
+    * global `write.lock`): a scoped claim-first writer declares the
+    * RESOURCES it will touch (partition directories as `p:<relative
+    * dir>`, plus shared structures like the DV sidecar's append staging
+    * as `dv-stage`) in its lock body, and writers whose declared
+    * footprints are DISJOINT run concurrently — two `OPTIMIZE … WHERE`
+    * on different partitions, or a partition-scoped DV delete beside a
+    * disjoint compaction, no longer serialize (Delta's optimistic
+    * partition-level conflict check, restricted to the existing lease
+    * protocol). Overlapping footprints — and anything vs the global
+    * lock — keep today's serial behavior.
+    *
+    * Arbitration is publish-then-check: create your own lock, then list
+    * the others. Local-fs listings are strongly consistent, so of two
+    * concurrent overlapping claimants at least one sees the other. A
+    * claimant that sees a conflict never proceeds; it either HOLDS its
+    * lock and waits (when its token orders lowest among the conflicting
+    * scoped locks — the holder it waits on either saw no conflict and is
+    * writing, or will back off to it) or RELEASES and retries (global
+    * lock standing, or a lower-ordered conflicter). The token is fixed
+    * per acquisition, so relative order is stable across retries and
+    * the pairwise total order makes wait chains acyclic. A lock body
+    * still mid-create (zero bytes) reads as conflicting-with-everything
+    * — conservative, same crashed-writer fail-fast story as the global
+    * lock; [[vacuum]] clears leftovers.
+    */
+  private def scopedLockFiles(): Seq[Path] =
+    if (!fs.exists(commitsDir)) Nil
+    else fs.listStatus(commitsDir).toSeq.collect {
+      case st if st.isFile && st.getPath.getName.startsWith("write_") &&
+          st.getPath.getName.endsWith(".lock") => st.getPath
+    }
+
+  /** Resources a standing scoped lock declares; None = unreadable or
+    * mid-create (treat as conflicting with everything).
+    */
+  private def lockResources(p: Path): Option[Set[String]] =
+    try {
+      val body = readMetaText(p)
+      if (body.isEmpty) None // created, body not yet written
+      else Some(body.split('\n').drop(1).filter(_.nonEmpty).toSet)
+    } catch {
+      case _: java.io.FileNotFoundException => Some(Set.empty) // releasing
+      case _: java.io.IOException => None
+    }
+
+  /** Any writer lock standing — global or scoped. The invariant
+    * [[rewriteVia]]'s snapshot fence needs (`no lock ∧ marker visible ⇒
+    * that claim's data is visible`) spans BOTH kinds, so the fence and
+    * every other "is a writer in flight" probe must use this, not a
+    * bare global-lock check.
+    */
+  private def writeLockHeld(): Boolean =
+    fs.exists(writeLock) || scopedLockFiles().nonEmpty
+
+  /** Acquire the writer lock for `footprint` (None = global). Returns
+    * the lock file to delete on release.
+    *
+    * Global: create-exclusive on `write.lock` (unchanged), then DRAIN
+    * standing scoped holders — new scoped claimants back off while the
+    * global lock stands, so the population only shrinks; the global
+    * writer proceeds once it is alone.
+    *
+    * Scoped: the publish-then-check protocol above.
+    */
+  private def acquireWriteLock(op: String,
+      footprint: Option[Set[String]]): Path = {
+    fs.mkdirs(commitsDir)
+    val deadline = System.currentTimeMillis() + MedallionTable.WriterWaitMs
+    def timedOut(): Boolean = System.currentTimeMillis() > deadline
+    footprint match {
+      case None =>
+        while (!atomicCreateExclusive(writeLock,
+            s"${System.currentTimeMillis()}\t$op")) {
+          if (timedOut())
+            throw new java.util.ConcurrentModificationException(
+              s"another claim-first write holds the writer lock on $path " +
+                s"after ${MedallionTable.WriterWaitMs} ms; if that writer " +
+                "crashed, vacuum() clears its lock")
+          Thread.sleep(50)
+        }
+        try {
+          while (scopedLockFiles().nonEmpty) {
+            if (timedOut())
+              throw new java.util.ConcurrentModificationException(
+                s"scoped writer locks on $path still standing after " +
+                  s"${MedallionTable.WriterWaitMs} ms; if those writers " +
+                  "crashed, vacuum() clears their locks")
+            Thread.sleep(25)
+          }
+        } catch {
+          case t: Throwable =>
+            try fs.delete(writeLock, false)
+            catch { case _: java.io.IOException => () }
+            throw t
+        }
+        writeLock
+      case Some(resources) =>
+        val token = java.util.UUID.randomUUID().toString.take(12)
+        val own = new Path(commitsDir, s"write_$token.lock")
+        val body = (s"${System.currentTimeMillis()}\t$op" +:
+          resources.toSeq.sorted).mkString("\n")
+        var acquired = false
+        try {
+          while (!acquired) {
+            if (timedOut())
+              throw new java.util.ConcurrentModificationException(
+                s"conflicting writer locks on $path still standing after " +
+                  s"${MedallionTable.WriterWaitMs} ms (footprint " +
+                  s"${resources.mkString(", ")}); if a writer crashed, " +
+                  "vacuum() clears its locks")
+            if (fs.exists(writeLock)) Thread.sleep(50)
+            else if (!fs.exists(own) && !atomicCreateExclusive(own, body))
+              Thread.sleep(25)
+            else {
+              // compare by NAME: listStatus returns fs-qualified paths
+              // while `own` is constructed unqualified — Path equality
+              // would make a holder see its own lock as a conflict
+              val conflicting = scopedLockFiles()
+                .filter(_.getName != own.getName).filter {
+                p => lockResources(p) match {
+                  case None => true // mid-create or unreadable: assume worst
+                  case Some(rs) => rs.exists(resources.contains)
+                }
+              }
+              if (conflicting.isEmpty && !fs.exists(writeLock))
+                acquired = true
+              else if (fs.exists(writeLock) ||
+                  conflicting.exists(_.getName < own.getName)) {
+                // yield: global writer draining, or a lower-ordered
+                // conflicter that may be holding-and-waiting on us
+                try fs.delete(own, false)
+                catch { case _: java.io.IOException => () }
+                Thread.sleep(10 + scala.util.Random.nextInt(40))
+              } else Thread.sleep(25) // lowest order: hold and wait
+            }
+          }
+          own
+        } catch {
+          case t: Throwable =>
+            try fs.delete(own, false)
+            catch { case _: java.io.IOException => () }
+            throw t
+        }
+    }
+  }
 
   /** Claim the next commit ordinal, run the write, and release the marker
     * if the write FAILS — for write paths whose effects COMMUTE with
@@ -541,18 +768,20 @@ final class MedallionTable(
     * LAST, after either the data landed or the failed claim was
     * released.
     */
-  private def withClaimedCommit[T](op: String)(write: => T): T = {
-    fs.mkdirs(commitsDir)
-    val lockDeadline = System.currentTimeMillis() + MedallionTable.WriterWaitMs
-    while (!atomicCreateExclusive(writeLock,
-        s"${System.currentTimeMillis()}\t$op")) {
-      if (System.currentTimeMillis() > lockDeadline)
-        throw new java.util.ConcurrentModificationException(
-          s"another claim-first write holds the writer lock on $path after " +
-            s"${MedallionTable.WriterWaitMs} ms; if that writer crashed, " +
-            "vacuum() clears its lock")
-      Thread.sleep(50)
-    }
+  private def withClaimedCommit[T](op: String)(write: => T): T =
+    withClaimedCommitScoped(op, None)((_: Long) => write)
+
+  /** [[withClaimedCommit]] with (a) an optional footprint — scoped
+    * writers with disjoint footprints run CONCURRENTLY (see
+    * [[acquireWriteLock]]) — and (b) the claimed commit ordinal passed
+    * to the body: under concurrency `commitVersion` can advance past
+    * this writer's claim while its body runs, so a body that records
+    * its own ordinal (change-feed captures) must use the claimed value,
+    * never re-read the counter.
+    */
+  private def withClaimedCommitScoped[T](op: String,
+      footprint: Option[Set[String]])(write: Long => T): T = {
+    val lock = acquireWriteLock(op, footprint)
     try {
       var claimed = -1L
       var attempts = 0
@@ -602,7 +831,7 @@ final class MedallionTable(
       }
       MedallionTable.testFailpoint("mid-claim-first")
       val out =
-        try write
+        try write(claimed)
         catch {
           case t: Throwable =>
             try fs.delete(new Path(commitsDir, s"v$claimed.commit"), false)
@@ -617,18 +846,20 @@ final class MedallionTable(
       if (ChangeFeed.isEnabled(spark, path))
         try ChangeFeed.captureAuto(spark, path, claimed, op)
         catch { case scala.util.control.NonFatal(_) => () }
-      // journal upkeep under the lock we already hold (compactJournal's
-      // contract); best-effort — the commit happened, and uncompacted
-      // journal files stay fully readable
-      try compactJournal()
-      catch { case scala.util.control.NonFatal(_) => () }
+      // journal upkeep under the GLOBAL lock only (compactJournal's
+      // read-modify-write contract — two concurrent scoped holders
+      // would lose tsv rows); best-effort — the commit happened, and
+      // uncompacted journal files stay fully readable
+      if (footprint.isEmpty)
+        try compactJournal()
+        catch { case scala.util.control.NonFatal(_) => () }
       out
     } finally {
       // same-JVM close of the data-lands-after-claim schema-memo window
       // (see [[mergedParquet]]): drop the memo once this write's files
       // are final, whether it succeeded or released its claim
       MedallionTable.schemaCache.removeWhere(_.endsWith("|" + path))
-      try fs.delete(writeLock, false)
+      try fs.delete(lock, false)
       catch { case _: java.io.IOException => () }
     }
   }
@@ -1388,7 +1619,12 @@ final class MedallionTable(
       if (incremental || cdfOn) (dataFileSet() -- before).toSeq else Nil
     if (incremental)
       try TableStats.completeIncrementalUpdate(spark, path, added)
-      catch { case scala.util.control.NonFatal(_) => () } // pending = junk
+      catch {
+        // pending = junk; the explicit invalidate guards the corner
+        // where a concurrent refresh landed a manifest that predates
+        // this append's files (absent is conservative, stale is not)
+        case scala.util.control.NonFatal(_) => invalidateStats()
+      }
     else invalidateStats()
     // change-feed capture is metadata-only: the added FILES are the
     // insert rows (ChangeFeed scaladoc) — commitVersion is stable inside
@@ -1453,16 +1689,12 @@ final class MedallionTable(
     val p = new Path(path)
     if (!fs.exists(p)) Set.empty
     else {
-      val rootUri = fs.makeQualified(p).toUri
       val b = Set.newBuilder[String]
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
-        val segs = rel.split('/')
-        if (f.getName.endsWith(".parquet") &&
-            !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+      walkFiles(p, hiddenName) { st =>
+        val f = st.getPath
+        if (f.getName.endsWith(".parquet") && !hiddenName(f.getName))
           b += f.toString
+        true
       }
       b.result()
     }
@@ -2530,30 +2762,74 @@ final class MedallionTable(
       batchesInBase = isClone).get
   }
 
-  def deleteVectored(cond: Column): Unit = withClaimedCommit("delete-dv") {
+  def deleteVectored(cond: Column): Unit =
+    // vanished-files retry: the scan/listing can catch a concurrent
+    // disjoint rewrite's dir-replacement gap (retryOnVanishedFiles)
+    MedallionTable.retryOnVanishedFiles() { deleteVectoredOnce(cond) }
+
+  private def deleteVectoredOnce(cond: Column): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit}
-    requireNoDeltaLogForDv()
-    val dvPath = DeletionVectors.dir(path)
-    val cdfOn = ChangeFeed.isEnabled(spark, path)
-    val marksBefore = if (cdfOn) dvMarkFiles(dvPath) else Set.empty[String]
-    // overlay applied so the predicate resolves against the SAME logical
-    // schema delete() sees (unmaterialized ADDs evaluate as typed NULLs,
-    // tombstoned columns are invisible) — the result-identical contract
-    val live = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
-      dvLiveWithPos(), ColumnMap.load(spark, path)))
-    invalidateStats()
-    live.filter(coalesce(cond, lit(false)))
-      .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
-        org.apache.spark.sql.functions.col("__graft_dv_pos").as("pos"))
-      .write.mode(SaveMode.Append).parquet(dvPath)
-    // feed capture = the mark FILES this commit appended; the deleted
-    // row images reconstruct by position at read (ChangeFeed scaladoc).
-    // Non-fatal: the delete's data effect has landed — a capture failure
-    // must not release the marker (the feed read fail-stops instead).
-    if (cdfOn)
-      try ChangeFeed.captureMarks(spark, path, commitVersion,
-        "delete-dv", (dvMarkFiles(dvPath) -- marksBefore).toSeq)
-      catch { case scala.util.control.NonFatal(_) => () }
+    // Partition-only predicate → footprint-scoped lock: the matched
+    // partitions plus `dv-stage` (the sidecar's shared Append staging —
+    // two concurrent DV deletes would corrupt each other's
+    // FileOutputCommitter `_temporary`, so DV deletes always serialize
+    // with EACH OTHER), letting a disjoint OPTIMIZE … WHERE run
+    // concurrently. Row-level predicates keep the global lock: their
+    // scan and marks can touch any partition.
+    val footprint: Option[Set[String]] =
+      if (partitionColumns.isEmpty || !exists) None
+      else {
+        val df = read
+        val refs = df.select(cond.as("__graft_cond"))
+          .queryExecution.analyzed.expressions
+          .flatMap(_.references.map(_.name)).toSet
+        if (refs.nonEmpty && refs.subsetOf(partitionColumns.toSet))
+          Some(matchingPartitionDirs(cond, df.schema)
+            .map(d => "p:" + relativePartitionDir(d)).toSet + "dv-stage")
+        else None
+      }
+    withClaimedCommitScoped("delete-dv", footprint) { claimed =>
+      requireNoDeltaLogForDv()
+      // scoped path: the matched set must not have grown since the
+      // footprint was declared (dir-creating writers are global and thus
+      // excluded — asserted like compactWhere, never assumed), or the
+      // marks could dangle under a concurrent disjoint rewrite
+      footprint.foreach { declared =>
+        val inside = matchingPartitionDirs(cond, read.schema)
+          .map(d => "p:" + relativePartitionDir(d)).toSet
+        require(inside.subsetOf(declared),
+          s"DELETE (DV): partitions ${(inside -- declared).mkString(", ")} " +
+            "appeared after the footprint was declared — aborting before " +
+            "marks could dangle under a concurrent rewrite")
+      }
+      val dvPath = DeletionVectors.dir(path)
+      val cdfOn = ChangeFeed.isEnabled(spark, path)
+      val marksBefore = if (cdfOn) dvMarkFiles(dvPath) else Set.empty[String]
+      // overlay applied so the predicate resolves against the SAME logical
+      // schema delete() sees (unmaterialized ADDs evaluate as typed NULLs,
+      // tombstoned columns are invisible) — the result-identical contract
+      val live = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
+        dvLiveWithPos(), ColumnMap.load(spark, path)))
+      invalidateStats()
+      live.filter(coalesce(cond, lit(false)))
+        .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
+          org.apache.spark.sql.functions.col("__graft_dv_pos").as("pos"))
+        .write.mode(SaveMode.Append).parquet(dvPath)
+      // second invalidate AFTER the marks land: a refresh that started
+      // mid-flight (stamp taken after our claim) could otherwise commit
+      // a manifest built before the marks — see commitManifestSwap
+      invalidateStats()
+      // feed capture = the mark FILES this commit appended; the deleted
+      // row images reconstruct by position at read (ChangeFeed scaladoc).
+      // Non-fatal: the delete's data effect has landed — a capture failure
+      // must not release the marker (the feed read fail-stops instead).
+      // `claimed`, not commitVersion: a concurrent disjoint writer can
+      // advance the counter while this body runs.
+      if (cdfOn)
+        try ChangeFeed.captureMarks(spark, path, claimed,
+          "delete-dv", (dvMarkFiles(dvPath) -- marksBefore).toSeq)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Top-level mark files of the DV sidecar (update_* batch-marks dirs
@@ -2590,6 +2866,7 @@ final class MedallionTable(
         .select(org.apache.spark.sql.functions.col("__graft_dv_file").as("file"),
           org.apache.spark.sql.functions.col("__graft_dv_pos").as("pos"))
         .write.mode(SaveMode.Append).parquet(dvPath)
+      invalidateStats() // post-write: see deleteVectored
       if (cdfOn)
         try ChangeFeed.captureMarks(spark, path, commitVersion,
           "delete-dv", (dvMarkFiles(dvPath) -- marksBefore).toSeq)
@@ -3235,6 +3512,14 @@ final class MedallionTable(
       refreshManifest: Boolean = true): Unit = {
     require(partitionColumns.nonEmpty,
       "OPTIMIZE ... WHERE needs a partitioned table; use compact() instead")
+    // vanished-files retry: the read/listing phases here walk the whole
+    // table and can catch a concurrent DISJOINT rewrite's dir-replacement
+    // gap (see MedallionTable.retryOnVanishedFiles)
+    MedallionTable.retryOnVanishedFiles() { compactWhereOnce(cond, nFiles) }
+    if (refreshManifest) refreshStats()
+  }
+
+  private def compactWhereOnce(cond: Column, nFiles: Int): Unit = {
     val df = read
     val schema = df.schema
     val refs = df.select(cond.as("__graft_cond"))
@@ -3243,10 +3528,24 @@ final class MedallionTable(
     require(refs.nonEmpty && refs.subsetOf(partitionColumns.toSet),
       "OPTIMIZE ... WHERE predicate may reference partition columns only (" +
         s"${partitionColumns.mkString(", ")}); got: ${refs.mkString(", ")}")
-    withClaimedCommit("optimize-where") {
+    // Footprint declared from a PRE-lock listing: it only arbitrates
+    // concurrency; the authoritative matched set is re-listed inside
+    // the claim. The relist ⊆ declared invariant holds because every
+    // writer able to CREATE a matching partition directory (append,
+    // overwrite, rewrite) carries the global footprint and is excluded
+    // while our scoped lock stands — asserted anyway, never assumed.
+    val declared = matchingPartitionDirs(cond, schema)
+      .map(d => "p:" + relativePartitionDir(d)).toSet
+    withClaimedCommitScoped("optimize-where", Some(declared)) { _ =>
       // listing inside the claim: the matched set must reflect the
       // claimed ordinal's directory state
       val dirs = matchingPartitionDirs(cond, schema)
+      val inside = dirs.map(d => "p:" + relativePartitionDir(d)).toSet
+      require(inside.subsetOf(declared),
+        s"OPTIMIZE ... WHERE: partitions ${(inside -- declared).mkString(", ")} " +
+          "appeared after the footprint was declared (concurrent " +
+          "dir-creating writer leaked past the lock protocol) — aborting " +
+          "before an undeclared partition could be overwritten")
       if (dirs.nonEmpty) {
         val n = if (nFiles > 0) nFiles else dirs.size
         // hash-distribute on the partition tuple with one slot per
@@ -3268,8 +3567,18 @@ final class MedallionTable(
         invalidateStats()
       }
     }
-    if (refreshManifest) refreshStats()
   }
+
+  /** A partition directory path relative to the table root (the escaped
+    * on-disk spelling, e.g. `blk=3` or `a=1/b=x`) — the canonical
+    * footprint-resource form shared by every scoped writer, so two
+    * writers naming the same partition always collide on the same
+    * string.
+    */
+  private def relativePartitionDir(dir: String): String =
+    fs.makeQualified(new Path(path)).toUri
+      .relativize(fs.makeQualified(new Path(dir)).toUri).getPath
+      .stripSuffix("/")
 
   /** Typed predicate selecting exactly the given partition directories —
     * the inverse of [[matchingPartitionDirs]], built with the same
@@ -3309,15 +3618,11 @@ final class MedallionTable(
       // live files only: a crashed job's _temporary staging (or any
       // hidden segment) must not count toward the threshold — same
       // discipline as dataFileSet/hasDataFiles
-      val dUri = fs.makeQualified(d).toUri
-      val it = fs.listFiles(d, true)
       var n = 0
-      while (it.hasNext) {
-        val f = it.next().getPath
-        val rel = dUri.relativize(fs.makeQualified(f).toUri).getPath
-        if (f.getName.endsWith(".parquet") &&
-            !rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
-          n += 1
+      walkFiles(d, hiddenName) { st =>
+        if (st.getPath.getName.endsWith(".parquet") &&
+            !hiddenName(st.getPath.getName)) n += 1
+        true
       }
       n
     }
@@ -3466,6 +3771,17 @@ final class MedallionTable(
     clearIntent()
     try fs.delete(writeLock, false)
     catch { case _: java.io.IOException => () }
+    // crashed scoped writers' footprint locks (see acquireWriteLock)
+    scopedLockFiles().foreach(p =>
+      try fs.delete(p, false) catch { case _: java.io.IOException => () })
+    // a crashed refresh's stats lock and staging litter (commitManifestSwap)
+    try fs.delete(statsLockFile, false)
+    catch { case _: java.io.IOException => () }
+    if (fs.exists(commitsDir))
+      fs.listStatus(commitsDir).map(_.getPath)
+        .filter(_.getName.startsWith("stats_staging_"))
+        .foreach(p => try fs.delete(p, true)
+          catch { case _: java.io.IOException => () })
     // a crashed COPY INTO's serialization lock (see CopyInto.withCopyLock)
     try fs.delete(new Path(commitsDir, "copy.lock"), false)
     catch { case _: java.io.IOException => () }
@@ -3514,7 +3830,12 @@ final class MedallionTable(
 
   /** Build/refresh the file-level min/max manifest (see [[TableStats]]). */
   def refreshStats(columns: Seq[String] = Nil): Unit =
-    TableStats.refresh(spark, path, columns)
+    // the rebuild's whole-table scan can catch a concurrent scoped
+    // rewrite's dir-replacement gap; the stamp-checked commit swap makes
+    // a re-run cheap and correct (see TableStats.refresh)
+    MedallionTable.retryOnVanishedFiles() {
+      TableStats.refresh(spark, path, columns)
+    }
 
   /** Range read with manifest-based file skipping; result ≡
     * `read.filter(column between lower and upper)`.
@@ -3621,6 +3942,40 @@ object MedallionTable {
     * table — bounds the sibling directory's size on long-lived tables.
     */
   val HistoryDepth = 8
+
+  /** Bounded retry for FILE-VANISHED races: a concurrent scoped rewrite
+    * commits by replacing partition-directory contents (dynamic
+    * partition overwrite has a delete→rename gap), so another writer's
+    * LISTING or scan phase — which walks the whole table even when its
+    * own footprint is disjoint — can catch a directory or file
+    * mid-replacement. The listing race is millisecond-scale and the
+    * caught operation has no partial effects (failed jobs clean their
+    * staging; claimed markers are released on body failure), so a short
+    * re-run from scratch is the correct recovery — the fs-listing
+    * engine's stand-in for the log-defined snapshot a Delta reader lists
+    * from. Only vanished-file shapes retry; everything else rethrows.
+    */
+  private[table] def retryOnVanishedFiles[T](attempts: Int = 4)(f: => T): T = {
+    def vanished(t: Throwable, depth: Int = 0): Boolean =
+      t != null && depth < 10 && (t.isInstanceOf[java.io.FileNotFoundException] ||
+        (t.getMessage != null &&
+          (t.getMessage.contains("FAILED_READ_FILE") ||
+            t.getMessage.contains("does not exist") ||
+            // RawLocalFileSystem loads permissions via `ls` — a file
+            // vanishing under it surfaces as an ExitCodeException
+            t.getMessage.contains("No such file or directory"))) ||
+        vanished(t.getCause, depth + 1))
+    var i = 0
+    while (true) {
+      try return f
+      catch {
+        case scala.util.control.NonFatal(t)
+            if i < attempts - 1 && vanished(t) =>
+          i += 1; Thread.sleep(50L * i)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Journal-dir file count beyond which [[MedallionTable.compactJournal]]
     * folds per-ordinal journal files into one `journal.tsv` — bounds the

@@ -104,6 +104,10 @@ object TableStats {
   /** One distributed pass: per file × column min/max (string + numeric). */
   def refresh(spark: SparkSession, tablePath: String,
       columns: Seq[String] = Nil): Unit = {
+    // stamp BEFORE the build: any commit claimed after this point means
+    // the manifest under construction may not describe that writer's
+    // files — the swap below re-checks and aborts (conservative)
+    val stamp0 = new MedallionTable(spark, tablePath).commitStamp()
     // manifest columns are LOGICAL names (what pushed predicates use) —
     // project renamed physical columns back before any stats run; a
     // shallow clone's manifest covers pointer files too
@@ -156,9 +160,22 @@ object TableStats {
     // once a full rebuild lands
     val pp = new org.apache.hadoop.fs.Path(pendingPath(tablePath))
     pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    // Build into a PRIVATE staging dir, then commit by swap under the
+    // stats lock with a commit-stamp re-check (MedallionTable
+    // .commitManifestSwap): two concurrent refreshes no longer collide
+    // in a shared `_temporary`, and a refresh racing a WRITER aborts
+    // instead of landing a manifest that does not describe the writer's
+    // files — manifest absent is merely conservative, manifest stale is
+    // silent row loss under file skipping.
+    // staging lives in the COMMITS SIBLING, not under the table root: a
+    // dir appearing/renaming inside _graft_meta races every recursive
+    // lister (census hashes, data-file sets) into FileNotFound crashes
+    val staging = s"${tablePath}__graft_commits/stats_staging_" +
+      java.util.UUID.randomUUID().toString.take(8)
     perFileStats(df, cols, fileKey)
       .coalesce(1) // manifest is tiny: one row per data file
-      .write.mode("overwrite").parquet(statsPath(tablePath))
+      .write.mode("overwrite").parquet(staging)
+    new MedallionTable(spark, tablePath).commitManifestSwap(stamp0, staging)
   }
 
   /** Crash-safe incremental manifest maintenance for APPEND (the one
@@ -214,6 +231,10 @@ object TableStats {
       }
       stats.coalesce(1).write.mode("append").parquet(pendingPath(tablePath))
     }
+    // a refresh that committed while this append was in flight (its
+    // stamp pre-dated our claim, so its manifest misses our files) loses
+    // to the pending manifest, which IS complete: old rows + new files
+    fs.delete(new org.apache.hadoop.fs.Path(statsPath(tablePath)), true)
     if (!fs.rename(pp, new org.apache.hadoop.fs.Path(statsPath(tablePath))))
       throw new java.io.IOException(
         s"stats manifest commit rename failed for $tablePath")

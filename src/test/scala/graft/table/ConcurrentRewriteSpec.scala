@@ -1,0 +1,274 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+
+/** Footprint-scoped writer locks ([[MedallionTable.acquireWriteLock]]):
+  * claim-first rewrites that declare DISJOINT partition footprints
+  * (OPTIMIZE … WHERE, partition-scoped DV deletes) commit concurrently;
+  * overlapping footprints, DV-vs-DV (shared append staging), and
+  * anything against a global-footprint writer (append) serialize exactly
+  * as before. Concurrency is PROVEN with latch-paired failpoints — both
+  * writers must hold their claimed commits at the same instant — not
+  * inferred from two successes.
+  */
+class ConcurrentRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seeded(prefix: String, filesPerPart: Int = 4)
+      : (String, MedallionTable) = {
+    val p = tmpDir(prefix)
+    val t = MedallionTable(spark, p, Seq("blk"))
+    t.overwrite(Seq((0L, 0)).toDF("id", "blk"))
+    // small appends build up multiple files per partition
+    (1 until filesPerPart).foreach { i =>
+      t.append((0 until 4).map(b => (i * 10L + b, b)).toDF("id", "blk"))
+    }
+    (0 until 4).foreach(b =>
+      t.append(Seq((900L + b, b)).toDF("id", "blk")))
+    (p, t)
+  }
+
+  private def guarded(name: String, failures: ConcurrentLinkedQueue[Throwable])
+      (body: => Unit): Thread = {
+    val th = new Thread(() =>
+      try body catch { case e: Throwable => failures.add(e) }, name)
+    th
+  }
+
+  private def parquetCount(p: String, blk: Int): Int = {
+    val d = new java.io.File(s"$p/blk=$blk")
+    if (!d.exists()) 0
+    else d.listFiles().count(_.getName.endsWith(".parquet"))
+  }
+
+  test("disjoint OPTIMIZE…WHERE commit CONCURRENTLY: both hold claimed " +
+      "commits at the same instant, both results land") {
+    val (p, t) = seeded("cr1")
+    val before = t.read.select(sum($"id")).head.getLong(0)
+    val v0 = t.commitVersion
+    val aClaimed = new CountDownLatch(1)
+    val bClaimed = new CountDownLatch(1)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(true)
+    MedallionTable.testFailpoint = {
+      case "mid-claim-first" => Thread.currentThread().getName match {
+        case "optA" =>
+          aClaimed.countDown()
+          if (!bClaimed.await(20, TimeUnit.SECONDS)) overlapped.set(false)
+        case "optB" =>
+          bClaimed.countDown()
+          if (!aClaimed.await(20, TimeUnit.SECONDS)) overlapped.set(false)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    try {
+      val a = guarded("optA", failures)(
+        MedallionTable(spark, p, Seq("blk")).compactWhere($"blk" === 0))
+      val b = guarded("optB", failures)(
+        MedallionTable(spark, p, Seq("blk")).compactWhere($"blk" === 1))
+      a.start(); b.start()
+      a.join(120000); b.join(120000)
+    } finally MedallionTable.testFailpoint = _ => ()
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    assert(overlapped.get(),
+      "the two disjoint compactions never held their claims " +
+        "simultaneously — they serialized")
+    assert(t.commitVersion == v0 + 2)
+    assert(parquetCount(p, 0) == 1 && parquetCount(p, 1) == 1,
+      "a compaction's result was lost")
+    assert(t.read.select(sum($"id")).head.getLong(0) == before,
+      "content changed under concurrent disjoint compactions")
+    assert(t.history().count(_._2 == "optimize-where") == 2)
+  }
+
+  test("overlapping OPTIMIZE…WHERE serialize: the second cannot claim " +
+      "while the first holds its footprint") {
+    val (p, t) = seeded("cr2")
+    val before = t.read.select(sum($"id")).head.getLong(0)
+    val v0 = t.commitVersion
+    val aClaimed = new CountDownLatch(1)
+    MedallionTable.testFailpoint = {
+      case "mid-claim-first" if Thread.currentThread().getName == "optA" =>
+        aClaimed.countDown(); Thread.sleep(1500)
+      case _ => ()
+    }
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    try {
+      val a = guarded("optA", failures)(MedallionTable(spark, p, Seq("blk"))
+        .compactWhere($"blk".isin(0, 1)))
+      a.start()
+      assert(aClaimed.await(30, TimeUnit.SECONDS))
+      val b = guarded("optB", failures)(MedallionTable(spark, p, Seq("blk"))
+        .compactWhere($"blk".isin(1, 2)))
+      b.start()
+      Thread.sleep(600) // give B every chance to (wrongly) claim
+      assert(t.commitVersion == v0 + 1,
+        "overlapping compaction claimed while the first held blk=1")
+      a.join(120000); b.join(120000)
+    } finally MedallionTable.testFailpoint = _ => ()
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    assert(t.commitVersion == v0 + 2)
+    assert(t.read.select(sum($"id")).head.getLong(0) == before)
+  }
+
+  test("partition-scoped DV delete runs concurrently with a disjoint " +
+      "compaction; DV deletes serialize with EACH OTHER via dv-stage") {
+    val (p, t) = seeded("cr3")
+    val keep = t.read.filter($"blk" =!= 2)
+      .select(sum($"id")).head.getLong(0)
+    val aClaimed = new CountDownLatch(1)
+    val bClaimed = new CountDownLatch(1)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(true)
+    MedallionTable.testFailpoint = {
+      case "mid-claim-first" => Thread.currentThread().getName match {
+        case "dvA" =>
+          aClaimed.countDown()
+          if (!bClaimed.await(20, TimeUnit.SECONDS)) overlapped.set(false)
+        case "optB" =>
+          bClaimed.countDown()
+          if (!aClaimed.await(20, TimeUnit.SECONDS)) overlapped.set(false)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    try {
+      val a = guarded("dvA", failures)(
+        MedallionTable(spark, p, Seq("blk")).deleteVectored($"blk" === 2))
+      val b = guarded("optB", failures)(
+        MedallionTable(spark, p, Seq("blk")).compactWhere($"blk" === 0))
+      a.start(); b.start()
+      a.join(120000); b.join(120000)
+    } finally MedallionTable.testFailpoint = _ => ()
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    assert(overlapped.get(), "DV delete and disjoint compaction serialized")
+    assert(t.read.filter($"blk" === 2).count() == 0, "DV delete lost")
+    assert(t.read.select(sum($"id")).head.getLong(0) == keep)
+
+    // DV-vs-DV: disjoint partitions, but the shared sidecar staging
+    // forces serialization — the second must not claim during the hold
+    val v1 = t.commitVersion
+    val cClaimed = new CountDownLatch(1)
+    MedallionTable.testFailpoint = {
+      case "mid-claim-first" if Thread.currentThread().getName == "dvC" =>
+        cClaimed.countDown(); Thread.sleep(1500)
+      case _ => ()
+    }
+    try {
+      val c = guarded("dvC", failures)(
+        MedallionTable(spark, p, Seq("blk")).deleteVectored($"blk" === 3))
+      c.start()
+      assert(cClaimed.await(30, TimeUnit.SECONDS))
+      val d = guarded("dvD", failures)(
+        MedallionTable(spark, p, Seq("blk")).deleteVectored($"blk" === 1))
+      d.start()
+      Thread.sleep(600)
+      assert(t.commitVersion == v1 + 1,
+        "second DV delete claimed while the first held dv-stage")
+      c.join(120000); d.join(120000)
+    } finally MedallionTable.testFailpoint = _ => ()
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    assert(t.read.filter($"blk".isin(1, 3)).count() == 0)
+  }
+
+  test("a global-footprint append excludes scoped rewrites both ways") {
+    val (p, t) = seeded("cr4")
+    val v0 = t.commitVersion
+    val appClaimed = new CountDownLatch(1)
+    MedallionTable.testFailpoint = {
+      case "mid-claim-first" if Thread.currentThread().getName == "appA" =>
+        appClaimed.countDown(); Thread.sleep(1500)
+      case _ => ()
+    }
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    try {
+      val a = guarded("appA", failures)(MedallionTable(spark, p, Seq("blk"))
+        .append(Seq((5000L, 0)).toDF("id", "blk")))
+      a.start()
+      assert(appClaimed.await(30, TimeUnit.SECONDS))
+      val b = guarded("optB", failures)(
+        MedallionTable(spark, p, Seq("blk")).compactWhere($"blk" === 3))
+      b.start()
+      Thread.sleep(600)
+      assert(t.commitVersion == v0 + 1,
+        "scoped compaction claimed while an append held the global lock")
+      a.join(120000); b.join(120000)
+    } finally MedallionTable.testFailpoint = _ => ()
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    assert(t.commitVersion == v0 + 2)
+    assert(t.read.filter($"id" === 5000L).count() == 1)
+  }
+
+  test("random interleaving sweep (append / DV-delete / scoped-compact " +
+      "on disjoint vs overlapping partitions) matches the serial model") {
+    val rnd = new scala.util.Random(42)
+    val p = tmpDir("cr5")
+    val t = MedallionTable(spark, p, Seq("blk"))
+    // serial seed: ids 0..39 across partitions 0..3
+    t.overwrite((0 until 40).map(i => (i.toLong, i % 4)).toDF("id", "blk"))
+    val v0 = t.commitVersion
+    // deterministic outcome by construction: phase-B appends target only
+    // partitions 0-1, DV deletes target only partitions 2-3, compacts go
+    // anywhere — so no schedule can make a delete race the append that
+    // inserted its rows, and any interleaving equals the serial model
+    val nextId = new java.util.concurrent.atomic.AtomicLong(1000L)
+    val appended = new ConcurrentLinkedQueue[Long]()
+    val deletedParts =
+      new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val ops: Seq[() => Unit] = (0 until 12).map { _ =>
+      rnd.nextInt(3) match {
+        case 0 => () => {
+          val b = rnd.nextInt(2)
+          val id = nextId.getAndIncrement()
+          MedallionTable(spark, p, Seq("blk"))
+            .append(Seq((id, b)).toDF("id", "blk"))
+          appended.add(id)
+        }
+        case 1 => () => {
+          val b = 2 + rnd.nextInt(2)
+          MedallionTable(spark, p, Seq("blk"))
+            .deleteVectored(col("blk") === b)
+          deletedParts.add(b)
+        }
+        case 2 => () => {
+          val b = rnd.nextInt(4)
+          MedallionTable(spark, p, Seq("blk"))
+            .compactWhere(col("blk") === b)
+        }
+      }
+    }
+    def retry(n: Int)(f: => Unit): Unit =
+      scala.util.Try(f) match {
+        case scala.util.Success(_) => ()
+        case scala.util.Failure(
+            _: java.util.ConcurrentModificationException) if n > 0 =>
+          Thread.sleep(100); retry(n - 1)(f)
+        case scala.util.Failure(e) => throw e
+      }
+    val queues = ops.grouped((ops.size + 2) / 3).toSeq
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val threads = queues.zipWithIndex.map { case (q, i) =>
+      guarded(s"sweep$i", failures)(q.foreach(op => retry(30)(op())))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    assert(t.commitVersion == v0 + ops.size,
+      "every op claims exactly one commit")
+    // serial model: seed rows outside deleted partitions + all appends
+    val delSet = { val s = scala.collection.mutable.Set[Int]()
+      deletedParts.forEach(b => s += b.intValue); s.toSet }
+    val expected = (0 until 40).filterNot(i => delSet.contains(i % 4))
+      .map(_.toLong).toSet ++ {
+      val s = scala.collection.mutable.Set[Long]()
+      appended.forEach(id => s += id); s.toSet }
+    val got = t.read.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"diverged from serial model: missing=${expected -- got} " +
+        s"extra=${got -- expected}")
+  }
+}
