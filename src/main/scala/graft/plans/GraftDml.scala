@@ -284,12 +284,13 @@ final case class GraftUpdateCommand(path: String, cond: Column,
 /** `MERGE INTO g USING s ON … WHEN …` → [[MedallionTable.mergeClauses]]:
   * one full-outer shuffle join on the extracted equi-keys, first-match
   * clause semantics, Delta's multiple-source-rows-matched failure. With
-  * `spark.graft.dvWrites=true` AND no NOT MATCHED BY SOURCE clause, the
-  * merge routes through the deletion-vector path instead
-  * ([[MedallionTable.mergeVectored]] — O(matched+inserted) marks + one
-  * staged batch, zero data files rewritten), mirroring Delta's DV-enabled
-  * MERGE; a by-source clause acts on the O(table) unmatched-target row
-  * class, so those merges keep the rewrite plan even under the flag.
+  * `spark.graft.dvWrites=true` the merge routes through the
+  * deletion-vector path instead ([[MedallionTable.mergeVectored]] —
+  * O(consumed) marks + one staged batch, zero data files rewritten),
+  * mirroring Delta's DV-enabled MERGE — NOT MATCHED BY SOURCE statements
+  * included (round 16): by-source clauses ride the same single pass as a
+  * left-outer broadcast join, so the full-sync merge shape stays
+  * O(matched + disappeared) end-to-end.
   */
 final case class GraftMergeCommand(
     path: String,
@@ -304,9 +305,9 @@ final case class GraftMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val t = new MedallionTable(spark, path)
     val dv = spark.conf.getOption("spark.graft.dvWrites").exists(_.toBoolean)
-    if (dv && notMatchedBySource.isEmpty)
+    if (dv)
       t.mergeVectored(B.ofRows(spark, source), keys, matched, notMatched,
-        evolveSchema = evolveSchema)
+        notMatchedBySource, evolveSchema = evolveSchema)
     else t.mergeClauses(
       B.ofRows(spark, source), keys, matched, notMatched, notMatchedBySource,
       evolveSchema = evolveSchema)

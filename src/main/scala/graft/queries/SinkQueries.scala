@@ -699,7 +699,17 @@ object SinkQueries {
           "o_custkey" -> ((_, sc) => sc("ck")),
           "o_orderstatus" -> ((_, _) => lit("I")),
           "o_totalprice" -> ((_, sc) => sc("tp")),
-          "o_orderpriority" -> ((_, _) => lit("5-LOW"))))))
+          "o_orderpriority" -> ((_, _) => lit("5-LOW"))))),
+        // round 16: NOT MATCHED BY SOURCE rides the same single pass
+        // (left-outer broadcast join) — the reference's full-sync K4
+        // shape as O(consumed) marks, first-applying-clause ordering
+        // across a by-source UPDATE and a conditional by-source DELETE
+        Seq(
+          WhenNotMatchedBySourceUpdate(
+            Some((tc, _) => tc("o_orderkey") % 7 === 3),
+            Map("o_orderstatus" -> ((_, _) => lit("Z")))),
+          WhenNotMatchedBySourceDelete(
+            Some((tc, _) => tc("o_totalprice") < 2000))))
       t.read.select("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderpriority")
     }),
@@ -1672,12 +1682,15 @@ object SinkQueries {
          |)
          |SELECT o.o_orderkey, o.o_custkey,
          |       CASE WHEN s.k IS NOT NULL THEN 'M'
+         |            WHEN o.o_orderkey % 7 = 3 THEN 'Z'
          |            ELSE o.o_orderstatus END AS o_orderstatus,
          |       o.o_totalprice,
          |       CASE WHEN s.k IS NOT NULL THEN '1-URGENT'
          |            ELSE o.o_orderpriority END AS o_orderpriority
          |FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k
          |WHERE NOT (s.k IS NOT NULL AND o.o_totalprice > 200000)
+         |  AND NOT (s.k IS NULL AND o.o_orderkey % 7 <> 3
+         |           AND o.o_totalprice < 2000)
          |UNION ALL
          |SELECT s.k, s.ck, 'I', s.tp, '5-LOW'
          |FROM src s LEFT JOIN orders o ON s.k = o.o_orderkey

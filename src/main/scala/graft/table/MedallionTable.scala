@@ -1875,10 +1875,17 @@ final class MedallionTable(
     * insert anti-join. A daily upsert touching 0.1% of rows pays 0.1%,
     * not a full rewrite.
     *
+    * NOT MATCHED BY SOURCE clauses run O(consumed) on this path too
+    * (round 16): the single pass switches to a left-outer broadcast
+    * join, by-source UPDATEs contribute marks + staged new versions,
+    * by-source DELETEs marks alone, and unconsumed target-only rows are
+    * filtered before the persist ([[MergeOps.mergeVectoredPlan]]) — the
+    * reference's K4 full-sync shape (by-source delete) lands as
+    * O(matched + disappeared) instead of a full rewrite. Partition and
+    * key-range pushdown are DISABLED for by-source merges: both prune
+    * exactly the unmatched-target row class the clauses act on.
+    *
     * Contract edges, all loud:
-    *   - NOT MATCHED BY SOURCE clauses are refused — that row class is
-    *     every target row WITHOUT a match, which is O(table) marks on a
-    *     sync merge; [[mergeClauses]] (the rewrite) is the right tool.
     *   - The source must be broadcast-sized and the matched set
     *     memory/disk-cacheable (MEMORY_AND_DISK — spills, never recompute
     *     storms). A merge touching most of the table belongs to the
@@ -1897,14 +1904,15 @@ final class MedallionTable(
       keys: Seq[(String, String)],
       matched: Seq[MergeOps.WhenClause],
       notMatched: Seq[MergeOps.WhenNotMatchedInsert],
+      notMatchedBySource: Seq[MergeOps.WhenClause] = Nil,
       checkUniqueKeys: Boolean = true,
       evolveSchema: Boolean = false): Unit = withClaimedCommit("merge-dv") {
     import org.apache.spark.sql.functions.col
     requireNoDeltaLogForDv()
     if (checkUniqueKeys)
       MergeOps.requireUniqueKeys(source, keys.map(_._2))
-    refuseIdentitySet(MergeOps.assignedColumns(matched ++ notMatched),
-      "MERGE clause")
+    val allClauses = matched ++ notMatched ++ notMatchedBySource
+    refuseIdentitySet(MergeOps.assignedColumns(allClauses), "MERGE clause")
     if (evolveSchema || autoMergeSchemaConf)
       // Schema evolution on the DV path is METADATA-ONLY, recorded inside
       // this merge's own claimed commit: each new column lands as a
@@ -1912,11 +1920,11 @@ final class MedallionTable(
       // as typed NULL while the staged batch materializes real values —
       // zero base-file rewrites, the same cost shape as the merge itself.
       MergeOps.resolveEvolvedFromSource(read.columns.toSeq,
-        matched ++ notMatched, source, path)
+        allClauses, source, path)
         .foreach { case (n, dt) => recordAddColumn(n, dt.sql) }
     val logical = read // post-evolution: includes any just-added columns
     MergeOps.refuseEvolvedAssignments(logical.columns.toSeq,
-      matched ++ notMatched, path)
+      allClauses, path)
     val liveAll = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
       dvLiveWithPos(), ColumnMap.load(spark, path)))
     // Partition-pruned table pass: when a partition column is among the
@@ -1928,7 +1936,13 @@ final class MedallionTable(
     // them from the filter set is exact; inserts are unaffected (the
     // anti-join runs against the matched keys, which the pruning cannot
     // shrink below the true matched set).
-    val partKeys = keys.filter { case (tk, _) => partitionColumns.contains(tk) }
+    // By-source merges act on the UNMATCHED target rows — the exact row
+    // class partition/key-range pushdown would prune away — so both
+    // pushdowns are off for them (a by-source sync merge must see every
+    // target row to decide what disappeared).
+    val partKeys =
+      if (notMatchedBySource.nonEmpty) Nil
+      else keys.filter { case (tk, _) => partitionColumns.contains(tk) }
     MedallionTable.lastMergeDvPartitionFilter =
       if (partKeys.isEmpty) None
       else Some(partKeys.map { case (tk, sk) =>
@@ -1950,8 +1964,9 @@ final class MedallionTable(
     // clustered on the key. One aggregation over the broadcast-sized
     // source covers all keys; null-keyed target rows drop (they cannot
     // equi-match). Unclustered tables pay one codegen'd compare per row.
-    val rangeKeys = keys.filterNot { case (tk, _) =>
-      partitionColumns.contains(tk) }
+    val rangeKeys =
+      if (notMatchedBySource.nonEmpty) Nil
+      else keys.filterNot { case (tk, _) => partitionColumns.contains(tk) }
     MedallionTable.lastMergeDvRangeFilter =
       if (rangeKeys.isEmpty) None
       else {
@@ -1974,7 +1989,8 @@ final class MedallionTable(
     }
     val plan = MergeOps.mergeVectoredPlan(live, source, keys, matched,
       notMatched, logical.columns.toSeq, logical.schema,
-      Seq("__graft_dv_file", "__graft_dv_pos"), insertDefaultColumns())
+      Seq("__graft_dv_file", "__graft_dv_pos"), insertDefaultColumns(),
+      notMatchedBySource)
     val j = plan.matchedPairs.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -571,9 +571,19 @@ object MergeOps {
     *
     * Matched rows whose clauses all decline keep their base-file version
     * untouched (no mark, no new version) — exactly [[mergeClauses]]'
-    * default. NOT MATCHED BY SOURCE clauses are structurally absent: they
-    * act on target-only rows, which this plan never materializes (that row
-    * class is O(table) and belongs to the rewrite merge).
+    * default.
+    *
+    * NOT MATCHED BY SOURCE clauses ride the SAME single pass: the join
+    * switches inner → left-outer (still a broadcast-hash join on the
+    * streamed scan — no table shuffle), target-only rows evaluate the
+    * by-source clause chain in-pass, and only those a clause CONSUMES
+    * survive into the persisted frame — by-source UPDATE contributes
+    * marks + staged new versions, by-source DELETE marks alone. Cost is
+    * output-proportional (O(matched + by-source-consumed + inserted)):
+    * a full-sync merge whose batch covers most of the table marks only
+    * the rows that actually disappeared, which no plan can avoid
+    * writing. Target-only rows no clause consumes are filtered before
+    * the persist, so the cached pass never holds the untouched table.
     */
   final case class VectoredMergePlan(
       matchedPairs: DataFrame,
@@ -597,7 +607,8 @@ object MergeOps {
       targetCols: Seq[String],
       targetSchema: org.apache.spark.sql.types.StructType,
       posCols: Seq[String],
-      insertDefaults: Map[String, Column] = Map.empty): VectoredMergePlan = {
+      insertDefaults: Map[String, Column] = Map.empty,
+      notMatchedBySource: Seq[WhenClause] = Nil): VectoredMergePlan = {
     require(keys.nonEmpty, "merge requires at least one equi-key pair")
     require(posCols.length == 2, "posCols must be (fileKey, pos)")
     matched.foreach {
@@ -605,39 +616,77 @@ object MergeOps {
       case other => throw new IllegalArgumentException(
         s"unsupported WHEN MATCHED clause: $other")
     }
+    notMatchedBySource.foreach {
+      case _: WhenNotMatchedBySourceUpdate | _: WhenNotMatchedBySourceDelete => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE clause: $other")
+    }
+    val hasBySource = notMatchedBySource.nonEmpty
 
     val t = targetWithPos.select(
       (targetCols ++ posCols).map(c => col(c).as(TPrefix + c)): _*)
+    // the presence MARK (not a source column's null-ness) distinguishes
+    // matched from target-only rows under the left join — source columns
+    // may legitimately hold NULLs
     val s = source.select(
-      source.columns.toSeq.map(c => col(c).as(SPrefix + c)): _*)
+      source.columns.toSeq.map(c => col(c).as(SPrefix + c)) :+
+        lit(true).as(SrcMark): _*)
     val tc: ColRef = c => col(TPrefix + c)
     val sc: ColRef = c => col(SPrefix + c)
 
-    // ONE table pass: stream the positioned scan, broadcast the source.
-    // Inner join — target-only rows never leave the scan, which is the
-    // whole point: their row class is "untouched" by construction.
-    val joined = t.join(broadcast(s),
-      keys.map { case (tk, sk) => tc(tk) === sc(sk) }.reduce(_ && _), "inner")
-
     val mIdx = chosen(matched, tc, sc)
+    val nIdx = chosen(notMatchedBySource, tc, sc)
+    val srcPresent = col(SrcMark).isNotNull
 
-    val marks = (j: DataFrame) => j.filter(mIdx =!= -1)
+    // ONE table pass: stream the positioned scan, broadcast the source.
+    // Without by-source clauses the join is INNER — target-only rows
+    // never leave the scan, their row class is "untouched" by
+    // construction. With by-source clauses it is LEFT OUTER (same
+    // broadcast-hash shape), and target-only rows a by-source clause
+    // declines are filtered HERE, before the caller's persist, so the
+    // cached frame stays output-proportional.
+    val joined0 = t.join(broadcast(s),
+      keys.map { case (tk, sk) => tc(tk) === sc(sk) }.reduce(_ && _),
+      if (hasBySource) "left_outer" else "inner")
+    val joined =
+      if (hasBySource) joined0.filter(srcPresent || nIdx =!= -1)
+      else joined0
+
+    val consumes =
+      if (hasBySource)
+        (srcPresent && mIdx =!= -1) || (!srcPresent && nIdx =!= -1)
+      else mIdx =!= -1
+    val marks = (j: DataFrame) => j.filter(consumes)
       .select(tc(posCols.head).as("file"), tc(posCols(1)).as("pos"))
 
+    val keepsNewVersion =
+      if (hasBySource)
+        (srcPresent && mIdx =!= -1 && !deleteChosen(matched, mIdx)) ||
+          (!srcPresent && nIdx =!= -1 &&
+            !deleteChosen(notMatchedBySource, nIdx))
+      else mIdx =!= -1 && !deleteChosen(matched, mIdx)
     val newVersions = (j: DataFrame) =>
-      j.filter(mIdx =!= -1 && !deleteChosen(matched, mIdx))
-        .select(targetCols.map(c =>
-          chainClauseValues(targetSchema, matched, mIdx, c, tc(c), tc, sc)
-            .as(c)): _*)
+      j.filter(keepsNewVersion)
+        .select(targetCols.map { c =>
+          val m = chainClauseValues(targetSchema, matched, mIdx, c, tc(c),
+            tc, sc)
+          (if (hasBySource)
+            when(srcPresent, m).otherwise(chainClauseValues(targetSchema,
+              notMatchedBySource, nIdx, c, tc(c), tc, sc))
+          else m).as(c)
+        }: _*)
 
     val inserts = (j: DataFrame) => {
       // Source rows with no match: anti-join the SMALL frames (source ×
       // the cached matched source-keys); typed-null target columns let
       // library-caller insert expressions that touch tc(...) resolve to
       // NULL instead of erroring (SQL-originated inserts are analyzer-
-      // guaranteed source-only).
-      val matchedKeys = j.select(keys.map { case (_, sk) =>
-        sc(sk).as(s"__graft_mk_$sk") }: _*).distinct()
+      // guaranteed source-only). Under by-source the cached frame also
+      // holds target-only rows — their null source keys never equi-match
+      // the anti-join, but filter them anyway for a tight build side.
+      val matchedKeys = (if (hasBySource) j.filter(srcPresent) else j)
+        .select(keys.map { case (_, sk) =>
+          sc(sk).as(s"__graft_mk_$sk") }: _*).distinct()
       val unmatched = s.join(broadcast(matchedKeys),
           keys.map { case (_, sk) => sc(sk) === col(s"__graft_mk_$sk") }
             .reduce(_ && _),

@@ -200,7 +200,9 @@ class MergeVectoredSpec extends SparkSpec {
       .getString(0) == "src92")
     assert(spark.sql("SELECT COUNT(*) c FROM mdv_sql WHERE id = 91").head()
       .getLong(0) == 0L)
-    // a by-source clause keeps the rewrite plan even under the flag
+    // round 16: a by-source statement rides the DV path under the flag
+    // too — still zero base files rewritten, the delete lands as marks
+    val before2 = dataFiles(p)
     spark.conf.set("spark.graft.dvWrites", "true")
     try spark.sql("""
       |MERGE INTO mdv_sql g USING mdv_src s ON g.id = s.id
@@ -208,10 +210,67 @@ class MergeVectoredSpec extends SparkSpec {
       |WHEN NOT MATCHED BY SOURCE AND g.id = 0 THEN DELETE
       |""".stripMargin)
     finally spark.conf.unset("spark.graft.dvWrites")
-    assert(DvUpdates.committedBatches(spark, p).isEmpty,
-      "the by-source merge took the rewrite path and materialized DV state")
+    assert(dataFiles(p) == before2,
+      "the by-source merge must stay on the DV path (no rewrite)")
     assert(spark.sql("SELECT COUNT(*) c FROM mdv_sql WHERE id = 0").head()
       .getLong(0) == 0L)
+    assert(spark.sql("SELECT s FROM mdv_sql WHERE id = 90").head()
+      .getString(0) == "src90")
+  }
+
+  test("by-source clauses ride the DV path: ≡ mergeClauses rewrite on " +
+      "the same inputs, zero base files touched") {
+    val (tv, pv) = seed()
+    val (tr, _) = seed()
+    val (m, nm) = clauses
+    val bySource = Seq[WhenClause](
+      WhenNotMatchedBySourceUpdate(Some((t, _) => t("id") % 10 === 7),
+        Map("s" -> ((_, _) => lit("stale")),
+          "v" -> ((t, _) => t("v") * 2))),
+      WhenNotMatchedBySourceDelete(Some((t, _) => t("id") < 20)))
+    val before = dataFiles(pv)
+    tv.mergeVectored(source, Seq("id" -> "id"), m, nm, bySource)
+    tr.mergeClauses(source, Seq("id" -> "id"), m, nm, bySource)
+    assert(dataFiles(pv) == before, "by-source DV merge rewrites no base file")
+    assert(snap(tv) == snap(tr), "by-source vectored ≡ rewrite")
+    // spot semantics: unmatched 7 -> by-source UPDATE (s=stale, v=140);
+    // unmatched 5 (<20, no update clause) -> by-source DELETE; 17 takes
+    // the FIRST applying clause (update, not the delete); 25 untouched;
+    // matched rows behave exactly as the no-by-source merge
+    assert(tv.read.filter($"id" === 7L).select("s", "v").head() ==
+      org.apache.spark.sql.Row("stale", 140.0))
+    assert(tv.read.filter($"id" === 5L).count() == 0L)
+    assert(tv.read.filter($"id" === 17L).select("s").head().getString(0)
+      == "stale")
+    assert(tv.read.filter($"id" === 25L).select("s").head().getString(0)
+      == "s25")
+    assert(tv.read.filter($"id" === 91L).count() == 0L)
+    assert(tv.read.filter($"id" === 90L).select("s").head().getString(0)
+      == "s90")
+  }
+
+  test("by-source merges disable partition and key-range pushdown — " +
+      "both would prune exactly the row class the clauses act on") {
+    // key-range: id 33 sits far below the source's [90, 109] key range;
+    // range pushdown would drop its file from the scan and the by-source
+    // delete would silently miss it
+    val (t, _) = seed()
+    val (m, nm) = clauses
+    t.mergeVectored(source, Seq("id" -> "id"), m, nm,
+      Seq(WhenNotMatchedBySourceDelete(Some((tc, _) => tc("id") === 33L))))
+    assert(MedallionTable.lastMergeDvRangeFilter.isEmpty,
+      "key-range pushdown must be off for by-source merges")
+    assert(t.read.filter($"id" === 33L).count() == 0L,
+      "by-source delete missed a row outside the source key range")
+    // partition: source carries only grp 0, target row 33 lives in grp 1
+    val (tp, _) = seed(Seq("grp"))
+    tp.mergeVectored(source.withColumn("g", lit(0L)),
+      Seq("grp" -> "g", "id" -> "id"), m, nm,
+      Seq(WhenNotMatchedBySourceDelete(Some((tc, _) => tc("id") === 33L))))
+    assert(MedallionTable.lastMergeDvPartitionFilter.isEmpty,
+      "partition pushdown must be off for by-source merges")
+    assert(tp.read.filter($"id" === 33L).count() == 0L,
+      "by-source delete missed a row in a partition the source never names")
   }
 
   test("schema-evolving assignments refuse fail-stop on BOTH clause " +
