@@ -1250,6 +1250,27 @@ object SinkQueries {
         "o_orderdate", "o_orderpriority")
     }),
 
+    // Incremental clustering (MedallionTable.clusterIncremental — Delta
+    // liquid-clustering's cost shape): unclustered appends absorbed into
+    // z-sorted DV batches pass by pass, zero full-table re-sorts; the
+    // oracle proves content identity across the whole append+cluster+
+    // delete composition.
+    "k_cluster_incremental_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val p = Q.scratch(dir, "k_cluster_inc")
+      Q.deleteDir(s, p)
+      Q.deleteDir(s, p + "__graft_commits")
+      val t = MedallionTable(s, p)
+      val o = Tables.orders(s, dir)
+      (0 until 3).foreach { i =>
+        t.append(o.filter($"o_orderkey" % 3 === i).repartition(3))
+        t.clusterIncremental(Seq("o_orderkey"), nFiles = 2)
+      }
+      t.deleteVectored($"o_orderstatus" === "P") // composes over batches
+      t.read.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+    }),
+
     // K8 — history through the SQL TVF (the k_history scenario read back
     // with `graft_table_history` instead of the API), extended PAST the
     // live HistoryDepth window: 13 commits total, so v1..v5 live only in
@@ -1901,6 +1922,10 @@ object SinkQueries {
        "UNION ALL " +
        "SELECT o_orderkey, o_custkey AS cust, o_totalprice, 'web' AS channel " +
        "FROM orders WHERE o_orderkey % 2 = 1"),
+    "k_cluster_incremental_roundtrip" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+       "o_orderdate, o_orderpriority FROM orders " +
+       "WHERE o_orderstatus <> 'P'"),
     "k8_sql_history_tvf" ->
       ("SELECT CAST(range AS BIGINT) AS version, " +
        "CASE WHEN range = 1 THEN 'create-overwrite' " +

@@ -107,7 +107,8 @@ object ChangeFeed {
   private val NoChangeOps: Set[String] = Set(
     "convert", "add-column", "drop-column", "rename-column", "set-cdf",
     "widen-column", "set-default", "drop-default",
-    "optimize", "optimize-where", "optimize-zorder", "reorg-purge",
+    "optimize", "optimize-where", "optimize-zorder", "cluster-incremental",
+    "reorg-purge",
     "dv-compact", "dv-batch-compact", "analyze", "sync-delta-log",
     "checkpoint-delta-log")
 

@@ -105,7 +105,7 @@ final class MedallionTable(
   private def hiddenName(n: String): Boolean =
     n.startsWith("_") || n.startsWith(".")
 
-  private def hasDataFiles(p: Path): Boolean = {
+  private[table] def hasDataFiles(p: Path): Boolean = {
     var found = false
     walkFiles(p, hiddenName) { st =>
       if (!hiddenName(st.getPath.getName) && st.getLen > 0) found = true
@@ -2755,6 +2755,25 @@ final class MedallionTable(
     * amended by an earlier update batch are positioned by their batch
     * file, so marks over them hide the amended version — chains compose.
     */
+  /** Physical-name base-dir scan that stays schema-resolvable when the
+    * base holds NO data files — incremental clustering's steady state
+    * (the data lives in batch dirs) and the legally-emptied table both
+    * leave nothing to infer footers from, so the stashed DDL (mapped to
+    * physical names) seeds an explicit schema instead.
+    */
+  private def basePhysicalScan(): DataFrame = {
+    val sf = new Path(path, "_graft_meta/schema.ddl")
+    if (WideCols.readerSchema(spark, path).isEmpty &&
+        !hasDataFiles(new Path(path)) && fs.exists(sf)) {
+      val cmap = ColumnMap.load(spark, path)
+      spark.read.schema(org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType
+          .fromDDL(readMetaText(sf)).fields
+          .map(f => f.copy(name = cmap.getOrElse(f.name, f.name)))))
+        .parquet(path)
+    } else WideCols.reader(spark, path).parquet(path)
+  }
+
   private def dvLiveWithPos(): DataFrame = {
     import org.apache.spark.sql.functions.col
     def prep(df: DataFrame): DataFrame = df
@@ -2771,7 +2790,7 @@ final class MedallionTable(
     val base = if (isClone)
         WideCols.reader(spark, path)
           .parquet(ShallowClone.scanFiles(spark, path): _*)
-      else WideCols.reader(spark, path).parquet(path)
+      else basePhysicalScan()
     // one DV anti-join over base∪batches, position columns prepped per
     // branch before the union (DvUpdates.amendedOnce)
     DvUpdates.amendedOnce(spark, path, Some(base), prep,
@@ -3377,12 +3396,21 @@ final class MedallionTable(
     */
   def compactZOrder(clusterBy: Seq[String], nFiles: Int = 0): Unit = {
     require(clusterBy.nonEmpty && clusterBy.size <= 4, "1-4 z-order columns")
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
     // The whole construction — read, quantile sketch jobs, bucketing —
     // runs inside the by-name argument so it happens after the fence.
-    def buildShaped(): DataFrame = {
-    val df = read
+    rewriteVia(zShape(read, clusterBy, nFiles), op = "optimize-zorder")
+    refreshStats() // same rationale as compact: leave pruning armed
+  }
+
+  /** The z-order shaping shared by [[compactZOrder]] (full rewrite) and
+    * [[clusterIncremental]] (new-data-only maintenance): interleaved
+    * quantile-bucket bits of the cluster columns, range-partitioned into
+    * `nFiles` outputs with a row-hash tiebreak, sorted within partitions.
+    */
+  private def zShape(df: DataFrame, clusterBy: Seq[String],
+      nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val n = if (nFiles > 0) nFiles
       else math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
     val bits = 8
@@ -3448,9 +3476,115 @@ final class MedallionTable(
       .sortWithinPartitions(col("__graft_z"))
       .drop((clusterBy.indices.flatMap(i =>
         Seq(s"__graft_zb_$i", s"__graft_zs_$i")) :+ "__graft_z"): _*)
+  }
+
+  /** Incremental clustering maintenance (Delta liquid-clustering's cost
+    * shape): z-cluster ONLY the data appended since the last pass into
+    * the existing layout, so a 100 TB append stream never pays a
+    * full-table re-sort for routine maintenance. Cost is O(new data) —
+    * flat in table size (ClusterProbe, SCALING.md round 16).
+    *
+    * Mechanism — no registry, no bookkeeping: the BASE directory is, by
+    * invariant, exactly the not-yet-clustered data. A pass reads the
+    * live base rows (DV-applied, positioned), stages their z-sorted copy
+    * as a committed [[DvUpdates]] batch — the SAME atomic marks-rename
+    * commit the DV merge uses, so readers flip from old files to the
+    * clustered batch in one rename — and then drops the fully-masked
+    * base files (idempotent: a leftover reads as zero live rows and is
+    * re-dropped next pass; a crash before the rename leaves the table
+    * untouched). Appends keep landing in the base dir; each pass absorbs
+    * them into another clustered batch. Content never changes, so the
+    * commit is CDF-no-change like every OPTIMIZE.
+    *
+    * Read shape after N passes: base (new appends) ∪ N clustered batch
+    * scans, each with tight per-file z-ranges in the stats manifest —
+    * range reads prune to the same few files a full [[compactZOrder]]
+    * yields (ClusterIncrementalSpec pins the parity). Batch-count creep
+    * is bounded by the existing janitors: the next full OPTIMIZE /
+    * [[compactZOrder]] materializes everything and re-seeds the layout.
+    *
+    * Returns the number of base files absorbed (0 = nothing to do).
+    */
+  def clusterIncremental(clusterBy: Seq[String], nFiles: Int = 0,
+      refreshManifest: Boolean = true): Int = {
+    require(clusterBy.nonEmpty && clusterBy.size <= 4, "1-4 cluster columns")
+    val absorbed = MedallionTable.retryOnVanishedFiles() {
+      clusterIncrementalOnce(clusterBy, nFiles)
     }
-    rewriteVia(buildShaped(), op = "optimize-zorder")
-    refreshStats() // same rationale as compact: leave pruning armed
+    // outside the claim, like compactWhere: the stamp-checked swap makes
+    // a raced rebuild land absent (conservative), never stale
+    if (absorbed > 0 && refreshManifest) refreshStats()
+    absorbed
+  }
+
+  private def clusterIncrementalOnce(clusterBy: Seq[String],
+      nFiles: Int): Int = withClaimedCommit("cluster-incremental") {
+    import org.apache.spark.sql.functions.col
+    requireNoDeltaLogForDv()
+    require(!ShallowClone.isClone(spark, path),
+      "cluster-incremental: table is a shallow clone — the data files " +
+        "belong to the source; OPTIMIZE (compact) to materialize first")
+    val baseFiles = dataFileSet()
+    if (baseFiles.isEmpty) 0
+    else {
+      // positioned, DV-applied, BASE-ONLY live rows: amended/deleted rows
+      // are masked and amended versions live in batch dirs, so the staged
+      // batch holds exactly the live base content — nothing else
+      def prep(df: DataFrame): DataFrame = df
+        .withColumn("__graft_dv_file",
+          DeletionVectors.fileKey(col("_metadata.file_path")))
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+      val baseLive = SchemaOverlay.applied(spark, path, ColumnMap.toLogical(
+        DeletionVectors.applied(spark, prep(basePhysicalScan()),
+          DeletionVectors.dir(path), path),
+        ColumnMap.load(spark, path)))
+      val j = baseLive.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (j.head(1).nonEmpty) {
+          val batch = java.util.UUID.randomUUID().toString.take(12)
+          val batchDir = DvUpdates.batchDataDir(path, batch)
+          val marksStaging = DvUpdates.marksStagingDir(path, batch)
+          // stage 1: the clustered copy — physical names, wide types,
+          // table partition layout (rows unchanged: no CHECK re-run)
+          val shaped = zShape(
+            j.drop("__graft_dv_file", "__graft_dv_pos"), clusterBy, nFiles)
+          val w = WideCols.canonicalize(ColumnMap.toPhysical(shaped,
+            ColumnMap.load(spark, path)), WideCols.load(spark, path))
+            .write.mode(SaveMode.Overwrite)
+          (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
+           else w).parquet(batchDir)
+          // stage 2: marks for every absorbed live row's old position
+          j.select(col("__graft_dv_file").as("file"),
+              col("__graft_dv_pos").as("pos"))
+            .write.mode(SaveMode.Overwrite).parquet(marksStaging.toString)
+          invalidateStats()
+          fs.mkdirs(new Path(DeletionVectors.dir(path)))
+          MedallionTable.testFailpoint("pre-cluster-commit")
+          // COMMIT POINT: marks hide the base originals AND witness the
+          // clustered batch into reads, atomically (DvUpdates contract)
+          if (!fs.rename(marksStaging, DvUpdates.marksDir(path, batch)))
+            throw new java.io.IOException(
+              s"cluster-incremental commit rename failed: $marksStaging " +
+                s"-> ${DvUpdates.marksDir(path, batch)}")
+        }
+        // absorbing every base file can empty the base dir — stash the
+        // schema FIRST so the table keeps existing (the same contract as
+        // delete()'s fast path; read()'s batch guard handles the rest)
+        stashSchema(read.schema)
+        // absorb: every base row is now masked (or was already) — drop
+        // the files. Best-effort and idempotent: a leftover contributes
+        // zero live rows and is re-dropped by the next pass; readers
+        // racing the drop are covered by retryOnVanishedFiles, the same
+        // exposure class as OPTIMIZE…WHERE's dir replacement.
+        MedallionTable.testFailpoint("post-cluster-commit")
+        baseFiles.foreach(f =>
+          try fs.delete(new Path(f), false)
+          catch { case _: java.io.IOException => () })
+        invalidateStats()
+        baseFiles.size
+      } finally j.unpersist()
+    }
   }
 
   /** VACUUM-style cleanup: remove sibling `__graft_tmp_*` / `__graft_old_*`

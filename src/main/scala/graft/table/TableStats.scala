@@ -125,7 +125,27 @@ object TableStats {
         // mergeSchema alike) break under a live widening overlay — the
         // recorded wide schema is authoritative
         case Some(s) => spark.read.schema(s).parquet(tablePath)
-        case None => spark.read.parquet(tablePath)
+        case None =>
+          // base emptied while batches hold the data (incremental
+          // clustering's steady state, or a fully-deleted table): no
+          // footers to infer from — seed from the stashed DDL, mapped to
+          // physical names, exactly like the table read's empty branch
+          val mt = new MedallionTable(spark, tablePath)
+          val sf = new org.apache.hadoop.fs.Path(tablePath,
+            "_graft_meta/schema.ddl")
+          val fs = sf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!mt.hasDataFiles(new org.apache.hadoop.fs.Path(tablePath)) &&
+              fs.exists(sf)) {
+            val cmap = ColumnMap.load(spark, tablePath)
+            val in = fs.open(sf)
+            val ddl =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            spark.read.schema(org.apache.spark.sql.types.StructType(
+              org.apache.spark.sql.types.StructType.fromDDL(ddl).fields
+                .map(f => f.copy(name = cmap.getOrElse(f.name, f.name)))))
+              .parquet(tablePath)
+          } else spark.read.parquet(tablePath)
       }
     // a deletion vector changes what readers SEE without touching files:
     // stats (row counts above all — the metadata COUNT(*) path) must
@@ -362,14 +382,57 @@ object TableStats {
   def readRange(spark: SparkSession, tablePath: String, column: String,
       lower: Any, upper: Any): DataFrame = {
     val residual0 = col(column) >= lit(lower) && col(column) <= lit(upper)
-    // Soft table state (deletion vectors / DV-update batches) lives
-    // outside the raw file scan: a basePath-anchored subset read can
-    // express neither the hidden positions nor the batch rows. Route
-    // through the logical read until a rewrite materializes — the same
-    // treatment the catalog scan gives shallow clones.
+    // Soft table state (deletion vectors / DV-update batches): the
+    // manifest covers base AND batch files (refresh folds every branch),
+    // so pruning still works — rebuild the read's branch union over the
+    // CANDIDATE files only, key positions per branch, and pay the same
+    // single anti-join the full read pays. This is what keeps range
+    // reads file-pruned in incremental clustering's steady state, where
+    // ALL data lives in clustered batch dirs. Clones keep the logical
+    // fallback (pointer manifests don't subset cleanly).
     if (DeletionVectors.exists(spark, DeletionVectors.dir(tablePath)) ||
-        DvUpdates.committedBatches(spark, tablePath).nonEmpty)
-      return new MedallionTable(spark, tablePath).read.filter(residual0)
+        DvUpdates.committedBatches(spark, tablePath).nonEmpty) {
+      val mt = new MedallionTable(spark, tablePath)
+      val logical = mt.read
+      if (ShallowClone.isClone(spark, tablePath) ||
+          !hasManifest(spark, tablePath) ||
+          !coveredColumns(spark, tablePath).contains(column))
+        return logical.filter(residual0)
+      val numeric0 = isNumeric(logical.schema(column).dataType)
+      val (lo0, hi0) =
+        if (numeric0) (lit(lower).cast("double"), lit(upper).cast("double"))
+        else (lit(lower.toString), lit(upper.toString))
+      val files = candidateFiles(spark, tablePath, column, lo0, hi0, numeric0)
+      if (files.isEmpty) return logical.filter(lit(false))
+      def norm(s: String): String = s.replaceFirst("^[A-Za-z0-9+.-]+:/+", "/")
+      val batchDirs = DvUpdates.committedBatches(spark, tablePath)
+        .map(b => DvUpdates.batchDataDir(tablePath, b))
+      val cmap = ColumnMap.load(spark, tablePath)
+      val wide = WideCols.readerSchema(spark, tablePath)
+      val f = "__graft_dvr_file"
+      val x = "__graft_dvr_pos"
+      def branch(baseDir: String, subset: Seq[String]) = {
+        val r = wide.map(spark.read.schema).getOrElse(spark.read)
+        r.option("basePath", baseDir).parquet(subset: _*)
+          .withColumn(f, col("_metadata.file_path"))
+          .withColumn(x, col("_metadata.row_index"))
+      }
+      val batchSubsets = batchDirs.map(d =>
+        d -> files.filter(fp => norm(fp).startsWith(norm(d) + "/")))
+      val inBatches = batchSubsets.flatMap(_._2).toSet
+      val baseSubset = files.filterNot(inBatches.contains)
+      val branches =
+        (if (baseSubset.nonEmpty) Seq(branch(tablePath, baseSubset))
+         else Nil) ++
+          batchSubsets.collect { case (d, sub) if sub.nonEmpty =>
+            branch(d, sub) }
+      val unioned = branches
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val appliedDf = DeletionVectors.appliedToKeyed(spark, unioned,
+        DeletionVectors.dir(tablePath), tablePath, f, x).drop(f, x)
+      return SchemaOverlay.applied(spark, tablePath,
+        ColumnMap.toLogical(appliedDf, cmap)).filter(residual0)
+    }
     // raw scans carry PHYSICAL names and (under a live widening overlay)
     // mixed narrow/wide footers: project to logical names and the wide
     // reader schema, or a renamed/widened column's range read breaks —
