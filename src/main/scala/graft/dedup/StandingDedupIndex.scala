@@ -78,7 +78,11 @@ final class StandingDedupIndex(
     * reads as EMPTY (typed off the batch's own derivations), so a
     * streaming sink's first micro-batch checks cleanly.
     */
-  def check(batch: DataFrame, excludeTag: Option[Long] = None): DataFrame = {
+  def check(batch: DataFrame, excludeTag: Option[Long] = None): DataFrame =
+    checkWith(hashesOf(batch), bandsOf(batch), batch, excludeTag)
+
+  private def checkWith(hashes: DataFrame, bands: DataFrame,
+      batch: DataFrame, excludeTag: Option[Long]): DataFrame = {
     // excludeTag makes a REPLAYED batch's check idempotent: a foreachBatch
     // sink that ingested tag T and crashed before its checkpoint commit
     // re-runs the same batch — excluding the index rows it tagged T makes
@@ -99,17 +103,17 @@ final class StandingDedupIndex(
     val idx = if (indexTable.exists) Some(minusTag(indexTable.read)) else None
     val corpusHashes = idx
       .map(_.filter(col("h").isNotNull).select(col("h")))
-      .getOrElse(hashesOf(batch).select(col("h")).limit(0))
+      .getOrElse(hashes.select(col("h")).limit(0))
     val corpusBands = idx
       .map(_.filter(col("band_idx").isNotNull)
         .select(col("band_idx"), col("band_key"),
           col("doc_id").as("corpus_id")))
-      .getOrElse(bandsOf(batch).select(col("band_idx"), col("band_key"),
+      .getOrElse(bands.select(col("band_idx"), col("band_key"),
         col("doc_id").as("corpus_id")).limit(0))
-    val exact = hashesOf(batch)
+    val exact = hashes
       .join(corpusHashes.distinct(), Seq("h"))
       .select("doc_id").distinct().withColumn("is_exact_dup", lit(true))
-    val cands = bandsOf(batch)
+    val cands = bands
       .join(corpusBands, Seq("band_idx", "band_key"))
       .select("doc_id", "corpus_id").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
@@ -134,19 +138,47 @@ final class StandingDedupIndex(
     * break the "archive holds at most a bounded number of copies"
     * property).
     */
-  def ingest(batch: DataFrame, tag: Long = 0L): Unit = {
+  def ingest(batch: DataFrame, tag: Long = 0L): Unit =
+    ingestWith(hashesOf(batch), bandsOf(batch), tag)
+
+  private def ingestWith(hashes0: DataFrame, bands0: DataFrame,
+      tag: Long): Unit = {
     // a tag at or below the compaction watermark is KNOWN-ingested even
     // though its partition has been folded into the archive — replaying
     // it must stay a no-op, not a double count
     if (tag <= graft.table.TagArchive.watermark(spark, basePath)) return
-    val hashes = hashesOf(batch)
+    val hashes = hashes0
       .withColumn("band_idx", lit(null).cast("int"))
       .withColumn("band_key", lit(null).cast("string"))
-    val bands = bandsOf(batch)
+    val bands = bands0
       .withColumn("h", lit(null).cast("string"))
       .select("doc_id", "h", "band_idx", "band_key")
     indexTable.append(
       hashes.unionByName(bands).withColumn("batch_tag", lit(tag)))
+  }
+
+  /** check + ingest of ONE batch under ONE shared signature computation
+    * (the curate funnel's dominant repeated work: `hashesOf`/`bandsOf`
+    * re-hash every document's text, and running check and ingest
+    * separately paid that twice per micro-batch — ProfileCurate phase
+    * table, SCALING.md round 16). The signature frames are persisted
+    * once and feed the replay-idempotent check (excludeTag = this tag),
+    * the caller's `between` stage (curated write — runs AFTER the check
+    * report is available and BEFORE the ingest, preserving the funnel's
+    * exactly-once ordering contract), and the single-commit ingest.
+    * Returns the check report (already consumed by `between`, returned
+    * for callers that want it).
+    */
+  def checkAndIngest(batch: DataFrame, tag: Long)(
+      between: DataFrame => Unit = _ => ()): DataFrame = {
+    val hashes = hashesOf(batch).persist()
+    val bands = bandsOf(batch).persist()
+    try {
+      val report = checkWith(hashes, bands, batch, excludeTag = Some(tag))
+      between(report)
+      ingestWith(hashes, bands, tag)
+      report
+    } finally { hashes.unpersist(); bands.unpersist() }
   }
 
   /** Fold every `batch_tag ≤ w` partition of the index into the single

@@ -107,6 +107,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       // claim the statement only when the target is actually ours.
       case ShallowCloneRe(target, source) if isGraftTarget(spark, source) =>
         GraftShallowCloneCommand(target.trim, source.trim)
+      // AFTER the shallow case: DeepCloneRe is the no-SHALLOW spelling
+      case DeepCloneRe(target, source) if isGraftTarget(spark, source) =>
+        GraftDeepCloneCommand(target.trim, source.trim)
       case RenameColumnRe(target, oldName, newName) if isGraftTarget(spark, target) =>
         GraftRenameColumnCommand(target.trim, oldName.trim, newName.trim)
       case AddColumnRe(target, name, typeDdl) if isGraftTarget(spark, target) =>
@@ -286,6 +289,8 @@ object GraftSqlParser {
     s"""(?is)DROP\\s+BLOOMFILTER\\s+INDEX\\s+ON\\s+(?:TABLE\\s+)?$T""".r
   private[plans] val ShallowCloneRe: Regex =
     s"""(?is)CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""".r
+  private[plans] val DeepCloneRe: Regex =
+    s"""(?is)CREATE\\s+TABLE\\s+$T\\s+CLONE\\s+$T""".r
   private[plans] val RenameColumnRe: Regex =
     s"""(?is)ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)""".r
   private[plans] val AddColumnRe: Regex =
@@ -609,6 +614,32 @@ final case class GraftShallowCloneCommand(target: String, source: String)
     Seq(Row(tgt,
       graft.table.ShallowClone.sources(spark,
         graft.table.ShallowClone.file(tgt)).size.toLong))
+  }
+}
+
+/** `CREATE TABLE '<path>' CLONE s` — DEEP clone
+  * ([[graft.table.MedallionTable.deepCloneFrom]]): one materialized copy
+  * of the source's logical state, registries carried, zero pointer
+  * entries — decoupled from source rewrites by construction (the
+  * cross-storage copy SHALLOW CLONE cannot give). Target must be a
+  * quoted path, like the shallow form.
+  */
+final case class GraftDeepCloneCommand(target: String, source: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("rows_copied", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(target.startsWith("'") || target.startsWith("`"),
+      "CLONE target must be a quoted path — a new table needs a " +
+        "location (register a name afterwards with CREATE TABLE … USING " +
+        "graft LOCATION)")
+    val tgt = GraftSqlParser.stripQuotes(target)
+    val src = GraftSqlParser.resolvePath(spark, source)
+    val s = new MedallionTable(spark, src,
+      partitionColumns = GraftSqlUtil.discoveredPartitionColumns(spark, src))
+    new MedallionTable(spark, tgt).deepCloneFrom(s)
+    Seq(Row(tgt, new MedallionTable(spark, tgt).read.count()))
   }
 }
 

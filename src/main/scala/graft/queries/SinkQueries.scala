@@ -600,6 +600,32 @@ object SinkQueries {
       c.read
     }),
 
+    // DEEP CLONE (MedallionTable.deepCloneFrom / CREATE TABLE … CLONE):
+    // materialized copy — the source's DV state is applied-and-baked-in,
+    // registries travel, zero pointer entries — then BOTH sides diverge:
+    // the clone appends + DV-deletes locally, the source takes an append
+    // AND a full rewrite (compact) the clone must not see (a shallow
+    // clone would break under that rewrite; the deep copy is decoupled
+    // by construction). Oracle derives the clone's exact content.
+    "k_deep_clone_diverge" -> ((s, dir) => {
+      import s.implicits._
+      val sp = Q.scratch(dir, "k_dclone_src")
+      val cp = Q.scratch(dir, "k_dclone_tgt")
+      Seq(sp, cp).foreach(Q.deleteDir(s, _))
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val src = MedallionTable(s, sp)
+      src.overwrite(o.filter($"o_orderkey" % 2 === 0))
+      src.deleteVectored($"o_totalprice" > 200000)
+      val c = MedallionTable(s, cp)
+      c.deepCloneFrom(src)
+      c.append(o.filter($"o_orderkey" % 2 === 1 && $"o_orderkey" % 3 === 0))
+      c.deleteVectored($"o_orderstatus" === "F" && $"o_orderkey" % 5 === 0)
+      src.append(o.filter($"o_orderkey" % 100 === 0)) // invisible to clone
+      src.compact() // a source rewrite breaks pointers; a deep copy never
+      c.read
+    }),
+
     // Metadata-only RENAME COLUMN (graft.table.ColumnMap): rename, then
     // keep WORKING with the table under the new name — an append and a
     // filter both speak it — while the files on disk still carry the old
@@ -1721,6 +1747,15 @@ object SinkQueries {
       ("SELECT o_orderkey, o_orderstatus, o_totalprice AS price_usd " +
        "FROM orders WHERE o_totalprice > 50000"),
     "k_shallow_clone_roundtrip" ->
+      ("""WITH cloned AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 2 = 0 AND NOT o_totalprice > 200000
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+         |SELECT * FROM cloned
+         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)""".stripMargin),
+    "k_deep_clone_diverge" ->
       ("""WITH cloned AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          |  WHERE o_orderkey % 2 = 0 AND NOT o_totalprice > 200000

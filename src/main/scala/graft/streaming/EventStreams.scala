@@ -442,20 +442,26 @@ object EventStreams {
     try {
       val idx = new graft.dedup.StandingDedupIndex(
         b.sparkSession, indexPath, bandKeys)
-      val report = idx.check(quality, excludeTag = Some(batchId))
-      // static per-batch partition path, not dynamic partition overwrite:
-      // a micro-batch writes exactly ONE partition (its own batch id), so
-      // the dynamic mode's staging-and-swap machinery buys nothing and
-      // costs a commit round per write (ProfileCurate phase table,
-      // SCALING.md round 14); overwriting the batch's own directory is
-      // the same exactly-once replay contract
-      quality.join(
-          report.filter(!col("is_exact_dup"))
-            .select(col("doc_id"), col("n_candidates")),
-          Seq("doc_id"))
-        .write.mode("overwrite")
-        .parquet(s"$curatedPath/ingest_batch_id=$batchId")
-      idx.ingest(quality, tag = batchId)
+      // checkAndIngest: ONE shared signature computation serves the
+      // replay-idempotent check, the curated write (the `between` stage —
+      // same ordering contract as before: write after the report, ingest
+      // last), and the single-commit ingest — the funnel's former
+      // per-batch double text-hashing (SCALING.md round 16)
+      idx.checkAndIngest(quality, batchId) { report =>
+        // static per-batch partition path, not dynamic partition
+        // overwrite: a micro-batch writes exactly ONE partition (its own
+        // batch id), so the dynamic mode's staging-and-swap machinery
+        // buys nothing and costs a commit round per write (ProfileCurate
+        // phase table, SCALING.md round 14); overwriting the batch's own
+        // directory is the same exactly-once replay contract
+        quality.join(
+            report.filter(!col("is_exact_dup"))
+              .select(col("doc_id"), col("n_candidates")),
+            Seq("doc_id"))
+          .write.mode("overwrite")
+          .parquet(s"$curatedPath/ingest_batch_id=$batchId")
+      }
+      ()
     } finally { quality.unpersist(); b.unpersist() }
   }
 

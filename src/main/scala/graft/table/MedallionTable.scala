@@ -2303,6 +2303,51 @@ final class MedallionTable(
     }
   }
 
+  /** DEEP CLONE (Delta `CREATE TABLE t CLONE s` without SHALLOW): a
+    * MATERIALIZED copy of the source's current logical state — one
+    * distributed write of `source.read`, so deletion vectors, update
+    * batches, column maps, schema overlays and type widenings are all
+    * applied-and-materialized in the copy rather than referenced
+    * (decoupled from source rewrites BY CONSTRUCTION: zero pointer
+    * entries, the cross-storage copy [[cloneFrom]] cannot give). The
+    * registries that survive rewrites travel — CHECK constraints,
+    * generated/identity/NOT NULL/default columns, plus the identity
+    * HIGH-WATER so inserts on the clone never re-allocate the source's
+    * ids. Partitioned sources keep their hive layout. Cost is O(data) —
+    * this is the OPTIMIZE write path pointed at a fresh location.
+    */
+  def deepCloneFrom(source: MedallionTable): Unit = {
+    require(!exists, s"clone target $path must not exist")
+    require(source.exists, s"clone source ${source.path} has no data")
+    require(partitionColumns.isEmpty ||
+        partitionColumns == source.partitionColumns,
+      s"deep clone target declares partitioning ${partitionColumns
+        .mkString(", ")} but the source's is ${source.partitionColumns
+        .mkString(", ")} — a clone keeps the source layout")
+    val parts = source.partitionColumns
+    // same-class private access: read the source's registries up front
+    val cs = source.checkConstraints
+    val gens = source.generatedColumns
+    val ics = source.identityColumns
+    val nns = source.notNullColumns
+    val dfts = source.columnDefaults
+    val hw = source.readIdentityHw()
+    withClaimedCommit("deep-clone") {
+      val df = source.read
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+      persistConstraints(cs)
+      persistGenerated(gens)
+      persistIdentityCols(ics)
+      persistNotNull(nns)
+      persistDefaults(dfts)
+      if (hw.nonEmpty)
+        writeMetaText(identityHwFile, hw.toSeq.sortBy(_._1)
+          .map { case (n, v) => s"$n\t$v" }.mkString("\n"))
+      stashSchema(df.schema)
+    }
+  }
+
   /** SHALLOW CLONE ([[ShallowClone]]): make THIS (empty) table a
     * zero-copy clone of `source` — pointer manifest to the source's
     * current data files plus copies of its read-state metadata (deletion

@@ -46,14 +46,21 @@ object ProfileCurate {
         }
         val idx = new graft.dedup.StandingDedupIndex(
           spark, s"$p/dedup", graft.queries.TextQueries.md5LshBands)
-        val report = time(s"b$batchId dedup check plan")(
-          idx.check(q, excludeTag = Some(batchId)))
-        time(s"b$batchId curated write")(
+        // round 16: checkAndIngest — one shared signature computation
+        // feeds the check, the curated write, and the ingest commit
+        var tWrite = 0.0
+        val t0 = System.nanoTime()
+        idx.checkAndIngest(q, batchId) { report =>
+          val w0 = System.nanoTime()
           q.join(report.filter(!col("is_exact_dup"))
               .select(col("doc_id"), col("n_candidates")), Seq("doc_id"))
             .write.mode("overwrite")
-            .parquet(s"$curated/ingest_batch_id=$batchId"))
-        time(s"b$batchId index ingest")(idx.ingest(q, tag = batchId))
+            .parquet(s"$curated/ingest_batch_id=$batchId")
+          tWrite = (System.nanoTime() - w0) / 1e9
+        }
+        val tAll = (System.nanoTime() - t0) / 1e9
+        println(f"[curate] b$batchId curated write (in pass)    $tWrite%.2f s")
+        println(f"[curate] b$batchId check+ingest rest          ${tAll - tWrite}%.2f s")
         q.unpersist(); b.unpersist()
       }
       batchPhase(docs.filter($"doc_id" < 250), 0L)
