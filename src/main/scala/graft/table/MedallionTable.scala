@@ -3615,8 +3615,13 @@ final class MedallionTable(
         }
         // absorbing every base file can empty the base dir — stash the
         // schema FIRST so the table keeps existing (the same contract as
-        // delete()'s fast path; read()'s batch guard handles the rest)
-        stashSchema(read.schema)
+        // delete()'s fast path; read()'s batch guard handles the rest).
+        // The logical schema is already in hand on the positioned frame —
+        // a `read.schema` here would pay a fresh footer-resolution job
+        // per pass (the claim invalidated the schema memo)
+        stashSchema(org.apache.spark.sql.types.StructType(j.schema.fields
+          .filterNot(f => f.name == "__graft_dv_file" ||
+            f.name == "__graft_dv_pos")))
         // absorb: every base row is now masked (or was already) — drop
         // the files. Best-effort and idempotent: a leftover contributes
         // zero live rows and is re-dropped by the next pass; readers
