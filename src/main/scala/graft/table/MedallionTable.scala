@@ -4073,22 +4073,88 @@ final class MedallionTable(
     val touched: Array[Row] =
       source.select(partitionColumns.map(org.apache.spark.sql.functions.col): _*)
         .distinct().collect()
+    // vanished-files retry: the pre-claim read/listing can catch a
+    // concurrent DISJOINT writer's dir-replacement gap
+    MedallionTable.retryOnVanishedFiles() {
+      mergePrunedOnce(source, keys, updateCondition, deleteNotMatchedBySource,
+        touched)
+    }
+  }
+
+  /** A touched partition tuple rendered as a footprint resource string —
+    * the spelling two CONCURRENT mergePruned calls agree on for a
+    * partition that does not exist on disk yet (both rendering the same
+    * values through the same function collide correctly; for EXISTING
+    * dirs the authoritative dir-derived spelling is declared as well, so
+    * cross-op conflicts with OPTIMIZE/DV-delete always match exactly).
+    */
+  private def renderedPartitionDir(row: Row): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    partitionColumns.zipWithIndex.map { case (c, i) =>
+      val v = row.get(i)
+      ExternalCatalogUtils.escapePathName(c) + "=" +
+        (if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+         else ExternalCatalogUtils.escapePathName(v.toString))
+    }.mkString("/")
+  }
+
+  private def mergePrunedOnce(
+      source: DataFrame,
+      keys: Seq[String],
+      updateCondition: Option[(MergeOps.ColRef, MergeOps.ColRef) => Column],
+      deleteNotMatchedBySource: Boolean,
+      touched: Array[Row]): Unit = {
     val prunePred: Column = touched.map { row =>
       partitionColumns.zipWithIndex
         .map { case (c, i) => org.apache.spark.sql.functions.col(c) === org.apache.spark.sql.functions.lit(row.get(i)) }
         .reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(org.apache.spark.sql.functions.lit(false))
 
-    val prunedTarget = read.filter(prunePred) // partition-pruned scan
-    val merged =
-      MergeOps.merge3Clause(prunedTarget, source, keys, updateCondition, deleteNotMatchedBySource)
+    val schema = read.schema
+    // Footprint-scoped concurrency (round 16): the touched partitions
+    // are declared in BOTH spellings — the on-disk dir names for
+    // existing partitions (exact match against OPTIMIZE…WHERE /
+    // DV-delete footprints) and the value-rendered form that covers
+    // partitions this merge CREATES (two merges inserting into the same
+    // new partition render identically and serialize; a dir-creating
+    // merge racing a scoped compaction is caught by the compaction's
+    // relist ⊆ declared assertion). Disjoint daily-ingest merges — the
+    // dominant multi-job pattern at 100 TB — now commit concurrently.
+    // Widened tables add the shared physschema resource: two merges'
+    // extendReaderSchema calls are read-modify-write on one file.
+    val existingDirs =
+      if (exists) matchingPartitionDirs(prunePred, schema)
+        .map(relativePartitionDir).toSet
+      else Set.empty[String]
+    val footprint = (existingDirs ++ touched.map(renderedPartitionDir))
+      .map("p:" + _) ++
+      (if (WideCols.load(spark, path).nonEmpty) Set("physschema")
+       else Set.empty[String])
     // Dynamic partition overwrite replaces exactly the partitions present in
     // `merged`; all other partition directories are untouched on disk.
     // CHECK constraints gate this path too — it is createOrMerge's (and so
     // the pipeline's) canonical upsert route. Claim-first concurrency like
     // append (no staged state to CAS; per-partition commit is the
     // documented weaker atomicity of this path).
-    withClaimedCommit("merge-pruned") {
+    withClaimedCommitScoped("merge-pruned", Some(footprint)) { _ =>
+      // the matched set must not have grown since the footprint was
+      // declared (dir creators are global or footprint-colliding —
+      // asserted, never assumed, like compactWhere)
+      val inside = matchingPartitionDirs(prunePred, schema)
+        .map(d => "p:" + relativePartitionDir(d)).toSet
+      require(inside.subsetOf(footprint),
+        s"mergePruned: partitions ${(inside -- footprint).mkString(", ")} " +
+          "appeared after the footprint was declared — aborting before an " +
+          "undeclared partition could be overwritten")
+      // scan + merge constructed UNDER the lock: the file listing must
+      // reflect the locked state — a pre-lock listing is stale whenever
+      // this merge waited out a same-footprint predecessor, and merging
+      // against it would dynamic-overwrite the predecessor's rows away
+      // (latent under the old global lock too; surfaced by the
+      // same-new-partition concurrency spec)
+      val prunedTarget = read.filter(prunePred) // partition-pruned scan
+      val merged = MergeOps.merge3Clause(prunedTarget, source, keys,
+        updateCondition, deleteNotMatchedBySource)
       // Touched partitions carrying live DV-update amendments would need
       // a delete-after-overwrite here (the merged frame reads the
       // amended rows, so their batch files must go once the overwrite

@@ -203,6 +203,71 @@ class ConcurrentRewriteSpec extends SparkSpec {
     assert(t.read.filter($"id" === 5000L).count() == 1)
   }
 
+  test("disjoint partition-pruned merges commit CONCURRENTLY; two " +
+      "merges creating the SAME new partition serialize") {
+    val (p, t) = seeded("cr6")
+    val v0 = t.commitVersion
+    val aClaimed = new CountDownLatch(1)
+    val bClaimed = new CountDownLatch(1)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(true)
+    MedallionTable.testFailpoint = {
+      case "mid-claim-first" => Thread.currentThread().getName match {
+        case "mrgA" =>
+          aClaimed.countDown()
+          if (!bClaimed.await(20, TimeUnit.SECONDS)) overlapped.set(false)
+        case "mrgB" =>
+          bClaimed.countDown()
+          if (!aClaimed.await(20, TimeUnit.SECONDS)) overlapped.set(false)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    try {
+      val a = guarded("mrgA", failures)(MedallionTable(spark, p, Seq("blk"))
+        .mergePruned(Seq((900L, 0)).toDF("id", "blk"), Seq("id", "blk"),
+          deleteNotMatchedBySource = false))
+      val b = guarded("mrgB", failures)(MedallionTable(spark, p, Seq("blk"))
+        .mergePruned(Seq((901L, 1)).toDF("id", "blk"), Seq("id", "blk"),
+          deleteNotMatchedBySource = false))
+      a.start(); b.start()
+      a.join(120000); b.join(120000)
+    } finally MedallionTable.testFailpoint = _ => ()
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    assert(overlapped.get(), "disjoint pruned merges serialized")
+    assert(t.commitVersion == v0 + 2)
+    assert(t.read.filter($"id".isin(900L, 901L)).count() == 2,
+      "a merge's rows were lost")
+
+    // the SAME NEW partition (blk=9 does not exist yet): value-rendered
+    // footprint resources collide, the second waits out the first
+    val v1 = t.commitVersion
+    val cClaimed = new CountDownLatch(1)
+    MedallionTable.testFailpoint = {
+      case "mid-claim-first" if Thread.currentThread().getName == "mrgC" =>
+        cClaimed.countDown(); Thread.sleep(1500)
+      case _ => ()
+    }
+    try {
+      val c = guarded("mrgC", failures)(MedallionTable(spark, p, Seq("blk"))
+        .mergePruned(Seq((910L, 9)).toDF("id", "blk"), Seq("id", "blk"),
+          deleteNotMatchedBySource = false))
+      c.start()
+      assert(cClaimed.await(30, TimeUnit.SECONDS))
+      val d = guarded("mrgD", failures)(MedallionTable(spark, p, Seq("blk"))
+        .mergePruned(Seq((911L, 9)).toDF("id", "blk"), Seq("id", "blk"),
+          deleteNotMatchedBySource = false))
+      d.start()
+      Thread.sleep(600)
+      assert(t.commitVersion == v1 + 1,
+        "second same-new-partition merge claimed during the first's hold")
+      c.join(120000); d.join(120000)
+    } finally MedallionTable.testFailpoint = _ => ()
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    assert(t.read.filter($"blk" === 9).count() == 2,
+      "a same-partition merge's insert was lost")
+  }
+
   test("random interleaving sweep (append / DV-delete / scoped-compact " +
       "on disjoint vs overlapping partitions) matches the serial model") {
     val rnd = new scala.util.Random(42)
