@@ -715,7 +715,15 @@ final class MedallionTable(
                   s"${MedallionTable.WriterWaitMs} ms (footprint " +
                   s"${resources.mkString(", ")}); if a writer crashed, " +
                   "vacuum() clears its locks")
-            if (fs.exists(writeLock)) Thread.sleep(50)
+            if (fs.exists(writeLock)) {
+              // release own FIRST: a global writer drains scoped locks,
+              // so sleeping while still holding ours would deadlock the
+              // pair until both time out
+              if (fs.exists(own))
+                try fs.delete(own, false)
+                catch { case _: java.io.IOException => () }
+              Thread.sleep(50)
+            }
             else if (!fs.exists(own) && !atomicCreateExclusive(own, body))
               Thread.sleep(25)
             else {

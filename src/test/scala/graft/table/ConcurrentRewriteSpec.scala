@@ -268,6 +268,39 @@ class ConcurrentRewriteSpec extends SparkSpec {
       "a same-partition merge's insert was lost")
   }
 
+  test("a hold-and-waiting scoped claimant YIELDS to an arriving global " +
+      "writer instead of stalling the pair to their timeouts") {
+    val (p, t) = seeded("cr7")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(p + "__graft_commits")
+    // a fake scoped holder whose name sorts AFTER any uuid token (hex <
+    // 'z'), so the real claimant below takes the hold-and-wait branch
+    val fake = new org.apache.hadoop.fs.Path(commits, "write_zzzzzzzz.lock")
+    val out = fs.create(fake, true)
+    out.write(s"${System.currentTimeMillis()}\tfake\np:blk=0".getBytes("UTF-8"))
+    out.close()
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val t0 = System.nanoTime()
+    val a = guarded("optA", failures)(
+      MedallionTable(spark, p, Seq("blk")).compactWhere($"blk" === 0))
+    a.start()
+    Thread.sleep(400) // A is now holding its lock, waiting on the fake
+    val g = guarded("appG", failures)(MedallionTable(spark, p, Seq("blk"))
+      .append(Seq((7000L, 2)).toDF("id", "blk")))
+    g.start()
+    Thread.sleep(400) // global lock is standing; A must yield to it
+    fs.delete(fake, false) // the fake holder "finishes"
+    a.join(120000); g.join(120000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    // pre-fix, A slept on the global lock while still holding its own,
+    // deadlocking the pair until the 30 s budgets fired
+    assert(secs < 15.0, f"pair took $secs%.1f s — mutual stall")
+    assert(t.read.filter($"id" === 7000L).count() == 1)
+    assert(parquetCount(p, 0) == 1, "compaction lost")
+  }
+
   test("random interleaving sweep (append / DV-delete / scoped-compact " +
       "on disjoint vs overlapping partitions) matches the serial model") {
     val rnd = new scala.util.Random(42)
