@@ -305,11 +305,24 @@ final case class GraftMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val t = new MedallionTable(spark, path)
     val dv = spark.conf.getOption("spark.graft.dvWrites").exists(_.toBoolean)
-    if (dv)
-      t.mergeVectored(B.ofRows(spark, source), keys, matched, notMatched,
+    val sourceDf = B.ofRows(spark, source)
+    // mergeVectored force-broadcasts the source (its documented
+    // broadcast-sized contract) — a large-source full-sync merge routed
+    // there blindly could OOM the driver/executors. SQL MERGE guards the
+    // route with the planner's own size estimate against the broadcast
+    // threshold and falls back to the result-identical rewrite path when
+    // the source is too big; a non-positive threshold means the user
+    // manages broadcast sizing explicitly, so the DV route stands.
+    val dvFits = dv && {
+      val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
+      thresh <= 0 ||
+        sourceDf.queryExecution.optimizedPlan.stats.sizeInBytes <= thresh
+    }
+    if (dvFits)
+      t.mergeVectored(sourceDf, keys, matched, notMatched,
         notMatchedBySource, evolveSchema = evolveSchema)
     else t.mergeClauses(
-      B.ofRows(spark, source), keys, matched, notMatched, notMatchedBySource,
+      sourceDf, keys, matched, notMatched, notMatchedBySource,
       evolveSchema = evolveSchema)
     GraftDml.invalidateCaches(spark, path, Some(targetRelation))
     Seq.empty

@@ -86,6 +86,12 @@ object GraftStreamSink {
     def hashed(raw: String): String = "sink-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // legacy spelling alongside: the hash keyed the RAW option string
+    // before it keyed the qualified URI, so a pre-existing checkpoint's
+    // txn record lives under the old name — addBatch migrates it on
+    // first touch (MedallionTable.migrateTxnRecord) instead of replaying
+    // the last committed micro-batch without dedup after an upgrade
+    var legacy: Option[String] = None
     val appId: Option[String] = params.get("txnappid").map(hashed)
       .orElse(params.get("checkpointlocation").map { raw =>
         val p = new org.apache.hadoop.fs.Path(raw)
@@ -95,17 +101,27 @@ object GraftStreamSink {
         // scheme/authority/path rebuilt by hand: a null vs empty
         // authority ("file:/x" vs "file:///x") round-trips differently
         // through URI.toString yet names the same location
-        hashed(s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}" +
-          u.getPath)
+        val id = hashed(
+          s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}" +
+            u.getPath)
+        val old = hashed(raw)
+        if (old != id) legacy = Some(old)
+        id
       })
     val mergeSchema = params.get("mergeschema").exists(_.toBoolean)
-    new GraftStreamSink(path, partitionColumns, appId, mergeSchema)
+    new GraftStreamSink(path, partitionColumns, appId, mergeSchema, legacy)
   }
 }
 
 private[graft] final class GraftStreamSink(path: String,
     partitionColumns: Seq[String], appIdOpt: Option[String],
-    mergeSchema: Boolean) extends Sink {
+    mergeSchema: Boolean, legacyAppIdOpt: Option[String] = None)
+    extends Sink {
+
+  // once-per-sink-instance guard: the migration probe is two fs.exists
+  // calls, but addBatch is the per-epoch hot path and the answer never
+  // changes after the first epoch
+  @volatile private var migrationChecked = false
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
@@ -148,6 +164,13 @@ private[graft] final class GraftStreamSink(path: String,
     val batch = org.apache.spark.sql.GraftColumnBridge
       .batchDataFrame(spark, rdd, data.schema)
     val t = MedallionTable(spark, path, partitionColumns)
+    if (!migrationChecked) {
+      // pre-qualified-hash checkpoints recorded their txn high-water
+      // under the raw-option-string hash — pull it under the new appId
+      // so the first post-upgrade restart still dedups its replay
+      legacyAppIdOpt.foreach(old => t.migrateTxnRecord(old, appId))
+      migrationChecked = true
+    }
     // false = this epoch already committed (restart replay): skipped,
     // exactly-once by the table's recorded txn version
     t.appendIdempotent(batch, appId, batchId)

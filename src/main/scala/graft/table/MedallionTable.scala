@@ -304,11 +304,23 @@ final class MedallionTable(
     * refresh rebuilds). Writers that claim AFTER this swap run their own
     * [[invalidateStats]], which serializes behind the same lock — so
     * every interleaving ends manifest-absent or manifest-fresh.
+    *
+    * The stamp alone cannot see a claim-first writer ALREADY in flight
+    * when the build took `stamp0`: that writer's marker and lock predate
+    * the stamp and are unchanged at swap time, yet its files/DV marks may
+    * have landed after the build's listing — and its own invalidateStats
+    * may already have run, so the swap would resurrect a stale manifest
+    * that silently drops the writer's rows under file skipping. Any
+    * STANDING writer lock (global or scoped) therefore also aborts the
+    * swap; the released-lock case is what the stamp catches (release
+    * follows the marker claim, which changed the stamp).
     */
   private[table] def commitManifestSwap(stamp0: Long,
       staging: String): Boolean = withStatsLock {
     val sp = new Path(path, "_graft_meta/stats")
-    if (commitStamp() != stamp0) { fs.delete(new Path(staging), true); false }
+    if (commitStamp() != stamp0 || writeLockHeld()) {
+      fs.delete(new Path(staging), true); false
+    }
     else {
       fs.delete(sp, true)
       if (!fs.rename(new Path(staging), sp))
@@ -463,9 +475,15 @@ final class MedallionTable(
     * also survives as its per-ordinal file until compaction deletes it,
     * and compaction deletes only what it durably wrote).
     */
-  private def journalTsvRows(): Seq[(Long, String, Long)] =
-    if (!fs.exists(journalTsv)) Nil
-    else try readMetaText(journalTsv).split('\n').toSeq.flatMap { line =>
+  private def journalTsvRows(): Seq[(Long, String, Long)] = {
+    // fall back to the compaction swap's parked copy when the tsv is
+    // missing (crash inside [[compactJournal]]'s rename pair) — the .bak
+    // holds the complete pre-swap rows, and the not-yet-deleted
+    // per-ordinal files cover everything newer
+    val src = if (fs.exists(journalTsv)) journalTsv
+      else new Path(commitsDir, "journal.tsv.bak")
+    if (!fs.exists(src)) Nil
+    else try readMetaText(src).split('\n').toSeq.flatMap { line =>
       line.split('\t') match {
         case Array(v, ts, op) =>
           for (vl <- v.toLongOption; tl <- ts.toLongOption)
@@ -473,6 +491,7 @@ final class MedallionTable(
         case _ => None
       }
     } catch { case _: java.io.IOException => Nil }
+  }
 
   /** Un-compacted journal files, parsed exactly like live markers. */
   private def journalFileRows(): Seq[(Long, String, Long)] =
@@ -507,8 +526,31 @@ final class MedallionTable(
     if (files.size <= MedallionTable.JournalCompactThreshold) return
     val merged = (journalTsvRows() ++ journalFileRows())
       .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
-    writeMetaText(journalTsv, merged.map { case (v, op, ts) =>
-      s"$v\t$ts\t$op" }.mkString("\n"))
+    // Crash-safe tsv swap: [[writeMetaText]]'s delete-then-rename leaves
+    // a window where journal.tsv is ABSENT — a crash there would
+    // permanently lose every previously-compacted row (their per-ordinal
+    // files were deleted by the earlier compaction), silently shrinking
+    // fullHistory/DESCRIBE HISTORY/TIMESTAMP AS OF. Park the old tsv as
+    // `.bak` across the swap instead; [[journalTsvRows]] falls back to
+    // the .bak when the tsv is missing, so every crash point reads
+    // complete history. Leftover .bak/.new are harmless (a present tsv
+    // wins; the next compaction overwrites both).
+    val tmp = new Path(commitsDir, "journal.tsv.new")
+    val bak = new Path(commitsDir, "journal.tsv.bak")
+    val out = fs.create(tmp, true)
+    try out.write(merged.map { case (v, op, ts) =>
+      s"$v\t$ts\t$op" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(journalTsv)) {
+      fs.delete(bak, false)
+      if (!fs.rename(journalTsv, bak))
+        throw new java.io.IOException(
+          s"journal compaction: park failed: $journalTsv -> $bak")
+    }
+    if (!fs.rename(tmp, journalTsv))
+      throw new java.io.IOException(
+        s"journal compaction: swap failed: $tmp -> $journalTsv")
+    try fs.delete(bak, false) catch { case _: java.io.IOException => () }
     files.foreach(p =>
       try fs.delete(p, false) catch { case _: java.io.IOException => () })
   }
@@ -2333,26 +2375,63 @@ final class MedallionTable(
         .mkString(", ")} but the source's is ${source.partitionColumns
         .mkString(", ")} — a clone keeps the source layout")
     val parts = source.partitionColumns
-    // same-class private access: read the source's registries up front
-    val cs = source.checkConstraints
-    val gens = source.generatedColumns
-    val ics = source.identityColumns
-    val nns = source.notNullColumns
-    val dfts = source.columnDefaults
-    val hw = source.readIdentityHw()
     withClaimedCommit("deep-clone") {
-      val df = source.read
-      val w = df.write.mode(SaveMode.Overwrite)
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
-      persistConstraints(cs)
-      persistGenerated(gens)
-      persistIdentityCols(ics)
-      persistNotNull(nns)
-      persistDefaults(dfts)
-      if (hw.nonEmpty)
-        writeMetaText(identityHwFile, hw.toSeq.sortBy(_._1)
-          .map { case (n, v) => s"$n\t$v" }.mkString("\n"))
-      stashSchema(df.schema)
+      // Source-side fence (rewriteVia's shape pointed at the SOURCE): a
+      // concurrent claim-first append on the source could otherwise be
+      // captured PARTIALLY — job-committer renames are not atomic as a
+      // set — or crash the copy mid-listing, and a partial capture
+      // persists a torn clone silently. Fence = no source writer lock
+      // standing before the read (every claim-first writer holds its
+      // lock past its data job), then verify the source file census is
+      // UNCHANGED after the copy; a census drift means a writer landed
+      // mid-copy — redo against the settled source. Registries re-read
+      // inside the loop so they describe the same snapshot as the data.
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        var fenceWaits = 0
+        while (source.writeLockHeld()) {
+          fenceWaits += 1
+          if (fenceWaits >= 8)
+            throw new java.util.ConcurrentModificationException(
+              s"deep clone: claim-first write in flight on ${source.path}; " +
+                "cannot pin a source snapshot (if that writer crashed, " +
+                "vacuum() clears its lock)")
+          Thread.sleep(25)
+        }
+        val census0 = source.metaCensusHash()
+        val cs = source.checkConstraints
+        val gens = source.generatedColumns
+        val ics = source.identityColumns
+        val nns = source.notNullColumns
+        val dfts = source.columnDefaults
+        val hw = source.readIdentityHw()
+        MedallionTable.retryOnVanishedFiles() {
+          val df = source.read
+          val w = df.write.mode(SaveMode.Overwrite)
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+          stashSchema(df.schema)
+        }
+        if (source.writeLockHeld() || source.metaCensusHash() != census0) {
+          if (attempts >= 4)
+            throw new java.util.ConcurrentModificationException(
+              s"deep clone: source ${source.path} kept changing under the " +
+                s"copy ($attempts attempts) — retry when source writes " +
+                "settle")
+          // the next Overwrite replaces the torn copy wholesale
+        } else {
+          persistConstraints(cs)
+          persistGenerated(gens)
+          persistIdentityCols(ics)
+          persistNotNull(nns)
+          persistDefaults(dfts)
+          if (hw.nonEmpty)
+            writeMetaText(identityHwFile, hw.toSeq.sortBy(_._1)
+              .map { case (n, v) => s"$n\t$v" }.mkString("\n"))
+          done = true
+        }
+      }
     }
   }
 
@@ -2691,6 +2770,35 @@ final class MedallionTable(
     val p = txnFile(appId)
     if (!fs.exists(p)) None
     else scala.util.Try(readMetaText(p).trim.toLong).toOption
+  }
+
+  /** One-time txn-record migration for callers whose DERIVED appId
+    * changed spelling (the streaming sink's checkpoint hash moved from
+    * the raw option string to the qualified URI): when the current appId
+    * has no record but the legacy one does, copy the legacy high-water
+    * (and any surviving applied-witnesses) under the new name — without
+    * this, the first restart after the spelling change replays the last
+    * micro-batch without txn dedup. Safe to call repeatedly (no-op once
+    * the current record exists); the caller owns single-writer-per-appId
+    * semantics, same as [[appendIdempotent]] itself.
+    */
+  private[graft] def migrateTxnRecord(legacyAppId: String,
+      appId: String): Unit = {
+    if (legacyAppId == appId) return
+    if (lastTxnVersion(appId).isEmpty) {
+      lastTxnVersion(legacyAppId).foreach { v =>
+        writeMetaText(txnFile(appId), v.toString)
+      }
+      val wd = new Path(commitsDir, "txns_applied")
+      if (fs.exists(wd))
+        fs.listStatus(wd).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith(legacyAppId + "-")).foreach { n =>
+            val tail = n.stripPrefix(legacyAppId + "-")
+            val dst = txnWitness(appId, tail.toLongOption.getOrElse(-1L))
+            if (tail.toLongOption.isDefined && !fs.exists(dst))
+              writeMetaText(dst, "")
+          }
+    }
   }
 
   private case class TxnAlreadyApplied() extends RuntimeException

@@ -316,4 +316,43 @@ class GraftDmlSpec extends SparkSpec {
     val ops = t.history().map(_._2)
     assert(ops.count(_ == "merge") >= 1)
   }
+
+  test("dvWrites MERGE with a source past the broadcast threshold falls " +
+      "back to the rewrite path (mergeVectored force-broadcasts); a " +
+      "fitting source keeps the DV route") {
+    val (name, t) = fresh(Seq((1L, "a", 10.0), (2L, "b", 20.0),
+      (3L, "c", 30.0)))
+    val sql =
+      s"""MERGE INTO $name t
+         |USING (SELECT 2L AS id, 'B' AS name, 22.0 AS v) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.graft.dvWrites", "true")
+    try {
+      // 1 byte: every source "exceeds" the threshold — the planner-size
+      // guard must route to the result-identical rewrite, never the
+      // force-broadcast DV plan (a big full-sync source would OOM there)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      spark.sql(sql)
+      assert(state(t) == Set((2L, "B", 22.0)))
+      assert(t.history().headOption.exists(_._2 == "merge"),
+        s"oversized source stayed on the DV route: ${t.history().head}")
+      // back under the default threshold: the DV route stands
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql(
+        s"""MERGE INTO $name t
+           |USING (SELECT 2L AS id, 'BB' AS name, 23.0 AS v) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      assert(state(t) == Set((2L, "BB", 23.0)))
+      assert(t.history().headOption.exists(_._2 == "merge-dv"),
+        s"fitting source left the DV route: ${t.history().head}")
+    } finally {
+      spark.conf.unset("spark.graft.dvWrites")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
 }

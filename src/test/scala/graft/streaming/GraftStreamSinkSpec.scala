@@ -253,4 +253,42 @@ class GraftStreamSinkSpec extends SparkSpec {
       assert(t.read.count() == 1) // nothing landed
     } finally q.stop()
   }
+
+  test("legacy raw-string txn records migrate to the qualified-URI " +
+      "appId: the first post-upgrade epoch replays with dedup intact") {
+    val p = tmpDir("gsink10")
+    val t = MedallionTable(spark, p)
+    def md5(raw: String): String = "sink-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rawCkpt = ckptDir("g10_ck") // absolute local path, unqualified
+    val legacyId = md5(rawCkpt)     // what the pre-upgrade sink hashed
+    val hp = new org.apache.hadoop.fs.Path(rawCkpt)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val u = hfs.makeQualified(hp).toUri
+    val newId = md5(
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}")
+    assert(legacyId != newId, "fixture must exercise a spelling change")
+    // pre-upgrade state: epochs 0..2 committed under the LEGACY appId
+    (0 to 2).foreach { v =>
+      assert(t.appendIdempotent(Seq((v.toLong, s"e$v")).toDF("id", "s"),
+        legacyId, v))
+    }
+    assert(t.read.count() == 3)
+    // post-upgrade sink instance resolving the SAME checkpoint: addBatch
+    // must migrate the legacy record before its first dedup check, so the
+    // replayed last epoch (2) is skipped, and genuinely-new epochs land
+    val sink = new GraftStreamSink(p, Nil, Some(newId), false,
+      Some(legacyId))
+    sink.addBatch(2, Seq((2L, "e2")).toDF("id", "s")) // replay: no dup
+    assert(t.read.count() == 3,
+      "post-upgrade replay duplicated the last committed micro-batch")
+    sink.addBatch(3, Seq((3L, "e3")).toDF("id", "s"))
+    assert(t.read.count() == 4)
+    assert(t.lastTxnVersion(newId).contains(3L))
+    // a table that already has a record under the new appId never takes
+    // the legacy value backwards
+    t.migrateTxnRecord(legacyId, newId)
+    assert(t.lastTxnVersion(newId).contains(3L))
+  }
 }

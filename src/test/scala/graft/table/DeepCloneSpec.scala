@@ -87,4 +87,28 @@ class DeepCloneSpec extends SparkSpec {
     spark.sql(s"CREATE TABLE '$tgt2' SHALLOW CLONE '${src2.path}'")
     assert(ShallowClone.isClone(spark, tgt2))
   }
+
+  test("source-side fence: a clone cannot start while a source writer " +
+      "lock stands (torn-capture guard), and proceeds once it clears") {
+    val src = MedallionTable(spark, tmpDir("dc5s"))
+    src.overwrite((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    // a claim-first writer mid-data-write on the SOURCE: its job-committer
+    // renames are not atomic as a set, so a copy running now could capture
+    // a partial batch and persist a torn clone silently
+    val lock = new java.io.File(s"${src.path}__graft_commits/write.lock")
+    lock.getParentFile.mkdirs()
+    assert(lock.createNewFile())
+    val tgt = MedallionTable(spark, tmpDir("dc5t"))
+    try {
+      val e = intercept[java.util.ConcurrentModificationException](
+        tgt.deepCloneFrom(src))
+      assert(e.getMessage.contains("deep clone"), e.getMessage)
+    } finally lock.delete()
+    // fence clear: the clone lands complete
+    val tgt2 = MedallionTable(spark, tmpDir("dc5t2"))
+    tgt2.deepCloneFrom(src)
+    assert(tgt2.read.count() == 100)
+    assert(tgt2.read.select(sum($"id")).head.getLong(0) ==
+      src.read.select(sum($"id")).head.getLong(0))
+  }
 }

@@ -89,4 +89,36 @@ class DurableHistorySpec extends SparkSpec {
       assert(got == "v2", s"resolved wrong snapshot: $got")
     } finally spark.sql("DROP TABLE IF EXISTS dh4_tt")
   }
+
+  test("compaction tsv swap is crash-safe: a crash between the park and " +
+      "the swap rename reads complete history off the .bak") {
+    val prev = MedallionTable.JournalCompactThreshold
+    MedallionTable.JournalCompactThreshold = 4
+    try {
+      val p = tmpDir("dh5")
+      val t = MedallionTable(spark, p)
+      t.overwrite(Seq(0).toDF("x"))
+      (1 until 30).foreach(i => t.append(Seq(i).toDF("x")))
+      val full0 = t.fullHistory().map(_._1)
+      assert(full0 == (30L to 1L by -1L))
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tsv = new org.apache.hadoop.fs.Path(p + "__graft_commits",
+        "journal.tsv")
+      val bak = new org.apache.hadoop.fs.Path(p + "__graft_commits",
+        "journal.tsv.bak")
+      assert(fs.exists(tsv), "precondition: compaction produced the tsv")
+      // simulate the crash point INSIDE compactJournal: old tsv parked as
+      // .bak, new tsv not yet renamed in — the window writeMetaText's
+      // delete-then-rename left unreadable before this fix
+      assert(fs.rename(tsv, bak))
+      assert(t.fullHistory().map(_._1) == full0,
+        "history rows compacted into the parked tsv were lost mid-swap")
+      // the next compaction (triggered by more commits) heals the state:
+      // merged rows land in a fresh tsv and the .bak is retired
+      (30 until 40).foreach(i => t.append(Seq(i).toDF("x")))
+      assert(t.fullHistory().map(_._1) == (40L to 1L by -1L))
+      assert(fs.exists(tsv), "compaction did not rebuild the tsv")
+    } finally MedallionTable.JournalCompactThreshold = prev
+  }
 }

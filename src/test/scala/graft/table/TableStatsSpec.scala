@@ -173,6 +173,43 @@ class TableStatsSpec extends SparkSpec {
       "readRange must not fail on or miss post-merge files")
   }
 
+  test("manifest swap aborts while ANY writer lock stands (stamp alone " +
+      "cannot see a claim-first writer already in flight at build time)") {
+    import spark.implicits._
+    val p = tmpDir("stats_lockfence")
+    val t = MedallionTable(spark, p)
+    t.overwrite((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    // a writer that claimed BEFORE the refresh's stamp read and is still
+    // mid-data-write: its lock predates and outlives the whole refresh,
+    // so the stamp re-check alone would pass and commit a manifest that
+    // misses the writer's files — the standing lock must abort the swap
+    val lock = new java.io.File(s"${p}__graft_commits/write.lock")
+    lock.getParentFile.mkdirs()
+    assert(lock.createNewFile())
+    try {
+      t.refreshStats()
+      assert(!TableStats.hasManifest(spark, p),
+        "refresh committed a manifest while a writer lock stood")
+    } finally lock.delete()
+    // lock gone (writer finished): the next refresh lands normally
+    t.refreshStats()
+    assert(TableStats.hasManifest(spark, p))
+    assert(t.readRange("id", 0, 99).count() == 100)
+
+    // scoped locks abort the swap the same way
+    val scoped = new java.io.File(s"${p}__graft_commits/write_abc123.lock")
+    val out = new java.io.FileOutputStream(scoped)
+    out.write("0\top\np:x=1".getBytes("UTF-8")); out.close()
+    try {
+      t.refreshStats() // invalidate? no — refresh swaps; must abort
+      // the previous manifest was deleted by the new refresh's swap? No:
+      // the swap aborts BEFORE touching the live manifest, so the old
+      // one (still accurate — nothing wrote) survives
+      assert(TableStats.hasManifest(spark, p),
+        "aborted swap must leave the existing manifest untouched")
+    } finally scoped.delete()
+  }
+
   test("manifest dir is invisible to normal reads and exists()") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("stats_vis"))
