@@ -281,15 +281,16 @@ object PipelineOpsQueries {
     "sim_ann_lsh" -> ((s, dir) =>
       Ann.topK(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)),
 
-    // Seeded-deterministic LSH twin: hyperplane signs come from the SAME
-    // integer recipe as the oracled `embed_srp_project` projection
-    // (bit-exact cross-engine), so signature bits, band keys, the
-    // candidate equi-join, and the exact-cosine ranking ALL reproduce in
-    // DuckDB — the whole LSH pipeline hash-matches end-to-end, completing
-    // the full-oracle set across all three ANN modalities (IVF, PQ, LSH).
+    // Seeded-deterministic LSH twin (named sim_ann_srp_seeded through
+    // round 16): hyperplane signs come from the SAME integer recipe as
+    // the oracled `embed_srp_project` projection (bit-exact
+    // cross-engine), so signature bits, band keys, the candidate
+    // equi-join, and the exact-cosine ranking ALL reproduce in DuckDB —
+    // the whole LSH pipeline hash-matches end-to-end, completing the
+    // full-oracle set across all three ANN modalities (IVF, PQ, LSH).
     // `sim_ann_lsh` keeps the Random(42)-planes variant with its
     // planted-copy xcheck.
-    "sim_ann_srp_seeded" -> ((s, dir) => {
+    "sim_ann_lsh_seeded" -> ((s, dir) => {
       import s.implicits._
       graft.plans.GraftFunctions.register(s)
       def comp(j: Int) =
@@ -1138,7 +1139,7 @@ object PipelineOpsQueries {
          |  JOIN embeddings q ON q.vec_id = p.query_id
          |  JOIN embeddings n ON n.vec_id = a.vec_id)
          |WHERE rank <= 5""".stripMargin),
-    "sim_ann_srp_seeded" ->
+    "sim_ann_lsh_seeded" ->
       ("""WITH sigs AS (
          |  SELECT vec_id, j,
          |    list_sum(list_transform(range(0, len(embedding)), i ->

@@ -44,7 +44,20 @@ object SinkQueries {
       t.deleteVectored($"o_orderkey" % 10 === 3) // c4: delete images
       t.updateVectored($"o_orderkey" % 100 === 9,
         Map("o_orderpriority" -> lit("X-CDF"))) // c5: pre+post images
-      t.readChangeFeed(3L, 5L).drop("_commit_timestamp")
+      // `_commit_timestamp` attribution (Delta parity): the raw instant
+      // is wall-clock (not oracle-able), so the oracled column is the
+      // ATTRIBUTION — every row's timestamp must equal the in-commit-
+      // timestamp history instant of ITS OWN _commit_version, proving
+      // the feed stamps commit time per version (not capture time, not
+      // one shared clock read)
+      val instants = t.fullHistory().map { case (v, _, ts) => v -> ts }.toMap
+      val tsOfVersion = Seq(3L, 4L, 5L).foldLeft(lit(-1L)) { (e, v) =>
+        when($"_commit_version" === v, lit(instants(v))).otherwise(e)
+      }
+      t.readChangeFeed(3L, 5L)
+        .withColumn("ts_is_commit_instant",
+          unix_millis($"_commit_timestamp") === tsOfVersion)
+        .drop("_commit_timestamp")
     }),
 
     // K14b — REFRESH MATERIALIZED VIEW through the feed: the gold
@@ -1559,17 +1572,18 @@ object SinkQueries {
          |  SELECT * FROM live1 WHERE o_orderkey % 100 = 9
          |)
          |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
-         |       'insert' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+         |       'insert' AS _change_type, CAST(3 AS BIGINT) AS _commit_version,
+         |       TRUE AS ts_is_commit_instant
          |FROM appended
          |UNION ALL
          |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
-         |       'delete', CAST(4 AS BIGINT) FROM deleted
+         |       'delete', CAST(4 AS BIGINT), TRUE FROM deleted
          |UNION ALL
          |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
-         |       'update_preimage', CAST(5 AS BIGINT) FROM upd
+         |       'update_preimage', CAST(5 AS BIGINT), TRUE FROM upd
          |UNION ALL
          |SELECT o_orderkey, o_orderstatus, o_totalprice, 'X-CDF',
-         |       'update_postimage', CAST(5 AS BIGINT) FROM upd
+         |       'update_postimage', CAST(5 AS BIGINT), TRUE FROM upd
          |""".stripMargin),
     "k14_cdf_mirror" ->
       ("""WITH appended AS (

@@ -652,7 +652,12 @@ object ChangeFeed {
         s"earliest readable version is ${exp + 1}; re-baseline the " +
         "consumer with a full read, or widen the retention horizon")
 
-    val hist = t.history().map { case (v, op, ts) => v -> ((op, ts)) }.toMap
+    // fullHistory, not history(): journaled commits keep their recorded
+    // in-commit-timestamp instants, so `_commit_timestamp` for a range
+    // reaching past the live marker window still reports COMMIT time —
+    // the capture manifest's ts (capture wall-clock, milliseconds later)
+    // stays the fallback only for pre-journal legacy state
+    val hist = t.fullHistory().map { case (v, op, ts) => v -> ((op, ts)) }.toMap
     val liveSchema = t.read.schema
     val liveCols = liveSchema.fields.map(_.name).toSeq
 

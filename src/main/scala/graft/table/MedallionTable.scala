@@ -220,8 +220,14 @@ final class MedallionTable(
       // the stats lock and refresh stagings are manifest PLUMBING, not
       // table mutations: including them would (a) churn the schema memo
       // for nothing and (b) make commitManifestSwap's stamp re-check
-      // see its OWN staging dir as a foreign commit and always abort
-      if (n == "stats.lock" || n.startsWith("stats_staging_")) h
+      // see its OWN staging dir as a foreign commit and always abort.
+      // Append stagings are likewise INVISIBLE state — nothing a reader
+      // can see changes until the publish claims a marker (which IS in
+      // the stamp), and including them would make a staged append's
+      // own file renames read as foreign commits in its stats re-check
+      if (n == "stats.lock" || n == "journal.lock" ||
+          n.startsWith("stats_staging_") ||
+          n.startsWith("append_staging_")) h
       else h + n.hashCode.toLong * 1000003L + st.getModificationTime
     }
 
@@ -512,11 +518,18 @@ final class MedallionTable(
     }
 
   /** Fold `journalDir` files into `journal.tsv` (one row per ordinal) and
-    * delete the absorbed files. MUST be called with the [[writeLock]]
-    * held — the tsv rewrite is read-modify-write, so two concurrent
-    * compactors would lose rows. Crash between the tsv rename and the
-    * file deletes leaves rows in both places; [[fullHistory]] dedups by
-    * ordinal, and the next compaction clears the files.
+    * delete the absorbed files. The tsv rewrite is read-modify-write, so
+    * two concurrent compactors would lose rows — serialized by a
+    * TRY-lock (`journal.lock`): a busy lock means another commit is
+    * already compacting, so this one skips (best-effort upkeep; the
+    * loose files stay fully readable and the next commit retries). This
+    * is what lets SCOPED commits — concurrent staged appends above all —
+    * run journal upkeep at all; under the global lock the try-lock is
+    * simply never contended. Crash between the tsv rename and the file
+    * deletes leaves rows in both places; [[fullHistory]] dedups by
+    * ordinal, and the next compaction clears the files. A crashed
+    * holder's leftover lock only pauses compaction (never correctness)
+    * until [[vacuum]] clears it.
     */
   private def compactJournal(): Unit = {
     val files = if (!fs.exists(journalDir)) Nil
@@ -524,6 +537,17 @@ final class MedallionTable(
         .filter(p => p.getName.startsWith("v") &&
           p.getName.endsWith(".commit"))
     if (files.size <= MedallionTable.JournalCompactThreshold) return
+    val jlock = new Path(commitsDir, "journal.lock")
+    if (!atomicCreateExclusive(jlock,
+        System.currentTimeMillis().toString)) return
+    try compactJournalLocked(files)
+    finally {
+      try fs.delete(jlock, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def compactJournalLocked(files: Seq[Path]): Unit = {
     val merged = (journalTsvRows() ++ journalFileRows())
       .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
     // Crash-safe tsv swap: [[writeMetaText]]'s delete-then-rename leaves
@@ -831,7 +855,17 @@ final class MedallionTable(
     */
   private def withClaimedCommitScoped[T](op: String,
       footprint: Option[Set[String]])(write: Long => T): T = {
+    // commit-floor phasing (CommitFloorProbe): zero-cost no-op hook in
+    // production, same pattern as testFailpoint
+    val phase = MedallionTable.commitPhaseHook
+    var tPhase = System.nanoTime()
+    def mark(name: String): Unit = if (phase ne MedallionTable.noopPhase) {
+      val now = System.nanoTime()
+      phase(name, now - tPhase)
+      tPhase = now
+    }
     val lock = acquireWriteLock(op, footprint)
+    mark("acquire-lock")
     try {
       var claimed = -1L
       var attempts = 0
@@ -880,6 +914,7 @@ final class MedallionTable(
         }
       }
       MedallionTable.testFailpoint("mid-claim-first")
+      mark("claim")
       val out =
         try write(claimed)
         catch {
@@ -888,6 +923,7 @@ final class MedallionTable(
             catch { case _: java.io.IOException => () }
             throw t
         }
+      mark("body")
       // change-feed op durability: record the op for commits whose body
       // did not capture (maintenance/DDL read as dataChange=false, DV
       // compaction invalidates, etc. — ChangeFeed classifies by op).
@@ -896,13 +932,15 @@ final class MedallionTable(
       if (ChangeFeed.isEnabled(spark, path))
         try ChangeFeed.captureAuto(spark, path, claimed, op)
         catch { case scala.util.control.NonFatal(_) => () }
-      // journal upkeep under the GLOBAL lock only (compactJournal's
-      // read-modify-write contract — two concurrent scoped holders
-      // would lose tsv rows); best-effort — the commit happened, and
+      mark("cdf-capture")
+      // journal upkeep under ANY holder (compactJournal serializes
+      // concurrent compactors via its try-lock — staged appends are
+      // scoped, and without this the journal would grow unboundedly on
+      // pure-append workloads); best-effort — the commit happened, and
       // uncompacted journal files stay fully readable
-      if (footprint.isEmpty)
-        try compactJournal()
-        catch { case scala.util.control.NonFatal(_) => () }
+      try compactJournal()
+      catch { case scala.util.control.NonFatal(_) => () }
+      mark("journal")
       out
     } finally {
       // same-JVM close of the data-lands-after-claim schema-memo window
@@ -911,6 +949,7 @@ final class MedallionTable(
       MedallionTable.schemaCache.removeWhere(_.endsWith("|" + path))
       try fs.delete(lock, false)
       catch { case _: java.io.IOException => () }
+      mark("release")
     }
   }
 
@@ -1619,12 +1658,232 @@ final class MedallionTable(
     * the hook [[CopyInto]] uses to make the data commit and its loaded-file
     * log entry mutually recoverable (the batch id rides in the op, so
     * recovery can ask history "did this batch's data land?").
+    *
+    * Concurrency (Delta blind-append parity): an eligible append STAGES
+    * its data into a private dir with no lock held, then publishes under
+    * a partition-scoped claim — N ingest jobs appending to one table run
+    * their data writes (the dominant cost) in parallel and serialize
+    * only on the O(metadata) publish; an append and a DISJOINT scoped
+    * rewrite commit concurrently. Ineligible batches (schema evolution,
+    * identity/row-tracking allocation, append-created tables) and
+    * metadata drift detected under the claim fall back to the serial
+    * global-lock path, which is always correct.
     */
   private[table] def appendOp(df: DataFrame, op: String): Unit =
-    withClaimedCommit(op) { appendBody(df, op) }
+    if (serialAppendsConf || !appendStageEligible(df) || !appendStaged(df, op))
+      withClaimedCommit(op) { appendBody(df, op) }
+
+  /** `spark.graft.serialAppends=true` forces every append onto the
+    * legacy global-lock in-place path — the escape hatch for storage
+    * where the staged publish's per-file rename is not metadata-cheap,
+    * and the A/B control for the concurrency probes.
+    */
+  private def serialAppendsConf: Boolean =
+    spark.conf.getOption("spark.graft.serialAppends").exists(_.toBoolean)
+
+  /** Staged-append eligibility — the serial path owns everything else:
+    *   - table must exist with a stashed schema (append-created tables
+    *     keep the legacy evolving contract);
+    *   - no identity columns (high-water allocation is read-modify-write
+    *     under the global writer lock — row tracking rides this too);
+    *   - no schema evolution: a batch column outside the declared schema
+    *     needs the stash/reader-schema updates only a global writer may
+    *     make.
+    */
+  private def appendStageEligible(df: DataFrame): Boolean =
+    exists && identityColumns.isEmpty && {
+      val sf = new Path(path, "_graft_meta/schema.ddl")
+      fs.exists(sf) && {
+        val have = org.apache.spark.sql.types.StructType
+          .fromDDL(readMetaText(sf)).fieldNames.map(_.toLowerCase).toSet
+        df.columns.forall(c => have.contains(c.toLowerCase))
+      }
+    }
+
+  /** Fingerprint of every metadata input the staged-append transform
+    * consumes (registries, column map, widening overlay, stashed schema,
+    * CDF arming) — (length × mtime) per tracked `_graft_meta` file off
+    * ONE flat listing. Metadata mutations only happen under the GLOBAL
+    * writer lock, which excludes scoped holders, so equal fingerprints
+    * before staging and under the claim prove the transform's inputs
+    * still describe the table; drift falls back to the serial path.
+    */
+  private def appendMetaFingerprint(): Long = {
+    val tracked = Set("schema.ddl", "colmap.tsv", "physschema.ddl",
+      "widecols.tsv", "constraints.tsv", "defaults.tsv", "generated.tsv",
+      "identity.tsv", "notnull.tsv", "addcols.tsv", "dropcols.tsv")
+    val md = new Path(path, "_graft_meta")
+    val base = if (ChangeFeed.isEnabled(spark, path)) 1L else 0L
+    if (!fs.exists(md)) base
+    else fs.listStatus(md).foldLeft(base) { (h, st) =>
+      val n = st.getPath.getName
+      if (!tracked.contains(n)) h
+      else h + n.hashCode.toLong * 1000003L + st.getLen * 31L +
+        st.getModificationTime
+    }
+  }
+
+  private case class AppendMetaDrift() extends RuntimeException
+
+  /** PHYSICAL-name read schema for an append batch's freshly-landed
+    * files, off the stashed DDL (zero jobs, zero footer reads) — what
+    * [[TableStats.completeIncrementalUpdate]] uses to skip its
+    * mergeSchema footer job. None when no stash exists (append-created
+    * tables), where the legacy mergeSchema read stays.
+    */
+  private def stashedPhysicalSchema()
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val sf = new Path(path, "_graft_meta/schema.ddl")
+    if (!fs.exists(sf)) None
+    else {
+      val cmap = ColumnMap.load(spark, path)
+      Some(org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType.fromDDL(readMetaText(sf))
+          .fields.map(f => f.copy(name = cmap.getOrElse(f.name, f.name)))))
+    }
+  }
+
+  /** Stage-then-publish append. Returns false when the batch turns out
+    * ineligible mid-flight (fresh physical column under a widening
+    * overlay, empty staged set, metadata drift under the claim) — the
+    * caller retries on the serial path.
+    *
+    * Protocol:
+    *  1. NO LOCK: transform the batch (same chain as [[appendBody]],
+    *     identity excluded by eligibility) and write it, hive layout and
+    *     all, into a private `append_staging_*` dir in the commits
+    *     sibling (invisible to every reader/census/rewrite snapshot;
+    *     excluded from [[commitStamp]] like the refresh stagings).
+    *  2. Scoped claim on exactly the partition dirs the staged files
+    *     land in (`p:<relative dir>` — the spelling every other scoped
+    *     writer declares, so overlap detection matches exactly; root
+    *     files collide on the bare `p:`).
+    *  3. Under the claim: re-check the metadata fingerprint, park the
+    *     stats manifest (same reader-visibility contract as
+    *     [[appendBody]] — manifest ABSENT while files appear), then
+    *     PUBLISH by renaming staged files in: O(files) driver fs ops,
+    *     zero data movement. The claim-first rationale is preserved —
+    *     unpublished files are invisible to a racing rewrite's snapshot,
+    *     and once we claim, its CAS/re-check fails as before.
+    *  4. Incremental stats complete under the stats mutex with a
+    *     commit-stamp re-check: any FOREIGN claim since ours may have
+    *     mutated files the parked manifest describes (disjoint scoped
+    *     rewrite) or raced the park protocol (second append) — abort to
+    *     manifest-absent, never stale. Sequential ingest (the standing-
+    *     index steady state) keeps its incremental manifest.
+    *
+    * Crash windows: pre-claim — staging litter only, table untouched
+    * ([[vacuum]] clears). Mid-publish — marker + lock stand, some files
+    * visible: the same torn window the Hadoop job committer's one-by-one
+    * task renames already have on the serial path, now strictly shorter
+    * (renames only).
+    */
+  private def appendStaged(df: DataFrame, op: String): Boolean = {
+    import scala.util.control.NonFatal
+    val phase = MedallionTable.commitPhaseHook
+    var tPhase = System.nanoTime()
+    def mark(name: String): Unit = if (phase ne MedallionTable.noopPhase) {
+      val now = System.nanoTime()
+      phase(name, now - tPhase)
+      tPhase = now
+    }
+    val fp0 = appendMetaFingerprint()
+    val cmap = ColumnMap.load(spark, path)
+    val physBatch = upcastBatch(WideCols.canonicalize(
+      ColumnMap.toPhysical(enforced(applyDefaults(df)), cmap),
+      WideCols.load(spark, path)), cmap)
+    // post-transform physical-name check: a staged column missing from
+    // the recorded reader schema means extendReaderSchema would have to
+    // WRITE (a global-lock read-modify-write) — serial path's job
+    WideCols.readerSchema(spark, path).foreach { cur =>
+      val have = cur.fieldNames.map(_.toLowerCase).toSet
+      if (!physBatch.schema.fieldNames.forall(n =>
+          have.contains(n.toLowerCase)))
+        return false
+    }
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val staging = new Path(commitsDir, s"append_staging_$token")
+    fs.mkdirs(commitsDir)
+    try {
+      mark("staged:transform")
+      // the expensive distributed write runs OUTSIDE any lock — N
+      // appenders stage in parallel; CHECK/NOT NULL gates fire here,
+      // before any claim exists to release
+      writer(physBatch, SaveMode.Overwrite).parquet(staging.toString)
+      mark("staged:stage-write")
+      val stagingUri = fs.makeQualified(staging).toUri
+      val rels = scala.collection.mutable.ArrayBuffer[String]()
+      walkFiles(staging, n => n.startsWith("_") || n.startsWith(".")) { st =>
+        if (st.getPath.getName.endsWith(".parquet"))
+          rels += stagingUri.relativize(
+            fs.makeQualified(st.getPath).toUri).getPath
+        true
+      }
+      if (rels.isEmpty) return false // empty batch: legacy commit semantics
+      val footprint: Set[String] = rels.map { r =>
+        val i = r.lastIndexOf('/')
+        "p:" + (if (i < 0) "" else r.substring(0, i))
+      }.toSet
+      withClaimedCommitScoped(op, Some(footprint)) { claimed =>
+        if (appendMetaFingerprint() != fp0) throw AppendMetaDrift()
+        val cdfOn = ChangeFeed.isEnabled(spark, path)
+        // stamp AFTER our own claim: any LATER foreign claim aborts the
+        // incremental manifest commit below (absent, never stale)
+        val stamp1 = commitStamp()
+        val incremental = TableStats.beginIncrementalUpdate(spark, path)
+        val published = rels.map { r =>
+          val dst = new Path(path, r)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(new Path(staging, r), dst))
+            throw new java.io.IOException(
+              s"staged append publish failed: $staging/$r -> $dst")
+          fs.makeQualified(dst).toString
+        }.toSeq
+        MedallionTable.testFailpoint("post-append-publish")
+        mark("staged:publish")
+        if (incremental) {
+          // atomic with a concurrent writer's invalidate (both take the
+          // stats mutex): its claim precedes its invalidate, so either
+          // our stamp check sees the claim (abort) or our completed
+          // manifest lands BEFORE its invalidate deletes it — no
+          // interleaving resurrects a manifest missing that writer's
+          // mutations
+          val ok = withStatsLock {
+            commitStamp() == stamp1 && {
+              try {
+                TableStats.completeIncrementalUpdate(spark, path, published,
+                  stashedPhysicalSchema())
+                true
+              } catch { case NonFatal(_) => false }
+            }
+          }
+          if (!ok) withStatsLock {
+            fs.delete(new Path(path, "_graft_meta/stats"), true)
+            fs.delete(new Path(path, "_graft_meta/stats_pending"), true)
+          }
+        } else invalidateStats()
+        mark("staged:stats")
+        if (cdfOn)
+          try ChangeFeed.captureFiles(spark, path, claimed, op, published)
+          catch { case NonFatal(_) => () } // read fail-stops
+      }
+      true
+    } catch {
+      case _: AppendMetaDrift => false // caller retries on the serial path
+    } finally {
+      try fs.delete(staging, true) catch { case _: java.io.IOException => () }
+    }
+  }
 
   /** The append write itself — runs INSIDE a claimed commit. */
   private def appendBody(df: DataFrame, op: String): Unit = {
+    val phase = MedallionTable.commitPhaseHook
+    var tPhase = System.nanoTime()
+    def mark(name: String): Unit = if (phase ne MedallionTable.noopPhase) {
+      val now = System.nanoTime()
+      phase(name, now - tPhase)
+      tPhase = now
+    }
     // Incremental manifest maintenance (TableStats.beginIncrementalUpdate
     // scaladoc): when a manifest exists, park it as pending, write the
     // data, then stats JUST the new files and commit the manifest back by
@@ -1634,6 +1893,7 @@ final class MedallionTable(
     val incremental = TableStats.beginIncrementalUpdate(spark, path)
     val before =
       if (incremental || cdfOn) dataFileSet() else Set.empty[String]
+    mark("append:pre-walk")
     // appended files must carry the PHYSICAL names the existing files do
     // (mergeSchema would otherwise read a renamed column as two) — and,
     // under a live type-widening overlay, the WIDE types (canonicalize:
@@ -1664,11 +1924,15 @@ final class MedallionTable(
         stashSchema(org.apache.spark.sql.types.StructType(
           stash.fields ++ fresh))
     }
+    mark("append:transform")
     writer(physBatch, SaveMode.Append).parquet(path)
+    mark("append:write-job")
     val added =
       if (incremental || cdfOn) (dataFileSet() -- before).toSeq else Nil
+    mark("append:post-walk")
     if (incremental)
-      try TableStats.completeIncrementalUpdate(spark, path, added)
+      try TableStats.completeIncrementalUpdate(spark, path, added,
+        stashedPhysicalSchema())
       catch {
         // pending = junk; the explicit invalidate guards the corner
         // where a concurrent refresh landed a manifest that predates
@@ -1676,6 +1940,7 @@ final class MedallionTable(
         case scala.util.control.NonFatal(_) => invalidateStats()
       }
     else invalidateStats()
+    mark("append:stats")
     // change-feed capture is metadata-only: the added FILES are the
     // insert rows (ChangeFeed scaladoc) — commitVersion is stable inside
     // the claimed block (writer lock held; a racing rewrite's CAS fails)
@@ -4123,16 +4388,21 @@ final class MedallionTable(
     // crashed scoped writers' footprint locks (see acquireWriteLock)
     scopedLockFiles().foreach(p =>
       try fs.delete(p, false) catch { case _: java.io.IOException => () })
-    // a crashed refresh's stats lock and staging litter (commitManifestSwap)
+    // a crashed refresh's stats lock and staging litter (commitManifestSwap),
+    // plus a crashed staged append's private staging (appendStaged)
     try fs.delete(statsLockFile, false)
     catch { case _: java.io.IOException => () }
     if (fs.exists(commitsDir))
       fs.listStatus(commitsDir).map(_.getPath)
-        .filter(_.getName.startsWith("stats_staging_"))
+        .filter(p => p.getName.startsWith("stats_staging_") ||
+          p.getName.startsWith("append_staging_"))
         .foreach(p => try fs.delete(p, true)
           catch { case _: java.io.IOException => () })
     // a crashed COPY INTO's serialization lock (see CopyInto.withCopyLock)
     try fs.delete(new Path(commitsDir, "copy.lock"), false)
+    catch { case _: java.io.IOException => () }
+    // a crashed compactor's journal try-lock (pauses upkeep, never reads)
+    try fs.delete(new Path(commitsDir, "journal.lock"), false)
     catch { case _: java.io.IOException => () }
     // a crashed writer's identity-allocation lock (see withIdentityLock)
     try fs.delete(identityLockFile, false)
@@ -4436,6 +4706,13 @@ object MedallionTable {
     * here; production never sets it.
     */
   private[graft] var testFailpoint: String => Unit = _ => ()
+
+  /** Commit-floor phase instrumentation ([[graft.tools.CommitFloorProbe]]):
+    * (phase name, nanos since previous phase). Identity-compared against
+    * [[noopPhase]] so the production path pays one reference check.
+    */
+  private[graft] val noopPhase: (String, Long) => Unit = (_, _) => ()
+  private[graft] var commitPhaseHook: (String, Long) => Unit = noopPhase
 
   /** Last mergeVectored's derived partition-pruning sets (partition col →
     * source key values), None when no merge key was a partition column —

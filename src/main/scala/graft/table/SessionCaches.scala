@@ -37,6 +37,27 @@ private[table] object SessionCaches {
     if (t == null) { t = java.util.UUID.randomUUID().toString; tokens.put(spark, t) }
     t
   }
+
+  private val noAqe =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  /** A clone of `spark` with adaptive execution OFF, cached per parent
+    * session (weak-keyed — dies with its parent). AQE materializes each
+    * exchange as a separate Spark JOB (`withThreadLocalCaptured`
+    * futures), which doubles the job count of the tiny per-commit stats
+    * aggregation — two scheduling latencies for a query over a handful
+    * of rows (CommitFloorProbe). Runtime re-planning buys nothing at
+    * that size; metadata-scale internal queries run here instead.
+    */
+  def noAqeSession(spark: SparkSession): SparkSession = noAqe.synchronized {
+    var s = noAqe.get(spark)
+    if (s == null) {
+      s = spark.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      noAqe.put(spark, s)
+    }
+    s
+  }
 }
 
 /** Minimal thread-safe LRU (access-ordered, size-bounded). Values may be

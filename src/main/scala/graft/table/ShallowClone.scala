@@ -66,23 +66,34 @@ object ShallowClone {
       DvUpdates.dataFiles(spark, root)
 
   /** Recursive parquet listing under `root` in `_metadata.file_path`'s
-    * own rendering (qualified URI), hidden dirs excluded.
+    * own rendering (qualified URI), hidden path segments excluded.
+    *
+    * Plain `listStatus` recursion, NOT `fs.listFiles(recursive)`: the
+    * located-status iterator resolves block locations per entry, which
+    * on the local (checksum) filesystem measured ~4 ms PER FILE — a
+    * 32k-file table paid ~2.5 min per bloom prune on the iterator alone
+    * (FileCountProbe, round 17). The listStatus walk is the same
+    * traversal every other census here uses and costs microseconds per
+    * entry; block locations are irrelevant to a name listing.
     */
   private[table] def listParquet(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
-    val rootUri = fs.makeQualified(p).toUri
     val b = Seq.newBuilder[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
-      val segs = rel.split('/')
-      if (!segs.exists(s => s.startsWith("_") || s.startsWith(".")) &&
-          rel.endsWith(".parquet"))
-        b += f.toString
-    }
+    def rec(d: Path): Unit =
+      (try fs.listStatus(d)
+       catch { // dir replaced mid-walk by a concurrent writer: skip
+         case _: java.io.FileNotFoundException =>
+           Array.empty[org.apache.hadoop.fs.FileStatus]
+       }).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (st.isDirectory) rec(st.getPath)
+        else if (n.endsWith(".parquet"))
+          b += fs.makeQualified(st.getPath).toString
+      }
+    rec(p)
     b.result()
   }
 

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.table.MedallionTable
+
+/** Staged-append concurrency probe (SCALING.md evidence):
+  *
+  *  1. LOCK-HOLD vs BATCH SIZE — the staged path's claim-to-published
+  *     window (fingerprint re-check + manifest park + publish renames)
+  *     must stay O(files in batch), NOT O(rows): the distributed data
+  *     write happens before any lock. Measured via the
+  *     `mid-claim-first` → `post-append-publish` failpoint pair.
+  *  2. CONCURRENT INGEST THROUGHPUT — N appenders into disjoint
+  *     partitions, staged (scoped locks) vs `spark.graft.serialAppends`
+  *     (legacy global lock): wall-clock for the batch of appends.
+  *
+  * Usage: runMain graft.tools.AppendConcurrencyProbe [writers]
+  */
+object AppendConcurrencyProbe {
+  def main(args: Array[String]): Unit = {
+    val writers = args.headOption.map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def freshTable(tag: String): MedallionTable = {
+      val p = java.nio.file.Files.createTempDirectory(s"apb_$tag")
+        .toString + "/t"
+      val t = MedallionTable(spark, p, Seq("blk"))
+      t.overwrite((0 until writers).map(b => (-1L - b, b)).toDF("id", "blk"))
+      t
+    }
+
+    // ---- 1. lock-hold vs batch size -----------------------------------
+    println("== lock-hold (claim -> published) vs batch rows ==")
+    for (rows <- Seq(10_000, 100_000, 1_000_000)) {
+      val t = freshTable(s"hold$rows")
+      val claimAt = new java.util.concurrent.atomic.AtomicLong(0L)
+      val holdMs = new java.util.concurrent.atomic.AtomicLong(-1L)
+      MedallionTable.testFailpoint = {
+        case "mid-claim-first" => claimAt.set(System.nanoTime())
+        case "post-append-publish" =>
+          holdMs.set((System.nanoTime() - claimAt.get) / 1_000_000L)
+        case _ => ()
+      }
+      try {
+        val t0 = System.nanoTime()
+        t.append((0 until rows)
+          .map(i => (i.toLong, i % writers)).toDF("id", "blk"))
+        val total = (System.nanoTime() - t0) / 1_000_000L
+        println(f"rows=$rows%8d  total=${total}%6d ms  " +
+          f"lockHold(claim->published)=${holdMs.get}%5d ms")
+      } finally MedallionTable.testFailpoint = _ => ()
+    }
+
+    // ---- 2. concurrent disjoint-partition ingest, staged vs serial ----
+    println(s"== $writers concurrent disjoint appends, 200k rows each ==")
+    for (serial <- Seq(false, true)) {
+      spark.conf.set("spark.graft.serialAppends", serial.toString)
+      val t = freshTable(if (serial) "ser" else "par")
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val t0 = System.nanoTime()
+      val ths = (0 until writers).map { b =>
+        new Thread(() => try {
+          MedallionTable(spark, t.path, Seq("blk"))
+            .append((0 until 200_000)
+              .map(i => (b * 1_000_000L + i, b)).toDF("id", "blk"))
+        } catch { case e: Throwable => failures.add(e) }, s"apb$b")
+      }
+      ths.foreach(_.start()); ths.foreach(_.join(300_000))
+      val wall = (System.nanoTime() - t0) / 1_000_000L
+      require(failures.isEmpty, s"writer died: ${failures.peek()}")
+      val n = t.read.count()
+      require(n == writers * 200_000L + writers,
+        s"row loss: $n")
+      println(f"mode=${if (serial) "serial(global-lock)" else "staged(scoped)"}%-20s " +
+        f"wall=${wall}%6d ms")
+    }
+    spark.conf.unset("spark.graft.serialAppends")
+    spark.stop()
+  }
+}

@@ -632,4 +632,26 @@ class ChangeFeedSpec extends SparkSpec {
     assert(e.getMessage.contains("merge key") &&
       e.getMessage.contains("re-baseline"))
   }
+
+  test("_commit_timestamp is each version's ICT instant — including " +
+      "JOURNALED commits past the live marker window (not capture time)") {
+    val t = mk()
+    t.enableChangeDataFeed()
+    val en = t.commitVersion
+    // 12 appends push the early ones past HistoryDepth=8 into the journal
+    (0 until 12).foreach(i =>
+      t.append(Seq((200L + i, s"j$i", 0)).toDF("id", "s", "grp")))
+    assert(t.history().map(_._1).min > en + 1,
+      "fixture must reach into journaled commits")
+    val instants = t.fullHistory().map { case (v, _, ts) => v -> ts }.toMap
+    val got = t.readChangeFeed(en + 1, en + 12)
+      .select("_commit_version", "_commit_timestamp").distinct()
+      .collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(got.keySet == (en + 1 to en + 12).toSet)
+    got.foreach { case (v, ts) =>
+      assert(ts == instants(v),
+        s"v$v: feed stamped $ts but the commit instant is ${instants(v)}")
+    }
+  }
 }
