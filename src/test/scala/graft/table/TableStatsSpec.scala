@@ -210,6 +210,41 @@ class TableStatsSpec extends SparkSpec {
     } finally scoped.delete()
   }
 
+  test("incremental manifest self-compacts past the part-file threshold " +
+      "and range reads stay exact across many appends") {
+    import spark.implicits._
+    val p = tmpDir("stats_selfcompact")
+    val t = MedallionTable(spark, p)
+    t.overwrite((0 until 500).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    t.refreshStats()
+    // 40 appends: mode-append adds one manifest part per commit, so
+    // without self-compaction the dir would hold 41 parts (and every
+    // covered-column inference would grow with commit count)
+    (0 until 40).foreach(i =>
+      t.append(Seq((1000L + i, s"a$i")).toDF("id", "s")))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsDir = new org.apache.hadoop.fs.Path(p, "_graft_meta/stats")
+    assert(TableStats.hasManifest(spark, p),
+      "sequential appends must keep the incremental manifest armed")
+    val parts = fs.listStatus(statsDir)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(parts <= 33, s"manifest never self-compacted: $parts parts")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(statsDir, "_covered.txt")),
+      "covered-columns sidecar must survive compaction and renames")
+    // manifest content stayed complete: every append's row is found and
+    // the pruned read equals the full filter
+    assert(t.readRange("id", 1000L, 1039L).count() == 40)
+    assert(t.readRange("id", 0L, 499L).count() == 500)
+    // per-file stats rows cover exactly the live files (no dupes, no
+    // losses through the 40 park/append/rename cycles + compaction)
+    val manifestFiles = spark.read.parquet(statsDir.toString)
+      .select("file").distinct().count()
+    assert(manifestFiles == t.read.inputFiles.length,
+      s"manifest rows ($manifestFiles) != live files " +
+        s"(${t.read.inputFiles.length})")
+  }
+
   test("manifest dir is invisible to normal reads and exists()") {
     import spark.implicits._
     val t = MedallionTable(spark, tmpDir("stats_vis"))
