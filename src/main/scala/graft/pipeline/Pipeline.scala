@@ -85,9 +85,8 @@ object Pipeline {
         val (len, mtime) =
           if (st.isDirectory) {
             var l = 0L; var m = 0L
-            val it = pfs.listFiles(p, true)
-            while (it.hasNext) {
-              val f = it.next()
+            // FsWalk census for uniformity (source dirs are small)
+            graft.table.FsWalk.files(pfs, p).foreach { case (f, _) =>
               l += f.getLen; m = math.max(m, f.getModificationTime)
             }
             (l, m)

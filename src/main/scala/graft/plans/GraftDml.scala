@@ -311,12 +311,17 @@ final case class GraftMergeCommand(
     // there blindly could OOM the driver/executors. SQL MERGE guards the
     // route with the planner's own size estimate against the broadcast
     // threshold and falls back to the result-identical rewrite path when
-    // the source is too big; a non-positive threshold means the user
-    // manages broadcast sizing explicitly, so the DV route stands.
+    // the source is too big. A non-positive threshold is the
+    // conventional way to DISABLE broadcasts outright (they OOM'd), so
+    // it must also forbid this forced one — the rewrite path handles
+    // every size. spark.graft.dvMergeMaxSourceBytes overrides the cap
+    // when users want DV merges sized independently of join planning.
     val dvFits = dv && {
-      val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
-      thresh <= 0 ||
-        sourceDf.queryExecution.optimizedPlan.stats.sizeInBytes <= thresh
+      val cap = spark.conf.getOption("spark.graft.dvMergeMaxSourceBytes")
+        .map(_.toLong)
+        .getOrElse(spark.sessionState.conf.autoBroadcastJoinThreshold)
+      cap > 0 &&
+        sourceDf.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
     }
     if (dvFits)
       t.mergeVectored(sourceDf, keys, matched, notMatched,

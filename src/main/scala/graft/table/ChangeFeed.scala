@@ -451,21 +451,13 @@ object ChangeFeed {
     def put(key: String, file: String, root: String,
         m: Map[String, String]): Unit =
       if (!out.contains(key)) out(key) = (file, root, m)
-    def listDataFiles(root: Path): Seq[String] = {
-      if (!fs.exists(root)) return Nil
-      val rootUri = fs.makeQualified(root).toUri
-      val b = Seq.newBuilder[String]
-      val it = fs.listFiles(root, true)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
-        val segs = rel.split('/')
-        if (f.getName.endsWith(".parquet") &&
-            !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
-          b += f.toString
-      }
-      b.result()
-    }
+    // FsWalk's pruned listStatus census, not fs.listFiles(recursive) —
+    // this runs on the FEED-READ path over the table root, so the
+    // located-status iterator's ~4.3 ms/file would cost a 100k-file
+    // table ~430 s of driver listing before any data work
+    def listDataFiles(root: Path): Seq[String] =
+      FsWalk.dataParquet(fs, root)
+        .map(s => fs.makeQualified(s._1.getPath).toString)
     if (ShallowClone.isClone(spark, t.path))
       // a clone's live files are POINTERS into the source's directory
       // (plus local appends and its own committed batches — scanFiles

@@ -126,16 +126,14 @@ object DeletionVectors {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // One recursive listing serves the emptiness check, the collect cap,
     // and the memo fingerprint.
-    val listing = {
-      val it = fs.listFiles(p, true)
-      val b = Seq.newBuilder[(String, Long, Long)]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet"))
-          b += ((st.getPath.toString, st.getModificationTime, st.getLen))
-      }
-      b.result().sortBy(_._1)
-    }
+    // FsWalk census for uniformity (the sidecar dir is small + memoized,
+    // but no site keeps the listFiles(recursive) anti-pattern); hidden
+    // pruning drops only in-flight committer staging, which must not
+    // enter the memo fingerprint anyway
+    val listing = FsWalk.files(fs, p, FsWalk.hiddenName).collect {
+      case (st, _) if st.getPath.getName.endsWith(".parquet") =>
+        (st.getPath.toString, st.getModificationTime, st.getLen)
+    }.sortBy(_._1)
     // a sidecar dir with no parquet yet (mkdirs from an aborted
     // update-dv commit) must not break every read with a schema
     // inference error — no marks, nothing to apply

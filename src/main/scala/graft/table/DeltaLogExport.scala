@@ -179,16 +179,12 @@ object DeltaLogExport {
 
     // current live files, relative to the table root (same traversal rule
     // as MedallionTable.dataFileSet: skip _-/.-prefixed segments)
-    val rootUri = fs.makeQualified(root).toUri
+    // FsWalk's pruned listStatus census (table-wide, once per sync) —
+    // same hidden-segment rule as the old rel-segment filter without
+    // the ~4.3 ms/file located-status iterator
     val current = mutable.LinkedHashMap.empty[String, (Long, Long)]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = rootUri.relativize(fs.makeQualified(st.getPath).toUri).getPath
-      val segs = rel.split('/')
-      if (st.getPath.getName.endsWith(".parquet") &&
-          !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
-        current += rel -> ((st.getLen, st.getModificationTime))
+    FsWalk.dataParquet(fs, root).foreach { case (st, rel) =>
+      current += rel -> ((st.getLen, st.getModificationTime))
     }
 
     val schemaString = new MedallionTable(spark, tablePath).read.schema.json

@@ -485,18 +485,33 @@ final class MedallionTable(
     // fall back to the compaction swap's parked copy when the tsv is
     // missing (crash inside [[compactJournal]]'s rename pair) — the .bak
     // holds the complete pre-swap rows, and the not-yet-deleted
-    // per-ordinal files cover everything newer
-    val src = if (fs.exists(journalTsv)) journalTsv
-      else new Path(commitsDir, "journal.tsv.bak")
-    if (!fs.exists(src)) Nil
-    else try readMetaText(src).split('\n').toSeq.flatMap { line =>
-      line.split('\t') match {
-        case Array(v, ts, op) =>
-          for (vl <- v.toLongOption; tl <- ts.toLongOption)
-            yield (vl, op, tl)
-        case _ => None
+    // per-ordinal files cover everything newer. The exists/read pair is
+    // a TOCTOU against a CONCURRENT compactor (scoped commits run
+    // compaction too): tsv can vanish between the check and the open, so
+    // an IOException retries through tsv -> bak -> tsv — by the second
+    // pass either the new tsv has landed (rename done) or the bak still
+    // holds the pre-swap rows. Only a doubly-missing journal reads Nil.
+    val bak = new Path(commitsDir, "journal.tsv.bak")
+    def parse(text: String): Seq[(Long, String, Long)] =
+      text.split('\n').toSeq.flatMap { line =>
+        line.split('\t') match {
+          case Array(v, ts, op) =>
+            for (vl <- v.toLongOption; tl <- ts.toLongOption)
+              yield (vl, op, tl)
+          case _ => None
+        }
       }
-    } catch { case _: java.io.IOException => Nil }
+    val candidates = Seq(journalTsv, bak, journalTsv)
+    val it = candidates.iterator
+    var out: Option[Seq[(Long, String, Long)]] = None
+    while (out.isEmpty && it.hasNext) {
+      val src = it.next()
+      if (fs.exists(src)) {
+        try out = Some(parse(readMetaText(src)))
+        catch { case _: java.io.IOException => () } // parked mid-read; next
+      }
+    }
+    out.getOrElse(Nil)
   }
 
   /** Un-compacted journal files, parsed exactly like live markers. */
@@ -2655,12 +2670,17 @@ final class MedallionTable(
       var done = false
       while (!done) {
         attempts += 1
-        var fenceWaits = 0
+        // waits on the same WriterWaitMs deadline every other writer
+        // wait uses: an in-flight append is a multi-second Spark job, so
+        // a short fixed budget would make deepCloneFrom throw almost
+        // immediately instead of queueing like the rest of the protocol
+        val fenceDeadline =
+          System.currentTimeMillis() + MedallionTable.WriterWaitMs
         while (source.writeLockHeld()) {
-          fenceWaits += 1
-          if (fenceWaits >= 8)
+          if (System.currentTimeMillis() > fenceDeadline)
             throw new java.util.ConcurrentModificationException(
-              s"deep clone: claim-first write in flight on ${source.path}; " +
+              s"deep clone: claim-first write in flight on ${source.path} " +
+                s"after ${MedallionTable.WriterWaitMs} ms; " +
                 "cannot pin a source snapshot (if that writer crashed, " +
                 "vacuum() clears its lock)")
           Thread.sleep(25)

@@ -48,15 +48,35 @@ private[table] object SessionCaches {
     * aggregation — two scheduling latencies for a query over a handful
     * of rows (CommitFloorProbe). Runtime re-planning buys nothing at
     * that size; metadata-scale internal queries run here instead.
+    *
+    * `newSession()` starts from the session's INITIAL configs and drops
+    * runtime overrides (`spark.sql.caseSensitive`, ANSI flags,
+    * `spark.hadoop.*` credentials set after startup), so internal reads
+    * would run under different semantics — or fail outright on deployed
+    * credentials — and the callers' catch-into-invalidateStats would
+    * silently disarm file skipping on every commit. The clone therefore
+    * mirrors the parent's full runtime conf on creation AND on every
+    * reuse (the parent may have changed settings since), with adaptive
+    * re-pinned off last.
     */
   def noAqeSession(spark: SparkSession): SparkSession = noAqe.synchronized {
     var s = noAqe.get(spark)
     if (s == null) {
       s = spark.newSession()
-      s.conf.set("spark.sql.adaptive.enabled", "false")
       noAqe.put(spark, s)
     }
-    s
+    val clone = s
+    spark.conf.getAll.foreach { case (k, v) =>
+      // runtime conf holds some launch-time-only keys (e.g.
+      // spark.master); setting them throws — mirror what CAN be set
+      if (clone.conf.isModifiable(k) &&
+          !clone.conf.getOption(k).contains(v)) {
+        try clone.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+    }
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    clone
   }
 }
 

@@ -79,22 +79,8 @@ object ShallowClone {
   private[table] def listParquet(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    val b = Seq.newBuilder[String]
-    def rec(d: Path): Unit =
-      (try fs.listStatus(d)
-       catch { // dir replaced mid-walk by a concurrent writer: skip
-         case _: java.io.FileNotFoundException =>
-           Array.empty[org.apache.hadoop.fs.FileStatus]
-       }).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) ()
-        else if (st.isDirectory) rec(st.getPath)
-        else if (n.endsWith(".parquet"))
-          b += fs.makeQualified(st.getPath).toString
-      }
-    rec(p)
-    b.result()
+    FsWalk.dataParquet(fs, p)
+      .map(s => fs.makeQualified(s._1.getPath).toString)
   }
 
   private[table] def write(spark: SparkSession, tablePath: String,

@@ -70,6 +70,25 @@ object FileCountProbe {
         f"readRange=${rangeMs}%5d ms ($cnt rows)  " +
         f"bloomBuild=${bloomBuildMs}%6d ms  bloomPrune=${bloomMs}%5d ms " +
         f"(warm ${bloomWarmMs} ms, $bloomSel kept)  heap=${heapMb} MB")
+
+      // round-18 rows: the two table-root walks the r17 verdict flagged
+      // as still on fs.listFiles(recursive) — CDF feed read
+      // (dataFileIndex over the table root) and COPY INTO's landing
+      // scan (O(source files) EVERY run; the no-op re-run isolates it)
+      locally {
+        import org.apache.spark.sql.functions.col
+        t.enableChangeDataFeed()
+        val en = t.commitVersion
+        t.deleteVectored(col("id") % 997 === 0)
+        val (feedRows, feedMs) = ms(t.readChangeFeed(en + 1).count())
+        val tgt = MedallionTable(spark,
+          java.nio.file.Files.createTempDirectory(s"fcp_ci_$n").toString + "/t")
+        val (r1, copyMs) = ms(graft.table.CopyInto.copyInto(tgt, p))
+        val (r2, noopMs) = ms(graft.table.CopyInto.copyInto(tgt, p))
+        println(f"files=$nf%6d  cdfFeedRead=${feedMs}%6d ms ($feedRows rows)  " +
+          f"copyInto=${copyMs}%6d ms (${r1.filesLoaded} files)  " +
+          f"copyNoop=${noopMs}%6d ms (${r2.filesLoaded} files)")
+      }
     }
     spark.stop()
   }
