@@ -23,5 +23,21 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch 'runMain graft.Bench'
 python3 scripts/benchgate.py 30
 
+# Persist the FULL per-query map (r17 verdict #6): BENCH_rNN.json keeps
+# only the ~60-query headline subset, so round-over-round per-query
+# regressions could not be diagnosed after the fact — bench_full_rNN.json
+# carries every query. Round number = newest BENCH_r*.json + 1 (this
+# script runs before the driver writes the new round's file); override
+# with GRAFT_ROUND.
+if [ -n "${GRAFT_ROUND:-}" ]; then
+  round="$GRAFT_ROUND"
+else
+  last="$(ls BENCH_r*.json 2>/dev/null \
+    | sed 's/BENCH_r0*\([0-9]*\)\.json/\1/' | sort -n | tail -1)"
+  round=$(( ${last:-0} + 1 ))
+fi
+cp target/bench_full.json "$(printf 'bench_full_r%02d.json' "$round")"
+echo "round_end: full per-query bench persisted to bench_full_r$(printf '%02d' "$round").json"
+
 python3 scripts/update_readme_status.py
 echo "round_end: README status regenerated from HEAD artifacts"

@@ -1523,22 +1523,40 @@ final class MedallionTable(
       alreadyMaterialized: Boolean = false): DataFrame = {
     if (names.isEmpty) return df
     // fillIdentityNulls hands in a projection of an already-checkpointed
-    // frame: deterministic and cheap to re-traverse, no second cut needed
-    val cached = if (alreadyMaterialized) df else df.localCheckpoint()
-    val n = cached.count()
+    // frame: deterministic and cheap to re-traverse, no second cut needed.
+    // LAZY checkpoint: the size census below is the materializing action,
+    // so determinism costs zero extra passes (eager would run its own
+    // count job first — one full pass wasted per identity append).
+    val cached =
+      if (alreadyMaterialized) df else df.localCheckpoint(eager = false)
+    // One size census job yields BOTH the total (block allocation) and
+    // the per-partition offsets (dense assignment) — `count()` +
+    // `zipWithIndex` paid the same information with two jobs
+    // (zipWithIndex runs an internal per-partition count of its own).
+    // mapPartitions emits exactly one element per partition, and collect
+    // concatenates partition results in order, so index == partition id.
+    val sizes = cached.rdd
+      .mapPartitions(it => Iterator(it.size.toLong)).collect()
+    val n = sizes.sum
     if (n == 0L)
       return names.foldLeft(cached) { case (d, (nm, _)) =>
         d.withColumn(nm,
           org.apache.spark.sql.functions.lit(null).cast("long"))
       }
+    val offsets = sizes.scanLeft(0L)(_ + _)
     val firsts = names.map { case (nm, (_, step)) =>
       (allocateIdentity(nm, n), step)
     }
     val schema2 = names.foldLeft(cached.schema)((s, f) =>
       s.add(f._1, org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = cached.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq ++
-        firsts.map { case (first, step) => first + i * step })
+    val rdd = cached.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var i = offsets(pid)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq ++
+          firsts.map { case (first, step) => first + i * step })
+        i += 1
+        out
+      }
     }
     spark.createDataFrame(rdd, schema2)
   }
@@ -1680,7 +1698,7 @@ final class MedallionTable(
     * their data writes (the dominant cost) in parallel and serialize
     * only on the O(metadata) publish; an append and a DISJOINT scoped
     * rewrite commit concurrently. Ineligible batches (schema evolution,
-    * identity/row-tracking allocation, append-created tables) and
+    * append-created tables) and
     * metadata drift detected under the claim fall back to the serial
     * global-lock path, which is always correct.
     */
@@ -1699,14 +1717,23 @@ final class MedallionTable(
   /** Staged-append eligibility — the serial path owns everything else:
     *   - table must exist with a stashed schema (append-created tables
     *     keep the legacy evolving contract);
-    *   - no identity columns (high-water allocation is read-modify-write
-    *     under the global writer lock — row tracking rides this too);
     *   - no schema evolution: a batch column outside the declared schema
     *     needs the stash/reader-schema updates only a global writer may
     *     make.
+    *
+    * Identity/row-tracking batches ARE eligible (round 18): allocation
+    * was never global-writer-lock work — [[allocateIdentity]] reserves a
+    * consecutive id BLOCK under its own milliseconds-held identity lock
+    * and persists the high-water BEFORE any row exists, so N stagers
+    * draw disjoint blocks and run their data jobs concurrently. A
+    * staged attempt that stands down after allocating (drift → serial
+    * retry, which allocates a fresh block) leaks a gap — the registry's
+    * documented contract ("crash ⇒ gap, never a collision"). Without
+    * this, enabling row tracking silently re-serialized the whole
+    * ingest.
     */
   private def appendStageEligible(df: DataFrame): Boolean =
-    exists && identityColumns.isEmpty && {
+    exists && {
       val sf = new Path(path, "_graft_meta/schema.ddl")
       fs.exists(sf) && {
         val have = org.apache.spark.sql.types.StructType
@@ -1765,7 +1792,8 @@ final class MedallionTable(
     *
     * Protocol:
     *  1. NO LOCK: transform the batch (same chain as [[appendBody]],
-    *     identity excluded by eligibility) and write it, hive layout and
+    *     identity blocks drawn under their own short lock) and write
+    *     it, hive layout and
     *     all, into a private `append_staging_*` dir in the commits
     *     sibling (invisible to every reader/census/rewrite snapshot;
     *     excluded from [[commitStamp]] like the refresh stagings).
@@ -1804,8 +1832,12 @@ final class MedallionTable(
     }
     val fp0 = appendMetaFingerprint()
     val cmap = ColumnMap.load(spark, path)
+    // same transform chain as [[appendBody]] — identity included: the
+    // block is drawn (and the high-water persisted) here, BEFORE the
+    // lock-free staging write, so concurrent stagers never collide
     val physBatch = upcastBatch(WideCols.canonicalize(
-      ColumnMap.toPhysical(enforced(applyDefaults(df)), cmap),
+      ColumnMap.toPhysical(enforced(applyIdentityAppend(applyDefaults(df))),
+        cmap),
       WideCols.load(spark, path)), cmap)
     // post-transform physical-name check: a staged column missing from
     // the recorded reader schema means extendReaderSchema would have to
@@ -1825,6 +1857,7 @@ final class MedallionTable(
       // appenders stage in parallel; CHECK/NOT NULL gates fire here,
       // before any claim exists to release
       writer(physBatch, SaveMode.Overwrite).parquet(staging.toString)
+      MedallionTable.testFailpoint("post-stage-write")
       mark("staged:stage-write")
       val stagingUri = fs.makeQualified(staging).toUri
       val rels = scala.collection.mutable.ArrayBuffer[String]()
@@ -1846,12 +1879,16 @@ final class MedallionTable(
         // incremental manifest commit below (absent, never stale)
         val stamp1 = commitStamp()
         val incremental = TableStats.beginIncrementalUpdate(spark, path)
-        val published = rels.map { r =>
+        val published = rels.zipWithIndex.map { case (r, i) =>
           val dst = new Path(path, r)
           fs.mkdirs(dst.getParent)
           if (!fs.rename(new Path(staging, r), dst))
             throw new java.io.IOException(
               s"staged append publish failed: $staging/$r -> $dst")
+          // the TORN window: some files renamed in, the rest still
+          // staged — CrashRecoveryProbe kills a child JVM right here
+          if (i == 0 && rels.size > 1)
+            MedallionTable.testFailpoint("mid-append-publish")
           fs.makeQualified(dst).toString
         }.toSeq
         MedallionTable.testFailpoint("post-append-publish")
@@ -4358,8 +4395,14 @@ final class MedallionTable(
       dvCompactLitter()
     if (litter.isEmpty) return Nil
     val backups = litter.filter(isBackup)
-    if (exists)
-      litter.map(p => (p.toString, "delete")).sortBy(_._1)
+    if (exists) {
+      // mirror vacuum's live-table age guard: young __graft_tmp_ dirs
+      // (possibly a LIVE rewrite's in-progress product) are skipped, so
+      // the dry run must not promise their deletion
+      val reap = vacuumReaper()
+      litter.filter(p => !isRewriteTmp(p) || reap(p))
+        .map(p => (p.toString, "delete")).sortBy(_._1)
+    }
     else if (backups.nonEmpty) {
       // a real vacuum would restore the newest backup, delete the rest
       val restore = newestBackup(backups)
@@ -4372,10 +4415,43 @@ final class MedallionTable(
       litter.map(p => (p.toString, "refuse")).sortBy(_._1)
   }
 
+  private def isRewriteTmp(p: Path): Boolean = {
+    val name = fs.makeQualified(new Path(path)).getName
+    p.getName.startsWith(s"${name}__graft_tmp_")
+  }
+
+  /** The retention-horizon predicate for [[vacuum]]'s writer-artifact
+    * reaping (locks, intents, append/stats stagings, live-table rewrite
+    * tmp dirs): none of these PROVE a crash — stage-then-publish appends
+    * hold no lock during their data job, and a rewrite's tmp dir exists
+    * for the whole rewrite — so a janitor vacuum racing live writers
+    * must only reap artifacts older than
+    * `spark.graft.vacuumStagingRetentionMs` (default
+    * [[MedallionTable.VacuumStagingRetentionMs]]).
+    * `spark.graft.vacuumAssumeNoWriters=true` restores the unconditional
+    * reap for operator-driven crash recovery (the shape every
+    * "run vacuum()" error message points at). A path that vanishes under
+    * the mtime probe belongs to a writer that just released it —
+    * exactly the case to skip.
+    */
+  private def vacuumReaper(): Path => Boolean = {
+    val assumeNoWriters = spark.conf
+      .getOption("spark.graft.vacuumAssumeNoWriters").exists(_.toBoolean)
+    val horizon = spark.conf
+      .getOption("spark.graft.vacuumStagingRetentionMs")
+      .flatMap(_.toLongOption)
+      .getOrElse(MedallionTable.VacuumStagingRetentionMs)
+    val cutoff = System.currentTimeMillis() - horizon
+    p => assumeNoWriters ||
+      (try fs.getFileStatus(p).getModificationTime <= cutoff
+       catch { case _: java.io.IOException => false })
+  }
+
   def vacuum(): Int = {
     val dst = fs.makeQualified(new Path(path))
     if (rewriteLitter().isEmpty && !fs.exists(commitsDir)) return 0
     def litter() = rewriteLitter()
+    val recovered = !exists
     if (!exists) {
       // mid-swap crash: restore the backup (pre-rewrite committed state);
       // the interrupted rewrite re-runs idempotently later
@@ -4393,40 +4469,55 @@ final class MedallionTable(
           s"vacuum: $path has no live data and no backup; refusing to " +
             s"delete ${litter().map(_.getName).mkString(", ")}")
     }
-    val toDelete = litter() ++
+    val reapable = vacuumReaper()
+    // __graft_tmp_ siblings of a LIVE table may belong to a LIVE rewrite
+    // mid-data-job (it holds the writer lock, but vacuum must not have
+    // to trust that) — age-guarded like every other writer artifact.
+    // After a RESTORE (the !exists branch above ran) the tmp is provably
+    // the crashed swap's: reap it regardless of age, as before.
+    // Backups (__graft_old_) with a live table are a completed-swap's
+    // pending delete; DV orphans/compact staging are witness-checked
+    // (provably uncommitted) — all unconditional.
+    val toDelete = litter()
+      .filter(p => recovered || !isRewriteTmp(p) || reapable(p)) ++
       // a crashed updateVectored's invisible staging: batch dirs without
       // a committed marks witness, and marks stagings that never renamed
       DvUpdates.orphans(spark, path) ++ dvCompactLitter()
     toDelete.foreach(p => fs.delete(p, true))
-    // Crashed-writer leftovers in the commits dir: a standing intent and
-    // the writer lock (both deliberately unexpiring — they fail others
-    // fast until cleared, see writeLock/intentFile). Safe unconditionally
-    // under vacuum's no-writer-in-flight assumption.
-    clearIntent()
-    try fs.delete(writeLock, false)
-    catch { case _: java.io.IOException => () }
+    // Writer-coordination artifacts in the commits dir: locks, intents,
+    // and private append/stats stagings. These are NOT provably crash
+    // litter — stage-then-publish appends run their data job with NO
+    // lock held, so a janitor vacuum (the cron deployment shape) racing
+    // N live ingest processes would delete a LIVE writer's staging and
+    // fail its publish mid-batch. Retention-horizon shape (Delta's) via
+    // [[vacuumReaper]]; default 2 h — far past any healthy write's
+    // lifetime, while a live writer's artifacts are minutes old.
+    def reapFile(p: Path): Unit =
+      if (reapable(p))
+        try fs.delete(p, false) catch { case _: java.io.IOException => () }
+    // a standing intent and the writer lock (both deliberately
+    // unexpiring — they fail others fast until cleared, see
+    // writeLock/intentFile)
+    if (reapable(intentFile)) clearIntent()
+    reapFile(writeLock)
     // crashed scoped writers' footprint locks (see acquireWriteLock)
-    scopedLockFiles().foreach(p =>
-      try fs.delete(p, false) catch { case _: java.io.IOException => () })
+    scopedLockFiles().foreach(reapFile)
     // a crashed refresh's stats lock and staging litter (commitManifestSwap),
     // plus a crashed staged append's private staging (appendStaged)
-    try fs.delete(statsLockFile, false)
-    catch { case _: java.io.IOException => () }
+    reapFile(statsLockFile)
     if (fs.exists(commitsDir))
       fs.listStatus(commitsDir).map(_.getPath)
         .filter(p => p.getName.startsWith("stats_staging_") ||
           p.getName.startsWith("append_staging_"))
+        .filter(reapable)
         .foreach(p => try fs.delete(p, true)
           catch { case _: java.io.IOException => () })
     // a crashed COPY INTO's serialization lock (see CopyInto.withCopyLock)
-    try fs.delete(new Path(commitsDir, "copy.lock"), false)
-    catch { case _: java.io.IOException => () }
+    reapFile(new Path(commitsDir, "copy.lock"))
     // a crashed compactor's journal try-lock (pauses upkeep, never reads)
-    try fs.delete(new Path(commitsDir, "journal.lock"), false)
-    catch { case _: java.io.IOException => () }
+    reapFile(new Path(commitsDir, "journal.lock"))
     // a crashed writer's identity-allocation lock (see withIdentityLock)
-    try fs.delete(identityLockFile, false)
-    catch { case _: java.io.IOException => () }
+    reapFile(identityLockFile)
     expireFeedByConf()
     toDelete.length
   }
@@ -4714,6 +4805,19 @@ object MedallionTable {
     */
   private[graft] var WriterWaitMs = 30000L
 
+  /** Default retention horizon for [[MedallionTable.vacuum]]'s
+    * writer-coordination cleanup (locks, intents, append/stats staging):
+    * artifacts YOUNGER than this are presumed to belong to a live writer
+    * and skipped — stage-then-publish appends hold no lock during their
+    * data job, so "a staging dir exists" never proves a crash. 2 hours:
+    * orders of magnitude past a healthy write, small against the
+    * multi-day retention vacuums typically run with. Override with
+    * `spark.graft.vacuumStagingRetentionMs`;
+    * `spark.graft.vacuumAssumeNoWriters=true` restores the unconditional
+    * reap for operator-driven crash recovery.
+    */
+  private[graft] val VacuumStagingRetentionMs = 2L * 3600 * 1000
+
   /** Test-only failpoint, invoked at named points of the commit
     * protocol ("mid-claim-first": a claim-first writer holds its
     * writer lock and claimed marker but has not run its data job —
@@ -4724,8 +4828,18 @@ object MedallionTable {
     * two-phase intent protects; "mid-swap": between the two swap
     * renames). Specs inject a concurrent writer or a simulated crash
     * here; production never sets it.
+    *
+    * Cross-PROCESS crash injection: when `GRAFT_FAILPOINT_HALT` names a
+    * failpoint, reaching it calls `Runtime.halt` — no shutdown hooks, no
+    * finally blocks, the closest in-JVM analog of `kill -9`. Lets the
+    * multi-process probes ([[graft.tools.CrashRecoveryProbe]]) kill a
+    * real child JVM mid-window; unset (production), the check is one
+    * env lookup memoized at class load.
     */
-  private[graft] var testFailpoint: String => Unit = _ => ()
+  private val haltAt: Option[String] = sys.env.get("GRAFT_FAILPOINT_HALT")
+  private[graft] var testFailpoint: String => Unit =
+    if (haltAt.isEmpty) _ => ()
+    else name => if (haltAt.contains(name)) Runtime.getRuntime.halt(137)
 
   /** Commit-floor phase instrumentation ([[graft.tools.CommitFloorProbe]]):
     * (phase name, nanos since previous phase). Identity-compared against

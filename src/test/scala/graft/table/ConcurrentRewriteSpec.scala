@@ -480,4 +480,59 @@ class ConcurrentRewriteSpec extends SparkSpec {
       s"diverged from serial model: missing=${expected -- got} " +
         s"extra=${got -- expected}")
   }
+
+  test("janitor vacuum racing a mid-staging append: the append lands, " +
+      "nothing is aborted, no litter survives") {
+    // Stage-then-publish runs the data job with NO lock held, so "a
+    // staging dir exists with no lock standing" never proves a crash —
+    // the retention horizon is what keeps a cron vacuum from killing a
+    // live appender. Failpoint fires after the staging write, before the
+    // publish claim: exactly the window vacuum used to reap through.
+    val p = tmpDir("cr_vacuum_race")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    val janitor = new MedallionTable(spark, p)
+    var vacuumed = false
+    MedallionTable.testFailpoint = {
+      case "post-stage-write" if !vacuumed =>
+        vacuumed = true
+        janitor.vacuum() // default config: young staging must survive
+      case _ => ()
+    }
+    try t.append(Seq((2L, "b")).toDF("id", "s"))
+    finally MedallionTable.testFailpoint = _ => ()
+    assert(vacuumed, "the failpoint must have run the racing vacuum")
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")),
+      "the append must land despite the racing vacuum")
+    // no staging litter left behind (the append's own cleanup ran)
+    val cd = new java.io.File(s"${p}__graft_commits")
+    assert(!cd.listFiles().exists(_.getName.startsWith("append_staging_")),
+      "no append staging may survive the publish")
+  }
+
+  test("operator-mode vacuum (assumeNoWriters) mid-staging: the staged " +
+      "path yields and the serial fallback still lands the rows once") {
+    val p = tmpDir("cr_vacuum_force")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    val janitor = new MedallionTable(spark, p)
+    var vacuumed = false
+    MedallionTable.testFailpoint = {
+      case "post-stage-write" if !vacuumed =>
+        vacuumed = true
+        spark.conf.set("spark.graft.vacuumAssumeNoWriters", "true")
+        try janitor.vacuum() // reaps the staging out from under the append
+        finally spark.conf.unset("spark.graft.vacuumAssumeNoWriters")
+      case _ => ()
+    }
+    try t.append(Seq((2L, "b")).toDF("id", "s"))
+    finally MedallionTable.testFailpoint = _ => ()
+    assert(vacuumed)
+    // the staged attempt found its staging gone BEFORE claiming (empty
+    // file census → stand down), so the serial path ran — exactly once
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")),
+      "rows must land exactly once through the serial fallback")
+  }
 }

@@ -94,6 +94,11 @@ class MaintenanceOpsSpec extends SparkSpec {
     val f = fs(tp)
     f.mkdirs(new Path(s"${tp}__graft_tmp_dead"))
     f.mkdirs(new Path(s"${tp}__graft_old_1_dead"))
+    // a young tmp could be a live rewrite's: dry run must not list it…
+    assert(t.vacuumDryRun().map(_._2) == Seq("delete"))
+    // …aged past the horizon it becomes provably-crashed litter
+    f.setTimes(new Path(s"${tp}__graft_tmp_dead"),
+      System.currentTimeMillis() - 3L * 3600 * 1000, -1)
     val dry = t.vacuumDryRun()
     assert(dry.map(_._2) == Seq("delete", "delete"))
     assert(f.exists(new Path(s"${tp}__graft_tmp_dead")), "dry run touched litter")

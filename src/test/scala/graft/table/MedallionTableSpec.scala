@@ -95,6 +95,15 @@ class MedallionTableSpec extends SparkSpec {
     f.mkdirs(new Path(s"${p}__graft_tmp_deadbeef"))
     f.mkdirs(new Path(s"${p}__graft_old_deadbeef"))
     f.mkdirs(new Path(s"${p}_unrelated")) // NOT litter — must survive
+    // a YOUNG tmp dir may be a LIVE rewrite's in-progress product: the
+    // default vacuum reaps only the old backup (completed-swap leftover)
+    assert(t.vacuum() == 1)
+    assert(f.exists(new Path(s"${p}__graft_tmp_deadbeef")),
+      "default vacuum must not reap a young rewrite tmp (could be live)")
+    f.mkdirs(new Path(s"${p}__graft_old_deadbeef")) // re-fabricate
+    // aged past the retention horizon = provably crashed
+    f.setTimes(new Path(s"${p}__graft_tmp_deadbeef"),
+      System.currentTimeMillis() - 3L * 3600 * 1000, -1)
     assert(t.vacuum() == 2)
     assert(t.read.count() == 1)
     assert(f.exists(new Path(s"${p}_unrelated")))
@@ -571,7 +580,15 @@ class MedallionTableSpec extends SparkSpec {
       }
     } finally MedallionTable.WriterWaitMs = 30000L
     assert(t.read.count() == 1, "the refused append must not land rows")
+    // a DEFAULT vacuum presumes a minutes-old intent may belong to a
+    // LIVE writer (retention horizon) and must leave it standing…
     t.vacuum()
+    assert(f.exists(intent),
+      "default vacuum must not reap a young intent (could be live)")
+    // …the operator who KNOWS the writer crashed flips the flag
+    spark.conf.set("spark.graft.vacuumAssumeNoWriters", "true")
+    try t.vacuum()
+    finally spark.conf.unset("spark.graft.vacuumAssumeNoWriters")
     assert(!f.exists(intent), "vacuum clears the leftover intent")
     t.append(Seq((9L, "late")).toDF("id", "s"))
     assert(t.read.count() == 2)
@@ -598,6 +615,12 @@ class MedallionTableSpec extends SparkSpec {
     } finally MedallionTable.WriterWaitMs = 30000L
     assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "a")), "refused writes must not touch the table")
+    // default vacuum: the young lock could be a live writer's — skipped;
+    // an aged-out lock (mtime past the retention horizon) is reaped
+    t.vacuum()
+    assert(f.exists(lock),
+      "default vacuum must not reap a young lock (could be live)")
+    f.setTimes(lock, System.currentTimeMillis() - 3L * 3600 * 1000, -1)
     t.vacuum()
     assert(!f.exists(lock), "vacuum clears the leftover lock")
     t.merge(Seq((1L, "M")).toDF("id", "s"), Seq("id"))

@@ -135,4 +135,42 @@ class RowTrackingSpec extends SparkSpec {
       expected = now
     }
   }
+
+  test("concurrent appends on a row-tracked table go through the STAGED " +
+      "path and draw disjoint id blocks — no collision, no row loss") {
+    // Round 18: identity/row-tracking batches are staged-eligible (block
+    // allocation under the short identity lock, data job lock-free).
+    // Proven, not inferred: the post-stage-write failpoint must fire for
+    // every writer (the serial path never stages), and all ids must be
+    // unique across the interleaved publishes.
+    val p = tmpDir("rt_concurrent")
+    val t = MedallionTable(spark, p, Seq("blk"))
+    t.overwrite((0 until 4).map(b => (-1L - b, b)).toDF("k", "blk"))
+    t.enableRowTracking()
+    val staged = new java.util.concurrent.atomic.AtomicInteger(0)
+    MedallionTable.testFailpoint = {
+      case "post-stage-write" => staged.incrementAndGet(); ()
+      case _ => ()
+    }
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = (0 until 4).map { b =>
+      new Thread(() => try {
+        MedallionTable(spark, p, Seq("blk"))
+          .append((0 until 500).map(i => (b * 10_000L + i, b)).toDF("k", "blk"))
+      } catch { case e: Throwable => failures.add(e) }, s"rtc$b")
+    }
+    try { ths.foreach(_.start()); ths.foreach(_.join(120_000)) }
+    finally MedallionTable.testFailpoint = _ => ()
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    assert(staged.get >= 4,
+      s"row-tracked appends must stage (got ${staged.get} stagings) — " +
+        "a serial fallback here re-serializes ingest")
+    val rows = t.read.select("k", "_row_id").collect()
+    assert(rows.length == 4 * 500 + 4, s"row loss: ${rows.length}")
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length,
+      "row-id collision across concurrent staged appends")
+    assert(!rows.exists(_.isNullAt(1)), "appended rows must carry ids")
+  }
 }
