@@ -79,13 +79,29 @@ object FleetAppendProbe {
           batches.toString, serial.toString, rt.toString)): _*)
           .inheritIO().start()
       }
+      // the cron-janitor deployment shape, live during staged ingest: a
+      // default-config vacuum every second must never abort a writer or
+      // eat a staged batch (the retention horizon's whole point)
+      val janitorStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val janitorRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+      val janitor = new Thread(() => {
+        val jt = new MedallionTable(spark, path)
+        while (!janitorStop.get()) {
+          try { jt.vacuum(); janitorRuns.incrementAndGet() }
+          catch { case _: Throwable => () } // refusals are not failures
+          Thread.sleep(1000)
+        }
+      }, "fleet-janitor")
+      if (!serial) { janitor.setDaemon(true); janitor.start() }
       val rcs = children.map { c =>
         if (!c.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
           c.destroyForcibly(); -1
         } else c.exitValue()
       }
+      janitorStop.set(true)
       val wall = (System.nanoTime() - t0) / 1e3 / 1e6
       require(rcs.forall(_ == 0), s"child rcs: ${rcs.mkString(",")}")
+      if (!serial) require(janitorRuns.get() > 0, "janitor never ran")
 
       val n = t.read.count()
       val expected = writers.toLong * batches * RowsPerBatch + writers

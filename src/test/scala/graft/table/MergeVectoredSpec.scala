@@ -218,6 +218,52 @@ class MergeVectoredSpec extends SparkSpec {
       .getString(0) == "src90")
   }
 
+  test("SQL MERGE under dvWrites falls back to the rewrite path when " +
+      "broadcasts are disabled; dvMergeMaxSourceBytes restores the DV route") {
+    // mergeVectored force-broadcasts its source — when the user DISABLED
+    // broadcasts (threshold <= 0, the they-OOM'd configuration) the
+    // forced one must not stand. Same statement, same results, different
+    // physical route, visible through the committed-batch sidecar.
+    val (_, p) = seed()
+    spark.sql("DROP TABLE IF EXISTS mdv_nobc")
+    spark.sql(s"CREATE TABLE mdv_nobc USING graft LOCATION '$p'")
+    source.createOrReplaceTempView("mdv_nobc_src")
+    def stmt(deleteCond: String) = s"""
+      |MERGE INTO mdv_nobc g USING mdv_nobc_src s ON g.id = s.id
+      |WHEN MATCHED AND $deleteCond THEN DELETE
+      |WHEN NOT MATCHED AND NOT s.del THEN
+      |  INSERT (id, s, grp, v) VALUES (s.id, s.snew, s.id % 4, -1.0)
+      |""".stripMargin
+    spark.conf.set("spark.graft.dvWrites", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try spark.sql(stmt("s.del AND s.id = 91"))
+    finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.dvWrites")
+    }
+    assert(DvUpdates.committedBatches(spark, p).isEmpty,
+      "broadcasts disabled: the merge must take the rewrite path, not DV")
+    assert(spark.sql("SELECT COUNT(*) c FROM mdv_nobc WHERE id = 91").head()
+      .getLong(0) == 0L, "the rewrite-path merge must still apply")
+    assert(spark.sql("SELECT v FROM mdv_nobc WHERE id = 100").head()
+      .getDouble(0) == -1.0)
+    // the dedicated cap re-arms the DV route independently of join
+    // planning (second merge: the delete of id=93 lands as marks)
+    spark.conf.set("spark.graft.dvWrites", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.dvMergeMaxSourceBytes", (64L << 20).toString)
+    try spark.sql(stmt("s.del AND s.id = 93"))
+    finally {
+      spark.conf.unset("spark.graft.dvMergeMaxSourceBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.dvWrites")
+    }
+    assert(DvUpdates.committedBatches(spark, p).nonEmpty,
+      "dvMergeMaxSourceBytes must restore the DV route")
+    assert(spark.sql("SELECT COUNT(*) c FROM mdv_nobc WHERE id = 93").head()
+      .getLong(0) == 0L)
+  }
+
   test("by-source clauses ride the DV path: ≡ mergeClauses rewrite on " +
       "the same inputs, zero base files touched") {
     val (tv, pv) = seed()

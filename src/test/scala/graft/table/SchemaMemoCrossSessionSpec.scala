@@ -62,4 +62,29 @@ class SchemaMemoCrossSessionSpec extends SparkSpec {
       "racing reader session must re-resolve after the write completes")
     assert(t2.read.count() == 2L)
   }
+
+  test("noAqeSession mirrors the parent's RUNTIME conf (not just initial) " +
+      "and keeps adaptive pinned off") {
+    // newSession() starts from initial configs — a parent's runtime
+    // overrides (case sensitivity, ANSI flags, hadoop credentials set
+    // after startup) would silently not apply to internal stats reads,
+    // and the catch-into-invalidateStats would disarm file skipping on
+    // every commit. The clone must track the parent on EVERY reuse.
+    val key = "spark.sql.caseSensitive"
+    val orig = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "true")
+      val c1 = SessionCaches.noAqeSession(spark)
+      assert(c1.conf.get(key) == "true", "clone must carry runtime overrides")
+      assert(c1.conf.get("spark.sql.adaptive.enabled") == "false")
+      // parent changes again AFTER the clone exists: reuse re-mirrors
+      spark.conf.set(key, "false")
+      val c2 = SessionCaches.noAqeSession(spark)
+      assert(c2 eq c1, "the clone is cached per parent session")
+      assert(c2.conf.get(key) == "false",
+        "reuse must re-mirror the parent's current conf")
+      assert(c2.conf.get("spark.sql.adaptive.enabled") == "false",
+        "adaptive stays pinned off after re-mirroring")
+    } finally spark.conf.set(key, orig)
+  }
 }
