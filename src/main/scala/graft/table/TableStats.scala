@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -229,6 +229,298 @@ object TableStats {
     }
   }
 
+  /** Driver-side per-file stats rows from parquet FOOTER metadata — the
+    * commit-floor fast path for [[completeIncrementalUpdate]]. The
+    * incremental stats job was the measured floor's biggest term
+    * (CommitFloorProbe r18: ~115-150 ms/commit of a ~350 ms stats-armed
+    * commit sat in one Spark job re-reading the batch it just wrote);
+    * the footers of those freshly self-written files already carry
+    * min/max/null-count per column chunk, readable in ~1 ms/file with
+    * zero jobs.
+    *
+    * Correctness gates — `None` (whole-batch fallback to the job path,
+    * never a mixed manifest) unless EVERY covered column of EVERY file
+    * is exactly representable:
+    *   - types: String / Byte / Short / Int / Long / Date only. Float
+    *     and Double are excluded because parquet writers silently drop
+    *     NaN from chunk min/max while Spark's min/max order NaN greatest
+    *     — a footer bound could under-report MAX to
+    *     [[aggregateFromManifest]]. Timestamps are excluded because
+    *     Spark's default parquet output is INT96 (statless), and
+    *     Decimal/NTZ for representation subtleties.
+    *   - every chunk must carry usable statistics: values present, or a
+    *     set null-count proving the chunk all-null; a >4 KB string makes
+    *     parquet omit chunk stats → that file fails the gate.
+    *   - string bounds come back EXACT (parquet chunk stats are written
+    *     untruncated by this engine's own writer — the only writer of
+    *     append batches; parquet's unsigned-lexicographic binary order
+    *     equals Spark's UTF8String order, and block merging uses
+    *     parquet's own comparator via `mergeStatistics`).
+    *   - hive partition columns (absent from footers) are reconstructed
+    *     from the file's `k=v` path segments, typed through the table
+    *     schema — min = max = the partition value, as the job path
+    *     computes; `__HIVE_DEFAULT_PARTITION__` reads as null.
+    * `spark.graft.footerStats=false` disables the path outright.
+    *
+    * Returns rows in the exact column layout [[perFileStats]] produces
+    * (file, then min_str/max_str/min_num/max_num[/min_ts/max_ts] per
+    * present column, row_count, then 4 null columns per missing covered
+    * column) so both paths' part-files coexist in one manifest dir.
+    */
+  private[table] def footerStatsRows(spark: SparkSession, tablePath: String,
+      newFiles: Seq[String], readSchema: Option[StructType],
+      covered: Seq[String]): Option[(StructType, Seq[org.apache.spark.sql.Row])] = {
+    import org.apache.hadoop.fs.Path
+    if (!spark.conf.getOption("spark.graft.footerStats").forall(_.toBoolean))
+      return None
+    // scale guard: footer reads are DRIVER work (~1-5 ms/file, pooled
+    // 16-wide below). Small batches — the commit-floor shape this path
+    // exists for — win outright; a many-thousand-file batch belongs on
+    // the distributed job, which scales out with the cluster instead of
+    // serializing on the driver.
+    val maxFiles = spark.conf.getOption("spark.graft.footerStatsMaxFiles")
+      .flatMap(_.toIntOption).getOrElse(256)
+    if (newFiles.size > maxFiles) return None
+    val schema = readSchema.getOrElse(return None)
+    val cmap = ColumnMap.load(spark, tablePath) // logical -> physical
+    val reverse = cmap.map(_.swap)
+    def logicalOf(p: String) = reverse.getOrElse(p, p)
+    val logicalCols = schema.fieldNames.map(logicalOf).toSeq
+    val (present, missing) = covered.partition(logicalCols.contains)
+    val presentFields: Seq[(String, String, DataType)] = present.map { c =>
+      val phys = cmap.getOrElse(c, c)
+      (c, phys, schema.fields.find(_.name == phys)
+        .getOrElse(return None).dataType)
+    }
+    val okTypes = presentFields.forall {
+      case (_, _, StringType | ByteType | ShortType | IntegerType |
+        LongType | DateType) => true
+      case _ => false
+    }
+    if (!okTypes) return None
+
+    // manifest schema, mirroring perFileStats' layout exactly
+    val fields = Seq(StructField("file", StringType)) ++
+      presentFields.flatMap { case (c, _, dt) =>
+        Seq(StructField(s"min_str__$c", StringType),
+          StructField(s"max_str__$c", StringType),
+          StructField(s"min_num__$c", DoubleType),
+          StructField(s"max_num__$c", DoubleType)) ++
+          (if (dt == DateType)
+            Seq(StructField(s"min_ts__$c", LongType),
+              StructField(s"max_ts__$c", LongType))
+          else Nil)
+      } ++ Seq(StructField("row_count", LongType)) ++
+      missing.flatMap(c => Seq(StructField(s"min_str__$c", StringType),
+        StructField(s"max_str__$c", StringType),
+        StructField(s"min_num__$c", DoubleType),
+        StructField(s"max_num__$c", DoubleType)))
+    val rowSchema = StructType(fields)
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val tRoot = new Path(tablePath)
+    val fsys = tRoot.getFileSystem(hconf)
+    val rootUri = fsys.makeQualified(tRoot).toUri
+    val defaultPart = "__HIVE_DEFAULT_PARTITION__"
+    def partitionValues(f: Path): Map[String, String] = {
+      val rel = rootUri.relativize(fsys.makeQualified(f).toUri).getPath
+      rel.split('/').iterator.filter(_.contains('=')).map { seg =>
+        val i = seg.indexOf('=')
+        seg.substring(0, i) ->
+          GraftColumnBridge.unescapePathName(seg.substring(i + 1))
+      }.toMap
+    }
+    // typed stat cells for one column of one file: (minStr, maxStr,
+    // minNum, maxNum, minTs, maxTs) — all-null for an all-null/absent col
+    type Cells = (String, String, java.lang.Double, java.lang.Double,
+      java.lang.Long, java.lang.Long)
+    val nullCells: Cells = (null, null, null, null, null, null)
+    def cellsOf(dt: DataType, minV: Any, maxV: Any): Cells = dt match {
+      case StringType =>
+        (minV.asInstanceOf[String], maxV.asInstanceOf[String], null, null,
+          null, null)
+      case DateType =>
+        val (lo, hi) = (minV.asInstanceOf[Int], maxV.asInstanceOf[Int])
+        (java.time.LocalDate.ofEpochDay(lo.toLong).toString,
+          java.time.LocalDate.ofEpochDay(hi.toLong).toString,
+          null, null, Long.box(lo.toLong), Long.box(hi.toLong))
+      case _ => // byte/short/int/long
+        val (lo, hi) = (minV.asInstanceOf[Number].longValue(),
+          maxV.asInstanceOf[Number].longValue())
+        // match the job path's rendering: cast through the DECLARED type
+        def render(v: Long) = dt match {
+          case ByteType => v.toByte.toString
+          case ShortType => v.toShort.toString
+          case IntegerType => v.toInt.toString
+          case _ => v.toString
+        }
+        (render(lo), render(hi), Double.box(lo.toDouble),
+          Double.box(hi.toDouble), null, null)
+    }
+
+    def fileRow(f: String): Option[org.apache.spark.sql.Row] = {
+      val fp = new Path(f)
+      val footer =
+        try {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, hconf))
+          try r.getFooter finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => return None }
+      val blocks = footer.getBlocks
+      val rowCount = {
+        var n = 0L
+        blocks.forEach(b => n += b.getRowCount)
+        n
+      }
+      val fileSchema = footer.getFileMetaData.getSchema
+      val parts = partitionValues(fp)
+      val cells: Seq[Cells] = presentFields.map { case (_, phys, dt) =>
+        // hive partition column: value is in the path, not the footer
+        parts.keys.find(_.equalsIgnoreCase(phys)) match {
+          case Some(k) =>
+            val raw = parts(k)
+            if (raw == defaultPart) nullCells
+            else try dt match {
+              case StringType => cellsOf(dt, raw, raw)
+              case DateType =>
+                val d = java.time.LocalDate.parse(raw).toEpochDay.toInt
+                cellsOf(dt, d, d)
+              case _ => val v = raw.toLong; cellsOf(dt, v, v)
+            } catch { case scala.util.control.NonFatal(_) => return None }
+          case None =>
+            val matches = (0 until fileSchema.getFieldCount)
+              .map(fileSchema.getFieldName)
+              .filter(_.equalsIgnoreCase(phys))
+            if (matches.isEmpty) nullCells // absent column reads as null
+            else if (matches.size > 1) return None
+            else {
+              val name = matches.head
+              var merged: org.apache.parquet.column.statistics
+                .Statistics[_] = null
+              val it = blocks.iterator()
+              while (it.hasNext) {
+                val b = it.next()
+                val chunk = {
+                  var found: org.apache.parquet.hadoop.metadata
+                    .ColumnChunkMetaData = null
+                  b.getColumns.forEach { c =>
+                    if (c.getPath.size() == 1 && c.getPath.toArray()(0) == name)
+                      found = c
+                  }
+                  found
+                }
+                if (chunk == null) return None
+                val st = chunk.getStatistics
+                // usable = carries values, or proves the chunk all-null
+                val usable = st != null && (st.hasNonNullValue ||
+                  (st.isNumNullsSet && st.getNumNulls == chunk.getValueCount))
+                if (!usable) return None
+                if (merged == null)
+                  merged = st.copy.asInstanceOf[
+                    org.apache.parquet.column.statistics.Statistics[_]]
+                else
+                  try merged.mergeStatistics(st)
+                  catch { case scala.util.control.NonFatal(_) => return None }
+              }
+              if (merged == null || !merged.hasNonNullValue) nullCells
+              else {
+                val (minV, maxV) = merged match {
+                  case b: org.apache.parquet.column.statistics
+                      .BinaryStatistics =>
+                    (b.genericGetMin.toStringUsingUTF8,
+                      b.genericGetMax.toStringUsingUTF8)
+                  case s => (s.genericGetMin, s.genericGetMax)
+                }
+                try cellsOf(dt, minV, maxV)
+                catch { case scala.util.control.NonFatal(_) => return None }
+              }
+            }
+        }
+      }
+      val values = Seq(fsys.makeQualified(fp).toString) ++
+        presentFields.zip(cells).flatMap { case ((_, _, dt), c) =>
+          Seq(c._1, c._2, c._3, c._4) ++
+            (if (dt == DateType) Seq(c._5, c._6) else Nil)
+        } ++ Seq(Long.box(rowCount)) ++
+        missing.flatMap(_ => Seq(null, null, null, null))
+      Some(org.apache.spark.sql.Row.fromSeq(values))
+    }
+
+    // Footer reads are ~1-5 ms of driver-side IO each; a 32-file batch
+    // read SEQUENTIALLY loses to the parallel stats job it replaces
+    // (within-epoch A/B at sf0.1: footer-on slower on every commit-heavy
+    // query until this pool landed). Bounded parallelism keeps the
+    // multi-file case ahead; a single-file batch skips the pool.
+    val rowOpts: Seq[Option[org.apache.spark.sql.Row]] =
+      if (newFiles.size <= 1) newFiles.map(fileRow)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, newFiles.size))
+        try {
+          val futs = newFiles.map(f => pool.submit(
+            new java.util.concurrent.Callable[Option[org.apache.spark.sql.Row]] {
+              override def call() =
+                try fileRow(f)
+                catch { case scala.util.control.NonFatal(_) => None }
+            }))
+          futs.map(_.get())
+        } finally pool.shutdown()
+      }
+    if (rowOpts.exists(_.isEmpty)) None
+    else Some((rowSchema, rowOpts.map(_.get)))
+  }
+
+  /** Driver-side manifest part-file write (parquet-mr Group API) — a
+    * handful of stats rows never needs a Spark job; the 1-task write's
+    * scheduling alone measured ~90 ms/commit. The part lands under a
+    * unique name directly in the manifest dir (the caller's append-mode
+    * contract); a torn file from a crash sits in `stats_pending`, which
+    * the next writer's [[beginIncrementalUpdate]] clears — same
+    * manifest-absent-never-stale guarantee as the job path.
+    */
+  private def writeManifestPart(spark: SparkSession, dir: String,
+      rowSchema: StructType, rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val b = Types.buildMessage()
+    rowSchema.fields.foreach { f =>
+      f.dataType match {
+        case StringType => b.addField(Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case DoubleType =>
+          b.addField(Types.optional(PrimitiveTypeName.DOUBLE).named(f.name))
+        case LongType =>
+          b.addField(Types.optional(PrimitiveTypeName.INT64).named(f.name))
+        case dt => throw new IllegalArgumentException(
+          s"manifest writer: unexpected type $dt for ${f.name}")
+      }
+    }
+    val msg = b.named("graft_stats")
+    val hconf = spark.sessionState.newHadoopConf()
+    val out = new org.apache.hadoop.fs.Path(dir,
+      s"part-footer-${java.util.UUID.randomUUID().toString.take(12)}.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(out, hconf))
+      .withType(msg).withConf(hconf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { r =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(msg)
+      rowSchema.fields.zipWithIndex.foreach { case (f, i) =>
+        val v = r.get(i)
+        if (v != null) f.dataType match {
+          case StringType => g.append(f.name,
+            org.apache.parquet.io.api.Binary.fromString(v.asInstanceOf[String]))
+          case DoubleType => g.append(f.name, v.asInstanceOf[Double])
+          case _ => g.append(f.name, v.asInstanceOf[Long])
+        }
+      }
+      writer.write(g)
+    } finally writer.close()
+  }
+
   /** Crash-safe incremental manifest maintenance for APPEND (the one
     * mutation that adds files without touching existing ones). Protocol —
     * the manifest on disk is either COMPLETE or ABSENT, never stale:
@@ -290,21 +582,31 @@ object TableStats {
       // into two scheduled JOBS (exchange future + result), doubling the
       // fixed per-commit latency for a query over a handful of rows
       val s1 = SessionCaches.noAqeSession(spark)
-      val reader = readSchema match {
-        case Some(s) => s1.read.schema(s)
-        case None => s1.read.option("mergeSchema", "true")
-      }
-      val df = ColumnMap.toLogical(
-        reader.option("basePath", tablePath).parquet(newFiles: _*),
-        ColumnMap.load(spark, tablePath))
-      val (present, missing) = covered.partition(df.columns.contains)
-      val stats = missing.foldLeft(perFileStats(df, present)) { (s, c) =>
-        s.withColumn(s"min_str__$c", lit(null).cast("string"))
-          .withColumn(s"max_str__$c", lit(null).cast("string"))
-          .withColumn(s"min_num__$c", lit(null).cast("double"))
-          .withColumn(s"max_num__$c", lit(null).cast("double"))
+      footerStatsRows(spark, tablePath, newFiles, readSchema, covered) match {
+        case Some((rowSchema, rows)) =>
+          // footer fast path: stats came off the batch files' own
+          // parquet metadata driver-side, and the manifest part is
+          // written driver-side too — the stats half of the commit
+          // schedules ZERO Spark jobs (CommitFloorProbe: the 1-task
+          // write job alone was ~90 ms/commit of scheduling)
+          writeManifestPart(spark, pendingPath(tablePath), rowSchema, rows)
+        case None =>
+          val reader = readSchema match {
+            case Some(s) => s1.read.schema(s)
+            case None => s1.read.option("mergeSchema", "true")
+          }
+          val df = ColumnMap.toLogical(
+            reader.option("basePath", tablePath).parquet(newFiles: _*),
+            ColumnMap.load(spark, tablePath))
+          val (present, missing) = covered.partition(df.columns.contains)
+          val stats = missing.foldLeft(perFileStats(df, present)) { (s, c) =>
+            s.withColumn(s"min_str__$c", lit(null).cast("string"))
+              .withColumn(s"max_str__$c", lit(null).cast("string"))
+              .withColumn(s"min_num__$c", lit(null).cast("double"))
+              .withColumn(s"max_num__$c", lit(null).cast("double"))
       }
       stats.coalesce(1).write.mode("append").parquet(pendingPath(tablePath))
+      }
       // Self-compaction: append mode adds one part-file per commit, so a
       // standing index's manifest fragments without bound — every read
       // and every legacy inference pass would grow with COMMIT COUNT,

@@ -53,4 +53,12 @@ object GraftColumnBridge {
     val cs = spark.asInstanceOf[classic.SparkSession]
     cs.sharedState.cacheManager.recacheByPlan(cs, plan)
   }
+
+  /** Hive-layout partition-segment unescape (`%XX` decoding) — Spark's
+    * own codec, so footer-derived partition values match what a
+    * partition-aware scan reconstructs (TableStats.footerStatsRows).
+    */
+  def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(s)
 }

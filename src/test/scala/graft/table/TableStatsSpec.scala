@@ -254,4 +254,99 @@ class TableStatsSpec extends SparkSpec {
     assert(t.read.count() == 1)
     assert(t.exists)
   }
+
+  // ---- footer-derived incremental stats (the commit-floor fast path) ----
+
+  /** Manifest rows as comparable tuples, file column replaced by a
+    * content key (min id string) so the two tables' differently-named
+    * files line up.
+    */
+  private def manifestRows(p: String): Set[Map[String, Any]] = {
+    val df = spark.read.parquet(s"$p/_graft_meta/stats")
+    val cols = df.columns.sorted.toSeq
+    df.collect().map { r =>
+      cols.filter(_ != "file").map(c => c -> r.get(r.fieldIndex(c))).toMap
+    }.toSet
+  }
+
+  test("footer-derived incremental stats ≡ the Spark-job path on " +
+      "adversarial data (unicode, nulls, absent columns, negatives, dates)") {
+    import spark.implicits._
+    import java.sql.Date
+    // two identical tables, one with the footer path disabled — byte-for
+    // byte equal manifests proves the driver-side footer math reproduces
+    // the job's min/max/null/row-count semantics exactly
+    def drive(p: String, footer: Boolean): Unit = {
+      spark.conf.set("spark.graft.footerStats", footer.toString)
+      try {
+        val t = MedallionTable(spark, p)
+        t.overwrite(Seq(
+          (1L, "banana", Date.valueOf("2024-03-01")),
+          (-5L, "apple", Date.valueOf("2023-01-15"))).toDF("id", "s", "d")
+          .coalesce(1))
+        t.refreshStats()
+        // unicode ordering: U+FFFD vs a supplementary char — UTF-8 byte
+        // order (parquet, UTF8String) differs from Java UTF-16 order here
+        t.append(Seq((100L, "z�", Date.valueOf("2025-06-30")),
+          (7L, "z😀", Date.valueOf("2020-02-29")))
+          .toDF("id", "s", "d").coalesce(1))
+        // all-null string column + empty string in a later batch
+        t.append(Seq((200L, null: String, Date.valueOf("2024-01-01")),
+          (201L, null: String, Date.valueOf("2024-01-02")))
+          .toDF("id", "s", "d").coalesce(1))
+        t.append(Seq((300L, "", Date.valueOf("2024-05-05")))
+          .toDF("id", "s", "d").coalesce(1))
+        // a batch missing a covered column entirely (absent in footer)
+        t.append(Seq((400L, Date.valueOf("2024-07-07"))).toDF("id", "d")
+          .coalesce(1))
+      } finally spark.conf.unset("spark.graft.footerStats")
+    }
+    val p1 = tmpDir("fstats_on"); val p2 = tmpDir("fstats_off")
+    drive(p1, footer = true)
+    drive(p2, footer = false)
+    assert(manifestRows(p1) == manifestRows(p2),
+      s"footer-path manifest diverges from the job path:\n" +
+        s"footer=${manifestRows(p1)}\njob=${manifestRows(p2)}")
+    // and the consumers agree with the data on the footer-path table
+    val t1 = MedallionTable(spark, p1)
+    assert(t1.readRange("id", 100L, 250L).count() ==
+      t1.read.filter($"id".between(100L, 250L)).count())
+    assert(TableStats.aggregateFromManifest(spark, p1,
+      Seq(TableStats.RowCount, TableStats.ColMin("s"), TableStats.ColMax("s")),
+      t1.read.schema).head() ==
+      t1.read.selectExpr("COUNT(*)", "MIN(s)", "MAX(s)").head())
+  }
+
+  test("footer stats engage on clean types, fall back whole-batch on " +
+      "doubles and on hive partition columns they can reconstruct") {
+    import spark.implicits._
+    // clean long/string table: the fast path must actually ENGAGE
+    val p = tmpDir("fstats_engage")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    t.refreshStats()
+    t.append(Seq((2L, "b")).toDF("id", "s").coalesce(1))
+    val files = t.read.inputFiles.filter(_.contains("part-")).toSeq
+    val schema = t.read.schema
+    assert(TableStats.footerStatsRows(spark, p, files.take(1), Some(schema),
+      Seq("id", "s")).nonEmpty,
+      "clean long/string batch must take the footer path")
+    // a covered DOUBLE column forces the job path (NaN under-reporting)
+    assert(TableStats.footerStatsRows(spark, p, files.take(1), Some(schema
+        .add("v", org.apache.spark.sql.types.DoubleType)),
+      Seq("id", "v")).isEmpty,
+      "a covered double column must fall back to the job path")
+    // hive-partitioned: partition values come off the path, min = max
+    val pp = tmpDir("fstats_part")
+    val tp = MedallionTable(spark, pp, Seq("grp"))
+    tp.overwrite(Seq((1L, "x", "g a"), (2L, "y", "g b")).toDF("id", "s", "grp"))
+    tp.refreshStats()
+    tp.append(Seq((3L, "z", "g a")).toDF("id", "s", "grp"))
+    assert(TableStats.coveredColumns(spark, pp).contains("grp"))
+    assert(TableStats.aggregateFromManifest(spark, pp,
+      Seq(TableStats.ColMin("grp"), TableStats.ColMax("grp")),
+      tp.read.schema).head() ==
+      tp.read.selectExpr("MIN(grp)", "MAX(grp)").head(),
+      "partition-column bounds must survive the footer path (escaping too)")
+  }
 }
