@@ -57,6 +57,49 @@ TOTAL_BUDGET = 2 * baseline["total_sec"]
 over_total = total > TOTAL_BUDGET
 if over_total:
     print(f"TOTAL {total:.1f}s > 2x baseline gate {TOTAL_BUDGET:.0f}s")
+
+# Excursion watchdog (r18 verdict #5): diff this run against the PRIOR
+# round's persisted per-query map and flag >3x moves. The r17
+# pipeline_curate_standing episode (32.8 s one-off, 6.1 s everywhere
+# else) cost a round of mystery because nothing surfaced the outlier at
+# gate time; a flagged excursion should trigger graft.tools.
+# BenchContextRepro (prefix bisect) BEFORE anyone believes a structural
+# cause. Informational, not fatal: cross-epoch totals legitimately swing
+# +-20%, and a 3x single-query move is a diagnosis trigger, not proof.
+import glob, re
+EXCURSION_RATIO = 3.0
+NOISE_FLOOR_SEC = 0.5  # sub-noise-floor queries flap on scheduling alone
+priors = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                       "bench_full_r*.json")))
+excursions = []
+if priors:
+    prior_path = priors[-1]
+    prior = json.load(open(prior_path)).get("queries", {})
+    for k, v in d.items():
+        pv = prior.get(k)
+        if pv is None or pv <= 0 or v <= 0:
+            continue
+        if max(v, pv) < NOISE_FLOOR_SEC:
+            continue
+        ratio = v / pv
+        if ratio >= EXCURSION_RATIO or ratio <= 1 / EXCURSION_RATIO:
+            excursions.append({"query": k, "prior_sec": round(pv, 2),
+                               "now_sec": round(v, 2),
+                               "ratio": round(ratio, 2)})
+    excursions.sort(key=lambda e: -max(e["ratio"], 1 / e["ratio"]))
+    for e in excursions:
+        direction = "SLOWER" if e["ratio"] > 1 else "faster"
+        print(f"EXCURSION {e['query']}: {e['prior_sec']}s -> {e['now_sec']}s "
+              f"({e['ratio']}x {direction} vs {os.path.basename(prior_path)})"
+              " — run graft.tools.BenchContextRepro before assuming code")
+    cmp_out = {"prior": os.path.basename(prior_path),
+               "ratio_gate": EXCURSION_RATIO,
+               "noise_floor_sec": NOISE_FLOOR_SEC,
+               "excursions": excursions}
+    with open("target/bench_excursions.json", "w") as f:
+        json.dump(cmp_out, f, indent=1)
+
 print(f"\n{len(d)} queries, total {total:.1f}s (gate {TOTAL_BUDGET:.0f}s), "
-      f"{len(failed)} failed, {len(slow)} over budget")
+      f"{len(failed)} failed, {len(slow)} over budget, "
+      f"{len(excursions)} excursions vs prior round")
 sys.exit(1 if failed or slow or over_total else 0)

@@ -318,7 +318,7 @@ final case class GraftMergeCommand(
     // when users want DV merges sized independently of join planning.
     val dvFits = dv && {
       val cap = spark.conf.getOption("spark.graft.dvMergeMaxSourceBytes")
-        .map(_.toLong)
+        .flatMap(_.toLongOption)
         .getOrElse(spark.sessionState.conf.autoBroadcastJoinThreshold)
       cap > 0 &&
         sourceDf.queryExecution.optimizedPlan.stats.sizeInBytes <= cap

@@ -122,8 +122,8 @@ object CopyInto {
       if (System.currentTimeMillis() > deadline)
         throw new java.util.ConcurrentModificationException(
           s"another COPY INTO holds the copy lock on table after " +
-            s"${MedallionTable.WriterWaitMs} ms; if that run crashed, " +
-            "vacuum() clears its lock")
+            s"${MedallionTable.WriterWaitMs} ms; " +
+            MedallionTable.crashedHolderHint)
       Thread.sleep(50)
     }
     try body

@@ -291,8 +291,8 @@ final class MedallionTable(
       if (System.currentTimeMillis() > deadline)
         throw new java.util.ConcurrentModificationException(
           s"stats manifest lock on $path held after " +
-            s"${MedallionTable.WriterWaitMs} ms; if that writer crashed, " +
-            "vacuum() clears it")
+            s"${MedallionTable.WriterWaitMs} ms; " +
+            MedallionTable.crashedHolderHint)
       Thread.sleep(10)
     }
     try f finally {
@@ -762,8 +762,8 @@ final class MedallionTable(
           if (timedOut())
             throw new java.util.ConcurrentModificationException(
               s"another claim-first write holds the writer lock on $path " +
-                s"after ${MedallionTable.WriterWaitMs} ms; if that writer " +
-                "crashed, vacuum() clears its lock")
+                s"after ${MedallionTable.WriterWaitMs} ms; " +
+                MedallionTable.crashedHolderHint)
           Thread.sleep(50)
         }
         try {
@@ -771,8 +771,8 @@ final class MedallionTable(
             if (timedOut())
               throw new java.util.ConcurrentModificationException(
                 s"scoped writer locks on $path still standing after " +
-                  s"${MedallionTable.WriterWaitMs} ms; if those writers " +
-                  "crashed, vacuum() clears their locks")
+                  s"${MedallionTable.WriterWaitMs} ms; " +
+                  MedallionTable.crashedHolderHint)
             Thread.sleep(25)
           }
         } catch {
@@ -794,8 +794,8 @@ final class MedallionTable(
               throw new java.util.ConcurrentModificationException(
                 s"conflicting writer locks on $path still standing after " +
                   s"${MedallionTable.WriterWaitMs} ms (footprint " +
-                  s"${resources.mkString(", ")}); if a writer crashed, " +
-                  "vacuum() clears its locks")
+                  s"${resources.mkString(", ")}); " +
+                  MedallionTable.crashedHolderHint)
             if (fs.exists(writeLock)) {
               // release own FIRST: a global writer drains scoped locks,
               // so sleeping while still holding ours would deadlock the
@@ -903,8 +903,8 @@ final class MedallionTable(
         if (System.currentTimeMillis() > intentDeadline)
           throw new java.util.ConcurrentModificationException(
             s"rewrite intent on $path still standing after " +
-              s"${MedallionTable.WriterWaitMs} ms; if the rewrite crashed, " +
-              "vacuum() clears its leftovers")
+              s"${MedallionTable.WriterWaitMs} ms; " +
+              MedallionTable.crashedHolderHint)
         Thread.sleep(50)
       }
       while (claimed < 0) {
@@ -1449,8 +1449,8 @@ final class MedallionTable(
       if (System.currentTimeMillis() > deadline)
         throw new java.util.ConcurrentModificationException(
           s"identity allocation lock on $path held after " +
-            s"${MedallionTable.WriterWaitMs} ms; if that writer crashed, " +
-            "vacuum() clears it")
+            s"${MedallionTable.WriterWaitMs} ms; " +
+            MedallionTable.crashedHolderHint)
       Thread.sleep(20)
     }
     try f finally {
@@ -1535,8 +1535,13 @@ final class MedallionTable(
     // (zipWithIndex runs an internal per-partition count of its own).
     // mapPartitions emits exactly one element per partition, and collect
     // concatenates partition results in order, so index == partition id.
+    // Long accumulation, not Iterator.size: size returns Int and a
+    // partition past 2^31 rows would silently overflow at 100 TB scale.
     val sizes = cached.rdd
-      .mapPartitions(it => Iterator(it.size.toLong)).collect()
+      .mapPartitions { it =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1L }
+        Iterator(n)
+      }.collect()
     val n = sizes.sum
     if (n == 0L)
       return names.foldLeft(cached) { case (d, (nm, _)) =>
@@ -2504,7 +2509,7 @@ final class MedallionTable(
         fenceAttempts += 1
         if (fenceAttempts >= 8) throw new java.util.ConcurrentModificationException(
           s"claim-first write in flight on $path: rewrite cannot pin a " +
-            "snapshot (if that writer crashed, vacuum() clears its lock)")
+            s"snapshot (${MedallionTable.crashedHolderHint})")
         Thread.sleep(25)
       }
     }
@@ -2718,8 +2723,8 @@ final class MedallionTable(
             throw new java.util.ConcurrentModificationException(
               s"deep clone: claim-first write in flight on ${source.path} " +
                 s"after ${MedallionTable.WriterWaitMs} ms; " +
-                "cannot pin a source snapshot (if that writer crashed, " +
-                "vacuum() clears its lock)")
+                "cannot pin a source snapshot " +
+                s"(${MedallionTable.crashedHolderHint})")
           Thread.sleep(25)
         }
         val census0 = source.metaCensusHash()
@@ -4336,7 +4341,10 @@ final class MedallionTable(
     * neither litter, nor the crashed-writer lock/intent files, nor the
     * mid-swap restore. Rows are (path, action): `delete` for rewrite
     * litter, `restore` for the backup a real vacuum would rename back
-    * over a mid-swap husk.
+    * over a mid-swap husk, `defer` for rewrite litter vacuum stands down
+    * from while a young intent/lock says a live rewriter may own the
+    * absent-dir swap window, `refuse` for tmp litter that might be the
+    * only copy of the data.
     */
   /** Rewrite litter beside the table dir (tmp + backup siblings) —
     * shared by [[vacuum]] and [[vacuumDryRun]] so the dry run can never
@@ -4403,6 +4411,14 @@ final class MedallionTable(
       litter.filter(p => !isRewriteTmp(p) || reap(p))
         .map(p => (p.toString, "delete")).sortBy(_._1)
     }
+    else if (liveRewritePossible(vacuumReaper())) {
+      // absent dir + young intent/lock: possibly a LIVE rewrite's swap
+      // window — a real vacuum stands down from restore and rewrite
+      // litter alike; witness-checked DV orphans it still deletes
+      val (rw, dv) = litter.partition(p => isBackup(p) || isRewriteTmp(p))
+      (rw.map(p => (p.toString, "defer")) ++
+        dv.map(p => (p.toString, "delete"))).sortBy(_._1)
+    }
     else if (backups.nonEmpty) {
       // a real vacuum would restore the newest backup, delete the rest
       val restore = newestBackup(backups)
@@ -4447,12 +4463,33 @@ final class MedallionTable(
        catch { case _: java.io.IOException => false })
   }
 
+  /** A LIVE rewrite's two-rename swap (`dst→backup`, `tmp→dst`) leaves
+    * the table dir ABSENT for an instant — indistinguishable from a
+    * mid-swap crash by directory shape alone. The swap runs under a
+    * published rewrite intent, and claim-first writers hold lock files,
+    * so a standing intent/lock YOUNGER than the retention horizon means
+    * a live (or recently-crashed) rewriter may still own the window:
+    * [[vacuum]]'s restore must stand down, or a healthy rewrite's second
+    * rename fails against the restored backup (fail-stop, but a spurious
+    * failure a 1 Hz janitor would inject routinely). An artifact older
+    * than the horizon — or `spark.graft.vacuumAssumeNoWriters=true` —
+    * proves the crash and re-arms the restore.
+    */
+  private def liveRewritePossible(reapable: Path => Boolean): Boolean =
+    (fs.exists(intentFile) && !reapable(intentFile)) ||
+      (fs.exists(writeLock) && !reapable(writeLock)) ||
+      scopedLockFiles().exists(p => !reapable(p))
+
   def vacuum(): Int = {
     val dst = fs.makeQualified(new Path(path))
     if (rewriteLitter().isEmpty && !fs.exists(commitsDir)) return 0
     def litter() = rewriteLitter()
-    val recovered = !exists
-    if (!exists) {
+    val reapable = vacuumReaper()
+    // stand down from the restore AND from rewrite litter while a live
+    // rewriter may own the absent-dir window — see liveRewritePossible
+    val standDown = !exists && liveRewritePossible(reapable)
+    val recovered = !exists && !standDown
+    if (recovered) {
       // mid-swap crash: restore the backup (pre-rewrite committed state);
       // the interrupted rewrite re-runs idempotently later
       val backups = litter().filter(isBackup)
@@ -4469,7 +4506,6 @@ final class MedallionTable(
           s"vacuum: $path has no live data and no backup; refusing to " +
             s"delete ${litter().map(_.getName).mkString(", ")}")
     }
-    val reapable = vacuumReaper()
     // __graft_tmp_ siblings of a LIVE table may belong to a LIVE rewrite
     // mid-data-job (it holds the writer lock, but vacuum must not have
     // to trust that) — age-guarded like every other writer artifact.
@@ -4478,8 +4514,9 @@ final class MedallionTable(
     // Backups (__graft_old_) with a live table are a completed-swap's
     // pending delete; DV orphans/compact staging are witness-checked
     // (provably uncommitted) — all unconditional.
-    val toDelete = litter()
-      .filter(p => recovered || !isRewriteTmp(p) || reapable(p)) ++
+    val toDelete = (if (standDown) Nil
+      else litter()
+        .filter(p => recovered || !isRewriteTmp(p) || reapable(p))) ++
       // a crashed updateVectored's invisible staging: batch dirs without
       // a committed marks witness, and marks stagings that never renamed
       DvUpdates.orphans(spark, path) ++ dvCompactLitter()
@@ -4817,6 +4854,17 @@ object MedallionTable {
     * reap for operator-driven crash recovery.
     */
   private[graft] val VacuumStagingRetentionMs = 2L * 3600 * 1000
+
+  /** Shared remediation clause for lock/intent-held conflict messages.
+    * A DEFAULT vacuum only reaps coordination artifacts older than the
+    * staging retention — telling an operator "vacuum() clears it" right
+    * after a crash would send them to a no-op. The accurate guidance is
+    * the retention wait OR the explicit assume-no-writers hatch.
+    */
+  private[table] val crashedHolderHint: String =
+    "a crashed holder's leftovers are reaped by vacuum() once older " +
+      "than spark.graft.vacuumStagingRetentionMs (2 h default), or " +
+      "immediately with spark.graft.vacuumAssumeNoWriters=true"
 
   /** Test-only failpoint, invoked at named points of the commit
     * protocol ("mid-claim-first": a claim-first writer holds its

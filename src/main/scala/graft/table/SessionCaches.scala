@@ -40,6 +40,12 @@ private[table] object SessionCaches {
 
   private val noAqe =
     new java.util.WeakHashMap[SparkSession, SparkSession]()
+  // Keys we copied onto the clone on a previous reuse. A key the parent
+  // later unset()s disappears from its getAll, so plain re-mirroring
+  // would leave the clone's copy standing forever (stale semantics, e.g.
+  // caseSensitive stuck true); we diff against this set and unset.
+  private val noAqeMirrored =
+    new java.util.WeakHashMap[SparkSession, Set[String]]()
 
   /** A clone of `spark` with adaptive execution OFF, cached per parent
     * session (weak-keyed — dies with its parent). AQE materializes each
@@ -66,15 +72,33 @@ private[table] object SessionCaches {
       noAqe.put(spark, s)
     }
     val clone = s
-    spark.conf.getAll.foreach { case (k, v) =>
+    val parentAll = spark.conf.getAll
+    // Keys mirrored on a prior reuse that the parent has since unset():
+    // revert them on the clone too, or internal reads keep running under
+    // the reverted semantics forever.
+    val previously = Option(noAqeMirrored.get(spark)).getOrElse(Set.empty)
+    (previously -- parentAll.keySet).foreach { k =>
+      try clone.conf.unset(k)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val mirrored = Set.newBuilder[String]
+    parentAll.foreach { case (k, v) =>
       // runtime conf holds some launch-time-only keys (e.g.
-      // spark.master); setting them throws — mirror what CAN be set
+      // spark.master); setting them throws — mirror what CAN be set.
+      // NonFatal, not just AnalysisException: set() can also throw
+      // IllegalArgumentException on a value failing a modifiable key's
+      // validator, which must not abort the rest of the mirror loop.
       if (clone.conf.isModifiable(k) &&
           !clone.conf.getOption(k).contains(v)) {
-        try clone.conf.set(k, v)
-        catch { case _: org.apache.spark.sql.AnalysisException => () }
+        try { clone.conf.set(k, v); mirrored += k }
+        catch { case scala.util.control.NonFatal(_) => () }
+      } else if (clone.conf.isModifiable(k)) {
+        // already at the parent's value (mirrored earlier or default) —
+        // still ours to revert if the parent later unsets it
+        mirrored += k
       }
     }
+    noAqeMirrored.put(spark, mirrored.result())
     clone.conf.set("spark.sql.adaptive.enabled", "false")
     clone
   }

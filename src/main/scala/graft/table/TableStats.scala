@@ -285,11 +285,23 @@ object TableStats {
     val cmap = ColumnMap.load(spark, tablePath) // logical -> physical
     val reverse = cmap.map(_.swap)
     def logicalOf(p: String) = reverse.getOrElse(p, p)
+    // Resolve covered -> schema columns with the SESSION's resolver, the
+    // same way footer fields and hive path segments are matched below.
+    // Under spark.sql.caseSensitive=false (the default) a covered column
+    // whose manifest-recorded case differs from the current schema
+    // spelling must still engage the footer path — a case-sensitive
+    // `contains` here silently fell back to the job path (correct but
+    // defeating the floor cut) and was asymmetric with the
+    // equalsIgnoreCase matching on the footer side.
+    val resolver = spark.sessionState.analyzer.resolver
     val logicalCols = schema.fieldNames.map(logicalOf).toSeq
-    val (present, missing) = covered.partition(logicalCols.contains)
+    val (present, missing) =
+      covered.partition(c => logicalCols.exists(resolver(_, c)))
     val presentFields: Seq[(String, String, DataType)] = present.map { c =>
-      val phys = cmap.getOrElse(c, c)
-      (c, phys, schema.fields.find(_.name == phys)
+      val phys = cmap.collectFirst {
+        case (l, p) if resolver(l, c) => p
+      }.getOrElse(c)
+      (c, phys, schema.fields.find(f => resolver(f.name, phys))
         .getOrElse(return None).dataType)
     }
     val okTypes = presentFields.forall {
@@ -318,6 +330,16 @@ object TableStats {
     val rowSchema = StructType(fields)
 
     val hconf = spark.sessionState.newHadoopConf()
+    // String-bound exactness assumes UNTRUNCATED chunk statistics (the
+    // engine's own writer leaves parquet's truncation off). If the user
+    // configures parquet.statistics.truncate.length (spark.hadoop.*),
+    // truncated BINARY bounds still pass the usable gate but are not
+    // values present in the data — a metadata MIN/MAX answer would
+    // fabricate a string. Numerics/dates are untruncatable; gate only
+    // batches with a string-covered column.
+    if (presentFields.exists(_._3 == StringType) &&
+        hconf.get("parquet.statistics.truncate.length") != null)
+      return None
     val tRoot = new Path(tablePath)
     val fsys = tRoot.getFileSystem(hconf)
     val rootUri = fsys.makeQualified(tRoot).toUri

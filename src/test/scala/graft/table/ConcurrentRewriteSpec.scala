@@ -535,4 +535,64 @@ class ConcurrentRewriteSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")),
       "rows must land exactly once through the serial fallback")
   }
+
+  test("janitor vacuum fired inside a LIVE rewrite's swap window stands " +
+      "down: no spurious restore, the rewrite completes") {
+    val p = tmpDir("cr_swap_vacuum")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    val janitor = new MedallionTable(spark, p)
+    var reaped = -1
+    MedallionTable.testFailpoint = {
+      case "mid-swap" =>
+        // between rename(dst, backup) and rename(tmp, dst): the live dir
+        // is ABSENT and the rewrite intent is published — exactly the
+        // window a default-config 1 Hz cron janitor can hit. The old
+        // restore branch would rename the backup over dst here and fail
+        // the rewriter's second rename.
+        reaped = janitor.vacuum()
+      case _ => ()
+    }
+    try t.merge(Seq((1L, 11.0)).toDF("id", "v"), Seq("id"))
+    finally MedallionTable.testFailpoint = _ => ()
+    assert(reaped == 0,
+      "vacuum must touch nothing inside a live rewrite's swap window")
+    // merge is full-sync: the source IS the new table state
+    assert(t.read.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 11.0)),
+      "the live rewrite must land despite the janitor vacuum")
+  }
+
+  test("mid-swap crash with a YOUNG intent standing: vacuum defers the " +
+      "restore until the intent ages past the horizon") {
+    val p = tmpDir("cr_swap_defer")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // fabricate a kill -9 mid-swap: live dir renamed to backup, a FRESH
+    // rewrite intent standing (a hard crash never runs clearIntent)
+    assert(f.rename(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.Path(s"${p}__graft_old_1_aa")))
+    val intent = new org.apache.hadoop.fs.Path(
+      s"${p}__graft_commits", "rewrite.intent")
+    val out = f.create(intent, true)
+    out.write(s"${System.currentTimeMillis()}\trewrite".getBytes("UTF-8"))
+    out.close()
+    assert(!t.exists)
+    // young intent: could be a LIVE swap — defer, don't restore
+    val dry = t.vacuumDryRun()
+    assert(dry.nonEmpty && dry.forall(_._2 == "defer"),
+      s"dry run must report defer under a young intent, got $dry")
+    assert(t.vacuum() == 0)
+    assert(!t.exists, "vacuum must not restore under a young intent")
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"${p}__graft_old_1_aa")),
+      "the backup (possibly a live swap's) must not be deleted")
+    // aged past the retention horizon the crash is PROVEN: restore re-arms
+    f.setTimes(intent, System.currentTimeMillis() - 3L * 3600 * 1000, -1)
+    t.vacuum()
+    assert(t.exists, "an aged intent must re-arm the mid-swap restore")
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a")))
+  }
 }

@@ -87,4 +87,30 @@ class SchemaMemoCrossSessionSpec extends SparkSpec {
         "adaptive stays pinned off after re-mirroring")
     } finally spark.conf.set(key, orig)
   }
+
+  test("noAqeSession reverts a key the parent unset()s instead of " +
+      "serving the stale override forever") {
+    val key = "spark.sql.caseSensitive"
+    val other = "spark.sql.autoBroadcastJoinThreshold"
+    val origOther = spark.conf.get(other)
+    try {
+      spark.conf.set(key, "true")
+      val c1 = SessionCaches.noAqeSession(spark)
+      assert(c1.conf.get(key) == "true")
+      // parent REVERTS via unset: plain re-mirroring sees no entry for
+      // the key and would leave the clone's copy standing forever —
+      // internal stats reads stuck under reverted semantics
+      spark.conf.unset(key)
+      spark.conf.set(other, "12345") // a later key must still mirror
+      val c2 = SessionCaches.noAqeSession(spark)
+      assert(c2.conf.get(key) == spark.conf.get(key),
+        "an unset key must revert on the clone too")
+      assert(c2.conf.get(other) == "12345",
+        "remaining keys must still mirror after the unset pass")
+      assert(c2.conf.get("spark.sql.adaptive.enabled") == "false")
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.set(other, origOther)
+    }
+  }
 }

@@ -349,4 +349,60 @@ class TableStatsSpec extends SparkSpec {
       tp.read.selectExpr("MIN(grp)", "MAX(grp)").head(),
       "partition-column bounds must survive the footer path (escaping too)")
   }
+
+  test("footer stats resolve covered columns with the session resolver: " +
+      "a case-variant manifest spelling still engages the floor cut") {
+    import spark.implicits._
+    val p = tmpDir("fstats_case")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "a")).toDF("id", "s"))
+    t.refreshStats()
+    t.append(Seq((2L, "b")).toDF("id", "s").coalesce(1))
+    val files = t.read.inputFiles.filter(_.contains("part-")).toSeq
+    val schema = t.read.schema
+    // default caseSensitive=false: covered columns recorded in a
+    // different case than the schema spelling must still take the
+    // footer path (the job-path fallback was correct but defeated the
+    // commit-floor cut) …
+    val r = TableStats.footerStatsRows(spark, p, files.take(1),
+      Some(schema), Seq("ID", "S"))
+    assert(r.nonEmpty, "case-variant covered columns must engage the footer path")
+    // … and carry REAL bounds (resolved present, not nulled-out missing)
+    val (sch, rows) = r.get
+    assert(rows.head.get(sch.fieldIndex("min_str__ID")) != null,
+      "case-variant column must resolve as present with real bounds")
+    assert(rows.head.get(sch.fieldIndex("min_str__S")) != null)
+    // case-SENSITIVE mode: "ID" is genuinely a different (absent) column
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val rs = TableStats.footerStatsRows(spark, p, files.take(1),
+        Some(schema), Seq("ID"))
+      assert(rs.nonEmpty &&
+        rs.get._2.head.get(rs.get._1.fieldIndex("min_str__ID")) == null,
+        "under caseSensitive=true ID must read as a missing column")
+    } finally spark.conf.unset("spark.sql.caseSensitive")
+  }
+
+  test("a configured parquet.statistics.truncate.length stands the " +
+      "footer path down for string-covered batches (bounds would not be " +
+      "values present in the data)") {
+    import spark.implicits._
+    val p = tmpDir("fstats_trunc")
+    val t = MedallionTable(spark, p)
+    t.overwrite(Seq((1L, "abcdefghij")).toDF("id", "s"))
+    t.refreshStats()
+    t.append(Seq((2L, "klmnopqrst")).toDF("id", "s").coalesce(1))
+    val files = t.read.inputFiles.filter(_.contains("part-")).toSeq
+    val schema = t.read.schema
+    spark.conf.set("parquet.statistics.truncate.length", "4")
+    try {
+      assert(TableStats.footerStatsRows(spark, p, files.take(1),
+        Some(schema), Seq("id", "s")).isEmpty,
+        "string-covered batch must fall back when truncation is configured")
+      // numerics are untruncatable: integer-only coverage stays on the floor
+      assert(TableStats.footerStatsRows(spark, p, files.take(1),
+        Some(schema), Seq("id")).nonEmpty,
+        "numeric-only coverage must still engage under truncation conf")
+    } finally spark.conf.unset("parquet.statistics.truncate.length")
+  }
 }
