@@ -442,13 +442,17 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** (m, dims-per-subspace) off the codebook table — two metadata-bounded
-    * driver reads.
+  /** (m, dims-per-subspace) off the codebook table — ONE metadata-bounded
+    * driver read. `books` is a [[graft.table.SmallSnapshot]] frame, so the
+    * projected collect is a LocalTableScan `executeCollect` (zero Spark
+    * jobs); the oversize fallback costs one collect of (sub_id, dims)
+    * pairs — still half the two aggregate jobs this replaced (round 19).
     */
   private def bookShape(books: DataFrame): (Int, Int) = {
-    val m = books.agg(max(col("sub_id")).cast("int")).head.getInt(0) + 1
-    val d = books.select(size(col("cv"))).limit(1).head.getInt(0)
-    (m, d)
+    val rows = books.select(col("sub_id").cast("long"), size(col("cv"))).collect()
+    require(rows.nonEmpty, "empty codebook table")
+    val m = rows.iterator.map(_.getLong(0)).max.toInt + 1
+    (m, rows.head.getInt(1))
   }
 
   /** Approximate top-k for `queries` (vec_id, embedding) against the

@@ -261,8 +261,55 @@ final class MedallionTable(
     writeMetaText(new Path(base, "_graft_meta/schema.ddl"), schema.toDDL)
 
   private def writer(df: DataFrame, mode: SaveMode) = {
-    val w = df.write.mode(mode)
+    val w = clusterSmallWrite(df).write.mode(mode)
     if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w
+  }
+
+  /** Scale-adaptive write clustering (optimization guide §6 small files,
+    * §2 scale-adaptive partitioning): a DRIVER-BUILT batch — every leaf a
+    * [[LocalRelation]] — parallelizes into `defaultParallelism` slices
+    * (32 in `local[32]`), so a 50-row append scattered 32 micro files
+    * into the table, paying 32 write tasks on the commit, 32 footer
+    * reads in the stats floor, and a 32-file listing/scan/footer-merge
+    * on every subsequent read (WriteShapeProbe: 1000-row overwrite = 32
+    * files pre-fix, 1 post). `coalesce(1)` is shuffle-free and exact
+    * here: local-relation data is driver memory, small by construction,
+    * and the size-estimate gate (`spark.graft.smallWriteClusterBytes`,
+    * default 128 MB, 0 disables) keeps a pathological giant local frame
+    * on the parallel path.
+    *
+    * Exchange-fed batches are deliberately NOT touched: AQE already
+    * coalesces their write partitions to the advisory size at any scale
+    * (measured: agg-fed 8-cell write = 8 files, scan-fed small write =
+    * 1 file, with or without this), and an injected REBALANCE costs an
+    * extra shuffle job per commit for nothing (A/B'd and reverted,
+    * round 19). An explicit repartition root (e.g.
+    * StandingAnnIndex.clusterForWrite, FileCountProbe's
+    * repartitionByRange) is the caller's declared layout and passes
+    * through untouched by the same leaf gate.
+    */
+  private def clusterSmallWrite(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LocalRelation, Repartition, RepartitionByExpression, RebalancePartitions}
+    val threshold = spark.conf.getOption("spark.graft.smallWriteClusterBytes")
+      .flatMap(_.toLongOption).getOrElse(128L * 1024 * 1024)
+    if (threshold <= 0) return df
+    val plan = df.queryExecution.analyzed
+    // an explicit repartition ANYWHERE in a local-leaf plan is the
+    // caller's declared layout (FileCountProbe fans a local frame out to
+    // n files on purpose) — coalesce(1) on top would collapse it
+    val declaredLayout = plan.exists {
+      case _: Repartition | _: RepartitionByExpression |
+           _: RebalancePartitions => true
+      case _ => false
+    }
+    val leaves = plan.collectLeaves()
+    // analyzed-plan size estimate: a tree walk, no optimization pass
+    if (!declaredLayout && leaves.nonEmpty &&
+        leaves.forall(_.isInstanceOf[LocalRelation]) &&
+        plan.stats.sizeInBytes <= BigInt(threshold))
+      df.coalesce(1)
+    else df
   }
 
   /** In-place mutations invalidate the min/max manifest — a stale manifest

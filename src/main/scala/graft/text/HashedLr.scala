@@ -52,7 +52,15 @@ object HashedLr {
     s"(ascii(substr(md5($tokCol), 1, 1)) * 256 + " +
       s"ascii(substr(md5($tokCol), 2, 1))) % $dim"
 
-  /** (docId, bucket, x, y) feature rows: x = count/len. */
+  /** (docId, bucket, x, y) feature rows: x = count/len — plus the bias
+    * feature as bucket −1 with x = 1, injected as a NULL sentinel into
+    * the exploded tokens (round 19: the previous
+    * `unionByName(feats.distinct())` bias branch re-ran the whole
+    * explode+aggregate a second time and paid a union + distinct
+    * exchange; one sentinel row per doc gets the same (did, y, −1, 1.0)
+    * rows in the single pass). A real token can never collide with the
+    * sentinel: [[bucketExpr]] is a modulus of ascii codes, always ≥ 0.
+    */
   private def featureRows(docs: DataFrame, docId: String, text: String,
       label: String, dim: Int): DataFrame = {
     docs
@@ -60,10 +68,13 @@ object HashedLr {
         s"CAST(CAST($label AS INT) AS DOUBLE) AS y")
       .where("SIZE(toks) >= 1")
       .select(col("did"), col("y"),
-        size(col("toks")).cast("double").as("len"), explode(col("toks")).as("tok"))
-      .selectExpr("did", "y", "len", s"${bucketExpr("tok", dim)} AS b")
+        size(col("toks")).cast("double").as("len"),
+        explode(concat(array(lit(null).cast("string")), col("toks"))).as("tok"))
+      .selectExpr("did", "y", "len",
+        s"CASE WHEN tok IS NULL THEN -1 ELSE ${bucketExpr("tok", dim)} END AS b")
       .groupBy("did", "y", "b")
-      .agg((count(lit(1)) / first("len")).as("x"))
+      .agg(when(col("b") === -1, lit(1.0))
+        .otherwise(count(lit(1)) / first("len")).as("x"))
   }
 
   def train(docs: DataFrame, docId: String, text: String, label: String,
@@ -78,10 +89,15 @@ object HashedLr {
     // (b, w) DataFrame, NOT a literal array: iteration plans are then
     // textually identical, so whole-stage codegen compiles once and every
     // later iteration is a cache hit instead of a fresh janino compile.
-    val feats0 = featureRows(docs, docId, text, label, dim)
-    val feats = feats0.unionByName(
-        feats0.select(col("did"), col("y")).distinct()
-          .select(col("did"), col("y"), lit(-1).as("b"), lit(1.0).as("x")))
+    // Cached PRE-PARTITIONED by did (round 19): the per-iteration margins
+    // aggregate and the gradient join are both keyed on did, so a
+    // did-partitioned cache satisfies their distribution and each
+    // iteration pays only the tiny dim-sized gradient exchange — the
+    // previous unpartitioned cache re-shuffled the feature rows by did
+    // every iteration (guide §2.4: two operations keyed the same way
+    // share one exchange).
+    val feats = featureRows(docs, docId, text, label, dim)
+      .repartition(col("did"))
       .persist()
     try {
       val nDocs = feats.filter(col("b") === -1).count().toDouble
@@ -92,13 +108,16 @@ object HashedLr {
         val wDf = ((-1, bias) +: w.toIndexedSeq.zipWithIndex
           .map { case (v, i) => (i, v) }).toDF("b", "w")
         // resid has exactly ONE consumer (the gradient join), so it stays
-        // lazy inside the single per-iteration job — no persist round
+        // lazy inside the single per-iteration job — no persist round.
+        // Grouped by did alone (y is functionally dependent on did —
+        // first(y) is deterministic here) so the grouping matches the
+        // cache partitioning exactly.
         val resid = feats
           .join(broadcast(wDf), "b")
-          .groupBy("did", "y")
-          .agg(sum(col("x") * col("w")).as("m"))
+          .groupBy("did")
+          .agg(sum(col("x") * col("w")).as("m"), first(col("y")).as("y0"))
           .select(col("did"),
-            (col("y") - lit(1.0) / (lit(1.0) + exp(-col("m")))).as("r"))
+            (col("y0") - lit(1.0) / (lit(1.0) + exp(-col("m")))).as("r"))
         val grad = feats.join(resid, "did")
           .groupBy("b")
           .agg(sum(col("x") * col("r")).as("g"))
