@@ -58,6 +58,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Round 19: let AQE size CACHED-plan shuffles too. Spark's default
+      // (false) pins every shuffle under a persisted frame at the raw
+      // spark.sql.shuffle.partitions count — the protocol caches
+      // (HashedLr features, curate quality frames, DV scans) then fan 32
+      // micro-tasks per downstream stage at ANY data size; scale-adaptive
+      // coalescing is exactly AQE's job (guide §2.2). Scale-independent:
+      // at 100 TB the same flag sizes cached shuffles by bytes instead of
+      // a fixed constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // Round-8 postmortem: a transient local-mode RPC stall (default ask
       // timeout 120s, but the heartbeat/ask retry loop stalled one query
       // for ~37s × 2 attempts) inflated a2_static_agg14 7.8× and printed a

@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // AQE on cached-plan shuffles — same setting and rationale as
+      // graft.Bench (round 19): cached frames otherwise run fixed-width
+      // shuffles that defeat adaptive coalescing at every scale
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     LogNoise.silenceExpected()

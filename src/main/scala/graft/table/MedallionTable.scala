@@ -1009,6 +1009,19 @@ final class MedallionTable(
       // (see [[mergedParquet]]): drop the memo once this write's files
       // are final, whether it succeeded or released its claim
       MedallionTable.schemaCache.removeWhere(_.endsWith("|" + path))
+      // Schema-preserving bodies re-seed THIS session's entry under the
+      // post-commit stamp (computed before the lock release; a foreign
+      // scoped claim racing the listing is itself schema-preserving, so
+      // either the entry's stamp matches and stays correct or it
+      // mismatches and the next read re-resolves — conservative both
+      // ways). See [[MedallionTable.reseedSchemaAfterCommit]].
+      val reseed = MedallionTable.reseedSchemaAfterCommit.get()
+      if (reseed != null) {
+        MedallionTable.reseedSchemaAfterCommit.remove()
+        try MedallionTable.schemaCache.put(schemaCacheKey,
+          (commitStamp(), reseed))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       try fs.delete(lock, false)
       catch { case _: java.io.IOException => () }
       mark("release")
@@ -1883,6 +1896,18 @@ final class MedallionTable(
       tPhase = now
     }
     val fp0 = appendMetaFingerprint()
+    // Schema-memo carry-over (see [[MedallionTable.reseedSchemaAfterCommit]]):
+    // a memo entry valid RIGHT NOW stays the correct read schema through
+    // this commit — the batch introduces no new physical columns
+    // (eligibility + the readerSchema check below), and any foreign
+    // schema DDL between here and our claim trips the fingerprint
+    // re-check into the serial path. Captured before the claim, armed
+    // only after the publish succeeds.
+    val memoSchema0: Option[org.apache.spark.sql.types.StructType] = {
+      val s0 = commitStamp()
+      MedallionTable.schemaCache.get(schemaCacheKey)
+        .collect { case (`s0`, sch) => sch }
+    }
     val cmap = ColumnMap.load(spark, path)
     // same transform chain as [[appendBody]] — identity included: the
     // block is drawn (and the high-water persisted) here, BEFORE the
@@ -1970,6 +1995,10 @@ final class MedallionTable(
         if (cdfOn)
           try ChangeFeed.captureFiles(spark, path, claimed, op, published)
           catch { case NonFatal(_) => () } // read fail-stops
+        // LAST step of the successful body: any earlier throw (drift,
+        // publish failure) leaves the thread-local unset and the memo
+        // simply drops as before
+        memoSchema0.foreach(MedallionTable.reseedSchemaAfterCommit.set)
       }
       true
     } catch {
@@ -4942,6 +4971,18 @@ object MedallionTable {
     */
   private[graft] val noopPhase: (String, Long) => Unit = (_, _) => ()
   private[graft] var commitPhaseHook: (String, Long) => Unit = noopPhase
+
+  /** Armed by a commit body that PROVED it preserved the reader schema
+    * (staged appends: eligibility + the under-claim metadata-fingerprint
+    * re-check), as its LAST step. The shared release path then re-seeds
+    * the schema memo for the writer's session under the post-commit
+    * stamp instead of leaving every subsequent read to pay a fresh
+    * footer-resolution job — the standing-index ingest loop paid one
+    * such job per commit (round 19). Thread-local: claim holders are
+    * per-thread by construction.
+    */
+  private[table] val reseedSchemaAfterCommit =
+    new ThreadLocal[org.apache.spark.sql.types.StructType]
 
   /** Last mergeVectored's derived partition-pruning sets (partition col →
     * source key values), None when no merge key was a partition column —

@@ -27,6 +27,11 @@ object ProfileMany {
       // execution off, isolating AQE's per-stage job overhead at tiny SFs
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // A/B hook: AQE on cached-plan shuffles (default false in Spark —
+      // cached frames otherwise run their shuffles at the raw
+      // shuffle.partitions count with no coalescing)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = scala.collection.mutable.ArrayBuffer[(Long, Int, String)]()

@@ -18,6 +18,9 @@ object ProfileStanding {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // match graft.Bench's session (round 19)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = scala.collection.mutable.ArrayBuffer[(Int, Long, String)]()
