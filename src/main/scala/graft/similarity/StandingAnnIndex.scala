@@ -445,8 +445,9 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
   /** (m, dims-per-subspace) off the codebook table — ONE metadata-bounded
     * driver read. `books` is a [[graft.table.SmallSnapshot]] frame, so the
     * projected collect is a LocalTableScan `executeCollect` (zero Spark
-    * jobs); the oversize fallback costs one collect of (sub_id, dims)
-    * pairs — still half the two aggregate jobs this replaced (round 19).
+    * jobs). The collect is UNCONDITIONAL: it is bounded by the codebook
+    * being m×2^codeBits rows (every caller passes a SmallSnapshot
+    * codebook); a non-small caller would collect its whole frame.
     */
   private def bookShape(books: DataFrame): (Int, Int) = {
     val rows = books.select(col("sub_id").cast("long"), size(col("cv"))).collect()

@@ -213,7 +213,7 @@ final class MedallionTable(
     * or rebuild-after-delete (fresh marker files carry fresh mtimes), at
     * the cost of ONE flat small-directory listing.
     */
-  private[table] def commitStamp(): Long =
+  private[table] def commitStamp(excludeName: String = null): Long =
     if (!fs.exists(commitsDir)) 0L
     else fs.listStatus(commitsDir).foldLeft(0L) { (h, st) =>
       val n = st.getPath.getName
@@ -224,10 +224,13 @@ final class MedallionTable(
       // Append stagings are likewise INVISIBLE state — nothing a reader
       // can see changes until the publish claims a marker (which IS in
       // the stamp), and including them would make a staged append's
-      // own file renames read as foreign commits in its stats re-check
+      // own file renames read as foreign commits in its stats re-check.
+      // `excludeName` lets a lock HOLDER stamp the world a post-release
+      // reader will see: its own lock is the one entry that provably
+      // vanishes before any such reader lists.
       if (n == "stats.lock" || n == "journal.lock" ||
           n.startsWith("stats_staging_") ||
-          n.startsWith("append_staging_")) h
+          n.startsWith("append_staging_") || n == excludeName) h
       else h + n.hashCode.toLong * 1000003L + st.getModificationTime
     }
 
@@ -1010,16 +1013,20 @@ final class MedallionTable(
       // are final, whether it succeeded or released its claim
       MedallionTable.schemaCache.removeWhere(_.endsWith("|" + path))
       // Schema-preserving bodies re-seed THIS session's entry under the
-      // post-commit stamp (computed before the lock release; a foreign
-      // scoped claim racing the listing is itself schema-preserving, so
-      // either the entry's stamp matches and stays correct or it
-      // mismatches and the next read re-resolves — conservative both
-      // ways). See [[MedallionTable.reseedSchemaAfterCommit]].
+      // post-commit stamp (computed before the lock release but EXCLUDING
+      // our own lock file — a post-release reader's listing has everything
+      // we see minus that lock, so including it made the seeded stamp
+      // permanently unmatchable, r19's failing WriteShapeSpec pin; a
+      // foreign scoped claim racing the listing is itself
+      // schema-preserving, so either the entry's stamp matches and stays
+      // correct or it mismatches and the next read re-resolves —
+      // conservative both ways). See
+      // [[MedallionTable.reseedSchemaAfterCommit]].
       val reseed = MedallionTable.reseedSchemaAfterCommit.get()
       if (reseed != null) {
         MedallionTable.reseedSchemaAfterCommit.remove()
         try MedallionTable.schemaCache.put(schemaCacheKey,
-          (commitStamp(), reseed))
+          (commitStamp(excludeName = lock.getName), reseed))
         catch { case scala.util.control.NonFatal(_) => () }
       }
       try fs.delete(lock, false)
@@ -1925,6 +1932,21 @@ final class MedallionTable(
           have.contains(n.toLowerCase)))
         return false
     }
+    // The memo carry-over is sound only when the staged file leaves the
+    // FOOTER-MERGED schema bit-identical: every batch field must already
+    // exist in the memoized schema with the same type (and introduce no
+    // nullability widening). A batch that materializes an overlay-added
+    // column for the first time passes the reader-schema check above
+    // (the overlay knows the name) but ADDS a physical column the old
+    // footer merge never saw — re-seeding would make the next read drop
+    // that column's real values to overlay NULLs (SchemaOverlaySpec).
+    val memoSchema = memoSchema0.filter { sch =>
+      val byName = sch.fields.map(f => f.name.toLowerCase -> f).toMap
+      physBatch.schema.fields.forall { bf =>
+        byName.get(bf.name.toLowerCase).exists(mf =>
+          mf.dataType == bf.dataType && (mf.nullable || !bf.nullable))
+      }
+    }
     val token = java.util.UUID.randomUUID().toString.take(12)
     val staging = new Path(commitsDir, s"append_staging_$token")
     fs.mkdirs(commitsDir)
@@ -1998,7 +2020,7 @@ final class MedallionTable(
         // LAST step of the successful body: any earlier throw (drift,
         // publish failure) leaves the thread-local unset and the memo
         // simply drops as before
-        memoSchema0.foreach(MedallionTable.reseedSchemaAfterCommit.set)
+        memoSchema.foreach(MedallionTable.reseedSchemaAfterCommit.set)
       }
       true
     } catch {

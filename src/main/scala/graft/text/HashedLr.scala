@@ -77,6 +77,12 @@ object HashedLr {
         .otherwise(count(lit(1)) / first("len")).as("x"))
   }
 
+  /** Precondition: `docId` uniquely identifies a row (so each doc carries
+    * exactly one label). The per-iteration `groupBy(did) + first(y)`
+    * relies on y being functionally dependent on did — a docId appearing
+    * with conflicting labels would train on an arbitrary one of them.
+    * Every caller feeds table rows keyed by docId, where this holds.
+    */
   def train(docs: DataFrame, docId: String, text: String, label: String,
       dim: Int = 32, iterations: Int = 15, learningRate: Double = 1.0): Model = {
     val spark = docs.sparkSession

@@ -55,13 +55,16 @@ class WriteShapeSpec extends SparkSpec {
 
   test("smallWriteClusterBytes=0 disables the clustering") {
     val p = tmpDir("wshape4")
-    spark.conf.set("spark.graft.smallWriteClusterBytes", "0")
-    try {
-      val t = MedallionTable(spark, p)
-      t.overwrite((0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
-      assert(parquets(p).size > 1,
-        "disabled: the local frame keeps its parallelize fan-out")
-    } finally spark.conf.unset("spark.graft.smallWriteClusterBytes")
+    // isolated session: suites share one SparkContext and run in
+    // parallel, so flipping the conf on the shared session would turn
+    // clustering off under concurrent suites' writes mid-test
+    val s = spark.newSession()
+    s.conf.set("spark.graft.smallWriteClusterBytes", "0")
+    val t = MedallionTable(s, p)
+    import s.implicits._
+    t.overwrite((0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    assert(parquets(p).size > 1,
+      "disabled: the local frame keeps its parallelize fan-out")
   }
 
   test("schema-preserving staged append re-seeds the schema memo") {
