@@ -68,6 +68,15 @@ object Bench {
       // a fixed constant.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // Round 20: INT64-micros timestamps instead of Spark's legacy INT96
+      // default. INT96 is deprecated in parquet-format and its chunk
+      // min/max use a comparator readers must ignore (PARQUET-1065), so a
+      // timestamp-covered table could never arm the footer-stats commit
+      // floor or row-group skipping; values are identical either way
+      // (Spark timestamps are micros precision). Delta and Iceberg write
+      // INT64 timestamps for the same reason. Mirrored in graft.Verify so
+      // the oracle validates execution under it.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // Round-8 postmortem: a transient local-mode RPC stall (default ask
       // timeout 120s, but the heartbeat/ask retry loop stalled one query
       // for ~37s × 2 attempts) inflated a2_static_agg14 7.8× and printed a

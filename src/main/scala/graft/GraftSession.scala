@@ -17,6 +17,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64 micros, not Spark's legacy INT96 default: INT96 is
+      // deprecated in parquet-format and its chunk min/max use a broken
+      // comparator readers must ignore (PARQUET-1065), so INT96 timestamp
+      // columns can never arm footer stats or row-group skipping. Delta
+      // and Iceberg write INT64 timestamps for the same reason.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

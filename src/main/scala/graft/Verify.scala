@@ -20,6 +20,12 @@ object Verify {
       // shuffles that defeat adaptive coalescing at every scale
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // INT64-micros timestamps (not legacy INT96) — same setting and
+      // rationale as graft.GraftSession/Bench (round 20): INT96 chunk
+      // stats are deprecated/unreliable (PARQUET-1065) so they can never
+      // arm footer stats or row-group skipping; values are identical
+      // (Spark timestamps are micros precision either way)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     LogNoise.silenceExpected()
@@ -38,9 +44,24 @@ object Verify {
         // otherwise cancelJobGroup on timeout cancels nothing.
         workerThread.set(Thread.currentThread())
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        finally spark.sparkContext.clearJobGroup()
+        try {
+          // query evaluation (including every protocol table write) runs
+          // under the session's INT64-micros timestamp output, exactly as
+          // Bench executes it...
+          val frame = fn(spark, sfDir)
+          // ...but the RESULT DUMP keeps the legacy INT96 encoding:
+          // DuckDB reads Spark's INT64 instant timestamps (annotated
+          // isAdjustedToUTC=true) as TIMESTAMP WITH TIME ZONE, which the
+          // oracle's naive-TIMESTAMP compare mis-flags on every ts column
+          // (measured: 17 spurious FAILs). Queries run sequentially on
+          // this one worker, so the scoped flip cannot leak into another
+          // query's internal writes.
+          val k = "spark.sql.parquet.outputTimestampType"
+          spark.conf.set(k, "INT96")
+          try frame.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.conf.set(k, "TIMESTAMP_MICROS")
+        } finally spark.sparkContext.clearJobGroup()
       }
       try Await.result(work, timeout.seconds)
       catch {

@@ -36,15 +36,21 @@ object Pq {
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
   }
 
-  /** The corpus exploded into m subvectors: (vec_id, sub_id, sv). The
-    * TRANSFORM materializes all m slices from ONE pass over the row
-    * before Generate fans them out.
+  /** The corpus exploded into m subvectors: (vec_id, [carry...,] sub_id,
+    * sv). The TRANSFORM materializes all m slices from ONE pass over the
+    * row before Generate fans them out. `carry` columns (functionally
+    * dependent on vec_id, e.g. IVFADC's cell_id) ride the explode so
+    * downstream [[assignCodes]] keeps them for free — recovering them by
+    * re-joining a corpus-sized frame afterwards costs a shuffle join
+    * (the round-12 sim_ivfpq_topk attribution).
     */
-  private[similarity] def subRows(base: DataFrame, m: Int, d: Int): DataFrame =
-    base.select(col("vec_id"),
+  private[similarity] def subRows(base: DataFrame, m: Int, d: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    base.select(Seq(col("vec_id")) ++ carry.map(col) :+
       expr(s"EXPLODE(TRANSFORM(SEQUENCE(0, ${m - 1}), " +
-        s"s -> NAMED_STRUCT('sub_id', s, 'sv', SLICE(v, s * $d + 1, $d))))").as("e"))
-      .select(col("vec_id"), col("e.sub_id").as("sub_id"), col("e.sv").as("sv"))
+        s"s -> NAMED_STRUCT('sub_id', s, 'sv', SLICE(v, s * $d + 1, $d))))").as("e"): _*)
+      .select(Seq(col("vec_id")) ++ carry.map(col) ++
+        Seq(col("e.sub_id").as("sub_id"), col("e.sv").as("sv")): _*)
 
   /** Squared L2 via three codegen'd dot products: |a-b|² = a·a + b·b − 2a·b. */
   private[similarity] def l2sq(a: Column, b: Column): Column =

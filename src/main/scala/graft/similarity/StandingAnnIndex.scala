@@ -292,13 +292,15 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     val resid = cells.join(broadcast(cents), Seq("cell_id"))
       .select(col("vec_id"), col("cell_id"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
-    val subs = Pq.subRows(resid.select(col("vec_id"), col("v")), m, d)
+    // cell_id CARRIES through the explode + argmin (functionally dependent
+    // on vec_id — same groups), so no corpus-sized re-join recovers it
+    // (the IvfPq.topK round-12 lesson, applied to the standing writes)
+    val subs = Pq.subRows(resid, m, d, carry = Seq("cell_id"))
     val books = Pq.trainCodebooks(subs, kCent, pqIterations)
     codebookTable.overwrite(books)
     adcTable.overwrite(clusterForWrite(
-      Pq.assignCodes(subs, books)
-        .select(col("vec_id"), col("sub_id"), col("code"))
-        .join(resid.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+      Pq.assignCodes(subs, books, carry = Seq("cell_id"))
+        .select(col("vec_id"), col("sub_id"), col("code"), col("cell_id"))
         .withColumn("batch_tag", lit(0L))))
   }
 
@@ -325,13 +327,14 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
     val resid = cells.join(broadcast(cents), Seq("cell_id"))
       .select(col("vec_id"), col("cell_id"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
-    val subs = Pq.subRows(resid.select(col("vec_id"), col("v")), m, d)
+    // cell_id carried through explode + argmin (see trainIvfPq); only the
+    // tag-recovery join remains — it reads a DIFFERENT table (old codes)
+    val subs = Pq.subRows(resid, m, d, carry = Seq("cell_id"))
     val books = Pq.trainCodebooks(subs, kCent, pqIterations)
     codebookTable.overwrite(books)
     adcTable.overwrite(clusterForWrite(
-      Pq.assignCodes(subs, books)
-        .select(col("vec_id"), col("sub_id"), col("code"))
-        .join(resid.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+      Pq.assignCodes(subs, books, carry = Seq("cell_id"))
+        .select(col("vec_id"), col("sub_id"), col("code"), col("cell_id"))
         .join(oldTags, Seq("vec_id"), "left")
         .withColumn("batch_tag", coalesce(col("batch_tag"), lit(0L)))))
   }
@@ -353,11 +356,12 @@ final class StandingAnnIndex(spark: SparkSession, basePath: String) {
       .join(broadcast(cents), Seq("cell_id"))
       .select(col("vec_id"), col("cell_id"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    // cell_id carried through explode + argmin (see trainIvfPq): the
+    // O(batch) encode stays a single narrow pass, no batch-sized re-join
     adcTable.append(clusterForWrite(
-      Pq.assignCodes(Pq.subRows(resid.select(col("vec_id"), col("v")), m, d),
-          books)
-        .select(col("vec_id"), col("sub_id"), col("code"))
-        .join(resid.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+      Pq.assignCodes(Pq.subRows(resid, m, d, carry = Seq("cell_id")), books,
+          carry = Seq("cell_id"))
+        .select(col("vec_id"), col("sub_id"), col("code"), col("cell_id"))
         .withColumn("batch_tag", lit(tag))))
   }
 

@@ -814,7 +814,9 @@ object ChangeFeed {
     val reqs = markReqs.result()
     if (reqs.nonEmpty) {
       val marks = reqs.map { r =>
-        spark.read.parquet(r.paths: _*)
+        // marks schema is the writers' fixed (file, pos) — declaring it
+        // skips one footer-inference job per marks request
+        spark.read.schema(DeletionVectors.MarkSchema).parquet(r.paths: _*)
           .select(col("file").as("__cf_file"), col("pos").as("__cf_pos"))
           .withColumn("__cf_c", lit(r.c))
           .withColumn("__cf_role", lit(r.role))
@@ -927,11 +929,12 @@ object ChangeFeed {
     * (preimages excluded — they describe the past); within one commit an
     * insert/postimage outranks a delete, which renders the rewrite
     * fallback's delete-all+insert-all correctly (a surviving key has
-    * both; the insert is its terminal state). Terminal inserts/updates
-    * upsert through [[MedallionTable.mergeVectored]] (O(matched) marks,
-    * zero base-file rewrites), terminal deletes apply through
-    * [[MedallionTable.deleteVectoredKeys]] — the mirror pays O(Δ) data
-    * work per refresh, never a source or mirror rescan.
+    * both; the insert is its terminal state). The whole net-change set
+    * applies as ONE ordered-clause [[MedallionTable.mergeVectored]]
+    * commit — matched deletes become DV marks, matched upserts update,
+    * unmatched non-deletes insert (O(matched) marks, zero base-file
+    * rewrites) — so the mirror pays O(Δ) data work and a single commit
+    * round per refresh, never a source or mirror rescan.
     *
     * Exactly-once effect without atomicity: the watermark (a sibling
     * file in the mirror's commits dir) is advanced AFTER the apply, and
@@ -976,15 +979,12 @@ object ChangeFeed {
           .filter(col("__cf_rn") === 1).drop("__cf_rn")
           .drop(CommitVersionCol, CommitTimestampCol)
           .localCheckpoint()
-        val ups = last.filter(col(ChangeTypeCol) =!= "delete")
-          .drop(ChangeTypeCol)
-        val dels = last.filter(col(ChangeTypeCol) === "delete")
-          .select(keys.map(col): _*)
+        val srcCols = last.columns.filterNot(_ == ChangeTypeCol).toSeq
         val cols = mirror.read.columns.toSeq
         // source schema evolved past the mirror: the DV merge would
         // silently drop the new columns from every replicated row —
         // fail-stop with the escape hatch instead of silent divergence
-        val newCols = ups.columns.filterNot(c =>
+        val newCols = srcCols.filterNot(c =>
           cols.exists(_.equalsIgnoreCase(c)))
         if (newCols.nonEmpty) refuse(
           s"source ${source.path} grew columns ${newCols.mkString(", ")} " +
@@ -996,22 +996,36 @@ object ChangeFeed {
         // and die in analysis with a raw cannot-resolve; refuse with the
         // same escape hatch instead
         val goneCols = cols.filterNot(c =>
-          ups.columns.exists(_.equalsIgnoreCase(c)))
+          srcCols.exists(_.equalsIgnoreCase(c)))
         if (goneCols.nonEmpty) refuse(
           s"mirror ${mirror.path} has columns ${goneCols.mkString(", ")} " +
             s"the source ${source.path} no longer provides — drop them " +
             "from the mirror, or re-baseline by deleting it")
-        if (ups.head(1).nonEmpty)
-          mirror.mergeVectored(ups, keys.map(k => k -> k),
-            Seq(MergeOps.WhenMatchedUpdate(None,
-              cols.filterNot(keys.contains).map(c =>
-                c -> ((_: MergeOps.ColRef, sc: MergeOps.ColRef) => sc(c))).toMap)),
-            Seq(MergeOps.WhenNotMatchedInsert(None,
+        // ONE ordered-clause DV merge applies the whole net-change set —
+        // terminal deletes consume their matched rows as marks, terminal
+        // upserts update-or-insert — in a single mirror commit (formerly a
+        // merge commit PLUS a deleteVectoredKeys commit: two claimed-commit
+        // rounds, two manifests, two stats invalidations per refresh; the
+        // key sets are disjoint per the row_number, so apply order between
+        // the classes never mattered). A delete whose key the mirror lacks
+        // is unmatched and the insert clause's condition skips it — exactly
+        // deleteVectoredKeys' no-op on an absent key.
+        if (last.head(1).nonEmpty)
+          mirror.mergeVectored(last, keys.map(k => k -> k),
+            Seq(
+              MergeOps.WhenMatchedDelete(Some(
+                (_: MergeOps.ColRef, sc: MergeOps.ColRef) =>
+                  sc(ChangeTypeCol) === "delete")),
+              MergeOps.WhenMatchedUpdate(None,
+                cols.filterNot(keys.contains).map(c =>
+                  c -> ((_: MergeOps.ColRef, sc: MergeOps.ColRef) => sc(c))).toMap)),
+            Seq(MergeOps.WhenNotMatchedInsert(Some(
+              (_: MergeOps.ColRef, sc: MergeOps.ColRef) =>
+                sc(ChangeTypeCol) =!= "delete"),
               cols.map(c =>
                 c -> ((_: MergeOps.ColRef, sc: MergeOps.ColRef) => sc(c))).toMap)),
             // `last` is unique per key by construction (row_number = 1)
             checkUniqueKeys = false)
-        if (dels.head(1).nonEmpty) mirror.deleteVectoredKeys(dels, keys)
       case None =>
         mirror.overwrite(source.read)
     }

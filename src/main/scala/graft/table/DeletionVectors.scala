@@ -66,13 +66,26 @@ object DeletionVectors {
     */
   private val KeyRegex = "((?:[^/]*=[^/]*/)*[^/]+)$"
 
+  /** Every mark writer emits exactly (file: fileKey string, pos:
+    * row_index long) — the `__graft_dv_file`/`__graft_dv_pos` producers —
+    * so mark scans declare the schema instead of paying a parquet
+    * footer-inference job per read (one such job rode EVERY
+    * fingerprint-missed sidecar read and every change-feed marks read).
+    */
+  private[table] val MarkSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+
   /** The sidecar read: recursive, because committed UPDATE marks live in
     * `update_<batch>/` SUBDIRECTORIES of the sidecar ([[DvUpdates]] —
     * the atomic commit rename lands a directory, not a file), while
     * DELETE marks are flat appended files. Both carry (file, pos).
     */
   private[table] def sidecar(spark: SparkSession, dvPath: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(dvPath)
+    spark.read.schema(MarkSchema)
+      .option("recursiveFileLookup", "true").parquet(dvPath)
 
   private[table] def fileKey(filePath: Column): Column =
     regexp_extract(filePath, KeyRegex, 1)

@@ -117,6 +117,27 @@ object DvUpdates {
     committedBatches(spark, tablePath).flatMap(b =>
       ShallowClone.listParquet(spark, batchDataDir(tablePath, b)))
 
+  /** Driver-side "does any parquet under `dir` hold a row?" via footer
+    * row counts — replaces the `spark.read.parquet(dir).head(1)` job the
+    * post-write emptiness probes paid (2 Spark jobs per DV merge/update
+    * commit, on files this writer just created). An unreadable footer
+    * counts as rows (conservative: the commit proceeds and the first
+    * read fails loudly, exactly as the job-based probe would have).
+    */
+  private[table] def anyRows(spark: SparkSession, dir: String): Boolean =
+    ShallowClone.listParquet(spark, dir).exists { f =>
+      try {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(f), spark.sparkContext.hadoopConfiguration))
+        try {
+          var n = 0L
+          r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+          n > 0
+        } finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => true }
+    }
+
   /** Per-batch scans for the committed batches, paired with the batch
     * data dir (the DV `rootPath` for per-branch mark resolution). Batches
     * whose data dir holds no parquet (an update that matched rows but

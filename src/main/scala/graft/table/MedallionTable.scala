@@ -192,8 +192,17 @@ final class MedallionTable(
   private def mergedParquet(): DataFrame = {
     val stamp = commitStamp()
     val k = schemaCacheKey
+    val carry = MedallionTable.claimCarry.get()
     MedallionTable.schemaCache.get(k) match {
       case Some((`stamp`, s)) => spark.read.schema(s).parquet(path)
+      case Some((s0, s)) if carry != null && carry.path == path &&
+          s0 == commitStampExcluding(carry.exclusions) =>
+        // base-file-preserving GLOBAL claim in flight on this table
+        // ([[MedallionTable.baseFilePreservingOps]]): our own claim moved
+        // the stamp but the body cannot change the base footer set, so an
+        // entry stamped to the pre-claim world is still exact — the
+        // re-verification (one flat listing) keeps it conservative
+        spark.read.schema(s).parquet(path)
       case _ =>
         // while a type-widening overlay is live, the authoritative reader
         // schema comes from `_graft_meta/physschema.ddl` — mixed
@@ -214,6 +223,10 @@ final class MedallionTable(
     * the cost of ONE flat small-directory listing.
     */
   private[table] def commitStamp(excludeName: String = null): Long =
+    commitStampExcluding(
+      if (excludeName == null) Set.empty else Set(excludeName))
+
+  private[table] def commitStampExcluding(names: Set[String]): Long =
     if (!fs.exists(commitsDir)) 0L
     else fs.listStatus(commitsDir).foldLeft(0L) { (h, st) =>
       val n = st.getPath.getName
@@ -225,12 +238,13 @@ final class MedallionTable(
       // can see changes until the publish claims a marker (which IS in
       // the stamp), and including them would make a staged append's
       // own file renames read as foreign commits in its stats re-check.
-      // `excludeName` lets a lock HOLDER stamp the world a post-release
-      // reader will see: its own lock is the one entry that provably
-      // vanishes before any such reader lists.
+      // `names` lets a claim HOLDER stamp the world around its own
+      // artifacts: the lock provably vanishes before any post-release
+      // reader lists, and excluding the holder's own fresh marker
+      // recovers the PRE-claim world for the memo-carry check.
       if (n == "stats.lock" || n == "journal.lock" ||
           n.startsWith("stats_staging_") ||
-          n.startsWith("append_staging_") || n == excludeName) h
+          n.startsWith("append_staging_") || names.contains(n)) h
       else h + n.hashCode.toLong * 1000003L + st.getModificationTime
     }
 
@@ -980,6 +994,26 @@ final class MedallionTable(
       }
       MedallionTable.testFailpoint("mid-claim-first")
       mark("claim")
+      // Schema-memo carry for base-file-preserving GLOBAL commits (DV
+      // marks/batches/CDF flags — see [[MedallionTable.baseFilePreservingOps]]):
+      // while we hold the global lock no foreign claim can land, so a memo
+      // entry stamped to the pre-claim world (current listing minus our own
+      // lock + marker) is the table's correct base resolution for the whole
+      // body — in-body reads reuse it instead of re-running the footer job
+      // our own claim would otherwise force, and on success the release
+      // re-keys it (the staged-append reseed contract).
+      val dvCarry: Option[org.apache.spark.sql.types.StructType] =
+        if (footprint.isEmpty &&
+            MedallionTable.baseFilePreservingOps.contains(op)) {
+          val ex = Set(lock.getName, s"v$claimed.commit")
+          val hit = MedallionTable.schemaCache.get(schemaCacheKey).collect {
+            case (s0, sch) if s0 == commitStampExcluding(ex) => sch
+          }
+          if (hit.nonEmpty)
+            MedallionTable.claimCarry.set(
+              MedallionTable.ClaimCarry(path, ex))
+          hit
+        } else None
       val out =
         try write(claimed)
         catch {
@@ -989,6 +1023,8 @@ final class MedallionTable(
             throw t
         }
       mark("body")
+      if (MedallionTable.reseedSchemaAfterCommit.get() == null)
+        dvCarry.foreach(MedallionTable.reseedSchemaAfterCommit.set)
       // change-feed op durability: record the op for commits whose body
       // did not capture (maintenance/DDL read as dataChange=false, DV
       // compaction invalidates, etc. — ChangeFeed classifies by op).
@@ -1008,6 +1044,7 @@ final class MedallionTable(
       mark("journal")
       out
     } finally {
+      MedallionTable.claimCarry.remove()
       // same-JVM close of the data-lands-after-claim schema-memo window
       // (see [[mergedParquet]]): drop the memo once this write's files
       // are final, whether it succeeded or released its claim
@@ -2481,12 +2518,10 @@ final class MedallionTable(
       // stage 2: marks for the consumed matched rows' OLD positions
       plan.marks(j).write.mode(SaveMode.Overwrite).parquet(marksStaging.toString)
       // row-based emptiness: an empty frame's write can still leave a
-      // zero-row part file, which must not become a committed batch
-      val batchHasRows = ShallowClone.listParquet(spark, batchDir).nonEmpty &&
-        spark.read.parquet(batchDir).head(1).nonEmpty
-      val marksHaveRows =
-        ShallowClone.listParquet(spark, marksStaging.toString).nonEmpty &&
-          spark.read.parquet(marksStaging.toString).head(1).nonEmpty
+      // zero-row part file, which must not become a committed batch —
+      // answered from the just-written footers driver-side (no Spark job)
+      val batchHasRows = DvUpdates.anyRows(spark, batchDir)
+      val marksHaveRows = DvUpdates.anyRows(spark, marksStaging.toString)
       if (!batchHasRows && !marksHaveRows) {
         // no clause consumed anything: leave no witness, clear the litter
         fs.delete(new Path(batchDir), true)
@@ -3388,7 +3423,9 @@ final class MedallionTable(
           .fromDDL(readMetaText(sf)).fields
           .map(f => f.copy(name = cmap.getOrElse(f.name, f.name)))))
         .parquet(path)
-    } else WideCols.reader(spark, path).parquet(path)
+    } else mergedParquet() // same WideCols-aware resolution, plus the
+      // schema memo and the under-claim carry (a DV op's base scan no
+      // longer pays its own footer job when the memo covers the table)
   }
 
   private def dvLiveWithPos(): DataFrame = {
@@ -3559,7 +3596,8 @@ final class MedallionTable(
     else {
       val staging = DeletionVectors.compactStagingDir(path)
       fs.delete(staging, true)
-      spark.read.parquet(old.map(_.toString): _*)
+      spark.read.schema(DeletionVectors.MarkSchema)
+        .parquet(old.map(_.toString): _*)
         .select(col("file"), col("pos")).distinct()
         .repartition(1)
         .write.mode(SaveMode.Overwrite).parquet(staging.toString)
@@ -3641,7 +3679,8 @@ final class MedallionTable(
         spark, DvUpdates.marksDir(path, b).toString))
       val oldMarks =
         if (oldMarkFiles.isEmpty) None
-        else Some(spark.read.parquet(oldMarkFiles: _*)
+        else Some(spark.read.schema(DeletionVectors.MarkSchema)
+          .parquet(oldMarkFiles: _*)
           .select(col("file"), col("pos")))
       val hideAll = DvUpdates.committedScans(spark, path).map { case (_, scan) =>
         scan.select(
@@ -3722,9 +3761,9 @@ final class MedallionTable(
         .write.mode(SaveMode.Overwrite).parquet(marksStaging.toString)
       // row-based emptiness (as mergeVectored): an empty frame's write
       // can still leave a zero-row part file, and committing it would
-      // leave a permanent dead read-union branch per no-match update
-      val batchHasRows = ShallowClone.listParquet(spark, batchDir).nonEmpty &&
-        spark.read.parquet(batchDir).head(1).nonEmpty
+      // leave a permanent dead read-union branch per no-match update —
+      // answered from the just-written footers driver-side (no Spark job)
+      val batchHasRows = DvUpdates.anyRows(spark, batchDir)
       if (!batchHasRows) {
         // nothing matched: leave no witness, clear the invisible litter
         fs.delete(new Path(batchDir), true)
@@ -3733,9 +3772,7 @@ final class MedallionTable(
           try ChangeFeed.captureEmpty(spark, path, commitVersion, "update-dv")
           catch { case scala.util.control.NonFatal(_) => () }
       } else {
-        require(
-          ShallowClone.listParquet(spark, marksStaging.toString).nonEmpty &&
-            spark.read.parquet(marksStaging.toString).head(1).nonEmpty,
+        require(DvUpdates.anyRows(spark, marksStaging.toString),
           s"update-dv: staged batch has data but no marks ($marksStaging) — " +
             "aborting before the commit could duplicate rows")
         invalidateStats()
@@ -5005,6 +5042,29 @@ object MedallionTable {
     */
   private[table] val reseedSchemaAfterCommit =
     new ThreadLocal[org.apache.spark.sql.types.StructType]
+
+  /** Ops whose commit bodies provably never add, delete, or rewrite BASE
+    * data files — their writes live under `_graft_meta` (DV marks, update
+    * batches) or the commits sidecar (CDF flag/manifests) — so the base
+    * footer-merged schema is bit-identical across the commit. Under the
+    * GLOBAL writer lock (no foreign claim can land while it is held), a
+    * schema-memo entry stamped to the pre-claim world therefore stays the
+    * correct base resolution for the whole body AND after release: in-body
+    * reads skip their footer-resolution jobs ([[ClaimCarry]]) and the
+    * release re-keys the entry like a staged append's reseed.
+    */
+  private[table] val baseFilePreservingOps: Set[String] =
+    Set("delete-dv", "update-dv", "merge-dv", "set-cdf",
+      "dv-compact", "dv-batch-compact")
+
+  /** Active base-file-preserving GLOBAL claim on `path`: the memo entry
+    * whose stamp equals `commitStampExcluding(exclusions)` (the pre-claim
+    * world) is valid for every in-body read of that table. Thread-local:
+    * claim holders are per-thread by construction.
+    */
+  private[table] final case class ClaimCarry(path: String,
+      exclusions: Set[String])
+  private[table] val claimCarry = new ThreadLocal[ClaimCarry]
 
   /** Last mergeVectored's derived partition-pruning sets (partition col →
     * source key values), None when no merge key was a partition column —

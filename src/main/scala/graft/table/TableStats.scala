@@ -241,13 +241,16 @@ object TableStats {
     * Correctness gates — `None` (whole-batch fallback to the job path,
     * never a mixed manifest) unless EVERY covered column of EVERY file
     * is exactly representable:
-    *   - types: String / Byte / Short / Int / Long / Date only. Float
-    *     and Double are excluded because parquet writers silently drop
-    *     NaN from chunk min/max while Spark's min/max order NaN greatest
-    *     — a footer bound could under-report MAX to
-    *     [[aggregateFromManifest]]. Timestamps are excluded because
-    *     Spark's default parquet output is INT96 (statless), and
-    *     Decimal/NTZ for representation subtleties.
+    *   - types: String / Byte / Short / Int / Long / Date / Timestamp.
+    *     Float and Double are excluded because parquet writers silently
+    *     drop NaN from chunk min/max while Spark's min/max order NaN
+    *     greatest — a footer bound could under-report MAX to
+    *     [[aggregateFromManifest]]. Timestamps engage ONLY when the file
+    *     stores INT64 TIMESTAMP(MICROS, UTC) (the engine sessions set
+    *     `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`);
+    *     legacy INT96 chunks carry deprecated, ordering-unreliable
+    *     min/max (PARQUET-1065) and fail the gate per file. Decimal/NTZ
+    *     stay excluded for representation subtleties.
     *   - every chunk must carry usable statistics: values present, or a
     *     set null-count proving the chunk all-null; a >4 KB string makes
     *     parquet omit chunk stats → that file fails the gate.
@@ -306,7 +309,7 @@ object TableStats {
     }
     val okTypes = presentFields.forall {
       case (_, _, StringType | ByteType | ShortType | IntegerType |
-        LongType | DateType) => true
+        LongType | DateType | TimestampType) => true
       case _ => false
     }
     if (!okTypes) return None
@@ -318,7 +321,7 @@ object TableStats {
           StructField(s"max_str__$c", StringType),
           StructField(s"min_num__$c", DoubleType),
           StructField(s"max_num__$c", DoubleType)) ++
-          (if (dt == DateType)
+          (if (dt == DateType || dt == TimestampType)
             Seq(StructField(s"min_ts__$c", LongType),
               StructField(s"max_ts__$c", LongType))
           else Nil)
@@ -366,6 +369,17 @@ object TableStats {
         (java.time.LocalDate.ofEpochDay(lo.toLong).toString,
           java.time.LocalDate.ofEpochDay(hi.toLong).toString,
           null, null, Long.box(lo.toLong), Long.box(hi.toLong))
+      case TimestampType =>
+        // INT64 micros straight from the chunk stats; the string cells
+        // use Spark's own cast-to-string formatter (session zone,
+        // trailing-zero-trimmed fraction) so both manifest paths render
+        // byte-identically
+        val (lo, hi) = (minV.asInstanceOf[Long], maxV.asInstanceOf[Long])
+        val fmt = org.apache.spark.sql.catalyst.util.TimestampFormatter
+          .getFractionFormatter(java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone))
+        (fmt.format(lo), fmt.format(hi), null, null,
+          Long.box(lo), Long.box(hi))
       case _ => // byte/short/int/long
         val (lo, hi) = (minV.asInstanceOf[Number].longValue(),
           maxV.asInstanceOf[Number].longValue())
@@ -432,6 +446,24 @@ object TableStats {
                   found
                 }
                 if (chunk == null) return None
+                // timestamp gate: only INT64 TIMESTAMP(MICROS, UTC) chunks
+                // carry trustworthy bounds — legacy INT96 stats use a
+                // deprecated, ordering-unreliable comparator (PARQUET-1065)
+                if (dt == TimestampType) {
+                  import org.apache.parquet.schema.LogicalTypeAnnotation
+                  val pt = chunk.getPrimitiveType
+                  val okTs = pt.getPrimitiveTypeName ==
+                    org.apache.parquet.schema.PrimitiveType
+                      .PrimitiveTypeName.INT64 &&
+                    (pt.getLogicalTypeAnnotation match {
+                      case t: LogicalTypeAnnotation
+                          .TimestampLogicalTypeAnnotation =>
+                        t.isAdjustedToUTC &&
+                          t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+                      case _ => false
+                    })
+                  if (!okTs) return None
+                }
                 val st = chunk.getStatistics
                 // usable = carries values, or proves the chunk all-null
                 val usable = st != null && (st.hasNonNullValue ||
@@ -462,7 +494,8 @@ object TableStats {
       val values = Seq(fsys.makeQualified(fp).toString) ++
         presentFields.zip(cells).flatMap { case ((_, _, dt), c) =>
           Seq(c._1, c._2, c._3, c._4) ++
-            (if (dt == DateType) Seq(c._5, c._6) else Nil)
+            (if (dt == DateType || dt == TimestampType) Seq(c._5, c._6)
+             else Nil)
         } ++ Seq(Long.box(rowCount)) ++
         missing.flatMap(_ => Seq(null, null, null, null))
       Some(org.apache.spark.sql.Row.fromSeq(values))

@@ -22,6 +22,8 @@ object VerifySubset {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // mirror graft.Verify: execution under INT64-micros timestamps...
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,7 +32,14 @@ object VerifySubset {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      // ...but the DUMP keeps the legacy INT96 encoding (graft.Verify's
+      // rationale: DuckDB reads INT64 instant ts as TIMESTAMPTZ, which
+      // the oracle's naive-TIMESTAMP compare mis-flags)
+      val frame = fn(spark, sfDir)
+      val k = "spark.sql.parquet.outputTimestampType"
+      spark.conf.set(k, "INT96")
+      try frame.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      finally spark.conf.set(k, "TIMESTAMP_MICROS")
       println(s"[subset] dumped $name")
     }
     val oracle = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))

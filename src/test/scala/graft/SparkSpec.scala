@@ -13,6 +13,9 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // INT64-micros timestamps, as every engine session (GraftSession):
+      // legacy INT96 chunk stats can never arm the footer-stats path
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", false)
       .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
       .getOrCreate()

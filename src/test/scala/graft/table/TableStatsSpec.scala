@@ -317,6 +317,42 @@ class TableStatsSpec extends SparkSpec {
       t1.read.selectExpr("COUNT(*)", "MIN(s)", "MAX(s)").head())
   }
 
+  test("timestamp columns engage the footer path under INT64-micros " +
+      "output and both manifest paths render identically (round 20)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def drive(p: String, footer: Boolean): Unit = {
+      spark.conf.set("spark.graft.footerStats", footer.toString)
+      try {
+        val t = MedallionTable(spark, p)
+        t.overwrite(Seq(
+          (1L, Timestamp.valueOf("2024-03-01 10:20:30.123456")),
+          (2L, Timestamp.valueOf("1969-12-31 23:59:59"))).toDF("id", "ts")
+          .coalesce(1))
+        t.refreshStats()
+        t.append(Seq((3L, Timestamp.valueOf("2030-06-30 00:00:00")),
+          (4L, null: Timestamp)).toDF("id", "ts").coalesce(1))
+        t.append(Seq((5L, null: Timestamp), (6L, null: Timestamp))
+          .toDF("id", "ts").coalesce(1)) // all-null timestamp batch
+      } finally spark.conf.unset("spark.graft.footerStats")
+    }
+    val p1 = tmpDir("fstats_ts_on"); val p2 = tmpDir("fstats_ts_off")
+    drive(p1, footer = true)
+    drive(p2, footer = false)
+    assert(manifestRows(p1) == manifestRows(p2),
+      s"timestamp footer manifest diverges from the job path:\n" +
+        s"footer=${manifestRows(p1)}\njob=${manifestRows(p2)}")
+    val t1 = MedallionTable(spark, p1)
+    val files = t1.read.inputFiles.filter(_.contains("part-")).toSeq
+    assert(TableStats.footerStatsRows(spark, p1, files.take(1),
+      Some(t1.read.schema), Seq("id", "ts")).nonEmpty,
+      "a timestamp-covered INT64-micros batch must take the footer path")
+    assert(TableStats.aggregateFromManifest(spark, p1,
+      Seq(TableStats.RowCount, TableStats.ColMin("ts"), TableStats.ColMax("ts")),
+      t1.read.schema).head() ==
+      t1.read.selectExpr("COUNT(*)", "MIN(ts)", "MAX(ts)").head())
+  }
+
   test("footer stats engage on clean types, fall back whole-batch on " +
       "doubles and on hive partition columns they can reconstruct") {
     import spark.implicits._

@@ -104,6 +104,45 @@ class WriteShapeSpec extends SparkSpec {
     assert(t.read.count() == 2L)
   }
 
+  test("DV commits carry the schema memo: the post-update read pays at " +
+      "most the one sidecar-collect job (no footer or inference jobs)") {
+    val p = tmpDir("wreseed3")
+    val t = MedallionTable(spark, p)
+    t.overwrite((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    t.read.schema // seeds the memo
+    t.updateVectored($"id" % 10 === 1, Map("s" -> lit("upd"))) // base-preserving
+    t.deleteVectored($"id" % 25 === 3) // likewise
+    val group = s"wreseed3-${java.util.UUID.randomUUID()}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (group == j.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet(); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, group)
+    try {
+      // carried through both DV commits: the base footer job and the
+      // sidecar schema-inference job are gone; the one remaining job is
+      // the sidecar mark COLLECT (new marks genuinely must be read)
+      val schema = t.read.schema
+      Thread.sleep(500)
+      assert(jobs.get() <= 1,
+        s"post-DV-commit read must resolve schema from the carried memo " +
+          s"(collect job only), ran ${jobs.get()} job(s)")
+      val fresh = MedallionTable(spark.newSession(), p).read.schema
+      assert(schema == fresh,
+        s"carried schema drifted: memo=$schema footer=$fresh")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+    assert(t.read.filter($"s" === "upd").count() === 10L)
+    assert(t.read.count() === 96L)
+  }
+
   test("schema-evolving append still drops the memo and re-resolves") {
     val p = tmpDir("wreseed2")
     val t = MedallionTable(spark, p)
