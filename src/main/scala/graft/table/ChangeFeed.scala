@@ -682,7 +682,15 @@ object ChangeFeed {
           // Under a live/archived type-widening overlay the same span
           // crosses narrow/wide footers (which REFUSE to merge), so the
           // root's recorded reader schema takes over (WideCols scaladoc).
-          val raw = WideCols.readerAnyLayout(spark, root)
+          // Groups rooted at the LIVE table use the table's (memoized)
+          // base resolution instead — a subset of base files reads
+          // identically under the full merged schema, and the per-group
+          // footer job disappears (guide §6 metadata cost).
+          val reader =
+            if (root == t.path) t.basePhysicalReader()
+              .getOrElse(WideCols.readerAnyLayout(spark, root))
+            else WideCols.readerAnyLayout(spark, root)
+          val raw = reader
             .option("basePath", root)
             .parquet(grp.map(_._1).distinct: _*)
           val keyed =

@@ -3428,6 +3428,22 @@ final class MedallionTable(
       // longer pays its own footer job when the memo covers the table)
   }
 
+  /** Reader with THIS table's resolved base physical schema declared —
+    * for change-feed scans over groups of LIVE base files, where a
+    * per-group `mergeSchema` re-resolution costs one footer job each.
+    * The declared schema is exactly what mergeSchema over the base
+    * resolves (live footers merged + partition columns as inferred), so
+    * a SUBSET of base files reads identically: absent columns surface as
+    * nulls, the same union semantics the feed's `unionByName` fold
+    * already gives them. None for clones (their base-dir footer merge
+    * covers only clone-LOCAL files, not the pointed-at source files a
+    * feed group may mix in).
+    */
+  private[table] def basePhysicalReader()
+      : Option[org.apache.spark.sql.DataFrameReader] =
+    if (ShallowClone.isClone(spark, path)) None
+    else Some(spark.read.schema(basePhysicalScan().schema))
+
   private def dvLiveWithPos(): DataFrame = {
     import org.apache.spark.sql.functions.col
     def prep(df: DataFrame): DataFrame = df
